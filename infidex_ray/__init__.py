@@ -1,0 +1,14 @@
+"""infidex_ray — a Ray-Data-native inverted-index + BM25 search engine.
+
+From-scratch rebuild of the capabilities of lofcz/Infidex (reference studied
+at /root/reference) on ray.data.Dataset + Arrow: streaming per-partition index
+construction, compressed posting segments, global-stats aggregation, per-
+segment BM25 query actors with coverage/fusion reranking, plus the
+training-data operators a 100 TB text pipeline needs (dedup, similarity
+search, text analysis).
+"""
+
+from .config import EngineConfig, config_100, config_400  # noqa: F401
+
+__all__ = ["EngineConfig", "config_100", "config_400"]
+__version__ = "0.1.0"

@@ -1,0 +1,332 @@
+"""Ray-Data-native index construction.
+
+Pipeline shape (SURVEY §3.1 "Ray Data shape"):
+
+    read_parquet(columns pruned) → [repartition to segment-sized blocks]
+      → map_batches(_BuildSegmentFn, batch_size=None, zero_copy)   # one task per segment
+      → Dataset of per-segment (kind, term, df) rows
+      → groupby("term").sum → global df tables (the only shuffle; inputs are
+        pre-aggregated to ≤1 row per term per segment, so skewed terms cost
+        one row per segment, not one row per posting — this is the skew story
+        for common grams like "the"/pad-grams)
+      → stats/ (df.parquet, word_df.parquet, stats.json) + manifest.json
+
+Each segment task analyzes its doc block (vectorized gram counting), builds a
+sorted in-task term dictionary + compressed postings, and writes an immutable
+segment directory with a ``_SUCCESS`` marker (checkpoint unit — a re-run skips
+segments already on disk; lineage recorded in meta.json).
+
+Replaces the reference's single-process build
+(src/Infidex/SearchEngine.cs:124-192 → VectorModel.cs:73-220) with
+embarrassingly-parallel per-partition builds + one small aggregate; global
+stats (N, avgdl, global df) mirror VectorModel.BuildInvertedLists +
+GatherTermInfo's cross-segment df summation (VectorModel.cs:604-641).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from .analyzer import count_tokens_batch, decode_gram_keys, normalize
+from .config import EngineConfig
+
+_DF_ROW_SCHEMA = pa.schema(
+    [("kind", pa.string()), ("term", pa.large_string()), ("df", pa.int64())]
+)
+
+
+def hash_key(s: str) -> int:
+    """Stable 64-bit signed document key from a string key (url)."""
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little", signed=True
+    )
+
+
+def build_segment_from_arrays(
+    urls: list[str],
+    texts: list[str],
+    doc_keys: np.ndarray,
+    cfg: EngineConfig,
+    seg_dir: str,
+    lineage: dict | None = None,
+) -> dict:
+    """Analyze one doc block and write an immutable segment. Pure function of
+    its inputs → safe under Ray task retries and checkpoint/resume."""
+    from . import segments as seglib
+
+    t0 = time.perf_counter()
+    norm_texts = [normalize(t) if t else "" for t in texts]
+    lower_texts = [t.lower() for t in norm_texts]
+
+    counts = count_tokens_batch(
+        lower_texts,
+        cfg.index_sizes,
+        cfg.start_pad_size,
+        cfg.stop_pad_size,
+        cfg.delimiters,
+    )
+    t_analyze = time.perf_counter() - t0
+
+    # --- term dictionary: decode gram keys, merge with long words, sort ------
+    t0 = time.perf_counter()
+    if len(counts.gram_key):
+        # counts.gram_* are sorted by (key, doc): term boundaries are runs
+        boundary = np.empty(len(counts.gram_key), dtype=bool)
+        boundary[0] = True
+        boundary[1:] = counts.gram_key[1:] != counts.gram_key[:-1]
+        starts = np.flatnonzero(boundary)
+        ends = np.append(starts[1:], len(counts.gram_key))
+        gram_terms = decode_gram_keys(counts.gram_key[starts])
+    else:
+        starts = ends = np.empty(0, dtype=np.int64)
+        gram_terms = []
+
+    entries: list[tuple[str, int, int]] = []  # (term, source, idx) source 0=gram,1=word
+    for i, t in enumerate(gram_terms):
+        entries.append((t, 0, i))
+    word_list = sorted(counts.word_counts.keys())
+    for w in word_list:
+        entries.append((w, 1, 0))
+    entries.sort(key=lambda e: e[0])
+
+    terms: list[str] = []
+    df_arr: list[int] = []
+    postings: list[tuple[np.ndarray, np.ndarray]] = []
+    for term, source, idx in entries:
+        if source == 0:
+            s, e = starts[idx], ends[idx]
+            docs = counts.gram_doc[s:e].astype(np.uint32)
+            occ = counts.gram_count[s:e]
+        else:
+            d, c = counts.word_counts[term]
+            docs = d.astype(np.uint32)
+            occ = c
+        # df quirk (Term.cs:87-113): per-doc contribution 1 + max(0, occ-255):
+        # occurrences past weight saturation keep incrementing df.
+        df = int(len(docs) + np.maximum(occ - 255, 0).sum())
+        weights = np.minimum(occ, 255).astype(np.uint8)
+        terms.append(term)
+        df_arr.append(df)
+        postings.append((docs, weights))
+    t_dict = time.perf_counter() - t0
+
+    # --- docmap metadata (DocumentMetadataCache semantics,
+    #     VectorModel.cs:250-313: first token + token count over ALL tokens) --
+    t0 = time.perf_counter()
+    from .analyzer import _word_splitter
+
+    splitter = _word_splitter(cfg.delimiters)
+    first_tokens: list[str] = []
+    token_counts = np.zeros(len(lower_texts), dtype=np.int32)
+    for i, t in enumerate(lower_texts):
+        ws = [w for w in splitter.split(t) if w]
+        first_tokens.append(ws[0] if ws else "")
+        token_counts[i] = len(ws)
+
+    docmap = {
+        "local_id": np.arange(len(urls), dtype=np.int32),
+        "doc_key": doc_keys.astype(np.int64),
+        "url": urls,
+        "norm_text": norm_texts,
+        "doc_len": counts.doc_len,
+        "first_token": first_tokens,
+        "token_count": token_counts,
+    }
+    meta = {
+        "segment_dir": seg_dir,
+        "n_docs": len(urls),
+        "sum_doc_len": float(counts.doc_len.sum()),
+        "lineage": lineage or {},
+        "timings_s": {"analyze": round(t_analyze, 4), "dict": round(t_dict, 4)},
+    }
+    seglib.write_segment(seg_dir, terms, np.asarray(df_arr, dtype=np.int64), postings, docmap, meta)
+    meta["terms"] = terms
+    meta["term_df"] = df_arr
+    return meta
+
+
+class _BuildSegmentFn:
+    """map_batches callable: one whole block in → one segment on disk, out a
+    small (kind, term, df) batch for the global-stats groupby."""
+
+    def __init__(self, out_dir: str, cfg: EngineConfig, text_column: str, key_column: str):
+        self.out_dir = out_dir
+        self.cfg = cfg
+        self.text_column = text_column
+        self.key_column = key_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from . import segments as seglib
+
+        urls = batch[self.key_column].to_pylist()
+        texts = batch[self.text_column].to_pylist()
+        texts = ["" if t is None else str(t) for t in texts]
+        urls = ["" if u is None else str(u) for u in urls]
+
+        # deterministic segment identity from content lineage, independent of
+        # task scheduling order → resumable
+        h = hashlib.blake2b(digest_size=8)
+        h.update(urls[0].encode() if urls else b"")
+        h.update(urls[-1].encode() if urls else b"")
+        h.update(str(len(urls)).encode())
+        seg_name = f"seg-{h.hexdigest()}"
+        seg_dir = os.path.join(self.out_dir, "segments", seg_name)
+
+        if seglib.segment_is_complete(seg_dir):
+            # resume: reuse the finished segment, emit its df rows again
+            import pyarrow.parquet as pq
+
+            tt = pq.read_table(
+                os.path.join(seg_dir, "terms.parquet"), columns=["term", "df"]
+            )
+            terms = tt["term"].to_pylist()
+            dfs = tt["df"].to_pylist()
+        else:
+            if pa.types.is_integer(batch.schema.field(self.key_column).type):
+                doc_keys = np.asarray(batch[self.key_column].to_numpy(), dtype=np.int64)
+            else:
+                doc_keys = np.fromiter(
+                    (hash_key(u) for u in urls), dtype=np.int64, count=len(urls)
+                )
+            meta = build_segment_from_arrays(
+                urls, texts, doc_keys, self.cfg, seg_dir,
+                lineage={"first_key": urls[0] if urls else "", "rows": len(urls)},
+            )
+            terms = meta["terms"]
+            dfs = meta["term_df"]
+
+        # word-level df rows for the coverage word-IDF cache
+        # (VectorModel.BuildWordIdfCache, VectorModel.cs:864-908: unique words
+        # per doc over normalized+lowered text, ALL lengths)
+        word_df: dict[str, int] = {}
+        from .analyzer import _word_splitter
+
+        splitter = _word_splitter(self.cfg.delimiters)
+        for t in texts:
+            nt = normalize(t).lower() if t else ""
+            for w in set(w for w in splitter.split(nt) if w):
+                word_df[w] = word_df.get(w, 0) + 1
+
+        kinds = ["term"] * len(terms) + ["word"] * len(word_df)
+        all_terms = list(terms) + list(word_df.keys())
+        all_df = list(dfs) + list(word_df.values())
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "term": pa.array(all_terms, pa.large_string()),
+                "df": pa.array(all_df, pa.int64()),
+            },
+            schema=_DF_ROW_SCHEMA,
+        )
+
+
+def build_index(
+    ds,
+    out_dir: str,
+    cfg: EngineConfig | None = None,
+    text_column: str = "text",
+    key_column: str = "url",
+):
+    """Build a partitioned index from a ``ray.data.Dataset``.
+
+    Streaming end-to-end: doc blocks flow through segment-build tasks with
+    backpressure; only (term, df) rows are shuffled (pre-aggregated per
+    segment) and only tiny stats are materialized on the driver.
+    """
+    import ray.data  # noqa: F401  (Dataset ops)
+
+    cfg = cfg or EngineConfig()
+    os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "stats"), exist_ok=True)
+
+    ds = ds.select_columns([key_column, text_column])  # prune html/binary early
+
+    n_rows = ds.count()
+    n_segments = max(1, -(-n_rows // cfg.target_docs_per_segment))
+    ds = ds.repartition(n_segments)
+
+    df_rows = ds.map_batches(
+        _BuildSegmentFn(out_dir, cfg, text_column, key_column),
+        batch_size=None,  # whole block per call = one segment
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    # the one (small) shuffle: global df = Σ per-segment df
+    agg = df_rows.groupby(["kind", "term"]).sum("df")
+
+    import pyarrow.parquet as pq
+
+    # NOTE scale path: at 100 TB the vocab tables should be written with
+    # agg.write_parquet (hash-partitioned by term) and probed with parquet
+    # predicate pushdown; collecting to the driver is fine below ~100M terms.
+    agg_batches = list(agg.iter_batches(batch_size=None, batch_format="pyarrow"))
+    agg_table = (
+        pa.concat_tables(agg_batches)
+        if agg_batches
+        else pa.table({"kind": pa.array([], pa.string()),
+                       "term": pa.array([], pa.large_string()),
+                       "sum(df)": pa.array([], pa.int64())})
+    )
+    col_df = "sum(df)" if "sum(df)" in agg_table.column_names else "df"
+    kinds = agg_table["kind"].to_numpy(zero_copy_only=False)
+
+    term_mask = kinds == "term"
+    term_table = pa.table(
+        {
+            "term": agg_table["term"].filter(pa.array(term_mask)),
+            "df": agg_table[col_df].filter(pa.array(term_mask)),
+        }
+    ).sort_by("term")
+    word_table = pa.table(
+        {
+            "word": agg_table["term"].filter(pa.array(~term_mask)),
+            "df": agg_table[col_df].filter(pa.array(~term_mask)),
+        }
+    ).sort_by("word")
+    pq.write_table(term_table, os.path.join(out_dir, "stats", "df.parquet"))
+    pq.write_table(word_table, os.path.join(out_dir, "stats", "word_df.parquet"))
+
+    # per-segment metas → manifest + global stats
+    seg_root = os.path.join(out_dir, "segments")
+    seg_dirs = sorted(
+        d for d in os.listdir(seg_root) if os.path.isdir(os.path.join(seg_root, d))
+    )
+    n_docs, sum_dl = 0, 0.0
+    seg_entries = []
+    for d in seg_dirs:
+        with open(os.path.join(seg_root, d, "meta.json")) as f:
+            m = json.load(f)
+        n_docs += m["n_docs"]
+        sum_dl += m["sum_doc_len"]
+        seg_entries.append({"name": d, "n_docs": m["n_docs"], "lineage": m.get("lineage", {})})
+
+    stats = {
+        "total_docs": n_docs,
+        "sum_doc_len": sum_dl,
+        "avg_doc_len": (sum_dl / n_docs) if n_docs else 0.0,
+        "n_segments": len(seg_dirs),
+    }
+    with open(os.path.join(out_dir, "stats", "stats.json"), "w") as f:
+        json.dump(stats, f)
+    manifest = {
+        "version": 1,
+        "config": {
+            "index_sizes": list(cfg.index_sizes),
+            "start_pad_size": cfg.start_pad_size,
+            "stop_pad_size": cfg.stop_pad_size,
+            "stop_term_limit": cfg.stop_term_limit,
+            "delimiters": list(cfg.delimiters),
+        },
+        "stats": stats,
+        "segments": seg_entries,
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest

@@ -1,0 +1,452 @@
+"""Stage 1: BM25+ candidate generation and scoring over doc-range segments.
+
+Numpy re-implementation of the reference's scoring contract:
+
+* BM25+ constants k1=1.2 b=0.75 δ=1.0, idf = ln((N−df+0.5)/(df+0.5)+1),
+  tf = uint8 posting weight (reference: src/Infidex/Indexing/Bm25Scorer.cs:
+  21-23, 643-652, 686-695) — float32 arithmetic.
+* Tiered candidate selection (reference:
+  src/Infidex/Scoring/TieredCandidateSelector.cs:53-322): disjunctive union
+  for typo/single-term shapes, else full-AND → (n−1)-AND → top-2 high-IDF
+  singles with topK·2/3/5/10 cardinality cutoffs.
+* Fuzzy expansion of unknown query grams (len ≥ 4, global df 0) into an
+  edit-distance-1 union "virtual term" with tf=1 per doc (reference:
+  src/Infidex/Indexing/VectorModel.cs:643-743).
+* Result ordering: score desc → tiebreaker desc → doc_key asc
+  (reference: src/Infidex/Core/ScoreEntry.cs:25-36).
+
+Distribution model: documents live in exactly one segment, so every candidate
+set (AND/OR of posting lists) distributes over segments: global_set =
+⊎ per-segment sets, and |global_set| = Σ per-segment counts. The reference's
+cardinality-based tier cutoffs are therefore evaluated on GLOBAL counts via a
+two-phase protocol:
+
+  phase A (per segment): compute the nested candidate sets + their local
+           cardinality vector (cheap set ops, no scoring);
+  decide   (driver):     sum count vectors → pick the inclusion level exactly
+           as TieredCandidateSelector would on one big segment;
+  phase B (per segment): BM25-score the included union, return local top-k.
+
+This makes the partitioned engine rank-identical to the reference's
+single-segment semantics regardless of how many segments the corpus is split
+into (north_rule requirement), at the cost of one extra tiny round-trip.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..analyzer import tokenize_for_search
+from ..config import EngineConfig
+from ..segments import SegmentData
+
+K1 = np.float32(1.2)
+B = np.float32(0.75)
+DELTA = np.float32(1.0)
+_ONE = np.float32(1.0)
+_HALF = np.float32(0.5)
+MAX_TF = np.float32(255.0)
+
+
+def compute_idf(total_docs: int, df: int) -> np.float32:
+    """Bm25Scorer.ComputeIdf (Bm25Scorer.cs:686-695), float32 math."""
+    if df <= 0 or total_docs <= 0:
+        return np.float32(0.0)
+    dff = np.float32(df)
+    n = np.float32(total_docs)
+    ratio = (n - dff + _HALF) / (dff + _HALF)
+    if ratio <= 0:
+        return np.float32(0.0)
+    return np.float32(np.log(ratio + _ONE))
+
+
+def max_term_score(idf: np.float32, avgdl: np.float32) -> np.float32:
+    """Per-term upper bound with tf=255 (VectorModel.cs:521-533)."""
+    min_dl_norm = _ONE - B + B * (_ONE / avgdl)
+    max_core = (MAX_TF * (K1 + _ONE)) / (MAX_TF + K1 * min_dl_norm)
+    return idf * (max_core + DELTA)
+
+
+@dataclass
+class QueryTermInfo:
+    """One unique query term with global stats (VectorModel.QueryTermStat)."""
+
+    text: str
+    global_df: int
+    q_occ: int
+    idf: np.float32
+    max_score: np.float32
+    is_fuzzy: bool = False
+
+
+@dataclass
+class QueryPlan:
+    """Globally-decided candidate-selection plan, shipped to every segment."""
+
+    infos: list[QueryTermInfo]  # idf-descending (stable)
+    mode: str  # "disjunctive" | "tiered"
+    included_ranks: list[int] = field(default_factory=list)  # disjunctive
+    selective_ranks: list[int] = field(default_factory=list)  # tiered (≤2)
+
+    @property
+    def n_levels(self) -> int:
+        if self.mode == "disjunctive":
+            return len(self.included_ranks)
+        return 2 + len(self.selective_ranks)  # t0, t1, s1?, s2?
+
+
+def prepare_query_terms(
+    query_text: str,
+    cfg: EngineConfig,
+    df_lookup,
+    total_docs: int,
+    avgdl: float,
+    fuzzy_df_fn=None,
+) -> list[QueryTermInfo]:
+    """Tokenize the (normalized+lowered) query, dedupe into unique terms with
+    occurrence counts and global df, compute idf/maxScore
+    (VectorModel.SearchWithMaxScore gather phase, VectorModel.cs:376-530)."""
+    tokens = tokenize_for_search(
+        query_text,
+        cfg.index_sizes,
+        cfg.start_pad_size,
+        cfg.stop_pad_size,
+        cfg.delimiters,
+        cfg.high_resolution_mode,
+    )
+    if not tokens:
+        return []
+    tokens_sorted = sorted(tokens)
+    uniq: list[tuple[str, int]] = []
+    for t in tokens_sorted:
+        if uniq and uniq[-1][0] == t:
+            uniq[-1] = (t, min(uniq[-1][1] + 1, 255))
+        else:
+            uniq.append((t, 1))
+
+    avgdl32 = np.float32(avgdl if avgdl > 0 else 1.0)
+    out: list[QueryTermInfo] = []
+    for text, occ in uniq:
+        df = int(df_lookup(text) or 0)
+        is_fuzzy = False
+        if df == 0 and len(text) >= 4 and fuzzy_df_fn is not None:
+            fdf = int(fuzzy_df_fn(text) or 0)
+            if fdf > 0:
+                df, is_fuzzy = fdf, True
+        if df <= 0 or df > cfg.stop_term_limit:
+            continue
+        idf = compute_idf(total_docs, df)
+        out.append(
+            QueryTermInfo(text, df, occ, idf, max_term_score(idf, avgdl32), is_fuzzy)
+        )
+    return out
+
+
+def build_plan(infos: list[QueryTermInfo]) -> QueryPlan | None:
+    """Route + order terms exactly as TieredCandidateSelector would with
+    global statistics (single-big-segment semantics)."""
+    if not infos:
+        return None
+    ordered = sorted(infos, key=lambda t: -float(t.idf))
+    max_idf = float(ordered[0].idf)
+    has_typo = any(t.global_df < 10 for t in infos)
+
+    if has_typo or len(infos) == 1:
+        # disjunctive (:243-322): after the first (max-idf) term produces
+        # docs, low-quality terms (idf < 0.2·max) are skipped
+        included = [
+            r
+            for r, t in enumerate(ordered)
+            if r == 0 or len(infos) == 1 or float(t.idf) >= max_idf * 0.2
+        ]
+        return QueryPlan(ordered, "disjunctive", included_ranks=included)
+
+    # tiered: choose up to 2 globally-selective terms (idf ≥ 0.3·max)
+    selective = []
+    for r, t in enumerate(ordered):
+        if float(t.idf) <= 0 or float(t.idf) < max_idf * 0.3:
+            continue
+        selective.append(r)
+        if len(selective) == 2:
+            break
+    return QueryPlan(ordered, "tiered", selective_ranks=selective)
+
+
+def decide_level(plan: QueryPlan, counts: np.ndarray, top_k: int) -> int:
+    """Given the GLOBAL cumulative cardinality vector (Σ over segments of the
+    phase-A counts), pick the inclusion level per the reference's cutoffs.
+    Returns the number of nested candidate sets to include (≥1)."""
+    n = len(plan.infos)
+    if plan.mode == "disjunctive":
+        # stop once the cumulative union reaches topK·100 (:317-318)
+        for lvl in range(len(plan.included_ranks)):
+            if counts[lvl] >= top_k * 100:
+                return lvl + 1
+        return len(plan.included_ranks)
+
+    # tiered (:130-236). Level meanings: 1=t0, 2=+t1, 3=+s1, 4=+s2
+    c0 = counts[0]
+    if n >= 2 and c0 >= top_k * 2:
+        return 1
+    level, cur = 1, c0
+    if n >= 3 and c0 < top_k * 3:
+        level, cur = 2, counts[1]
+    if cur < top_k * 5 and plan.selective_ranks:
+        level = 3
+        if len(plan.selective_ranks) > 1 and counts[2] < top_k * 10:
+            level = 4
+    return level
+
+
+# --- scoring -----------------------------------------------------------------
+
+
+def score_candidates(
+    candidates: np.ndarray,
+    term_postings: list[tuple[QueryTermInfo, np.ndarray, np.ndarray]],
+    doc_len: np.ndarray,
+    avgdl: float,
+) -> np.ndarray:
+    """Vectorized BM25+ accumulation over the candidate set, float32
+    (Bm25Scorer.ProcessChunk/ComputeTermScore, Bm25Scorer.cs:283-651)."""
+    avgdl32 = np.float32(avgdl if avgdl > 0 else 1.0)
+    scores = np.zeros(len(candidates), dtype=np.float32)
+    if len(candidates) == 0:
+        return scores
+    cand_dl = doc_len[candidates].astype(np.float32)
+    cand_dl = np.where(cand_dl <= 0, np.float32(1.0), cand_dl)
+    norm_all = K1 * (_ONE - B + B * (cand_dl / avgdl32))
+    for info, docs, weights in term_postings:
+        if float(info.idf) <= 0 or len(docs) == 0:
+            continue
+        pos = np.searchsorted(docs, candidates)
+        pos_c = np.minimum(pos, len(docs) - 1)
+        hit = docs[pos_c] == candidates
+        if not hit.any():
+            continue
+        tf = weights[pos_c[hit]].astype(np.float32)
+        core = (tf * (K1 + _ONE)) / (tf + norm_all[hit])
+        scores[hit] += info.idf * (core + DELTA)
+    return scores
+
+
+def topk_entries(
+    keys: np.ndarray, scores: np.ndarray, k: int, tiebreakers: np.ndarray | None = None
+) -> list[tuple[float, int, int]]:
+    """Top-k as (score, doc_key, tiebreaker) under ScoreEntry ordering
+    (ScoreEntry.cs:25-36): score desc, tiebreaker desc, doc_key asc."""
+    n = len(keys)
+    if n == 0:
+        return []
+    tb = tiebreakers if tiebreakers is not None else np.zeros(n, dtype=np.int32)
+    order = np.lexsort((keys, -tb, -scores.astype(np.float64)))
+    take = order[: min(k, n)]
+    return [(float(scores[i]), int(keys[i]), int(tb[i])) for i in take]
+
+
+def merge_topk(
+    entry_lists: list[list[tuple[float, int, int]]], k: int
+) -> list[tuple[float, int, int]]:
+    alle = [e for lst in entry_lists for e in lst]
+    alle.sort(key=lambda e: (-e[0], -e[2], e[1]))
+    return alle[:k]
+
+
+def consolidate(entries: list[tuple[float, int, int]]) -> list[tuple[float, int, int]]:
+    """SegmentProcessor.ConsolidateSegments (:16-37): best entry per doc_key,
+    sorted descending."""
+    best: dict[int, tuple[float, int, int]] = {}
+    for e in entries:
+        cur = best.get(e[1])
+        if cur is None or (e[0], e[2], -e[1]) > (cur[0], cur[2], -cur[1]):
+            best[e[1]] = e
+    out = list(best.values())
+    out.sort(key=lambda e: (-e[0], -e[2], e[1]))
+    return out
+
+
+def _union_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if len(a) == 0:
+        return b
+    if len(b) == 0:
+        return a
+    return np.union1d(a, b)
+
+
+def _intersect_sorted(arrays: list[np.ndarray]) -> np.ndarray:
+    out = arrays[0]
+    for p in arrays[1:]:
+        if len(out) == 0:
+            return out
+        out = np.intersect1d(out, p, assume_unique=True)
+    return out
+
+
+class SegmentStage1:
+    """Stage-1 searcher bound to one loaded segment (the state a query actor
+    holds): local postings, global statistics."""
+
+    def __init__(self, seg: SegmentData, cfg: EngineConfig):
+        self.seg = seg
+        self.cfg = cfg
+        self._fuzzy_cache: dict[str, tuple[np.ndarray, int]] = {}
+        self._del_index: dict[str, list[int]] | None = None
+
+    # -- fuzzy (edit-distance-1) expansion --------------------------------
+    def _deletion_index(self) -> dict[str, list[int]]:
+        """Symmetric-delete index over the segment term dictionary, built
+        lazily once (replaces FstIndex.MatchWithinEditDistance1)."""
+        if self._del_index is None:
+            idx: dict[str, list[int]] = {}
+            for i, t in enumerate(self.seg.terms):
+                t = str(t)
+                idx.setdefault(t, []).append(~i)  # ones-complement = exact
+                for j in range(len(t)):
+                    idx.setdefault(t[:j] + t[j + 1 :], []).append(i)
+            self._del_index = idx
+        return self._del_index
+
+    def _ld1_term_ids(self, text: str) -> list[int]:
+        idx = self._deletion_index()
+        cand: set[int] = set()
+        for v in idx.get(text, ()):
+            cand.add(v if v >= 0 else ~v)
+        for j in range(len(text)):
+            d = text[:j] + text[j + 1 :]
+            for v in idx.get(d, ()):
+                cand.add(v if v >= 0 else ~v)
+        out = []
+        for tid in cand:
+            term = str(self.seg.terms[tid])
+            if term != text and _lev1(text, term):
+                out.append(tid)
+        return sorted(out)
+
+    def fuzzy_union(self, text: str) -> tuple[np.ndarray, int]:
+        """LD1 virtual-term postings: sorted unique doc ids, tf=1
+        (VectorModel.ExpandMissingTerm, VectorModel.cs:643-743)."""
+        hit = self._fuzzy_cache.get(text)
+        if hit is not None:
+            return hit
+        tids = self._ld1_term_ids(text)
+        if not tids:
+            res = (np.empty(0, dtype=np.uint32), 0)
+        else:
+            parts = [self.seg.term_postings(int(i))[0] for i in tids]
+            docs = np.unique(np.concatenate(parts))
+            res = (docs, int(len(docs)))
+        if len(self._fuzzy_cache) >= 1000:  # LruCache(1000), VectorModel.cs:42
+            self._fuzzy_cache.pop(next(iter(self._fuzzy_cache)))
+        self._fuzzy_cache[text] = res
+        return res
+
+    # -- local postings for a plan ----------------------------------------
+    def _plan_postings(
+        self, plan: QueryPlan
+    ) -> list[tuple[QueryTermInfo, np.ndarray, np.ndarray]]:
+        out = []
+        for info in plan.infos:
+            if info.is_fuzzy:
+                docs, card = self.fuzzy_union(info.text)
+                out.append((info, docs, np.ones(len(docs), dtype=np.uint8)))
+                continue
+            i = self.seg.term_lookup(info.text)
+            if i < 0:
+                out.append((info, np.empty(0, np.uint32), np.empty(0, np.uint8)))
+            else:
+                docs, weights = self.seg.term_postings(i)
+                out.append((info, docs, weights))
+        return out
+
+    def _candidate_sets(self, plan: QueryPlan) -> list[np.ndarray]:
+        """Phase A: the nested candidate sets for this segment."""
+        tp = self._plan_postings(plan)
+        if plan.mode == "disjunctive":
+            sets = []
+            union = np.empty(0, dtype=np.uint32)
+            for r in plan.included_ranks:
+                union = _union_sorted(union, tp[r][1])
+                sets.append(union)
+            return sets
+        # tiered
+        all_posts = [d for _, d, _ in tp]
+        t0 = _intersect_sorted(all_posts) if len(tp) >= 2 else np.empty(0, np.uint32)
+        t1 = (
+            _intersect_sorted(all_posts[:-1])
+            if len(tp) >= 3
+            else np.empty(0, np.uint32)
+        )
+        sets = [t0, _union_sorted(t0, t1)]
+        cur = sets[-1]
+        for r in plan.selective_ranks:
+            cur = _union_sorted(cur, tp[r][1])
+            sets.append(cur)
+        return sets
+
+    def phase_a(self, plan: QueryPlan) -> np.ndarray:
+        """Cumulative local cardinalities of the nested candidate sets."""
+        sets = self._candidate_sets(plan)
+        return np.asarray([len(s) for s in sets], dtype=np.int64)
+
+    def phase_b(
+        self, plan: QueryPlan, level: int, top_k: int, avgdl: float
+    ) -> list[tuple[float, int, int]]:
+        """Score the level-``level`` candidate set, return local top-k."""
+        sets = self._candidate_sets(plan)
+        if not sets:
+            return []
+        cands = sets[min(level, len(sets)) - 1]
+        if len(cands) == 0:
+            return []
+        tp = self._plan_postings(plan)
+        scores = score_candidates(cands, tp, self.seg.doc_len, avgdl)
+        hit = scores > 0
+        cands, scores = cands[hit], scores[hit]
+        if len(cands) == 0:
+            return []
+        keys = self.seg.doc_keys[cands]
+        return topk_entries(keys, scores, top_k)
+
+    def search_single(
+        self, plan: QueryPlan, level: int, top_k: int, avgdl: float
+    ) -> list[tuple[float, int, int]]:
+        return self.phase_b(plan, level, top_k, avgdl)
+
+
+def run_stage1(
+    searchers: list[SegmentStage1],
+    plan: QueryPlan | None,
+    top_k: int,
+    avgdl: float,
+) -> list[tuple[float, int, int]]:
+    """Driver-side orchestration of the two-phase stage-1 over in-process
+    searchers (the actor executor mirrors this with ray.get batching)."""
+    if plan is None:
+        return []
+    count_vecs = [s.phase_a(plan) for s in searchers]
+    width = max((len(c) for c in count_vecs), default=0)
+    if width == 0:
+        return []
+    total = np.zeros(width, dtype=np.int64)
+    for c in count_vecs:
+        total[: len(c)] += c
+    level = decide_level(plan, total, top_k)
+    per_seg = [s.phase_b(plan, level, top_k, avgdl) for s in searchers]
+    return consolidate(merge_topk(per_seg, top_k))
+
+
+def _lev1(a: str, b: str) -> bool:
+    """True iff Levenshtein distance (no transposition) ≤ 1."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]

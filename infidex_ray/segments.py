@@ -1,0 +1,306 @@
+"""Immutable index segments: posting-list codec + segment write/read/merge.
+
+A segment is the Ray analogue of the reference's flushed INFS disk segment
+(reference: src/Infidex/Indexing/Segments/SegmentWriter.cs:13-94,
+SegmentReader.cs:33-168): one doc-range partition of the corpus with
+
+* ``terms.parquet``   — sorted term dictionary (term, df, offset, n_postings,
+  max_weight) — replaces the reference's FST + Elias-Fano offset table with a
+  sorted Arrow table + binary search (SURVEY §2.9: on-disk bit layout is not
+  part of the rank contract).
+* ``postings.bin``    — per-term compressed posting blocks: frame-of-reference
+  delta-encoded doc ids (width 1/2/4 bytes) + raw uint8 weights + per-128-block
+  max-weight skip metadata (block-max, mirroring BlockPostingsWriter.cs:97-106).
+* ``docmap.parquet``  — local doc id → (doc_key, url, norm_text, doc_len,
+  first_token, token_count).
+* ``meta.json``       — stats + lineage + per-stage metrics; ``_SUCCESS``
+  marker for checkpoint/resume.
+
+Doc ids are segment-local (dense, 0..n-1, in input order); global identity is
+``doc_key``. Segments are doc-range disjoint by construction, so k-way merge
+concatenates postings (SegmentMerger.cs:13-136 semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BLOCK_SIZE = 128  # postings per skip block (BlockPostingsWriter.cs:7-9 uses 64-256)
+
+_HEADER = struct.Struct("<IBB")  # n_postings, delta_width, reserved
+
+
+def encode_postings(doc_ids: np.ndarray, weights: np.ndarray) -> bytes:
+    """Encode one sorted posting list.
+
+    Layout: header(n, width, 0) | first_doc u32 | deltas (n-1)*width |
+    weights n*u8 | block_max ceil(n/B)*u8
+    """
+    n = len(doc_ids)
+    assert n > 0
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint32)
+    weights = np.ascontiguousarray(weights, dtype=np.uint8)
+    deltas = np.diff(doc_ids)
+    max_delta = int(deltas.max()) if len(deltas) else 0
+    if max_delta < 1 << 8:
+        width, dt = 1, np.uint8
+    elif max_delta < 1 << 16:
+        width, dt = 2, np.uint16
+    else:
+        width, dt = 4, np.uint32
+    n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    pad = n_blocks * BLOCK_SIZE - n
+    wpad = np.pad(weights, (0, pad))
+    block_max = wpad.reshape(n_blocks, BLOCK_SIZE).max(axis=1).astype(np.uint8)
+    parts = [
+        _HEADER.pack(n, width, 0),
+        struct.pack("<I", int(doc_ids[0])),
+        deltas.astype(dt).tobytes(),
+        weights.tobytes(),
+        block_max.tobytes(),
+    ]
+    return b"".join(parts)
+
+
+def decode_postings(buf: memoryview) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a posting blob → (doc_ids uint32, weights uint8). Zero-copy for
+    the weight bytes; doc ids are reconstructed via cumsum."""
+    n, width, _ = _HEADER.unpack_from(buf, 0)
+    off = _HEADER.size
+    first = struct.unpack_from("<I", buf, off)[0]
+    off += 4
+    dt = {1: np.uint8, 2: np.uint16, 4: np.uint32}[width]
+    deltas = np.frombuffer(buf, dtype=dt, count=n - 1, offset=off)
+    off += (n - 1) * width
+    weights = np.frombuffer(buf, dtype=np.uint8, count=n, offset=off)
+    doc_ids = np.empty(n, dtype=np.uint32)
+    doc_ids[0] = first
+    if n > 1:
+        np.cumsum(deltas, out=doc_ids[1:], dtype=np.uint32)
+        doc_ids[1:] += first
+    return doc_ids, weights
+
+
+def decode_block_max(buf: memoryview) -> np.ndarray:
+    n, width, _ = _HEADER.unpack_from(buf, 0)
+    n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    off = _HEADER.size + 4 + (n - 1) * width + n
+    return np.frombuffer(buf, dtype=np.uint8, count=n_blocks, offset=off)
+
+
+TERMS_SCHEMA = pa.schema(
+    [
+        ("term", pa.large_string()),
+        ("df", pa.int64()),
+        ("offset", pa.int64()),
+        ("nbytes", pa.int32()),
+        ("n_postings", pa.int32()),
+        ("max_weight", pa.uint8()),
+    ]
+)
+
+DOCMAP_SCHEMA = pa.schema(
+    [
+        ("local_id", pa.int32()),
+        ("doc_key", pa.int64()),
+        ("url", pa.large_string()),
+        ("norm_text", pa.large_string()),
+        ("doc_len", pa.float32()),
+        ("first_token", pa.large_string()),
+        ("token_count", pa.int32()),
+    ]
+)
+
+
+def write_segment(
+    seg_dir: str,
+    terms: list[str],
+    term_df: np.ndarray,
+    postings: list[tuple[np.ndarray, np.ndarray]],
+    docmap: dict,
+    meta: dict,
+) -> dict:
+    """Write one immutable segment. ``terms`` must be sorted; ``postings[i]``
+    is the (doc_ids, weights) pair for terms[i]. Idempotent: writes to a tmp
+    dir then renames (safe for Ray task retries)."""
+    tmp = seg_dir + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+
+    offsets = np.zeros(len(terms), dtype=np.int64)
+    nbytes = np.zeros(len(terms), dtype=np.int32)
+    nposts = np.zeros(len(terms), dtype=np.int32)
+    maxw = np.zeros(len(terms), dtype=np.uint8)
+    pos = 0
+    with open(os.path.join(tmp, "postings.bin"), "wb") as f:
+        for i, (docs, weights) in enumerate(postings):
+            blob = encode_postings(docs, weights)
+            f.write(blob)
+            offsets[i] = pos
+            nbytes[i] = len(blob)
+            nposts[i] = len(docs)
+            maxw[i] = int(weights.max())
+            pos += len(blob)
+
+    term_table = pa.table(
+        {
+            "term": pa.array(terms, type=pa.large_string()),
+            "df": pa.array(term_df, type=pa.int64()),
+            "offset": offsets,
+            "nbytes": nbytes,
+            "n_postings": nposts,
+            "max_weight": maxw,
+        },
+        schema=TERMS_SCHEMA,
+    )
+    pq.write_table(term_table, os.path.join(tmp, "terms.parquet"))
+
+    doc_table = pa.table(docmap, schema=DOCMAP_SCHEMA)
+    pq.write_table(doc_table, os.path.join(tmp, "docmap.parquet"))
+
+    meta = dict(meta)
+    meta["n_terms"] = len(terms)
+    meta["postings_bytes"] = int(pos)
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("")
+
+    if os.path.isdir(seg_dir):  # lost race with a retry that already finished
+        import shutil
+
+        shutil.rmtree(tmp)
+    else:
+        os.rename(tmp, seg_dir)
+    return meta
+
+
+def segment_is_complete(seg_dir: str) -> bool:
+    return os.path.exists(os.path.join(seg_dir, "_SUCCESS"))
+
+
+@dataclass
+class SegmentData:
+    """In-memory handle to one segment, loaded once per query actor."""
+
+    seg_id: int
+    terms: np.ndarray  # sorted np str array
+    df: np.ndarray
+    offsets: np.ndarray
+    nbytes: np.ndarray
+    n_postings: np.ndarray
+    max_weight: np.ndarray
+    postings_buf: memoryview
+    doc_keys: np.ndarray  # int64, by local id
+    urls: list[str] | None
+    norm_texts: list[str]  # coverage doc text (normalized, NOT lowered)
+    doc_len: np.ndarray  # float32
+    first_tokens: list[str]
+    token_counts: np.ndarray
+    meta: dict
+
+    @property
+    def n_docs(self) -> int:
+        return len(self.doc_keys)
+
+    def term_lookup(self, term: str) -> int:
+        """Binary search in the sorted dictionary; -1 if absent."""
+        i = np.searchsorted(self.terms, term)
+        if i < len(self.terms) and self.terms[i] == term:
+            return int(i)
+        return -1
+
+    def term_postings(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
+        off = int(self.offsets[idx])
+        end = off + int(self.nbytes[idx])
+        return decode_postings(self.postings_buf[off:end])
+
+    def term_prefix_range(self, prefix: str) -> tuple[int, int]:
+        lo = int(np.searchsorted(self.terms, prefix))
+        hi = int(np.searchsorted(self.terms, prefix + "\U0010ffff"))
+        return lo, hi
+
+
+def read_segment(seg_dir: str, seg_id: int = 0, mmap: bool = True) -> SegmentData:
+    term_table = pq.read_table(os.path.join(seg_dir, "terms.parquet"))
+    doc_table = pq.read_table(os.path.join(seg_dir, "docmap.parquet"))
+    with open(os.path.join(seg_dir, "meta.json")) as f:
+        meta = json.load(f)
+    path = os.path.join(seg_dir, "postings.bin")
+    if mmap and os.path.getsize(path) > 0:
+        buf = memoryview(np.memmap(path, dtype=np.uint8, mode="r"))
+    else:
+        with open(path, "rb") as f:
+            buf = memoryview(f.read())
+    return SegmentData(
+        seg_id=seg_id,
+        terms=term_table["term"].to_numpy(),
+        df=term_table["df"].to_numpy(),
+        offsets=term_table["offset"].to_numpy(),
+        nbytes=term_table["nbytes"].to_numpy(),
+        n_postings=term_table["n_postings"].to_numpy(),
+        max_weight=term_table["max_weight"].to_numpy(),
+        postings_buf=buf,
+        doc_keys=doc_table["doc_key"].to_numpy(),
+        urls=doc_table["url"].to_pylist(),
+        norm_texts=doc_table["norm_text"].to_pylist(),
+        doc_len=doc_table["doc_len"].to_numpy().astype(np.float32),
+        first_tokens=doc_table["first_token"].to_pylist(),
+        token_counts=doc_table["token_count"].to_numpy(),
+        meta=meta,
+    )
+
+
+def merge_segments(seg_dirs: list[str], out_dir: str, seg_id: int = 0) -> dict:
+    """K-way merge of doc-range-disjoint segments into one
+    (SegmentMerger.cs:13-136 semantics: sorted term streams merged; postings
+    concatenated with doc-base offsets, which preserves sorted doc ids)."""
+    segs = [read_segment(d, i) for i, d in enumerate(seg_dirs)]
+    doc_bases = np.cumsum([0] + [s.n_docs for s in segs[:-1]]).astype(np.int64)
+
+    all_terms = np.concatenate([s.terms for s in segs])
+    uniq = np.unique(all_terms)
+
+    terms_out: list[str] = []
+    df_out: list[int] = []
+    postings_out: list[tuple[np.ndarray, np.ndarray]] = []
+    for term in uniq:
+        docs_parts, w_parts, df = [], [], 0
+        for si, s in enumerate(segs):
+            i = s.term_lookup(str(term))
+            if i < 0:
+                continue
+            docs, weights = s.term_postings(i)
+            docs_parts.append(docs.astype(np.int64) + doc_bases[si])
+            w_parts.append(weights)
+            df += int(s.df[i])
+        terms_out.append(str(term))
+        df_out.append(df)
+        postings_out.append(
+            (np.concatenate(docs_parts).astype(np.uint32), np.concatenate(w_parts))
+        )
+
+    docmap = {
+        "local_id": np.arange(sum(s.n_docs for s in segs), dtype=np.int32),
+        "doc_key": np.concatenate([s.doc_keys for s in segs]),
+        "url": sum((s.urls or [] for s in segs), []),
+        "norm_text": sum((s.norm_texts for s in segs), []),
+        "doc_len": np.concatenate([s.doc_len for s in segs]),
+        "first_token": sum((s.first_tokens for s in segs), []),
+        "token_count": np.concatenate([s.token_counts for s in segs]),
+    }
+    meta = {
+        "n_docs": int(sum(s.n_docs for s in segs)),
+        "sum_doc_len": float(sum(float(s.meta.get("sum_doc_len", 0.0)) for s in segs)),
+        "merged_from": [s.meta.get("segment_dir", d) for s, d in zip(segs, seg_dirs)],
+        "segment_dir": out_dir,
+    }
+    return write_segment(
+        out_dir, terms_out, np.asarray(df_out, dtype=np.int64), postings_out, docmap, meta
+    )
