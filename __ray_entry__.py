@@ -1,44 +1,328 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here initialises or shuts down Ray. ``queries()`` exposes one callable per
+implemented pipeline/operator (SURVEY.md §2 + training-data ops); each takes
+an ``sf_dir`` and returns a Dataset / pandas DataFrame / pyarrow Table.
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the SQL-expressible ones
+(same column names; floats rounded to 4 decimals on both sides).
 """
 
 from __future__ import annotations
 
+import math
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+from infidex_ray import sqlgen
+from infidex_ray.config import EngineConfig
+from infidex_ray.engine import Engine
+
+# A fixed BM25 benchmark query drawn from the synthetic documents vocabulary.
+BM25_QUERY = "hash join merge"
+
+# Deterministic 64-dim query vector for similarity search (sf-independent).
+KNN_QUERY_VEC = [round(math.sin(i * 0.7) * 0.5 + math.cos(i * 0.13), 6) for i in range(64)]
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+_ENGINE_CACHE: dict[str, Engine] = {}
+
+
+def _engine_for(sf_dir: str) -> Engine:
+    """Build (once per sf_dir) the search index over the documents table."""
+    eng = _ENGINE_CACHE.get(sf_dir)
+    if eng is None:
+        out = os.path.join(
+            "/tmp/infidex_ray_idx", sf_dir.strip("/").replace("/", "_")
+        )
+        eng = Engine.build(
+            _read(sf_dir, "documents"),
+            out,
+            EngineConfig(target_docs_per_segment=2000),
+            text_column="text",
+            key_column="doc_id",
+        )
+        _ENGINE_CACHE[sf_dir] = eng
+    return eng
+
+
+# --------------------------------------------------------------------------
+# flagship pipeline
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 documents and run the
+    full search pipeline for a panel of queries; returns the result table."""
+    sf = "/root/testdata/sf0.001"
+    eng = _engine_for(sf)
+    rows = {"query": [], "rank": [], "doc_id": [], "score": []}
+    for q in [BM25_QUERY, "fast table scan", "windw merge", "batch"]:
+        for r, hit in enumerate(eng.search(q, top_k=10)):
+            rows["query"].append(q)
+            rows["rank"].append(r + 1)
+            rows["doc_id"].append(hit.doc_key)
+            rows["score"].append(round(hit.score, 4))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score": pa.array(rows["score"], pa.float64()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+
+
+def _q_normalize(sf_dir: str):
+    from infidex_ray.analyzer import normalize
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = [normalize(t).lower() if t else "" for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "norm_text": pa.array(texts, pa.string())}
+        )
+
+    return _read(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
+
+
+def _q_term_df(sf_dir: str):
+    eng = _engine_for(sf_dir)
+    return pa.table(
+        {
+            "term": pa.array([str(t) for t in eng.df_lookup.terms], pa.string()),
+            "df": pa.array(eng.df_lookup.dfs, pa.int64()),
+        }
+    )
+
+
+def _q_word_df(sf_dir: str):
+    eng = _engine_for(sf_dir)
+    return pa.table(
+        {
+            "word": pa.array([str(t) for t in eng.word_df.terms], pa.string()),
+            "df": pa.array(eng.word_df.dfs, pa.int64()),
+        }
+    )
+
+
+def _q_doc_len(sf_dir: str):
+    eng = _engine_for(sf_dir)
+    ids, dl = [], []
+    for seg in eng.segments:
+        ids.extend(int(k) for k in seg.doc_keys)
+        dl.extend(int(x) for x in seg.doc_len)
+    order = np.argsort(ids)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(ids)[order], pa.int64()),
+            "doc_len": pa.array(np.asarray(dl)[order], pa.int64()),
+        }
+    )
+
+
+def _q_bm25(sf_dir: str):
+    eng = _engine_for(sf_dir)
+    rows = eng.bm25_all_scores(BM25_QUERY)
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "score": pa.array([round(r[1], 4) for r in rows], pa.float64()),
+        }
+    )
+
+
+def _q_search_topk(sf_dir: str):
+    """Full search pipeline top-10 for a query panel (rows-only check)."""
+    eng = _engine_for(sf_dir)
+    rows = {"query": [], "rank": [], "doc_id": [], "score": []}
+    for q in [BM25_QUERY, "fast table scan", "windw merge", "valu", "slow batch"]:
+        for r, hit in enumerate(eng.search(q, top_k=10)):
+            rows["query"].append(q)
+            rows["rank"].append(r + 1)
+            rows["doc_id"].append(hit.doc_key)
+            rows["score"].append(round(hit.score, 4))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score": pa.array(rows["score"], pa.float64()),
+        }
+    )
+
+
+def _q_exact_dedup(sf_dir: str):
+    from infidex_ray.ops.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents"))
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from infidex_ray.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.5)
+
+
+def _q_minhash(sf_dir: str):
+    from infidex_ray.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_read(sf_dir, "documents"))
+
+
+def _q_simhash(sf_dir: str):
+    from infidex_ray.ops.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_read(sf_dir, "documents"))
+
+
+def _q_emb_dup(sf_dir: str):
+    from infidex_ray.ops.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(_read(sf_dir, "embeddings"), threshold=0.4)
+
+
+def _q_knn(sf_dir: str):
+    from infidex_ray.ops.similarity import knn_cosine
+
+    return knn_cosine(_read(sf_dir, "embeddings"), np.asarray([KNN_QUERY_VEC]), k=10)
+
+
+def _q_lsh_knn(sf_dir: str):
+    from infidex_ray.ops.similarity import lsh_knn
+
+    return lsh_knn(_read(sf_dir, "embeddings"), np.asarray([KNN_QUERY_VEC]), k=10)
+
+
+def _q_token_stats(sf_dir: str):
+    from infidex_ray.ops.textstats import token_stats_batch
+
+    return _read(sf_dir, "documents").map_batches(token_stats_batch, batch_format="pyarrow")
+
+
+def _q_quality(sf_dir: str):
+    from infidex_ray.ops.textstats import quality_batch
+
+    return _read(sf_dir, "documents").map_batches(quality_batch, batch_format="pyarrow")
+
+
+def _q_langid(sf_dir: str):
+    from infidex_ray.ops.textstats import langid_batch
+
+    return _read(sf_dir, "documents").map_batches(langid_batch, batch_format="pyarrow")
+
+
+def _q_fingerprint(sf_dir: str):
+    from infidex_ray.ops.textstats import fingerprint_batch
+
+    return _read(sf_dir, "documents").map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def _q_lang_dist(sf_dir: str):
+    ds = _read(sf_dir, "documents").groupby("lang").count()
+
+    def rename(t: pa.Table) -> pa.Table:
+        c = "count()" if "count()" in t.column_names else "count"
+        return pa.table({"lang": t["lang"], "n_docs": t[c]})
+
+    return ds.map_batches(rename, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "normalize_text": _q_normalize,
+        "term_df": _q_term_df,
+        "word_df": _q_word_df,
+        "doc_lengths": _q_doc_len,
+        "bm25_scores": _q_bm25,
+        "search_topk": _q_search_topk,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_lsh_pairs": _q_minhash,
+        "simhash_pairs": _q_simhash,
+        "embedding_dup_pairs": _q_emb_dup,
+        "knn_cosine": _q_knn,
+        "lsh_knn": _q_lsh_knn,
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality,
+        "langid": _q_langid,
+        "doc_fingerprint": _q_fingerprint,
+        "lang_distribution": _q_lang_dist,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from infidex_ray.analyzer import normalize, tokenize_for_search
+
+    cfg = EngineConfig()
+    bm25_tokens = tokenize_for_search(
+        normalize(BM25_QUERY).lower(),
+        cfg.index_sizes,
+        cfg.start_pad_size,
+        cfg.stop_pad_size,
+        cfg.delimiters,
+    )
+    vec_lit = "[" + ", ".join(f"{v}::DOUBLE" for v in KNN_QUERY_VEC) + "]"
+    dre = sqlgen.sql_quote(sqlgen.delim_regex_class())
+
+    return {
+        "normalize_text": sqlgen.normalize_sql(),
+        "term_df": sqlgen.term_df_sql(),
+        "word_df": sqlgen.word_df_sql(),
+        "doc_lengths": sqlgen.doc_len_sql(),
+        "bm25_scores": sqlgen.bm25_sql(bm25_tokens),
+        "exact_dedup": (
+            "SELECT min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents "
+            "GROUP BY text ORDER BY keep_id"
+        ),
+        "knn_cosine": f"""
+            SELECT 0::INT AS query_idx,
+                   row_number() OVER (ORDER BY list_cosine_similarity(embedding::DOUBLE[], {vec_lit}) DESC, vec_id) AS rank,
+                   vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], {vec_lit}), 4) AS cosine
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[], {vec_lit}) DESC, vec_id
+            LIMIT 10
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "token_stats": f"""
+            WITH n AS (SELECT doc_id, {sqlgen.norm_expr('text')} AS norm FROM documents),
+            w AS (SELECT doc_id, unnest(string_split_regex(norm, {dre})) AS w FROM n),
+            wf AS (SELECT doc_id, w FROM w WHERE length(w) >= 1)
+            SELECT n.doc_id,
+                   coalesce(s.n_tokens, 0) AS n_tokens,
+                   length(n.norm) AS n_chars_norm,
+                   coalesce(s.n_distinct_tokens, 0) AS n_distinct_tokens,
+                   coalesce(s.total_token_len, 0) AS total_token_len
+            FROM n LEFT JOIN (
+              SELECT doc_id, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct_tokens,
+                     sum(length(w)) AS total_token_len
+              FROM wf GROUP BY doc_id) s ON n.doc_id = s.doc_id
+            ORDER BY n.doc_id
+        """,
+        "lang_distribution": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "ngram_jaccard_pairs": sqlgen.ngram_jaccard_sql(),
+        # search_topk / minhash / simhash / lsh_knn / langid / fingerprint are
+        # non-SQL-expressible (stateful pipeline or hash-based) → rows-only.
+    }

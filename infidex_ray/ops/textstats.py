@@ -1,0 +1,142 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are vectorized ``map_batches`` stages over ``batch_format=
+"pyarrow"`` (zero-copy from the object store) and stream end-to-end — no
+driver-side materialization. They reuse the engine's analyzer chain
+(normalize + delimiters) so their outputs are consistent with the index.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..analyzer import _word_splitter, normalize
+from ..config import DEFAULT_DELIMITERS
+
+# A small fixed English stopword list (public knowledge) for quality scoring.
+STOPWORDS = frozenset(
+    "a an and are as at be by for from has he in is it its of on that the to was were will with".split()
+)
+
+# Tiny deterministic stopword profiles for the language-ID heuristic.
+LANG_PROFILES: dict[str, frozenset] = {
+    "en": STOPWORDS,
+    "de": frozenset("der die das und ist ein eine nicht mit von zu im den".split()),
+    "fr": frozenset("le la les et est un une pas avec de du dans pour".split()),
+    "es": frozenset("el la los las y es un una no con de del en para".split()),
+    "zh": frozenset(),  # no-space script: detected by CJK codepoint ratio
+}
+
+
+def _norm_lower(texts: list) -> list[str]:
+    return [normalize(t).lower() if t else "" for t in texts]
+
+
+def token_stats_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """(doc_id, n_tokens, n_chars_norm, n_distinct_tokens, total_token_len)."""
+    texts = _norm_lower(batch[text_col].to_pylist())
+    splitter = _word_splitter(DEFAULT_DELIMITERS)
+    n_tokens = np.zeros(len(texts), dtype=np.int64)
+    n_distinct = np.zeros(len(texts), dtype=np.int64)
+    n_chars = np.zeros(len(texts), dtype=np.int64)
+    total_len = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        ws = [w for w in splitter.split(t) if w]
+        n_tokens[i] = len(ws)
+        n_distinct[i] = len(set(ws))
+        n_chars[i] = len(t)
+        total_len[i] = sum(len(w) for w in ws)
+    return pa.table(
+        {
+            "doc_id": batch[id_col],
+            "n_tokens": n_tokens,
+            "n_chars_norm": n_chars,
+            "n_distinct_tokens": n_distinct,
+            "total_token_len": total_len,
+        }
+    )
+
+
+def quality_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Document quality signals: length, stopword ratio, distinct ratio.
+
+    quality = 0.4·min(1, n_tokens/100) + 0.3·distinct_ratio + 0.3·stopword_ratio
+    (a simple public-recipe web-text quality heuristic; deterministic)."""
+    texts = _norm_lower(batch[text_col].to_pylist())
+    splitter = _word_splitter(DEFAULT_DELIMITERS)
+    n = len(texts)
+    n_tokens = np.zeros(n, dtype=np.int64)
+    stop_ratio = np.zeros(n, dtype=np.float64)
+    distinct_ratio = np.zeros(n, dtype=np.float64)
+    for i, t in enumerate(texts):
+        ws = [w for w in splitter.split(t) if w]
+        n_tokens[i] = len(ws)
+        if ws:
+            stop_ratio[i] = sum(1 for w in ws if w in STOPWORDS) / len(ws)
+            distinct_ratio[i] = len(set(ws)) / len(ws)
+    quality = 0.4 * np.minimum(1.0, n_tokens / 100.0) + 0.3 * distinct_ratio + 0.3 * stop_ratio
+    return pa.table(
+        {
+            "doc_id": batch[id_col],
+            "n_tokens": n_tokens,
+            "stopword_ratio": np.round(stop_ratio, 4),
+            "distinct_ratio": np.round(distinct_ratio, 4),
+            "quality": np.round(quality, 4),
+        }
+    )
+
+
+def langid_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Heuristic language ID: CJK codepoint ratio → zh, else best stopword
+    profile overlap (deterministic tie-break by language code)."""
+    texts = _norm_lower(batch[text_col].to_pylist())
+    splitter = _word_splitter(DEFAULT_DELIMITERS)
+    preds: list[str] = []
+    for t in texts:
+        if t and sum(1 for c in t if 0x4E00 <= ord(c) <= 0x9FFF) / max(len(t), 1) > 0.1:
+            preds.append("zh")
+            continue
+        ws = set(w for w in splitter.split(t) if w)
+        best_lang, best = "en", -1.0
+        for lang in sorted(LANG_PROFILES):
+            prof = LANG_PROFILES[lang]
+            if not prof:
+                continue
+            score = len(ws & prof)
+            if score > best:
+                best, best_lang = score, lang
+        preds.append(best_lang)
+    return pa.table({"doc_id": batch[id_col], "pred_lang": pa.array(preds, pa.string())})
+
+
+def fingerprint_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """64-bit content fingerprint: blake2b of the normalized+lowered text
+    (the byte-identical invariant surface) + a polynomial rolling hash of the
+    token stream (order-sensitive document fingerprinting)."""
+    texts = _norm_lower(batch[text_col].to_pylist())
+    splitter = _word_splitter(DEFAULT_DELIMITERS)
+    content_hash: list[str] = []
+    rolling = np.zeros(len(texts), dtype=np.int64)
+    MOD = (1 << 61) - 1
+    BASE = 1_000_003
+    for i, t in enumerate(texts):
+        content_hash.append(hashlib.blake2b(t.encode("utf-8"), digest_size=8).hexdigest())
+        h = 0
+        for w in splitter.split(t):
+            if not w:
+                continue
+            wh = int.from_bytes(
+                hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "little"
+            )
+            h = (h * BASE + wh) % MOD
+        rolling[i] = h
+    return pa.table(
+        {
+            "doc_id": batch[id_col],
+            "content_hash": pa.array(content_hash, pa.string()),
+            "rolling_hash": rolling,
+        }
+    )

@@ -1,0 +1,89 @@
+"""Training-data ops: dedup recall on planted duplicates, similarity search."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(ray_session):
+    import ray.data
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while batman and robin "
+        "fight crime in gotham city and superman flies faster than a bullet"
+    )
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},  # exact dup
+        {"doc_id": 2, "text": base.replace("quick", "qwick")},  # near dup
+        {"doc_id": 3, "text": base.replace("gotham", "metropolis")},  # near dup
+        {"doc_id": 4, "text": "completely different content about ray data pipelines and arrow batches"},
+        {"doc_id": 5, "text": "unrelated words banana apple cherry date elderberry fig grape"},
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_exact_dedup(dup_corpus):
+    from infidex_ray.ops.dedup import exact_dedup
+
+    df = exact_dedup(dup_corpus).to_pandas()
+    assert len(df) == 5  # 6 docs, one exact pair
+    row = df[df.n_dupes == 2]
+    assert len(row) == 1 and row.iloc[0].keep_id == 0
+
+
+def test_minhash_finds_planted_dups(dup_corpus):
+    from infidex_ray.ops.dedup import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(dup_corpus, threshold=0.5).to_pandas()
+    pairs = set(zip(df.id_a, df.id_b))
+    assert (0, 1) in pairs  # exact dup must collide in every band
+    assert (0, 2) in pairs or (0, 3) in pairs  # near dups found
+    assert not any(4 in p or 5 in p for p in pairs)  # unrelated docs clean
+
+
+def test_ngram_jaccard_finds_planted_dups(dup_corpus):
+    from infidex_ray.ops.dedup import ngram_jaccard_pairs
+
+    df = ngram_jaccard_pairs(dup_corpus, threshold=0.5).to_pandas()
+    pairs = {(a, b): j for a, b, j in zip(df.id_a, df.id_b, df.jaccard)}
+    assert pairs.get((0, 1)) == 1.0
+    assert pairs.get((0, 2), 0) > 0.9
+    assert (4, 5) not in pairs
+
+
+def test_simhash_finds_planted_dups(dup_corpus):
+    from infidex_ray.ops.dedup import simhash_dup_pairs
+
+    df = simhash_dup_pairs(dup_corpus, max_hamming=3).to_pandas()
+    pairs = {(a, b): h for a, b, h in zip(df.id_a, df.id_b, df.hamming)}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_knn_vs_lsh_recall(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(200, 16))
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(200)]
+    ds = ray.data.from_items(rows)
+    from infidex_ray.ops.similarity import knn_cosine, lsh_knn
+
+    q = vecs[17] + rng.normal(scale=0.01, size=16)
+    exact = knn_cosine(ds, np.asarray([q]), k=5).to_pandas()
+    assert exact.iloc[0].vec_id == 17  # the perturbed source is nearest
+    approx = lsh_knn(ray.data.from_items(rows), np.asarray([q]), k=5).to_pandas()
+    assert 17 in set(approx.vec_id)  # LSH keeps the true nearest neighbor
+
+
+def test_multimodal_stub(ray_session):
+    import ray.data
+
+    rows = [{"doc_id": i, "media": bytes([i % 251] * (100 + i))} for i in range(40)]
+    ds = ray.data.from_items(rows)
+    from infidex_ray.ops.multimodal import image_features
+
+    df = image_features(ds, concurrency=2).to_pandas()
+    assert len(df) == 40
+    assert set(df.columns) >= {"doc_id", "n_bytes", "feature", "width"}
+    assert all(len(f) == 16 for f in df.feature)
