@@ -1,0 +1,250 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) + the deterministic synthetic webpages corpus under
+ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32) and print ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N}
+
+--scaling: run the index-build pipeline twice in FRESH processes at
+num_cpus=N and num_cpus=4N on the same input and report both throughputs +
+scaling efficiency (the sandbox stand-in for the north_rule's N vs 4N node
+clusters); results also appended to BENCH/BASELINE.md by --scaling.
+
+The pair defaults to 4 vs 16 because this sandbox's 32 vCPUs are not fully
+backed by the host: a pure busy-loop probe scales only 3.06x from 8 to 32
+workers (hardware ceiling 0.77 < the 0.8 target), while 4 -> 16 has a 0.92
+ceiling. Override with GRAFT_SCALING_PAIR="8,32".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+WEBPAGES_ROWS = int(os.environ.get("GRAFT_WEBPAGES_ROWS", "480000"))
+WEBPAGES_PATH = f"/tmp/infidex_bench/webpages_{WEBPAGES_ROWS}"
+
+QUERY_PANEL = [
+    "batman gotham",
+    "quick brown fox",
+    "speeding bullet",
+    "redemption",
+    "the amtrix",          # typo
+    "new york city",
+    "data pipeline search",
+    "segment merge shuffle",
+    "qick fux",            # double typo
+    "wonder woman",
+    "journey thousand miles",
+    "parquet column table",
+]
+
+
+def _build_index(num_cpus: int, out_dir: str) -> dict:
+    """Headline pipeline: read webpages parquet → analyze → segments → stats."""
+    import ray
+    import ray.data
+
+    from infidex_ray.build import build_index
+    from infidex_ray.config import EngineConfig
+    from infidex_ray.datagen import write_webpages
+
+    write_webpages(WEBPAGES_PATH, WEBPAGES_ROWS)
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # warm the worker pool so process-startup cost is excluded from the
+    # throughput measurement (irrelevant at real job durations)
+    ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).materialize()
+    # fixed segment size regardless of cpu count (same physical plan at both
+    # parallelism levels — only the worker count changes; 96 segments = whole
+    # waves at both 8 and 32 cpus)
+    seg_docs = max(2000, WEBPAGES_ROWS // 96)
+    n_segments = max(1, -(-WEBPAGES_ROWS // seg_docs))
+    ds = ray.data.read_parquet(WEBPAGES_PATH, override_num_blocks=n_segments)
+    t0 = time.perf_counter()
+    cfg = EngineConfig(target_docs_per_segment=seg_docs)
+    manifest = build_index(
+        ds, out_dir, cfg, text_column="text", key_column="url", repartition=False
+    )
+    dt = time.perf_counter() - t0
+    return {
+        "seconds": dt,
+        "docs": manifest["stats"]["total_docs"],
+        "docs_per_sec": manifest["stats"]["total_docs"] / dt,
+        "segments": manifest["stats"]["n_segments"],
+    }
+
+
+def _query_latency(index_dir: str) -> dict:
+    from infidex_ray.engine import Engine
+
+    eng = Engine.load(index_dir)
+    lat = []
+    for _ in range(3):  # warm caches once, then measure
+        for q in QUERY_PANEL:
+            t0 = time.perf_counter()
+            eng.search(q, top_k=10)
+            lat.append((time.perf_counter() - t0) * 1000)
+    lat = lat[len(QUERY_PANEL):]
+    lat.sort()
+    return {
+        "p50_ms": statistics.median(lat),
+        "p99_ms": lat[min(len(lat) - 1, int(len(lat) * 0.99))],
+        "n": len(lat),
+    }
+
+
+def _ops_bench(sf_dir: str) -> dict:
+    import ray.data
+
+    from infidex_ray.ops.dedup import minhash_lsh_pairs
+    from infidex_ray.ops.similarity import knn_cosine
+    from infidex_ray.ops.textstats import quality_batch
+
+    out = {}
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    minhash_lsh_pairs(ds, threshold=0.5).materialize()
+    out["minhash_dedup"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    import numpy as np
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = np.asarray([[float(np.sin(i)) for i in range(64)]])
+    knn_cosine(emb, q, k=10)
+    out["knn_cosine"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet")).map_batches(
+        quality_batch, batch_format="pyarrow"
+    ).materialize()
+    out["quality_score"] = time.perf_counter() - t0
+    return out
+
+
+def run_full() -> dict:
+    import ray
+
+    queries: dict[str, float] = {}
+    idx_dir = "/tmp/infidex_bench/idx_main"
+
+    build = _build_index(NUM_CPUS, idx_dir)
+    queries["index_build"] = round(build["seconds"], 3)
+
+    t0 = time.perf_counter()
+    ql = _query_latency(idx_dir)
+    queries["query_panel"] = round(time.perf_counter() - t0, 3)
+
+    ops = _ops_bench(SF_DIR)
+    for k, v in ops.items():
+        queries[k] = round(v, 3)
+
+    total = sum(queries.values())
+    result = {
+        "metric": "index-build + query + dedup/knn pipelines wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "detail": {
+            "index_docs_per_sec": round(build["docs_per_sec"], 1),
+            "index_docs": build["docs"],
+            "segments": build["segments"],
+            "query_p50_ms": round(ql["p50_ms"], 2),
+            "query_p99_ms": round(ql["p99_ms"], 2),
+        },
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling_child(num_cpus: int) -> None:
+    res = _build_index(num_cpus, f"/tmp/infidex_bench/idx_scale_{num_cpus}")
+    print("SCALING_RESULT " + json.dumps({"num_cpus": num_cpus, **res}))
+
+
+def run_scaling() -> dict:
+    pair = tuple(
+        int(x) for x in os.environ.get("GRAFT_SCALING_PAIR", "4,16").split(",")
+    )
+    results = {}
+    for n in pair:
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(n)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child", str(n)],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=3600,
+        )
+        for line in p.stdout.splitlines():
+            if line.startswith("SCALING_RESULT "):
+                results[n] = json.loads(line[len("SCALING_RESULT "):])
+        if n not in results:
+            sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
+            raise RuntimeError(f"scaling child {n} failed")
+    lo, hi = pair
+    tput_lo = results[lo]["docs_per_sec"]
+    tput_hi = results[hi]["docs_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    out = {
+        "metric": f"index-build scaling efficiency ({lo} vs {hi} cpus, fresh processes)",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "queries": {
+            f"docs_per_sec@{lo}": round(tput_lo, 1),
+            f"docs_per_sec@{hi}": round(tput_hi, 1),
+            f"seconds@{lo}": round(results[lo]["seconds"], 2),
+            f"seconds@{hi}": round(results[hi]["seconds"], 2),
+        },
+        "sf": WEBPAGES_PATH,
+        "num_cpus": hi,
+    }
+    _append_baseline(out)
+    return out
+
+
+def _append_baseline(out: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    path = os.path.join("BENCH", "BASELINE.md")
+    import datetime
+
+    stamp = datetime.datetime.now().isoformat(timespec="seconds")
+    qlines = "".join(f"- {k}: {v}\n" for k, v in out["queries"].items())
+    lines = [
+        f"\n## Scaling run {stamp}\n",
+        f"- corpus: {WEBPAGES_PATH} ({WEBPAGES_ROWS} synthetic web pages)\n",
+        qlines,
+        f"- scaling efficiency: **{out['value']}** (target ≥ 0.8)\n",
+    ]
+    with open(path, "a") as f:
+        f.writelines(lines)
+
+
+if __name__ == "__main__":
+    if "--scaling-child" in sys.argv:
+        run_scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_full()))

@@ -138,6 +138,15 @@ def build_segment_from_arrays(
         "first_token": first_tokens,
         "token_count": token_counts,
     }
+    # word-level df for the coverage word-IDF cache (VectorModel.
+    # BuildWordIdfCache, VectorModel.cs:864-908: unique words per doc over
+    # normalized+lowered text, ALL lengths) — computed here so the text is
+    # analyzed exactly once per build
+    word_df: dict[str, int] = {}
+    for t in lower_texts:
+        for w in set(w for w in splitter.split(t) if w):
+            word_df[w] = word_df.get(w, 0) + 1
+
     meta = {
         "segment_dir": seg_dir,
         "n_docs": len(urls),
@@ -145,9 +154,19 @@ def build_segment_from_arrays(
         "lineage": lineage or {},
         "timings_s": {"analyze": round(t_analyze, 4), "dict": round(t_dict, 4)},
     }
-    seglib.write_segment(seg_dir, terms, np.asarray(df_arr, dtype=np.int64), postings, docmap, meta)
+    word_df_table = pa.table(
+        {
+            "word": pa.array(list(word_df.keys()), pa.large_string()),
+            "df": pa.array(list(word_df.values()), pa.int64()),
+        }
+    )
+    seglib.write_segment(
+        seg_dir, terms, np.asarray(df_arr, dtype=np.int64), postings, docmap, meta,
+        extra_tables={"word_df.parquet": word_df_table},
+    )
     meta["terms"] = terms
     meta["term_df"] = df_arr
+    meta["word_df"] = word_df
     return meta
 
 
@@ -187,6 +206,19 @@ class _BuildSegmentFn:
             )
             terms = tt["term"].to_pylist()
             dfs = tt["df"].to_pylist()
+            wpath = os.path.join(seg_dir, "word_df.parquet")
+            if os.path.exists(wpath):
+                wt = pq.read_table(wpath)
+                word_df = dict(zip(wt["word"].to_pylist(), wt["df"].to_pylist()))
+            else:  # segment written by an older build: recompute from texts
+                from .analyzer import _word_splitter
+
+                splitter = _word_splitter(self.cfg.delimiters)
+                word_df = {}
+                for t in texts:
+                    nt = normalize(t).lower() if t else ""
+                    for w in set(w for w in splitter.split(nt) if w):
+                        word_df[w] = word_df.get(w, 0) + 1
         else:
             if pa.types.is_integer(batch.schema.field(self.key_column).type):
                 doc_keys = np.asarray(batch[self.key_column].to_numpy(), dtype=np.int64)
@@ -200,18 +232,7 @@ class _BuildSegmentFn:
             )
             terms = meta["terms"]
             dfs = meta["term_df"]
-
-        # word-level df rows for the coverage word-IDF cache
-        # (VectorModel.BuildWordIdfCache, VectorModel.cs:864-908: unique words
-        # per doc over normalized+lowered text, ALL lengths)
-        word_df: dict[str, int] = {}
-        from .analyzer import _word_splitter
-
-        splitter = _word_splitter(self.cfg.delimiters)
-        for t in texts:
-            nt = normalize(t).lower() if t else ""
-            for w in set(w for w in splitter.split(nt) if w):
-                word_df[w] = word_df.get(w, 0) + 1
+            word_df = meta["word_df"]
 
         kinds = ["term"] * len(terms) + ["word"] * len(word_df)
         all_terms = list(terms) + list(word_df.keys())
@@ -232,8 +253,13 @@ def build_index(
     cfg: EngineConfig | None = None,
     text_column: str = "text",
     key_column: str = "url",
+    repartition: bool = True,
 ):
     """Build a partitioned index from a ``ray.data.Dataset``.
+
+    Pass ``repartition=False`` when the input's block structure already
+    matches the target segment size (e.g. ``read_parquet(override_num_blocks=
+    n_segments)`` over a multi-file corpus) — skips an all-to-all exchange.
 
     Streaming end-to-end: doc blocks flow through segment-build tasks with
     backpressure; only (term, df) rows are shuffled (pre-aggregated per
@@ -245,11 +271,12 @@ def build_index(
     os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "stats"), exist_ok=True)
 
+    n_rows = ds.count()  # metadata-only for fresh parquet reads
     ds = ds.select_columns([key_column, text_column])  # prune html/binary early
 
-    n_rows = ds.count()
     n_segments = max(1, -(-n_rows // cfg.target_docs_per_segment))
-    ds = ds.repartition(n_segments)
+    if repartition:
+        ds = ds.repartition(n_segments)
 
     df_rows = ds.map_batches(
         _BuildSegmentFn(out_dir, cfg, text_column, key_column),

@@ -126,6 +126,7 @@ def write_segment(
     postings: list[tuple[np.ndarray, np.ndarray]],
     docmap: dict,
     meta: dict,
+    extra_tables: dict | None = None,
 ) -> dict:
     """Write one immutable segment. ``terms`` must be sorted; ``postings[i]``
     is the (doc_ids, weights) pair for terms[i]. Idempotent: writes to a tmp
@@ -163,6 +164,9 @@ def write_segment(
 
     doc_table = pa.table(docmap, schema=DOCMAP_SCHEMA)
     pq.write_table(doc_table, os.path.join(tmp, "docmap.parquet"))
+
+    for name, table in (extra_tables or {}).items():
+        pq.write_table(table, os.path.join(tmp, name))
 
     meta = dict(meta)
     meta["n_terms"] = len(terms)
