@@ -247,6 +247,82 @@ class _BuildSegmentFn:
         )
 
 
+def build_index_local(
+    docs: list[tuple, ],
+    out_dir: str,
+    cfg: EngineConfig | None = None,
+    n_segments: int = 1,
+) -> dict:
+    """No-Ray build over an in-memory [(key, text), ...] list — used by unit
+    tests and the pure-Python oracle; writes the same on-disk layout and
+    manifest as ``build_index``."""
+    cfg = cfg or EngineConfig()
+    os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "stats"), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    chunks = np.array_split(np.arange(len(docs)), n_segments)
+    term_df: dict[str, int] = {}
+    word_df: dict[str, int] = {}
+    seg_entries = []
+    n_docs, sum_dl = 0, 0.0
+    for ci, chunk in enumerate(chunks):
+        if len(chunk) == 0:
+            continue
+        part = [docs[i] for i in chunk]
+        urls = [str(k) for k, _ in part]
+        texts = [t for _, t in part]
+        if all(isinstance(k, (int, np.integer)) for k, _ in part):
+            keys = np.asarray([int(k) for k, _ in part], dtype=np.int64)
+        else:
+            keys = np.fromiter((hash_key(u) for u in urls), dtype=np.int64, count=len(urls))
+        seg_dir = os.path.join(out_dir, "segments", f"seg-{ci:04d}")
+        meta = build_segment_from_arrays(urls, texts, keys, cfg, seg_dir)
+        for t, d in zip(meta["terms"], meta["term_df"]):
+            term_df[t] = term_df.get(t, 0) + d
+        for w, d in meta["word_df"].items():
+            word_df[w] = word_df.get(w, 0) + d
+        n_docs += meta["n_docs"]
+        sum_dl += meta["sum_doc_len"]
+        seg_entries.append({"name": f"seg-{ci:04d}", "n_docs": meta["n_docs"], "lineage": {}})
+
+    for name, data in (("df.parquet", term_df), ("word_df.parquet", word_df)):
+        keys_sorted = sorted(data.keys())
+        col = "term" if name == "df.parquet" else "word"
+        pq.write_table(
+            pa.table(
+                {
+                    col: pa.array(keys_sorted, pa.large_string()),
+                    "df": pa.array([data[k] for k in keys_sorted], pa.int64()),
+                }
+            ),
+            os.path.join(out_dir, "stats", name),
+        )
+    stats = {
+        "total_docs": n_docs,
+        "sum_doc_len": sum_dl,
+        "avg_doc_len": (sum_dl / n_docs) if n_docs else 0.0,
+        "n_segments": len(seg_entries),
+    }
+    with open(os.path.join(out_dir, "stats", "stats.json"), "w") as f:
+        json.dump(stats, f)
+    manifest = {
+        "version": 1,
+        "config": {
+            "index_sizes": list(cfg.index_sizes),
+            "start_pad_size": cfg.start_pad_size,
+            "stop_pad_size": cfg.stop_pad_size,
+            "stop_term_limit": cfg.stop_term_limit,
+            "delimiters": list(cfg.delimiters),
+        },
+        "stats": stats,
+        "segments": seg_entries,
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
 def build_index(
     ds,
     out_dir: str,

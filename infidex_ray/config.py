@@ -50,6 +50,7 @@ class EngineConfig:
     enable_coverage: bool = True
     enable_word_matcher: bool = True
     word_matcher: WordMatcherConfig = field(default_factory=WordMatcherConfig)
+    coverage: "CoverageParams" = field(default_factory=lambda: _default_coverage())
     coverage_depth: int = 500  # Query.cs:40
     # Build-time physical knobs (Ray-specific, not part of rank semantics)
     target_docs_per_segment: int = 250_000
@@ -58,6 +59,12 @@ class EngineConfig:
     @property
     def min_index_size(self) -> int:
         return min(self.index_sizes)
+
+
+def _default_coverage():
+    from .query.coverage import CoverageParams
+
+    return CoverageParams()
 
 
 def config_100() -> EngineConfig:

@@ -1,0 +1,95 @@
+"""String metrics on the scoring path.
+
+Re-implements the reference's banded Levenshtein / restricted Damerau
+(reference: src/Infidex/Metrics/LevenshteinDistance.cs:181-341) and the
+"LCS" containment/prefix metric (src/Infidex/Metrics/StringMetrics.cs:12-36).
+These are part of the rank contract: coverage matchers consume them and any
+deviation changes fuzzy-match credit.
+"""
+
+from __future__ import annotations
+
+
+def levenshtein(pattern: str, text: str, max_errors: int = 1 << 30, ignore_case: bool = False) -> int:
+    """Plain Levenshtein with row-min early exit
+    (LevenshteinDistance.Calculate, LevenshteinDistance.cs:181-257). Returns
+    ``max_errors + 1`` when the distance provably exceeds ``max_errors``."""
+    if not pattern:
+        return len(text)
+    if not text:
+        return len(pattern)
+    if ignore_case:
+        pattern = pattern.lower()
+        text = text.lower()
+    if len(pattern) > len(text):
+        pattern, text = text, pattern
+    m = len(pattern)
+    costs = list(range(m + 1))
+    for j, tc in enumerate(text):
+        diagonal = costs[0]
+        costs[0] = j + 1
+        min_cost = costs[0]
+        for i in range(m):
+            left = costs[i + 1]
+            up = costs[i]
+            if tc == pattern[i]:
+                cost = diagonal
+            else:
+                cost = min(up + 1, left + 1, diagonal + 1)
+            diagonal = left
+            costs[i + 1] = cost
+            if cost < min_cost:
+                min_cost = cost
+        if min_cost > max_errors:
+            return max_errors + 1
+    return costs[m]
+
+
+def damerau(source: str, target: str, max_distance: int, ignore_case: bool = False) -> int:
+    """Restricted Damerau-Levenshtein: plain Levenshtein, plus a single
+    adjacent transposition that can save one edit
+    (LevenshteinDistance.CalculateDamerau, LevenshteinDistance.cs:281-341)."""
+    if abs(len(source) - len(target)) > max_distance:
+        return max_distance + 1
+    dist = levenshtein(source, target, max_distance + 1, ignore_case)
+    if dist <= max_distance:
+        return dist
+    if dist <= max_distance + 1:
+        s = source.lower() if ignore_case else source
+        t = target.lower() if ignore_case else target
+        for i in range(len(s) - 1):
+            if i >= len(t):
+                break
+            if s[i] != t[i]:
+                if i + 1 >= len(t):
+                    break
+                if s[i] == t[i + 1] and s[i + 1] == t[i]:
+                    remaining = max_distance - 1
+                    if remaining < 0:
+                        return max_distance + 1
+                    rest = levenshtein(s[i + 2 :], t[i + 2 :], remaining, False)
+                    if rest <= remaining:
+                        return 1 + rest
+                break  # only the first mismatch is checked
+    return dist
+
+
+def lcs_containment(q: str, r: str, error_tolerance: int) -> int:
+    """The reference's "LCS": containment length, else common prefix +
+    tolerance, clamped to min(len(q), len(r))
+    (StringMetrics.Lcs, StringMetrics.cs:12-36). Inputs must already be
+    lowercased by the caller (SegmentProcessor.CalculateLcs lowers both)."""
+    if not q or not r:
+        return 0
+    if q == r:
+        return len(q)
+    if q in r:
+        return len(q)
+    prefix_len = 0
+    for a, b in zip(q, r):
+        if a != b:
+            break
+        prefix_len += 1
+    if prefix_len == 0:
+        return 0
+    return min(prefix_len + error_tolerance, min(len(q), len(r)))

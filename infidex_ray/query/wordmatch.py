@@ -1,0 +1,147 @@
+"""Word-level fuzzy candidate index (exact / LD1 symmetric-delete / affix).
+
+Re-implements the reference WordMatcher
+(src/Infidex/WordMatcher/WordMatcher.cs:82-354) per doc-range segment:
+
+* exact index   — word (len 2-8 by config 400) → sorted local doc ids
+* LD1 index     — every 1-char deletion of words len 3-8 → doc ids; query-time
+  symmetric-delete lookup covers deletion/substitution/insertion (FastSS)
+* affix index   — sorted word array + sorted reversed-word array replace the
+  reference's FST prefix/suffix enumeration (words len ≥ 3); lookup budget
+  4096 terms per query word (WordMatcher.cs:41, MaxFstAffixTermsPerQuery)
+
+One instance per segment, built once from the segment docmap inside the query
+actor (__init__) — the Ray analogue of WordMatcher.FinalizeIndex. Doc ids are
+segment-local; the driver merges candidates across segments.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_AFFIX_TERMS_PER_QUERY = 4096
+
+
+class SegmentWordMatcher:
+    def __init__(
+        self,
+        lower_texts: list[str],
+        splitter,
+        min_exact: int = 2,
+        max_exact: int = 8,
+        min_ld1: int = 3,
+        max_ld1: int = 8,
+        support_ld1: bool = True,
+        support_affix: bool = True,
+    ):
+        self.min_exact, self.max_exact = min_exact, max_exact
+        self.min_ld1, self.max_ld1 = min_ld1, max_ld1
+        self.support_ld1 = support_ld1
+        self.support_affix = support_affix
+
+        exact: dict[str, list[int]] = {}
+        ld1: dict[str, list[int]] = {}
+        affix_docs: dict[str, list[int]] = {}
+
+        for doc_idx, text in enumerate(lower_texts):
+            for word in splitter.split(text):
+                length = len(word)
+                if length == 0:
+                    continue
+                if min_exact <= length <= max_exact:
+                    lst = exact.setdefault(word, [])
+                    if not lst or lst[-1] != doc_idx:
+                        lst.append(doc_idx)
+                if support_ld1 and min_ld1 <= length <= max_ld1:
+                    for i in range(length):
+                        variant = word[:i] + word[i + 1 :]
+                        lst = ld1.setdefault(variant, [])
+                        if not lst or lst[-1] != doc_idx:
+                            lst.append(doc_idx)
+                if support_affix and length >= min_ld1:
+                    lst = affix_docs.setdefault(word, [])
+                    if not lst or lst[-1] != doc_idx:
+                        lst.append(doc_idx)
+
+        self.exact = {w: np.asarray(v, dtype=np.int64) for w, v in exact.items()}
+        self.ld1 = {w: np.asarray(v, dtype=np.int64) for w, v in ld1.items()}
+        self.affix_docs = {w: np.asarray(v, dtype=np.int64) for w, v in affix_docs.items()}
+        if support_affix:
+            self.affix_words = np.array(sorted(affix_docs.keys()), dtype=object)
+            self.affix_rev = np.array(
+                sorted(w[::-1] for w in affix_docs.keys()), dtype=object
+            )
+        else:
+            self.affix_words = np.array([], dtype=object)
+            self.affix_rev = np.array([], dtype=object)
+
+    # -- lookups ----------------------------------------------------------
+    def lookup(self, word: str) -> np.ndarray:
+        """Exact ∪ LD1 doc ids for one (normalized, lowered) query word
+        (WordMatcher.Lookup, WordMatcher.cs:201-246)."""
+        parts: list[np.ndarray] = []
+        hit = self.exact.get(word)
+        if hit is not None:
+            parts.append(hit)
+        length = len(word)
+        if self.support_ld1 and self.min_ld1 <= length <= self.max_ld1:
+            hit = self.ld1.get(word)  # target has 1 extra char
+            if hit is not None:
+                parts.append(hit)
+            for i in range(length):
+                deletion = word[:i] + word[i + 1 :]
+                hit = self.ld1.get(deletion)  # substitution
+                if hit is not None:
+                    parts.append(hit)
+                hit = self.exact.get(deletion)  # insertion in query
+                if hit is not None:
+                    parts.append(hit)
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))
+
+    def _range(self, arr: np.ndarray, prefix: str) -> tuple[int, int]:
+        lo = int(np.searchsorted(arr, prefix))
+        hi = int(np.searchsorted(arr, prefix + "\U0010ffff"))
+        return lo, hi
+
+    def lookup_affix(self, word: str) -> np.ndarray:
+        """Prefix ∪ suffix doc ids with a 4096-term budget
+        (WordMatcher.LookupAffix, WordMatcher.cs:277-354)."""
+        if not self.support_affix or len(self.affix_words) == 0:
+            return np.empty(0, dtype=np.int64)
+        plo, phi = self._range(self.affix_words, word)
+        slo, shi = self._range(self.affix_rev, word[::-1])
+        budget = MAX_AFFIX_TERMS_PER_QUERY
+        terms: list[str] = []
+        take = min(phi - plo, budget)
+        if take > 0:
+            terms.extend(self.affix_words[plo : plo + take])
+            budget -= take
+        take = min(shi - slo, budget)
+        if take > 0:
+            terms.extend(w[::-1] for w in self.affix_rev[slo : slo + take])
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        parts = [self.affix_docs[t] for t in terms if t in self.affix_docs]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))
+
+    def candidates_for_query(self, query_words: list[str], cover_prefix_suffix: bool) -> np.ndarray:
+        """WordMatcherLookup.Execute (src/Infidex/Scoring/WordMatcherLookup.cs:
+        11-68): union of exact/LD1 (+affix) matches over query words len ≥ 2."""
+        parts: list[np.ndarray] = []
+        for word in query_words:
+            if not word or word.isspace() or len(word) < 2:
+                continue
+            ids = self.lookup(word)
+            if len(ids):
+                parts.append(ids)
+            if cover_prefix_suffix:
+                ids = self.lookup_affix(word)
+                if len(ids):
+                    parts.append(ids)
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))

@@ -1,0 +1,225 @@
+"""Coverage / fusion parity tests (M4).
+
+Golden relative-order assertions in the style of the reference suite:
+* ReferenceMatchingTests.cs:39-103 — exact result sets on the 10-doc corpus
+* MovieSearchParityTests.cs — typo/prefix/mixed query contracts, replayed on a
+  synthetic movie-title fixture (the reference's movies.csv is a missing blob)
+* CoverageEngineTests.cs:17-120 — coverage score unit thresholds
+
+Every end-to-end case is asserted at multiple segment counts: partitioning
+must not change results (north_rule rank-identity under distribution).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from infidex_ray.build import build_index_local
+from infidex_ray.config import EngineConfig
+from infidex_ray.engine import Engine
+from infidex_ray.query import coverage as cov
+from infidex_ray.query.metrics import damerau, lcs_containment
+
+
+# --- unit: metrics -----------------------------------------------------------
+
+
+def test_damerau_basics():
+    assert damerau("abc", "abc", 2) == 0
+    # the swap repair only fires when plain Levenshtein == max+1
+    # (LevenshteinDistance.cs:288-295): at budget 2 the lev distance 2 is
+    # returned as-is; at budget 1 the transposition reduces it to 1
+    assert damerau("abc", "acb", 2) == 2
+    assert damerau("abc", "acb", 1) == 1
+    assert damerau("abc", "axc", 2) == 1
+    assert damerau("abc", "ab", 2) == 1
+    # only the FIRST mismatch may be repaired by a swap (:295-338)
+    assert damerau("abcd", "badc", 2) == 3
+    assert damerau("sh", "h", 1) == 1
+    assert damerau("abc", "xyz", 1) == 3  # beyond budget: raw distance
+
+
+def test_lcs_containment():
+    # StringMetrics.cs:25-26 examples
+    assert lcs_containment("battamam", "batman", 1) == 4
+    assert lcs_containment("speeding", "speeds", 1) == 6
+    assert lcs_containment("abc", "xxabcxx", 0) == 3  # containment
+    assert lcs_containment("abc", "xyz", 2) == 0
+
+
+# --- unit: coverage score (CoverageEngineTests port) -------------------------
+
+
+def _coverage_score(query: str, doc: str) -> tuple[int, int]:
+    cfg = EngineConfig()
+    delims = frozenset(cfg.delimiters)
+    ctx = cov.prepare_query(
+        query, 2, delims, cfg.index_sizes, lambda t: 0, None, 0, cfg.stop_term_limit
+    )
+    f = cov.calculate_features(ctx, doc, 0.0, cfg.coverage, delims, cfg.min_index_size)
+    return f.coverage_score, f.word_hits
+
+
+def test_coverage_exact_match_high():
+    score, hits = _coverage_score("hello world", "this is hello world text")
+    assert score > 200 and hits == 2
+
+
+def test_coverage_no_match_low():
+    score, _ = _coverage_score("xyz abc", "hello world test")
+    assert score < 100
+
+
+def test_coverage_partial_match_moderate():
+    score, hits = _coverage_score("hello world test", "hello world")
+    assert score > 100 and hits == 2
+
+
+def test_coverage_fuzzy_typo():
+    score, hits = _coverage_score("batmam", "batman is a superhero")
+    assert score > 150 and hits > 0
+
+
+def test_coverage_joined_words():
+    score, _ = _coverage_score("new york", "I live in newyork city")
+    assert score > 100
+
+
+def test_coverage_prefix_match():
+    score, _ = _coverage_score("bat", "batman is a superhero")
+    assert score > 50
+
+
+def test_coverage_empty_query():
+    score, hits = _coverage_score("", "hello world")
+    assert score == 0 and hits == 0
+
+
+# --- end-to-end: reference matching (exact result sets) ----------------------
+
+
+@pytest.fixture(scope="module", params=[1, 2, 4])
+def mini_engine(request, minicorpus, tmp_path_factory):
+    out = tmp_path_factory.mktemp(f"mini_idx_{request.param}")
+    build_index_local(minicorpus, str(out), n_segments=request.param)
+    return Engine.load(str(out))
+
+
+def _keys(engine, q, k=10):
+    return [h.doc_key for h in engine.search(q, top_k=k)]
+
+
+def test_ref_batman(mini_engine):
+    keys = _keys(mini_engine, "batman")
+    assert keys and keys[0] == 6  # ReferenceMatchingTests.cs:40-50
+
+
+def test_ref_qick_fux(mini_engine):
+    assert _keys(mini_engine, "qick fux") == [5, 1]  # :53-64
+
+
+def test_ref_battamam(mini_engine):
+    assert _keys(mini_engine, "battamam") == [6]  # :67-84
+
+
+def test_ref_new_york(mini_engine):
+    assert _keys(mini_engine, "new york") == [8]  # :87-94
+
+
+def test_ref_speeding(mini_engine):
+    assert _keys(mini_engine, "speeding") == [7]  # :97-104
+
+
+# --- end-to-end: movie-style parity fixture ----------------------------------
+
+MOVIE_TITLES = [
+    "The Shawshank Redemption", "Redemption", "Redemption Day", "Redemption Road",
+    "Waking the Dead Redemption", "Shaws", "The Matrix", "The Matrix Reloaded",
+    "The Matrix Revolutions", "The Match", "Matriarch", "The Hearse",
+    "Heart of Gold", "The Godfather", "Pulp Fiction", "The Dark Knight",
+    "Fight Club", "Forrest Gump", "Inception", "Goodfellas",
+    "The Lord of the Rings The Fellowship of the Ring",
+    "The Lord of the Rings The Two Towers",
+    "The Lord of the Rings The Return of the King",
+    "Star Wars", "Star Trek", "A Star Is Born", "Stardust",
+    "Seven Samurai", "City of God", "Spirited Away", "Interstellar",
+    "The Silence of the Lambs", "Saving Private Ryan", "The Green Mile",
+    "Terminator 2 Judgment Day", "Back to the Future", "The Prestige",
+    "Gladiator", "The Lion King", "The Departed", "Whiplash", "The Pianist",
+    "Casablanca", "Psycho", "Rear Window", "Alien", "Aliens", "Apocalypse Now",
+]
+KEY = {t: i + 1 for i, t in enumerate(MOVIE_TITLES)}
+
+
+@pytest.fixture(scope="module", params=[1, 3])
+def movie_engine(request, tmp_path_factory):
+    out = tmp_path_factory.mktemp(f"movie_idx_{request.param}")
+    docs = [(i + 1, t) for i, t in enumerate(MOVIE_TITLES)]
+    build_index_local(docs, str(out), n_segments=request.param)
+    return Engine.load(str(out))
+
+
+def _top(engine, q, k=10):
+    return engine.search(q, top_k=k)
+
+
+def test_movie_redemption_sh(movie_engine):
+    """MovieSearchParityTests.cs:37-65: Shawshank first, strictly higher."""
+    hits = _top(movie_engine, "redemption sh")
+    assert hits[0].doc_key == KEY["The Shawshank Redemption"]
+    assert hits[0].score > hits[1].score
+
+
+def test_movie_shawshank_exact_and_typos(movie_engine):
+    for q in ["shawshank", "Shaaawshank", "shwashan"]:
+        hits = _top(movie_engine, q)
+        assert hits[0].doc_key == KEY["The Shawshank Redemption"], q
+
+
+def test_movie_redemption_typos(movie_engine):
+    """:104-158 — one- and two-typo variants still prefer Shawshank."""
+    for q in ["redeption sh", "redption sh", "redemption shan", "redemption wshan"]:
+        hits = _top(movie_engine, q)
+        assert hits[0].doc_key == KEY["The Shawshank Redemption"], q
+
+
+def test_movie_shawsh_over_shaws(movie_engine):
+    """:160-192 — prefix of longer title over short near-match."""
+    hits = _top(movie_engine, "shawsh")
+    keys = [h.doc_key for h in hits]
+    assert keys[0] == KEY["The Shawshank Redemption"]
+    assert KEY["Shaws"] in keys[1:]
+
+
+def test_movie_the_amtrix(movie_engine):
+    """:214-279 — transposition/doubled-letter typos find The Matrix."""
+    for q in ["the amtrix", "the ammtrix", "the matrx", "te matrix", "te matri"]:
+        hits = _top(movie_engine, q)
+        assert hits[0].doc_key == KEY["The Matrix"], q
+
+
+def test_movie_fellowship(movie_engine):
+    hits = _top(movie_engine, "fellowship of the ring")
+    assert hits[0].doc_key == KEY["The Lord of the Rings The Fellowship of the Ring"]
+
+
+def test_movie_the_hear(movie_engine):
+    """:429-446 — 'the hear' prefers The Hearse."""
+    hits = _top(movie_engine, "the hear")
+    assert hits[0].doc_key == KEY["The Hearse"]
+
+
+def test_segment_invariance(minicorpus, tmp_path_factory):
+    """Same scores/order regardless of partitioning (north_rule)."""
+    results = []
+    for nseg in (1, 2, 4):
+        out = tmp_path_factory.mktemp(f"inv_{nseg}")
+        build_index_local(minicorpus, str(out), n_segments=nseg)
+        eng = Engine.load(str(out))
+        per_query = {}
+        for q in ["batman", "qick fux", "new york", "speeding", "quick brown fox"]:
+            per_query[q] = [
+                (h.doc_key, round(h.score, 6), h.tiebreaker) for h in eng.search(q, top_k=10)
+            ]
+        results.append(per_query)
+    assert results[0] == results[1] == results[2]
