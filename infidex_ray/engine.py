@@ -167,6 +167,20 @@ class Engine:
         plan = s1.build_plan(infos)
         return s1.run_stage1(self.searchers, plan, top_k, self.avgdl)
 
+    @property
+    def shorts(self):
+        """Per-segment short-query scanners, built lazily (actor state)."""
+        if getattr(self, "_shorts", None) is None:
+            from .analyzer import _word_splitter
+            from .query.shortquery import SegmentShortQuery
+
+            splitter = _word_splitter(self.cfg.delimiters)
+            self._shorts = [SegmentShortQuery(s, splitter) for s in self.segments]
+        return self._shorts
+
+    SHORT_QUERY_MAX_LENGTH = 3  # SearchPipeline.cs:23
+    SHORT_QUERY_COVERAGE_DOC_CAP = 500  # SearchPipeline.cs:24
+
     def search(self, query_text: str, top_k: int = 10, enable_coverage: bool | None = None) -> list[SearchHit]:
         """Full pipeline (SearchPipeline.Execute, SearchPipeline.cs:49-206)."""
         cfg = self.cfg
@@ -179,29 +193,45 @@ class Engine:
         coverage_depth = cfg.coverage_depth
 
         if not can_ngrams:
-            stage1_results = self._short_query_stage1(q, max(top_k, coverage_depth))
+            from .query import shortquery as sq
+
+            if len(q) == 1:
+                stage1_results = sq.run_single_char(self.shorts, q, top_k)
+            else:
+                stage1_results = sq.run_short_query(
+                    self.shorts, q, cfg.min_index_size, cfg.start_pad_size, cfg.delimiters
+                )
+            stage1_results = s1.consolidate(stage1_results)
         else:
             tfidf_query = long_words_text if has_mixed else q
             if not tfidf_query.strip():
                 tfidf_query = q
             stage1_results = self.stage1(tfidf_query, coverage_depth)
 
-        is_short = len(q) <= 3 and not any(d in q for d in cfg.delimiters)
+        is_short = len(q) <= self.SHORT_QUERY_MAX_LENGTH and not any(
+            d in q for d in cfg.delimiters
+        )
         if is_short and len(stage1_results) >= top_k:
             return self._to_hits(stage1_results[:top_k])
 
-        if not coverage_on or not can_ngrams:
+        # short-query coverage gating (SearchPipeline.cs:122-159)
+        allow_short_coverage = skip_short_cap = False
+        if is_short:
+            short_doc_count = sum(s.count_word_start_docs(q) for s in self.shorts)
+            allow_short_coverage = 0 < short_doc_count <= self.SHORT_QUERY_COVERAGE_DOC_CAP
+            skip_short_cap = short_doc_count > self.SHORT_QUERY_COVERAGE_DOC_CAP
+
+        if (
+            not coverage_on
+            or (not can_ngrams and not allow_short_coverage)
+            or skip_short_cap
+        ):
             return self._to_hits(stage1_results[:top_k])
 
         final = self._coverage_stage(q, stage1_results, coverage_depth, top_k)
         if final is None:  # coverage unavailable → stage1 backbone
             return self._to_hits(stage1_results[:top_k])
         return self._to_hits(final)
-
-    # short queries (≤3 chars, no delimiter): full-pipeline port lands in M5;
-    # interim semantics = disjunctive BM25 over the query's prefix-grams.
-    def _short_query_stage1(self, q: str, top_k: int) -> list[tuple[float, int, int]]:
-        return []
 
     def _coverage_stage(self, q, stage1_results, coverage_depth, top_k):
         from .query import pipeline as qp
