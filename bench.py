@@ -57,7 +57,7 @@ def _build_index(num_cpus: int, out_dir: str) -> dict:
     import ray.data
 
     from infidex_ray.build import build_index
-    from infidex_ray.config import EngineConfig
+    from infidex_ray.config import AutoSegmentSetup, EngineConfig
     from infidex_ray.datagen import write_webpages
 
     write_webpages(WEBPAGES_PATH, WEBPAGES_ROWS)
@@ -78,7 +78,11 @@ def _build_index(num_cpus: int, out_dir: str) -> dict:
     n_segments = max(1, -(-WEBPAGES_ROWS // seg_docs))
     ds = ray.data.read_parquet(WEBPAGES_PATH, override_num_blocks=n_segments)
     t0 = time.perf_counter()
-    cfg = EngineConfig(target_docs_per_segment=seg_docs)
+    # web pages are long → chunk into ~200-char overlapping segments
+    # (reference config-400 AutoSegmentationSetup(200, 0.2))
+    cfg = EngineConfig(
+        target_docs_per_segment=seg_docs, auto_segment=AutoSegmentSetup(200, 0.2)
+    )
     manifest = build_index(
         ds, out_dir, cfg, text_column="text", key_column="url", repartition=False
     )

@@ -55,6 +55,7 @@ def build_segment_from_arrays(
     cfg: EngineConfig,
     seg_dir: str,
     lineage: dict | None = None,
+    field_columns: dict[str, list] | None = None,
 ) -> dict:
     """Analyze one doc block and write an immutable segment. Pure function of
     its inputs → safe under Ray task retries and checkpoint/resume."""
@@ -62,6 +63,34 @@ def build_segment_from_arrays(
 
     t0 = time.perf_counter()
     norm_texts = [normalize(t) if t else "" for t in texts]
+
+    # optional long-doc chunking: each chunk is its own internal doc sharing
+    # the doc key (AutoSegmenter port; SegmentNumber semantics)
+    if cfg.auto_segment is not None:
+        from .autosegment import segment_text
+
+        delims = frozenset(cfg.delimiters)
+        x_urls: list[str] = []
+        x_keys: list[int] = []
+        x_norm: list[str] = []
+        seg_numbers: list[int] = []
+        src_index: list[int] = []
+        for i, (u, k, nt) in enumerate(zip(urls, doc_keys, norm_texts)):
+            for sn, chunk in enumerate(segment_text(nt, cfg.auto_segment, delims)):
+                x_urls.append(u)
+                x_keys.append(int(k))
+                x_norm.append(chunk)
+                seg_numbers.append(sn)
+                src_index.append(i)
+        urls, norm_texts = x_urls, x_norm
+        doc_keys = np.asarray(x_keys, dtype=np.int64)
+        if field_columns:
+            field_columns = {
+                name: [col[i] for i in src_index] for name, col in field_columns.items()
+            }
+    else:
+        seg_numbers = [0] * len(urls)
+
     lower_texts = [t.lower() for t in norm_texts]
 
     counts = count_tokens_batch(
@@ -137,6 +166,7 @@ def build_segment_from_arrays(
         "doc_len": counts.doc_len,
         "first_token": first_tokens,
         "token_count": token_counts,
+        "seg_number": np.asarray(seg_numbers, dtype=np.int32),
     }
     # word-level df for the coverage word-IDF cache (VectorModel.
     # BuildWordIdfCache, VectorModel.cs:864-908: unique words per doc over
@@ -160,9 +190,12 @@ def build_segment_from_arrays(
             "df": pa.array(list(word_df.values()), pa.int64()),
         }
     )
+    extra = {"word_df.parquet": word_df_table}
+    if field_columns:
+        extra["fields.parquet"] = pa.table(field_columns)
     seglib.write_segment(
         seg_dir, terms, np.asarray(df_arr, dtype=np.int64), postings, docmap, meta,
-        extra_tables={"word_df.parquet": word_df_table},
+        extra_tables=extra,
     )
     meta["terms"] = terms
     meta["term_df"] = df_arr
@@ -174,11 +207,19 @@ class _BuildSegmentFn:
     """map_batches callable: one whole block in → one segment on disk, out a
     small (kind, term, df) batch for the global-stats groupby."""
 
-    def __init__(self, out_dir: str, cfg: EngineConfig, text_column: str, key_column: str):
+    def __init__(
+        self,
+        out_dir: str,
+        cfg: EngineConfig,
+        text_column: str,
+        key_column: str,
+        store_columns: tuple[str, ...] = (),
+    ):
         self.out_dir = out_dir
         self.cfg = cfg
         self.text_column = text_column
         self.key_column = key_column
+        self.store_columns = store_columns
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from . import segments as seglib
@@ -226,9 +267,15 @@ class _BuildSegmentFn:
                 doc_keys = np.fromiter(
                     (hash_key(u) for u in urls), dtype=np.int64, count=len(urls)
                 )
+            field_columns = (
+                {c: batch[c].to_pylist() for c in self.store_columns}
+                if self.store_columns
+                else None
+            )
             meta = build_segment_from_arrays(
                 urls, texts, doc_keys, self.cfg, seg_dir,
                 lineage={"first_key": urls[0] if urls else "", "rows": len(urls)},
+                field_columns=field_columns,
             )
             terms = meta["terms"]
             dfs = meta["term_df"]
@@ -252,6 +299,7 @@ def build_index_local(
     out_dir: str,
     cfg: EngineConfig | None = None,
     n_segments: int = 1,
+    fields: list[dict] | None = None,
 ) -> dict:
     """No-Ray build over an in-memory [(key, text), ...] list — used by unit
     tests and the pure-Python oracle; writes the same on-disk layout and
@@ -277,7 +325,14 @@ def build_index_local(
         else:
             keys = np.fromiter((hash_key(u) for u in urls), dtype=np.int64, count=len(urls))
         seg_dir = os.path.join(out_dir, "segments", f"seg-{ci:04d}")
-        meta = build_segment_from_arrays(urls, texts, keys, cfg, seg_dir)
+        field_columns = None
+        if fields is not None:
+            part_fields = [fields[i] for i in chunk]
+            names = sorted({n for f in part_fields for n in f})
+            field_columns = {n: [f.get(n) for f in part_fields] for n in names}
+        meta = build_segment_from_arrays(
+            urls, texts, keys, cfg, seg_dir, field_columns=field_columns
+        )
         for t, d in zip(meta["terms"], meta["term_df"]):
             term_df[t] = term_df.get(t, 0) + d
         for w, d in meta["word_df"].items():
@@ -330,6 +385,7 @@ def build_index(
     text_column: str = "text",
     key_column: str = "url",
     repartition: bool = True,
+    store_columns: tuple[str, ...] = (),
 ):
     """Build a partitioned index from a ``ray.data.Dataset``.
 
@@ -348,14 +404,15 @@ def build_index(
     os.makedirs(os.path.join(out_dir, "stats"), exist_ok=True)
 
     n_rows = ds.count()  # metadata-only for fresh parquet reads
-    ds = ds.select_columns([key_column, text_column])  # prune html/binary early
+    keep = [key_column, text_column, *store_columns]
+    ds = ds.select_columns(keep)  # prune html/binary early
 
     n_segments = max(1, -(-n_rows // cfg.target_docs_per_segment))
     if repartition:
         ds = ds.repartition(n_segments)
 
     df_rows = ds.map_batches(
-        _BuildSegmentFn(out_dir, cfg, text_column, key_column),
+        _BuildSegmentFn(out_dir, cfg, text_column, key_column, tuple(store_columns)),
         batch_size=None,  # whole block per call = one segment
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -51,6 +51,10 @@ class EngineConfig:
     enable_word_matcher: bool = True
     word_matcher: WordMatcherConfig = field(default_factory=WordMatcherConfig)
     coverage: "CoverageParams" = field(default_factory=lambda: _default_coverage())
+    # Opt-in long-document chunking (AutoSegmenter port; reference leaves
+    # invocation to the caller too). Each chunk indexes as its own internal
+    # doc sharing the doc key; best chunk per key wins at query time.
+    auto_segment: "AutoSegmentSetup | None" = None
     coverage_depth: int = 500  # Query.cs:40
     # Build-time physical knobs (Ray-specific, not part of rank semantics)
     target_docs_per_segment: int = 250_000
@@ -65,6 +69,9 @@ def _default_coverage():
     from .query.coverage import CoverageParams
 
     return CoverageParams()
+
+
+from .autosegment import AutoSegmentSetup  # noqa: E402  (re-export for configs)
 
 
 def config_100() -> EngineConfig:

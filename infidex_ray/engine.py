@@ -38,6 +38,32 @@ class SearchHit:
     text: str | None = None
 
 
+@dataclass
+class Query:
+    """Mirror of Infidex.Api.Query (src/Infidex/Api/Query.cs): text + limits
+    + Infiscript filter/boosts + sort + facets."""
+
+    text: str
+    max_results: int = 10
+    filter: str | None = None  # Infiscript expression
+    boosts: tuple[tuple[str, int], ...] = ()  # (expression, strength 1-3)
+    sort_by: str | None = None
+    sort_ascending: bool = True
+    enable_facets: bool = False
+    enable_coverage: bool | None = None
+
+
+@dataclass
+class Result:
+    """Mirror of Infidex.Api.Result: records + facets + truncation info."""
+
+    records: list[SearchHit]
+    facets: dict[str, list[tuple[str, int]]] | None
+    truncation_index: int
+    truncation_score: float
+    total_candidates: int
+
+
 def analyze_query(search_text: str, cfg: EngineConfig) -> tuple[bool, bool, str]:
     """QueryAnalyzer.Analyze (src/Infidex/Scoring/QueryAnalyzer.cs:10-55)."""
     min_size = cfg.min_index_size
@@ -105,11 +131,12 @@ class Engine:
         cfg: EngineConfig | None = None,
         text_column: str = "text",
         key_column: str = "url",
+        store_columns: tuple[str, ...] = (),
     ) -> "Engine":
         from .build import build_index
 
         cfg = cfg or EngineConfig()
-        build_index(ds, out_dir, cfg, text_column, key_column)
+        build_index(ds, out_dir, cfg, text_column, key_column, store_columns=store_columns)
         return cls.load(out_dir, cfg)
 
     @classmethod
@@ -240,6 +267,116 @@ class Engine:
 
     def _to_hits(self, entries: list[tuple[float, int, int]]) -> list[SearchHit]:
         return [SearchHit(score=e[0], doc_key=e[1], tiebreaker=e[2]) for e in entries]
+
+    # --------------------------------------------------- Query API (M6)
+    def _field_row(self, key: int) -> dict:
+        """Stored field values for one doc (url always included)."""
+        from .query.pipeline import _key_index_for
+
+        loc = _key_index_for(self).get(key)
+        if loc is None:
+            return {}
+        si, lid = loc
+        seg = self.segments[si]
+        row = {"url": seg.urls[lid] if seg.urls else None}
+        if seg.fields:
+            for name, col in seg.fields.items():
+                row[name] = col[lid]
+        return row
+
+    def query(self, q: Query) -> Result:
+        """SearchEngine.Search(Query) incl. post-processing
+        (SearchEngine.cs:290-368: pipeline → filter → boosts → sort →
+        facets → take maxResults)."""
+        from . import filters as flt
+
+        if not q.text or q.text.isspace():
+            if q.enable_facets:
+                return self._empty_query_with_facets(q)
+            return Result([], None, 0, 0.0, 0)
+
+        hits = self.search(q.text, top_k=q.max_results, enable_coverage=q.enable_coverage)
+        entries = [(h.score, h.doc_key, h.tiebreaker) for h in hits]
+
+        if q.filter:
+            ast = flt.parse(q.filter)
+            entries = [
+                e for e in entries if flt.matches_row(ast, self._field_row(e[1]))
+            ]
+        if q.boosts:
+            compiled = [(flt.parse(expr), int(strength)) for expr, strength in q.boosts]
+            boosted = []
+            for score, key, tb in entries:
+                row = self._field_row(key)
+                total = sum(s for ast, s in compiled if flt.matches_row(ast, row))
+                boosted.append((score + total if total > 0 else score, key, tb))
+            boosted.sort(key=lambda e: -e[0])  # ResultProcessor.cs:119: score only
+            entries = boosted
+        if q.sort_by:
+            entries = self._apply_sort(entries, q.sort_by, q.sort_ascending)
+
+        facets = self._build_facets(entries) if q.enable_facets else None
+        top = entries[: q.max_results]
+        return Result(
+            self._to_hits(top),
+            facets,
+            len(top) - 1 if top else 0,
+            top[-1][0] if top else 0.0,
+            len(entries),
+        )
+
+    def _empty_query_with_facets(self, q: Query) -> Result:
+        """SearchEngine.HandleEmptyQueryWithFacets (SearchEngine.cs:322-348)."""
+        from . import filters as flt
+
+        entries = []
+        for seg in self.segments:
+            for key in seg.doc_keys.tolist():
+                entries.append((float(0xFFFF), int(key), 0))
+        if q.filter:
+            ast = flt.parse(q.filter)
+            entries = [e for e in entries if flt.matches_row(ast, self._field_row(e[1]))]
+        top = entries[: q.max_results]
+        facets = self._build_facets(top)
+        return Result(
+            self._to_hits(top), facets, len(top) - 1 if top else 0,
+            top[-1][0] if top else 0.0, len(entries),
+        )
+
+    def _apply_sort(self, entries, field_name: str, ascending: bool):
+        """ResultProcessor.ApplySort (:126-141): same-type comparable values,
+        else string ordinal; None sorts first ascending."""
+
+        def sort_key(e):
+            v = self._field_row(e[1]).get(field_name)
+            if v is None:
+                return (0, "", 0.0)
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                return (1, "", float(v))
+            return (2, str(v), 0.0)
+
+        return sorted(entries, key=sort_key, reverse=not ascending)
+
+    def _build_facets(self, entries, max_per_field: int = 100):
+        """FacetBuilder.BuildFacets (src/Infidex/Core/FacetBuilder.cs:19-74):
+        value counts per stored field over the result set, count desc then
+        value asc, capped at 100 values per field."""
+        counts: dict[str, dict[str, int]] = {}
+        for _, key, _tb in entries:
+            row = self._field_row(key)
+            for name, value in row.items():
+                if name == "url" or value is None:
+                    continue
+                values = value if isinstance(value, (list, tuple)) else [value]
+                field_counts = counts.setdefault(name, {})
+                for v in values:
+                    s = str(v)
+                    field_counts[s] = field_counts.get(s, 0) + 1
+        return {
+            name: sorted(fc.items(), key=lambda kv: (-kv[1], kv[0]))[:max_per_field]
+            for name, fc in counts.items()
+            if fc
+        }
 
     def bm25_all_scores(self, query_text: str) -> list[tuple[int, float]]:
         """Disjunctive full-corpus BM25+ scores in float64 — the SQL-oracle

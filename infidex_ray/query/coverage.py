@@ -23,7 +23,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
-from .metrics import damerau
+from .metrics import damerau, damerau1
 
 
 @dataclass(frozen=True)
@@ -95,6 +95,7 @@ class MatchState:
     """Mutable state threaded through the matcher cascade (MatchState.cs)."""
 
     __slots__ = (
+        "d_texts", "q_texts",
         "q_slices", "d_slices", "q_low", "d_low", "q_active", "d_active",
         "term_matched_chars", "term_max_chars", "term_has_whole",
         "term_has_joined", "term_has_prefix", "term_first_pos", "term_idf",
@@ -103,11 +104,17 @@ class MatchState:
         "num_prefix_suffix", "penalty",
     )
 
-    def __init__(self, q_slices, d_slices, q_low, d_low, term_max_chars, term_idf, doc_token_count):
+    def __init__(self, q_slices, d_slices, q_low, d_low, term_max_chars, term_idf, doc_token_count, d_texts=None):
         self.q_slices = q_slices
         self.d_slices = d_slices
         self.q_low = q_low
         self.d_low = d_low
+        self.d_texts = (
+            d_texts
+            if d_texts is not None
+            else [d_low[o : o + l] for o, l in d_slices]
+        )
+        self.q_texts = [q_low[o : o + l] for o, l in q_slices]
         self.q_count = len(q_slices)
         self.d_count = len(d_slices)
         self.doc_token_count = doc_token_count
@@ -128,12 +135,10 @@ class MatchState:
         self.penalty = 0
 
     def q_text(self, i: int) -> str:
-        off, ln = self.q_slices[i]
-        return self.q_low[off : off + ln]
+        return self.q_texts[i]
 
     def d_text(self, j: int) -> str:
-        off, ln = self.d_slices[j]
-        return self.d_low[off : off + ln]
+        return self.d_texts[j]
 
 
 # --- matchers (ported loops; order-dependence is part of the contract) -------
@@ -327,17 +332,17 @@ def match_prefix_suffix(st: MatchState) -> None:
             dt = st.d_text(j)
             is_match = False
             match_score = 0.0
-            dist = damerau(qt, dt[:q_len], 1)
+            dist = damerau1(qt, dt[:q_len])
             if dist <= 1:
                 match_score = max(q_len - dist, 0.1)
                 is_match = True
             elif d_len > q_len:
-                dist = damerau(qt, dt[: q_len + 1], 1)
+                dist = damerau1(qt, dt[: q_len + 1])
                 if dist <= 1:
                     match_score = max(q_len - dist, 0.1)
                     is_match = True
                 elif q_len > 1:
-                    dist = damerau(qt, dt[: q_len - 1], 1)
+                    dist = damerau1(qt, dt[: q_len - 1])
                     if dist <= 1:
                         match_score = max(q_len - 1 - dist, 0.1)
                         is_match = True
@@ -419,7 +424,7 @@ def match_fuzzy_words(st: MatchState, setup: CoverageParams) -> None:
                 dt = st.d_text(j)
                 if is_special_short and (not dt or dt[0] != qt[0]):
                     continue
-                dist = damerau(qt, dt, edit_dist)
+                dist = damerau1(qt, dt) if edit_dist == 1 else damerau(qt, dt, edit_dist)
                 if dist <= edit_dist:
                     st.word_hits += 1
                     st.num_fuzzy += q_len - dist
@@ -623,6 +628,8 @@ def compute_fusion_signals(
     min_stem_length: int,
     doc_first_token: str | None,
     doc_has_tokens: bool,
+    d_texts: list[str] | None = None,
+    q_texts: list[str] | None = None,
 ) -> FusionSignals:
     """FusionSignalComputer.ComputeSignals (FusionSignalComputer.cs:53-178).
     ``q_tokens``/``d_tokens`` are unfiltered (minWordSize=0) slices over the
@@ -632,13 +639,16 @@ def compute_fusion_signals(
     if q_count == 0 or d_count == 0:
         return sig
 
+    if q_texts is None:
+        q_texts = [q_low[o : o + l] for o, l in q_tokens]
+    if d_texts is None:
+        d_texts = [d_low[o : o + l] for o, l in d_tokens]
+
     def qt(i):
-        off, ln = q_tokens[i]
-        return q_low[off : off + ln]
+        return q_texts[i]
 
     def dt(j):
-        off, ln = d_tokens[j]
-        return d_low[off : off + ln]
+        return d_texts[j]
 
     # 1. prefix-last match
     if q_count == 1:
@@ -867,6 +877,8 @@ class CoverageContext:
     term_idf: list[float]
     term_max_chars: list[int]
     word_level_idf: list[float] | None
+    fusion_slices: list[tuple[int, int]] | None = None  # memoized per query
+    fusion_texts: list[str] | None = None
 
 
 def gram_avg_idf(term: str, index_sizes, df_lookup, total_docs: int, stop_term_limit: int) -> float:
@@ -920,6 +932,20 @@ def prepare_query(
     return CoverageContext(query, tokens, term_idf, term_max_chars, word_level_idf)
 
 
+def prepare_doc(
+    doc_text: str, min_word_size: int, delimiters: frozenset[str]
+) -> tuple[str, int, list[tuple[int, int]], list[tuple[int, int]]]:
+    """Query-independent per-document prep (lowered shadow, token slices) —
+    computed once per doc chunk and cached by the query actor."""
+    d_low = lower_1to1(doc_text)
+    d_raw = tokenize_slices(doc_text, min_word_size, delimiters)
+    d_unique = dedupe_slices(d_raw, d_low)
+    fusion_slices = tokenize_slices(doc_text, 0, delimiters)
+    d_unique_texts = [d_low[o : o + l] for o, l in d_unique]
+    fusion_texts = [d_low[o : o + l] for o, l in fusion_slices]
+    return (d_low, len(d_raw), d_unique, fusion_slices, d_unique_texts, fusion_texts)
+
+
 def calculate_features(
     ctx: CoverageContext,
     doc_text: str,
@@ -929,6 +955,7 @@ def calculate_features(
     min_stem_length: int,
     doc_first_token: str | None = None,
     doc_has_tokens: bool = False,
+    doc_prep: tuple | None = None,
 ) -> CoverageFeatures:
     """CoverageEngine.CalculateCoverageInternal + signal computation
     (CoverageEngine.cs:222-382)."""
@@ -936,14 +963,14 @@ def calculate_features(
     if not ctx.tokens:
         return features
 
-    d_low = lower_1to1(doc_text)
-    d_raw = tokenize_slices(doc_text, setup.min_word_size, delimiters)
-    features.doc_token_count = len(d_raw)
-    d_unique = dedupe_slices(d_raw, d_low)
+    if doc_prep is None:
+        doc_prep = prepare_doc(doc_text, setup.min_word_size, delimiters)
+    d_low, d_raw_count, d_unique, fusion_d_slices, d_unique_texts, fusion_texts = doc_prep
+    features.doc_token_count = d_raw_count
 
     st = MatchState(
         ctx.tokens, d_unique, ctx.query, d_low, ctx.term_max_chars, ctx.term_idf,
-        len(d_raw),
+        d_raw_count, d_texts=d_unique_texts,
     )
 
     if setup.cover_whole_words:
@@ -961,9 +988,15 @@ def calculate_features(
     )
 
     # fusion signals over UNFILTERED tokens (minWordSize=0)
-    fq = tokenize_slices(ctx.query, 0, delimiters)
-    fd = tokenize_slices(doc_text, 0, delimiters)
+    fq = ctx.fusion_slices
+    if fq is None:
+        fq = tokenize_slices(ctx.query, 0, delimiters)
+        ctx.fusion_slices = fq
+    fq_texts = ctx.fusion_texts
+    if fq_texts is None:
+        fq_texts = ctx.fusion_texts = [ctx.query[o : o + l] for o, l in fq]
     features.fusion = compute_fusion_signals(
-        ctx.query, d_low, fq, fd, min_stem_length, doc_first_token, doc_has_tokens
+        ctx.query, d_low, fq, fusion_d_slices, min_stem_length,
+        doc_first_token, doc_has_tokens, d_texts=fusion_texts, q_texts=fq_texts,
     )
     return features

@@ -74,6 +74,40 @@ def damerau(source: str, target: str, max_distance: int, ignore_case: bool = Fal
     return dist
 
 
+def damerau1(a: str, b: str) -> int:
+    """``damerau(a, b, 1)`` specialised to O(n) single passes. Returns 0, 1,
+    or 2 (= "more than one edit"), exactly matching the restricted
+    CalculateDamerau at budget 1: one substitution, one indel, or one
+    adjacent transposition with identical remainder."""
+    la, lb = len(a), len(b)
+    if a == b:
+        return 0
+    if la == lb:
+        # find first mismatch
+        i = 0
+        while a[i] == b[i]:
+            i += 1
+        if a[i + 1 :] == b[i + 1 :]:
+            return 1  # single substitution
+        # adjacent transposition: swap fixes it iff rest identical
+        if (
+            i + 1 < la
+            and a[i] == b[i + 1]
+            and a[i + 1] == b[i]
+            and a[i + 2 :] == b[i + 2 :]
+        ):
+            return 1
+        return 2
+    if abs(la - lb) != 1:
+        return 2
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1 :] else 2
+
+
 def lcs_containment(q: str, r: str, error_tolerance: int) -> int:
     """The reference's "LCS": containment length, else common prefix +
     tolerance, clamped to min(len(q), len(r))

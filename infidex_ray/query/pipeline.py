@@ -51,6 +51,22 @@ def _word_matcher_for(engine, si: int):
     return wm
 
 
+def _prep_for(engine, si: int, lid: int, setup, delimiters):
+    """Per-doc-chunk tokenization prep, cached on the engine/actor — the
+    dominant per-candidate cost, query-independent so computed once."""
+    cache = getattr(engine, "_doc_prep_cache", None)
+    if cache is None:
+        cache = engine._doc_prep_cache = {}
+    key = (si, lid)
+    prep = cache.get(key)
+    if prep is None:
+        prep = cov.prepare_doc(
+            engine.segments[si].norm_texts[lid], setup.min_word_size, delimiters
+        )
+        cache[key] = prep
+    return prep
+
+
 def _key_index_for(engine):
     """doc_key → (segment_idx, local_id), built once per engine."""
     idx = getattr(engine, "_key_index", None)
@@ -85,11 +101,21 @@ def coverage_stage(engine, norm_query, stage1_results, coverage_depth, top_k):
             wm_ids.extend((si, int(l)) for l in ids)
 
     key_index = _key_index_for(engine)
+
+    def entry_loc(e):
+        if len(e) >= 5 and e[3] >= 0 and e[4] >= 0:
+            return (e[3], e[4])
+        return key_index.get(e[1])
+
+    # best-scoring chunk per doc key (bestSegmentsMap analogue): stage-1
+    # entries are consolidated best-per-key already, so first win = best
+    best_chunk: dict[int, tuple[int, int]] = {}
     tfidf_ids = set()
-    for score, key, tb in top:
-        loc = key_index.get(key)
+    for e in top:
+        loc = entry_loc(e)
         if loc is not None:
             tfidf_ids.add(loc)
+            best_chunk.setdefault(e[1], loc)
     overlapping = [loc for loc in wm_ids if loc in tfidf_ids]
     unique = [loc for loc in wm_ids if loc not in tfidf_ids]
     wm_limit = max(0, coverage_depth - len(overlapping))
@@ -111,9 +137,9 @@ def coverage_stage(engine, norm_query, stage1_results, coverage_depth, top_k):
     #     stage-1 candidates first, then word-matcher ids;
     #     SearchPipeline.BuildDocumentKeyIndex, :524-545) -------------------
     doc_index: dict[int, int] = {}
-    for score, key, tb in top:
-        if key not in doc_index:
-            doc_index[key] = len(doc_index)
+    for e in top:
+        if e[1] not in doc_index:
+            doc_index[e[1]] = len(doc_index)
     for si, lid in wm_ids:
         key = int(engine.segments[si].doc_keys[lid])
         if key not in doc_index:
@@ -133,11 +159,16 @@ def coverage_stage(engine, norm_query, stage1_results, coverage_depth, top_k):
     def process(si: int, lid: int, base_score: float) -> None:
         nonlocal max_word_hits
         seg = engine.segments[si]
-        doc_text = seg.norm_texts[lid]
         key = int(seg.doc_keys[lid])
+        # coverage text = best-scoring chunk for this key when stage 1 found
+        # one (SegmentProcessor.GetBestSegmentText, :42-75); metadata stays
+        # the candidate chunk's (CalculateFeatures(..., internalId))
+        tsi, tlid = best_chunk.get(key, (si, lid))
+        doc_text = engine.segments[tsi].norm_texts[tlid]
         di = doc_index.get(key)
         if di is None:
             return
+        prep = _prep_for(engine, tsi, tlid, setup, delimiters)
         lcs = 0
         if di < MEMO_HEIGHT:
             lcs = memo[di][0]
@@ -147,12 +178,13 @@ def coverage_stage(engine, norm_query, stage1_results, coverage_depth, top_k):
                     tol = int(
                         len(ctx.query) * setup.coverage_lcs_error_tolerance_relative_q
                     )
-                lcs = lcs_containment(ctx.query, cov.lower_1to1(doc_text), tol)
+                lcs = lcs_containment(ctx.query, prep[0], tol)
                 memo[di][0] = min(lcs, 255)
         features = cov.calculate_features(
             ctx, doc_text, lcs, setup, delimiters, min_stem_length,
             doc_first_token=seg.first_tokens[lid],
             doc_has_tokens=int(seg.token_counts[lid]) > 0,
+            doc_prep=prep,
         )
         score, tiebreaker = fusion_calculate(ctx.query, doc_text, features, base_score)
         if di < MEMO_HEIGHT and memo[di][1] == 0:
@@ -167,11 +199,11 @@ def coverage_stage(engine, norm_query, stage1_results, coverage_depth, top_k):
         process(si, lid, 0.0)
 
     max_tfidf = top[0][0] if top else 1.0
-    for score, key, tb in top:
-        loc = key_index.get(key)
+    for e in top:
+        loc = entry_loc(e)
         if loc is None:
             continue
-        norm_bm25 = score / max_tfidf if max_tfidf > 0 else 0.0
+        norm_bm25 = e[0] / max_tfidf if max_tfidf > 0 else 0.0
         process(loc[0], loc[1], norm_bm25)
 
     if max_word_hits == 0 and not wm_ids:

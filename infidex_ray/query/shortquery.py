@@ -114,7 +114,7 @@ class SegmentShortQuery:
                 dens_c = min(char_count * 4, 40)
                 raw = min(max(pos_c + dens_c, 0), 200)
                 base = max(1, raw) / 255.0
-            out.append((float(precedence) + base, int(self.seg.doc_keys[lid]), 0))
+            out.append((float(precedence) + base, int(self.seg.doc_keys[lid]), 0, self.seg.seg_id, lid))
         return out
 
     # -- prefix pass (SearchShortQuery term loop, :179-219) ----------------
@@ -201,7 +201,7 @@ class SegmentShortQuery:
             precedence = _compute_precedence(
                 query_tokens, words, search_lower, trimmed, key in first_prefix
             )
-            out.append((float(precedence) + normalized, key, 0))
+            out.append((float(precedence) + normalized, key, 0, self.seg.seg_id, lid))
         return out
 
     def _key_to_local(self) -> dict[int, int]:

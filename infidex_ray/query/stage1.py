@@ -233,31 +233,41 @@ def score_candidates(
 
 
 def topk_entries(
-    keys: np.ndarray, scores: np.ndarray, k: int, tiebreakers: np.ndarray | None = None
-) -> list[tuple[float, int, int]]:
-    """Top-k as (score, doc_key, tiebreaker) under ScoreEntry ordering
-    (ScoreEntry.cs:25-36): score desc, tiebreaker desc, doc_key asc."""
+    keys: np.ndarray,
+    scores: np.ndarray,
+    k: int,
+    tiebreakers: np.ndarray | None = None,
+    seg_id: int = -1,
+    local_ids: np.ndarray | None = None,
+) -> list[tuple]:
+    """Top-k as (score, doc_key, tiebreaker, seg_id, local_id) under
+    ScoreEntry ordering (ScoreEntry.cs:25-36): score desc, tiebreaker desc,
+    doc_key asc. (seg_id, local_id) identify the winning chunk — the
+    bestSegmentsMap analogue used by coverage to fetch the right text."""
     n = len(keys)
     if n == 0:
         return []
     tb = tiebreakers if tiebreakers is not None else np.zeros(n, dtype=np.int32)
     order = np.lexsort((keys, -tb, -scores.astype(np.float64)))
     take = order[: min(k, n)]
-    return [(float(scores[i]), int(keys[i]), int(tb[i])) for i in take]
+    if local_ids is None:
+        return [(float(scores[i]), int(keys[i]), int(tb[i]), seg_id, -1) for i in take]
+    return [
+        (float(scores[i]), int(keys[i]), int(tb[i]), seg_id, int(local_ids[i]))
+        for i in take
+    ]
 
 
-def merge_topk(
-    entry_lists: list[list[tuple[float, int, int]]], k: int
-) -> list[tuple[float, int, int]]:
+def merge_topk(entry_lists: list[list[tuple]], k: int) -> list[tuple]:
     alle = [e for lst in entry_lists for e in lst]
     alle.sort(key=lambda e: (-e[0], -e[2], e[1]))
     return alle[:k]
 
 
-def consolidate(entries: list[tuple[float, int, int]]) -> list[tuple[float, int, int]]:
+def consolidate(entries: list[tuple]) -> list[tuple]:
     """SegmentProcessor.ConsolidateSegments (:16-37): best entry per doc_key,
     sorted descending."""
-    best: dict[int, tuple[float, int, int]] = {}
+    best: dict[int, tuple] = {}
     for e in entries:
         cur = best.get(e[1])
         if cur is None or (e[0], e[2], -e[1]) > (cur[0], cur[2], -cur[1]):
@@ -407,7 +417,7 @@ class SegmentStage1:
         if len(cands) == 0:
             return []
         keys = self.seg.doc_keys[cands]
-        return topk_entries(keys, scores, top_k)
+        return topk_entries(keys, scores, top_k, seg_id=self.seg.seg_id, local_ids=cands)
 
     def search_single(
         self, plan: QueryPlan, level: int, top_k: int, avgdl: float

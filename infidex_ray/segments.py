@@ -115,6 +115,7 @@ DOCMAP_SCHEMA = pa.schema(
         ("doc_len", pa.float32()),
         ("first_token", pa.large_string()),
         ("token_count", pa.int32()),
+        ("seg_number", pa.int32()),
     ]
 )
 
@@ -208,6 +209,8 @@ class SegmentData:
     first_tokens: list[str]
     token_counts: np.ndarray
     meta: dict
+    fields: dict[str, list] | None = None  # stored filter/facet/sort columns
+    seg_numbers: np.ndarray | None = None  # chunk number per local doc
 
     @property
     def n_docs(self) -> int:
@@ -242,7 +245,19 @@ def read_segment(seg_dir: str, seg_id: int = 0, mmap: bool = True) -> SegmentDat
     else:
         with open(path, "rb") as f:
             buf = memoryview(f.read())
+    fields = None
+    fpath = os.path.join(seg_dir, "fields.parquet")
+    if os.path.exists(fpath):
+        ft = pq.read_table(fpath)
+        fields = {name: ft[name].to_pylist() for name in ft.column_names}
+    seg_numbers = (
+        doc_table["seg_number"].to_numpy()
+        if "seg_number" in doc_table.column_names
+        else np.zeros(len(doc_table), dtype=np.int32)
+    )
     return SegmentData(
+        fields=fields,
+        seg_numbers=seg_numbers,
         seg_id=seg_id,
         terms=term_table["term"].to_numpy(),
         df=term_table["df"].to_numpy(),
@@ -298,6 +313,14 @@ def merge_segments(seg_dirs: list[str], out_dir: str, seg_id: int = 0) -> dict:
         "doc_len": np.concatenate([s.doc_len for s in segs]),
         "first_token": sum((s.first_tokens for s in segs), []),
         "token_count": np.concatenate([s.token_counts for s in segs]),
+        "seg_number": np.concatenate(
+            [
+                s.seg_numbers
+                if s.seg_numbers is not None
+                else np.zeros(s.n_docs, dtype=np.int32)
+                for s in segs
+            ]
+        ),
     }
     meta = {
         "n_docs": int(sum(s.n_docs for s in segs)),

@@ -66,7 +66,7 @@ def test_stage1_matches_oracle(built, q):
     nq = normalize(q.strip()).lower()
     got = eng.stage1(nq, 500)
     exp = oracle.stage1(q, 500)
-    got_pairs = [(k, round(s, 4)) for s, k, _ in got]
+    got_pairs = [(k, round(s, 4)) for s, k, *_ in got]
     exp_pairs = [(k, round(s, 4)) for s, k in exp]
     assert got_pairs == exp_pairs, f"query {q!r}: {got_pairs} != {exp_pairs}"
 
@@ -86,7 +86,7 @@ def test_fuzzy_expansion(built):
     eng, _ = built
     # "battamam" contains unknown grams; LD1 expansion should still reach doc 6
     top = eng.stage1("battamam", 10)
-    assert any(k == 6 for _, k, _ in top)
+    assert any(k == 6 for _, k, *_ in top)
 
 
 def test_resume_skips_complete_segments(ray_session, minicorpus, tmp_path):
@@ -133,4 +133,4 @@ def test_multisegment_stage1_matches_oracle(built_multiseg, q):
 
     got = eng.stage1(normalize(q.strip()).lower(), 500)
     exp = oracle.stage1(q, 500)
-    assert [(k, round(s, 4)) for s, k, _ in got] == [(k, round(s, 4)) for s, k in exp]
+    assert [(k, round(s, 4)) for s, k, *_ in got] == [(k, round(s, 4)) for s, k in exp]
