@@ -121,6 +121,11 @@ class Engine:
         self.searchers = [s1.SegmentStage1(s, cfg) for s in segments]
         self._coverage = None
         self._wordmatchers = None
+        self._seg_map = {s.seg_id: s for s in segments}
+
+    def seg_by_id(self, si: int):
+        """Segment by GLOBAL segment id (shard engines hold a subset)."""
+        return self._seg_map[si]
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -140,7 +145,9 @@ class Engine:
         return cls.load(out_dir, cfg)
 
     @classmethod
-    def load(cls, index_dir: str, cfg: EngineConfig | None = None) -> "Engine":
+    def load(cls, index_dir: str, cfg: EngineConfig | None = None, segment_indices=None) -> "Engine":
+        """Open an index (or, with ``segment_indices``, a SHARD of it: the
+        subset of segments a query actor owns; global stats still apply)."""
         with open(os.path.join(index_dir, "manifest.json")) as f:
             manifest = json.load(f)
         if cfg is None:
@@ -153,9 +160,12 @@ class Engine:
                 delimiters=tuple(c["delimiters"]),
             )
         seg_root = os.path.join(index_dir, "segments")
+        indices = (
+            range(len(manifest["segments"])) if segment_indices is None else segment_indices
+        )
         segments = [
-            read_segment(os.path.join(seg_root, e["name"]), i)
-            for i, e in enumerate(manifest["segments"])
+            read_segment(os.path.join(seg_root, manifest["segments"][i]["name"]), i)
+            for i in indices
         ]
         df_lookup = DfLookup.from_parquet(os.path.join(index_dir, "stats", "df.parquet"))
         word_df = DfLookup.from_parquet(
@@ -220,14 +230,10 @@ class Engine:
         coverage_depth = cfg.coverage_depth
 
         if not can_ngrams:
-            from .query import shortquery as sq
-
             if len(q) == 1:
-                stage1_results = sq.run_single_char(self.shorts, q, top_k)
+                stage1_results = self._run_single_char(q, top_k)
             else:
-                stage1_results = sq.run_short_query(
-                    self.shorts, q, cfg.min_index_size, cfg.start_pad_size, cfg.delimiters
-                )
+                stage1_results = self._run_short_query(q)
             stage1_results = s1.consolidate(stage1_results)
         else:
             tfidf_query = long_words_text if has_mixed else q
@@ -244,7 +250,7 @@ class Engine:
         # short-query coverage gating (SearchPipeline.cs:122-159)
         allow_short_coverage = skip_short_cap = False
         if is_short:
-            short_doc_count = sum(s.count_word_start_docs(q) for s in self.shorts)
+            short_doc_count = self._short_doc_count(q)
             allow_short_coverage = 0 < short_doc_count <= self.SHORT_QUERY_COVERAGE_DOC_CAP
             skip_short_cap = short_doc_count > self.SHORT_QUERY_COVERAGE_DOC_CAP
 
@@ -259,6 +265,23 @@ class Engine:
         if final is None:  # coverage unavailable → stage1 backbone
             return self._to_hits(stage1_results[:top_k])
         return self._to_hits(final)
+
+    # overridable primitives (the distributed executor fans these out)
+    def _run_single_char(self, q: str, top_k: int):
+        from .query import shortquery as sq
+
+        return sq.run_single_char(self.shorts, q, top_k)
+
+    def _run_short_query(self, q: str):
+        from .query import shortquery as sq
+
+        return sq.run_short_query(
+            self.shorts, q, self.cfg.min_index_size, self.cfg.start_pad_size,
+            self.cfg.delimiters,
+        )
+
+    def _short_doc_count(self, q: str) -> int:
+        return sum(s.count_word_start_docs(q) for s in self.shorts)
 
     def _coverage_stage(self, q, stage1_results, coverage_depth, top_k):
         from .query import pipeline as qp

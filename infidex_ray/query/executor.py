@@ -1,0 +1,269 @@
+"""Distributed query serving: posting-list-holding shard actors + driver.
+
+The north-star serving model (SURVEY §3.2 "Ray query shape"): the index's
+doc-range segments are split into contiguous shards, each owned by one
+``IndexShardActor`` that loads its segments ONCE (postings via np.memmap,
+docmap, word-matcher tables, doc-prep caches — all per-actor state built in
+``__init__``/first use). Queries fan out from the driver:
+
+* stage 1: the two-phase tier protocol (phase A counts → global decide →
+  phase B scoring) — identical math to the in-process engine, so results are
+  rank-identical regardless of shard count;
+* coverage: the driver computes the candidate plan (wm cap, doc-key index)
+  and ships per-shard job slices; every doc's jobs land on the shard owning
+  its segment, preserving the reference's memo semantics;
+* short queries: per-shard scans with two small synchronization points
+  (fuzzy-fallback gate, global max raw score); per-query scratch state stays
+  inside the actor so only small aggregates cross the wire.
+
+On a multi-node cluster each actor holds ~(index_size / num_shards); the
+driver traffic per query is O(top_k + unique query terms), independent of
+corpus size.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+import numpy as np
+import ray
+
+from ..config import EngineConfig
+from ..engine import DfLookup, Engine
+from . import coverage as cov
+from . import pipeline as qp
+from . import shortquery as sq
+from . import stage1 as s1
+
+
+@ray.remote
+class IndexShardActor:
+    """Owns a contiguous slice of index segments; all per-segment state
+    (mmap'd postings, docmap, word tables, LRU fuzzy cache) lives here."""
+
+    def __init__(self, index_dir: str, segment_indices: list[int]):
+        self.engine = Engine.load(index_dir, segment_indices=segment_indices)
+        self._sq_state: dict[str, tuple[dict, set]] = {}
+
+    def warm(self) -> int:
+        """Pre-build word-matcher tables + doc preps (actor-init cost paid
+        once, in parallel across the pool)."""
+        if self.engine.cfg.enable_word_matcher:
+            for seg in self.engine.segments:
+                qp._word_matcher_for(self.engine, seg.seg_id)
+        return self.engine.total_docs
+
+    # ---- stage 1 ------------------------------------------------------
+    def fuzzy_df(self, text: str) -> int:
+        return sum(s.fuzzy_union(text)[1] for s in self.engine.searchers)
+
+    def phase_a(self, plan) -> list[int]:
+        vecs = [s.phase_a(plan) for s in self.engine.searchers]
+        width = max((len(v) for v in vecs), default=0)
+        total = np.zeros(width, dtype=np.int64)
+        for v in vecs:
+            total[: len(v)] += v
+        return total.tolist()
+
+    def phase_b(self, plan, level: int, top_k: int, avgdl: float):
+        per = [s.phase_b(plan, level, top_k, avgdl) for s in self.engine.searchers]
+        return s1.merge_topk(per, top_k)
+
+    # ---- coverage -----------------------------------------------------
+    def wm_candidates(self, norm_query: str):
+        return qp.wm_candidates_for(self.engine, norm_query)
+
+    def run_jobs(self, ctx, jobs, best_chunk):
+        return qp.process_candidates(self.engine, ctx, jobs, best_chunk)
+
+    # ---- short queries ------------------------------------------------
+    def short_doc_count(self, q: str) -> int:
+        return sum(s.count_word_start_docs(q) for s in self.engine.shorts)
+
+    def single_char(self, ch: str):
+        out = []
+        for s in self.engine.shorts:
+            out.extend(s.single_char_entries(ch))
+        return out
+
+    def sq_prefix(self, qid: str, patterns, q: str) -> tuple[int, int]:
+        """Phase 1: per-segment prefix passes; keeps scratch in the actor.
+        Returns (matched doc count, local max raw score)."""
+        states = []
+        for s in self.engine.shorts:
+            states.append(s.prefix_pass(patterns, q))
+        self._sq_state[qid] = states
+        n = sum(len(ds) for ds, _ in states)
+        mx = max((max(ds.values(), default=0) for ds, _ in states), default=0)
+        return n, mx
+
+    def sq_fuzzy(self, qid: str, patterns, q: str) -> int:
+        states = self._sq_state[qid]
+        for s, (ds, fp) in zip(self.engine.shorts, states):
+            s.fuzzy_pass(patterns, q, ds, fp)
+        return max((max(ds.values(), default=0) for ds, _ in states), default=0)
+
+    def sq_final(self, qid: str, global_max: int, q: str, query_tokens):
+        states = self._sq_state.pop(qid)
+        out = []
+        for s, (ds, fp) in zip(self.engine.shorts, states):
+            out.extend(s.final_entries(ds, fp, global_max, q, query_tokens))
+        return out
+
+
+class DistributedEngine(Engine):
+    """Driver-side engine: holds only global stats + the actor pool. All
+    routing/decision logic is inherited from ``Engine``; the per-segment
+    primitives fan out to shards."""
+
+    def __init__(self, index_dir, cfg, df_lookup, word_df, total_docs, avgdl, actors, shard_of_seg):
+        super().__init__(index_dir, cfg, [], df_lookup, word_df, total_docs, avgdl)
+        self.actors = actors
+        self.shard_of_seg = shard_of_seg
+        self._qid = itertools.count()
+
+    @classmethod
+    def connect(
+        cls,
+        index_dir: str,
+        num_shards: int | None = None,
+        cfg: EngineConfig | None = None,
+        warm: bool = True,
+        num_cpus_per_actor: float = 1.0,
+    ) -> "DistributedEngine":
+        import json
+
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            manifest = json.load(f)
+        if cfg is None:
+            c = manifest["config"]
+            cfg = EngineConfig(
+                index_sizes=tuple(c["index_sizes"]),
+                start_pad_size=c["start_pad_size"],
+                stop_pad_size=c["stop_pad_size"],
+                stop_term_limit=c["stop_term_limit"],
+                delimiters=tuple(c["delimiters"]),
+            )
+        n_segments = len(manifest["segments"])
+        if num_shards is None:
+            num_shards = max(1, min(n_segments, int(ray.cluster_resources().get("CPU", 4)) - 1))
+        num_shards = min(num_shards, n_segments)
+        slices = np.array_split(np.arange(n_segments), num_shards)
+        actors = [
+            IndexShardActor.options(num_cpus=num_cpus_per_actor).remote(
+                index_dir, s.tolist()
+            )
+            for s in slices
+            if len(s)
+        ]
+        shard_of_seg = {}
+        for ai, s in enumerate([s for s in slices if len(s)]):
+            for si in s.tolist():
+                shard_of_seg[si] = ai
+        df_lookup = DfLookup.from_parquet(os.path.join(index_dir, "stats", "df.parquet"))
+        word_df = DfLookup.from_parquet(
+            os.path.join(index_dir, "stats", "word_df.parquet")
+        )
+        stats = manifest["stats"]
+        eng = cls(
+            index_dir, cfg, df_lookup, word_df, stats["total_docs"],
+            stats["avg_doc_len"], actors, shard_of_seg,
+        )
+        if warm:
+            ray.get([a.warm.remote() for a in actors])
+        return eng
+
+    # ---- overridden primitives ---------------------------------------
+    def _fuzzy_global_df(self, text: str) -> int:
+        return sum(ray.get([a.fuzzy_df.remote(text) for a in self.actors]))
+
+    def stage1(self, norm_lower_query: str, top_k: int):
+        infos = s1.prepare_query_terms(
+            norm_lower_query, self.cfg, self.df_lookup, self.total_docs, self.avgdl,
+            fuzzy_df_fn=self._fuzzy_global_df,
+        )
+        plan = s1.build_plan(infos)
+        if plan is None:
+            return []
+        count_vecs = ray.get([a.phase_a.remote(plan) for a in self.actors])
+        width = max((len(c) for c in count_vecs), default=0)
+        if width == 0:
+            return []
+        total = np.zeros(width, dtype=np.int64)
+        for c in count_vecs:
+            total[: len(c)] += c
+        level = s1.decide_level(plan, total, top_k)
+        per = ray.get(
+            [a.phase_b.remote(plan, level, top_k, self.avgdl) for a in self.actors]
+        )
+        return s1.consolidate(s1.merge_topk(per, top_k))
+
+    def _coverage_stage(self, q, stage1_results, coverage_depth, top_k):
+        cfg = self.cfg
+        wm_ids = []
+        if cfg.enable_word_matcher:
+            for part in ray.get([a.wm_candidates.remote(q) for a in self.actors]):
+                wm_ids.extend(part)
+        ctx = cov.prepare_query(
+            q, cfg.coverage.min_word_size, frozenset(cfg.delimiters),
+            cfg.index_sizes, self.df_lookup, self.word_df, self.total_docs,
+            cfg.stop_term_limit,
+        )
+
+        def run_jobs(jobs, best_chunk):
+            by_shard: dict[int, list] = {}
+            for job in jobs:
+                by_shard.setdefault(self.shard_of_seg[job[0]], []).append(job)
+            items = sorted(by_shard.items())
+            outs = ray.get(
+                [self.actors[ai].run_jobs.remote(ctx, js, best_chunk) for ai, js in items]
+            )
+            results = []
+            memo: dict[int, list[int]] = {}
+            for res, m in outs:
+                results.extend(res)
+                memo.update(m)
+            return results, memo
+
+        return qp.coverage_driver(
+            cfg, ctx, stage1_results, wm_ids, coverage_depth, top_k, run_jobs
+        )
+
+    def _run_single_char(self, q: str, top_k: int):
+        entries = []
+        for part in ray.get([a.single_char.remote(q) for a in self.actors]):
+            entries.extend(part)
+        entries.sort(key=lambda e: (-e[0], -e[2], e[1]))
+        return entries[:top_k]
+
+    def _run_short_query(self, q: str):
+        from ..analyzer import _word_splitter
+
+        qid = str(next(self._qid))
+        patterns = sq.build_prefix_patterns(
+            q, self.cfg.min_index_size, self.cfg.start_pad_size
+        )
+        phase1 = ray.get([a.sq_prefix.remote(qid, patterns, q) for a in self.actors])
+        total_matched = sum(n for n, _ in phase1)
+        if total_matched < sq.FUZZY_FALLBACK_DOC_LIMIT:
+            maxes = ray.get([a.sq_fuzzy.remote(qid, patterns, q) for a in self.actors])
+        else:
+            maxes = [m for _, m in phase1]
+        global_max = max(maxes, default=0)
+        splitter = _word_splitter(self.cfg.delimiters)
+        query_tokens = [w for w in splitter.split(q) if w]
+        entries = []
+        for part in ray.get(
+            [a.sq_final.remote(qid, global_max, q, query_tokens) for a in self.actors]
+        ):
+            entries.extend(part)
+        entries.sort(key=lambda e: (-e[0], -e[2], e[1]))
+        return entries
+
+    def _short_doc_count(self, q: str) -> int:
+        return sum(ray.get([a.short_doc_count.remote(q) for a in self.actors]))
+
+    # doc text fetches are shard-side; not supported on the driver
+    def doc_text_by_key(self, key: int):  # pragma: no cover
+        raise NotImplementedError("use shard actors / the in-process Engine")

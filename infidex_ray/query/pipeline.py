@@ -10,32 +10,40 @@ src/Infidex/Scoring/SearchPipeline.cs:298-522):
 3. bounded heap (coverageDepth) → consolidation → truncation.
 
 Distribution model: every candidate doc lives in exactly one doc-range
-segment, so steps here are grouped per segment (the state a query actor
-holds); only candidate id lists and small per-doc results cross segments.
-Internal-id order = (segment_index, local_id) — deterministic because segment
-ordering comes from the manifest.
+segment (all chunks of a source doc stay in one segment), so per-candidate
+work is shard-local. The driver-side decisions (wm-candidate cap, candidate
+index order, truncation) are factored into ``coverage_driver`` which both the
+in-process engine and the actor-pool executor call; shards run
+``process_candidates`` over their job slices. Internal-id order =
+(global segment_index, local_id), deterministic from the manifest.
 """
 
 from __future__ import annotations
-
-import numpy as np
 
 from . import coverage as cov
 from .fusion import fusion_calculate
 from .metrics import lcs_containment
 
+# The reference's LCS/wordHits memo is a Span2D(2, N) guarded by
+# ``docIndex < Height`` (SearchPipeline.cs:492,517) — Height is 2, so ONLY
+# the first two candidate docs ever receive LCS credit and a wordHits memo
+# byte. Load-bearing for its truncation goldens (e.g. "speeding" → exactly
+# one result); ported verbatim.
+MEMO_HEIGHT = 2
+
 
 def _word_matcher_for(engine, si: int):
-    """Build (once) the segment's word-matcher tables — actor-init-style
-    lazy state (WordMatcher.FinalizeIndex analogue)."""
+    """Build (once) a segment's word-matcher tables — actor-init-style lazy
+    state (WordMatcher.FinalizeIndex analogue). ``si`` is the global segment
+    id; the cache lives on the engine/shard that owns the segment."""
     if engine._wordmatchers is None:
-        engine._wordmatchers = [None] * len(engine.segments)
-    wm = engine._wordmatchers[si]
+        engine._wordmatchers = {}
+    wm = engine._wordmatchers.get(si)
     if wm is None:
         from ..analyzer import _word_splitter
         from .wordmatch import SegmentWordMatcher
 
-        seg = engine.segments[si]
+        seg = engine.seg_by_id(si)
         wmc = engine.cfg.word_matcher
         wm = SegmentWordMatcher(
             [cov.lower_1to1(t) for t in seg.norm_texts],
@@ -52,7 +60,7 @@ def _word_matcher_for(engine, si: int):
 
 
 def _prep_for(engine, si: int, lid: int, setup, delimiters):
-    """Per-doc-chunk tokenization prep, cached on the engine/actor — the
+    """Per-doc-chunk tokenization prep, cached on the engine/shard — the
     dominant per-candidate cost, query-independent so computed once."""
     cache = getattr(engine, "_doc_prep_cache", None)
     if cache is None:
@@ -61,117 +69,75 @@ def _prep_for(engine, si: int, lid: int, setup, delimiters):
     prep = cache.get(key)
     if prep is None:
         prep = cov.prepare_doc(
-            engine.segments[si].norm_texts[lid], setup.min_word_size, delimiters
+            engine.seg_by_id(si).norm_texts[lid], setup.min_word_size, delimiters
         )
         cache[key] = prep
     return prep
 
 
 def _key_index_for(engine):
-    """doc_key → (segment_idx, local_id), built once per engine."""
+    """doc_key → (global segment id, local_id), built once per engine."""
     idx = getattr(engine, "_key_index", None)
     if idx is None:
         idx = {}
-        for si, seg in enumerate(engine.segments):
+        for seg in engine.segments:
             for lid, key in enumerate(seg.doc_keys.tolist()):
-                idx[key] = (si, lid)
+                idx[key] = (seg.seg_id, lid)
         engine._key_index = idx
     return idx
 
 
-def coverage_stage(engine, norm_query, stage1_results, coverage_depth, top_k):
-    """Returns final entries [(score, doc_key, tiebreaker)] or None to fall
-    back to the stage-1 backbone (empty-coverage safety net,
-    SearchPipeline.cs:184-197)."""
+def wm_candidates_for(engine, norm_query: str) -> list[tuple[int, int, int]]:
+    """WordMatcherLookup over this engine/shard's segments: (si, lid, key)
+    rows in (si, lid) order."""
     cfg = engine.cfg
-    setup = cfg.coverage
-    delimiters = frozenset(cfg.delimiters)
-    top = stage1_results[:coverage_depth]
+    from ..analyzer import _word_splitter
 
-    # --- word-matcher candidates, ordered by (segment, local id) ----------
-    wm_ids: list[tuple[int, int]] = []
-    if cfg.enable_word_matcher:
-        from ..analyzer import _word_splitter
+    splitter = _word_splitter(cfg.delimiters)
+    query_words = [w for w in splitter.split(norm_query) if w]
+    out: list[tuple[int, int, int]] = []
+    for seg in engine.segments:
+        wm = _word_matcher_for(engine, seg.seg_id)
+        ids = wm.candidates_for_query(query_words, cfg.coverage.cover_prefix_suffix)
+        keys = seg.doc_keys[ids]
+        out.extend(
+            (seg.seg_id, int(l), int(k)) for l, k in zip(ids.tolist(), keys.tolist())
+        )
+    return out
 
-        splitter = _word_splitter(cfg.delimiters)
-        query_words = [w for w in splitter.split(norm_query) if w]
-        for si in range(len(engine.segments)):
-            wm = _word_matcher_for(engine, si)
-            ids = wm.candidates_for_query(query_words, setup.cover_prefix_suffix)
-            wm_ids.extend((si, int(l)) for l in ids)
 
-    key_index = _key_index_for(engine)
+def process_candidates(
+    engine,
+    ctx: cov.CoverageContext,
+    jobs: list[tuple[int, int, float, int]],
+    best_chunk: dict[int, tuple[int, int]],
+) -> tuple[list[tuple[float, int, int, int]], dict[int, list[int]]]:
+    """Shard-local candidate scoring (SearchPipeline.ProcessCandidate,
+    :449-522). ``jobs`` = (si, lid, base_score, doc_index) in processing
+    order; all jobs for one doc key arrive at the shard owning its segment,
+    so the 2-slot LCS/wordHits memo semantics hold locally.
 
-    def entry_loc(e):
-        if len(e) >= 5 and e[3] >= 0 and e[4] >= 0:
-            return (e[3], e[4])
-        return key_index.get(e[1])
+    Returns ([(score, key, tiebreaker, word_hits)], {doc_index<2: [lcs, wh]}).
+    """
+    setup = engine.cfg.coverage
+    delimiters = frozenset(engine.cfg.delimiters)
+    min_stem_length = engine.cfg.min_index_size
+    memo: dict[int, list[int]] = {}
+    results: list[tuple[float, int, int, int]] = []
 
-    # best-scoring chunk per doc key (bestSegmentsMap analogue): stage-1
-    # entries are consolidated best-per-key already, so first win = best
-    best_chunk: dict[int, tuple[int, int]] = {}
-    tfidf_ids = set()
-    for e in top:
-        loc = entry_loc(e)
-        if loc is not None:
-            tfidf_ids.add(loc)
-            best_chunk.setdefault(e[1], loc)
-    overlapping = [loc for loc in wm_ids if loc in tfidf_ids]
-    unique = [loc for loc in wm_ids if loc not in tfidf_ids]
-    wm_limit = max(0, coverage_depth - len(overlapping))
-
-    # --- prepared query context ------------------------------------------
-    ctx = cov.prepare_query(
-        norm_query,
-        setup.min_word_size,
-        delimiters,
-        cfg.index_sizes,
-        engine.df_lookup,
-        engine.word_df,
-        engine.total_docs,
-        cfg.stop_term_limit,
-    )
-    min_stem_length = cfg.min_index_size
-
-    # --- candidate doc-key index (uniqueDocKeys insertion order:
-    #     stage-1 candidates first, then word-matcher ids;
-    #     SearchPipeline.BuildDocumentKeyIndex, :524-545) -------------------
-    doc_index: dict[int, int] = {}
-    for e in top:
-        if e[1] not in doc_index:
-            doc_index[e[1]] = len(doc_index)
-    for si, lid in wm_ids:
-        key = int(engine.segments[si].doc_keys[lid])
-        if key not in doc_index:
-            doc_index[key] = len(doc_index)
-
-    # --- per-candidate scoring -------------------------------------------
-    # The reference's LCS/wordHits memo is a Span2D(2, N) guarded by
-    # ``docIndex < Height`` (SearchPipeline.cs:492,517) — Height is 2, so
-    # ONLY the first two candidate docs ever receive LCS credit and a
-    # wordHits memo byte. Load-bearing for its truncation goldens (e.g.
-    # "speeding" → exactly one result); ported verbatim.
-    MEMO_HEIGHT = 2
-    memo = [[0, 0] for _ in range(MEMO_HEIGHT)]  # [lcs_byte, word_hits_byte]
-    entries: list[tuple[float, int, int]] = []
-    max_word_hits = 0
-
-    def process(si: int, lid: int, base_score: float) -> None:
-        nonlocal max_word_hits
-        seg = engine.segments[si]
+    for si, lid, base_score, di in jobs:
+        seg = engine.seg_by_id(si)
         key = int(seg.doc_keys[lid])
         # coverage text = best-scoring chunk for this key when stage 1 found
         # one (SegmentProcessor.GetBestSegmentText, :42-75); metadata stays
         # the candidate chunk's (CalculateFeatures(..., internalId))
         tsi, tlid = best_chunk.get(key, (si, lid))
-        doc_text = engine.segments[tsi].norm_texts[tlid]
-        di = doc_index.get(key)
-        if di is None:
-            return
+        doc_text = engine.seg_by_id(tsi).norm_texts[tlid]
         prep = _prep_for(engine, tsi, tlid, setup, delimiters)
         lcs = 0
-        if di < MEMO_HEIGHT:
-            lcs = memo[di][0]
+        if 0 <= di < MEMO_HEIGHT:
+            m = memo.setdefault(di, [0, 0])
+            lcs = m[0]
             if lcs == 0:
                 tol = 0
                 if len(ctx.query) >= setup.coverage_q_limit_for_error_tolerance:
@@ -179,7 +145,7 @@ def coverage_stage(engine, norm_query, stage1_results, coverage_depth, top_k):
                         len(ctx.query) * setup.coverage_lcs_error_tolerance_relative_q
                     )
                 lcs = lcs_containment(ctx.query, prep[0], tol)
-                memo[di][0] = min(lcs, 255)
+                m[0] = min(lcs, 255)
         features = cov.calculate_features(
             ctx, doc_text, lcs, setup, delimiters, min_stem_length,
             doc_first_token=seg.first_tokens[lid],
@@ -187,29 +153,79 @@ def coverage_stage(engine, norm_query, stage1_results, coverage_depth, top_k):
             doc_prep=prep,
         )
         score, tiebreaker = fusion_calculate(ctx.query, doc_text, features, base_score)
-        if di < MEMO_HEIGHT and memo[di][1] == 0:
-            memo[di][1] = min(features.word_hits, 255)
-        if features.word_hits > max_word_hits:
-            max_word_hits = features.word_hits
-        entries.append((score, key, tiebreaker))
+        if 0 <= di < MEMO_HEIGHT:
+            m = memo.setdefault(di, [0, 0])
+            if m[1] == 0:
+                m[1] = min(features.word_hits, 255)
+        results.append((score, key, tiebreaker, features.word_hits))
+    return results, memo
 
+
+def coverage_driver(
+    cfg,
+    ctx: cov.CoverageContext,
+    stage1_results: list[tuple],
+    wm_ids: list[tuple[int, int, int]],
+    coverage_depth: int,
+    top_k: int,
+    run_jobs,
+    key_of_loc=None,
+):
+    """Driver-side coverage orchestration shared by the in-process engine and
+    the actor-pool executor. ``run_jobs(jobs, best_chunk)`` executes
+    ``process_candidates`` job lists (locally or fanned out to shards) and
+    returns (results, memo). Returns final entries or None (stage-1
+    fallback)."""
+    setup = cfg.coverage
+    top = stage1_results[:coverage_depth]
+
+    def entry_loc(e):
+        if len(e) >= 5 and e[3] >= 0 and e[4] >= 0:
+            return (e[3], e[4])
+        return key_of_loc(e[1]) if key_of_loc else None
+
+    best_chunk: dict[int, tuple[int, int]] = {}
+    tfidf_locs = set()
+    for e in top:
+        loc = entry_loc(e)
+        if loc is not None:
+            tfidf_locs.add(loc)
+            best_chunk.setdefault(e[1], loc)
+    overlapping = [(si, lid) for si, lid, _k in wm_ids if (si, lid) in tfidf_locs]
+    unique = [(si, lid) for si, lid, _k in wm_ids if (si, lid) not in tfidf_locs]
+    wm_limit = max(0, coverage_depth - len(overlapping))
+
+    # candidate doc-key index: stage-1 candidates first, then wm ids
+    # (SearchPipeline.BuildDocumentKeyIndex, :524-545)
+    doc_index: dict[int, int] = {}
+    for e in top:
+        if e[1] not in doc_index:
+            doc_index[e[1]] = len(doc_index)
+    for _si, _lid, key in wm_ids:
+        if key not in doc_index:
+            doc_index[key] = len(doc_index)
+
+    wm_key = {(si, lid): k for si, lid, k in wm_ids}
+    jobs: list[tuple[int, int, float, int]] = []
     for si, lid in overlapping:
-        process(si, lid, 0.0)
+        jobs.append((si, lid, 0.0, doc_index.get(wm_key[(si, lid)], -1)))
     for si, lid in unique[:wm_limit]:
-        process(si, lid, 0.0)
-
+        jobs.append((si, lid, 0.0, doc_index.get(wm_key[(si, lid)], -1)))
     max_tfidf = top[0][0] if top else 1.0
     for e in top:
         loc = entry_loc(e)
         if loc is None:
             continue
         norm_bm25 = e[0] / max_tfidf if max_tfidf > 0 else 0.0
-        process(loc[0], loc[1], norm_bm25)
+        jobs.append((loc[0], loc[1], norm_bm25, doc_index.get(e[1], -1)))
 
+    results, memo = run_jobs(jobs, best_chunk)
+
+    max_word_hits = max((r[3] for r in results), default=0)
     if max_word_hits == 0 and not wm_ids:
         return None  # → stage-1 fallback
 
-    # --- heap(coverageDepth) → consolidate → truncate ---------------------
+    entries = [(r[0], r[1], r[2]) for r in results]
     entries.sort(key=lambda e: (-e[0], -e[2], e[1]))
     entries = entries[:coverage_depth]
     best: dict[int, tuple[float, int, int]] = {}
@@ -233,7 +249,7 @@ def coverage_stage(engine, norm_query, stage1_results, coverage_depth, top_k):
             di = doc_index.get(final[i][1])
             if di is None:
                 continue
-            lcs_b, wh_b = memo[di] if di < MEMO_HEIGHT else (0, 0)
+            lcs_b, wh_b = memo.get(di, (0, 0)) if di < MEMO_HEIGHT else (0, 0)
             if wh_b >= min_word_hits or lcs_b > 0 or final[i][0] >= setup.truncation_score:
                 truncation_index = i
                 break
@@ -243,3 +259,28 @@ def coverage_stage(engine, norm_query, stage1_results, coverage_depth, top_k):
     else:
         result_count = min(truncation_index + 1, top_k)
     return final[:result_count]
+
+
+def coverage_stage(engine, norm_query, stage1_results, coverage_depth, top_k):
+    """In-process coverage: the engine is one 'shard' holding every segment."""
+    cfg = engine.cfg
+    wm_ids = wm_candidates_for(engine, norm_query) if cfg.enable_word_matcher else []
+
+    ctx = cov.prepare_query(
+        norm_query,
+        cfg.coverage.min_word_size,
+        frozenset(cfg.delimiters),
+        cfg.index_sizes,
+        engine.df_lookup,
+        engine.word_df,
+        engine.total_docs,
+        cfg.stop_term_limit,
+    )
+
+    def run_jobs(jobs, best_chunk):
+        return process_candidates(engine, ctx, jobs, best_chunk)
+
+    return coverage_driver(
+        cfg, ctx, stage1_results, wm_ids, coverage_depth, top_k, run_jobs,
+        key_of_loc=lambda key: _key_index_for(engine).get(key),
+    )

@@ -1,0 +1,44 @@
+"""Distributed query serving (actor-pool) — rank identity vs in-process.
+
+North-rule requirement: results must be identical regardless of partitioning
+AND distribution (same two-phase protocol, same memo semantics).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from infidex_ray.build import build_index_local
+from infidex_ray.engine import Engine
+
+QUERIES = [
+    "batman", "qick fux", "battamam", "new york", "speeding",
+    "quick brown fox", "th", "x", "wonder woman",
+]
+
+
+@pytest.fixture(scope="module")
+def dist_pair(ray_session, minicorpus, tmp_path_factory):
+    from infidex_ray.query.executor import DistributedEngine
+
+    out = tmp_path_factory.mktemp("dist_idx")
+    build_index_local(minicorpus, str(out), n_segments=4)
+    eng = Engine.load(str(out))
+    deng = DistributedEngine.connect(str(out), num_shards=2)
+    return eng, deng
+
+
+def test_distributed_rank_identity(dist_pair):
+    eng, deng = dist_pair
+    for q in QUERIES:
+        a = [(h.doc_key, round(h.score, 6), h.tiebreaker) for h in eng.search(q, top_k=10)]
+        b = [(h.doc_key, round(h.score, 6), h.tiebreaker) for h in deng.search(q, top_k=10)]
+        assert a == b, f"distributed mismatch for {q!r}: {a} vs {b}"
+
+
+def test_distributed_golden_sets(dist_pair):
+    _, deng = dist_pair
+    assert [h.doc_key for h in deng.search("qick fux", top_k=10)] == [5, 1]
+    assert [h.doc_key for h in deng.search("battamam", top_k=10)] == [6]
+    assert [h.doc_key for h in deng.search("new york", top_k=10)] == [8]
+    assert [h.doc_key for h in deng.search("speeding", top_k=10)] == [7]
