@@ -43,14 +43,26 @@ def _engine_for(sf_dir: str) -> Engine:
     eng = _ENGINE_CACHE.get(sf_dir)
     if eng is None:
         out = os.path.join(
-            "/tmp/infidex_ray_idx", sf_dir.strip("/").replace("/", "_")
+            "/tmp/infidex_ray_idx", sf_dir.strip("/").replace("/", "_") + "_v2"
         )
+        # stale-layout guard: rebuild if a previous run wrote segments
+        # without the stored field columns this contract needs
+        probe = os.path.join(out, "segments")
+        if os.path.isdir(probe):
+            segs = sorted(os.listdir(probe))
+            if segs and not os.path.exists(
+                os.path.join(probe, segs[0], "fields.parquet")
+            ):
+                import shutil
+
+                shutil.rmtree(out, ignore_errors=True)
         eng = Engine.build(
             _read(sf_dir, "documents"),
             out,
             EngineConfig(target_docs_per_segment=2000),
             text_column="text",
             key_column="doc_id",
+            store_columns=("lang", "source"),
         )
         _ENGINE_CACHE[sf_dir] = eng
     return eng
@@ -230,6 +242,52 @@ def _q_fingerprint(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def _q_infiscript_filter(sf_dir: str):
+    """Infiscript → Arrow-pushdown filter over the documents table."""
+    from infidex_ray.filters import filter_dataset
+
+    ds = filter_dataset(
+        _read(sf_dir, "documents"),
+        "lang IN ('en', 'de') AND n_chars BETWEEN 200 AND 1500",
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "lang", "n_chars"])
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _q_infiscript_rowfilter(sf_dir: str):
+    """Infiscript row-evaluated path (CONTAINS has no Arrow pushdown)."""
+    from infidex_ray.filters import filter_dataset
+
+    ds = filter_dataset(_read(sf_dir, "documents"), "text CONTAINS 'merge'")
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id"])
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _q_facets(sf_dir: str):
+    """Facet counts over a filtered match-all (empty-query-with-facets path)."""
+    from infidex_ray.engine import Query
+
+    eng = _engine_for(sf_dir)
+    res = eng.query(
+        Query("", max_results=1 << 30, enable_facets=True, filter="lang != 'en'")
+    )
+    rows = sorted(
+        (v, int(n)) for v, n in (res.facets or {}).get("lang", [])
+    )
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
 def _q_lang_dist(sf_dir: str):
     ds = _read(sf_dir, "documents").groupby("lang").count()
 
@@ -260,6 +318,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "doc_fingerprint": _q_fingerprint,
         "lang_distribution": _q_lang_dist,
+        "infiscript_filter": _q_infiscript_filter,
+        "infiscript_rowfilter": _q_infiscript_rowfilter,
+        "facet_counts": _q_facets,
     }
 
 
@@ -322,6 +383,19 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n.doc_id
         """,
         "lang_distribution": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "infiscript_filter": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE lang IN ('en', 'de') AND n_chars BETWEEN 200 AND 1500 "
+            "ORDER BY doc_id"
+        ),
+        "infiscript_rowfilter": (
+            "SELECT doc_id FROM documents WHERE lower(text) LIKE '%merge%' "
+            "ORDER BY doc_id"
+        ),
+        "facet_counts": (
+            "SELECT lang, count(*) AS n_docs FROM documents WHERE lang != 'en' "
+            "GROUP BY lang ORDER BY lang"
+        ),
         "ngram_jaccard_pairs": sqlgen.ngram_jaccard_sql(),
         # search_topk / minhash / simhash / lsh_knn / langid / fingerprint are
         # non-SQL-expressible (stateful pipeline or hash-based) → rows-only.
