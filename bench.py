@@ -89,8 +89,9 @@ def _build_index(num_cpus: int, out_dir: str) -> dict:
     dt = time.perf_counter() - t0
     return {
         "seconds": dt,
-        "docs": manifest["stats"]["total_docs"],
-        "docs_per_sec": manifest["stats"]["total_docs"] / dt,
+        "docs": WEBPAGES_ROWS,  # source web pages (total_docs counts chunks)
+        "chunks": manifest["stats"]["total_docs"],
+        "docs_per_sec": WEBPAGES_ROWS / dt,
         "segments": manifest["stats"]["n_segments"],
     }
 

@@ -71,8 +71,8 @@ class IndexShardActor:
         return s1.merge_topk(per, top_k)
 
     # ---- coverage -----------------------------------------------------
-    def wm_candidates(self, norm_query: str):
-        return qp.wm_candidates_for(self.engine, norm_query)
+    def wm_scan(self, norm_query: str, tfidf_lids, cap: int):
+        return qp.wm_scan(self.engine, norm_query, tfidf_lids, cap)
 
     def run_jobs(self, ctx, jobs, best_chunk):
         return qp.process_candidates(self.engine, ctx, jobs, best_chunk)
@@ -201,10 +201,29 @@ class DistributedEngine(Engine):
 
     def _coverage_stage(self, q, stage1_results, coverage_depth, top_k):
         cfg = self.cfg
-        wm_ids = []
+        wm_result = (0, [], [])
         if cfg.enable_word_matcher:
-            for part in ray.get([a.wm_candidates.remote(q) for a in self.actors]):
-                wm_ids.extend(part)
+            top = stage1_results[:coverage_depth]
+            by_seg = qp.tfidf_lids_by_seg(top)
+            # ship each shard only its own segments' stage-1 lids
+            parts = ray.get(
+                [
+                    a.wm_scan.remote(
+                        q,
+                        {
+                            si: lids
+                            for si, lids in by_seg.items()
+                            if self.shard_of_seg.get(si) == ai
+                        },
+                        coverage_depth,
+                    )
+                    for ai, a in enumerate(self.actors)
+                ]
+            )
+            n_total = sum(p[0] for p in parts)
+            overlapping = [t for p in parts for t in p[1]]
+            unique = [t for p in parts for t in p[2]]
+            wm_result = (n_total, overlapping, unique)
         ctx = cov.prepare_query(
             q, cfg.coverage.min_word_size, frozenset(cfg.delimiters),
             cfg.index_sizes, self.df_lookup, self.word_df, self.total_docs,
@@ -227,7 +246,7 @@ class DistributedEngine(Engine):
             return results, memo
 
         return qp.coverage_driver(
-            cfg, ctx, stage1_results, wm_ids, coverage_depth, top_k, run_jobs
+            cfg, ctx, stage1_results, wm_result, coverage_depth, top_k, run_jobs
         )
 
     def _run_single_char(self, q: str, top_k: int):

@@ -87,23 +87,57 @@ def _key_index_for(engine):
     return idx
 
 
-def wm_candidates_for(engine, norm_query: str) -> list[tuple[int, int, int]]:
-    """WordMatcherLookup over this engine/shard's segments: (si, lid, key)
-    rows in (si, lid) order."""
+def wm_scan(
+    engine,
+    norm_query: str,
+    tfidf_lids_by_seg: dict[int, "np.ndarray"],
+    cap: int,
+) -> tuple[int, list[tuple[int, int, int]], list[tuple[int, int, int]]]:
+    """WordMatcherLookup over this engine/shard's segments, split against the
+    stage-1 candidate set. Returns (total candidate count,
+    overlapping [(si, lid, key)], first ``cap`` unique [(si, lid, key)]).
+
+    Only the first ``coverageDepth − overlap`` unique wm candidates are ever
+    processed (SearchPipeline.cs:371-397), so everything beyond ``cap`` per
+    shard is dropped HERE — candidate unions for common words cover most of
+    the corpus and must never leave the shard."""
+    import numpy as np
+
     cfg = engine.cfg
     from ..analyzer import _word_splitter
 
     splitter = _word_splitter(cfg.delimiters)
     query_words = [w for w in splitter.split(norm_query) if w]
-    out: list[tuple[int, int, int]] = []
+    n_total = 0
+    overlapping: list[tuple[int, int, int]] = []
+    unique: list[tuple[int, int, int]] = []
     for seg in engine.segments:
         wm = _word_matcher_for(engine, seg.seg_id)
         ids = wm.candidates_for_query(query_words, cfg.coverage.cover_prefix_suffix)
-        keys = seg.doc_keys[ids]
-        out.extend(
-            (seg.seg_id, int(l), int(k)) for l, k in zip(ids.tolist(), keys.tolist())
-        )
-    return out
+        n_total += len(ids)
+        if not len(ids):
+            continue
+        tf = tfidf_lids_by_seg.get(seg.seg_id)
+        if tf is not None and len(tf):
+            mask = np.isin(ids, tf)
+        else:
+            mask = np.zeros(len(ids), dtype=bool)
+        ov = ids[mask]
+        if len(ov):
+            keys = seg.doc_keys[ov]
+            overlapping.extend(
+                (seg.seg_id, int(l), int(k)) for l, k in zip(ov.tolist(), keys.tolist())
+            )
+        room = cap - len(unique)
+        if room > 0:
+            un = ids[~mask][:room]
+            if len(un):
+                keys = seg.doc_keys[un]
+                unique.extend(
+                    (seg.seg_id, int(l), int(k))
+                    for l, k in zip(un.tolist(), keys.tolist())
+                )
+    return n_total, overlapping, unique
 
 
 def process_candidates(
@@ -161,23 +195,41 @@ def process_candidates(
     return results, memo
 
 
+def tfidf_lids_by_seg(top: list[tuple], key_of_loc=None):
+    """Stage-1 candidate local ids grouped by segment id (the set actors
+    intersect wm candidates against)."""
+    import numpy as np
+
+    by_seg: dict[int, list[int]] = {}
+    for e in top:
+        if len(e) >= 5 and e[3] >= 0 and e[4] >= 0:
+            by_seg.setdefault(e[3], []).append(e[4])
+        elif key_of_loc:
+            loc = key_of_loc(e[1])
+            if loc is not None:
+                by_seg.setdefault(loc[0], []).append(loc[1])
+    return {si: np.asarray(v, dtype=np.int64) for si, v in by_seg.items()}
+
+
 def coverage_driver(
     cfg,
     ctx: cov.CoverageContext,
     stage1_results: list[tuple],
-    wm_ids: list[tuple[int, int, int]],
+    wm_result: tuple[int, list, list],
     coverage_depth: int,
     top_k: int,
     run_jobs,
     key_of_loc=None,
 ):
     """Driver-side coverage orchestration shared by the in-process engine and
-    the actor-pool executor. ``run_jobs(jobs, best_chunk)`` executes
-    ``process_candidates`` job lists (locally or fanned out to shards) and
-    returns (results, memo). Returns final entries or None (stage-1
-    fallback)."""
+    the actor-pool executor. ``wm_result`` = (total wm candidates,
+    overlapping, capped unique) from ``wm_scan``; ``run_jobs(jobs,
+    best_chunk)`` executes ``process_candidates`` job lists (locally or
+    fanned out to shards) and returns (results, memo). Returns final entries
+    or None (stage-1 fallback)."""
     setup = cfg.coverage
     top = stage1_results[:coverage_depth]
+    n_wm_total, overlapping, unique = wm_result
 
     def entry_loc(e):
         if len(e) >= 5 and e[3] >= 0 and e[4] >= 0:
@@ -185,32 +237,30 @@ def coverage_driver(
         return key_of_loc(e[1]) if key_of_loc else None
 
     best_chunk: dict[int, tuple[int, int]] = {}
-    tfidf_locs = set()
     for e in top:
         loc = entry_loc(e)
         if loc is not None:
-            tfidf_locs.add(loc)
             best_chunk.setdefault(e[1], loc)
-    overlapping = [(si, lid) for si, lid, _k in wm_ids if (si, lid) in tfidf_locs]
-    unique = [(si, lid) for si, lid, _k in wm_ids if (si, lid) not in tfidf_locs]
     wm_limit = max(0, coverage_depth - len(overlapping))
+    unique = unique[:wm_limit]
 
-    # candidate doc-key index: stage-1 candidates first, then wm ids
-    # (SearchPipeline.BuildDocumentKeyIndex, :524-545)
+    # candidate doc-key index: stage-1 candidates first, then wm ids in
+    # ascending (si, lid) order (SearchPipeline.BuildDocumentKeyIndex,
+    # :524-545; truncation beyond the cap cannot touch the 2 memo slots)
     doc_index: dict[int, int] = {}
     for e in top:
         if e[1] not in doc_index:
             doc_index[e[1]] = len(doc_index)
+    wm_ids = sorted(overlapping + unique, key=lambda t: (t[0], t[1]))
     for _si, _lid, key in wm_ids:
         if key not in doc_index:
             doc_index[key] = len(doc_index)
 
-    wm_key = {(si, lid): k for si, lid, k in wm_ids}
     jobs: list[tuple[int, int, float, int]] = []
-    for si, lid in overlapping:
-        jobs.append((si, lid, 0.0, doc_index.get(wm_key[(si, lid)], -1)))
-    for si, lid in unique[:wm_limit]:
-        jobs.append((si, lid, 0.0, doc_index.get(wm_key[(si, lid)], -1)))
+    for si, lid, key in overlapping:
+        jobs.append((si, lid, 0.0, doc_index.get(key, -1)))
+    for si, lid, key in unique:
+        jobs.append((si, lid, 0.0, doc_index.get(key, -1)))
     max_tfidf = top[0][0] if top else 1.0
     for e in top:
         loc = entry_loc(e)
@@ -222,7 +272,7 @@ def coverage_driver(
     results, memo = run_jobs(jobs, best_chunk)
 
     max_word_hits = max((r[3] for r in results), default=0)
-    if max_word_hits == 0 and not wm_ids:
+    if max_word_hits == 0 and n_wm_total == 0:
         return None  # → stage-1 fallback
 
     entries = [(r[0], r[1], r[2]) for r in results]
@@ -264,7 +314,14 @@ def coverage_driver(
 def coverage_stage(engine, norm_query, stage1_results, coverage_depth, top_k):
     """In-process coverage: the engine is one 'shard' holding every segment."""
     cfg = engine.cfg
-    wm_ids = wm_candidates_for(engine, norm_query) if cfg.enable_word_matcher else []
+    key_of_loc = lambda key: _key_index_for(engine).get(key)  # noqa: E731
+    top = stage1_results[:coverage_depth]
+    if cfg.enable_word_matcher:
+        wm_result = wm_scan(
+            engine, norm_query, tfidf_lids_by_seg(top, key_of_loc), coverage_depth
+        )
+    else:
+        wm_result = (0, [], [])
 
     ctx = cov.prepare_query(
         norm_query,
@@ -281,6 +338,6 @@ def coverage_stage(engine, norm_query, stage1_results, coverage_depth, top_k):
         return process_candidates(engine, ctx, jobs, best_chunk)
 
     return coverage_driver(
-        cfg, ctx, stage1_results, wm_ids, coverage_depth, top_k, run_jobs,
-        key_of_loc=lambda key: _key_index_for(engine).get(key),
+        cfg, ctx, stage1_results, wm_result, coverage_depth, top_k, run_jobs,
+        key_of_loc=key_of_loc,
     )

@@ -130,18 +130,32 @@ class SegmentWordMatcher:
 
     def candidates_for_query(self, query_words: list[str], cover_prefix_suffix: bool) -> np.ndarray:
         """WordMatcherLookup.Execute (src/Infidex/Scoring/WordMatcherLookup.cs:
-        11-68): union of exact/LD1 (+affix) matches over query words len ≥ 2."""
+        11-68): union of exact/LD1 (+affix) matches over query words len ≥ 2.
+        Per-word unions are LRU-cached — common words ("the") union huge doc
+        sets; the reference's Roaring bitmaps make this cheap, here the cache
+        does (stateful actor amortization)."""
+        cache = getattr(self, "_word_cache", None)
+        if cache is None:
+            cache = self._word_cache = {}
         parts: list[np.ndarray] = []
         for word in query_words:
             if not word or word.isspace() or len(word) < 2:
                 continue
-            ids = self.lookup(word)
+            ck = (word, cover_prefix_suffix)
+            ids = cache.get(ck)
+            if ids is None:
+                sub = [self.lookup(word)]
+                if cover_prefix_suffix:
+                    sub.append(self.lookup_affix(word))
+                sub = [s for s in sub if len(s)]
+                ids = (
+                    np.unique(np.concatenate(sub)) if sub else np.empty(0, np.int64)
+                )
+                if len(cache) >= 512:  # bounded actor-side cache
+                    cache.pop(next(iter(cache)))
+                cache[ck] = ids
             if len(ids):
                 parts.append(ids)
-            if cover_prefix_suffix:
-                ids = self.lookup_affix(word)
-                if len(ids):
-                    parts.append(ids)
         if not parts:
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(parts))
