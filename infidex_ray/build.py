@@ -92,6 +92,10 @@ def build_segment_from_arrays(
         seg_numbers = [0] * len(urls)
 
     lower_texts = [t.lower() for t in norm_texts]
+    smap = cfg.synonym_map()
+    if smap is not None:  # canonicalize analyzed text (VectorModel.cs:90-93)
+        delims = frozenset(cfg.delimiters)
+        lower_texts = [smap.canonicalize_text(t, delims) for t in lower_texts]
 
     counts = count_tokens_batch(
         lower_texts,
@@ -369,11 +373,92 @@ def build_index_local(
             "stop_pad_size": cfg.stop_pad_size,
             "stop_term_limit": cfg.stop_term_limit,
             "delimiters": list(cfg.delimiters),
+            "synonyms": [list(g) for g in cfg.synonyms],
         },
         "stats": stats,
         "segments": seg_entries,
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def append_to_index(
+    index_dir: str,
+    docs: list[tuple],
+    cfg: EngineConfig | None = None,
+    fields: list[dict] | None = None,
+) -> dict:
+    """Incremental add: build one delta segment from in-memory docs and fold
+    it into the manifest + global stats (DeltaIndex/IndexMerger semantics,
+    src/Infidex/Indexing/Incremental/IndexMerger.cs:55-92 — new docs become a
+    new doc-range partition; global stats and df are rebuilt/merged, mirroring
+    the reference's full stats rebuild after a merge)."""
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    if cfg is None:
+        c = manifest["config"]
+        cfg = EngineConfig(
+            index_sizes=tuple(c["index_sizes"]),
+            start_pad_size=c["start_pad_size"],
+            stop_pad_size=c["stop_pad_size"],
+            stop_term_limit=c["stop_term_limit"],
+            delimiters=tuple(c["delimiters"]),
+            synonyms=tuple(tuple(g) for g in c.get("synonyms", [])),
+        )
+    seq = sum(1 for e in manifest["segments"] if e["name"].startswith("delta-"))
+    name = f"delta-{seq:04d}"
+    seg_dir = os.path.join(index_dir, "segments", name)
+
+    urls = [str(k) for k, _ in docs]
+    texts = [t for _, t in docs]
+    if all(isinstance(k, (int, np.integer)) for k, _ in docs):
+        keys = np.asarray([int(k) for k, _ in docs], dtype=np.int64)
+    else:
+        keys = np.fromiter((hash_key(u) for u in urls), dtype=np.int64, count=len(urls))
+    field_columns = None
+    if fields is not None:
+        names = sorted({n for f in fields for n in f})
+        field_columns = {n: [f.get(n) for f in fields] for n in names}
+    meta = build_segment_from_arrays(
+        urls, texts, keys, cfg, seg_dir, lineage={"delta": True, "rows": len(docs)},
+        field_columns=field_columns,
+    )
+
+    # merge the delta's df into the global stats tables
+    for fname, col, new in (
+        ("df.parquet", "term", dict(zip(meta["terms"], meta["term_df"]))),
+        ("word_df.parquet", "word", dict(meta["word_df"])),
+    ):
+        path = os.path.join(index_dir, "stats", fname)
+        t = pq.read_table(path)
+        merged = dict(zip(t[col].to_pylist(), t["df"].to_pylist()))
+        for k, v in new.items():
+            merged[k] = merged.get(k, 0) + v
+        ks = sorted(merged.keys())
+        pq.write_table(
+            pa.table(
+                {
+                    col: pa.array(ks, pa.large_string()),
+                    "df": pa.array([merged[k] for k in ks], pa.int64()),
+                }
+            ),
+            path,
+        )
+
+    manifest["segments"].append(
+        {"name": name, "n_docs": meta["n_docs"], "lineage": meta.get("lineage", {})}
+    )
+    stats = manifest["stats"]
+    stats["total_docs"] += meta["n_docs"]
+    stats["sum_doc_len"] += meta["sum_doc_len"]
+    stats["avg_doc_len"] = stats["sum_doc_len"] / stats["total_docs"]
+    stats["n_segments"] = len(manifest["segments"])
+    with open(os.path.join(index_dir, "stats", "stats.json"), "w") as f:
+        json.dump(stats, f)
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
     return manifest
 
@@ -483,6 +568,7 @@ def build_index(
             "stop_pad_size": cfg.stop_pad_size,
             "stop_term_limit": cfg.stop_term_limit,
             "delimiters": list(cfg.delimiters),
+            "synonyms": [list(g) for g in cfg.synonyms],
         },
         "stats": stats,
         "segments": seg_entries,

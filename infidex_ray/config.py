@@ -55,6 +55,15 @@ class EngineConfig:
     # invocation to the caller too). Each chunk indexes as its own internal
     # doc sharing the doc key; best chunk per key wins at query time.
     auto_segment: "AutoSegmentSetup | None" = None
+    # Synonym groups, e.g. (("car", "automobile"), ("ny", "new", "york")):
+    # each group collapses to one canonical term at index + query time
+    # (SynonymMap union-find; off by default like CreateDefault)
+    synonyms: tuple[tuple[str, ...], ...] = ()
+
+    def synonym_map(self):
+        from .synonyms import SynonymMap
+
+        return SynonymMap(self.synonyms) if self.synonyms else None
     coverage_depth: int = 500  # Query.cs:40
     # Build-time physical knobs (Ray-specific, not part of rank semantics)
     target_docs_per_segment: int = 250_000

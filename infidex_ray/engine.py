@@ -122,6 +122,12 @@ class Engine:
         self._coverage = None
         self._wordmatchers = None
         self._seg_map = {s.seg_id: s for s in segments}
+        self.synonym_map = cfg.synonym_map()
+        self.deleted: set[int] = set()
+        tomb = os.path.join(index_dir, "tombstones.json")
+        if os.path.exists(tomb):
+            with open(tomb) as f:
+                self.deleted = set(json.load(f))
 
     def seg_by_id(self, si: int):
         """Segment by GLOBAL segment id (shard engines hold a subset)."""
@@ -158,6 +164,7 @@ class Engine:
                 stop_pad_size=c["stop_pad_size"],
                 stop_term_limit=c["stop_term_limit"],
                 delimiters=tuple(c["delimiters"]),
+                synonyms=tuple(tuple(g) for g in c.get("synonyms", [])),
             )
         seg_root = os.path.join(index_dir, "segments")
         indices = (
@@ -222,6 +229,8 @@ class Engine:
         """Full pipeline (SearchPipeline.Execute, SearchPipeline.cs:49-206)."""
         cfg = self.cfg
         q = normalize(query_text.strip()).lower()
+        if self.synonym_map is not None:  # SearchEngine.cs:279-286
+            q = self.synonym_map.canonicalize_text(q, frozenset(cfg.delimiters))
         if not q:
             return []
         coverage_on = cfg.enable_coverage if enable_coverage is None else enable_coverage
@@ -240,6 +249,9 @@ class Engine:
             if not tfidf_query.strip():
                 tfidf_query = q
             stage1_results = self.stage1(tfidf_query, coverage_depth)
+
+        if self.deleted:  # soft-delete tombstones (TombstoneTracker semantics)
+            stage1_results = [e for e in stage1_results if e[1] not in self.deleted]
 
         is_short = len(q) <= self.SHORT_QUERY_MAX_LENGTH and not any(
             d in q for d in cfg.delimiters
@@ -282,6 +294,36 @@ class Engine:
 
     def _short_doc_count(self, q: str) -> int:
         return sum(s.count_word_start_docs(q) for s in self.shorts)
+
+    # ------------------------------------------------ incremental / deletes
+    def delete_documents(self, keys) -> None:
+        """Soft delete: tombstoned keys disappear from results; postings and
+        stats are untouched until a rebuild (DeltaIndex/TombstoneTracker
+        semantics, src/Infidex/Indexing/Incremental/TombstoneTracker.cs)."""
+        self.deleted.update(int(k) for k in keys)
+        with open(os.path.join(self.index_dir, "tombstones.json"), "w") as f:
+            json.dump(sorted(self.deleted), f)
+
+    def add_documents(self, docs, fields=None) -> None:
+        """Incremental add: writes a delta segment + merged stats, then
+        refreshes this engine in place (reference finishes incremental adds
+        with a full stats rebuild, SearchEngine.cs:194-206)."""
+        from .build import append_to_index
+
+        append_to_index(self.index_dir, docs, self.cfg, fields=fields)
+        fresh = Engine.load(self.index_dir, self.cfg)
+        self.segments = fresh.segments
+        self.searchers = fresh.searchers
+        self._seg_map = fresh._seg_map
+        self.df_lookup = fresh.df_lookup
+        self.word_df = fresh.word_df
+        self.total_docs = fresh.total_docs
+        self.avgdl = fresh.avgdl
+        self._wordmatchers = None
+        self._shorts = None
+        for attr in ("_key_index", "_doc_prep_cache"):
+            if hasattr(self, attr):
+                delattr(self, attr)
 
     def _coverage_stage(self, q, stage1_results, coverage_depth, top_k):
         from .query import pipeline as qp
@@ -353,8 +395,12 @@ class Engine:
         from . import filters as flt
 
         entries = []
+        seen = set()
         for seg in self.segments:
             for key in seg.doc_keys.tolist():
+                if key in self.deleted or key in seen:
+                    continue
+                seen.add(key)
                 entries.append((float(0xFFFF), int(key), 0))
         if q.filter:
             ast = flt.parse(q.filter)

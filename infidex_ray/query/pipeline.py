@@ -68,11 +68,20 @@ def _prep_for(engine, si: int, lid: int, setup, delimiters):
     key = (si, lid)
     prep = cache.get(key)
     if prep is None:
-        prep = cov.prepare_doc(
-            engine.seg_by_id(si).norm_texts[lid], setup.min_word_size, delimiters
-        )
+        text = _cov_doc_text(engine, si, lid, delimiters)
+        prep = cov.prepare_doc(text, setup.min_word_size, delimiters)
         cache[key] = prep
     return prep
+
+
+def _cov_doc_text(engine, si: int, lid: int, delimiters) -> str:
+    """Coverage document text: normalized chunk text, synonym-canonicalized
+    when a map is configured (SearchPipeline.ProcessCandidate, :482-489)."""
+    text = engine.seg_by_id(si).norm_texts[lid]
+    smap = getattr(engine, "synonym_map", None)
+    if smap is not None:
+        text = smap.canonicalize_text(text, delimiters)
+    return text
 
 
 def _key_index_for(engine):
@@ -114,6 +123,11 @@ def wm_scan(
     for seg in engine.segments:
         wm = _word_matcher_for(engine, seg.seg_id)
         ids = wm.candidates_for_query(query_words, cfg.coverage.cover_prefix_suffix)
+        if getattr(engine, "deleted", None) and len(ids):
+            keep = ~np.isin(
+                seg.doc_keys[ids], np.fromiter(engine.deleted, dtype=np.int64)
+            )
+            ids = ids[keep]
         n_total += len(ids)
         if not len(ids):
             continue
@@ -166,7 +180,7 @@ def process_candidates(
         # one (SegmentProcessor.GetBestSegmentText, :42-75); metadata stays
         # the candidate chunk's (CalculateFeatures(..., internalId))
         tsi, tlid = best_chunk.get(key, (si, lid))
-        doc_text = engine.seg_by_id(tsi).norm_texts[tlid]
+        doc_text = _cov_doc_text(engine, tsi, tlid, delimiters)
         prep = _prep_for(engine, tsi, tlid, setup, delimiters)
         lcs = 0
         if 0 <= di < MEMO_HEIGHT:

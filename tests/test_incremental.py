@@ -1,0 +1,108 @@
+"""Incremental adds, soft deletes (tombstones), synonyms, segment merge.
+
+Reference semantics: DeltaIndex/IndexMerger (new docs land in a delta
+partition; stats rebuilt), TombstoneTracker (deleted keys vanish from
+results), SynonymMap (equivalent surface forms collapse at index+query time),
+SegmentMerger (k-way term merge of doc-disjoint segments).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from infidex_ray.build import build_index_local
+from infidex_ray.config import EngineConfig
+from infidex_ray.engine import Engine
+from infidex_ray.synonyms import SynonymMap
+
+
+@pytest.fixture()
+def small_engine(minicorpus, tmp_path):
+    out = str(tmp_path / "idx")
+    build_index_local(minicorpus, out, n_segments=2)
+    return Engine.load(out)
+
+
+def test_soft_delete(small_engine):
+    eng = small_engine
+    assert [h.doc_key for h in eng.search("batman", top_k=10)][0] == 6
+    eng.delete_documents([6])
+    keys = [h.doc_key for h in eng.search("batman", top_k=10)]
+    assert 6 not in keys
+    # tombstones survive reload
+    eng2 = Engine.load(eng.index_dir)
+    assert 6 not in [h.doc_key for h in eng2.search("batman", top_k=10)]
+
+
+def test_incremental_add(small_engine):
+    eng = small_engine
+    n0 = eng.total_docs
+    assert eng.search("zebra stampede", top_k=5) == [] or all(
+        h.score < 100 for h in eng.search("zebra stampede", top_k=5)
+    )
+    eng.add_documents([(100, "A zebra stampede crossed the savanna")])
+    assert eng.total_docs == n0 + 1
+    hits = eng.search("zebra stampede", top_k=5)
+    assert hits and hits[0].doc_key == 100
+    # existing docs still searchable with updated global stats
+    assert [h.doc_key for h in eng.search("new york", top_k=10)] == [8]
+    # delta segment persisted: fresh load sees it
+    eng2 = Engine.load(eng.index_dir)
+    assert eng2.total_docs == n0 + 1
+    assert eng2.search("zebra stampede", top_k=5)[0].doc_key == 100
+
+
+def test_synonym_map_unit():
+    m = SynonymMap([("car", "automobile", "auto")])
+    assert m.canonical("automobile") == m.canonical("car") == m.canonical("auto")
+    delims = frozenset(" ")
+    out = m.canonicalize_text("my automobile is fast", delims)
+    assert out == f"my {m.canonical('car')} is fast"
+    assert m.canonicalize_text("no synonyms here", delims) == "no synonyms here"
+
+
+def test_synonyms_end_to_end(tmp_path):
+    docs = [
+        (1, "a red automobile parked outside"),
+        (2, "a blue bicycle leaning on the wall"),
+        (3, "the fastest car on the track"),
+    ]
+    cfg = EngineConfig(synonyms=(("car", "automobile"),))
+    out = str(tmp_path / "syn_idx")
+    build_index_local(docs, out, cfg, n_segments=1)
+    eng = Engine.load(out)
+    assert eng.synonym_map is not None  # restored from manifest
+    # "car" must find BOTH the automobile doc and the car doc
+    keys = {h.doc_key for h in eng.search("car", top_k=10)}
+    assert {1, 3} <= keys
+    keys = {h.doc_key for h in eng.search("automobile", top_k=10)}
+    assert {1, 3} <= keys
+
+
+def test_segment_merge(minicorpus, tmp_path):
+    from infidex_ray.segments import merge_segments, read_segment
+    import os
+
+    out = str(tmp_path / "m_idx")
+    build_index_local(minicorpus, out, n_segments=3)
+    seg_root = os.path.join(out, "segments")
+    seg_dirs = sorted(
+        os.path.join(seg_root, d) for d in os.listdir(seg_root)
+    )
+    merged_dir = str(tmp_path / "merged")
+    merge_segments(seg_dirs, merged_dir)
+    merged = read_segment(merged_dir)
+    parts = [read_segment(d, i) for i, d in enumerate(seg_dirs)]
+    assert merged.n_docs == sum(p.n_docs for p in parts)
+    # df of every term = sum of per-part dfs; postings count preserved
+    import numpy as np
+
+    for term in ["bat", "the", "fox"]:
+        exp_df = sum(int(p.df[p.term_lookup(term)]) for p in parts if p.term_lookup(term) >= 0)
+        i = merged.term_lookup(term)
+        got_df = int(merged.df[i]) if i >= 0 else 0
+        assert got_df == exp_df, term
+    # doc keys preserved across the merge
+    assert sorted(merged.doc_keys.tolist()) == sorted(
+        np.concatenate([p.doc_keys for p in parts]).tolist()
+    )
