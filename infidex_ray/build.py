@@ -383,6 +383,88 @@ def build_index_local(
     return manifest
 
 
+def merge_index(
+    index_dir: str,
+    out_dir: str,
+    fan_in: int = 8,
+    use_ray: bool = True,
+) -> dict:
+    """Hierarchical segment merge (compaction): tree of ``fan_in``-way merges
+    run as parallel Ray tasks (SegmentMerger semantics, SegmentMerger.cs:
+    13-136 — doc-range-disjoint inputs, k-way sorted term merge, postings
+    concatenated under doc-base offsets). Global stats and df tables are
+    unchanged (the doc set is identical); the output manifest points at the
+    merged segments. Scale note: each round moves every posting once; with
+    S segments, ceil(log_fanin S) rounds — run after a build wave to bound
+    segment count, exactly like the reference's background merges."""
+    from . import segments as seglib
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    seg_root = os.path.join(index_dir, "segments")
+    current = [os.path.join(seg_root, e["name"]) for e in manifest["segments"]]
+
+    os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "stats"), exist_ok=True)
+
+    merge_fn = seglib.merge_segments
+    if use_ray:
+        import ray
+
+        remote_merge = ray.remote(seglib.merge_segments)
+
+    level = 0
+    while len(current) > 1:
+        groups = [current[i : i + fan_in] for i in range(0, len(current), fan_in)]
+        nxt = []
+        futures = []
+        for gi, group in enumerate(groups):
+            dest = os.path.join(out_dir, "segments", f"merge-L{level}-{gi:04d}")
+            if len(group) == 1:
+                nxt.append(group[0])
+                continue
+            if use_ray:
+                futures.append(remote_merge.remote(group, dest))
+            else:
+                merge_fn(group, dest)
+            nxt.append(dest)
+        if use_ray and futures:
+            import ray
+
+            ray.get(futures)
+        current = nxt
+        level += 1
+
+    final_dir = os.path.join(out_dir, "segments", "seg-0000")
+    if current and current[0] != final_dir:
+        if os.path.dirname(current[0]) == os.path.join(out_dir, "segments"):
+            os.rename(current[0], final_dir)
+        else:  # single input segment: merge-copy it
+            merge_fn(current, final_dir)
+
+    import shutil
+
+    for name in ("df.parquet", "word_df.parquet", "stats.json"):
+        shutil.copy(
+            os.path.join(index_dir, "stats", name), os.path.join(out_dir, "stats", name)
+        )
+    tomb = os.path.join(index_dir, "tombstones.json")
+    if os.path.exists(tomb):
+        shutil.copy(tomb, os.path.join(out_dir, "tombstones.json"))
+
+    with open(os.path.join(final_dir, "meta.json")) as f:
+        m = json.load(f)
+    out_manifest = dict(manifest)
+    out_manifest["segments"] = [
+        {"name": "seg-0000", "n_docs": m["n_docs"], "lineage": {"merged_from": len(manifest["segments"])}}
+    ]
+    out_manifest["stats"] = dict(manifest["stats"])
+    out_manifest["stats"]["n_segments"] = 1
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(out_manifest, f)
+    return out_manifest
+
+
 def append_to_index(
     index_dir: str,
     docs: list[tuple],

@@ -208,27 +208,57 @@ def score_candidates(
     term_postings: list[tuple[QueryTermInfo, np.ndarray, np.ndarray]],
     doc_len: np.ndarray,
     avgdl: float,
+    top_k: int | None = None,
 ) -> np.ndarray:
     """Vectorized BM25+ accumulation over the candidate set, float32
-    (Bm25Scorer.ProcessChunk/ComputeTermScore, Bm25Scorer.cs:283-651)."""
+    (Bm25Scorer.ProcessChunk/ComputeTermScore, Bm25Scorer.cs:283-651).
+
+    With ``top_k``, applies the MaxScore pruning idea term-at-a-time
+    (Bm25Scorer.cs:104-193,352-355: per-term upper bounds, suffix sums,
+    candidates whose partial + remaining bound cannot reach the current
+    floor are dropped). Lossless for the top-k result set: the floor is the
+    k-th best PARTIAL score (a lower bound on the k-th best final score), and
+    only candidates strictly below it are pruned. Pruned candidates keep
+    score 0."""
     avgdl32 = np.float32(avgdl if avgdl > 0 else 1.0)
-    scores = np.zeros(len(candidates), dtype=np.float32)
-    if len(candidates) == 0:
+    n = len(candidates)
+    scores = np.zeros(n, dtype=np.float32)
+    if n == 0:
         return scores
     cand_dl = doc_len[candidates].astype(np.float32)
     cand_dl = np.where(cand_dl <= 0, np.float32(1.0), cand_dl)
     norm_all = K1 * (_ONE - B + B * (cand_dl / avgdl32))
-    for info, docs, weights in term_postings:
+
+    # NOTE: accumulation order is the caller's (plan.infos is idf-descending,
+    # which equals maxScore-descending since max_core is term-independent) —
+    # float32 addition order is part of the score contract, so never re-sort.
+    prune = top_k is not None and n > 4 * top_k and len(term_postings) > 1
+    if prune:
+        max_scores = np.array(
+            [float(tp[0].max_score) for tp in term_postings], dtype=np.float64
+        )
+        suffix = np.concatenate([np.cumsum(max_scores[::-1])[::-1], [0.0]])
+
+    alive = np.arange(n)
+    for ti, (info, docs, weights) in enumerate(term_postings):
         if float(info.idf) <= 0 or len(docs) == 0:
             continue
-        pos = np.searchsorted(docs, candidates)
+        cand = candidates[alive]
+        pos = np.searchsorted(docs, cand)
         pos_c = np.minimum(pos, len(docs) - 1)
-        hit = docs[pos_c] == candidates
-        if not hit.any():
-            continue
-        tf = weights[pos_c[hit]].astype(np.float32)
-        core = (tf * (K1 + _ONE)) / (tf + norm_all[hit])
-        scores[hit] += info.idf * (core + DELTA)
+        hit = docs[pos_c] == cand
+        if hit.any():
+            tf = weights[pos_c[hit]].astype(np.float32)
+            core = (tf * (K1 + _ONE)) / (tf + norm_all[alive][hit])
+            scores[alive[hit]] += info.idf * (core + DELTA)
+        if prune and ti + 1 < len(term_postings) and len(alive) > top_k:
+            floor = np.partition(scores[alive], len(alive) - top_k)[len(alive) - top_k]
+            if floor > 0:
+                bound = scores[alive] + np.float32(suffix[ti + 1])
+                keep = bound >= floor
+                dropped = alive[~keep]
+                scores[dropped] = 0  # pruned: cannot reach top-k
+                alive = alive[keep]
     return scores
 
 
@@ -411,7 +441,7 @@ class SegmentStage1:
         if len(cands) == 0:
             return []
         tp = self._plan_postings(plan)
-        scores = score_candidates(cands, tp, self.seg.doc_len, avgdl)
+        scores = score_candidates(cands, tp, self.seg.doc_len, avgdl, top_k=top_k)
         hit = scores > 0
         cands, scores = cands[hit], scores[hit]
         if len(cands) == 0:

@@ -106,3 +106,33 @@ def test_segment_merge(minicorpus, tmp_path):
     assert sorted(merged.doc_keys.tolist()) == sorted(
         np.concatenate([p.doc_keys for p in parts]).tolist()
     )
+
+
+def test_hierarchical_merge_index(ray_session, minicorpus, tmp_path):
+    """merge_index: tree of Ray merge tasks → single-segment index with
+    identical search results."""
+    from infidex_ray.build import merge_index
+
+    src = str(tmp_path / "multi_idx")
+    build_index_local(minicorpus, src, n_segments=4)
+    eng_multi = Engine.load(src)
+
+    merged = str(tmp_path / "merged_idx")
+    merge_index(src, merged, fan_in=2, use_ray=True)
+    eng_one = Engine.load(merged)
+    assert len(eng_one.segments) == 1
+    assert eng_one.total_docs == eng_multi.total_docs
+    for q in ["batman", "qick fux", "new york", "speeding", "quick brown fox"]:
+        a = [(h.doc_key, round(h.score, 6)) for h in eng_multi.search(q, top_k=10)]
+        b = [(h.doc_key, round(h.score, 6)) for h in eng_one.search(q, top_k=10)]
+        assert a == b, q
+
+
+def test_read_corpus_csv(ray_session, tmp_path):
+    from infidex_ray.sources import read_corpus
+
+    p = tmp_path / "movies.csv"
+    p.write_text("title,year\nThe Matrix,1999\nInception,2010\n")
+    ds = read_corpus(str(p))
+    rows = ds.to_pandas()
+    assert sorted(rows["title"]) == ["Inception", "The Matrix"]
