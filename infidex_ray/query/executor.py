@@ -81,11 +81,10 @@ class IndexShardActor:
     def short_doc_count(self, q: str) -> int:
         return sum(s.count_word_start_docs(q) for s in self.engine.shorts)
 
-    def single_char(self, ch: str):
-        out = []
-        for s in self.engine.shorts:
-            out.extend(s.single_char_entries(ch))
-        return out
+    def single_char(self, ch: str, top_k: int):
+        # per-shard top-k (champion lists when k ≤ 64) — the global top-k is
+        # contained in the union of per-shard top-ks
+        return sq.run_single_char(self.engine.shorts, ch, top_k)
 
     def sq_prefix(self, qid: str, patterns, q: str) -> tuple[int, int]:
         """Phase 1: per-segment prefix passes; keeps scratch in the actor.
@@ -251,7 +250,7 @@ class DistributedEngine(Engine):
 
     def _run_single_char(self, q: str, top_k: int):
         entries = []
-        for part in ray.get([a.single_char.remote(q) for a in self.actors]):
+        for part in ray.get([a.single_char.remote(q, top_k) for a in self.actors]):
             entries.extend(part)
         entries.sort(key=lambda e: (-e[0], -e[2], e[1]))
         return entries[:top_k]

@@ -66,6 +66,23 @@ class SegmentShortQuery:
             ]
         return self._words
 
+    CHAMPION_SIZE = 64  # ShortQueryResolver.cs:23
+
+    def champions(self, ch: str) -> list[tuple]:
+        """Top-64 single-char entries per segment, computed once per char
+        (champion lists, ShortQueryResolver.TryGetChampions). Exact for any
+        global top-k ≤ 64: per-doc scores are independent, so the global
+        top-k is contained in the union of per-segment champions."""
+        cache = getattr(self, "_champions", None)
+        if cache is None:
+            cache = self._champions = {}
+        hit = cache.get(ch)
+        if hit is None:
+            entries = self.single_char_entries(ch)
+            entries.sort(key=lambda e: (-e[0], -e[2], e[1]))
+            hit = cache[ch] = entries[: self.CHAMPION_SIZE]
+        return hit
+
     # -- single char (SearchSingleCharacter, :19-152) ----------------------
     def single_char_entries(self, ch: str) -> list[tuple[float, int, int]]:
         out: list[tuple[float, int, int]] = []
@@ -281,8 +298,9 @@ def run_short_query(
 def run_single_char(
     shorts: list[SegmentShortQuery], ch: str, max_results: int
 ) -> list[tuple[float, int, int]]:
+    use_champions = max_results <= SegmentShortQuery.CHAMPION_SIZE
     entries: list[tuple[float, int, int]] = []
     for s in shorts:
-        entries.extend(s.single_char_entries(ch))
+        entries.extend(s.champions(ch) if use_champions else s.single_char_entries(ch))
     entries.sort(key=lambda e: (-e[0], -e[2], e[1]))
     return entries[:max_results]
