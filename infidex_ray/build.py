@@ -377,6 +377,27 @@ def build_index_local(
         },
         "stats": stats,
         "segments": seg_entries,
+        # per-stage metrics (north_rule: resumable build w/ lineage + metrics)
+        "metrics": {
+            "input_rows": int(n_rows),
+            "index_chunks": int(n_docs),
+            "n_segments": len(seg_dirs),
+            "plan_s": round(t_plan - t_start, 3),
+            "execute_s": round(t_exec - t_plan, 3),
+            "finalize_s": round(time.perf_counter() - t_exec, 3),
+            "total_s": round(time.perf_counter() - t_start, 3),
+            "segment_timings_s": {
+                e["name"]: m
+                for e, m in zip(
+                    seg_entries,
+                    (
+                        json.load(open(os.path.join(seg_root, e["name"], "meta.json")))
+                        .get("timings_s", {})
+                        for e in seg_entries
+                    ),
+                )
+            },
+        },
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
@@ -570,6 +591,7 @@ def build_index(
     os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "stats"), exist_ok=True)
 
+    t_start = time.perf_counter()
     n_rows = ds.count()  # metadata-only for fresh parquet reads
     keep = [key_column, text_column, *store_columns]
     ds = ds.select_columns(keep)  # prune html/binary early
@@ -587,6 +609,7 @@ def build_index(
 
     # the one (small) shuffle: global df = Σ per-segment df
     agg = df_rows.groupby(["kind", "term"]).sum("df")
+    t_plan = time.perf_counter()
 
     import pyarrow.parquet as pq
 
@@ -619,6 +642,7 @@ def build_index(
     ).sort_by("word")
     pq.write_table(term_table, os.path.join(out_dir, "stats", "df.parquet"))
     pq.write_table(word_table, os.path.join(out_dir, "stats", "word_df.parquet"))
+    t_exec = time.perf_counter()
 
     # per-segment metas → manifest + global stats
     seg_root = os.path.join(out_dir, "segments")
@@ -654,6 +678,27 @@ def build_index(
         },
         "stats": stats,
         "segments": seg_entries,
+        # per-stage metrics (north_rule: resumable build w/ lineage + metrics)
+        "metrics": {
+            "input_rows": int(n_rows),
+            "index_chunks": int(n_docs),
+            "n_segments": len(seg_dirs),
+            "plan_s": round(t_plan - t_start, 3),
+            "execute_s": round(t_exec - t_plan, 3),
+            "finalize_s": round(time.perf_counter() - t_exec, 3),
+            "total_s": round(time.perf_counter() - t_start, 3),
+            "segment_timings_s": {
+                e["name"]: m
+                for e, m in zip(
+                    seg_entries,
+                    (
+                        json.load(open(os.path.join(seg_root, e["name"], "meta.json")))
+                        .get("timings_s", {})
+                        for e in seg_entries
+                    ),
+                )
+            },
+        },
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
