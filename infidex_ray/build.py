@@ -377,27 +377,6 @@ def build_index_local(
         },
         "stats": stats,
         "segments": seg_entries,
-        # per-stage metrics (north_rule: resumable build w/ lineage + metrics)
-        "metrics": {
-            "input_rows": int(n_rows),
-            "index_chunks": int(n_docs),
-            "n_segments": len(seg_dirs),
-            "plan_s": round(t_plan - t_start, 3),
-            "execute_s": round(t_exec - t_plan, 3),
-            "finalize_s": round(time.perf_counter() - t_exec, 3),
-            "total_s": round(time.perf_counter() - t_start, 3),
-            "segment_timings_s": {
-                e["name"]: m
-                for e, m in zip(
-                    seg_entries,
-                    (
-                        json.load(open(os.path.join(seg_root, e["name"], "meta.json")))
-                        .get("timings_s", {})
-                        for e in seg_entries
-                    ),
-                )
-            },
-        },
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
