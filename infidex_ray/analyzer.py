@@ -204,6 +204,90 @@ def tokenize_for_search(
     return out
 
 
+# --- multi-field analysis (fielded documents) --------------------------------
+
+
+def concat_fields(
+    values: list, weight_indices: list[int], delimiter: str = "§"
+) -> tuple[str, list[tuple[int, int]]]:
+    """DocumentFields.GetSearchableTexts (DocumentFields.cs:124-170): fields
+    (pre-sorted by weight, High first) joined with '§'; returns
+    (concatenated_text, [(position, weight_index)] boundaries). List-valued
+    fields emit one boundary per element with a trailing delimiter."""
+    parts: list[str] = []
+    boundaries: list[tuple[int, int]] = []
+    pos = 0
+    n = len(values)
+    for i, (v, widx) in enumerate(zip(values, weight_indices)):
+        if isinstance(v, (list, tuple)):
+            for item in v:
+                boundaries.append((pos, widx))
+                s = "" if item is None else str(item)
+                parts.append(s)
+                parts.append(delimiter)
+                pos += len(s) + 1
+        else:
+            boundaries.append((pos, widx))
+            s = "" if v is None else str(v)
+            parts.append(s)
+            pos += len(s)
+            if i < n - 1:
+                parts.append(delimiter)
+                pos += 1
+    return "".join(parts), boundaries
+
+
+def field_weight_at(
+    token_position: int,
+    boundaries: list[tuple[int, int]],
+    field_weights: tuple[float, ...],
+) -> float:
+    """VectorModel.DetermineFieldWeight (VectorModel.cs:114-128). NOTE the
+    reference compares token positions over the PADDED NORMALIZED text with
+    boundaries over the raw concatenated text — an accepted approximation,
+    ported as-is."""
+    if not boundaries:
+        return 1.0
+    weight_index = 0
+    for position, widx in boundaries:
+        if position <= token_position:
+            weight_index = widx
+        else:
+            break
+    return field_weights[weight_index] if weight_index < len(field_weights) else 1.0
+
+
+def analyze_fielded(
+    lower_text: str,
+    boundaries: list[tuple[int, int]],
+    field_weights: tuple[float, ...],
+    index_sizes: tuple[int, ...],
+    start_pad_size: int,
+    stop_pad_size: int,
+    delimiters: tuple[str, ...],
+) -> dict[str, list]:
+    """Per-doc term accumulation with field weights — literal
+    Term.FirstCycleAdd semantics (Term.cs:71-122): first occurrence stores
+    round(fieldWeight); repeats add fieldWeight, accumulation stored as
+    round(); past 255 the df keeps counting. Returns term → [weight_byte,
+    df_contribution]."""
+    out: dict[str, list] = {}
+    for tok, pos in tokenize_for_indexing(
+        lower_text, index_sizes, start_pad_size, stop_pad_size, delimiters
+    ):
+        fw = field_weight_at(pos, boundaries, field_weights)
+        st = out.get(tok)
+        if st is None:
+            out[tok] = [min(round(fw), 255), 1]
+        else:
+            new_w = st[0] + fw
+            if new_w <= 255:
+                st[0] = round(new_w)
+            else:
+                st[1] += 1  # saturated: df keeps incrementing (Term quirk)
+    return out
+
+
 # --- vectorized batch counting (build hot path) ------------------------------
 
 _PAD_CODES = (0xFFFF, 0xFFFE)

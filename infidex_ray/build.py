@@ -56,10 +56,18 @@ def build_segment_from_arrays(
     seg_dir: str,
     lineage: dict | None = None,
     field_columns: dict[str, list] | None = None,
+    boundaries: list | None = None,
 ) -> dict:
     """Analyze one doc block and write an immutable segment. Pure function of
-    its inputs → safe under Ray task retries and checkpoint/resume."""
+    its inputs → safe under Ray task retries and checkpoint/resume.
+
+    ``boundaries`` (parallel to ``texts``) switches on the multi-field path:
+    texts are '§'-concatenated fields and postings carry field-weighted byte
+    weights (Term.FirstCycleAdd semantics)."""
     from . import segments as seglib
+
+    if boundaries is not None and cfg.auto_segment is not None:
+        raise ValueError("auto_segment and multi-field boundaries are exclusive")
 
     t0 = time.perf_counter()
     norm_texts = [normalize(t) if t else "" for t in texts]
@@ -96,6 +104,44 @@ def build_segment_from_arrays(
     if smap is not None:  # canonicalize analyzed text (VectorModel.cs:90-93)
         delims = frozenset(cfg.delimiters)
         lower_texts = [smap.canonicalize_text(t, delims) for t in lower_texts]
+
+    if boundaries is not None:
+        from .analyzer import analyze_fielded
+
+        term_map: dict[str, list] = {}  # term -> [docs, weights, df]
+        doc_len_arr = np.zeros(len(urls), dtype=np.float32)
+        for d, (lt, bnd) in enumerate(zip(lower_texts, boundaries)):
+            per = analyze_fielded(
+                lt, bnd, cfg.field_weights, cfg.index_sizes,
+                cfg.start_pad_size, cfg.stop_pad_size, cfg.delimiters,
+            )
+            dl = 0
+            for tok, (w, dfc) in per.items():
+                e = term_map.get(tok)
+                if e is None:
+                    term_map[tok] = e = [[], [], 0]
+                e[0].append(d)
+                e[1].append(w)
+                e[2] += dfc
+                dl += w
+            doc_len_arr[d] = dl
+        t_analyze = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        terms = sorted(term_map)
+        df_arr = [term_map[t][2] for t in terms]
+        postings = [
+            (
+                np.asarray(term_map[t][0], dtype=np.uint32),
+                np.asarray(term_map[t][1], dtype=np.uint8),
+            )
+            for t in terms
+        ]
+        t_dict = time.perf_counter() - t0
+        return _finish_segment(
+            urls, norm_texts, lower_texts, doc_keys, seg_numbers, doc_len_arr,
+            terms, df_arr, postings, cfg, seg_dir, lineage, field_columns,
+            t_analyze, t_dict,
+        )
 
     counts = count_tokens_batch(
         lower_texts,
@@ -149,9 +195,23 @@ def build_segment_from_arrays(
         postings.append((docs, weights))
     t_dict = time.perf_counter() - t0
 
-    # --- docmap metadata (DocumentMetadataCache semantics,
-    #     VectorModel.cs:250-313: first token + token count over ALL tokens) --
-    t0 = time.perf_counter()
+    return _finish_segment(
+        urls, norm_texts, lower_texts, doc_keys, seg_numbers, counts.doc_len,
+        terms, df_arr, postings, cfg, seg_dir, lineage, field_columns,
+        t_analyze, t_dict,
+    )
+
+
+def _finish_segment(
+    urls, norm_texts, lower_texts, doc_keys, seg_numbers, doc_len,
+    terms, df_arr, postings, cfg, seg_dir, lineage, field_columns,
+    t_analyze, t_dict,
+) -> dict:
+    """Docmap metadata + word-df + segment write (shared by the vectorized
+    single-field path and the fielded path)."""
+    from . import segments as seglib
+
+    # docmap metadata (DocumentMetadataCache semantics, VectorModel.cs:250-313)
     from .analyzer import _word_splitter
 
     splitter = _word_splitter(cfg.delimiters)
@@ -167,15 +227,14 @@ def build_segment_from_arrays(
         "doc_key": doc_keys.astype(np.int64),
         "url": urls,
         "norm_text": norm_texts,
-        "doc_len": counts.doc_len,
+        "doc_len": np.asarray(doc_len, dtype=np.float32),
         "first_token": first_tokens,
         "token_count": token_counts,
         "seg_number": np.asarray(seg_numbers, dtype=np.int32),
     }
     # word-level df for the coverage word-IDF cache (VectorModel.
     # BuildWordIdfCache, VectorModel.cs:864-908: unique words per doc over
-    # normalized+lowered text, ALL lengths) — computed here so the text is
-    # analyzed exactly once per build
+    # normalized+lowered text, ALL lengths)
     word_df: dict[str, int] = {}
     for t in lower_texts:
         for w in set(w for w in splitter.split(t) if w):
@@ -184,7 +243,7 @@ def build_segment_from_arrays(
     meta = {
         "segment_dir": seg_dir,
         "n_docs": len(urls),
-        "sum_doc_len": float(counts.doc_len.sum()),
+        "sum_doc_len": float(np.asarray(doc_len).sum()),
         "lineage": lineage or {},
         "timings_s": {"analyze": round(t_analyze, 4), "dict": round(t_dict, 4)},
     }
@@ -218,19 +277,34 @@ class _BuildSegmentFn:
         text_column: str,
         key_column: str,
         store_columns: tuple[str, ...] = (),
+        text_fields: tuple[tuple[str, int], ...] = (),
     ):
         self.out_dir = out_dir
         self.cfg = cfg
         self.text_column = text_column
         self.key_column = key_column
         self.store_columns = store_columns
+        # multi-field mode: ((column, weight_index 0=High/1=Med/2=Low), ...)
+        self.text_fields = tuple(sorted(text_fields, key=lambda f: f[1]))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from . import segments as seglib
 
         urls = batch[self.key_column].to_pylist()
-        texts = batch[self.text_column].to_pylist()
-        texts = ["" if t is None else str(t) for t in texts]
+        boundaries = None
+        if self.text_fields:
+            from .analyzer import concat_fields
+
+            cols = [batch[c].to_pylist() for c, _ in self.text_fields]
+            widx = [w for _, w in self.text_fields]
+            texts, boundaries = [], []
+            for row in zip(*cols):
+                t, b = concat_fields(list(row), widx)
+                texts.append(t)
+                boundaries.append(b)
+        else:
+            texts = batch[self.text_column].to_pylist()
+            texts = ["" if t is None else str(t) for t in texts]
         urls = ["" if u is None else str(u) for u in urls]
 
         # deterministic segment identity from content lineage, independent of
@@ -280,6 +354,7 @@ class _BuildSegmentFn:
                 urls, texts, doc_keys, self.cfg, seg_dir,
                 lineage={"first_key": urls[0] if urls else "", "rows": len(urls)},
                 field_columns=field_columns,
+                boundaries=boundaries,
             )
             terms = meta["terms"]
             dfs = meta["term_df"]
@@ -304,6 +379,29 @@ def build_index_local(
     cfg: EngineConfig | None = None,
     n_segments: int = 1,
     fields: list[dict] | None = None,
+    text_fields: tuple[tuple[str, int], ...] = (),
+) -> dict:
+    """No-Ray build. ``docs`` = [(key, text)], or with ``text_fields`` set,
+    [(key, {column: value})] — multi-field '§' concatenation + field-weighted
+    postings."""
+    if text_fields:
+        from .analyzer import concat_fields
+
+        tf = tuple(sorted(text_fields, key=lambda f: f[1]))
+        widx = [w for _, w in tf]
+        conv = []
+        for key, row in docs:
+            t, b = concat_fields([row.get(c) for c, _ in tf], widx)
+            conv.append((key, t, b))
+        return _build_index_local_impl(
+            [(k, t) for k, t, _ in conv], out_dir, cfg, n_segments, fields,
+            boundaries=[b for _, _, b in conv],
+        )
+    return _build_index_local_impl(docs, out_dir, cfg, n_segments, fields)
+
+
+def _build_index_local_impl(
+    docs, out_dir, cfg=None, n_segments=1, fields=None, boundaries=None
 ) -> dict:
     """No-Ray build over an in-memory [(key, text), ...] list — used by unit
     tests and the pure-Python oracle; writes the same on-disk layout and
@@ -335,7 +433,8 @@ def build_index_local(
             names = sorted({n for f in part_fields for n in f})
             field_columns = {n: [f.get(n) for f in part_fields] for n in names}
         meta = build_segment_from_arrays(
-            urls, texts, keys, cfg, seg_dir, field_columns=field_columns
+            urls, texts, keys, cfg, seg_dir, field_columns=field_columns,
+            boundaries=[boundaries[i] for i in chunk] if boundaries is not None else None,
         )
         for t, d in zip(meta["terms"], meta["term_df"]):
             term_df[t] = term_df.get(t, 0) + d
@@ -553,8 +652,14 @@ def build_index(
     key_column: str = "url",
     repartition: bool = True,
     store_columns: tuple[str, ...] = (),
+    text_fields: tuple[tuple[str, int], ...] = (),
 ):
     """Build a partitioned index from a ``ray.data.Dataset``.
+
+    ``text_fields`` switches on multi-field indexing: ((column, weight_index
+    0=High/1=Med/2=Low), ...) — fields are '§'-concatenated in weight order
+    and postings carry field-weighted byte weights
+    (DocumentFields.GetSearchableTexts + Term.FirstCycleAdd semantics).
 
     Pass ``repartition=False`` when the input's block structure already
     matches the target segment size (e.g. ``read_parquet(override_num_blocks=
@@ -572,15 +677,21 @@ def build_index(
 
     t_start = time.perf_counter()
     n_rows = ds.count()  # metadata-only for fresh parquet reads
-    keep = [key_column, text_column, *store_columns]
-    ds = ds.select_columns(keep)  # prune html/binary early
+    if text_fields:
+        keep = [key_column, *[c for c, _ in text_fields], *store_columns]
+    else:
+        keep = [key_column, text_column, *store_columns]
+    ds = ds.select_columns(list(dict.fromkeys(keep)))  # prune html/binary early
 
     n_segments = max(1, -(-n_rows // cfg.target_docs_per_segment))
     if repartition:
         ds = ds.repartition(n_segments)
 
     df_rows = ds.map_batches(
-        _BuildSegmentFn(out_dir, cfg, text_column, key_column, tuple(store_columns)),
+        _BuildSegmentFn(
+            out_dir, cfg, text_column, key_column, tuple(store_columns),
+            tuple(text_fields),
+        ),
         batch_size=None,  # whole block per call = one segment
         batch_format="pyarrow",
         zero_copy_batch=True,

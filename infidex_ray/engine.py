@@ -143,11 +143,15 @@ class Engine:
         text_column: str = "text",
         key_column: str = "url",
         store_columns: tuple[str, ...] = (),
+        text_fields: tuple[tuple[str, int], ...] = (),
     ) -> "Engine":
         from .build import build_index
 
         cfg = cfg or EngineConfig()
-        build_index(ds, out_dir, cfg, text_column, key_column, store_columns=store_columns)
+        build_index(
+            ds, out_dir, cfg, text_column, key_column,
+            store_columns=store_columns, text_fields=text_fields,
+        )
         return cls.load(out_dir, cfg)
 
     @classmethod
