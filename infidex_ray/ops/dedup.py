@@ -218,13 +218,29 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     a, b = _minhash_params(num_perm, seed)
 
-    def sig_and_bands(batch: pa.Table) -> pa.Table:
-        ids, band_ids, bucket = [], [], []
+    def compute_sigs(batch: pa.Table) -> pa.Table:
+        out_ids, out_sig = [], []
         for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
             sh = np.fromiter(
                 (_hash64(g) for g in word_shingles(t, n)), dtype=np.uint64
             )
-            sig = minhash_signature(sh, a, b)
+            out_ids.append(i)
+            out_sig.append(minhash_signature(sh, a, b).tobytes())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "sig": pa.array(out_sig, pa.binary()),
+            }
+        )
+
+    # signatures computed ONCE and materialized; both the band emission and
+    # the verification stage read the cached blocks
+    sigs = ds.map_batches(compute_sigs, batch_format="pyarrow").materialize()
+
+    def emit_bands(batch: pa.Table) -> pa.Table:
+        ids, band_ids, bucket = [], [], []
+        for i, s in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
+            sig = np.frombuffer(s, dtype=np.uint64)
             for bi in range(bands):
                 chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
                 h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
@@ -239,7 +255,7 @@ def minhash_lsh_pairs(
             }
         )
 
-    band_rows = ds.map_batches(sig_and_bands, batch_format="pyarrow")
+    band_rows = sigs.map_batches(emit_bands, batch_format="pyarrow")
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
         docs = sorted(set(group["doc_id"].to_pylist()))
@@ -256,25 +272,13 @@ def minhash_lsh_pairs(
     # distinct pairs
     uniq = cand.groupby(["id_a", "id_b"]).count()
 
-    # verify with true signature agreement (recompute per pair on driver-side
-    # small result; at scale this is a broadcast-join map stage)
+    # verify with true signature agreement; the materialized sig blocks are
+    # broadcast once (at 100 TB: hash-join candidate pairs against the sig
+    # table instead of a driver-side dict)
     import ray
 
     sig_map: dict[int, np.ndarray] = {}
-
-    def collect_sigs(batch: pa.Table) -> pa.Table:
-        out_ids, out_sig = [], []
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            sh = np.fromiter((_hash64(g) for g in word_shingles(t, n)), dtype=np.uint64)
-            out_ids.append(i)
-            out_sig.append(minhash_signature(sh, a, b).tobytes())
-        return pa.table(
-            {"doc_id": pa.array(out_ids, pa.int64()), "sig": pa.array(out_sig, pa.binary())}
-        )
-
-    for bt in ds.map_batches(collect_sigs, batch_format="pyarrow").iter_batches(
-        batch_size=None, batch_format="pyarrow"
-    ):
+    for bt in sigs.iter_batches(batch_size=None, batch_format="pyarrow"):
         for i, s in zip(bt["doc_id"].to_pylist(), bt["sig"].to_pylist()):
             sig_map[i] = np.frombuffer(s, dtype=np.uint64)
     sig_ref = ray.put(sig_map)
