@@ -170,6 +170,10 @@ def lsh_knn(
     partials = ds.select_columns([id_col, vec_col]).map_batches(
         partial, batch_format="pyarrow"
     )
+    return _merge_partials(partials, k)
+
+
+def _merge_partials(partials, k: int) -> pa.Table:
     per_query: dict[int, list] = {}
     for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
         for qi, vid, s in zip(
@@ -191,3 +195,112 @@ def lsh_knn(
             "cosine": pa.array(rows["cosine"], pa.float64()),
         }
     )
+
+
+# --- IVF (inverted-file) variant ---------------------------------------------
+
+
+def ivf_build(
+    ds,
+    n_centroids: int = 64,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_size: int = 4096,
+):
+    """Deterministic k-means-lite IVF: seeds centroids from a corpus sample,
+    refines a few Lloyd iterations, then assigns every vector to its nearest
+    centroid in a ``map_batches`` pass. Returns (centroids, assigned_ds)
+    where assigned_ds carries a ``list_id`` column — at scale, write it with
+    ``write_parquet(partition_cols=["list_id"])`` so queries read only the
+    probed lists."""
+    import ray
+
+    parts = [
+        _to_matrix(b, vec_col)
+        for b in ds.select_columns([vec_col])
+        .limit(sample_size)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    sample = _normalize_rows(np.vstack(parts))
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    c_ref = ray.put(centroids)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        m = _normalize_rows(_to_matrix(batch, vec_col))
+        lists = np.argmax(m @ cents.T, axis=1).astype(np.int32)
+        return batch.append_column("list_id", pa.array(lists, pa.int32()))
+
+    assigned = ds.map_batches(assign_batch, batch_format="pyarrow")
+    return centroids, assigned
+
+
+def ivf_knn(
+    assigned_ds,
+    centroids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Approximate top-k over an IVF-assigned dataset: scores only vectors in
+    the ``nprobe`` lists nearest to each query. Same output schema as
+    ``knn_cosine``."""
+    import ray
+
+    q = np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
+    qn = _normalize_rows(q)
+    probe_lists: set[int] = set()
+    sims_c = qn @ centroids.T
+    for qi in range(len(qn)):
+        top = np.argsort(-sims_c[qi])[:nprobe]
+        probe_lists.update(int(x) for x in top)
+    ref = ray.put((qn, probe_lists))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm, probes = ray.get(ref)
+        lists = np.asarray(batch["list_id"].to_pylist(), dtype=np.int32)
+        mask = np.isin(lists, np.fromiter(probes, dtype=np.int32))
+        empty = pa.table(
+            {
+                "query_idx": pa.array([], pa.int32()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if not mask.any():
+            return empty
+        sub = batch.filter(pa.array(mask))
+        ids = np.asarray(sub[id_col].to_pylist(), dtype=np.int64)
+        m = _normalize_rows(_to_matrix(sub, vec_col))
+        sims = qm @ m.T
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            idx = np.lexsort((ids, -sims[qi]))[:kk]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(ids[idx])
+            out_s.extend(sims[qi][idx])
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = assigned_ds.map_batches(partial, batch_format="pyarrow")
+    return _merge_partials(partials, k)

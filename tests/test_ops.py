@@ -87,3 +87,21 @@ def test_multimodal_stub(ray_session):
     assert len(df) == 40
     assert set(df.columns) >= {"doc_id", "n_bytes", "feature", "width"}
     assert all(len(f) == 16 for f in df.feature)
+
+
+def test_ivf_knn_recall(ray_session):
+    """IVF probes nearest lists; with generous nprobe it matches exact knn."""
+    import numpy as np
+    import ray.data
+
+    from infidex_ray.ops.similarity import ivf_build, ivf_knn, knn_cosine
+
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = np.asarray([[float(np.sin(i * 0.7)) for i in range(64)]])
+    exact = knn_cosine(emb, q, k=5)
+    centroids, assigned = ivf_build(emb, n_centroids=8, iters=3)
+    approx = ivf_knn(assigned, centroids, q, k=5, nprobe=8)  # probe ALL lists
+    assert approx["vec_id"].to_pylist() == exact["vec_id"].to_pylist()
+    # fewer probes: still returns k results (recall may drop, shape holds)
+    approx2 = ivf_knn(assigned, centroids, q, k=5, nprobe=2)
+    assert len(approx2) == 5
