@@ -176,6 +176,31 @@ def _q_search_topk(sf_dir: str):
     )
 
 
+def _q_search_topk_distributed(sf_dir: str):
+    """Same panel as search_topk, served by the shard actor pool — must be
+    rank-identical to the in-process engine (rows-only driver check; the
+    equality itself is asserted in tests/test_executor.py)."""
+    from infidex_ray.query.executor import DistributedEngine
+
+    eng = _engine_for(sf_dir)  # ensure the index exists on disk
+    deng = DistributedEngine.connect(eng.index_dir, num_shards=2, warm=False)
+    rows = {"query": [], "rank": [], "doc_id": [], "score": []}
+    for q in [BM25_QUERY, "fast table scan", "windw merge", "valu", "slow batch"]:
+        for r, hit in enumerate(deng.search(q, top_k=10)):
+            rows["query"].append(q)
+            rows["rank"].append(r + 1)
+            rows["doc_id"].append(hit.doc_key)
+            rows["score"].append(round(hit.score, 4))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score": pa.array(rows["score"], pa.float64()),
+        }
+    )
+
+
 def _q_exact_dedup(sf_dir: str):
     from infidex_ray.ops.dedup import exact_dedup
 
@@ -210,6 +235,16 @@ def _q_knn(sf_dir: str):
     from infidex_ray.ops.similarity import knn_cosine
 
     return knn_cosine(_read(sf_dir, "embeddings"), np.asarray([KNN_QUERY_VEC]), k=10)
+
+
+def _q_ivf_knn(sf_dir: str):
+    """IVF ANN probing every list → exact (checked against the same SQL
+    oracle as brute-force knn)."""
+    from infidex_ray.ops.similarity import ivf_build, ivf_knn
+
+    emb = _read(sf_dir, "embeddings")
+    centroids, assigned = ivf_build(emb, n_centroids=8, iters=3)
+    return ivf_knn(assigned, centroids, np.asarray([KNN_QUERY_VEC]), k=10, nprobe=8)
 
 
 def _q_lsh_knn(sf_dir: str):
@@ -312,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash,
         "embedding_dup_pairs": _q_emb_dup,
         "knn_cosine": _q_knn,
+        "ivf_knn": _q_ivf_knn,
         "lsh_knn": _q_lsh_knn,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
@@ -321,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "infiscript_filter": _q_infiscript_filter,
         "infiscript_rowfilter": _q_infiscript_rowfilter,
         "facet_counts": _q_facets,
+        "search_topk_distributed": _q_search_topk_distributed,
     }
 
 
@@ -353,6 +390,16 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY text ORDER BY keep_id"
         ),
         "knn_cosine": f"""
+            SELECT 0::INT AS query_idx,
+                   row_number() OVER (ORDER BY list_cosine_similarity(embedding::DOUBLE[], {vec_lit}) DESC, vec_id) AS rank,
+                   vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], {vec_lit}), 4) AS cosine
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[], {vec_lit}) DESC, vec_id
+            LIMIT 10
+        """,
+        # IVF probing all lists is exact → same oracle as brute-force knn
+        "ivf_knn": f"""
             SELECT 0::INT AS query_idx,
                    row_number() OVER (ORDER BY list_cosine_similarity(embedding::DOUBLE[], {vec_lit}) DESC, vec_id) AS rank,
                    vec_id,
