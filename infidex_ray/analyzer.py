@@ -385,6 +385,48 @@ def _word_splitter(delimiters: tuple[str, ...]) -> re.Pattern:
     return pat
 
 
+def _batch_gram3_keys(
+    lower_texts: list[str], start_pad_size: int, stop_pad_size: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All 3-gram occurrences of the whole batch in ONE numpy pass
+    (index_sizes == (3,) fast path): pad + concatenate every doc, encode
+    once, slide one window over the combined codepoint array, and invalidate
+    windows that cross a document boundary by position — no per-doc numpy
+    setup (the former per-doc path spent most of its time there).
+
+    Returns (doc_idx int32, keys uint64, per-doc gram counts int64)."""
+    n = 3
+    start_pad = START_PAD_CHAR * start_pad_size
+    stop_pad = STOP_PAD_CHAR * stop_pad_size
+    padded = [start_pad + t + stop_pad for t in lower_texts]
+    lens = np.fromiter((len(p) for p in padded), dtype=np.int64, count=len(padded))
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    big = "".join(padded)
+    if len(big) < n:
+        e = np.empty(0, dtype=np.uint64)
+        return np.empty(0, np.int32), e, np.zeros(len(padded), np.int64)
+    cp = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(cp, n)
+    pos = np.arange(len(win), dtype=np.int64)
+    # doc containing each window start; valid iff fully inside that doc
+    d = np.searchsorted(starts, pos, side="right") - 1
+    valid = pos + n <= ends[d]
+    is_pad = (cp == _PAD_CODES[0]) | (cp == _PAD_CODES[1])
+    all_pad = np.lib.stride_tricks.sliding_window_view(is_pad, n).all(axis=1)
+    keep = valid & ~all_pad
+    win = win[keep]
+    keys = (
+        _GRAM3_FLAG
+        | (win[:, 0] << np.uint64(42))
+        | (win[:, 1] << np.uint64(21))
+        | win[:, 2]
+    )
+    doc_idx = d[keep].astype(np.int32)
+    per_doc = np.bincount(doc_idx, minlength=len(padded)).astype(np.int64)
+    return doc_idx, keys, per_doc
+
+
 def count_tokens_batch(
     lower_texts: list[str],
     index_sizes: tuple[int, ...] = (3,),
@@ -398,6 +440,10 @@ def count_tokens_batch(
     ``tokenize_for_indexing`` and accumulating with Term.FirstCycleAdd:
     posting weight = min(occurrences, 255), document length = Σ weights.
     """
+    if index_sizes == (3,):
+        return _count_tokens_batch_gram3(
+            lower_texts, start_pad_size, stop_pad_size, delimiters
+        )
     fast = all(n in (2, 3) for n in index_sizes)
     splitter = _word_splitter(delimiters)
     min_size = index_sizes[0]
@@ -483,6 +529,78 @@ def count_tokens_batch(
         over = counts > 255
         if over.any():
             np.add.at(doc_sat, docs[over], (counts[over] - 255).astype(np.int64))
+
+    doc_len = (doc_total - doc_sat).astype(np.float32)
+    return BatchTokenCounts(gram_doc, gram_key, gram_count, word_counts, doc_len, None)
+
+
+def _count_tokens_batch_gram3(
+    lower_texts: list[str],
+    start_pad_size: int,
+    stop_pad_size: int,
+    delimiters: tuple[str, ...],
+) -> BatchTokenCounts:
+    """Default-config (IndexSizes=[3]) batch counting: single-pass 3-gram
+    extraction over the concatenated batch + the word emission pass."""
+    splitter = _word_splitter(delimiters)
+    n_docs = len(lower_texts)
+    doc_idx, keys, doc_total = _batch_gram3_keys(
+        lower_texts, start_pad_size, stop_pad_size
+    )
+
+    # word pass (words len ≥ 3; 3-char words are gram-key-encodable)
+    long_word_occ: dict[str, list[int]] = {}
+    extra_docs: list[int] = []
+    extra_keys: list[int] = []
+    for d, text in enumerate(lower_texts):
+        if not text:
+            continue
+        for w in splitter.split(text):
+            lw = len(w)
+            if lw < 3:
+                continue
+            doc_total[d] += 1
+            if lw == 3:
+                extra_docs.append(d)
+                extra_keys.append(encode_gram_key(w))
+            else:
+                long_word_occ.setdefault(w, []).append(d)
+
+    if extra_keys:
+        doc_idx = np.concatenate([doc_idx, np.asarray(extra_docs, dtype=np.int32)])
+        keys = np.concatenate([keys, np.asarray(extra_keys, dtype=np.uint64)])
+
+    if len(keys):
+        order = np.lexsort((doc_idx, keys))
+        doc_idx = doc_idx[order]
+        keys = keys[order]
+        boundary = np.empty(len(keys), dtype=bool)
+        boundary[0] = True
+        boundary[1:] = (keys[1:] != keys[:-1]) | (doc_idx[1:] != doc_idx[:-1])
+        starts = np.flatnonzero(boundary)
+        counts = np.diff(np.append(starts, len(keys))).astype(np.int32)
+        gram_doc = doc_idx[starts]
+        gram_key = keys[starts]
+        gram_count = counts
+    else:
+        gram_doc = np.empty(0, np.int32)
+        gram_key = np.empty(0, np.uint64)
+        gram_count = np.empty(0, np.int32)
+
+    word_counts: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for w, occ in long_word_occ.items():
+        arr = np.asarray(occ, dtype=np.int32)
+        docs, counts2 = np.unique(arr, return_counts=True)
+        word_counts[w] = (docs.astype(np.int32), counts2.astype(np.int32))
+
+    sat = gram_count > 255
+    doc_sat = np.zeros(n_docs, dtype=np.int64)
+    if sat.any():
+        np.add.at(doc_sat, gram_doc[sat], (gram_count[sat] - 255).astype(np.int64))
+    for w, (docs, counts2) in word_counts.items():
+        over = counts2 > 255
+        if over.any():
+            np.add.at(doc_sat, docs[over], (counts2[over] - 255).astype(np.int64))
 
     doc_len = (doc_total - doc_sat).astype(np.float32)
     return BatchTokenCounts(gram_doc, gram_key, gram_count, word_counts, doc_len, None)
