@@ -19,6 +19,7 @@ import numpy as np
 import pyarrow as pa
 
 from infidex_ray import sqlgen
+from infidex_ray.ops.dedup import round_half_up4
 from infidex_ray.config import EngineConfig
 from infidex_ray.engine import Engine
 
@@ -83,7 +84,7 @@ def entry() -> Any:
             rows["query"].append(q)
             rows["rank"].append(r + 1)
             rows["doc_id"].append(hit.doc_key)
-            rows["score"].append(round(hit.score, 4))
+            rows["score"].append(round_half_up4(hit.score))
     return pa.table(
         {
             "query": pa.array(rows["query"], pa.string()),
@@ -151,7 +152,7 @@ def _q_bm25(sf_dir: str):
     return pa.table(
         {
             "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-            "score": pa.array([round(r[1], 4) for r in rows], pa.float64()),
+            "score": pa.array([round_half_up4(r[1]) for r in rows], pa.float64()),
         }
     )
 
@@ -165,7 +166,7 @@ def _q_search_topk(sf_dir: str):
             rows["query"].append(q)
             rows["rank"].append(r + 1)
             rows["doc_id"].append(hit.doc_key)
-            rows["score"].append(round(hit.score, 4))
+            rows["score"].append(round_half_up4(hit.score))
     return pa.table(
         {
             "query": pa.array(rows["query"], pa.string()),
@@ -190,7 +191,7 @@ def _q_search_topk_distributed(sf_dir: str):
             rows["query"].append(q)
             rows["rank"].append(r + 1)
             rows["doc_id"].append(hit.doc_key)
-            rows["score"].append(round(hit.score, 4))
+            rows["score"].append(round_half_up4(hit.score))
     return pa.table(
         {
             "query": pa.array(rows["query"], pa.string()),

@@ -59,6 +59,15 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 # --- shingles ----------------------------------------------------------------
 
 
+def round_half_up4(x: float) -> float:
+    """Round to 4 decimals half-away-from-zero — matches DuckDB/SQL ROUND
+    (Python's round is banker's; values like 0.56785 would diverge from the
+    SQL oracles by one ulp at the 4th decimal)."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)
+
+
 def char_shingles(text: str, n: int = 3) -> set:
     """Distinct character n-grams of the normalized+lowered text."""
     t = normalize(text or "").lower()
@@ -150,7 +159,7 @@ def ngram_jaccard_pairs(
             if jac >= threshold:
                 out_a.append(x)
                 out_b.append(y)
-                out_j.append(round(jac, 4))
+                out_j.append(round_half_up4(jac))
         return pa.table(
             {
                 "id_a": pa.array(out_a, pa.int64()),
@@ -291,7 +300,7 @@ def minhash_lsh_pairs(
             if est >= threshold:
                 oa.append(x)
                 ob.append(y)
-                oe.append(round(est, 4))
+                oe.append(round_half_up4(est))
         return pa.table(
             {
                 "id_a": pa.array(oa, pa.int64()),
@@ -427,7 +436,7 @@ def embedding_dup_pairs(
             {
                 "id_a": pa.array(a[keep], pa.int64()),
                 "id_b": pa.array(b2[keep], pa.int64()),
-                "cosine": pa.array(np.round(sims[rows, cols][keep], 4), pa.float64()),
+                "cosine": pa.array([round_half_up4(v) for v in sims[rows, cols][keep]], pa.float64()),
             }
         )
 

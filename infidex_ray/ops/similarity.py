@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import heapq
 
+from .dedup import round_half_up4
+
 import numpy as np
 import pyarrow as pa
 
@@ -84,7 +86,7 @@ def knn_cosine(
             rows_q.append(qi)
             rows_r.append(r + 1)
             rows_id.append(vid)
-            rows_s.append(round(-negs, 4))
+            rows_s.append(round_half_up4(-negs))
     return pa.table(
         {
             "query_idx": pa.array(rows_q, pa.int32()),
@@ -186,7 +188,7 @@ def _merge_partials(partials, k: int) -> pa.Table:
             rows["query_idx"].append(qi)
             rows["rank"].append(r + 1)
             rows["vec_id"].append(vid)
-            rows["cosine"].append(round(-negs, 4))
+            rows["cosine"].append(round_half_up4(-negs))
     return pa.table(
         {
             "query_idx": pa.array(rows["query_idx"], pa.int32()),
