@@ -232,6 +232,32 @@ def _q_emb_dup(sf_dir: str):
     return embedding_dup_pairs(_read(sf_dir, "embeddings"), threshold=0.4)
 
 
+def _q_dedup_corpus(sf_dir: str):
+    """Full dedup pipeline: minhash pairs → union-find clusters → filtered
+    corpus (rows-only; keeps min-id representative per cluster)."""
+    import pyarrow as pa
+
+    from infidex_ray.ops.dedup import dedup_corpus, minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents")
+    pairs_batches = list(
+        minhash_lsh_pairs(ds, threshold=0.5).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    pairs = (
+        pa.concat_tables(pairs_batches)
+        if pairs_batches
+        else pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    )
+    kept = dedup_corpus(ds, pairs)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id"])
+
+    return kept.map_batches(project, batch_format="pyarrow")
+
+
 def _q_knn(sf_dir: str):
     from infidex_ray.ops.similarity import knn_cosine
 
@@ -347,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": _q_minhash,
         "simhash_pairs": _q_simhash,
         "embedding_dup_pairs": _q_emb_dup,
+        "dedup_corpus": _q_dedup_corpus,
         "knn_cosine": _q_knn,
         "ivf_knn": _q_ivf_knn,
         "lsh_knn": _q_lsh_knn,

@@ -443,3 +443,53 @@ def embedding_dup_pairs(
     return ds.select_columns([id_col, vec_col]).map_batches(
         batch_pairs, batch_format="pyarrow"
     )
+
+
+# --- cluster + filter --------------------------------------------------------
+
+
+def dedup_clusters(pairs: pa.Table) -> dict[int, int]:
+    """Union-find over near-dup pairs → {doc_id: cluster_representative}
+    (representative = min doc_id in the cluster). Pairs are tiny relative to
+    the corpus (only near-dups), so this runs on the driver; at extreme scale
+    use iterative label propagation over the pairs Dataset."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()):
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the smaller id as representative
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def dedup_corpus(ds, pairs: pa.Table, id_col: str = "doc_id"):
+    """Drop every near-duplicate except the min-id representative of its
+    cluster: broadcast the (small) drop set, filter inside map_batches —
+    the corpus itself streams, never materializes."""
+    import ray
+
+    clusters = dedup_clusters(pairs)
+    drop = {doc for doc, rep in clusters.items() if doc != rep}
+    drop_ref = ray.put(np.fromiter(drop, dtype=np.int64) if drop else np.empty(0, np.int64))
+
+    def keep_batch(batch: pa.Table) -> pa.Table:
+        drop_ids = ray.get(drop_ref)
+        if len(drop_ids) == 0:
+            return batch
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        return batch.filter(pa.array(~np.isin(ids, drop_ids)))
+
+    return ds.map_batches(keep_batch, batch_format="pyarrow")

@@ -105,3 +105,20 @@ def test_ivf_knn_recall(ray_session):
     # fewer probes: still returns k results (recall may drop, shape holds)
     approx2 = ivf_knn(assigned, centroids, q, k=5, nprobe=2)
     assert len(approx2) == 5
+
+
+def test_dedup_corpus(ray_session):
+    """pairs → union-find clusters → filtered corpus keeps min-id reps."""
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.dedup import dedup_clusters, dedup_corpus
+
+    pairs = pa.table({"id_a": [1, 2, 7], "id_b": [2, 3, 8], "jaccard": [0.9, 0.8, 0.95]})
+    clusters = dedup_clusters(pairs)
+    assert clusters[1] == clusters[2] == clusters[3] == 1
+    assert clusters[7] == clusters[8] == 7
+
+    ds = ray.data.from_items([{"doc_id": i, "text": f"t{i}"} for i in range(1, 10)])
+    kept = sorted(dedup_corpus(ds, pairs).to_pandas()["doc_id"].tolist())
+    assert kept == [1, 4, 5, 6, 7, 9]  # dropped 2, 3, 8
