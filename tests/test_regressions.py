@@ -86,3 +86,22 @@ def test_high_resolution_mode(minicorpus, tmp_path):
     eng = Engine.load(out, cfg)
     hits = eng.search("new york", top_k=5)
     assert hits and hits[0].doc_key == 8
+
+
+def test_concurrent_searches(minicorpus, tmp_path):
+    """ThreadSafetyTests analogue: concurrent readers get identical results
+    (lazy caches may build redundantly but never corrupt)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    out = str(tmp_path / "conc_idx")
+    build_index_local(minicorpus, out, n_segments=3)
+    eng = Engine.load(out)
+    queries = ["batman", "qick fux", "new york", "speeding", "th", "x"] * 4
+
+    def run(q):
+        return (q, tuple((h.doc_key, round(h.score, 6)) for h in eng.search(q, top_k=10)))
+
+    baseline = {q: run(q)[1] for q in set(queries)}
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        for q, res in ex.map(run, queries):
+            assert res == baseline[q], q
