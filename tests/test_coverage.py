@@ -223,3 +223,50 @@ def test_segment_invariance(minicorpus, tmp_path_factory):
             ]
         results.append(per_query)
     assert results[0] == results[1] == results[2]
+
+
+# --- mixed-term queries (long + short tokens route differently) --------------
+
+MIXED_TITLES = [
+    "San Andreas", "Santa Clarita Diet", "San Francisco Story", "Sand Castle",
+    "Two for the Money", "Two Fools", "Two For Joy", "Twofold Trouble",
+    "As I Am", "Asteroid City", "Amadeus", "The Godfather", "Heat",
+]
+MKEY = {t: i + 1 for i, t in enumerate(MIXED_TITLES)}
+
+
+@pytest.fixture(scope="module")
+def mixed_engine(tmp_path_factory):
+    out = tmp_path_factory.mktemp("mixed_idx")
+    build_index_local([(i + 1, t) for i, t in enumerate(MIXED_TITLES)], str(out), n_segments=2)
+    return Engine.load(str(out))
+
+
+def test_mixed_san_a(mixed_engine):
+    """MovieSearchParityTests.cs:623-659: 'san a' — the trailing single char
+    must prefer the title whose NEXT word starts with it."""
+    hits = mixed_engine.search("san a", top_k=10)
+    assert hits[0].doc_key == MKEY["San Andreas"]
+
+
+def test_mixed_two_f_strict_prefix(mixed_engine):
+    """:661-694: 'two f' prefers titles where 'f' starts the second word."""
+    hits = mixed_engine.search("two f", top_k=10)
+    top3 = [h.doc_key for h in hits[:3]]
+    assert set(top3) == {MKEY["Two Fools"], MKEY["Two For Joy"], MKEY["Two for the Money"]}
+    assert MKEY["Twofold Trouble"] not in top3
+
+
+def test_mixed_two_fo_exact_prefixes_first(mixed_engine):
+    """:696+: all exact 'fo' prefixes rank before the joined 'Twofold'."""
+    hits = mixed_engine.search("two fo", top_k=10)
+    keys = [h.doc_key for h in hits]
+    joined = keys.index(MKEY["Twofold Trouble"])
+    for t in ("Two Fools", "Two For Joy", "Two for the Money"):
+        assert keys.index(MKEY[t]) < joined
+
+
+def test_mixed_as_am(mixed_engine):
+    """:862-888: 'as am' prefers 'As I Am'."""
+    hits = mixed_engine.search("as am", top_k=10)
+    assert hits[0].doc_key == MKEY["As I Am"]
