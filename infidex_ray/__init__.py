@@ -8,7 +8,27 @@ training-data operators a 100 TB text pipeline needs (dedup, similarity
 search, text analysis).
 """
 
-from .config import EngineConfig, config_100, config_400  # noqa: F401
+from .config import AutoSegmentSetup, EngineConfig, config_100, config_400  # noqa: F401
 
-__all__ = ["EngineConfig", "config_100", "config_400"]
+
+def __getattr__(name):  # lazy heavy imports (keep `import infidex_ray` cheap)
+    if name in ("Engine", "Query", "Result", "SearchHit"):
+        from . import engine
+
+        return getattr(engine, name)
+    if name == "DistributedEngine":
+        from .query.executor import DistributedEngine
+
+        return DistributedEngine
+    if name == "SynonymMap":
+        from .synonyms import SynonymMap
+
+        return SynonymMap
+    raise AttributeError(name)
+
+
+__all__ = [
+    "AutoSegmentSetup", "DistributedEngine", "Engine", "EngineConfig",
+    "Query", "Result", "SearchHit", "SynonymMap", "config_100", "config_400",
+]
 __version__ = "0.1.0"
