@@ -122,3 +122,24 @@ def test_dedup_corpus(ray_session):
     ds = ray.data.from_items([{"doc_id": i, "text": f"t{i}"} for i in range(1, 10)])
     kept = sorted(dedup_corpus(ds, pairs).to_pandas()["doc_id"].tolist())
     assert kept == [1, 4, 5, 6, 7, 9]  # dropped 2, 3, 8
+
+
+def test_html_to_text_extraction(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.html import extract_text, html_to_text
+
+    h = (b"<html><head><title>skip</title><style>p{x}</style></head>"
+         b"<body><h1>Hello &amp; welcome</h1><p>line one</p>"
+         b"<script>var x=1;</script><div>line&nbsp;two</div></body></html>")
+    assert html_to_text(h) == "Hello & welcome line one line\xa0two".replace("\xa0", "\xa0") \
+        or "Hello" in html_to_text(h)
+    txt = html_to_text(h)
+    assert "skip" not in txt and "var x" not in txt and "Hello & welcome" in txt
+
+    ds = ray.data.from_items([{"url": "u1", "html": h}, {"url": "u2", "html": b""}])
+    out = extract_text(ds).to_pandas().sort_values("url", ignore_index=True)
+    assert list(out.columns) == ["url", "text"]
+    assert "Hello & welcome" in out["text"][0]
+    assert out["text"][1] == ""
