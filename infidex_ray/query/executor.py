@@ -46,6 +46,9 @@ class IndexShardActor:
         self.engine = Engine.load(index_dir, segment_indices=segment_indices)
         self._sq_state: dict[str, tuple[dict, set]] = {}
 
+    def set_deleted(self, keys) -> None:
+        self.engine.deleted = set(keys)
+
     def warm(self) -> int:
         """Pre-build word-matcher tables + doc preps (actor-init cost paid
         once, in parallel across the pool)."""
@@ -282,6 +285,29 @@ class DistributedEngine(Engine):
     def _short_doc_count(self, q: str) -> int:
         return sum(ray.get([a.short_doc_count.remote(q) for a in self.actors]))
 
-    # doc text fetches are shard-side; not supported on the driver
+    # ---- driver-side APIs that need local segment state -----------------
+    # (serving pool is read-only; do these through an in-process Engine)
     def doc_text_by_key(self, key: int):  # pragma: no cover
         raise NotImplementedError("use shard actors / the in-process Engine")
+
+    def query(self, q):  # pragma: no cover
+        raise NotImplementedError(
+            "filters/facets need stored fields local to the process — "
+            "use Engine.load(index_dir).query(...) for the Query API"
+        )
+
+    def add_documents(self, docs, fields=None):  # pragma: no cover
+        raise NotImplementedError(
+            "mutations go through Engine.load(index_dir); reconnect the "
+            "actor pool afterwards to pick up the new delta segment"
+        )
+
+    def delete_documents(self, keys) -> None:
+        """Tombstone keys and broadcast to shards (stage-1 results are
+        filtered on the driver; wm candidates are filtered shard-side)."""
+        import json as _json
+
+        self.deleted.update(int(k) for k in keys)
+        with open(os.path.join(self.index_dir, "tombstones.json"), "w") as f:
+            _json.dump(sorted(self.deleted), f)
+        ray.get([a.set_deleted.remote(sorted(self.deleted)) for a in self.actors])

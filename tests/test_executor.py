@@ -42,3 +42,21 @@ def test_distributed_golden_sets(dist_pair):
     assert [h.doc_key for h in deng.search("battamam", top_k=10)] == [6]
     assert [h.doc_key for h in deng.search("new york", top_k=10)] == [8]
     assert [h.doc_key for h in deng.search("speeding", top_k=10)] == [7]
+
+
+def test_distributed_delete(dist_pair):
+    """Tombstones broadcast to shards; deleted doc vanishes from results."""
+    eng, deng = dist_pair
+    assert [h.doc_key for h in deng.search("wonder woman", top_k=5)][0] == 9
+    deng.delete_documents([9])
+    try:
+        keys = [h.doc_key for h in deng.search("wonder woman", top_k=5)]
+        assert 9 not in keys
+    finally:
+        # undo for other tests sharing the fixture
+        deng.deleted.clear()
+        import os, json
+        with open(os.path.join(deng.index_dir, "tombstones.json"), "w") as f:
+            json.dump([], f)
+        import ray
+        ray.get([a.set_deleted.remote([]) for a in deng.actors])
