@@ -127,3 +127,97 @@ def lcs_containment(q: str, r: str, error_tolerance: int) -> int:
     if prefix_len == 0:
         return 0
     return min(prefix_len + error_tolerance, min(len(q), len(r)))
+
+
+def jaccard_of_all_chars(query: str, document: str) -> float:
+    """Frequency-based character Jaccard
+    (JaccardMetric.JaccardOfAllChars, src/Infidex/Metrics/JaccardMetric.cs:
+    69-107): intersection = Σ min(freq_q[c], freq_d[c]);
+    result = intersection / (len(q) + len(d) − intersection)."""
+    if not query or not document:
+        return 0.0
+    from collections import Counter
+
+    fq, fd = Counter(query), Counter(document)
+    inter = sum(min(n, fd.get(c, 0)) for c, n in fq.items())
+    return inter / (len(query) + len(document) - inter)
+
+
+def jaccard_of_char_set(query: str, document: str) -> float:
+    """Set-based character Jaccard (JaccardMetric.JaccardOfCharSet,
+    :110-139)."""
+    if not query or not document:
+        return 0.0
+    sq, sd = set(query), set(document)
+    inter = len(sq & sd)
+    return inter / (len(sq) + len(sd) - inter)
+
+
+def jaro_similarity(s1: str, s2: str) -> float:
+    """Jaro similarity (StringMetrics.JaroSimilarity, StringMetrics.cs:
+    74-135)."""
+    if not s1 and not s2:
+        return 1.0
+    if not s1 or not s2:
+        return 0.0
+    len1, len2 = len(s1), len(s2)
+    window = max(max(len1, len2) // 2 - 1, 1)
+    m1 = [False] * len1
+    m2 = [False] * len2
+    matches = 0
+    for i in range(len1):
+        for j in range(max(0, i - window), min(i + window + 1, len2)):
+            if m2[j] or s1[i] != s2[j]:
+                continue
+            m1[i] = m2[j] = True
+            matches += 1
+            break
+    if matches == 0:
+        return 0.0
+    transpositions = 0
+    k = 0
+    for i in range(len1):
+        if not m1[i]:
+            continue
+        while not m2[k]:
+            k += 1
+        if s1[i] != s2[k]:
+            transpositions += 1
+        k += 1
+    return (
+        matches / len1 + matches / len2 + (matches - transpositions / 2) / matches
+    ) / 3.0
+
+
+def jaro_winkler_similarity(s1: str, s2: str, prefix_scale: float = 0.1) -> float:
+    """Jaro-Winkler with ≤4-char prefix bonus (StringMetrics.cs:140-157)."""
+    jaro = jaro_similarity(s1, s2)
+    prefix_len = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        prefix_len += 1
+    return jaro + prefix_len * prefix_scale * (1.0 - jaro)
+
+
+def max_edits_for_length(length: int, p: float = 0.04, alpha: float = 0.01) -> int:
+    """Binomial typo model (EditDistanceModel.GetMaxEditsForLength,
+    src/Infidex/Metrics/EditDistanceModel.cs:49-88): smallest d with
+    Pr[Binomial(L, p) ≤ d] ≥ 1 − α."""
+    if length <= 0:
+        return 0
+    if p <= 0.0:
+        return 0
+    if p >= 1.0:
+        return length
+    alpha = min(max(alpha, 1e-9), 0.999999999)
+    target = 1.0 - alpha
+    q = 1.0 - p
+    prob_k = q**length
+    cdf = prob_k
+    k = 0
+    while k < length and cdf < target:
+        prob_k *= (length - k) / (k + 1) * (p / q)
+        cdf += prob_k
+        k += 1
+    return k

@@ -270,3 +270,42 @@ def test_mixed_as_am(mixed_engine):
     """:862-888: 'as am' prefers 'As I Am'."""
     hits = mixed_engine.search("as am", top_k=10)
     assert hits[0].doc_key == MKEY["As I Am"]
+
+
+# --- auxiliary metrics (JaccardMetricTests / EditDistanceModelTests ports) ---
+
+
+def test_jaccard_metrics():
+    from infidex_ray.query.metrics import jaccard_of_all_chars, jaccard_of_char_set
+
+    assert jaccard_of_all_chars("abc", "abc") == 1.0
+    assert jaccard_of_char_set("abc", "abc") == 1.0
+    assert jaccard_of_all_chars("", "abc") == 0.0
+    assert jaccard_of_all_chars("aab", "ab") == pytest.approx(2 / 3)
+    assert jaccard_of_char_set("aab", "ab") == 1.0
+    assert jaccard_of_char_set("abc", "xyz") == 0.0
+
+
+def test_jaro_winkler():
+    from infidex_ray.query.metrics import jaro_similarity, jaro_winkler_similarity
+
+    assert jaro_similarity("", "") == 1.0
+    assert jaro_similarity("abc", "abc") == 1.0
+    assert jaro_similarity("abc", "xyz") == 0.0
+    assert 0.7 < jaro_similarity("martha", "marhta") < 1.0
+    assert jaro_winkler_similarity("martha", "marhta") > jaro_similarity("martha", "marhta")
+
+
+def test_edit_distance_model():
+    from infidex_ray.query.metrics import max_edits_for_length
+
+    assert max_edits_for_length(0) == 0
+    assert max_edits_for_length(5, p=0.0) == 0
+    assert max_edits_for_length(5, p=1.0) == 5
+    # typical regime: longer words tolerate more edits, monotonically
+    prev = 0
+    for ln in (3, 8, 20, 50):
+        d = max_edits_for_length(ln, p=0.04, alpha=0.01)
+        assert d >= prev
+        prev = d
+    assert max_edits_for_length(3, p=0.04, alpha=0.01) <= 2
