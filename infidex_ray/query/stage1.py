@@ -333,6 +333,21 @@ class SegmentStage1:
         self.cfg = cfg
         self._fuzzy_cache: dict[str, tuple[np.ndarray, int]] = {}
         self._del_index: dict[str, list[int]] | None = None
+        # phase A → phase B memo: the two-phase protocol evaluates the same
+        # plan twice per query (counts, then scoring) — cache the decoded
+        # postings + nested candidate sets between the calls
+        self._plan_memo_key = None
+        self._plan_memo: tuple | None = None
+
+    @staticmethod
+    def _plan_key(plan: QueryPlan):
+        return (
+            tuple(t.text for t in plan.infos),
+            tuple(t.is_fuzzy for t in plan.infos),
+            plan.mode,
+            tuple(plan.included_ranks),
+            tuple(plan.selective_ranks),
+        )
 
     # -- fuzzy (edit-distance-1) expansion --------------------------------
     def _deletion_index(self) -> dict[str, list[int]]:
@@ -400,9 +415,10 @@ class SegmentStage1:
                 out.append((info, docs, weights))
         return out
 
-    def _candidate_sets(self, plan: QueryPlan) -> list[np.ndarray]:
+    def _candidate_sets(self, plan: QueryPlan, tp=None) -> list[np.ndarray]:
         """Phase A: the nested candidate sets for this segment."""
-        tp = self._plan_postings(plan)
+        if tp is None:
+            tp = self._plan_postings(plan)
         if plan.mode == "disjunctive":
             sets = []
             union = np.empty(0, dtype=np.uint32)
@@ -425,22 +441,30 @@ class SegmentStage1:
             sets.append(cur)
         return sets
 
+    def _memoized(self, plan: QueryPlan) -> tuple:
+        key = self._plan_key(plan)
+        if self._plan_memo_key != key:
+            tp = self._plan_postings(plan)
+            sets = self._candidate_sets(plan, tp)
+            self._plan_memo_key = key
+            self._plan_memo = (tp, sets)
+        return self._plan_memo
+
     def phase_a(self, plan: QueryPlan) -> np.ndarray:
         """Cumulative local cardinalities of the nested candidate sets."""
-        sets = self._candidate_sets(plan)
+        _, sets = self._memoized(plan)
         return np.asarray([len(s) for s in sets], dtype=np.int64)
 
     def phase_b(
         self, plan: QueryPlan, level: int, top_k: int, avgdl: float
     ) -> list[tuple[float, int, int]]:
         """Score the level-``level`` candidate set, return local top-k."""
-        sets = self._candidate_sets(plan)
+        tp, sets = self._memoized(plan)
         if not sets:
             return []
         cands = sets[min(level, len(sets)) - 1]
         if len(cands) == 0:
             return []
-        tp = self._plan_postings(plan)
         scores = score_candidates(cands, tp, self.seg.doc_len, avgdl, top_k=top_k)
         hit = scores > 0
         cands, scores = cands[hit], scores[hit]
