@@ -309,3 +309,36 @@ def test_edit_distance_model():
         assert d >= prev
         prev = d
     assert max_edits_for_length(3, p=0.04, alpha=0.01) <= 2
+
+
+def test_randomized_partition_invariance(tmp_path_factory):
+    """Seeded random corpora + typo'd queries: results (scores, tiebreaks,
+    order) must be identical at 1, 3 and 7 segments — the partitioning
+    half of the north-rule rank-identity requirement, beyond fixed fixtures."""
+    import random
+
+    random.seed(99)
+    vocab = (
+        "alpha beta gamma delta epsilon zeta matrix redemption quick brown fox "
+        "jumps lazy batman gotham wonder speed light parquet arrow column"
+    ).split()
+    for trial in range(2):
+        docs = []
+        for i in range(60):
+            docs.append((i + 1, " ".join(random.choice(vocab) for _ in range(random.randint(1, 12)))))
+        queries = []
+        for _ in range(6):
+            q = " ".join(random.choice(vocab) for _ in range(random.randint(1, 3)))
+            if random.random() < 0.5 and len(q) > 4:
+                i = random.randrange(len(q) - 1)
+                q = q[:i] + q[i + 1] + q[i] + q[i + 2:]  # transposition typo
+            queries.append(q)
+        results = []
+        for nseg in (1, 3, 7):
+            out = tmp_path_factory.mktemp(f"rand_{trial}_{nseg}")
+            build_index_local(docs, str(out), n_segments=nseg)
+            eng = Engine.load(str(out))
+            results.append(
+                {q: [(h.doc_key, round(h.score, 6), h.tiebreaker) for h in eng.search(q, top_k=10)] for q in queries}
+            )
+        assert results[0] == results[1] == results[2], (trial, queries)
