@@ -36,6 +36,14 @@ def _read(sf_dir: str, table: str):
     return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
+def _by(ds, *cols):
+    """Deterministic row order for the driver's order-sensitive value hash:
+    every Dataset-returning contract query sorts by its oracle's ORDER BY key
+    (Ray's streaming executor otherwise concatenates blocks in completion
+    order, which is nondeterministic — the round-1 token_stats hash fail)."""
+    return ds.sort(list(cols))
+
+
 _ENGINE_CACHE: dict[str, Engine] = {}
 
 
@@ -108,7 +116,7 @@ def _q_normalize(sf_dir: str):
             {"doc_id": batch["doc_id"], "norm_text": pa.array(texts, pa.string())}
         )
 
-    return _read(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
+    return _by(_read(sf_dir, "documents").map_batches(f, batch_format="pyarrow"), "doc_id")
 
 
 def _q_term_df(sf_dir: str):
@@ -205,31 +213,31 @@ def _q_search_topk_distributed(sf_dir: str):
 def _q_exact_dedup(sf_dir: str):
     from infidex_ray.ops.dedup import exact_dedup
 
-    return exact_dedup(_read(sf_dir, "documents"))
+    return _by(exact_dedup(_read(sf_dir, "documents")), "keep_id")
 
 
 def _q_ngram_jaccard(sf_dir: str):
     from infidex_ray.ops.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.5)
+    return _by(ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.5), "id_a", "id_b")
 
 
 def _q_minhash(sf_dir: str):
     from infidex_ray.ops.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_read(sf_dir, "documents"))
+    return _by(minhash_lsh_pairs(_read(sf_dir, "documents")), "id_a", "id_b")
 
 
 def _q_simhash(sf_dir: str):
     from infidex_ray.ops.dedup import simhash_dup_pairs
 
-    return simhash_dup_pairs(_read(sf_dir, "documents"))
+    return _by(simhash_dup_pairs(_read(sf_dir, "documents")), "id_a", "id_b")
 
 
 def _q_emb_dup(sf_dir: str):
     from infidex_ray.ops.dedup import embedding_dup_pairs
 
-    return embedding_dup_pairs(_read(sf_dir, "embeddings"), threshold=0.4)
+    return _by(embedding_dup_pairs(_read(sf_dir, "embeddings"), threshold=0.4), "id_a", "id_b")
 
 
 def _q_dedup_corpus(sf_dir: str):
@@ -255,7 +263,7 @@ def _q_dedup_corpus(sf_dir: str):
     def project(t: pa.Table) -> pa.Table:
         return t.select(["doc_id"])
 
-    return kept.map_batches(project, batch_format="pyarrow")
+    return _by(kept.map_batches(project, batch_format="pyarrow"), "doc_id")
 
 
 def _q_knn(sf_dir: str):
@@ -283,25 +291,85 @@ def _q_lsh_knn(sf_dir: str):
 def _q_token_stats(sf_dir: str):
     from infidex_ray.ops.textstats import token_stats_batch
 
-    return _read(sf_dir, "documents").map_batches(token_stats_batch, batch_format="pyarrow")
+    return _by(_read(sf_dir, "documents").map_batches(token_stats_batch, batch_format="pyarrow"), "doc_id")
 
 
 def _q_quality(sf_dir: str):
     from infidex_ray.ops.textstats import quality_batch
 
-    return _read(sf_dir, "documents").map_batches(quality_batch, batch_format="pyarrow")
+    return _by(_read(sf_dir, "documents").map_batches(quality_batch, batch_format="pyarrow"), "doc_id")
 
 
 def _q_langid(sf_dir: str):
     from infidex_ray.ops.textstats import langid_batch
 
-    return _read(sf_dir, "documents").map_batches(langid_batch, batch_format="pyarrow")
+    return _by(_read(sf_dir, "documents").map_batches(langid_batch, batch_format="pyarrow"), "doc_id")
 
 
 def _q_fingerprint(sf_dir: str):
     from infidex_ray.ops.textstats import fingerprint_batch
 
-    return _read(sf_dir, "documents").map_batches(fingerprint_batch, batch_format="pyarrow")
+    return _by(_read(sf_dir, "documents").map_batches(fingerprint_batch, batch_format="pyarrow"), "doc_id")
+
+
+def _q_dedup_corpus_exact(sf_dir: str):
+    """Exact-dedup pipeline with a SQL oracle: byte-identical-text groups →
+    (rep, dup) pairs → union-find → corpus keeping min-id per group."""
+    from infidex_ray.ops.dedup import dedup_corpus, exact_dup_pairs
+
+    ds = _read(sf_dir, "documents")
+    pairs_batches = list(
+        exact_dup_pairs(ds).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    pairs = (
+        pa.concat_tables(pairs_batches)
+        if pairs_batches
+        else pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    )
+    kept = dedup_corpus(ds, pairs)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id"])
+
+    return _by(kept.map_batches(project, batch_format="pyarrow"), "doc_id")
+
+
+def _q_html_extract(sf_dir: str):
+    """HTML → text extraction over a deterministic synthetic html column
+    (the corpus ships text-only; html is wrapped around it in-pipeline so a
+    DuckDB regexp oracle can verify the extracted output byte-for-byte)."""
+    from infidex_ray.ops.html import extract_text
+
+    def synth(batch: pa.Table) -> pa.Table:
+        html = [
+            (
+                "<html><head><title>t</title><script>var x=1;</script></head>"
+                f"<body><h1>Doc {i}</h1><p>{t or ''}</p><!-- c --></body></html>"
+            ).encode("utf-8")
+            for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist())
+        ]
+        return pa.table({"doc_id": batch["doc_id"], "html": pa.array(html, pa.binary())})
+
+    ds = _read(sf_dir, "documents").map_batches(synth, batch_format="pyarrow")
+    out = extract_text(ds)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "extracted": t["text"]})
+
+    return _by(out.map_batches(project, batch_format="pyarrow"), "doc_id")
+
+
+def _q_image_features(sf_dir: str):
+    """Multimodal plumbing entry (rows-only): binary media column → actor-pool
+    feature extraction (deterministic fake codec — see ops/multimodal.py)."""
+    from infidex_ray.ops.multimodal import image_features
+
+    def synth(batch: pa.Table) -> pa.Table:
+        blobs = [(t or "").encode("utf-8") for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "media": pa.array(blobs, pa.binary())})
+
+    ds = _read(sf_dir, "documents").map_batches(synth, batch_format="pyarrow")
+    return _by(image_features(ds), "doc_id")
 
 
 def _q_infiscript_filter(sf_dir: str):
@@ -316,7 +384,7 @@ def _q_infiscript_filter(sf_dir: str):
     def project(t: pa.Table) -> pa.Table:
         return t.select(["doc_id", "lang", "n_chars"])
 
-    return ds.map_batches(project, batch_format="pyarrow")
+    return _by(ds.map_batches(project, batch_format="pyarrow"), "doc_id")
 
 
 def _q_infiscript_rowfilter(sf_dir: str):
@@ -328,7 +396,7 @@ def _q_infiscript_rowfilter(sf_dir: str):
     def project(t: pa.Table) -> pa.Table:
         return t.select(["doc_id"])
 
-    return ds.map_batches(project, batch_format="pyarrow")
+    return _by(ds.map_batches(project, batch_format="pyarrow"), "doc_id")
 
 
 def _q_facets(sf_dir: str):
@@ -357,7 +425,7 @@ def _q_lang_dist(sf_dir: str):
         c = "count()" if "count()" in t.column_names else "count"
         return pa.table({"lang": t["lang"], "n_docs": t[c]})
 
-    return ds.map_batches(rename, batch_format="pyarrow")
+    return _by(ds.map_batches(rename, batch_format="pyarrow"), "lang")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -374,6 +442,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash,
         "embedding_dup_pairs": _q_emb_dup,
         "dedup_corpus": _q_dedup_corpus,
+        "dedup_corpus_exact": _q_dedup_corpus_exact,
+        "html_extract": _q_html_extract,
+        "image_features": _q_image_features,
         "knn_cosine": _q_knn,
         "ivf_knn": _q_ivf_knn,
         "lsh_knn": _q_lsh_knn,
@@ -441,7 +512,18 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+            ORDER BY id_a, id_b
         """,
+        "dedup_corpus_exact": (
+            "SELECT doc_id FROM documents WHERE doc_id IN "
+            "(SELECT min(doc_id) FROM documents GROUP BY text) ORDER BY doc_id"
+        ),
+        "quality_score": sqlgen.quality_sql(),
+        "html_extract": (
+            "SELECT doc_id, trim(regexp_replace("
+            "'Doc ' || doc_id || ' ' || coalesce(text, ''), '\\s+', ' ', 'g')) "
+            "AS extracted FROM documents ORDER BY doc_id"
+        ),
         "token_stats": f"""
             WITH n AS (SELECT doc_id, {sqlgen.norm_expr('text')} AS norm FROM documents),
             w AS (SELECT doc_id, unnest(string_split_regex(norm, {dre})) AS w FROM n),
@@ -450,14 +532,16 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.n_tokens, 0) AS n_tokens,
                    length(n.norm) AS n_chars_norm,
                    coalesce(s.n_distinct_tokens, 0) AS n_distinct_tokens,
-                   coalesce(s.total_token_len, 0) AS total_token_len
+                   coalesce(s.total_token_len, 0)::BIGINT AS total_token_len
             FROM n LEFT JOIN (
               SELECT doc_id, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct_tokens,
                      sum(length(w)) AS total_token_len
               FROM wf GROUP BY doc_id) s ON n.doc_id = s.doc_id
             ORDER BY n.doc_id
         """,
-        "lang_distribution": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "lang_distribution": (
+            "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang"
+        ),
         "infiscript_filter": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE lang IN ('en', 'de') AND n_chars BETWEEN 200 AND 1500 "

@@ -56,6 +56,35 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def exact_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """(id_a, id_b) pairs linking each duplicate doc to its group's min-id
+    representative (id_a = min of the byte-identical-text group). Feeds
+    ``dedup_corpus`` for the exact-dedup pipeline; the shuffle moves only
+    (hash, doc_id) rows, never the text."""
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.blake2b((t or "").encode("utf-8"), digest_size=16).hexdigest()
+            for t in batch[text_col].to_pylist()
+        ]
+        return pa.table({"h": pa.array(hashes, pa.string()), "doc_id": batch[id_col]})
+
+    def pairs_group(group: pa.Table) -> pa.Table:
+        ids = sorted(group["doc_id"].to_pylist())
+        return pa.table(
+            {
+                "id_a": pa.array([ids[0]] * (len(ids) - 1), pa.int64()),
+                "id_b": pa.array(ids[1:], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(pairs_group, batch_format="pyarrow")
+    )
+
+
 # --- shingles ----------------------------------------------------------------
 
 

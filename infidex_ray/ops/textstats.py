@@ -35,6 +35,13 @@ def _norm_lower(texts: list) -> list[str]:
     return [normalize(t).lower() if t else "" for t in texts]
 
 
+def _round4_half_up(arr: np.ndarray) -> np.ndarray:
+    """Vectorized round-half-away-from-zero to 4 decimals — matches DuckDB
+    ROUND so the quality_score SQL oracle hashes identically (numpy's
+    ``np.round`` is half-even and diverges by one ulp on exact .5 cases)."""
+    return np.copysign(np.floor(np.abs(arr) * 1e4 + 0.5) / 1e4, arr)
+
+
 def token_stats_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """(doc_id, n_tokens, n_chars_norm, n_distinct_tokens, total_token_len)."""
     texts = _norm_lower(batch[text_col].to_pylist())
@@ -82,9 +89,9 @@ def quality_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text
         {
             "doc_id": batch[id_col],
             "n_tokens": n_tokens,
-            "stopword_ratio": np.round(stop_ratio, 4),
-            "distinct_ratio": np.round(distinct_ratio, 4),
-            "quality": np.round(quality, 4),
+            "stopword_ratio": _round4_half_up(stop_ratio),
+            "distinct_ratio": _round4_half_up(distinct_ratio),
+            "quality": _round4_half_up(quality),
         }
     )
 

@@ -152,6 +152,36 @@ JOIN inter i ON i.ia = c.ia AND i.ib = c.ib
 JOIN sizes sa ON sa.doc_id = c.ia
 JOIN sizes sb ON sb.doc_id = c.ib
 WHERE i.i::DOUBLE / (sa.sz + sb.sz - i.i) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def quality_sql(table: str = "documents") -> str:
+    """DuckDB oracle for ops.textstats.quality_batch: token counts over the
+    normalized word split, stopword/distinct ratios, and the composite
+    quality = 0.4·min(1, n_tokens/100) + 0.3·distinct_ratio + 0.3·stop_ratio
+    (same left-to-right float64 accumulation order as the numpy side)."""
+    from .ops.textstats import STOPWORDS
+
+    dre = sql_quote(delim_regex_class())
+    stoplist = ", ".join(sql_quote(w) for w in sorted(STOPWORDS))
+    return f"""
+WITH n AS (SELECT doc_id, {norm_expr('text')} AS norm FROM {table}),
+w AS (SELECT doc_id, unnest(string_split_regex(norm, {dre})) AS w FROM n),
+wf AS (SELECT doc_id, w FROM w WHERE length(w) >= 1),
+s AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct,
+         sum(CASE WHEN w IN ({stoplist}) THEN 1 ELSE 0 END) AS n_stop
+  FROM wf GROUP BY doc_id)
+SELECT n.doc_id,
+  coalesce(s.n_tokens, 0) AS n_tokens,
+  round(coalesce(s.n_stop::DOUBLE / s.n_tokens, 0.0), 4) AS stopword_ratio,
+  round(coalesce(s.n_distinct::DOUBLE / s.n_tokens, 0.0), 4) AS distinct_ratio,
+  round(0.4 * least(1.0, coalesce(s.n_tokens, 0) / 100.0)
+      + 0.3 * coalesce(s.n_distinct::DOUBLE / s.n_tokens, 0.0)
+      + 0.3 * coalesce(s.n_stop::DOUBLE / s.n_tokens, 0.0), 4) AS quality
+FROM n LEFT JOIN s ON n.doc_id = s.doc_id
+ORDER BY n.doc_id
 """
 
 
