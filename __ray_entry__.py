@@ -41,6 +41,8 @@ def _by(ds, *cols):
     every Dataset-returning contract query sorts by its oracle's ORDER BY key
     (Ray's streaming executor otherwise concatenates blocks in completion
     order, which is nondeterministic — the round-1 token_stats hash fail)."""
+    if isinstance(ds, pa.Table):
+        return ds.sort_by([(c, "ascending") for c in cols])
     return ds.sort(list(cols))
 
 

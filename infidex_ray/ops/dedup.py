@@ -111,6 +111,41 @@ def _hash64(s: str) -> int:
     )
 
 
+def _collect_rows_for_ids(ds, ids, id_col: str, cols: list[str]) -> pa.Table:
+    """Collect only the rows whose ``id_col`` is in ``ids`` (a SMALL set —
+    candidate docs, not the corpus). The corpus streams through a broadcast
+    membership filter; driver memory is bounded by len(ids), which is
+    O(candidate pairs) by construction."""
+    import ray
+
+    ids_arr = np.asarray(sorted(set(ids)), dtype=np.int64)
+    if len(ids_arr) == 0:
+        return pa.table({c: pa.array([], pa.int64()) for c in cols})
+    ids_ref = ray.put(ids_arr)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        col = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        return batch.filter(pa.array(np.isin(col, wanted)))
+
+    parts = list(
+        ds.select_columns(cols)
+        .map_batches(keep, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    return pa.concat_tables(parts) if parts else pa.table({})
+
+
+def _collect_pairs(pairs_ds) -> pa.Table:
+    """Materialize a (small) candidate-pair dataset to one driver table."""
+    parts = list(pairs_ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not parts:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+    return pa.concat_tables([p.select(["id_a", "id_b"]) for p in parts])
+
+
 # --- n-gram Jaccard (exact, inverted-index join) ----------------------------
 
 
@@ -130,18 +165,13 @@ def ngram_jaccard_pairs(
     Pairs that share only ubiquitous shingles are below any useful threshold
     anyway. The Jaccard reported per candidate pair is EXACT (full shingle
     sets). Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+
+    Scale: the corpus is NEVER materialized on the driver. Only the texts of
+    docs that appear in a candidate pair are collected (bounded by the pair
+    count) and broadcast to the distributed verify stage, which recomputes
+    the two shingle sets per pair.
     """
     import ray
-
-    # shingle sets — small side, broadcast once (at 100 TB: replace with a
-    # broadcast-join of candidate pair ids back to the shingle table)
-    shingle_sets: dict[int, frozenset] = {}
-    for b in ds.select_columns([id_col, text_col]).iter_batches(
-        batch_size=None, batch_format="pyarrow"
-    ):
-        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
-            shingle_sets[i] = frozenset(char_shingles(t, n))
-    sets_ref = ray.put(shingle_sets)
 
     def emit_shingles(batch: pa.Table) -> pa.Table:
         ids, sh = [], []
@@ -176,13 +206,29 @@ def ngram_jaccard_pairs(
     )
     uniq = cand.groupby(["id_a", "id_b"]).count()
 
+    # candidate-bounded broadcast: only texts of docs in some candidate pair
+    pairs_tbl = _collect_pairs(uniq)
+    cand_ids = set(pairs_tbl["id_a"].to_pylist()) | set(pairs_tbl["id_b"].to_pylist())
+    cand_docs = _collect_rows_for_ids(ds, cand_ids, id_col, [id_col, text_col])
+    texts_ref = ray.put(
+        dict(zip(cand_docs[id_col].to_pylist(), cand_docs[text_col].to_pylist()))
+        if cand_docs.num_columns
+        else {}
+    )
+
     def score(batch: pa.Table) -> pa.Table:
-        ss = ray.get(sets_ref)
-        a = batch["id_a"].to_pylist()
-        b = batch["id_b"].to_pylist()
+        texts = ray.get(texts_ref)
+        cache: dict[int, frozenset] = {}
+
+        def sh(doc: int) -> frozenset:
+            s = cache.get(doc)
+            if s is None:
+                s = cache[doc] = frozenset(char_shingles(texts.get(doc, ""), n))
+            return s
+
         out_a, out_b, out_j = [], [], []
-        for x, y in zip(a, b):
-            sa, sb = ss.get(x, frozenset()), ss.get(y, frozenset())
+        for x, y in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
+            sa, sb = sh(x), sh(y)
             union = len(sa | sb)
             jac = len(sa & sb) / union if union else 0.0
             if jac >= threshold:
@@ -239,6 +285,41 @@ def word_shingles(text: str, n: int = 3) -> set:
     return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
 
 
+# odd 64-bit mixing constants (splitmix64 finalizer multipliers — public)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def _word_hashes(ws: list[str], cache: dict[str, int]) -> np.ndarray:
+    """Per-word 64-bit blake2b hashes with a per-task cache (words repeat
+    heavily across a batch, so hashlib runs once per distinct word)."""
+    out = np.empty(len(ws), dtype=np.uint64)
+    for i, w in enumerate(ws):
+        h = cache.get(w)
+        if h is None:
+            h = cache[w] = _hash64(w)
+        out[i] = h
+    return out
+
+
+def _shingle_hashes(wh: np.ndarray, n: int) -> np.ndarray:
+    """Distinct word-n-gram shingle hashes, vectorized: polynomial combine of
+    the word-hash sliding window under uint64 wraparound (deterministic; the
+    round-1 per-shingle hashlib loop was ~10× slower)."""
+    L = len(wh)
+    if L == 0:
+        return wh
+    with np.errstate(over="ignore"):
+        powers = _MIX1 ** np.arange(n, dtype=np.uint64)
+        if L < n:
+            return np.asarray([(wh * powers[:L]).sum() * _MIX2], dtype=np.uint64)
+        acc = np.zeros(L - n + 1, dtype=np.uint64)
+        for k in range(n):
+            acc += wh[k : L - n + 1 + k] * powers[k]
+        acc *= _MIX2
+    return np.unique(acc)
+
+
 def minhash_lsh_pairs(
     ds,
     num_perm: int = 128,
@@ -248,20 +329,32 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     seed: int = 42,
     threshold: float = 0.5,
+    max_bucket_size: int = 256,
 ):
     """MinHash+LSH near-dup pairs over word n-gram shingles: docs sharing any
     band bucket become candidates; candidates are verified by signature
     agreement and only pairs with est_jaccard ≥ threshold are returned.
-    (id_a, id_b, est_jaccard), id_a < id_b. Deterministic (seeded)."""
+    (id_a, id_b, est_jaccard), id_a < id_b. Deterministic (seeded).
+
+    Scale: signatures are vectorized numpy per batch; the band shuffle moves
+    only (doc_id, band, bucket) rows; buckets larger than ``max_bucket_size``
+    are dropped (the engine's stop-term rule — a hot bucket of k identical
+    boilerplate docs would otherwise emit k² pairs); verification broadcasts
+    only the signatures of docs in some candidate pair, never the corpus."""
+    from ..analyzer import _word_splitter
+    from ..config import DEFAULT_DELIMITERS
+
     rows_per_band = num_perm // bands
     a, b = _minhash_params(num_perm, seed)
 
     def compute_sigs(batch: pa.Table) -> pa.Table:
+        splitter = _word_splitter(DEFAULT_DELIMITERS)
+        cache: dict[str, int] = {}
         out_ids, out_sig = [], []
         for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            sh = np.fromiter(
-                (_hash64(g) for g in word_shingles(t, n)), dtype=np.uint64
-            )
+            tnorm = normalize(t or "").lower()
+            ws = [w for w in splitter.split(tnorm) if w]
+            sh = _shingle_hashes(_word_hashes(ws, cache), n)
             out_ids.append(i)
             out_sig.append(minhash_signature(sh, a, b).tobytes())
         return pa.table(
@@ -276,20 +369,29 @@ def minhash_lsh_pairs(
     sigs = ds.map_batches(compute_sigs, batch_format="pyarrow").materialize()
 
     def emit_bands(batch: pa.Table) -> pa.Table:
-        ids, band_ids, bucket = [], [], []
-        for i, s in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
-            sig = np.frombuffer(s, dtype=np.uint64)
-            for bi in range(bands):
-                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                ids.append(i)
-                band_ids.append(bi)
-                bucket.append(int.from_bytes(h, "little", signed=True))
+        n_docs = len(batch)
+        if n_docs == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        S = np.vstack(
+            [np.frombuffer(s, dtype=np.uint64) for s in batch["sig"].to_pylist()]
+        ).reshape(n_docs, bands, rows_per_band)
+        powers = _MIX2 ** np.arange(rows_per_band, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            buckets = ((S * powers[None, None, :]).sum(axis=2) * _MIX1).view(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "band": pa.array(band_ids, pa.int32()),
-                "bucket": pa.array(bucket, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(bands, dtype=np.int32), n_docs), pa.int32()
+                ),
+                "bucket": pa.array(buckets.reshape(-1), pa.int64()),
             }
         )
 
@@ -297,6 +399,11 @@ def minhash_lsh_pairs(
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
         docs = sorted(set(group["doc_id"].to_pylist()))
+        if len(docs) < 2 or len(docs) > max_bucket_size:
+            # oversize buckets dropped (boilerplate/empty-doc skew guard)
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
         pa_, pb_ = [], []
         for i in range(len(docs)):
             for j in range(i + 1, len(docs)):
@@ -310,16 +417,22 @@ def minhash_lsh_pairs(
     # distinct pairs
     uniq = cand.groupby(["id_a", "id_b"]).count()
 
-    # verify with true signature agreement; the materialized sig blocks are
-    # broadcast once (at 100 TB: hash-join candidate pairs against the sig
-    # table instead of a driver-side dict)
+    # verify with true signature agreement over a candidate-bounded broadcast
     import ray
 
-    sig_map: dict[int, np.ndarray] = {}
-    for bt in sigs.iter_batches(batch_size=None, batch_format="pyarrow"):
-        for i, s in zip(bt["doc_id"].to_pylist(), bt["sig"].to_pylist()):
-            sig_map[i] = np.frombuffer(s, dtype=np.uint64)
-    sig_ref = ray.put(sig_map)
+    pairs_tbl = _collect_pairs(uniq)
+    cand_ids = set(pairs_tbl["id_a"].to_pylist()) | set(pairs_tbl["id_b"].to_pylist())
+    cand_sigs = _collect_rows_for_ids(sigs, cand_ids, "doc_id", ["doc_id", "sig"])
+    sig_ref = ray.put(
+        {
+            i: np.frombuffer(s, dtype=np.uint64)
+            for i, s in zip(
+                cand_sigs["doc_id"].to_pylist(), cand_sigs["sig"].to_pylist()
+            )
+        }
+        if cand_sigs.num_columns
+        else {}
+    )
 
     def estimate(batch: pa.Table) -> pa.Table:
         sm = ray.get(sig_ref)
@@ -345,27 +458,35 @@ def minhash_lsh_pairs(
 
 
 def simhash_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> pa.Table:
-    """64-bit SimHash over char n-gram features (weight = 1 per distinct)."""
+    """64-bit SimHash over char n-gram features (weight = 1 per distinct);
+    bit accumulation vectorized over all of a doc's shingle hashes at once."""
     out = np.zeros(len(batch), dtype=np.int64)
     texts = batch[text_col].to_pylist()
+    bit_idx = np.arange(64, dtype=np.uint64)
+    weights = np.uint64(1) << bit_idx
     for i, t in enumerate(texts):
-        acc = np.zeros(64, dtype=np.int64)
-        for g in char_shingles(t, n):
-            h = _hash64(g)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        v = 0
-        for bit in range(64):
-            if acc[bit] > 0:
-                v |= 1 << bit
-        out[i] = np.int64(np.uint64(v).astype(np.int64))
+        grams = char_shingles(t, n)
+        if not grams:
+            continue
+        hs = np.fromiter((_hash64(g) for g in grams), dtype=np.uint64, count=len(grams))
+        bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = 2 * bits.sum(axis=0) - len(grams)  # (+1/-1 votes per bit)
+        out[i] = (weights * (acc > 0).astype(np.uint64)).sum(dtype=np.uint64).astype(np.int64)
     return pa.table({"doc_id": batch[id_col], "simhash": out})
 
 
-def simhash_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"):
+def simhash_dup_pairs(
+    ds,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int = 512,
+):
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming, found by
     4-block bucketing (a pair within distance 3 shares at least one of 4
-    16-bit blocks — pigeonhole)."""
+    16-bit blocks — pigeonhole). Buckets larger than ``max_bucket_size`` are
+    dropped (skew guard: at web scale a 16-bit block bucket holds ~N/65k docs
+    and would otherwise emit k² pairs for boilerplate-heavy keys)."""
     hashed = ds.map_batches(
         lambda b: simhash_batch(b, id_col, text_col), batch_format="pyarrow"
     )
@@ -392,6 +513,8 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col
 
     def pairs(group: pa.Table) -> pa.Table:
         rows = sorted(set(zip(group["doc_id"].to_pylist(), group["simhash"].to_pylist())))
+        if len(rows) > max_bucket_size:
+            rows = []  # oversize bucket dropped (see docstring)
         a, b, d = [], [], []
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):
@@ -425,53 +548,162 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col
 # --- embedding cosine near-dup ----------------------------------------------
 
 
+def _unpack_vec_block(tbl: pa.Table, id_col: str, vec_col: str):
+    ids = np.asarray(tbl[id_col].to_pylist(), dtype=np.int64)
+    if len(ids) == 0:
+        return ids, np.empty((0, 0))
+    m = np.vstack([np.asarray(v, dtype=np.float64) for v in tbl[vec_col].to_pylist()])
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    return ids, m / norms[:, None]
+
+
+_EMPTY_PAIRS = pa.table(
+    {
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "cosine": pa.array([], pa.float64()),
+    }
+)
+
+
 def embedding_dup_pairs(
     ds, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
-):
-    """Pairs with cosine similarity ≥ threshold. Small-side broadcast design:
-    the normalized (id, matrix) pair is ``ray.put`` once and every batch does
-    one blocked matmul against it (at 100 TB replace the broadcast with
-    LSH/IVF bucketing — see similarity.py)."""
+) -> pa.Table:
+    """EXACT pairs with cosine similarity ≥ threshold, via a distributed
+    block-pair cross join: the dataset's Arrow blocks stay in the object
+    store (``to_arrow_refs``) and one Ray task per block pair (i ≤ j) does a
+    single matmul between the two blocks. Driver memory is O(#blocks +
+    #result pairs); compute is the unavoidable O(N²) of an exact all-pairs
+    threshold join, but distributed and spillable — no full-corpus matrix is
+    ever built on the driver (the round-1 design did exactly that).
+
+    For web scale prefer :func:`embedding_dup_pairs_lsh` (candidate buckets
+    + in-bucket exact verify, near-linear)."""
     import ray
 
-    ids_all: list[int] = []
-    vecs: list[np.ndarray] = []
-    for b in ds.select_columns([id_col, vec_col]).iter_batches(
-        batch_size=None, batch_format="pyarrow"
-    ):
-        ids_all.extend(b[id_col].to_pylist())
-        for v in b[vec_col].to_pylist():
-            vecs.append(np.asarray(v, dtype=np.float64))
-    mat = np.vstack(vecs)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    mat_n = mat / norms[:, None]
-    ids_arr = np.asarray(ids_all, dtype=np.int64)
-    ref = ray.put((ids_arr, mat_n))
+    refs = ds.select_columns([id_col, vec_col]).materialize().to_arrow_refs()
 
-    def batch_pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        bids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        bm = np.vstack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
-        bn = np.linalg.norm(bm, axis=1)
-        bn[bn == 0] = 1.0
-        bm = bm / bn[:, None]
-        sims = bm @ all_mat.T
+    @ray.remote
+    def cross(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ids_a, ma = _unpack_vec_block(ta, id_col, vec_col)
+        ids_b, mb = _unpack_vec_block(tb, id_col, vec_col)
+        if len(ids_a) == 0 or len(ids_b) == 0:
+            return _EMPTY_PAIRS
+        sims = ma @ mb.T
+        if same:
+            sims = np.triu(sims, k=1)  # dedupe within-block pairs
         rows, cols = np.nonzero(sims >= threshold)
-        a = bids[rows]
-        b2 = all_ids[cols]
-        keep = a < b2
+        a, b = ids_a[rows], ids_b[cols]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        keep = lo < hi
         return pa.table(
             {
-                "id_a": pa.array(a[keep], pa.int64()),
-                "id_b": pa.array(b2[keep], pa.int64()),
-                "cosine": pa.array([round_half_up4(v) for v in sims[rows, cols][keep]], pa.float64()),
+                "id_a": pa.array(lo[keep], pa.int64()),
+                "id_b": pa.array(hi[keep], pa.int64()),
+                "cosine": pa.array(
+                    [round_half_up4(v) for v in sims[rows, cols][keep]], pa.float64()
+                ),
             }
         )
 
-    return ds.select_columns([id_col, vec_col]).map_batches(
-        batch_pairs, batch_format="pyarrow"
+    futures = [
+        cross.remote(refs[i], refs[j], i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    parts = [t for t in ray.get(futures) if t.num_rows]
+    return pa.concat_tables(parts) if parts else _EMPTY_PAIRS
+
+
+def embedding_dup_pairs_lsh(
+    ds,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    max_bucket_size: int = 4096,
+) -> pa.Table:
+    """Approximate near-dup pairs at scale: random-hyperplane LSH buckets
+    (``n_tables`` independent tables — recall for cosine ≥ threshold grows
+    with tables) generate candidates; each bucket group exact-verifies its
+    members' pairwise cosine IN-GROUP (both vectors are co-grouped, so no
+    broadcast and no driver materialization). Oversize buckets are dropped."""
+    from .similarity import _hyperplanes
+
+    probe = ds.select_columns([vec_col]).limit(1).take(1)
+    dim = len(probe[0][vec_col])
+    planes = [_hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)]
+
+    def emit_buckets(batch: pa.Table) -> pa.Table:
+        ids, m = _unpack_vec_block(batch, id_col, vec_col)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "table_id": pa.array([], pa.int32()),
+                    "bucket": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "vec": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        weights = (1 << np.arange(n_bits)).astype(np.int64)
+        tables = {"table_id": [], "bucket": [], "doc_id": [], "vec": []}
+        vec_lists = m.tolist()
+        for t, pl in enumerate(planes):
+            buckets = ((m @ pl.T) > 0) @ weights
+            tables["table_id"].extend([t] * len(ids))
+            tables["bucket"].extend(int(x) for x in buckets)
+            tables["doc_id"].extend(int(x) for x in ids)
+            tables["vec"].extend(vec_lists)
+        return pa.table(
+            {
+                "table_id": pa.array(tables["table_id"], pa.int32()),
+                "bucket": pa.array(tables["bucket"], pa.int64()),
+                "doc_id": pa.array(tables["doc_id"], pa.int64()),
+                "vec": pa.array(tables["vec"], pa.list_(pa.float64())),
+            }
+        )
+
+    bucketed = ds.select_columns([id_col, vec_col]).map_batches(
+        emit_buckets, batch_format="pyarrow"
     )
+
+    def verify_group(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        uniq_mask = np.ones(len(ids), dtype=bool)
+        uniq_mask[1:] = ids[1:] != ids[:-1]
+        if uniq_mask.sum() < 2 or uniq_mask.sum() > max_bucket_size:
+            return _EMPTY_PAIRS
+        m = np.vstack([group["vec"][int(i)].as_py() for i in order[uniq_mask]])
+        ids = ids[uniq_mask]
+        sims = np.triu(m @ m.T, k=1)
+        rows, cols = np.nonzero(sims >= threshold)
+        return pa.table(
+            {
+                "id_a": pa.array(ids[rows], pa.int64()),
+                "id_b": pa.array(ids[cols], pa.int64()),
+                "cosine": pa.array(
+                    [round_half_up4(v) for v in sims[rows, cols]], pa.float64()
+                ),
+            }
+        )
+
+    cand = bucketed.groupby(["table_id", "bucket"]).map_groups(
+        verify_group, batch_format="pyarrow"
+    )
+    # distinct pairs across tables (same pair can collide in several tables)
+    uniq = cand.groupby(["id_a", "id_b"]).min("cosine")
+
+    def rename(t: pa.Table) -> pa.Table:
+        c = "min(cosine)" if "min(cosine)" in t.column_names else "cosine"
+        return pa.table({"id_a": t["id_a"], "id_b": t["id_b"], "cosine": t[c]})
+
+    return uniq.map_batches(rename, batch_format="pyarrow")
 
 
 # --- cluster + filter --------------------------------------------------------

@@ -143,3 +143,26 @@ def test_html_to_text_extraction(ray_session):
     assert list(out.columns) == ["url", "text"]
     assert "Hello & welcome" in out["text"][0]
     assert out["text"][1] == ""
+
+
+def test_embedding_dup_pairs_lsh(ray_session):
+    """LSH-bucketed near-dup finds planted near-identical vectors; in-bucket
+    exact verify reports true cosine (no full-matrix broadcast anywhere)."""
+    import ray.data
+
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(size=(120, 32))
+    vecs[7] = vecs[3] + rng.normal(scale=0.001, size=32)  # planted near-dup
+    vecs[90] = vecs[40]  # planted exact dup
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(120)]
+    ds = ray.data.from_items(rows)
+    from infidex_ray.ops.dedup import embedding_dup_pairs, embedding_dup_pairs_lsh
+
+    approx = embedding_dup_pairs_lsh(ds, threshold=0.95).to_pandas()
+    found = set(zip(approx.id_a, approx.id_b))
+    assert (3, 7) in found and (40, 90) in found
+    assert approx[(approx.id_a == 40) & (approx.id_b == 90)].cosine.iloc[0] == 1.0
+
+    exact = embedding_dup_pairs(ds, threshold=0.95)
+    exact_pairs = set(zip(exact["id_a"].to_pylist(), exact["id_b"].to_pylist()))
+    assert found <= exact_pairs  # LSH candidates are a verified subset
