@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -51,6 +52,9 @@ class Query:
     sort_ascending: bool = True
     enable_facets: bool = False
     enable_coverage: bool | None = None
+    # Search timeout in ms, clamped to [0, 10000] at execution
+    # (src/Infidex/Api/Query.cs:73-75, SearchEngine.cs:290)
+    timeout_ms: int = 1000
 
 
 @dataclass
@@ -62,6 +66,9 @@ class Result:
     truncation_index: int
     truncation_score: float
     total_candidates: int
+    # src/Infidex/Api/Result.cs:34 (DidTimeOut): the query exceeded its
+    # budget and records are the best-effort stage-1 (or partial) results
+    did_timeout: bool = False
 
 
 def analyze_query(search_text: str, cfg: EngineConfig) -> tuple[bool, bool, str]:
@@ -231,12 +238,32 @@ class Engine:
 
     def search(self, query_text: str, top_k: int = 10, enable_coverage: bool | None = None) -> list[SearchHit]:
         """Full pipeline (SearchPipeline.Execute, SearchPipeline.cs:49-206)."""
+        return self.search_ex(query_text, top_k, enable_coverage)[0]
+
+    def search_ex(
+        self,
+        query_text: str,
+        top_k: int = 10,
+        enable_coverage: bool | None = None,
+        timeout_ms: int | None = None,
+    ) -> tuple[list[SearchHit], bool]:
+        """Full pipeline with the per-query time budget: returns
+        (hits, did_timeout). The budget defaults to 1000 ms and is clamped to
+        [0, 10000] (Query.cs:75, SearchEngine.cs:290); the deadline is
+        checked between pipeline stages and inside the coverage candidate
+        loop (ProcessMonitor.ShouldAbort pattern, Api/ProcessMonitor.cs:196) —
+        on expiry the best-so-far stage-1 backbone is returned flagged."""
+        from .query.pipeline import DeadlineExceeded
+
+        ms = 1000 if timeout_ms is None else timeout_ms
+        ms = max(0, min(int(ms), 10000))
+        deadline = time.monotonic() + ms / 1000.0
         cfg = self.cfg
         q = normalize(query_text.strip()).lower()
         if self.synonym_map is not None:  # SearchEngine.cs:279-286
             q = self.synonym_map.canonicalize_text(q, frozenset(cfg.delimiters))
         if not q:
-            return []
+            return [], False
         coverage_on = cfg.enable_coverage if enable_coverage is None else enable_coverage
 
         can_ngrams, has_mixed, long_words_text = analyze_query(q, cfg)
@@ -257,11 +284,14 @@ class Engine:
         if self.deleted:  # soft-delete tombstones (TombstoneTracker semantics)
             stage1_results = [e for e in stage1_results if e[1] not in self.deleted]
 
+        if time.monotonic() >= deadline:  # between-stage deadline check
+            return self._to_hits(stage1_results[:top_k]), True
+
         is_short = len(q) <= self.SHORT_QUERY_MAX_LENGTH and not any(
             d in q for d in cfg.delimiters
         )
         if is_short and len(stage1_results) >= top_k:
-            return self._to_hits(stage1_results[:top_k])
+            return self._to_hits(stage1_results[:top_k]), False
 
         # short-query coverage gating (SearchPipeline.cs:122-159)
         allow_short_coverage = skip_short_cap = False
@@ -275,12 +305,20 @@ class Engine:
             or (not can_ngrams and not allow_short_coverage)
             or skip_short_cap
         ):
-            return self._to_hits(stage1_results[:top_k])
+            return self._to_hits(stage1_results[:top_k]), False
 
-        final = self._coverage_stage(q, stage1_results, coverage_depth, top_k)
+        if time.monotonic() >= deadline:
+            return self._to_hits(stage1_results[:top_k]), True
+
+        try:
+            final = self._coverage_stage(
+                q, stage1_results, coverage_depth, top_k, deadline=deadline
+            )
+        except DeadlineExceeded:
+            return self._to_hits(stage1_results[:top_k]), True
         if final is None:  # coverage unavailable → stage1 backbone
-            return self._to_hits(stage1_results[:top_k])
-        return self._to_hits(final)
+            return self._to_hits(stage1_results[:top_k]), False
+        return self._to_hits(final), False
 
     # overridable primitives (the distributed executor fans these out)
     def _run_single_char(self, q: str, top_k: int):
@@ -329,10 +367,12 @@ class Engine:
             if hasattr(self, attr):
                 delattr(self, attr)
 
-    def _coverage_stage(self, q, stage1_results, coverage_depth, top_k):
+    def _coverage_stage(self, q, stage1_results, coverage_depth, top_k, deadline=None):
         from .query import pipeline as qp
 
-        return qp.coverage_stage(self, q, stage1_results, coverage_depth, top_k)
+        return qp.coverage_stage(
+            self, q, stage1_results, coverage_depth, top_k, deadline=deadline
+        )
 
     def _to_hits(self, entries: list[tuple[float, int, int]]) -> list[SearchHit]:
         return [SearchHit(score=e[0], doc_key=e[1], tiebreaker=e[2]) for e in entries]
@@ -364,7 +404,10 @@ class Engine:
                 return self._empty_query_with_facets(q)
             return Result([], None, 0, 0.0, 0)
 
-        hits = self.search(q.text, top_k=q.max_results, enable_coverage=q.enable_coverage)
+        hits, did_timeout = self.search_ex(
+            q.text, top_k=q.max_results, enable_coverage=q.enable_coverage,
+            timeout_ms=q.timeout_ms,
+        )
         entries = [(h.score, h.doc_key, h.tiebreaker) for h in hits]
 
         if q.filter:
@@ -392,6 +435,7 @@ class Engine:
             len(top) - 1 if top else 0,
             top[-1][0] if top else 0.0,
             len(entries),
+            did_timeout=did_timeout,
         )
 
     def _empty_query_with_facets(self, q: Query) -> Result:

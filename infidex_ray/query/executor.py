@@ -77,8 +77,20 @@ class IndexShardActor:
     def wm_scan(self, norm_query: str, tfidf_lids, cap: int):
         return qp.wm_scan(self.engine, norm_query, tfidf_lids, cap)
 
-    def run_jobs(self, ctx, jobs, best_chunk):
-        return qp.process_candidates(self.engine, ctx, jobs, best_chunk)
+    def run_jobs(self, ctx, jobs, best_chunk, budget_s: float | None = None):
+        """budget_s = remaining query budget at dispatch (monotonic clocks
+        are per-process, so the driver ships a relative budget, not an
+        absolute deadline). Returns ("timeout", None) instead of raising so
+        the sentinel crosses the actor boundary cleanly."""
+        import time as _time
+
+        deadline = _time.monotonic() + budget_s if budget_s is not None else None
+        try:
+            return qp.process_candidates(
+                self.engine, ctx, jobs, best_chunk, deadline=deadline
+            )
+        except qp.DeadlineExceeded:
+            return "timeout", None
 
     # ---- short queries ------------------------------------------------
     def short_doc_count(self, q: str) -> int:
@@ -201,7 +213,9 @@ class DistributedEngine(Engine):
         )
         return s1.consolidate(s1.merge_topk(per, top_k))
 
-    def _coverage_stage(self, q, stage1_results, coverage_depth, top_k):
+    def _coverage_stage(self, q, stage1_results, coverage_depth, top_k, deadline=None):
+        import time as _time
+
         cfg = self.cfg
         wm_result = (0, [], [])
         if cfg.enable_word_matcher:
@@ -237,12 +251,20 @@ class DistributedEngine(Engine):
             for job in jobs:
                 by_shard.setdefault(self.shard_of_seg[job[0]], []).append(job)
             items = sorted(by_shard.items())
+            budget_s = None if deadline is None else deadline - _time.monotonic()
+            if budget_s is not None and budget_s <= 0:
+                raise qp.DeadlineExceeded
             outs = ray.get(
-                [self.actors[ai].run_jobs.remote(ctx, js, best_chunk) for ai, js in items]
+                [
+                    self.actors[ai].run_jobs.remote(ctx, js, best_chunk, budget_s)
+                    for ai, js in items
+                ]
             )
             results = []
             memo: dict[int, list[int]] = {}
             for res, m in outs:
+                if res == "timeout":
+                    raise qp.DeadlineExceeded
                 results.extend(res)
                 memo.update(m)
             return results, memo

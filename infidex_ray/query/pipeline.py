@@ -32,6 +32,17 @@ from .metrics import lcs_containment
 MEMO_HEIGHT = 2
 
 
+class DeadlineExceeded(Exception):
+    """Per-query time budget expired mid-coverage (the engine catches this
+    and falls back to the stage-1 backbone with Result.did_timeout set —
+    ProcessMonitor.ShouldAbort pattern, src/Infidex/Api/ProcessMonitor.cs:196)."""
+
+
+# deadline polled every this many candidate jobs (time.monotonic is ~20 ns,
+# but the check still shouldn't sit in the innermost matcher loops)
+_DEADLINE_STRIDE = 16
+
+
 def _word_matcher_for(engine, si: int):
     """Build (once) a segment's word-matcher tables — actor-init-style lazy
     state (WordMatcher.FinalizeIndex analogue). ``si`` is the global segment
@@ -159,6 +170,7 @@ def process_candidates(
     ctx: cov.CoverageContext,
     jobs: list[tuple[int, int, float, int]],
     best_chunk: dict[int, tuple[int, int]],
+    deadline: float | None = None,
 ) -> tuple[list[tuple[float, int, int, int]], dict[int, list[int]]]:
     """Shard-local candidate scoring (SearchPipeline.ProcessCandidate,
     :449-522). ``jobs`` = (si, lid, base_score, doc_index) in processing
@@ -173,7 +185,15 @@ def process_candidates(
     memo: dict[int, list[int]] = {}
     results: list[tuple[float, int, int, int]] = []
 
-    for si, lid, base_score, di in jobs:
+    import time as _time
+
+    for n_done, (si, lid, base_score, di) in enumerate(jobs):
+        if (
+            deadline is not None
+            and n_done % _DEADLINE_STRIDE == 0
+            and _time.monotonic() >= deadline
+        ):
+            raise DeadlineExceeded
         seg = engine.seg_by_id(si)
         key = int(seg.doc_keys[lid])
         # coverage text = best-scoring chunk for this key when stage 1 found
@@ -325,7 +345,9 @@ def coverage_driver(
     return final[:result_count]
 
 
-def coverage_stage(engine, norm_query, stage1_results, coverage_depth, top_k):
+def coverage_stage(
+    engine, norm_query, stage1_results, coverage_depth, top_k, deadline=None
+):
     """In-process coverage: the engine is one 'shard' holding every segment."""
     cfg = engine.cfg
     key_of_loc = lambda key: _key_index_for(engine).get(key)  # noqa: E731
@@ -349,7 +371,7 @@ def coverage_stage(engine, norm_query, stage1_results, coverage_depth, top_k):
     )
 
     def run_jobs(jobs, best_chunk):
-        return process_candidates(engine, ctx, jobs, best_chunk)
+        return process_candidates(engine, ctx, jobs, best_chunk, deadline=deadline)
 
     return coverage_driver(
         cfg, ctx, stage1_results, wm_result, coverage_depth, top_k, run_jobs,

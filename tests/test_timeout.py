@@ -1,0 +1,72 @@
+"""Per-query timeout budget (src/Infidex/Api/Query.cs:73-75,
+SearchEngine.cs:290, Api/Result.cs:34): default 1000 ms clamped [0, 10000];
+on expiry the stage-1 backbone is returned with did_timeout set."""
+
+import pytest
+
+from infidex_ray.config import EngineConfig
+from infidex_ray.engine import Engine, Query
+
+
+@pytest.fixture(scope="module")
+def eng(ray_session, minicorpus, tmp_path_factory):
+    import ray.data
+
+    rows = [{"doc_key": k, "text": t} for k, t in minicorpus]
+    out = str(tmp_path_factory.mktemp("idx_timeout"))
+    return Engine.build(
+        ray.data.from_items(rows), out, EngineConfig(), text_column="text",
+        key_column="doc_key",
+    )
+
+
+def test_zero_budget_returns_stage1_flagged(eng):
+    hits, timed_out = eng.search_ex("quick brown fox", top_k=5, timeout_ms=0)
+    assert timed_out
+    assert hits  # stage-1 backbone still returned
+    full, ok = eng.search_ex("quick brown fox", top_k=5, timeout_ms=10000)
+    assert not ok
+    # stage-1-only scores differ from coverage-fused, but doc 1 still leads
+    assert hits[0].doc_key in {h.doc_key for h in full}
+
+
+def test_default_budget_no_timeout(eng):
+    hits, timed_out = eng.search_ex("quick brown fox", top_k=5)
+    assert not timed_out and hits
+
+
+def test_clamp_over_10s(eng):
+    # >10000 is clamped, not an error (SearchEngine.cs:290)
+    hits, timed_out = eng.search_ex("fox", top_k=5, timeout_ms=999999)
+    assert not timed_out
+
+
+def test_query_result_carries_flag(eng):
+    res = eng.query(Query("quick brown fox", max_results=5, timeout_ms=0))
+    assert res.did_timeout and res.records
+    res2 = eng.query(Query("quick brown fox", max_results=5))
+    assert not res2.did_timeout
+
+
+def test_timeout_rank_identity_when_not_hit(eng):
+    """A generous budget must not perturb ranking."""
+    a = [(h.doc_key, h.score) for h in eng.search("quick brown fox", top_k=10)]
+    b, _ = eng.search_ex("quick brown fox", top_k=10, timeout_ms=10000)
+    assert a == [(h.doc_key, h.score) for h in b]
+
+
+def test_distributed_timeout(ray_session, minicorpus, tmp_path_factory):
+    import ray.data
+
+    from infidex_ray.query.executor import DistributedEngine
+
+    rows = [{"doc_key": k, "text": t} for k, t in minicorpus]
+    out = str(tmp_path_factory.mktemp("idx_timeout_dist"))
+    cfg = EngineConfig(target_docs_per_segment=3)
+    Engine.build(ray.data.from_items(rows), out, cfg, text_column="text",
+                 key_column="doc_key")
+    deng = DistributedEngine.connect(out, num_shards=2, warm=False)
+    hits, timed_out = deng.search_ex("quick brown fox", top_k=5, timeout_ms=0)
+    assert timed_out and hits
+    hits2, ok = deng.search_ex("quick brown fox", top_k=5, timeout_ms=10000)
+    assert not ok and hits2
