@@ -54,7 +54,7 @@ def _engine_for(sf_dir: str) -> Engine:
     eng = _ENGINE_CACHE.get(sf_dir)
     if eng is None:
         out = os.path.join(
-            "/tmp/infidex_ray_idx", sf_dir.strip("/").replace("/", "_") + "_v2"
+            "/tmp/infidex_ray_idx", sf_dir.strip("/").replace("/", "_") + "_v3"
         )
         # stale-layout guard: rebuild if a previous run wrote segments
         # without the stored field columns this contract needs

@@ -256,6 +256,16 @@ def _finish_segment(
     extra = {"word_df.parquet": word_df_table}
     if field_columns:
         extra["fields.parquet"] = pa.table(field_columns)
+
+    # build-time short-query artifacts (champion lists + word-start prefix
+    # counts) — the 1:1 lowering matches the query-time scan contract
+    # (SegmentShortQuery.lower_texts), NOT the indexing str.lower above
+    from .query.coverage import lower_1to1
+    from .query.shortquery import compute_short_tables
+
+    sq_lower = [lower_1to1(t) for t in norm_texts]
+    sq_words = [[w for w in splitter.split(t) if w] for t in sq_lower]
+    extra.update(compute_short_tables(sq_lower, sq_words, doc_keys, seg_id=0))
     seglib.write_segment(
         seg_dir, terms, np.asarray(df_arr, dtype=np.int64), postings, docmap, meta,
         extra_tables=extra,
@@ -506,6 +516,7 @@ def merge_index(
     os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "stats"), exist_ok=True)
 
+    delimiters = tuple(manifest["config"]["delimiters"])
     merge_fn = seglib.merge_segments
     if use_ray:
         import ray
@@ -523,9 +534,9 @@ def merge_index(
                 nxt.append(group[0])
                 continue
             if use_ray:
-                futures.append(remote_merge.remote(group, dest))
+                futures.append(remote_merge.remote(group, dest, delimiters=delimiters))
             else:
-                merge_fn(group, dest)
+                merge_fn(group, dest, delimiters=delimiters)
             nxt.append(dest)
         if use_ray and futures:
             import ray
@@ -539,7 +550,7 @@ def merge_index(
         if os.path.dirname(current[0]) == os.path.join(out_dir, "segments"):
             os.rename(current[0], final_dir)
         else:  # single input segment: merge-copy it
-            merge_fn(current, final_dir)
+            merge_fn(current, final_dir, delimiters=delimiters)
 
     import shutil
 

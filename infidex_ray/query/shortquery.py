@@ -26,6 +26,125 @@ from ..config import START_PAD_CHAR
 
 MAX_TERMS_PER_PREFIX = 4096  # ShortQueryProcessor.cs:17
 FUZZY_FALLBACK_DOC_LIMIT = 100  # :221
+CHAMPION_SIZE = 64  # ShortQueryResolver.cs:23
+MAX_PREFIX_LEN = 3  # word-start prefix counts cover the ≤3-char short path
+
+
+def compute_short_tables(
+    lower_texts: list[str],
+    words: list[list[str]],
+    doc_keys,
+    seg_id: int = 0,
+    champion_size: int = CHAMPION_SIZE,
+    max_prefix_len: int = MAX_PREFIX_LEN,
+) -> dict:
+    """Build-time short-query artifacts (the reference freezes these into its
+    PositionalPrefixIndex at build, src/Infidex/Indexing/ShortQuery/
+    PositionalPrefixIndex.cs:11-298 + ShortQueryResolver.cs:23; round 1
+    recomputed them by scanning every doc text per cold query):
+
+    * ``sq_champions.parquet`` — per single char, the segment's top-64
+      entries (score = precedence + normalized base, exactly the
+      SearchSingleCharacter formula), persisted in rank order;
+    * ``sq_prefix.parquet``    — word-start prefix (len 1..3) → number of
+      docs containing a word with that prefix (the short-query coverage
+      gate's CountDocuments).
+
+    One pass per doc — O(total text chars), the same order as tokenization.
+    """
+    import pyarrow as pa
+
+    per_char: dict[str, list] = {}
+    prefix_counts: dict[str, int] = {}
+    for lid, (lower, ws) in enumerate(zip(lower_texts, words)):
+        if lower:
+            key = int(doc_keys[lid])
+            char_count: dict[str, int] = {}
+            first_idx: dict[str, int] = {}
+            for i, c in enumerate(lower):
+                if c in char_count:
+                    char_count[c] += 1
+                else:
+                    char_count[c] = 1
+                    first_idx[c] = i
+            start_count: dict[str, int] = {}
+            first_word: dict[str, int] = {}
+            any_exact: set[str] = set()
+            for i, w in enumerate(ws):
+                c = w[0]
+                if c in start_count:
+                    start_count[c] += 1
+                else:
+                    start_count[c] = 1
+                    first_word[c] = i
+                if len(w) == 1:
+                    any_exact.add(c)
+            first_token_exact_ch = ws[0][0] if ws and len(ws[0]) == 1 else None
+            title_equals_ch = lower[0] if len(lower) == 1 else None
+            small_doc = len(ws) <= 3
+            for ch, cc in char_count.items():
+                has_word_start = ch in start_count
+                precedence = 0
+                if has_word_start:
+                    precedence |= 128
+                    if first_word[ch] == 0:
+                        precedence |= 64
+                if ch in any_exact:
+                    precedence |= 32
+                if ch == first_token_exact_ch:
+                    precedence |= 16
+                if ch == title_equals_ch:
+                    precedence |= 8
+                if small_doc:
+                    precedence |= 32
+                if has_word_start:
+                    pos_c = 255 - min(first_word[ch] * 16, 240)
+                    dens_c = min(start_count[ch] * 8, 32)
+                    raw = min(max(pos_c + dens_c, 0), 255)
+                    base = raw / 255.0
+                else:
+                    pos_c = 200 - min(max(first_idx[ch], 0) * 4, 180)
+                    dens_c = min(cc * 4, 40)
+                    raw = min(max(pos_c + dens_c, 0), 200)
+                    base = max(1, raw) / 255.0
+                per_char.setdefault(ch, []).append(
+                    (float(precedence) + base, key, 0, seg_id, lid)
+                )
+        seen: set[str] = set()
+        for w in ws:
+            for L in range(1, min(max_prefix_len, len(w)) + 1):
+                seen.add(w[:L])
+        for p in seen:
+            prefix_counts[p] = prefix_counts.get(p, 0) + 1
+
+    ch_col: list[str] = []
+    sc_col: list[float] = []
+    dk_col: list[int] = []
+    lid_col: list[int] = []
+    for ch in sorted(per_char):
+        es = per_char[ch]
+        es.sort(key=lambda e: (-e[0], -e[2], e[1]))
+        for e in es[:champion_size]:
+            ch_col.append(ch)
+            sc_col.append(e[0])
+            dk_col.append(e[1])
+            lid_col.append(e[4])
+    champs = pa.table(
+        {
+            "ch": pa.array(ch_col, pa.large_string()),
+            "score": pa.array(sc_col, pa.float64()),
+            "doc_key": pa.array(dk_col, pa.int64()),
+            "lid": pa.array(lid_col, pa.int32()),
+        }
+    )
+    pref_sorted = sorted(prefix_counts.items())
+    prefixes = pa.table(
+        {
+            "prefix": pa.array([p for p, _ in pref_sorted], pa.large_string()),
+            "n_docs": pa.array([n for _, n in pref_sorted], pa.int64()),
+        }
+    )
+    return {"sq_champions.parquet": champs, "sq_prefix.parquet": prefixes}
 
 
 def build_prefix_patterns(search_lower: str, min_index_size: int, start_pad_size: int) -> list[str]:
@@ -66,13 +185,41 @@ class SegmentShortQuery:
             ]
         return self._words
 
-    CHAMPION_SIZE = 64  # ShortQueryResolver.cs:23
+    CHAMPION_SIZE = CHAMPION_SIZE
+
+    @property
+    def _champ_map(self) -> dict | None:
+        """Frozen per-char champion lists from the build artifact
+        (sq_champions.parquet; see compute_short_tables). None when the
+        segment predates the artifact → scan fallback."""
+        m = getattr(self, "_champ_map_cache", False)
+        if m is False:
+            tables = getattr(self.seg, "short_tables", None) or {}
+            t = tables.get("sq_champions.parquet")
+            if t is None:
+                m = None
+            else:
+                m = {}
+                sid = self.seg.seg_id
+                for ch, sc, dk, lid in zip(
+                    t["ch"].to_pylist(),
+                    t["score"].to_pylist(),
+                    t["doc_key"].to_pylist(),
+                    t["lid"].to_pylist(),
+                ):
+                    m.setdefault(ch, []).append((sc, dk, 0, sid, lid))
+            self._champ_map_cache = m
+        return m
 
     def champions(self, ch: str) -> list[tuple]:
-        """Top-64 single-char entries per segment, computed once per char
-        (champion lists, ShortQueryResolver.TryGetChampions). Exact for any
-        global top-k ≤ 64: per-doc scores are independent, so the global
-        top-k is contained in the union of per-segment champions."""
+        """Top-64 single-char entries per segment — read from the build-time
+        champion artifact when present (PositionalPrefixIndex semantics), else
+        computed once per char by scan. Exact for any global top-k ≤ 64:
+        per-doc scores are independent, so the global top-k is contained in
+        the union of per-segment champions."""
+        cm = self._champ_map
+        if cm is not None:
+            return cm.get(ch, [])
         cache = getattr(self, "_champions", None)
         if cache is None:
             cache = self._champions = {}
@@ -165,6 +312,30 @@ class SegmentShortQuery:
                     first_prefix.add(key)
 
     # -- fuzzy fallback (ProcessFuzzyFallback, :310-353) -------------------
+    def _char_term_maps(self):
+        """char → sorted term indices containing it, and char → term indices
+        containing ' '+char (word boundary). Built once per segment per actor
+        — bounds the fuzzy fallback to the matching terms instead of the
+        round-1 per-QUERY O(vocab) Python scan over the dictionary."""
+        maps = getattr(self, "_ctm", None)
+        if maps is None:
+            char_map: dict[str, list[int]] = {}
+            boundary_map: dict[str, list[int]] = {}
+            for ti, term in enumerate(self.seg.terms):
+                text = str(term)
+                for c in set(text):
+                    char_map.setdefault(c, []).append(ti)
+                bset = {
+                    text[j + 1] for j in range(len(text) - 1) if text[j] == " "
+                }
+                for c in bset:
+                    boundary_map.setdefault(c, []).append(ti)
+            maps = self._ctm = (
+                {c: np.asarray(v, dtype=np.int64) for c, v in char_map.items()},
+                {c: np.asarray(v, dtype=np.int64) for c, v in boundary_map.items()},
+            )
+        return maps
+
     def fuzzy_pass(
         self,
         patterns: list[str],
@@ -173,28 +344,35 @@ class SegmentShortQuery:
         first_prefix: set[int],
     ) -> None:
         seg = self.seg
+        char_map, boundary_map = self._char_term_maps()
+        qchars = set(search_lower)
+        cand_parts = [char_map[c] for c in qchars if c in char_map]
+        if not cand_parts:
+            return
+        cand = cand_parts[0] if len(cand_parts) == 1 else np.union1d(
+            cand_parts[0], np.concatenate(cand_parts[1:])
+        )
+        # drop terms already accumulated by a prefix pattern (startswith(p)
+        # is exactly the sorted-dictionary range of p)
+        keep = np.ones(len(cand), dtype=bool)
+        for p in patterns:
+            lo, hi = seg.term_prefix_range(p)
+            if hi > lo:
+                keep &= ~((cand >= lo) & (cand < hi))
+        bound_parts = [boundary_map[c] for c in qchars if c in boundary_map]
+        bset = (
+            set(np.concatenate(bound_parts).tolist()) if bound_parts else set()
+        )
         checked_prefix: set[int] = set(doc_scores.keys())
-        for ti, term in enumerate(seg.terms):
-            text = str(term)
-            if any(text.startswith(p) for p in patterns):
-                continue
-            has_word_boundary = False
-            char_matches = 0
-            for q_char in search_lower:
-                if (" " + q_char) in text:
-                    has_word_boundary = True
-                    char_matches += 1
-                elif q_char in text:
-                    char_matches += 1
-            if has_word_boundary or char_matches > 0:
-                self._accumulate_term(
-                    ti,
-                    2 if has_word_boundary else 1,
-                    doc_scores,
-                    first_prefix,
-                    checked_prefix,
-                    search_lower,
-                )
+        for ti in cand[keep].tolist():
+            self._accumulate_term(
+                ti,
+                2 if ti in bset else 1,
+                doc_scores,
+                first_prefix,
+                checked_prefix,
+                search_lower,
+            )
 
     # -- final scoring (BuildFinalScores + ComputePrecedence, :355-434) ----
     def final_entries(
@@ -229,7 +407,24 @@ class SegmentShortQuery:
         return m
 
     # -- coverage gating (ShortQueryIndex.CountDocuments analogue) ---------
+    @property
+    def _prefix_counts(self) -> dict | None:
+        pc = getattr(self, "_prefix_counts_cache", False)
+        if pc is False:
+            tables = getattr(self.seg, "short_tables", None) or {}
+            t = tables.get("sq_prefix.parquet")
+            pc = (
+                dict(zip(t["prefix"].to_pylist(), t["n_docs"].to_pylist()))
+                if t is not None
+                else None
+            )
+            self._prefix_counts_cache = pc
+        return pc
+
     def count_word_start_docs(self, prefix: str) -> int:
+        pc = self._prefix_counts
+        if pc is not None and len(prefix) <= MAX_PREFIX_LEN:
+            return pc.get(prefix, 0)
         return sum(
             1 for ws in self.words if any(w.startswith(prefix) for w in ws)
         )

@@ -211,6 +211,9 @@ class SegmentData:
     meta: dict
     fields: dict[str, list] | None = None  # stored filter/facet/sort columns
     seg_numbers: np.ndarray | None = None  # chunk number per local doc
+    # build-time short-query artifacts (sq_champions/sq_prefix parquet; see
+    # query/shortquery.compute_short_tables). None for pre-artifact segments.
+    short_tables: dict[str, "pa.Table"] | None = None
 
     @property
     def n_docs(self) -> int:
@@ -250,6 +253,13 @@ def read_segment(seg_dir: str, seg_id: int = 0, mmap: bool = True) -> SegmentDat
     if os.path.exists(fpath):
         ft = pq.read_table(fpath)
         fields = {name: ft[name].to_pylist() for name in ft.column_names}
+    short_tables = None
+    for name in ("sq_champions.parquet", "sq_prefix.parquet"):
+        spath = os.path.join(seg_dir, name)
+        if os.path.exists(spath):
+            if short_tables is None:
+                short_tables = {}
+            short_tables[name] = pq.read_table(spath)
     seg_numbers = (
         doc_table["seg_number"].to_numpy()
         if "seg_number" in doc_table.column_names
@@ -258,6 +268,7 @@ def read_segment(seg_dir: str, seg_id: int = 0, mmap: bool = True) -> SegmentDat
     return SegmentData(
         fields=fields,
         seg_numbers=seg_numbers,
+        short_tables=short_tables,
         seg_id=seg_id,
         terms=term_table["term"].to_numpy(),
         df=term_table["df"].to_numpy(),
@@ -276,10 +287,15 @@ def read_segment(seg_dir: str, seg_id: int = 0, mmap: bool = True) -> SegmentDat
     )
 
 
-def merge_segments(seg_dirs: list[str], out_dir: str, seg_id: int = 0) -> dict:
+def merge_segments(
+    seg_dirs: list[str], out_dir: str, seg_id: int = 0, delimiters=None
+) -> dict:
     """K-way merge of doc-range-disjoint segments into one
     (SegmentMerger.cs:13-136 semantics: sorted term streams merged; postings
-    concatenated with doc-base offsets, which preserves sorted doc ids)."""
+    concatenated with doc-base offsets, which preserves sorted doc ids).
+    Per-segment side tables are carried through: word_df summed, fields
+    concatenated, and — when ``delimiters`` is given — the short-query
+    artifacts recomputed over the merged docmap."""
     segs = [read_segment(d, i) for i, d in enumerate(seg_dirs)]
     doc_bases = np.cumsum([0] + [s.n_docs for s in segs[:-1]]).astype(np.int64)
 
@@ -328,6 +344,44 @@ def merge_segments(seg_dirs: list[str], out_dir: str, seg_id: int = 0) -> dict:
         "merged_from": [s.meta.get("segment_dir", d) for s, d in zip(segs, seg_dirs)],
         "segment_dir": out_dir,
     }
+
+    extra: dict[str, pa.Table] = {}
+    # word-level df: sum across inputs (doc-disjoint)
+    word_df: dict[str, int] = {}
+    for d in seg_dirs:
+        wpath = os.path.join(d, "word_df.parquet")
+        if os.path.exists(wpath):
+            wt = pq.read_table(wpath)
+            for w, c in zip(wt["word"].to_pylist(), wt["df"].to_pylist()):
+                word_df[w] = word_df.get(w, 0) + int(c)
+    if word_df:
+        extra["word_df.parquet"] = pa.table(
+            {
+                "word": pa.array(list(word_df.keys()), pa.large_string()),
+                "df": pa.array(list(word_df.values()), pa.int64()),
+            }
+        )
+    # stored field columns: concatenate when every input carries them
+    if all(s.fields for s in segs) and segs:
+        names = list(segs[0].fields.keys())
+        if all(list(s.fields.keys()) == names for s in segs):
+            extra["fields.parquet"] = pa.table(
+                {n: sum((s.fields[n] for s in segs), []) for n in names}
+            )
+    # short-query artifacts over the merged docmap
+    if delimiters is not None:
+        from .analyzer import _word_splitter
+        from .query.coverage import lower_1to1
+        from .query.shortquery import compute_short_tables
+
+        splitter = _word_splitter(tuple(delimiters))
+        lower = [lower_1to1(t) for t in docmap["norm_text"]]
+        words = [[w for w in splitter.split(t) if w] for t in lower]
+        extra.update(
+            compute_short_tables(lower, words, docmap["doc_key"], seg_id)
+        )
+
     return write_segment(
-        out_dir, terms_out, np.asarray(df_out, dtype=np.int64), postings_out, docmap, meta
+        out_dir, terms_out, np.asarray(df_out, dtype=np.int64), postings_out, docmap,
+        meta, extra_tables=extra or None,
     )

@@ -91,3 +91,81 @@ def test_short_query_segment_invariance(tmp_path_factory):
         }
         results.append(per_query)
     assert results[0] == results[1]
+
+
+# ---------------------------------------------------------------------------
+# build-time artifacts (sq_champions / sq_prefix) vs the scan path
+
+
+def test_build_artifacts_present(sq_engine):
+    for seg in sq_engine.segments:
+        assert seg.short_tables is not None
+        assert "sq_champions.parquet" in seg.short_tables
+        assert "sq_prefix.parquet" in seg.short_tables
+
+
+def test_artifact_champions_match_scan(sq_engine):
+    """Frozen champion lists must be byte-identical to the on-the-fly scan
+    (same entries, same order) for every char in the corpus."""
+    from dataclasses import replace
+
+    from infidex_ray.analyzer import _word_splitter
+    from infidex_ray.query.shortquery import SegmentShortQuery
+
+    splitter = _word_splitter(sq_engine.cfg.delimiters)
+    chars = set("".join(TITLES).lower()) | {"z", "?"}
+    for seg in sq_engine.segments:
+        s_art = SegmentShortQuery(seg, splitter)
+        s_scan = SegmentShortQuery(replace(seg, short_tables=None), splitter)
+        assert s_art._champ_map is not None and s_scan._champ_map is None
+        for ch in chars:
+            assert s_art.champions(ch) == s_scan.champions(ch), ch
+
+
+def test_artifact_prefix_counts_match_scan(sq_engine):
+    from dataclasses import replace
+
+    from infidex_ray.analyzer import _word_splitter
+    from infidex_ray.query.shortquery import SegmentShortQuery
+
+    splitter = _word_splitter(sq_engine.cfg.delimiters)
+    prefixes = {"v", "va", "val", "x", "io", "th", "the", "zz", "a", "ra"}
+    for seg in sq_engine.segments:
+        s_art = SegmentShortQuery(seg, splitter)
+        s_scan = SegmentShortQuery(replace(seg, short_tables=None), splitter)
+        for p in prefixes:
+            assert s_art.count_word_start_docs(p) == s_scan.count_word_start_docs(p), p
+
+
+def test_vectorized_fuzzy_matches_reference_loop(sq_engine):
+    """The char→terms index fuzzy pass must accumulate exactly what the
+    reference's full-vocabulary loop does (ProcessFuzzyFallback, :310-353)."""
+    from infidex_ray.analyzer import _word_splitter
+    from infidex_ray.query.shortquery import SegmentShortQuery, build_prefix_patterns
+
+    splitter = _word_splitter(sq_engine.cfg.delimiters)
+    for q in ["xq", "io", "zz"]:
+        patterns = build_prefix_patterns(q, 3, 2)
+        for seg in sq_engine.segments:
+            s = SegmentShortQuery(seg, splitter)
+            ds_fast, fp_fast = s.prefix_pass(patterns, q)
+            s.fuzzy_pass(patterns, q, ds_fast, fp_fast)
+
+            # brute-force reference loop
+            ds_ref, fp_ref = s.prefix_pass(patterns, q)
+            checked = set(ds_ref.keys())
+            for ti, term in enumerate(seg.terms):
+                text = str(term)
+                if any(text.startswith(p) for p in patterns):
+                    continue
+                has_b = False
+                matches = 0
+                for qc in q:
+                    if (" " + qc) in text:
+                        has_b = True
+                        matches += 1
+                    elif qc in text:
+                        matches += 1
+                if has_b or matches > 0:
+                    s._accumulate_term(ti, 2 if has_b else 1, ds_ref, fp_ref, checked, q)
+            assert ds_fast == ds_ref and fp_fast == fp_ref, q
