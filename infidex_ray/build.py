@@ -554,10 +554,13 @@ def merge_index(
 
     import shutil
 
-    for name in ("df.parquet", "word_df.parquet", "stats.json"):
-        shutil.copy(
-            os.path.join(index_dir, "stats", name), os.path.join(out_dir, "stats", name)
-        )
+    for name in ("df.parquet", "word_df.parquet", "stats.json", "df", "word_df"):
+        src = os.path.join(index_dir, "stats", name)
+        dst = os.path.join(out_dir, "stats", name)
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        elif os.path.exists(src):
+            shutil.copy(src, dst)
     tomb = os.path.join(index_dir, "tombstones.json")
     if os.path.exists(tomb):
         shutil.copy(tomb, os.path.join(out_dir, "tombstones.json"))
@@ -619,26 +622,41 @@ def append_to_index(
         field_columns=field_columns,
     )
 
-    # merge the delta's df into the global stats tables
-    for fname, col, new in (
-        ("df.parquet", "term", dict(zip(meta["terms"], meta["term_df"]))),
-        ("word_df.parquet", "word", dict(meta["word_df"])),
+    # merge the delta's df into the global stats tables. Single-file layout:
+    # read-modify-write (fine at local scale). Sharded layout (distributed
+    # build): APPEND a sorted delta part — ShardedDfLookup sums overlapping
+    # parts, so the base vocab is never rewritten.
+    for base, col, new in (
+        ("df", "term", dict(zip(meta["terms"], meta["term_df"]))),
+        ("word_df", "word", dict(meta["word_df"])),
     ):
-        path = os.path.join(index_dir, "stats", fname)
-        t = pq.read_table(path)
-        merged = dict(zip(t[col].to_pylist(), t["df"].to_pylist()))
-        for k, v in new.items():
-            merged[k] = merged.get(k, 0) + v
-        ks = sorted(merged.keys())
-        pq.write_table(
-            pa.table(
-                {
-                    col: pa.array(ks, pa.large_string()),
-                    "df": pa.array([merged[k] for k in ks], pa.int64()),
-                }
-            ),
-            path,
-        )
+        path = os.path.join(index_dir, "stats", f"{base}.parquet")
+        if os.path.exists(path):
+            t = pq.read_table(path)
+            merged = dict(zip(t[col].to_pylist(), t["df"].to_pylist()))
+            for k, v in new.items():
+                merged[k] = merged.get(k, 0) + v
+            ks = sorted(merged.keys())
+            pq.write_table(
+                pa.table(
+                    {
+                        col: pa.array(ks, pa.large_string()),
+                        "df": pa.array([merged[k] for k in ks], pa.int64()),
+                    }
+                ),
+                path,
+            )
+        else:
+            ks = sorted(new.keys())
+            pq.write_table(
+                pa.table(
+                    {
+                        col: pa.array(ks, pa.large_string()),
+                        "df": pa.array([new[k] for k in ks], pa.int64()),
+                    }
+                ),
+                os.path.join(index_dir, "stats", base, f"{name}.parquet"),
+            )
 
     manifest["segments"].append(
         {"name": name, "n_docs": meta["n_docs"], "lineage": meta.get("lineage", {})}
@@ -712,37 +730,32 @@ def build_index(
     agg = df_rows.groupby(["kind", "term"]).sum("df")
     t_plan = time.perf_counter()
 
-    import pyarrow.parquet as pq
+    # Global vocab stats written DISTRIBUTED: sorted, range-partitioned
+    # parquet parts per kind — the driver never materializes the vocabulary
+    # (round 1 collected it to the driver, which breaks at CC scale where
+    # the word vocab alone is ~1e9 rows). ShardedDfLookup probes only the
+    # parts whose footer [min,max] covers a term and sums matches, so
+    # incremental deltas can later append overlapping parts.
+    def _rename_df(batch: pa.Table) -> pa.Table:
+        col = "sum(df)" if "sum(df)" in batch.column_names else "df"
+        return pa.table(
+            {"kind": batch["kind"], "term": batch["term"], "df": batch[col]}
+        )
 
-    # NOTE scale path: at 100 TB the vocab tables should be written with
-    # agg.write_parquet (hash-partitioned by term) and probed with parquet
-    # predicate pushdown; collecting to the driver is fine below ~100M terms.
-    agg_batches = list(agg.iter_batches(batch_size=None, batch_format="pyarrow"))
-    agg_table = (
-        pa.concat_tables(agg_batches)
-        if agg_batches
-        else pa.table({"kind": pa.array([], pa.string()),
-                       "term": pa.array([], pa.large_string()),
-                       "sum(df)": pa.array([], pa.int64())})
-    )
-    col_df = "sum(df)" if "sum(df)" in agg_table.column_names else "df"
-    kinds = agg_table["kind"].to_numpy(zero_copy_only=False)
+    agg_m = agg.map_batches(_rename_df, batch_format="pyarrow").materialize()
+    for kind, base, col in (("term", "df", "term"), ("word", "word_df", "word")):
 
-    term_mask = kinds == "term"
-    term_table = pa.table(
-        {
-            "term": agg_table["term"].filter(pa.array(term_mask)),
-            "df": agg_table[col_df].filter(pa.array(term_mask)),
-        }
-    ).sort_by("term")
-    word_table = pa.table(
-        {
-            "word": agg_table["term"].filter(pa.array(~term_mask)),
-            "df": agg_table[col_df].filter(pa.array(~term_mask)),
-        }
-    ).sort_by("word")
-    pq.write_table(term_table, os.path.join(out_dir, "stats", "df.parquet"))
-    pq.write_table(word_table, os.path.join(out_dir, "stats", "word_df.parquet"))
+        def only(batch: pa.Table, _k=kind, _c=col) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = batch.filter(pc.equal(batch["kind"], _k))
+            return pa.table({_c: t["term"], "df": t["df"]})
+
+        dest = os.path.join(out_dir, "stats", base)
+        import shutil
+
+        shutil.rmtree(dest, ignore_errors=True)
+        agg_m.map_batches(only, batch_format="pyarrow").sort(col).write_parquet(dest)
     t_exec = time.perf_counter()
 
     # per-segment metas → manifest + global stats

@@ -107,6 +107,108 @@ class DfLookup:
         return 0
 
 
+class ShardedDfLookup:
+    """Vocab df lookup over a DIRECTORY of sorted parquet parts — the layout
+    ``build_index`` writes distributed (``agg.sort(col).write_parquet``), so
+    the driver never holds the vocabulary. Part key ranges come from parquet
+    footer statistics; a probe opens only the parts whose [min, max] covers
+    the term and SUMS their dfs (overlapping parts are how incremental delta
+    stats are appended without rewriting the base). Per-part arrays load
+    lazily and stay cached — actor-local state touching O(parts probed)."""
+
+    def __init__(self, parts: list[tuple[str, str, str]], col: str):
+        # parts: (min_term, max_term, path), sorted by min_term
+        self.parts = sorted(parts)
+        self.col = col
+        self._cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._merged: tuple[np.ndarray, np.ndarray] | None = None
+
+    @classmethod
+    def from_dir(cls, d: str) -> "ShardedDfLookup":
+        import glob
+
+        import pyarrow.parquet as pq
+
+        parts = []
+        col = None
+        for p in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            pf = pq.ParquetFile(p)
+            md = pf.metadata
+            if md.num_rows == 0:
+                continue
+            if col is None:
+                names = pf.schema_arrow.names
+                col = "term" if "term" in names else "word"
+            ci = pf.schema_arrow.names.index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or st.min is None:
+                    mins, maxs = None, None
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins is None:  # stats stripped → conservative full range
+                parts.append(("", "\U0010ffff" * 4, p))
+            else:
+                parts.append((min(mins), max(maxs), p))
+        return cls(parts, col or "term")
+
+    def _load(self, path: str) -> tuple[np.ndarray, np.ndarray]:
+        hit = self._cache.get(path)
+        if hit is None:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(path)
+            hit = self._cache[path] = (t[self.col].to_numpy(), t["df"].to_numpy())
+        return hit
+
+    def __call__(self, term: str) -> int:
+        total = 0
+        for mn, mx, path in self.parts:
+            if mn <= term <= mx:
+                terms, dfs = self._load(path)
+                i = np.searchsorted(terms, term)
+                if i < len(terms) and terms[i] == term:
+                    total += int(dfs[i])
+        return total
+
+    def _merge_all(self) -> tuple[np.ndarray, np.ndarray]:
+        """Full materialized view (duplicate keys summed, sorted) — only for
+        small-scale driver conveniences like the contract's term_df dump;
+        query paths never call this."""
+        if self._merged is None:
+            acc: dict = {}
+            for _, _, path in self.parts:
+                terms, dfs = self._load(path)
+                for t, d in zip(terms.tolist(), dfs.tolist()):
+                    acc[t] = acc.get(t, 0) + int(d)
+            keys = sorted(acc)
+            self._merged = (
+                np.asarray(keys, dtype=object),
+                np.asarray([acc[k] for k in keys], dtype=np.int64),
+            )
+        return self._merged
+
+    @property
+    def terms(self) -> np.ndarray:
+        return self._merge_all()[0]
+
+    @property
+    def dfs(self) -> np.ndarray:
+        return self._merge_all()[1]
+
+
+def load_df_lookup(index_dir: str, base: str):
+    """Open the vocab stats in either layout: single-file (local/test builds,
+    ``stats/<base>.parquet``) or the sharded directory the distributed build
+    writes (``stats/<base>/``)."""
+    f = os.path.join(index_dir, "stats", f"{base}.parquet")
+    if os.path.exists(f):
+        return DfLookup.from_parquet(f)
+    return ShardedDfLookup.from_dir(os.path.join(index_dir, "stats", base))
+
+
 class Engine:
     def __init__(
         self,
@@ -185,10 +287,8 @@ class Engine:
             read_segment(os.path.join(seg_root, manifest["segments"][i]["name"]), i)
             for i in indices
         ]
-        df_lookup = DfLookup.from_parquet(os.path.join(index_dir, "stats", "df.parquet"))
-        word_df = DfLookup.from_parquet(
-            os.path.join(index_dir, "stats", "word_df.parquet")
-        )
+        df_lookup = load_df_lookup(index_dir, "df")
+        word_df = load_df_lookup(index_dir, "word_df")
         stats = manifest["stats"]
         return cls(
             index_dir,

@@ -30,7 +30,7 @@ import numpy as np
 import ray
 
 from ..config import EngineConfig
-from ..engine import DfLookup, Engine
+from ..engine import Engine, load_df_lookup
 from . import coverage as cov
 from . import pipeline as qp
 from . import shortquery as sq
@@ -175,10 +175,8 @@ class DistributedEngine(Engine):
         for ai, s in enumerate([s for s in slices if len(s)]):
             for si in s.tolist():
                 shard_of_seg[si] = ai
-        df_lookup = DfLookup.from_parquet(os.path.join(index_dir, "stats", "df.parquet"))
-        word_df = DfLookup.from_parquet(
-            os.path.join(index_dir, "stats", "word_df.parquet")
-        )
+        df_lookup = load_df_lookup(index_dir, "df")
+        word_df = load_df_lookup(index_dir, "word_df")
         stats = manifest["stats"]
         eng = cls(
             index_dir, cfg, df_lookup, word_df, stats["total_docs"],

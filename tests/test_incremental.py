@@ -136,3 +136,33 @@ def test_read_corpus_csv(ray_session, tmp_path):
     ds = read_corpus(str(p))
     rows = ds.to_pandas()
     assert sorted(rows["title"]) == ["Inception", "The Matrix"]
+
+
+def test_sharded_stats_layout_and_delta_append(ray_session, tmp_path):
+    """Distributed builds write vocab stats as sorted parquet part dirs; a
+    delta append adds an overlapping part and ShardedDfLookup sums them."""
+    import os
+
+    import ray.data
+
+    from infidex_ray.config import EngineConfig
+    from infidex_ray.engine import Engine, ShardedDfLookup, load_df_lookup
+
+    rows = [{"doc_key": i, "text": f"alpha beta doc{i}"} for i in range(1, 21)]
+    out = str(tmp_path / "sharded_idx")
+    eng = Engine.build(
+        ray.data.from_items(rows), out, EngineConfig(target_docs_per_segment=10),
+        text_column="text", key_column="doc_key",
+    )
+    assert os.path.isdir(os.path.join(out, "stats", "df"))
+    assert not os.path.exists(os.path.join(out, "stats", "df.parquet"))
+    assert isinstance(eng.df_lookup, ShardedDfLookup)
+    assert eng.word_df("alpha") == 20
+
+    eng.add_documents([(100, "alpha gamma fresh")])
+    lk = load_df_lookup(out, "word_df")
+    assert lk("alpha") == 21  # base part + delta part summed
+    assert lk("gamma") == 1
+    assert lk("nonexistent") == 0
+    hits = eng.search("alpha beta", top_k=5)
+    assert hits
