@@ -284,6 +284,26 @@ def _q_ivf_knn(sf_dir: str):
     return ivf_knn(assigned, centroids, np.asarray([KNN_QUERY_VEC]), k=10, nprobe=8)
 
 
+def _q_ivf_knn_pruned(sf_dir: str):
+    """IVF with the partitioned-storage pruned read (list_id hive layout;
+    probe-all → exact, same oracle as brute-force knn)."""
+    import shutil
+    import tempfile
+
+    from infidex_ray.ops.similarity import ivf_build, ivf_knn_pruned, ivf_write
+
+    emb = _read(sf_dir, "embeddings")
+    centroids, assigned = ivf_build(emb, n_centroids=8, iters=3)
+    path = tempfile.mkdtemp(prefix="infidex_ivf_", dir="/tmp")
+    try:
+        ivf_write(assigned, path)
+        return ivf_knn_pruned(
+            path, centroids, np.asarray([KNN_QUERY_VEC]), k=10, nprobe=8
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def _q_lsh_knn(sf_dir: str):
     from infidex_ray.ops.similarity import lsh_knn
 
@@ -449,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": _q_image_features,
         "knn_cosine": _q_knn,
         "ivf_knn": _q_ivf_knn,
+        "ivf_knn_pruned": _q_ivf_knn_pruned,
         "lsh_knn": _q_lsh_knn,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
@@ -500,6 +521,15 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         # IVF probing all lists is exact → same oracle as brute-force knn
+        "ivf_knn_pruned": f"""
+            SELECT 0::INT AS query_idx,
+                   row_number() OVER (ORDER BY list_cosine_similarity(embedding::DOUBLE[], {vec_lit}) DESC, vec_id) AS rank,
+                   vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], {vec_lit}), 4) AS cosine
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[], {vec_lit}) DESC, vec_id
+            LIMIT 10
+        """,
         "ivf_knn": f"""
             SELECT 0::INT AS query_idx,
                    row_number() OVER (ORDER BY list_cosine_similarity(embedding::DOUBLE[], {vec_lit}) DESC, vec_id) AS rank,

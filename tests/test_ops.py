@@ -166,3 +166,38 @@ def test_embedding_dup_pairs_lsh(ray_session):
     exact = embedding_dup_pairs(ds, threshold=0.95)
     exact_pairs = set(zip(exact["id_a"].to_pylist(), exact["id_b"].to_pylist()))
     assert found <= exact_pairs  # LSH candidates are a verified subset
+
+
+def test_ivf_pruned_read(ray_session, tmp_path):
+    """ivf_write partitions by list_id; ivf_knn_pruned reads ONLY probed
+    partitions and matches the in-task-filter ivf_knn exactly."""
+    import os
+
+    import ray.data
+
+    from infidex_ray.ops.similarity import (
+        ivf_build, ivf_knn, ivf_knn_pruned, ivf_write, knn_cosine, probe_lists_for,
+    )
+
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = np.asarray([[float(np.sin(i * 0.7)) for i in range(64)]])
+    centroids, assigned = ivf_build(emb, n_centroids=8, iters=3)
+    path = str(tmp_path / "ivf_layout")
+    ivf_write(assigned, path)
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("list_id="))
+    assert len(dirs) >= 2  # partitioned layout exists
+
+    # probe-all == exact knn
+    pruned_all = ivf_knn_pruned(path, centroids, q, k=5, nprobe=8)
+    exact = knn_cosine(emb, q, k=5)
+    assert pruned_all["vec_id"].to_pylist() == exact["vec_id"].to_pylist()
+
+    # restricted probe == the filter-based ivf_knn with the same probes
+    pruned_2 = ivf_knn_pruned(path, centroids, q, k=5, nprobe=2)
+    filt_2 = ivf_knn(assigned, centroids, q, k=5, nprobe=2)
+    assert pruned_2["vec_id"].to_pylist() == filt_2["vec_id"].to_pylist()
+    assert pruned_2["cosine"].to_pylist() == filt_2["cosine"].to_pylist()
+
+    # the pruned read touches strictly fewer partitions than exist
+    probes = probe_lists_for(centroids, q, nprobe=2)
+    assert len(probes) < len(dirs)
