@@ -46,7 +46,8 @@ class Query:
 
     text: str
     max_results: int = 10
-    filter: str | None = None  # Infiscript expression
+    filter: "str | object | None" = None  # Infiscript expression or AST node
+    # (AST form accepts filters.DerivedFilter — the custom-predicate hook)
     boosts: tuple[tuple[str, int], ...] = ()  # (expression, strength 1-3)
     sort_by: str | None = None
     sort_ascending: bool = True
@@ -511,12 +512,15 @@ class Engine:
         entries = [(h.score, h.doc_key, h.tiebreaker) for h in hits]
 
         if q.filter:
-            ast = flt.parse(q.filter)
+            ast = flt.parse(q.filter) if isinstance(q.filter, str) else q.filter
             entries = [
                 e for e in entries if flt.matches_row(ast, self._field_row(e[1]))
             ]
         if q.boosts:
-            compiled = [(flt.parse(expr), int(strength)) for expr, strength in q.boosts]
+            compiled = [
+                (flt.parse(expr) if isinstance(expr, str) else expr, int(strength))
+                for expr, strength in q.boosts
+            ]
             boosted = []
             for score, key, tb in entries:
                 row = self._field_row(key)
@@ -551,7 +555,7 @@ class Engine:
                 seen.add(key)
                 entries.append((float(0xFFFF), int(key), 0))
         if q.filter:
-            ast = flt.parse(q.filter)
+            ast = flt.parse(q.filter) if isinstance(q.filter, str) else q.filter
             entries = [e for e in entries if flt.matches_row(ast, self._field_row(e[1]))]
         top = entries[: q.max_results]
         facets = self._build_facets(top)

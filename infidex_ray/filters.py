@@ -104,6 +104,17 @@ class Ternary:
     if_false: "Node"
 
 
+@dataclass
+class DerivedFilter:
+    """Arbitrary-predicate escape hatch (src/Infidex/Api/DerivedFilter.cs):
+    wraps a Python callable ``row_dict -> bool`` for conditions the DSL
+    cannot express. Evaluable and composable in the AST, but NOT compilable
+    to bytecode (FilterCompiler.cs:74-76 throws) and has no Arrow pushdown —
+    it always routes through the row evaluator."""
+
+    predicate: object  # Callable[[dict], bool]
+
+
 Node = object
 
 # --- tokenizer (FilterParser.cs:500-660) -------------------------------------
@@ -410,8 +421,12 @@ def evaluate(node: Node, row: dict):
         isnull = _is_null(_operand(node.field, row))
         return not isnull if node.negated else isnull
     if isinstance(node, Ternary):
-        cond = evaluate(node.cond, row) is True
-        return evaluate(node.if_true if cond else node.if_false, row)
+        # VM semantics (FilterVM.cs:133-138): JUMP_IF_FALSE fires only on a
+        # literal False — any non-bool condition value takes the TRUE branch
+        cond = evaluate(node.cond, row)
+        return evaluate(node.if_false if cond is False else node.if_true, row)
+    if isinstance(node, DerivedFilter):
+        return bool(node.predicate(row))
     if isinstance(node, Ident):
         return row.get(node.name)
     if isinstance(node, Literal):
@@ -490,10 +505,11 @@ def to_arrow_expression(node: Node):
     raise UnsupportedExpression(f"{type(node).__name__} has no Arrow pushdown")
 
 
-def filter_dataset(ds, expression: str):
-    """Filter a ray.data.Dataset by an Infiscript expression: Arrow pushdown
-    when the expression compiles, else a vectorizable row-mask map_batches."""
-    ast = parse(expression)
+def filter_dataset(ds, expression):
+    """Filter a ray.data.Dataset by an Infiscript expression (string or AST,
+    incl. DerivedFilter nodes): Arrow pushdown when the expression compiles,
+    else a vectorizable row-mask map_batches."""
+    ast = parse(expression) if isinstance(expression, str) else expression
     import pyarrow as pa
 
     try:
