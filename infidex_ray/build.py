@@ -259,13 +259,18 @@ def _finish_segment(
 
     # build-time short-query artifacts (champion lists + word-start prefix
     # counts) — the 1:1 lowering matches the query-time scan contract
-    # (SegmentShortQuery.lower_texts), NOT the indexing str.lower above
-    from .query.coverage import lower_1to1
-    from .query.shortquery import compute_short_tables
+    # (SegmentShortQuery.lower_texts), NOT the indexing str.lower above.
+    # INFIDEX_SQ_ARTIFACTS=0 opts out (A/B probe; segments then fall back to
+    # the query-time scan path).
+    t_sq = time.perf_counter()
+    if os.environ.get("INFIDEX_SQ_ARTIFACTS", "1") != "0":
+        from .query.coverage import lower_1to1
+        from .query.shortquery import compute_short_tables
 
-    sq_lower = [lower_1to1(t) for t in norm_texts]
-    sq_words = [[w for w in splitter.split(t) if w] for t in sq_lower]
-    extra.update(compute_short_tables(sq_lower, sq_words, doc_keys, seg_id=0))
+        sq_lower = [lower_1to1(t) for t in norm_texts]
+        sq_words = [[w for w in splitter.split(t) if w] for t in sq_lower]
+        extra.update(compute_short_tables(sq_lower, sq_words, doc_keys, seg_id=0))
+    meta["timings_s"]["short_artifacts"] = round(time.perf_counter() - t_sq, 4)
     seglib.write_segment(
         seg_dir, terms, np.asarray(df_arr, dtype=np.int64), postings, docmap, meta,
         extra_tables=extra,
@@ -743,6 +748,7 @@ def build_index(
         )
 
     agg_m = agg.map_batches(_rename_df, batch_format="pyarrow").materialize()
+    t_segments = time.perf_counter()
     for kind, base, col in (("term", "df", "term"), ("word", "word_df", "word")):
 
         def only(batch: pa.Table, _k=kind, _c=col) -> pa.Table:
@@ -798,6 +804,8 @@ def build_index(
             "index_chunks": int(n_docs),
             "n_segments": len(seg_dirs),
             "plan_s": round(t_plan - t_start, 3),
+            "segments_s": round(t_segments - t_plan, 3),
+            "stats_write_s": round(t_exec - t_segments, 3),
             "execute_s": round(t_exec - t_plan, 3),
             "finalize_s": round(time.perf_counter() - t_exec, 3),
             "total_s": round(time.perf_counter() - t_start, 3),

@@ -204,7 +204,9 @@ def ngram_jaccard_pairs(
     cand = shingle_rows.groupby("shingle").map_groups(
         pairs_per_shingle, batch_format="pyarrow"
     )
-    uniq = cand.groupby(["id_a", "id_b"]).count()
+    # materialize: consumed twice (candidate-id collection + verify input) —
+    # without this the shingle groupby would re-execute for each consumer
+    uniq = cand.groupby(["id_a", "id_b"]).count().materialize()
 
     # candidate-bounded broadcast: only texts of docs in some candidate pair
     pairs_tbl = _collect_pairs(uniq)
@@ -414,8 +416,9 @@ def minhash_lsh_pairs(
     cand = band_rows.groupby(["band", "bucket"]).map_groups(
         pairs_in_bucket, batch_format="pyarrow"
     )
-    # distinct pairs
-    uniq = cand.groupby(["id_a", "id_b"]).count()
+    # distinct pairs — materialized: consumed twice (candidate-id collection
+    # + the estimate stage input); pairs are tiny by construction
+    uniq = cand.groupby(["id_a", "id_b"]).count().materialize()
 
     # verify with true signature agreement over a candidate-bounded broadcast
     import ray

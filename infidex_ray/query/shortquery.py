@@ -50,85 +50,149 @@ def compute_short_tables(
       docs containing a word with that prefix (the short-query coverage
       gate's CountDocuments).
 
-    One pass per doc — O(total text chars), the same order as tokenization.
+    Fully batched over the SEGMENT: one stable sort over all (doc, char)
+    codepoint pairs and one over all (doc, word-start-char) pairs — no
+    per-doc numpy calls, no Python char loops (the per-doc variant cost ~1 s
+    per 7k-chunk segment; this is ~20×).
     """
     import pyarrow as pa
 
-    per_char: dict[str, list] = {}
-    prefix_counts: dict[str, int] = {}
-    for lid, (lower, ws) in enumerate(zip(lower_texts, words)):
-        if lower:
-            key = int(doc_keys[lid])
-            char_count: dict[str, int] = {}
-            first_idx: dict[str, int] = {}
-            for i, c in enumerate(lower):
-                if c in char_count:
-                    char_count[c] += 1
-                else:
-                    char_count[c] = 1
-                    first_idx[c] = i
-            start_count: dict[str, int] = {}
-            first_word: dict[str, int] = {}
-            any_exact: set[str] = set()
-            for i, w in enumerate(ws):
-                c = w[0]
-                if c in start_count:
-                    start_count[c] += 1
-                else:
-                    start_count[c] = 1
-                    first_word[c] = i
-                if len(w) == 1:
-                    any_exact.add(c)
-            first_token_exact_ch = ws[0][0] if ws and len(ws[0]) == 1 else None
-            title_equals_ch = lower[0] if len(lower) == 1 else None
-            small_doc = len(ws) <= 3
-            for ch, cc in char_count.items():
-                has_word_start = ch in start_count
-                precedence = 0
-                if has_word_start:
-                    precedence |= 128
-                    if first_word[ch] == 0:
-                        precedence |= 64
-                if ch in any_exact:
-                    precedence |= 32
-                if ch == first_token_exact_ch:
-                    precedence |= 16
-                if ch == title_equals_ch:
-                    precedence |= 8
-                if small_doc:
-                    precedence |= 32
-                if has_word_start:
-                    pos_c = 255 - min(first_word[ch] * 16, 240)
-                    dens_c = min(start_count[ch] * 8, 32)
-                    raw = min(max(pos_c + dens_c, 0), 255)
-                    base = raw / 255.0
-                else:
-                    pos_c = 200 - min(max(first_idx[ch], 0) * 4, 180)
-                    dens_c = min(cc * 4, 40)
-                    raw = min(max(pos_c + dens_c, 0), 200)
-                    base = max(1, raw) / 255.0
-                per_char.setdefault(ch, []).append(
-                    (float(precedence) + base, key, 0, seg_id, lid)
-                )
-        seen: set[str] = set()
-        for w in ws:
-            for L in range(1, min(max_prefix_len, len(w)) + 1):
-                seen.add(w[:L])
-        for p in seen:
-            prefix_counts[p] = prefix_counts.get(p, 0) + 1
+    n_docs = len(lower_texts)
+    dkeys = np.asarray(doc_keys, dtype=np.int64)
+    SHIFT = np.uint64(32)
 
+    # --- (doc, char) unique pairs with first position + count -------------
+    doc_lens = np.fromiter((len(t) for t in lower_texts), np.int64, count=n_docs)
+    total = int(doc_lens.sum())
+    prefix_counts: dict[str, int] = {}
     ch_col: list[str] = []
     sc_col: list[float] = []
     dk_col: list[int] = []
     lid_col: list[int] = []
-    for ch in sorted(per_char):
-        es = per_char[ch]
-        es.sort(key=lambda e: (-e[0], -e[2], e[1]))
-        for e in es[:champion_size]:
-            ch_col.append(ch)
-            sc_col.append(e[0])
-            dk_col.append(e[1])
-            lid_col.append(e[4])
+
+    if total > 0:
+        cp_all = np.frombuffer(
+            "".join(lower_texts).encode("utf-32-le"), dtype=np.uint32
+        )
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.uint64), doc_lens)
+        offs = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(doc_lens[:-1], out=offs[1:])
+        pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(offs, doc_lens)
+        key = (doc_of << SHIFT) | cp_all.astype(np.uint64)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        gstart = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        ucount = np.diff(np.concatenate((gstart, [len(ks)])))
+        ufirst = pos_in_doc[order][gstart]  # stable → first occurrence
+        upair = ks[gstart]
+        udoc = (upair >> SHIFT).astype(np.int64)
+        uchar = (upair & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        nu = len(upair)
+
+        # --- (doc, word-start-char) pairs ---------------------------------
+        wcounts = np.fromiter((len(ws) for ws in words), np.int64, count=n_docs)
+        total_w = int(wcounts.sum())
+        precedence = np.zeros(nu, dtype=np.int64)
+        pos_c = 200 - np.minimum(ufirst * 4, 180)
+        dens_c = np.minimum(ucount * 4, 40)
+        raw = np.clip(pos_c + dens_c, 0, 200)
+        base = np.maximum(1, raw) / 255.0
+
+        if total_w > 0:
+            wstart_cp = np.fromiter(
+                (ord(w[0]) for ws in words for w in ws), np.uint32, count=total_w
+            )
+            wlens = np.fromiter(
+                (len(w) for ws in words for w in ws), np.int64, count=total_w
+            )
+            wdoc = np.repeat(np.arange(n_docs, dtype=np.uint64), wcounts)
+            woffs = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(wcounts[:-1], out=woffs[1:])
+            widx = np.arange(total_w, dtype=np.int64) - np.repeat(woffs, wcounts)
+            wkey = (wdoc << SHIFT) | wstart_cp.astype(np.uint64)
+            worder = np.argsort(wkey, kind="stable")
+            wks = wkey[worder]
+            wg = np.flatnonzero(np.concatenate(([True], wks[1:] != wks[:-1])))
+            w_cnt = np.diff(np.concatenate((wg, [len(wks)])))
+            w_first = widx[worder][wg]
+            wuk = wks[wg]
+
+            p = np.searchsorted(wuk, upair)
+            pc = np.minimum(p, len(wuk) - 1)
+            has_ws = wuk[pc] == upair
+            fw = w_first[pc]
+            wc = w_cnt[pc]
+            precedence[has_ws] |= 128
+            precedence[has_ws & (fw == 0)] |= 64
+            ws_raw = np.clip(
+                255 - np.minimum(fw * 16, 240) + np.minimum(wc * 8, 32), 0, 255
+            )
+            base = np.where(has_ws, ws_raw / 255.0, base)
+
+            # any len-1 word == char (bit 32)
+            ex_mask = wlens == 1
+            if ex_mask.any():
+                ex_keys = np.unique(wkey[ex_mask])
+                pe = np.minimum(np.searchsorted(ex_keys, upair), len(ex_keys) - 1)
+                precedence[ex_keys[pe] == upair] |= 32
+            # first token is that exact char (bit 16)
+            ft_docs = [d for d in range(n_docs) if words[d] and len(words[d][0]) == 1]
+            if ft_docs:
+                ft_keys = np.unique(
+                    np.asarray(
+                        [(d << 32) | ord(words[d][0]) for d in ft_docs], np.uint64
+                    )
+                )
+                pf = np.minimum(np.searchsorted(ft_keys, upair), len(ft_keys) - 1)
+                precedence[ft_keys[pf] == upair] |= 16
+        # title equals the char (bit 8)
+        te_docs = np.flatnonzero(doc_lens == 1)
+        if len(te_docs):
+            te_keys = np.unique(
+                np.asarray(
+                    [(int(d) << 32) | ord(lower_texts[d]) for d in te_docs], np.uint64
+                )
+            )
+            pt = np.minimum(np.searchsorted(te_keys, upair), len(te_keys) - 1)
+            precedence[te_keys[pt] == upair] |= 8
+        # small doc (≤3 words) — shares bit 32 with any_exact
+        small = (
+            np.fromiter((len(ws) for ws in words), np.int64, count=n_docs) <= 3
+        )
+        precedence[small[udoc]] |= 32
+
+        scores = precedence.astype(np.float64) + base
+        keys_arr = dkeys[udoc]
+        lids = udoc.astype(np.int32)
+
+        # rank order within char: (-score, key asc) — same as the scan sort
+        order2 = np.lexsort((keys_arr, -scores, uchar))
+        chars_s = uchar[order2]
+        scores_s = scores[order2]
+        keys_s = keys_arr[order2]
+        lids_s = lids[order2]
+        group_start = np.zeros(len(chars_s), dtype=np.int64)
+        new_group = np.flatnonzero(np.diff(chars_s)) + 1
+        group_start[new_group] = new_group
+        np.maximum.accumulate(group_start, out=group_start)
+        keep = (np.arange(len(chars_s)) - group_start) < champion_size
+        for c, s, k, l in zip(
+            chars_s[keep].tolist(), scores_s[keep].tolist(),
+            keys_s[keep].tolist(), lids_s[keep].tolist(),
+        ):
+            ch_col.append(chr(c))
+            sc_col.append(s)
+            dk_col.append(k)
+            lid_col.append(l)
+
+    # --- word-start prefix (len 1..3) doc counts --------------------------
+    for ws in words:
+        seen: set[str] = set()
+        for w in set(ws):
+            for L in range(1, min(max_prefix_len, len(w)) + 1):
+                seen.add(w[:L])
+        for p_ in seen:
+            prefix_counts[p_] = prefix_counts.get(p_, 0) + 1
     champs = pa.table(
         {
             "ch": pa.array(ch_col, pa.large_string()),
