@@ -687,8 +687,15 @@ def build_index(
     repartition: bool = True,
     store_columns: tuple[str, ...] = (),
     text_fields: tuple[tuple[str, int], ...] = (),
+    monitor=None,
 ):
     """Build a partitioned index from a ``ray.data.Dataset``.
+
+    ``monitor``: optional :class:`infidex_ray.monitor.ProcessMonitor` —
+    progress events fire per finished segment (a driver-side _SUCCESS
+    poller), cancellation/timeout is checked between phases
+    (ProcessMonitor.ShouldAbort pattern) and raises BuildCancelled; an
+    aborted build is resumable (finished segments are skipped on re-run).
 
     ``text_fields`` switches on multi-field indexing: ((column, weight_index
     0=High/1=Med/2=Low), ...) — fields are '§'-concatenated in weight order
@@ -705,9 +712,16 @@ def build_index(
     """
     import ray.data  # noqa: F401  (Dataset ops)
 
+    from .monitor import BuildCancelled, ProcessMonitor, SegmentProgressPoller
+
     cfg = cfg or EngineConfig()
     os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "stats"), exist_ok=True)
+    if monitor is not None:
+        monitor.mark_started()
+    if ProcessMonitor.should_abort(monitor):
+        monitor.mark_finished()
+        raise BuildCancelled(monitor.error_message)
 
     t_start = time.perf_counter()
     n_rows = ds.count()  # metadata-only for fresh parquet reads
@@ -747,7 +761,16 @@ def build_index(
             {"kind": batch["kind"], "term": batch["term"], "df": batch[col]}
         )
 
-    agg_m = agg.map_batches(_rename_df, batch_format="pyarrow").materialize()
+    if monitor is not None:
+        with SegmentProgressPoller(
+            monitor, os.path.join(out_dir, "segments"), n_segments
+        ):
+            agg_m = agg.map_batches(_rename_df, batch_format="pyarrow").materialize()
+        if ProcessMonitor.should_abort(monitor):
+            monitor.mark_finished()
+            raise BuildCancelled(monitor.error_message)
+    else:
+        agg_m = agg.map_batches(_rename_df, batch_format="pyarrow").materialize()
     t_segments = time.perf_counter()
     for kind, base, col in (("term", "df", "term"), ("word", "word_df", "word")):
 
@@ -824,4 +847,7 @@ def build_index(
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
+    if monitor is not None:
+        monitor.succeeded = True
+        monitor.mark_finished()  # → progress 100
     return manifest

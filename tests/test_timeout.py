@@ -70,3 +70,58 @@ def test_distributed_timeout(ray_session, minicorpus, tmp_path_factory):
     assert timed_out and hits
     hits2, ok = deng.search_ex("quick brown fox", top_k=5, timeout_ms=10000)
     assert not ok and hits2
+
+
+# ---------------------------------------------------------------------------
+# ProcessMonitor (build progress / cancellation)
+
+
+def test_process_monitor_progress_and_success(ray_session, minicorpus, tmp_path):
+    import ray.data
+
+    from infidex_ray.build import build_index
+    from infidex_ray.monitor import ProcessMonitor
+
+    rows = [{"doc_key": k, "text": t} for k, t in minicorpus]
+    mon = ProcessMonitor()
+    seen: list[int] = []
+    mon.progress_changed.append(seen.append)
+    build_index(
+        ray.data.from_items(rows), str(tmp_path / "mon_idx"),
+        EngineConfig(target_docs_per_segment=3), text_column="text",
+        key_column="doc_key", monitor=mon,
+    )
+    assert mon.succeeded and mon.is_completed and not mon.is_running
+    assert mon.progress_percent == 100
+    assert seen and seen[-1] == 100
+    assert seen == sorted(seen)  # monotone non-decreasing
+
+
+def test_process_monitor_cancel_mid_run():
+    """mark_started RESETS cancellation (MarkStarted → Reset, new CTS,
+    ProcessMonitor.cs:207-215) — cancel only takes effect DURING the run,
+    where the ShouldAbort poll sees it."""
+    from infidex_ray.monitor import ProcessMonitor
+
+    mon = ProcessMonitor()
+    mon.cancel()
+    mon.mark_started()
+    assert not mon.cancellation_requested  # reset cleared it
+    mon.cancel()
+    assert ProcessMonitor.should_abort(mon)
+    assert mon.error_message == "Operation was cancelled."
+    mon.mark_finished()
+    assert mon.is_cancelled and not mon.succeeded
+
+
+def test_should_abort_timeout():
+    import time as _time
+
+    from infidex_ray.monitor import ProcessMonitor
+
+    mon = ProcessMonitor()
+    mon.mark_started()
+    mon.timeout_seconds = 1
+    mon.start_time = _time.monotonic() - 5  # pretend it started long ago
+    assert ProcessMonitor.should_abort(mon)
+    assert mon.did_timeout and mon.error_message == "Operation timed out."
