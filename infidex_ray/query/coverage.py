@@ -46,6 +46,10 @@ class CoverageParams:
     cover_prefix_suffix: bool = True
     truncate: bool = True
     truncation_score: int = 254
+    # CoverageSetup.cs:92 — off by default; drops stage-1 candidates whose
+    # doc contains none of the query's full words (conservative: skipped
+    # when any query word is absent from the index → possible typo)
+    enable_lexical_prescreen: bool = False
 
 
 def lower_1to1(s: str) -> str:

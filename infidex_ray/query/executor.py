@@ -77,6 +77,10 @@ class IndexShardActor:
     def wm_scan(self, norm_query: str, tfidf_lids, cap: int):
         return qp.wm_scan(self.engine, norm_query, tfidf_lids, cap)
 
+    def prescreen_keys(self, words, keys):
+        """Shard-local posting-union ∩ candidates for the lexical prescreen."""
+        return qp.segment_prescreen_keys(self.engine.segments, words, keys)
+
     def run_jobs(self, ctx, jobs, best_chunk, budget_s: float | None = None):
         """budget_s = remaining query budget at dispatch (monotonic clocks
         are per-process, so the driver ships a relative budget, not an
@@ -215,6 +219,19 @@ class DistributedEngine(Engine):
         import time as _time
 
         cfg = self.cfg
+        if cfg.coverage.enable_lexical_prescreen and stage1_results:
+            top = stage1_results[:coverage_depth]
+            words = qp.prescreen_words(cfg, q)
+            if words and all(self.df_lookup(w) > 0 for w in words):
+                keys = [e[1] for e in top]
+                parts = ray.get(
+                    [a.prescreen_keys.remote(words, keys) for a in self.actors]
+                )
+                hit = set().union(*parts) if parts else set()
+                if hit:
+                    filtered = [e for e in top if e[1] in hit]
+                    if filtered:
+                        stage1_results = filtered
         wm_result = (0, [], [])
         if cfg.enable_word_matcher:
             top = stage1_results[:coverage_depth]

@@ -345,6 +345,54 @@ def coverage_driver(
     return final[:result_count]
 
 
+def prescreen_words(cfg, norm_query: str) -> set[str]:
+    """Query word set for the lexical prescreen (Tokenizer.
+    GetWordTokensForCoverage, src/Infidex/Tokenization/Tokenizer.cs:331-341)."""
+    from ..analyzer import _word_splitter
+
+    splitter = _word_splitter(cfg.delimiters)
+    return {
+        w for w in splitter.split(norm_query) if len(w) >= cfg.coverage.min_word_size
+    }
+
+
+def segment_prescreen_keys(segments, words: set[str], candidate_keys) -> set[int]:
+    """Doc keys among ``candidate_keys`` whose doc contains ANY query word —
+    the posting-union ∩ candidates step of LexicalPrescreen.Apply
+    (src/Infidex/Scoring/LexicalPrescreen.cs:44-84), shard-local (a doc lives
+    in exactly one segment)."""
+    wanted = set(candidate_keys)
+    hit: set[int] = set()
+    for seg in segments:
+        for w in words:
+            i = seg.term_lookup(w)
+            if i < 0:
+                continue
+            docs, _ = seg.term_postings(i)
+            for k in seg.doc_keys[docs].tolist():
+                if k in wanted:
+                    hit.add(k)
+    return hit
+
+
+def lexical_prescreen(engine, norm_query: str, top: list):
+    """LexicalPrescreen.Apply (src/Infidex/Scoring/LexicalPrescreen.cs:17-84):
+    keep only candidates containing at least one full query word. Skipped
+    when any query word has df == 0 (typo/fuzzy case) and falls back to the
+    unfiltered list when it would filter everything."""
+    words = prescreen_words(engine.cfg, norm_query)
+    if not words:
+        return top
+    for w in words:
+        if engine.df_lookup(w) == 0:
+            return top
+    keys = segment_prescreen_keys(engine.segments, words, [e[1] for e in top])
+    if not keys:
+        return top
+    filtered = [e for e in top if e[1] in keys]
+    return filtered if filtered else top
+
+
 def coverage_stage(
     engine, norm_query, stage1_results, coverage_depth, top_k, deadline=None
 ):
@@ -352,6 +400,9 @@ def coverage_stage(
     cfg = engine.cfg
     key_of_loc = lambda key: _key_index_for(engine).get(key)  # noqa: E731
     top = stage1_results[:coverage_depth]
+    if cfg.coverage.enable_lexical_prescreen and top:
+        top = lexical_prescreen(engine, norm_query, top)
+        stage1_results = top
     if cfg.enable_word_matcher:
         wm_result = wm_scan(
             engine, norm_query, tfidf_lids_by_seg(top, key_of_loc), coverage_depth

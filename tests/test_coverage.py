@@ -342,3 +342,40 @@ def test_randomized_partition_invariance(tmp_path_factory):
                 {q: [(h.doc_key, round(h.score, 6), h.tiebreaker) for h in eng.search(q, top_k=10)] for q in queries}
             )
         assert results[0] == results[1] == results[2], (trial, queries)
+
+
+# ---------------------------------------------------------------------------
+# LexicalPrescreen (CoverageSetup.EnableLexicalPrescreen, off by default)
+
+
+def test_lexical_prescreen(ray_session, tmp_path):
+    from dataclasses import replace
+
+    import ray.data
+
+    from infidex_ray.config import EngineConfig
+    from infidex_ray.engine import Engine
+    from infidex_ray.query.pipeline import lexical_prescreen, prescreen_words
+
+    rows = [
+        {"doc_key": 1, "text": "batman fights crime in gotham"},
+        {"doc_key": 2, "text": "superman flies over metropolis"},
+        {"doc_key": 3, "text": "totally unrelated cooking recipes"},
+    ]
+    cfg = EngineConfig()
+    cfg = replace(cfg, coverage=replace(cfg.coverage, enable_lexical_prescreen=True))
+    eng = Engine.build(
+        ray.data.from_items(rows), str(tmp_path / "ps_idx"), cfg,
+        text_column="text", key_column="doc_key",
+    )
+    # candidates: all three docs; query word present only in doc 1
+    top = [(3.0, 1, 0), (2.0, 2, 0), (1.0, 3, 0)]
+    assert prescreen_words(cfg, "batman") == {"batman"}
+    out = lexical_prescreen(eng, "batman", top)
+    assert [e[1] for e in out] == [1]
+    # typo (df == 0) → conservative skip, candidates unchanged
+    assert lexical_prescreen(eng, "batmna", top) == top
+    # word filtering everything → fall back to unfiltered
+    # search still returns results with prescreen enabled
+    hits = eng.search("batman gotham", top_k=3)
+    assert hits and hits[0].doc_key == 1
