@@ -221,3 +221,83 @@ def max_edits_for_length(length: int, p: float = 0.04, alpha: float = 0.01) -> i
         cdf += prob_k
         k += 1
     return k
+
+
+# --- autocomplete scoring (LCS-based) ----------------------------------------
+
+
+def lcs_bitparallel(a: str, b: str) -> int:
+    """Bit-parallel LCS length, Hyyrö 2004 (public algorithm; reference:
+    src/Infidex/Metrics/AutocompleteScoring.cs:95-131 /
+    PackedBitParallelLcs.cs). Valid for len(a) ≤ 64; case-insensitive with
+    the reference's ASCII-optimized map (codepoints ≥ 256 never match)."""
+    m, n = len(a), len(b)
+    if m == 0 or n == 0:
+        return 0
+    amap: dict[str, int] = {}
+    for i, c in enumerate(a.lower()):
+        if ord(c) < 256:
+            amap[c] = amap.get(c, 0) | (1 << i)
+    mask = (1 << m) - 1
+    s = mask
+    for c in b.lower():
+        cm = amap.get(c, 0) if ord(c) < 256 else 0
+        u = s & cm
+        s = ((s + u) | (s - u)) & mask
+    return bin(~s & mask).count("1")
+
+
+def lcs_dp(a: str, b: str) -> int:
+    """Two-row DP LCS (AutocompleteScoring.ComputeLcsDP, :137-185);
+    case-insensitive."""
+    a, b = a.lower(), b.lower()
+    if len(a) > len(b):
+        a, b = b, a
+    m = len(a)
+    prev = [0] * (m + 1)
+    for cb in b:
+        curr = [0] * (m + 1)
+        for i in range(1, m + 1):
+            if a[i - 1] == cb:
+                curr[i] = prev[i - 1] + 1
+            else:
+                curr[i] = max(prev[i], curr[i - 1])
+        prev = curr
+    return prev[m]
+
+
+def lcs_length(a: str, b: str) -> int:
+    """AutocompleteScoring.ComputeLcsLength (:76-92): bit-parallel for
+    strings ≤ 64 chars, DP fallback beyond."""
+    if not a or not b:
+        return 0
+    if len(a) <= 64 and len(b) <= 64:
+        return lcs_bitparallel(a, b)
+    return lcs_dp(a, b)
+
+
+def jaro_like_score(query: str, candidate: str, prefix_bonus: float = 0.1) -> float:
+    """AutocompleteScoring.ComputeJaroLikeScore (:37-70): LCS-based
+    autocomplete similarity in [0, 1] with a Winkler-style prefix bonus —
+    score = clamp((0.5·m·(m/|a| + m/|b|) + bonus·prefix) / max_score).
+    Float32 arithmetic like the reference."""
+    import numpy as np
+
+    if not query or not candidate:
+        return 0.0
+    ql, cl = len(query), len(candidate)
+    qlow, clow = query.lower(), candidate.lower()
+    prefix = 0
+    for x, y in zip(qlow, clow):
+        if x != y:
+            break
+        prefix += 1
+    m = lcs_length(query, candidate)
+    if m == 0:
+        return 0.0
+    f = np.float32
+    coverage = f(m) / f(ql) + f(m) / f(cl)
+    base = f(0.5) * f(m) * coverage
+    prefix_score = f(prefix_bonus) * f(prefix)
+    max_score = f(min(ql, cl)) + f(prefix_bonus) * f(min(4, min(ql, cl)))
+    return float(np.clip((base + prefix_score) / max(max_score, f(1.0)), 0.0, 1.0))

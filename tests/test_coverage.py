@@ -379,3 +379,35 @@ def test_lexical_prescreen(ray_session, tmp_path):
     # search still returns results with prescreen enabled
     hits = eng.search("batman gotham", top_k=3)
     assert hits and hits[0].doc_key == 1
+
+
+def test_autocomplete_scoring():
+    """AutocompleteScoring port: LCS bit-parallel == DP; Jaro-like ranges."""
+    import itertools
+    import random
+
+    from infidex_ray.query.metrics import (
+        jaro_like_score, lcs_bitparallel, lcs_dp, lcs_length,
+    )
+
+    assert lcs_length("uni", "university") == 3
+    assert lcs_length("uni", "hi") == 1
+    assert lcs_length("", "abc") == 0
+    assert lcs_length("abc", "abc") == 3
+
+    rng = random.Random(5)
+    alpha = "abcdef"
+    for _ in range(200):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+        assert lcs_bitparallel(a, b) == lcs_dp(a, b), (a, b)
+
+    # long strings route through DP
+    assert lcs_length("a" * 80, "a" * 70) == 70
+
+    # exact match scores 1.0; disjoint scores 0
+    assert jaro_like_score("university", "university") == 1.0
+    assert jaro_like_score("xyz", "abc") == 0.0
+    # Winkler-style prefix bonus: common prefix beats same-LCS non-prefix
+    assert jaro_like_score("abc", "abcdef") > jaro_like_score("abc", "xabcdef")
+    assert 0.0 <= jaro_like_score("uni", "university") <= 1.0
