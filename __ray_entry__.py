@@ -316,6 +316,15 @@ def _q_token_stats(sf_dir: str):
     return _by(_read(sf_dir, "documents").map_batches(token_stats_batch, batch_format="pyarrow"), "doc_id")
 
 
+def _q_token_count(sf_dir: str):
+    from infidex_ray.ops.textstats import token_count_batch
+
+    return _by(
+        _read(sf_dir, "documents").map_batches(token_count_batch, batch_format="pyarrow"),
+        "doc_id",
+    )
+
+
 def _q_quality(sf_dir: str):
     from infidex_ray.ops.textstats import quality_batch
 
@@ -472,6 +481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn_pruned": _q_ivf_knn_pruned,
         "lsh_knn": _q_lsh_knn,
         "token_stats": _q_token_stats,
+        "token_count": _q_token_count,
         "quality_score": _q_quality,
         "langid": _q_langid,
         "doc_fingerprint": _q_fingerprint,
@@ -570,6 +580,13 @@ def oracle_sql() -> dict[str, str]:
                      sum(length(w)) AS total_token_len
               FROM wf GROUP BY doc_id) s ON n.doc_id = s.doc_id
             ORDER BY n.doc_id
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   coalesce(length(regexp_extract_all(trim(coalesce(text,'')), '\\S+')), 0) AS n_ws_tokens,
+                   coalesce(length(regexp_extract_all(coalesce(text,''),
+                     '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+')), 0) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
         """,
         "lang_distribution": (
             "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang"

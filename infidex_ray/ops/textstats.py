@@ -67,6 +67,39 @@ def token_stats_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "
     )
 
 
+# GPT-2-style pretokenizer pattern (public: openai/gpt-2 encoder.py), minus
+# the unicode property classes and the trailing-whitespace lookahead —
+# RE2 (the DuckDB oracle engine) has no lookahead, and both engines use
+# leftmost-first alternation, so Python and the SQL oracle count identically.
+BPE_ISH_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+_BPE_RE = None
+
+
+def token_count_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    pretokenization (GPT-2-style pattern) — the unit LLM data pipelines
+    budget by. (doc_id, n_ws_tokens, n_bpe_tokens)."""
+    global _BPE_RE
+    if _BPE_RE is None:
+        import re
+
+        _BPE_RE = re.compile(BPE_ISH_PATTERN)
+    texts = batch[text_col].to_pylist()
+    n_ws = np.zeros(len(texts), dtype=np.int64)
+    n_bpe = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        n_ws[i] = len(t.split())
+        n_bpe[i] = sum(1 for _ in _BPE_RE.finditer(t))
+    return pa.table(
+        {"doc_id": batch[id_col], "n_ws_tokens": n_ws, "n_bpe_tokens": n_bpe}
+    )
+
+
 def quality_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """Document quality signals: length, stopword ratio, distinct ratio.
 

@@ -201,3 +201,27 @@ def test_ivf_pruned_read(ray_session, tmp_path):
     # the pruned read touches strictly fewer partitions than exist
     probes = probe_lists_for(centroids, q, nprobe=2)
     assert len(probes) < len(dirs)
+
+
+def test_token_count_bpe_ish(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.textstats import token_count_batch
+
+    rows = [
+        {"doc_id": 1, "text": "hello world"},
+        {"doc_id": 2, "text": "it's  2024, folks!"},
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": "a1b2"},
+    ]
+    df = (
+        ray.data.from_items(rows)
+        .map_batches(token_count_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert df.n_ws_tokens.tolist() == [2, 3, 0, 1]
+    # "hello"," world" = 2; "it"+"'s"+"  "... count via pattern:
+    assert df.n_bpe_tokens[0] == 2
+    assert df.n_bpe_tokens[2] == 0
+    assert df.n_bpe_tokens[3] == 4  # a,1,b,2 runs
