@@ -217,10 +217,13 @@ def _finish_segment(
     splitter = _word_splitter(cfg.delimiters)
     first_tokens: list[str] = []
     token_counts = np.zeros(len(lower_texts), dtype=np.int32)
+    word_df: dict[str, int] = {}  # word-level df (VectorModel.cs:864-908)
     for i, t in enumerate(lower_texts):
         ws = [w for w in splitter.split(t) if w]
         first_tokens.append(ws[0] if ws else "")
         token_counts[i] = len(ws)
+        for w in set(ws):
+            word_df[w] = word_df.get(w, 0) + 1
 
     docmap = {
         "local_id": np.arange(len(urls), dtype=np.int32),
@@ -232,14 +235,6 @@ def _finish_segment(
         "token_count": token_counts,
         "seg_number": np.asarray(seg_numbers, dtype=np.int32),
     }
-    # word-level df for the coverage word-IDF cache (VectorModel.
-    # BuildWordIdfCache, VectorModel.cs:864-908: unique words per doc over
-    # normalized+lowered text, ALL lengths)
-    word_df: dict[str, int] = {}
-    for t in lower_texts:
-        for w in set(w for w in splitter.split(t) if w):
-            word_df[w] = word_df.get(w, 0) + 1
-
     meta = {
         "segment_dir": seg_dir,
         "n_docs": len(urls),

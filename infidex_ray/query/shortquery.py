@@ -185,14 +185,44 @@ def compute_short_tables(
             dk_col.append(k)
             lid_col.append(l)
 
-    # --- word-start prefix (len 1..3) doc counts --------------------------
-    for ws in words:
-        seen: set[str] = set()
-        for w in set(ws):
-            for L in range(1, min(max_prefix_len, len(w)) + 1):
-                seen.add(w[:L])
-        for p_ in seen:
-            prefix_counts[p_] = prefix_counts.get(p_, 0) + 1
+    # --- word-start prefix (len 1..3) doc counts, vectorized --------------
+    # doc-distinct (doc, packed-prefix) pairs per length via one lexsort;
+    # codepoints fit 21 bits so 3 chars pack into one uint64 key
+    wcounts2 = np.fromiter((len(ws) for ws in words), np.int64, count=n_docs)
+    total_w2 = int(wcounts2.sum())
+    if total_w2 > 0:
+        wdoc2 = np.repeat(np.arange(n_docs, dtype=np.int64), wcounts2)
+        wlens2 = np.fromiter(
+            (len(w) for ws in words for w in ws), np.int64, count=total_w2
+        )
+        codes = [
+            np.fromiter(
+                (ord(w[L]) if len(w) > L else 0 for ws in words for w in ws),
+                np.uint64,
+                count=total_w2,
+            )
+            for L in range(min(max_prefix_len, 3))
+        ]
+        for L in range(1, min(max_prefix_len, 3) + 1):
+            mask = wlens2 >= L
+            if not mask.any():
+                continue
+            key = codes[0][mask]
+            for j in range(1, L):
+                key = (key << np.uint64(21)) | codes[j][mask]
+            doc = wdoc2[mask]
+            order = np.lexsort((doc, key))
+            k_s, d_s = key[order], doc[order]
+            dm = np.ones(len(k_s), dtype=bool)
+            dm[1:] = (k_s[1:] != k_s[:-1]) | (d_s[1:] != d_s[:-1])
+            k_u = k_s[dm]
+            starts = np.flatnonzero(np.concatenate(([True], k_u[1:] != k_u[:-1])))
+            counts = np.diff(np.concatenate((starts, [len(k_u)])))
+            for pk, c in zip(k_u[starts].tolist(), counts.tolist()):
+                chs = []
+                for j in range(L - 1, -1, -1):
+                    chs.append(chr((pk >> (21 * j)) & 0x1FFFFF))
+                prefix_counts["".join(chs)] = int(c)
     champs = pa.table(
         {
             "ch": pa.array(ch_col, pa.large_string()),
