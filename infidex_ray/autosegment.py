@@ -23,19 +23,19 @@ class AutoSegmentSetup:
     overlap_ratio: float = 0.2
 
 
+_RANGE_RE_CACHE: dict = {}
+
+
 def _word_ranges(text: str, delimiters: frozenset[str]) -> list[tuple[int, int]]:
-    out: list[tuple[int, int]] = []
-    i, n = 0, len(text)
-    while i < n:
-        while i < n and text[i] in delimiters:
-            i += 1
-        if i >= n:
-            break
-        start = i
-        while i < n and text[i] not in delimiters:
-            i += 1
-        out.append((start, i))
-    return out
+    """Spans of non-delimiter runs (compiled regex — the per-char Python
+    loop was a per-chunk hotspot in the build profile)."""
+    import re
+
+    pat = _RANGE_RE_CACHE.get(delimiters)
+    if pat is None:
+        cls = "".join(re.escape(c) for c in sorted(delimiters))
+        pat = _RANGE_RE_CACHE[delimiters] = re.compile(f"[^{cls}]+")
+    return [m.span() for m in pat.finditer(text)]
 
 
 def segment_text(

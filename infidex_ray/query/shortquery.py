@@ -70,6 +70,23 @@ def compute_short_tables(
     dk_col: list[int] = []
     lid_col: list[int] = []
 
+    # shared word-derived arrays (ONE flattening pass; reused by both the
+    # champion and the prefix-count blocks below)
+    flat_words = [w for ws in words for w in ws]
+    total_w = len(flat_words)
+    wcounts = np.fromiter((len(ws) for ws in words), np.int64, count=n_docs)
+    if total_w:
+        wlens = np.fromiter(map(len, flat_words), np.int64, count=total_w)
+        # first 3 codepoints per word, zero-padded, via one utf-32 decode
+        first3 = np.frombuffer(
+            "".join(
+                w[:3] + "\0" * (3 - len(w)) if len(w) < 3 else w[:3]
+                for w in flat_words
+            ).encode("utf-32-le"),
+            dtype=np.uint32,
+        ).reshape(total_w, 3)
+        wdoc64 = np.repeat(np.arange(n_docs, dtype=np.uint64), wcounts)
+
     if total > 0:
         cp_all = np.frombuffer(
             "".join(lower_texts).encode("utf-32-le"), dtype=np.uint32
@@ -90,8 +107,6 @@ def compute_short_tables(
         nu = len(upair)
 
         # --- (doc, word-start-char) pairs ---------------------------------
-        wcounts = np.fromiter((len(ws) for ws in words), np.int64, count=n_docs)
-        total_w = int(wcounts.sum())
         precedence = np.zeros(nu, dtype=np.int64)
         pos_c = 200 - np.minimum(ufirst * 4, 180)
         dens_c = np.minimum(ucount * 4, 40)
@@ -99,17 +114,10 @@ def compute_short_tables(
         base = np.maximum(1, raw) / 255.0
 
         if total_w > 0:
-            wstart_cp = np.fromiter(
-                (ord(w[0]) for ws in words for w in ws), np.uint32, count=total_w
-            )
-            wlens = np.fromiter(
-                (len(w) for ws in words for w in ws), np.int64, count=total_w
-            )
-            wdoc = np.repeat(np.arange(n_docs, dtype=np.uint64), wcounts)
             woffs = np.zeros(n_docs, dtype=np.int64)
             np.cumsum(wcounts[:-1], out=woffs[1:])
             widx = np.arange(total_w, dtype=np.int64) - np.repeat(woffs, wcounts)
-            wkey = (wdoc << SHIFT) | wstart_cp.astype(np.uint64)
+            wkey = (wdoc64 << SHIFT) | first3[:, 0].astype(np.uint64)
             worder = np.argsort(wkey, kind="stable")
             wks = wkey[worder]
             wg = np.flatnonzero(np.concatenate(([True], wks[1:] != wks[:-1])))
@@ -156,10 +164,7 @@ def compute_short_tables(
             pt = np.minimum(np.searchsorted(te_keys, upair), len(te_keys) - 1)
             precedence[te_keys[pt] == upair] |= 8
         # small doc (≤3 words) — shares bit 32 with any_exact
-        small = (
-            np.fromiter((len(ws) for ws in words), np.int64, count=n_docs) <= 3
-        )
-        precedence[small[udoc]] |= 32
+        precedence[(wcounts <= 3)[udoc]] |= 32
 
         scores = precedence.astype(np.float64) + base
         keys_arr = dkeys[udoc]
@@ -188,29 +193,15 @@ def compute_short_tables(
     # --- word-start prefix (len 1..3) doc counts, vectorized --------------
     # doc-distinct (doc, packed-prefix) pairs per length via one lexsort;
     # codepoints fit 21 bits so 3 chars pack into one uint64 key
-    wcounts2 = np.fromiter((len(ws) for ws in words), np.int64, count=n_docs)
-    total_w2 = int(wcounts2.sum())
-    if total_w2 > 0:
-        wdoc2 = np.repeat(np.arange(n_docs, dtype=np.int64), wcounts2)
-        wlens2 = np.fromiter(
-            (len(w) for ws in words for w in ws), np.int64, count=total_w2
-        )
-        codes = [
-            np.fromiter(
-                (ord(w[L]) if len(w) > L else 0 for ws in words for w in ws),
-                np.uint64,
-                count=total_w2,
-            )
-            for L in range(min(max_prefix_len, 3))
-        ]
+    if total_w > 0:
         for L in range(1, min(max_prefix_len, 3) + 1):
-            mask = wlens2 >= L
+            mask = wlens >= L
             if not mask.any():
                 continue
-            key = codes[0][mask]
+            key = first3[mask, 0].astype(np.uint64)
             for j in range(1, L):
-                key = (key << np.uint64(21)) | codes[j][mask]
-            doc = wdoc2[mask]
+                key = (key << np.uint64(21)) | first3[mask, j].astype(np.uint64)
+            doc = wdoc64[mask]
             order = np.lexsort((doc, key))
             k_s, d_s = key[order], doc[order]
             dm = np.ones(len(k_s), dtype=bool)
