@@ -31,6 +31,8 @@ def _word_ranges(text: str, delimiters: frozenset[str]) -> list[tuple[int, int]]
     loop was a per-chunk hotspot in the build profile)."""
     import re
 
+    if not delimiters:
+        return [(0, len(text))] if text else []
     pat = _RANGE_RE_CACHE.get(delimiters)
     if pat is None:
         cls = "".join(re.escape(c) for c in sorted(delimiters))

@@ -300,6 +300,14 @@ class _BuildSegmentFn:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from . import segments as seglib
 
+        # mid-build cancellation: the driver's monitor poller drops this
+        # sentinel; checked before each partition so the streaming job aborts
+        # promptly (finished segments keep _SUCCESS → abort is resumable)
+        if os.path.exists(os.path.join(self.out_dir, "_CANCELLED")):
+            from .monitor import BuildCancelled
+
+            raise BuildCancelled("build cancelled by monitor")
+
         urls = batch[self.key_column].to_pylist()
         boundaries = None
         if self.text_fields:
@@ -526,6 +534,10 @@ def merge_index(
     level = 0
     while len(current) > 1:
         groups = [current[i : i + fan_in] for i in range(0, len(current), fan_in)]
+        # short-query artifacts are derived from the docmap, so intermediate
+        # merge levels skip them (they would be recomputed and discarded at
+        # the next level) — only the FINAL merge writes them
+        dlm = delimiters if len(groups) == 1 else None
         nxt = []
         futures = []
         for gi, group in enumerate(groups):
@@ -534,9 +546,9 @@ def merge_index(
                 nxt.append(group[0])
                 continue
             if use_ray:
-                futures.append(remote_merge.remote(group, dest, delimiters=delimiters))
+                futures.append(remote_merge.remote(group, dest, delimiters=dlm))
             else:
-                merge_fn(group, dest, delimiters=delimiters)
+                merge_fn(group, dest, delimiters=dlm)
             nxt.append(dest)
         if use_ray and futures:
             import ray
@@ -712,6 +724,9 @@ def build_index(
     cfg = cfg or EngineConfig()
     os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "stats"), exist_ok=True)
+    cancel_sentinel = os.path.join(out_dir, "_CANCELLED")
+    if os.path.exists(cancel_sentinel):  # stale sentinel from an aborted run
+        os.remove(cancel_sentinel)
     if monitor is not None:
         monitor.mark_started()
     if ProcessMonitor.should_abort(monitor):
@@ -757,10 +772,20 @@ def build_index(
         )
 
     if monitor is not None:
-        with SegmentProgressPoller(
-            monitor, os.path.join(out_dir, "segments"), n_segments
-        ):
-            agg_m = agg.map_batches(_rename_df, batch_format="pyarrow").materialize()
+        try:
+            with SegmentProgressPoller(
+                monitor, os.path.join(out_dir, "segments"), n_segments
+            ):
+                agg_m = (
+                    agg.map_batches(_rename_df, batch_format="pyarrow").materialize()
+                )
+        except Exception:
+            # a worker aborted on the _CANCELLED sentinel (or the job died
+            # while cancellation was pending) → surface as BuildCancelled
+            if ProcessMonitor.should_abort(monitor) or os.path.exists(cancel_sentinel):
+                monitor.mark_finished()
+                raise BuildCancelled(monitor.error_message) from None
+            raise
         if ProcessMonitor.should_abort(monitor):
             monitor.mark_finished()
             raise BuildCancelled(monitor.error_message)

@@ -348,17 +348,22 @@ class Engine:
         enable_coverage: bool | None = None,
         timeout_ms: int | None = None,
     ) -> tuple[list[SearchHit], bool]:
-        """Full pipeline with the per-query time budget: returns
-        (hits, did_timeout). The budget defaults to 1000 ms and is clamped to
-        [0, 10000] (Query.cs:75, SearchEngine.cs:290); the deadline is
-        checked between pipeline stages and inside the coverage candidate
-        loop (ProcessMonitor.ShouldAbort pattern, Api/ProcessMonitor.cs:196) —
+        """Full pipeline with an optional per-query time budget: returns
+        (hits, did_timeout). ``timeout_ms=None`` (the plain ``search()``
+        path) runs unbudgeted — the budget belongs to the Query API, whose
+        default is 1000 ms clamped to [0, 10000] (Query.cs:75,
+        SearchEngine.cs:290). A silent default here would make ranking
+        wall-clock-dependent on a throttled host. The deadline is checked
+        between pipeline stages and inside the coverage candidate loop
+        (ProcessMonitor.ShouldAbort pattern, Api/ProcessMonitor.cs:196) —
         on expiry the best-so-far stage-1 backbone is returned flagged."""
         from .query.pipeline import DeadlineExceeded
 
-        ms = 1000 if timeout_ms is None else timeout_ms
-        ms = max(0, min(int(ms), 10000))
-        deadline = time.monotonic() + ms / 1000.0
+        if timeout_ms is None:
+            deadline = float("inf")
+        else:
+            ms = max(0, min(int(timeout_ms), 10000))
+            deadline = time.monotonic() + ms / 1000.0
         cfg = self.cfg
         q = normalize(query_text.strip()).lower()
         if self.synonym_map is not None:  # SearchEngine.cs:279-286

@@ -137,15 +137,23 @@ class BuildCancelled(RuntimeError):
 
 class SegmentProgressPoller:
     """Watches a segments directory for ``_SUCCESS`` markers and feeds the
-    monitor's progress (0..cap%) while a streaming build executes."""
+    monitor's progress (0..cap%) while a streaming build executes. When the
+    monitor is cancelled or times out MID-BUILD, the poller drops a
+    ``_CANCELLED`` sentinel next to the segments dir — segment-build workers
+    poll it before starting each partition and raise, so the streaming job
+    aborts promptly instead of running to completion (the abort stays
+    resumable: finished segments keep their _SUCCESS markers)."""
 
     def __init__(
         self, monitor: ProcessMonitor, seg_root: str, n_expected: int, cap: int = 95
     ):
+        import os
+
         self.monitor = monitor
         self.seg_root = seg_root
         self.n_expected = max(1, n_expected)
         self.cap = cap
+        self.cancel_path = os.path.join(os.path.dirname(seg_root), "_CANCELLED")
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
@@ -156,9 +164,16 @@ class SegmentProgressPoller:
         return len(glob.glob(os.path.join(self.seg_root, "*", "_SUCCESS")))
 
     def _run(self) -> None:
+        import os
+
         while not self._stop.wait(0.25):
             done = self._count_done()
             self.monitor.progress_percent = int(self.cap * done / self.n_expected)
+            if ProcessMonitor.should_abort(self.monitor) and not os.path.exists(
+                self.cancel_path
+            ):
+                with open(self.cancel_path, "w") as f:
+                    f.write(self.monitor.error_message)
 
     def __enter__(self) -> "SegmentProgressPoller":
         self._thread = threading.Thread(target=self._run, daemon=True)

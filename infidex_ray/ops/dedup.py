@@ -97,6 +97,12 @@ def round_half_up4(x: float) -> float:
     return math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)
 
 
+def round_half_up4_arr(arr):
+    """Vectorized round_half_up4 (same half-away-from-zero contract — keep
+    the two in lockstep; the SQL oracles hash against this exact formula)."""
+    return np.copysign(np.floor(np.abs(arr) * 1e4 + 0.5) / 1e4, arr)
+
+
 def char_shingles(text: str, n: int = 3) -> set:
     """Distinct character n-grams of the normalized+lowered text."""
     t = normalize(text or "").lower()

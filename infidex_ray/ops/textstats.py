@@ -15,6 +15,7 @@ import pyarrow as pa
 
 from ..analyzer import _word_splitter, normalize
 from ..config import DEFAULT_DELIMITERS
+from .dedup import round_half_up4_arr as _round4_half_up  # canonical rounding
 
 # A small fixed English stopword list (public knowledge) for quality scoring.
 STOPWORDS = frozenset(
@@ -33,13 +34,6 @@ LANG_PROFILES: dict[str, frozenset] = {
 
 def _norm_lower(texts: list) -> list[str]:
     return [normalize(t).lower() if t else "" for t in texts]
-
-
-def _round4_half_up(arr: np.ndarray) -> np.ndarray:
-    """Vectorized round-half-away-from-zero to 4 decimals — matches DuckDB
-    ROUND so the quality_score SQL oracle hashes identically (numpy's
-    ``np.round`` is half-even and diverges by one ulp on exact .5 cases)."""
-    return np.copysign(np.floor(np.abs(arr) * 1e4 + 0.5) / 1e4, arr)
 
 
 def token_stats_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:

@@ -361,17 +361,20 @@ def segment_prescreen_keys(segments, words: set[str], candidate_keys) -> set[int
     the posting-union ∩ candidates step of LexicalPrescreen.Apply
     (src/Infidex/Scoring/LexicalPrescreen.cs:44-84), shard-local (a doc lives
     in exactly one segment)."""
-    wanted = set(candidate_keys)
+    import numpy as np
+
+    wanted = np.asarray(sorted(set(candidate_keys)), dtype=np.int64)
     hit: set[int] = set()
+    if len(wanted) == 0:
+        return hit
     for seg in segments:
         for w in words:
             i = seg.term_lookup(w)
             if i < 0:
                 continue
             docs, _ = seg.term_postings(i)
-            for k in seg.doc_keys[docs].tolist():
-                if k in wanted:
-                    hit.add(k)
+            keys = seg.doc_keys[docs]
+            hit.update(keys[np.isin(keys, wanted)].tolist())
     return hit
 
 

@@ -295,7 +295,7 @@ def merge_topk(entry_lists: list[list[tuple]], k: int) -> list[tuple]:
     alle = [e for lst in entry_lists for e in lst]
     n = len(alle)
     if n <= 1:
-        return alle
+        return alle[:k]
     sc = np.fromiter((e[0] for e in alle), np.float64, count=n)
     tb = np.fromiter((e[2] for e in alle), np.int64, count=n)
     ky = np.fromiter((e[1] for e in alle), np.int64, count=n)

@@ -125,3 +125,45 @@ def test_should_abort_timeout():
     mon.start_time = _time.monotonic() - 5  # pretend it started long ago
     assert ProcessMonitor.should_abort(mon)
     assert mon.did_timeout and mon.error_message == "Operation timed out."
+
+
+def test_monitor_cancel_interrupts_build(ray_session, tmp_path):
+    """Cancelling mid-build aborts the streaming job (via the _CANCELLED
+    sentinel workers poll) instead of letting it run to completion; the
+    abort is resumable."""
+    import os
+
+    import pytest as _pytest
+    import ray.data
+
+    from infidex_ray.build import build_index
+    from infidex_ray.monitor import BuildCancelled, ProcessMonitor
+
+    rows = [
+        {"doc_key": i, "text": "some words here " * 30 + f"doc{i}"}
+        for i in range(400)
+    ]
+    out = str(tmp_path / "cancel_idx")
+    mon = ProcessMonitor()
+    # cancel as soon as the first progress event fires (first segments done)
+    mon.progress_changed.append(lambda p: mon.cancel())
+    with _pytest.raises(BuildCancelled):
+        build_index(
+            ray.data.from_items(rows).repartition(40), out,
+            EngineConfig(target_docs_per_segment=10), text_column="text",
+            key_column="doc_key", monitor=mon, repartition=False,
+        )
+    assert not mon.succeeded
+    seg_root = os.path.join(out, "segments")
+    import glob
+
+    n_done = len(glob.glob(os.path.join(seg_root, "*", "_SUCCESS")))
+    assert 0 < n_done < 40  # some partitions finished, not all
+
+    # resume without the monitor: completes and skips finished segments
+    m2 = build_index(
+        ray.data.from_items(rows).repartition(40), out,
+        EngineConfig(target_docs_per_segment=10), text_column="text",
+        key_column="doc_key", repartition=False,
+    )
+    assert m2["stats"]["total_docs"] == 400
