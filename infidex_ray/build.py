@@ -566,7 +566,7 @@ def merge_index(
 
     import shutil
 
-    for name in ("df.parquet", "word_df.parquet", "stats.json", "df", "word_df"):
+    for name in ("df.parquet", "word_df.parquet", "stats.json", "df", "word_df", "vocab"):
         src = os.path.join(index_dir, "stats", name)
         dst = os.path.join(out_dir, "stats", name)
         if os.path.isdir(src):
@@ -660,15 +660,20 @@ def append_to_index(
             )
         else:
             ks = sorted(new.keys())
-            pq.write_table(
-                pa.table(
-                    {
-                        col: pa.array(ks, pa.large_string()),
-                        "df": pa.array([new[k] for k in ks], pa.int64()),
-                    }
-                ),
-                os.path.join(index_dir, "stats", base, f"{name}.parquet"),
+            part = pa.table(
+                {
+                    col: pa.array(ks, pa.large_string()),
+                    "df": pa.array([new[k] for k in ks], pa.int64()),
+                }
             )
+            d = os.path.join(index_dir, "stats", base)
+            if not os.path.isdir(d):
+                # fused layout: parts live under stats/vocab/kind=<kind>/
+                # with column name "term" for both kinds
+                kind = "term" if base == "df" else "word"
+                d = os.path.join(index_dir, "stats", "vocab", f"kind={kind}")
+                part = part.rename_columns(["term", "df"])
+            pq.write_table(part, os.path.join(d, f"{name}.parquet"))
 
     manifest["segments"].append(
         {"name": name, "n_docs": meta["n_docs"], "lineage": meta.get("lineage", {})}
@@ -771,14 +776,24 @@ def build_index(
             {"kind": batch["kind"], "term": batch["term"], "df": batch[col]}
         )
 
+    # single fused pipeline: segment build → df groupby → ONE sort on
+    # (kind, term) → hive-partitioned sorted parquet parts under
+    # stats/vocab/kind=<term|word>/ — no driver materialization, no second
+    # pass over the vocabulary
+    import shutil
+
+    vocab_dest = os.path.join(out_dir, "stats", "vocab")
+    shutil.rmtree(vocab_dest, ignore_errors=True)
+    vocab_ds = agg.map_batches(_rename_df, batch_format="pyarrow").sort(
+        ["kind", "term"]
+    )
+
     if monitor is not None:
         try:
             with SegmentProgressPoller(
                 monitor, os.path.join(out_dir, "segments"), n_segments
             ):
-                agg_m = (
-                    agg.map_batches(_rename_df, batch_format="pyarrow").materialize()
-                )
+                vocab_ds.write_parquet(vocab_dest, partition_cols=["kind"])
         except Exception:
             # a worker aborted on the _CANCELLED sentinel (or the job died
             # while cancellation was pending) → surface as BuildCancelled
@@ -790,21 +805,7 @@ def build_index(
             monitor.mark_finished()
             raise BuildCancelled(monitor.error_message)
     else:
-        agg_m = agg.map_batches(_rename_df, batch_format="pyarrow").materialize()
-    t_segments = time.perf_counter()
-    for kind, base, col in (("term", "df", "term"), ("word", "word_df", "word")):
-
-        def only(batch: pa.Table, _k=kind, _c=col) -> pa.Table:
-            import pyarrow.compute as pc
-
-            t = batch.filter(pc.equal(batch["kind"], _k))
-            return pa.table({_c: t["term"], "df": t["df"]})
-
-        dest = os.path.join(out_dir, "stats", base)
-        import shutil
-
-        shutil.rmtree(dest, ignore_errors=True)
-        agg_m.map_batches(only, batch_format="pyarrow").sort(col).write_parquet(dest)
+        vocab_ds.write_parquet(vocab_dest, partition_cols=["kind"])
     t_exec = time.perf_counter()
 
     # per-segment metas → manifest + global stats
@@ -847,9 +848,7 @@ def build_index(
             "index_chunks": int(n_docs),
             "n_segments": len(seg_dirs),
             "plan_s": round(t_plan - t_start, 3),
-            "segments_s": round(t_segments - t_plan, 3),
-            "stats_write_s": round(t_exec - t_segments, 3),
-            "execute_s": round(t_exec - t_plan, 3),
+            "execute_s": round(t_exec - t_plan, 3),  # fused segments+stats
             "finalize_s": round(time.perf_counter() - t_exec, 3),
             "total_s": round(time.perf_counter() - t_start, 3),
             "segment_timings_s": {

@@ -201,13 +201,20 @@ class ShardedDfLookup:
 
 
 def load_df_lookup(index_dir: str, base: str):
-    """Open the vocab stats in either layout: single-file (local/test builds,
-    ``stats/<base>.parquet``) or the sharded directory the distributed build
-    writes (``stats/<base>/``)."""
+    """Open the vocab stats in any layout: single-file (local/test builds,
+    ``stats/<base>.parquet``), a sharded directory (``stats/<base>/``), or
+    the fused kind-partitioned layout the distributed build writes
+    (``stats/vocab/kind=term|word/``)."""
     f = os.path.join(index_dir, "stats", f"{base}.parquet")
     if os.path.exists(f):
         return DfLookup.from_parquet(f)
-    return ShardedDfLookup.from_dir(os.path.join(index_dir, "stats", base))
+    d = os.path.join(index_dir, "stats", base)
+    if os.path.isdir(d):
+        return ShardedDfLookup.from_dir(d)
+    kind = "term" if base == "df" else "word"
+    return ShardedDfLookup.from_dir(
+        os.path.join(index_dir, "stats", "vocab", f"kind={kind}")
+    )
 
 
 class Engine:

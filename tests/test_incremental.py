@@ -154,7 +154,8 @@ def test_sharded_stats_layout_and_delta_append(ray_session, tmp_path):
         ray.data.from_items(rows), out, EngineConfig(target_docs_per_segment=10),
         text_column="text", key_column="doc_key",
     )
-    assert os.path.isdir(os.path.join(out, "stats", "df"))
+    assert os.path.isdir(os.path.join(out, "stats", "vocab", "kind=term"))
+    assert os.path.isdir(os.path.join(out, "stats", "vocab", "kind=word"))
     assert not os.path.exists(os.path.join(out, "stats", "df.parquet"))
     assert isinstance(eng.df_lookup, ShardedDfLookup)
     assert eng.word_df("alpha") == 20
