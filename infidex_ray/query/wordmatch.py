@@ -39,33 +39,39 @@ class SegmentWordMatcher:
         self.support_ld1 = support_ld1
         self.support_affix = support_affix
 
-        exact: dict[str, list[int]] = {}
-        ld1: dict[str, list[int]] = {}
-        affix_docs: dict[str, list[int]] = {}
-
+        # distinct (word → sorted doc ids) first, then derive the three
+        # indexes per DISTINCT word — LD1 deletion variants cost
+        # O(vocab × word_len), not O(occurrences × word_len) as the naive
+        # per-occurrence loop did (the dominant actor cold-start term)
+        word_docs: dict[str, list[int]] = {}
         for doc_idx, text in enumerate(lower_texts):
+            seen: set[str] = set()
             for word in splitter.split(text):
-                length = len(word)
-                if length == 0:
-                    continue
-                if min_exact <= length <= max_exact:
-                    lst = exact.setdefault(word, [])
-                    if not lst or lst[-1] != doc_idx:
-                        lst.append(doc_idx)
-                if support_ld1 and min_ld1 <= length <= max_ld1:
-                    for i in range(length):
-                        variant = word[:i] + word[i + 1 :]
-                        lst = ld1.setdefault(variant, [])
-                        if not lst or lst[-1] != doc_idx:
-                            lst.append(doc_idx)
-                if support_affix and length >= min_ld1:
-                    lst = affix_docs.setdefault(word, [])
-                    if not lst or lst[-1] != doc_idx:
-                        lst.append(doc_idx)
+                if word and word not in seen:
+                    seen.add(word)
+                    word_docs.setdefault(word, []).append(doc_idx)
+        wd = {w: np.asarray(v, dtype=np.int64) for w, v in word_docs.items()}
 
-        self.exact = {w: np.asarray(v, dtype=np.int64) for w, v in exact.items()}
-        self.ld1 = {w: np.asarray(v, dtype=np.int64) for w, v in ld1.items()}
-        self.affix_docs = {w: np.asarray(v, dtype=np.int64) for w, v in affix_docs.items()}
+        self.exact = {
+            w: a for w, a in wd.items() if min_exact <= len(w) <= max_exact
+        }
+        affix_docs = (
+            {w: a for w, a in wd.items() if len(w) >= min_ld1}
+            if support_affix
+            else {}
+        )
+        self.affix_docs = affix_docs
+        self.ld1 = {}
+        if support_ld1:
+            variant_parts: dict[str, list[np.ndarray]] = {}
+            for w, a in wd.items():
+                if min_ld1 <= len(w) <= max_ld1:
+                    for i in range(len(w)):
+                        variant_parts.setdefault(w[:i] + w[i + 1 :], []).append(a)
+            self.ld1 = {
+                v: (p[0] if len(p) == 1 else np.unique(np.concatenate(p)))
+                for v, p in variant_parts.items()
+            }
         if support_affix:
             self.affix_words = np.array(sorted(affix_docs.keys()), dtype=object)
             self.affix_rev = np.array(
