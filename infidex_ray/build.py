@@ -570,7 +570,10 @@ def merge_index(
         src = os.path.join(index_dir, "stats", name)
         dst = os.path.join(out_dir, "stats", name)
         if os.path.isdir(src):
-            shutil.copytree(src, dst, dirs_exist_ok=True)
+            # clean replace: ShardedDfLookup SUMS overlapping parts, so
+            # merging into a stale dir would double-count dfs
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.copytree(src, dst)
         elif os.path.exists(src):
             shutil.copy(src, dst)
     tomb = os.path.join(index_dir, "tombstones.json")
@@ -673,6 +676,7 @@ def append_to_index(
                 kind = "term" if base == "df" else "word"
                 d = os.path.join(index_dir, "stats", "vocab", f"kind={kind}")
                 part = part.rename_columns(["term", "df"])
+            os.makedirs(d, exist_ok=True)
             pq.write_table(part, os.path.join(d, f"{name}.parquet"))
 
     manifest["segments"].append(
@@ -779,11 +783,14 @@ def build_index(
     # single fused pipeline: segment build → df groupby → ONE sort on
     # (kind, term) → hive-partitioned sorted parquet parts under
     # stats/vocab/kind=<term|word>/ — no driver materialization, no second
-    # pass over the vocabulary
+    # pass over the vocabulary. The write goes to a TEMP dir and swaps in
+    # only on success, so a failed/cancelled build leaves the previous
+    # vocab stats intact (a missing vocab dir would silently read df=0).
     import shutil
 
     vocab_dest = os.path.join(out_dir, "stats", "vocab")
-    shutil.rmtree(vocab_dest, ignore_errors=True)
+    vocab_tmp = vocab_dest + ".tmp"
+    shutil.rmtree(vocab_tmp, ignore_errors=True)
     vocab_ds = agg.map_batches(_rename_df, batch_format="pyarrow").sort(
         ["kind", "term"]
     )
@@ -793,7 +800,7 @@ def build_index(
             with SegmentProgressPoller(
                 monitor, os.path.join(out_dir, "segments"), n_segments
             ):
-                vocab_ds.write_parquet(vocab_dest, partition_cols=["kind"])
+                vocab_ds.write_parquet(vocab_tmp, partition_cols=["kind"])
         except Exception:
             # a worker aborted on the _CANCELLED sentinel (or the job died
             # while cancellation was pending) → surface as BuildCancelled
@@ -805,7 +812,17 @@ def build_index(
             monitor.mark_finished()
             raise BuildCancelled(monitor.error_message)
     else:
-        vocab_ds.write_parquet(vocab_dest, partition_cols=["kind"])
+        vocab_ds.write_parquet(vocab_tmp, partition_cols=["kind"])
+    # success → swap in the new stats and clear every superseded layout
+    # (stale legacy dirs would shadow the fused layout in load_df_lookup)
+    shutil.rmtree(vocab_dest, ignore_errors=True)
+    os.rename(vocab_tmp, vocab_dest)
+    for legacy in ("df", "word_df", "df.parquet", "word_df.parquet"):
+        p = os.path.join(out_dir, "stats", legacy)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        elif os.path.exists(p):
+            os.remove(p)
     t_exec = time.perf_counter()
 
     # per-segment metas → manifest + global stats

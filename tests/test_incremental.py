@@ -167,3 +167,31 @@ def test_sharded_stats_layout_and_delta_append(ray_session, tmp_path):
     assert lk("nonexistent") == 0
     hits = eng.search("alpha beta", top_k=5)
     assert hits
+
+
+def test_rebuild_clears_stale_stats_layouts(ray_session, tmp_path):
+    """An in-place rebuild must not leave older stats layouts behind —
+    load_df_lookup prefers them and would serve stale dfs."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from infidex_ray.config import EngineConfig
+    from infidex_ray.engine import Engine, load_df_lookup
+
+    out = str(tmp_path / "stale_idx")
+    os.makedirs(os.path.join(out, "stats", "df"), exist_ok=True)
+    pq.write_table(
+        pa.table({"term": ["alpha"], "df": [999]}),
+        os.path.join(out, "stats", "df", "stale.parquet"),
+    )
+    rows = [{"doc_key": i, "text": f"alpha beta doc{i}"} for i in range(1, 11)]
+    Engine.build(
+        ray.data.from_items(rows), out, EngineConfig(target_docs_per_segment=5),
+        text_column="text", key_column="doc_key",
+    )
+    assert not os.path.exists(os.path.join(out, "stats", "df"))
+    lk = load_df_lookup(out, "word_df")
+    assert lk("alpha") == 10  # fresh, not the stale 999

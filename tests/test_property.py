@@ -60,8 +60,8 @@ def test_round_half_up4_matches_decimal(x):
             decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
         )
     )
-    # identical except potential one-ulp float artifacts at the boundary
-    assert abs(got - want) <= 1e-4
+    # float-ulp tolerance only — a 1e-4 tolerance would accept truncation
+    assert abs(got - want) <= 1e-9
 
 
 _IDENTS = ["a", "b", "name", "year"]
