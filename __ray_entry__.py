@@ -325,6 +325,15 @@ def _q_token_count(sf_dir: str):
     )
 
 
+def _q_gopher(sf_dir: str):
+    from infidex_ray.ops.textstats import gopher_rules_batch
+
+    return _by(
+        _read(sf_dir, "documents").map_batches(gopher_rules_batch, batch_format="pyarrow"),
+        "doc_id",
+    )
+
+
 def _q_quality(sf_dir: str):
     from infidex_ray.ops.textstats import quality_batch
 
@@ -482,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_knn": _q_lsh_knn,
         "token_stats": _q_token_stats,
         "token_count": _q_token_count,
+        "gopher_rules": _q_gopher,
         "quality_score": _q_quality,
         "langid": _q_langid,
         "doc_fingerprint": _q_fingerprint,
@@ -587,6 +597,38 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(length(regexp_extract_all(coalesce(text,''),
                      '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+')), 0) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "gopher_rules": """
+            WITH g AS (
+              SELECT doc_id,
+                     coalesce(text, '') AS t,
+                     regexp_extract_all(coalesce(text, ''), '\\S+') AS words,
+                     string_split(coalesce(text, ''), chr(10)) AS lines
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                len(words) AS n_words,
+                CASE WHEN len(words) = 0 THEN 0.0
+                     ELSE length(regexp_replace(t, '\\s', '', 'g'))::DOUBLE / len(words) END AS mean_word_len,
+                len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '•%'))::DOUBLE / len(lines) AS frac_bullet_lines,
+                len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))::DOUBLE / len(lines) AS frac_ellipsis_lines,
+                CASE WHEN len(words) = 0 THEN 0.0
+                     ELSE ((length(t) - length(replace(t, '#', '')))
+                         + (length(t) - length(replace(t, '...', ''))) / 3)::DOUBLE / len(words) END AS symbol_word_ratio,
+                CASE WHEN len(words) = 0 THEN 0.0
+                     ELSE len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / len(words) END AS frac_alpha_words
+              FROM g)
+            SELECT doc_id, n_words,
+                   round(mean_word_len, 4) AS mean_word_len,
+                   round(frac_bullet_lines, 4) AS frac_bullet_lines,
+                   round(frac_ellipsis_lines, 4) AS frac_ellipsis_lines,
+                   round(symbol_word_ratio, 4) AS symbol_word_ratio,
+                   round(frac_alpha_words, 4) AS frac_alpha_words,
+                   (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3
+                    AND mean_word_len <= 10 AND frac_bullet_lines < 0.9
+                    AND frac_ellipsis_lines < 0.3 AND symbol_word_ratio < 0.1
+                    AND frac_alpha_words >= 0.8) AS passes
+            FROM m ORDER BY doc_id
         """,
         "lang_distribution": (
             "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang"

@@ -123,6 +123,76 @@ def quality_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+_ALPHA_RE = None
+
+
+def gopher_rules_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Gopher-style document quality rules (public recipe, Rae et al. 2021):
+    word count bounds, mean word length, bullet/ellipsis line fractions,
+    symbol-to-word ratio, alphabetic-word fraction — the standard web-text
+    pre-filters. All signals defined on the RAW text (whitespace words,
+    newline lines) so a DuckDB oracle can recompute them exactly.
+
+    Returns (doc_id, n_words, mean_word_len, frac_bullet_lines,
+    frac_ellipsis_lines, symbol_word_ratio, frac_alpha_words, passes)."""
+    global _ALPHA_RE
+    if _ALPHA_RE is None:
+        import re
+
+        _ALPHA_RE = re.compile(r"[A-Za-z]")
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    n_words = np.zeros(n, dtype=np.int64)
+    mean_wl = np.zeros(n, dtype=np.float64)
+    frac_bullet = np.zeros(n, dtype=np.float64)
+    frac_ellipsis = np.zeros(n, dtype=np.float64)
+    sym_ratio = np.zeros(n, dtype=np.float64)
+    frac_alpha = np.zeros(n, dtype=np.float64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        words = t.split()
+        nw = len(words)
+        n_words[i] = nw
+        lines = t.split("\n")
+        nl = len(lines)
+        frac_bullet[i] = (
+            sum(1 for l in lines if l.startswith("-") or l.startswith("•")) / nl
+        )
+        frac_ellipsis[i] = (
+            sum(1 for l in lines if l.endswith("...") or l.endswith("…")) / nl
+        )
+        if nw:
+            mean_wl[i] = sum(len(w) for w in words) / nw
+            sym_ratio[i] = (t.count("#") + t.count("...")) / nw
+            frac_alpha[i] = sum(1 for w in words if _ALPHA_RE.search(w)) / nw
+    passes = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_wl >= 3)
+        & (mean_wl <= 10)
+        & (frac_bullet < 0.9)
+        & (frac_ellipsis < 0.3)
+        & (sym_ratio < 0.1)
+        & (frac_alpha >= 0.8)
+    )
+    from .dedup import round_half_up4_arr
+
+    return pa.table(
+        {
+            "doc_id": batch[id_col],
+            "n_words": n_words,
+            "mean_word_len": round_half_up4_arr(mean_wl),
+            "frac_bullet_lines": round_half_up4_arr(frac_bullet),
+            "frac_ellipsis_lines": round_half_up4_arr(frac_ellipsis),
+            "symbol_word_ratio": round_half_up4_arr(sym_ratio),
+            "frac_alpha_words": round_half_up4_arr(frac_alpha),
+            "passes": passes,
+        }
+    )
+
+
 def langid_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """Heuristic language ID: CJK codepoint ratio → zh, else best stopword
     profile overlap (deterministic tie-break by language code)."""

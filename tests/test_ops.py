@@ -225,3 +225,29 @@ def test_token_count_bpe_ish(ray_session):
     assert df.n_bpe_tokens[0] == 2
     assert df.n_bpe_tokens[2] == 0
     assert df.n_bpe_tokens[3] == 4  # a,1,b,2 runs
+
+
+def test_gopher_rules(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.textstats import gopher_rules_batch
+
+    good = " ".join(f"word{i}" for i in range(60))
+    rows = [
+        {"doc_id": 1, "text": good},                       # passes
+        {"doc_id": 2, "text": "too short"},                # < 50 words
+        {"doc_id": 3, "text": "- a\n- b\n- c"},            # bullet lines
+        {"doc_id": 4, "text": "### " * 60},                # symbols, no alpha... wait has '#'
+        {"doc_id": 5, "text": ""},                         # empty
+    ]
+    df = (
+        ray.data.from_items(rows)
+        .map_batches(gopher_rules_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert bool(df.passes[0]) is True
+    assert bool(df.passes[1]) is False
+    assert df.frac_bullet_lines[2] == 1.0
+    assert df.symbol_word_ratio[3] > 0.1 and bool(df.passes[3]) is False
+    assert df.n_words[4] == 0 and bool(df.passes[4]) is False
