@@ -334,6 +334,12 @@ def _q_gopher(sf_dir: str):
     )
 
 
+def _q_boilerplate(sf_dir: str):
+    from infidex_ray.ops.textstats import remove_boilerplate_lines
+
+    return _by(remove_boilerplate_lines(_read(sf_dir, "documents"), min_docs=5), "doc_id")
+
+
 def _q_quality(sf_dir: str):
     from infidex_ray.ops.textstats import quality_batch
 
@@ -492,6 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "token_count": _q_token_count,
         "gopher_rules": _q_gopher,
+        "boilerplate_removal": _q_boilerplate,
         "quality_score": _q_quality,
         "langid": _q_langid,
         "doc_fingerprint": _q_fingerprint,
@@ -597,6 +604,24 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(length(regexp_extract_all(coalesce(text,''),
                      '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+')), 0) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "boilerplate_removal": """
+            WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls FROM documents),
+            idx AS (SELECT unnest(generate_series(1, (SELECT coalesce(max(len(ls)), 1) FROM d))) AS i),
+            lines AS (SELECT d.doc_id, i.i, d.ls[i.i] AS line FROM d, idx i WHERE i.i <= len(d.ls)),
+            freq AS (
+              SELECT line FROM (
+                SELECT line, count(DISTINCT doc_id) AS c FROM lines
+                WHERE trim(line) != '' GROUP BY line) WHERE c >= 5),
+            kept AS (
+              SELECT doc_id, i, line FROM lines
+              WHERE trim(line) = '' OR line NOT IN (SELECT line FROM freq)),
+            agg AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+              FROM kept GROUP BY doc_id)
+            SELECT d2.doc_id, coalesce(a.text, '') AS text
+            FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id
+            ORDER BY d2.doc_id
         """,
         "gopher_rules": """
             WITH g AS (

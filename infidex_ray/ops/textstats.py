@@ -244,3 +244,77 @@ def fingerprint_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "
             "rolling_hash": rolling,
         }
     )
+
+
+def remove_boilerplate_lines(
+    ds,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """CCNet-style corpus-level line dedup (public recipe): a non-empty line
+    appearing in ≥ ``min_docs`` distinct documents is boilerplate (nav bars,
+    cookie banners, footers) and is dropped from every document; remaining
+    lines keep their original order.
+
+    Scale: lines are hashed inside ``map_batches``; the groupby shuffles
+    (hash, doc_id) rows only; the boilerplate set (bounded: only lines
+    frequent enough to cross the threshold) is broadcast for the filter
+    pass — the corpus itself streams twice and never materializes.
+    Returns a Dataset of (doc_id, text) with cleaned text."""
+    import hashlib as _hashlib
+
+    import ray
+
+    def line_hashes(batch: pa.Table) -> pa.Table:
+        hs, ids = [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            for line in set((t or "").split("\n")):
+                if line.strip():
+                    hs.append(
+                        _hashlib.blake2b(line.encode("utf-8"), digest_size=8).hexdigest()
+                    )
+                    ids.append(i)
+        return pa.table(
+            {"h": pa.array(hs, pa.string()), "doc_id": pa.array(ids, pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(line_hashes, batch_format="pyarrow").groupby("h").count()
+    )
+
+    def frequent(batch: pa.Table) -> pa.Table:
+        col = "count()" if "count()" in batch.column_names else "count"
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.greater_equal(batch[col], min_docs))
+        return pa.table({"h": t["h"]})
+
+    boil_parts = list(
+        counts.map_batches(frequent, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    boil = (
+        set(pa.concat_tables(boil_parts)["h"].to_pylist()) if boil_parts else set()
+    )
+    boil_ref = ray.put(boil)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        bset = ray.get(boil_ref)
+        out = []
+        for t in batch[text_col].to_pylist():
+            lines = (t or "").split("\n")
+            kept = [
+                line
+                for line in lines
+                if not line.strip()
+                or _hashlib.blake2b(line.encode("utf-8"), digest_size=8).hexdigest()
+                not in bset
+            ]
+            out.append("\n".join(kept))
+        return pa.table(
+            {"doc_id": batch[id_col], "text": pa.array(out, pa.large_string())}
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow")

@@ -251,3 +251,23 @@ def test_gopher_rules(ray_session):
     assert df.frac_bullet_lines[2] == 1.0
     assert df.symbol_word_ratio[3] > 0.1 and bool(df.passes[3]) is False
     assert df.n_words[4] == 0 and bool(df.passes[4]) is False
+
+
+def test_remove_boilerplate_lines(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.textstats import remove_boilerplate_lines
+
+    banner = "accept all cookies"
+    rows = [
+        {"doc_id": i, "text": f"unique content {i}\n{banner}\nmore {i}"}
+        for i in range(6)
+    ] + [{"doc_id": 99, "text": "no banner here"}]
+    out = (
+        remove_boilerplate_lines(ray.data.from_items(rows), min_docs=5)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert all(banner not in t for t in out.text)
+    assert out.text[0] == "unique content 0\nmore 0"  # order preserved
+    assert out[out.doc_id == 99].text.iloc[0] == "no banner here"
