@@ -242,6 +242,18 @@ def _q_emb_dup(sf_dir: str):
     return _by(embedding_dup_pairs(_read(sf_dir, "embeddings"), threshold=0.4), "id_a", "id_b")
 
 
+def _q_emb_dup_lsh(sf_dir: str):
+    """Approximate near-dup pairs via hyperplane-LSH buckets with in-bucket
+    exact verification (the 100-TB path; rows-only — candidates are a
+    verified subset of the exact all-pairs result, asserted in tests)."""
+    from infidex_ray.ops.dedup import embedding_dup_pairs_lsh
+
+    return _by(
+        embedding_dup_pairs_lsh(_read(sf_dir, "embeddings"), threshold=0.4),
+        "id_a", "id_b",
+    )
+
+
 def _q_dedup_corpus(sf_dir: str):
     """Full dedup pipeline: minhash pairs → union-find clusters → filtered
     corpus (rows-only; keeps min-id representative per cluster)."""
@@ -487,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": _q_minhash,
         "simhash_pairs": _q_simhash,
         "embedding_dup_pairs": _q_emb_dup,
+        "embedding_dup_pairs_lsh": _q_emb_dup_lsh,
         "dedup_corpus": _q_dedup_corpus,
         "dedup_corpus_exact": _q_dedup_corpus_exact,
         "html_extract": _q_html_extract,
