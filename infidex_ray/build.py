@@ -817,6 +817,11 @@ def build_index(
     # (stale legacy dirs would shadow the fused layout in load_df_lookup)
     shutil.rmtree(vocab_dest, ignore_errors=True)
     os.rename(vocab_tmp, vocab_dest)
+    try:  # Ray Data operator-level stats for observability (best-effort)
+        with open(os.path.join(out_dir, "stats", "ray_stats.txt"), "w") as f:
+            f.write(vocab_ds.stats())
+    except Exception:  # noqa: BLE001 — purely diagnostic
+        pass
     for legacy in ("df", "word_df", "df.parquet", "word_df.parquet"):
         p = os.path.join(out_dir, "stats", legacy)
         if os.path.isdir(p):
