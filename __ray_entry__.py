@@ -625,10 +625,12 @@ def oracle_sql() -> dict[str, str]:
             freq AS (
               SELECT line FROM (
                 SELECT line, count(DISTINCT doc_id) AS c FROM lines
-                WHERE trim(line) != '' GROUP BY line) WHERE c >= 5),
+                WHERE trim(line, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) != ''
+                GROUP BY line) WHERE c >= 5),
             kept AS (
               SELECT doc_id, i, line FROM lines
-              WHERE trim(line) = '' OR line NOT IN (SELECT line FROM freq)),
+              WHERE trim(line, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) = ''
+                 OR line NOT IN (SELECT line FROM freq)),
             agg AS (
               SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
               FROM kept GROUP BY doc_id)

@@ -88,6 +88,11 @@ class ProcessMonitor:
     # -- lifecycle (internal) ---------------------------------------------
     def mark_started(self) -> None:
         with self._lock:
+            # NOTE: reset() intentionally discards a cancel() issued BEFORE
+            # the operation starts — the reference swaps in a fresh
+            # CancellationTokenSource in Reset (ProcessMonitor.cs:211,246-247),
+            # so only in-flight cancellation is honored. Locked by
+            # tests/test_timeout.py::test_process_monitor_cancel_mid_run.
             self.reset()
             self.is_running = True
             self.start_time = time.monotonic()

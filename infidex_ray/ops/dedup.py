@@ -282,7 +282,11 @@ def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) 
 
 def word_shingles(text: str, n: int = 3) -> set:
     """Distinct word n-gram shingles of normalized+lowered text (the standard
-    web-dedup shingling unit — char grams have too high a baseline overlap)."""
+    web-dedup shingling unit — char grams have too high a baseline overlap).
+
+    Short-doc contract (kept in lockstep with :func:`_shingle_hashes` and the
+    SQL oracles): a doc with 0 < words < n yields ONE whole-doc shingle (the
+    joined word sequence); an empty doc yields the empty set."""
     from ..analyzer import _word_splitter
     from ..config import DEFAULT_DELIMITERS
 
@@ -313,7 +317,11 @@ def _word_hashes(ws: list[str], cache: dict[str, int]) -> np.ndarray:
 def _shingle_hashes(wh: np.ndarray, n: int) -> np.ndarray:
     """Distinct word-n-gram shingle hashes, vectorized: polynomial combine of
     the word-hash sliding window under uint64 wraparound (deterministic; the
-    round-1 per-shingle hashlib loop was ~10× slower)."""
+    round-1 per-shingle hashlib loop was ~10× slower).
+
+    Short-doc contract matches :func:`word_shingles`: 0 < L < n yields ONE
+    synthetic hash of the whole L-word sequence (↔ the single joined-string
+    shingle), L == 0 yields the empty array."""
     L = len(wh)
     if L == 0:
         return wh
@@ -644,6 +652,10 @@ def embedding_dup_pairs_lsh(
     from .similarity import _hyperplanes
 
     probe = ds.select_columns([vec_col]).limit(1).take(1)
+    if not probe:  # empty embeddings dataset → empty pair table
+        import ray
+
+        return ray.data.from_arrow(_EMPTY_PAIRS)
     dim = len(probe[0][vec_col])
     planes = [_hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)]
 

@@ -266,11 +266,17 @@ def remove_boilerplate_lines(
 
     import ray
 
+    # "blank line" = only chars from this explicit set (space, tab, CR, VT,
+    # FF — '\n' cannot occur inside a split line). Python's bare str.strip()
+    # also eats unicode spaces that DuckDB's trim() does not, so the SQL
+    # oracle and the pipeline must share this exact set.
+    _BLANK = " \t\r\x0b\x0c"
+
     def line_hashes(batch: pa.Table) -> pa.Table:
         hs, ids = [], []
         for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
             for line in set((t or "").split("\n")):
-                if line.strip():
+                if line.strip(_BLANK):
                     hs.append(
                         _hashlib.blake2b(line.encode("utf-8"), digest_size=8).hexdigest()
                     )
@@ -308,7 +314,7 @@ def remove_boilerplate_lines(
             kept = [
                 line
                 for line in lines
-                if not line.strip()
+                if not line.strip(_BLANK)
                 or _hashlib.blake2b(line.encode("utf-8"), digest_size=8).hexdigest()
                 not in bset
             ]

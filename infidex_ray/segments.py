@@ -368,8 +368,10 @@ def merge_segments(
             extra["fields.parquet"] = pa.table(
                 {n: sum((s.fields[n] for s in segs), []) for n in names}
             )
-    # short-query artifacts over the merged docmap
-    if delimiters is not None:
+    # short-query artifacts over the merged docmap — honor the same
+    # INFIDEX_SQ_ARTIFACTS=0 opt-out as build._finish_segment so the A/B
+    # probe can disable the artifacts on merged indexes too
+    if delimiters is not None and os.environ.get("INFIDEX_SQ_ARTIFACTS", "1") != "0":
         from .analyzer import _word_splitter
         from .query.coverage import lower_1to1
         from .query.shortquery import compute_short_tables
