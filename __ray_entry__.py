@@ -225,9 +225,19 @@ def _q_ngram_jaccard(sf_dir: str):
 
 
 def _q_minhash(sf_dir: str):
+    """MinHash+LSH candidates with in-group EXACT word-3-gram Jaccard
+    verification — the exact column (and the ~1-1e-15 LSH recall at this
+    corpus's j ≥ 0.9 duplicate pairs) makes the output equal to the SQL
+    ground truth (sqlgen.minhash_pairs_sql). est_jaccard is dropped here:
+    signature agreement is not SQL-recomputable."""
     from infidex_ray.ops.dedup import minhash_lsh_pairs
 
-    return _by(minhash_lsh_pairs(_read(sf_dir, "documents")), "id_a", "id_b")
+    out = minhash_lsh_pairs(_read(sf_dir, "documents"), threshold=0.5)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["id_a", "id_b", "jaccard"])
+
+    return _by(out.map_batches(project, batch_format="pyarrow"), "id_a", "id_b")
 
 
 def _q_simhash(sf_dir: str):
@@ -255,24 +265,16 @@ def _q_emb_dup_lsh(sf_dir: str):
 
 
 def _q_dedup_corpus(sf_dir: str):
-    """Full dedup pipeline: minhash pairs → union-find clusters → filtered
-    corpus (rows-only; keeps min-id representative per cluster)."""
-    import pyarrow as pa
-
-    from infidex_ray.ops.dedup import dedup_corpus, minhash_lsh_pairs
+    """Full dedup pipeline, fully distributed: minhash pairs (exact-verified)
+    → label-propagation connected components over the pairs Dataset →
+    anti-join filter — no driver-side pair table or drop set anywhere.
+    Oracle: recursive-CTE transitive closure over the same exact-Jaccard
+    pair ground truth (sqlgen.dedup_corpus_minhash_sql)."""
+    from infidex_ray.ops.dedup import dedup_corpus_ds, minhash_lsh_pairs
 
     ds = _read(sf_dir, "documents")
-    pairs_batches = list(
-        minhash_lsh_pairs(ds, threshold=0.5).iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        )
-    )
-    pairs = (
-        pa.concat_tables(pairs_batches)
-        if pairs_batches
-        else pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
-    )
-    kept = dedup_corpus(ds, pairs)
+    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+    kept = dedup_corpus_ds(ds, pairs)
 
     def project(t: pa.Table) -> pa.Table:
         return t.select(["doc_id"])
@@ -476,6 +478,25 @@ def _q_facets(sf_dir: str):
     )
 
 
+def _q_facets_offline(sf_dir: str):
+    """Corpus-scale facet path: streaming Ray groupby with the Query-API
+    facet semantics (filter → value counts → top-100/field) — the documented
+    alternative to match-all serving-time facets (which Engine.query now
+    caps). Output re-sorted by value for the order-sensitive driver hash."""
+    from infidex_ray.ops.facets import facet_counts_offline
+
+    tbl = facet_counts_offline(
+        _read(sf_dir, "documents"), ["lang"], filter_expr="lang != 'en'"
+    )["lang"]
+    order = sorted(range(tbl.num_rows), key=lambda i: tbl["value"][i].as_py())
+    return pa.table(
+        {
+            "lang": pa.array([tbl["value"][i].as_py() for i in order], pa.string()),
+            "n_docs": pa.array([tbl["n_docs"][i].as_py() for i in order], pa.int64()),
+        }
+    )
+
+
 def _q_lang_dist(sf_dir: str):
     ds = _read(sf_dir, "documents").groupby("lang").count()
 
@@ -519,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "infiscript_filter": _q_infiscript_filter,
         "infiscript_rowfilter": _q_infiscript_rowfilter,
         "facet_counts": _q_facets,
+        "facet_counts_offline": _q_facets_offline,
         "search_topk_distributed": _q_search_topk_distributed,
     }
 
@@ -687,6 +709,17 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY lang ORDER BY lang"
         ),
         "ngram_jaccard_pairs": sqlgen.ngram_jaccard_sql(),
-        # search_topk / minhash / simhash / lsh_knn / langid / fingerprint are
-        # non-SQL-expressible (stateful pipeline or hash-based) → rows-only.
+        "minhash_lsh_pairs": sqlgen.minhash_pairs_sql(threshold=0.5),
+        "simhash_pairs": sqlgen.simhash_pairs_sql(),
+        "langid": sqlgen.langid_sql(),
+        "doc_fingerprint": sqlgen.fingerprint_sql(),
+        "dedup_corpus": sqlgen.dedup_corpus_minhash_sql(threshold=0.5),
+        "embedding_dup_pairs_lsh": sqlgen.embedding_lsh_pairs_sql(threshold=0.4),
+        "facet_counts_offline": (
+            "SELECT lang, count(*) AS n_docs FROM documents WHERE lang != 'en' "
+            "GROUP BY lang ORDER BY lang"
+        ),
+        # search_topk / search_topk_distributed (full coverage+fusion cascade),
+        # image_features (fake codec), lsh_knn (multiprobe scan heuristic) are
+        # non-SQL-expressible → rows-only.
     }

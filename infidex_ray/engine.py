@@ -554,10 +554,23 @@ class Engine:
             did_timeout=did_timeout,
         )
 
+    # Match-all + facets walks every stored doc in-process (faithful to the
+    # reference's serving-time facets) — refuse beyond this many docs and
+    # point callers at the streaming offline path.
+    matchall_facet_cap: int = 1_000_000
+
     def _empty_query_with_facets(self, q: Query) -> Result:
         """SearchEngine.HandleEmptyQueryWithFacets (SearchEngine.cs:322-348)."""
         from . import filters as flt
 
+        total = sum(len(seg.doc_keys) for seg in self.segments)
+        if total > self.matchall_facet_cap:
+            raise ValueError(
+                f"match-all facets over {total} docs exceeds the in-process cap "
+                f"({self.matchall_facet_cap}); use "
+                "infidex_ray.ops.facets.facet_counts_offline for corpus-scale "
+                "facet jobs (streaming Ray groupby)"
+            )
         entries = []
         seen = set()
         for seg in self.segments:

@@ -117,42 +117,73 @@ def _hash64(s: str) -> int:
     )
 
 
-def _collect_rows_for_ids(ds, ids, id_col: str, cols: list[str]) -> pa.Table:
-    """Collect only the rows whose ``id_col`` is in ``ids`` (a SMALL set —
-    candidate docs, not the corpus). The corpus streams through a broadcast
-    membership filter; driver memory is bounded by len(ids), which is
-    O(candidate pairs) by construction."""
+def _join_partitions(requested: int | None = None) -> int:
+    """Join partition count bounded by cluster CPUs: `Dataset.join` spawns
+    one aggregator actor per partition and (empirically, Ray 2.49) chained
+    joins DEADLOCK when partitions exceed ~CPUs/2 — on a 256-node cluster
+    the cap is thousands, on the 4-CPU test fixture it is 2."""
     import ray
 
-    ids_arr = np.asarray(sorted(set(ids)), dtype=np.int64)
-    if len(ids_arr) == 0:
-        return pa.table({c: pa.array([], pa.int64()) for c in cols})
-    ids_ref = ray.put(ids_arr)
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    cap = max(2, cpus // 2)
+    return min(requested, cap) if requested else cap
 
-    def keep(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(ids_ref)
-        col = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        return batch.filter(pa.array(np.isin(col, wanted)))
 
-    parts = list(
-        ds.select_columns(cols)
-        .map_batches(keep, batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow")
+def _attach_sketches(pairs, sketches, num_partitions: int | None = None):
+    """Attach each candidate pair's two per-doc sketch rows via two
+    distributed hash joins (``Dataset.join``): sketches shuffle by id hash,
+    the pair table stays pair-sized, and NOTHING is collected to the driver
+    — this replaces round-2's candidate-bounded driver broadcast, which was
+    the component that would OOM first on a boilerplate-heavy crawl.
+    Non-key sketch columns come back suffixed ``_a`` / ``_b``."""
+    num_partitions = _join_partitions(num_partitions)
+    j1 = pairs.join(
+        sketches, "inner", num_partitions, on=("id_a",), right_on=("doc_id",)
     )
-    return pa.concat_tables(parts) if parts else pa.table({})
+    return j1.join(
+        sketches,
+        "inner",
+        num_partitions,
+        on=("id_b",),
+        right_on=("doc_id",),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
 
 
-def _collect_pairs(pairs_ds) -> pa.Table:
-    """Materialize a (small) candidate-pair dataset to one driver table."""
-    parts = list(pairs_ds.iter_batches(batch_size=None, batch_format="pyarrow"))
-    if not parts:
-        return pa.table(
-            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+def _pack3_shingles(t: str) -> np.ndarray:
+    """Distinct char-3-gram shingles of normalize(t).lower() as packed
+    uint64s: three 21-bit codepoints (max codepoint 0x10FFFF < 2^21) — a
+    BIJECTION with the gram string, so hash-set Jaccard equals string-set
+    Jaccard exactly, and the whole doc vectorizes in numpy. Text shorter
+    than 3 chars yields one whole-text fallback hash with the top bit set
+    (packed values use only 63 bits, so the spaces never collide)."""
+    tn = normalize(t or "").lower()
+    if not tn:
+        return np.empty(0, dtype=np.uint64)
+    if len(tn) < 3:
+        return np.asarray(
+            [_hash64(tn) | (1 << 63)], dtype=np.uint64
         )
-    return pa.concat_tables([p.select(["id_a", "id_b"]) for p in parts])
+    cp = np.frombuffer(tn.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    h = (cp[:-2] << np.uint64(42)) | (cp[1:-1] << np.uint64(21)) | cp[2:]
+    return np.unique(h)
 
 
 # --- n-gram Jaccard (exact, inverted-index join) ----------------------------
+
+
+def _char_shingle_hashes(t: str, n: int) -> np.ndarray:
+    """Distinct char n-gram shingle hashes: the packed bijection for n == 3
+    (the default — zero collisions by construction), a cached blake2b per
+    distinct gram otherwise."""
+    if n == 3:
+        return _pack3_shingles(t)
+    return np.unique(
+        np.fromiter(
+            (_hash64(g) for g in char_shingles(t, n)), dtype=np.uint64
+        )
+    )
 
 
 def ngram_jaccard_pairs(
@@ -162,6 +193,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     rare_shingle_cap: int = 20,
+    num_partitions: int | None = None,
 ):
     """Near-dup pairs by exact Jaccard on distinct char n-grams.
 
@@ -170,29 +202,46 @@ def ngram_jaccard_pairs(
     per-shingle pair blowup (a shingle shared by k docs emits k² pairs).
     Pairs that share only ubiquitous shingles are below any useful threshold
     anyway. The Jaccard reported per candidate pair is EXACT (full shingle
-    sets). Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    sets; for n = 3 the shingle hash is a bijection with the gram string, so
+    hash-set Jaccard IS string-set Jaccard). Returns (id_a, id_b, jaccard)
+    with id_a < id_b, jaccard ≥ threshold.
 
-    Scale: the corpus is NEVER materialized on the driver. Only the texts of
-    docs that appear in a candidate pair are collected (bounded by the pair
-    count) and broadcast to the distributed verify stage, which recomputes
-    the two shingle sets per pair.
+    Scale: fully distributed, zero driver state. Each doc's shingle-hash
+    sketch is computed once; candidates come from a groupby over 8-byte
+    shingle hashes; verification attaches the two sketches to each pair via
+    two hash joins (`_attach_sketches`) and scores in ``map_batches``.
     """
-    import ray
 
-    def emit_shingles(batch: pa.Table) -> pa.Table:
-        ids, sh = [], []
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            for g in char_shingles(t, n):
-                ids.append(i)
-                sh.append(g)
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        blobs = [
+            _char_shingle_hashes(t, n).tobytes()
+            for t in batch[text_col].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch[id_col], "sh": pa.array(blobs, pa.binary())}
+        )
+
+    # sketches are consumed twice (candidate explode + the verify joins)
+    sketches = ds.map_batches(sketch_batch, batch_format="pyarrow").materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for i, blob in zip(batch["doc_id"].to_pylist(), batch["sh"].to_pylist()):
+            arr = np.frombuffer(blob, dtype=np.uint64)
+            ids.append(np.full(len(arr), i, dtype=np.int64))
+            hs.append(arr.view(np.int64))
+        if not ids:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "h": pa.array([], pa.int64())}
+            )
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "shingle": pa.array(sh, pa.large_string()),
+                "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+                "h": pa.array(np.concatenate(hs), pa.int64()),
             }
         )
 
-    shingle_rows = ds.map_batches(emit_shingles, batch_format="pyarrow")
+    shingle_rows = sketches.map_batches(explode, batch_format="pyarrow")
 
     def pairs_per_shingle(group: pa.Table) -> pa.Table:
         docs = sorted(set(group["doc_id"].to_pylist()))
@@ -207,38 +256,26 @@ def ngram_jaccard_pairs(
                 b.append(docs[j])
         return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
 
-    cand = shingle_rows.groupby("shingle").map_groups(
+    cand = shingle_rows.groupby("h").map_groups(
         pairs_per_shingle, batch_format="pyarrow"
     )
-    # materialize: consumed twice (candidate-id collection + verify input) —
-    # without this the shingle groupby would re-execute for each consumer
-    uniq = cand.groupby(["id_a", "id_b"]).count().materialize()
+    uniq = cand.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
 
-    # candidate-bounded broadcast: only texts of docs in some candidate pair
-    pairs_tbl = _collect_pairs(uniq)
-    cand_ids = set(pairs_tbl["id_a"].to_pylist()) | set(pairs_tbl["id_b"].to_pylist())
-    cand_docs = _collect_rows_for_ids(ds, cand_ids, id_col, [id_col, text_col])
-    texts_ref = ray.put(
-        dict(zip(cand_docs[id_col].to_pylist(), cand_docs[text_col].to_pylist()))
-        if cand_docs.num_columns
-        else {}
-    )
+    joined = _attach_sketches(uniq, sketches, num_partitions)
 
     def score(batch: pa.Table) -> pa.Table:
-        texts = ray.get(texts_ref)
-        cache: dict[int, frozenset] = {}
-
-        def sh(doc: int) -> frozenset:
-            s = cache.get(doc)
-            if s is None:
-                s = cache[doc] = frozenset(char_shingles(texts.get(doc, ""), n))
-            return s
-
         out_a, out_b, out_j = [], [], []
-        for x, y in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-            sa, sb = sh(x), sh(y)
-            union = len(sa | sb)
-            jac = len(sa & sb) / union if union else 0.0
+        for x, y, ba, bb in zip(
+            batch["id_a"].to_pylist(),
+            batch["id_b"].to_pylist(),
+            batch["sh_a"].to_pylist(),
+            batch["sh_b"].to_pylist(),
+        ):
+            sa = np.frombuffer(ba, dtype=np.uint64)
+            sb = np.frombuffer(bb, dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac = inter / union if union else 0.0
             if jac >= threshold:
                 out_a.append(x)
                 out_b.append(y)
@@ -251,7 +288,7 @@ def ngram_jaccard_pairs(
             }
         )
 
-    return uniq.map_batches(score, batch_format="pyarrow")
+    return joined.map_batches(score, batch_format="pyarrow")
 
 
 # --- MinHash + LSH -----------------------------------------------------------
@@ -339,50 +376,61 @@ def _shingle_hashes(wh: np.ndarray, n: int) -> np.ndarray:
 def minhash_lsh_pairs(
     ds,
     num_perm: int = 128,
-    bands: int = 16,
+    bands: int = 32,
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
     threshold: float = 0.5,
+    est_cutoff: float = 0.0,
     max_bucket_size: int = 256,
+    num_partitions: int | None = None,
 ):
     """MinHash+LSH near-dup pairs over word n-gram shingles: docs sharing any
-    band bucket become candidates; candidates are verified by signature
-    agreement and only pairs with est_jaccard ≥ threshold are returned.
-    (id_a, id_b, est_jaccard), id_a < id_b. Deterministic (seeded).
+    band bucket become candidates; each candidate pair is then verified with
+    the EXACT word-n-gram Jaccard of the two shingle-hash sketches (plus the
+    signature-agreement estimate). Returns (id_a, id_b, est_jaccard,
+    jaccard) with id_a < id_b and exact ``jaccard ≥ threshold`` — the exact
+    column makes the output SQL-checkable (the oracle recomputes word-shingle
+    Jaccard over all pairs; LSH recall at the default 32 bands × 4 rows is
+    ~1 − (1 − j⁴)³² ≈ 99.99 % at j = 0.7). Deterministic (seeded).
 
-    Scale: signatures are vectorized numpy per batch; the band shuffle moves
-    only (doc_id, band, bucket) rows; buckets larger than ``max_bucket_size``
-    are dropped (the engine's stop-term rule — a hot bucket of k identical
-    boilerplate docs would otherwise emit k² pairs); verification broadcasts
-    only the signatures of docs in some candidate pair, never the corpus."""
+    Scale: signatures/sketches are vectorized numpy per batch, computed ONCE;
+    the band shuffle moves only (doc_id, band, bucket) 8-byte keys; buckets
+    larger than ``max_bucket_size`` are dropped (the engine's stop-term rule
+    — a hot bucket of k identical boilerplate docs would otherwise emit k²
+    pairs); verification attaches the two sketches to each pair via hash
+    joins (`_attach_sketches`) — no driver state anywhere. ``est_cutoff``
+    optionally prunes candidate pairs by signature agreement before the
+    exact set intersection."""
     from ..analyzer import _word_splitter
     from ..config import DEFAULT_DELIMITERS
 
     rows_per_band = num_perm // bands
     a, b = _minhash_params(num_perm, seed)
 
-    def compute_sigs(batch: pa.Table) -> pa.Table:
+    def compute_sketches(batch: pa.Table) -> pa.Table:
         splitter = _word_splitter(DEFAULT_DELIMITERS)
         cache: dict[str, int] = {}
-        out_ids, out_sig = [], []
+        out_ids, out_sig, out_sh = [], [], []
         for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
             tnorm = normalize(t or "").lower()
             ws = [w for w in splitter.split(tnorm) if w]
             sh = _shingle_hashes(_word_hashes(ws, cache), n)
             out_ids.append(i)
             out_sig.append(minhash_signature(sh, a, b).tobytes())
+            out_sh.append(sh.tobytes())
         return pa.table(
             {
                 "doc_id": pa.array(out_ids, pa.int64()),
                 "sig": pa.array(out_sig, pa.binary()),
+                "sh": pa.array(out_sh, pa.binary()),
             }
         )
 
-    # signatures computed ONCE and materialized; both the band emission and
-    # the verification stage read the cached blocks
-    sigs = ds.map_batches(compute_sigs, batch_format="pyarrow").materialize()
+    # sketches computed ONCE and materialized; the band emission and the
+    # verification joins both read the cached blocks
+    sigs = ds.map_batches(compute_sketches, batch_format="pyarrow").materialize()
 
     def emit_bands(batch: pa.Table) -> pa.Table:
         n_docs = len(batch)
@@ -430,62 +478,80 @@ def minhash_lsh_pairs(
     cand = band_rows.groupby(["band", "bucket"]).map_groups(
         pairs_in_bucket, batch_format="pyarrow"
     )
-    # distinct pairs — materialized: consumed twice (candidate-id collection
-    # + the estimate stage input); pairs are tiny by construction
-    uniq = cand.groupby(["id_a", "id_b"]).count().materialize()
+    uniq = cand.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
 
-    # verify with true signature agreement over a candidate-bounded broadcast
-    import ray
+    # verify distributively: attach both sketches per pair via hash joins,
+    # then score (signature-agreement estimate + exact shingle Jaccard)
+    joined = _attach_sketches(uniq, sigs, num_partitions)
 
-    pairs_tbl = _collect_pairs(uniq)
-    cand_ids = set(pairs_tbl["id_a"].to_pylist()) | set(pairs_tbl["id_b"].to_pylist())
-    cand_sigs = _collect_rows_for_ids(sigs, cand_ids, "doc_id", ["doc_id", "sig"])
-    sig_ref = ray.put(
-        {
-            i: np.frombuffer(s, dtype=np.uint64)
-            for i, s in zip(
-                cand_sigs["doc_id"].to_pylist(), cand_sigs["sig"].to_pylist()
+    def score(batch: pa.Table) -> pa.Table:
+        oa, ob, oe, oj = [], [], [], []
+        for x, y, siga, sigb, sha, shb in zip(
+            batch["id_a"].to_pylist(),
+            batch["id_b"].to_pylist(),
+            batch["sig_a"].to_pylist(),
+            batch["sig_b"].to_pylist(),
+            batch["sh_a"].to_pylist(),
+            batch["sh_b"].to_pylist(),
+        ):
+            est = float(
+                (np.frombuffer(siga, np.uint64) == np.frombuffer(sigb, np.uint64)).mean()
             )
-        }
-        if cand_sigs.num_columns
-        else {}
-    )
-
-    def estimate(batch: pa.Table) -> pa.Table:
-        sm = ray.get(sig_ref)
-        oa, ob, oe = [], [], []
-        for x, y in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-            est = float((sm[x] == sm[y]).mean()) if x in sm and y in sm else 0.0
-            if est >= threshold:
+            if est < est_cutoff:
+                continue
+            sa = np.frombuffer(sha, dtype=np.uint64)
+            sb = np.frombuffer(shb, dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac = inter / union if union else 0.0
+            if jac >= threshold:
                 oa.append(x)
                 ob.append(y)
                 oe.append(round_half_up4(est))
+                oj.append(round_half_up4(jac))
         return pa.table(
             {
                 "id_a": pa.array(oa, pa.int64()),
                 "id_b": pa.array(ob, pa.int64()),
                 "est_jaccard": pa.array(oe, pa.float64()),
+                "jaccard": pa.array(oj, pa.float64()),
             }
         )
 
-    return uniq.map_batches(estimate, batch_format="pyarrow")
+    return joined.map_batches(score, batch_format="pyarrow")
 
 
 # --- SimHash -----------------------------------------------------------------
 
 
+def _md5_u64(s: str) -> int:
+    """Cross-engine 64-bit hash: the lower 8 md5 digest bytes, little-endian
+    — bit-for-bit DuckDB's ``md5_number_lower()``, so SQL oracles can
+    recompute every hash-derived value (SimHash bits, fingerprints)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:16], "little")
+
+
 def simhash_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> pa.Table:
     """64-bit SimHash over char n-gram features (weight = 1 per distinct);
-    bit accumulation vectorized over all of a doc's shingle hashes at once."""
+    bit accumulation vectorized over all of a doc's shingle hashes at once.
+    Gram hash = md5 lower half (:func:`_md5_u64`) with a per-batch cache —
+    grams repeat heavily across docs, and the md5 choice makes the SimHash
+    (and the Hamming pairs built on it) exactly recomputable in DuckDB."""
     out = np.zeros(len(batch), dtype=np.int64)
     texts = batch[text_col].to_pylist()
     bit_idx = np.arange(64, dtype=np.uint64)
     weights = np.uint64(1) << bit_idx
+    cache: dict[str, int] = {}
     for i, t in enumerate(texts):
         grams = char_shingles(t, n)
         if not grams:
             continue
-        hs = np.fromiter((_hash64(g) for g in grams), dtype=np.uint64, count=len(grams))
+        hs = np.empty(len(grams), dtype=np.uint64)
+        for k, g in enumerate(grams):
+            h = cache.get(g)
+            if h is None:
+                h = cache[g] = _md5_u64(g)
+            hs[k] = h
         bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
         acc = 2 * bits.sum(axis=0) - len(grams)  # (+1/-1 votes per bit)
         out[i] = (weights * (acc > 0).astype(np.uint64)).sum(dtype=np.uint64).astype(np.int64)
@@ -555,7 +621,11 @@ def simhash_dup_pairs(
             {
                 "id_a": t["id_a"],
                 "id_b": t["id_b"],
-                "hamming": t["min(hamming)" if "min(hamming)" in t.column_names else "hamming"],
+                # groupby min promotes to int64; restore the op's int32
+                # contract (matches the SQL oracle's ::INT)
+                "hamming": t[
+                    "min(hamming)" if "min(hamming)" in t.column_names else "hamming"
+                ].cast(pa.int32()),
             }
         ),
         batch_format="pyarrow",
@@ -775,3 +845,130 @@ def dedup_corpus(ds, pairs: pa.Table, id_col: str = "doc_id"):
         return batch.filter(pa.array(~np.isin(ids, drop_ids)))
 
     return ds.map_batches(keep_batch, batch_format="pyarrow")
+
+
+def dedup_clusters_ds(pairs_ds, num_partitions: int | None = None, max_iters: int = 50):
+    """Distributed connected components over a near-dup PAIRS Dataset via
+    iterative min-label propagation — the scale path for :func:`dedup_clusters`
+    (which union-finds on the driver and therefore holds the whole pair set
+    in one heap). Returns a Dataset of (node, label) with label = the min
+    doc_id reachable in the pair graph; driver traffic per iteration is one
+    scalar (the changed-label count).
+
+    Each iteration: labels ⋈ edges (hash join, distributed) → per-node min
+    over neighbor labels → merge with own label. Iterations needed = graph
+    diameter in the worst case, but near-dup clusters are dense (exact/near
+    copies of one source), so 2–4 rounds typically converge; ``max_iters``
+    bounds pathological chains."""
+    num_partitions = _join_partitions(num_partitions)
+    edges_fwd = pairs_ds.select_columns(["id_a", "id_b"])
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = edges_fwd.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["src"], "label": batch["src"]})
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .min("label")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "label": t["min(label)" if "min(label)" in t.column_names else "label"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    for _ in range(max_iters):
+        # neighbor-label candidates: label(dst) proposed to src
+        prop = edges.join(
+            labels, "inner", num_partitions, on=("dst",), right_on=("node",)
+        )
+
+        def as_node_label(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": batch["src"], "label": batch["label"]})
+
+        cand = (
+            prop.map_batches(as_node_label, batch_format="pyarrow")
+            .union(labels)
+            .groupby("node")
+            .min("label")
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["node"],
+                        "label": t[
+                            "min(label)" if "min(label)" in t.column_names else "label"
+                        ],
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+        # convergence: any node whose label shrank this round?
+        changed_ds = cand.join(
+            labels,
+            "inner",
+            num_partitions,
+            on=("node",),
+            left_suffix="_new",
+            right_suffix="_old",
+        )
+
+        def count_changed(batch: pa.Table) -> pa.Table:
+            n = int(
+                (
+                    batch["label_new"].to_numpy(zero_copy_only=False)
+                    != batch["label_old"].to_numpy(zero_copy_only=False)
+                ).sum()
+            )
+            return pa.table({"changed": pa.array([n], pa.int64())})
+
+        changed = sum(
+            r["changed"]
+            for r in changed_ds.map_batches(count_changed, batch_format="pyarrow")
+            .take_all()
+        )
+        labels = cand
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_corpus_ds(ds, pairs_ds, id_col: str = "doc_id", num_partitions: int | None = None):
+    """Fully-distributed dedup: label-propagation clustering over the pairs
+    Dataset, then an ANTI join dropping every doc whose cluster label is not
+    itself — no driver-side dict or broadcast set at any point (the filter
+    side of :func:`dedup_corpus` broadcasts the drop set, which is fine for
+    output-sized pair tables but not for a 100-TB crawl's duplicate mass)."""
+    num_partitions = _join_partitions(num_partitions)
+    labels = dedup_clusters_ds(pairs_ds, num_partitions=num_partitions)
+
+    def drops_only(batch: pa.Table) -> pa.Table:
+        keep = (
+            batch["node"].to_numpy(zero_copy_only=False)
+            != batch["label"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"node": batch["node"].filter(pa.array(keep))})
+
+    drops = labels.map_batches(drops_only, batch_format="pyarrow")
+    return ds.join(
+        drops, "left_anti", num_partitions, on=(id_col,), right_on=("node",)
+    )

@@ -217,24 +217,29 @@ def langid_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
 
 
 def fingerprint_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
-    """64-bit content fingerprint: blake2b of the normalized+lowered text
-    (the byte-identical invariant surface) + a polynomial rolling hash of the
-    token stream (order-sensitive document fingerprinting)."""
+    """Content fingerprint: md5 hex of the normalized+lowered text (the
+    byte-identical invariant surface — md5 so DuckDB's ``md5()`` recomputes
+    it) + an order-sensitive polynomial rolling hash of the token stream,
+    word hash = md5 lower half (DuckDB ``md5_number_lower``), folded as
+    h = (h·BASE + wh) mod 2⁶¹−1 (SQL: ``list_reduce`` over HUGEINT)."""
+    from .dedup import _md5_u64
+
     texts = _norm_lower(batch[text_col].to_pylist())
     splitter = _word_splitter(DEFAULT_DELIMITERS)
     content_hash: list[str] = []
     rolling = np.zeros(len(texts), dtype=np.int64)
     MOD = (1 << 61) - 1
     BASE = 1_000_003
+    cache: dict[str, int] = {}
     for i, t in enumerate(texts):
-        content_hash.append(hashlib.blake2b(t.encode("utf-8"), digest_size=8).hexdigest())
+        content_hash.append(hashlib.md5(t.encode("utf-8")).hexdigest())
         h = 0
         for w in splitter.split(t):
             if not w:
                 continue
-            wh = int.from_bytes(
-                hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "little"
-            )
+            wh = cache.get(w)
+            if wh is None:
+                wh = cache[w] = _md5_u64(w)
             h = (h * BASE + wh) % MOD
         rolling[i] = h
     return pa.table(

@@ -156,6 +156,222 @@ ORDER BY id_a, id_b
 """
 
 
+def word_shingles_cte(table: str = "documents") -> str:
+    """CTEs ``n``/``w``/``wsh``: distinct word 3-gram shingles of the
+    normalized text, with the short-doc contract (0 < words < 3 → one
+    whole-doc shingle) — mirrors ops.dedup.word_shingles/_shingle_hashes."""
+    dre = sql_quote(delim_regex_class())
+    return f"""
+n AS (SELECT doc_id, {norm_expr('text')} AS norm FROM {table}),
+w AS (SELECT doc_id, list_filter(string_split_regex(norm, {dre}), x -> x != '') AS ws FROM n),
+wsh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM w, (SELECT unnest(generate_series(1, (SELECT coalesce(max(len(ws)),1) FROM w))) AS i) ser
+  WHERE len(ws) >= 3 AND i <= len(ws) - 2
+  UNION
+  SELECT doc_id, array_to_string(ws, ' ') AS s FROM w WHERE len(ws) BETWEEN 1 AND 2
+)"""
+
+
+def word_jaccard_pairs_core(table: str = "documents", threshold: float = 0.5) -> str:
+    """CTE chain ending in ``wjp`` = (id_a, id_b, jaccard) — ALL pairs with
+    exact word-3-gram Jaccard ≥ threshold. Oracle for minhash_lsh_pairs: the
+    LSH candidate stage has ≈ 1 − (1 − j⁴)³² recall (≥ 1 − 1e-15 at the
+    j ≥ 0.9 pairs this corpus contains), and the op's exact-jaccard verify
+    makes its output identical to this ground truth."""
+    return f"""
+{word_shingles_cte(table)},
+wsizes AS (SELECT doc_id, count(*) AS sz FROM wsh GROUP BY doc_id),
+winter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+  FROM wsh a JOIN wsh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+wjp AS (
+  SELECT i.ia AS id_a, i.ib AS id_b,
+         round(i.i::DOUBLE / (sa.sz + sb.sz - i.i), 4) AS jaccard
+  FROM winter i
+  JOIN wsizes sa ON sa.doc_id = i.ia
+  JOIN wsizes sb ON sb.doc_id = i.ib
+  WHERE i.i::DOUBLE / (sa.sz + sb.sz - i.i) >= {threshold}
+)"""
+
+
+def minhash_pairs_sql(table: str = "documents", threshold: float = 0.5) -> str:
+    return (
+        f"WITH {word_jaccard_pairs_core(table, threshold)} "
+        "SELECT id_a, id_b, jaccard FROM wjp ORDER BY id_a, id_b"
+    )
+
+
+def dedup_corpus_minhash_sql(table: str = "documents", threshold: float = 0.5) -> str:
+    """Connected components over the exact word-shingle Jaccard pairs via a
+    recursive transitive closure; keep each component's min doc_id plus all
+    unpaired docs — mirrors minhash pairs → union-find → dedup_corpus."""
+    return f"""
+WITH RECURSIVE {word_jaccard_pairs_core(table, threshold)},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM wjp
+  UNION SELECT id_b, id_a FROM wjp
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+rep AS (SELECT src AS node, min(dst) AS mn FROM reach GROUP BY src)
+SELECT doc_id FROM {table}
+WHERE doc_id NOT IN (SELECT node FROM rep WHERE mn < node)
+ORDER BY doc_id
+"""
+
+
+def simhash_pairs_sql(table: str = "documents", max_hamming: int = 3) -> str:
+    """SimHash Hamming-distance pairs recomputed from scratch: distinct char
+    3-grams (whole-text shingle when len < 3), gram hash = md5_number_lower
+    (bit-identical to ops.dedup._md5_u64), per-bit majority vote, then
+    all-pairs Hamming ≤ max_hamming. The op's 4-block pigeonhole bucketing
+    finds every such pair (3 differing bits leave ≥ 1 of 4 16-bit blocks
+    identical), so the outputs coincide whenever no bucket exceeds the
+    op's size cap (always true at the driver's scale)."""
+    return f"""
+WITH n AS (SELECT doc_id, {norm_expr('text')} AS norm FROM {table}),
+g AS (
+  SELECT DISTINCT doc_id, substr(norm, i, 3) AS gram
+  FROM n, (SELECT unnest(generate_series(1, (SELECT coalesce(max(length(norm)),1) FROM n))) AS i) s
+  WHERE length(norm) >= 3 AND i <= length(norm) - 2
+  UNION
+  SELECT doc_id, norm AS gram FROM n WHERE length(norm) BETWEEN 1 AND 2
+),
+gh AS (SELECT doc_id, md5_number_lower(gram) AS h FROM g),
+cnt AS (SELECT doc_id, count(*) AS ng FROM gh GROUP BY doc_id),
+votes AS (
+  SELECT gh.doc_id, bs.b, sum(((gh.h >> bs.b) & 1)::BIGINT) AS ones
+  FROM gh, (SELECT unnest(generate_series(0, 63)) AS b) bs
+  GROUP BY gh.doc_id, bs.b
+),
+bits AS (
+  SELECT v.doc_id, v.b,
+         CASE WHEN 2 * v.ones > c.ng THEN 1 ELSE 0 END AS bit
+  FROM votes v JOIN cnt c ON c.doc_id = v.doc_id
+),
+allbits AS (
+  SELECT n.doc_id, bs.b, coalesce(bt.bit, 0) AS bit
+  FROM n CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bs
+  LEFT JOIN bits bt ON bt.doc_id = n.doc_id AND bt.b = bs.b
+),
+ham AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         sum(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END)::INT AS hamming
+  FROM allbits a JOIN allbits b ON a.b = b.b AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+def langid_sql(table: str = "documents") -> str:
+    """Stopword-profile argmax language ID (ops.textstats.langid_batch): CJK
+    codepoint ratio > 0.1 → zh; else first language in (de, en, es, fr)
+    alphabetical order achieving the max distinct-stopword overlap — the
+    Python loop initializes best = −1 and takes strictly-greater, so ties go
+    to the alphabetically-first profile."""
+    from .ops.textstats import LANG_PROFILES
+
+    dre = sql_quote(delim_regex_class())
+
+    def lst(lang: str) -> str:
+        return "[" + ", ".join(sql_quote(w) for w in sorted(LANG_PROFILES[lang])) + "]"
+
+    return f"""
+WITH n AS (SELECT doc_id, {norm_expr('text')} AS norm FROM {table}),
+w AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(norm, {dre}), x -> x != '')) AS ws FROM n),
+s AS (
+  SELECT n.doc_id,
+    CASE WHEN length(n.norm) > 0 AND
+         length(regexp_replace(n.norm, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))::DOUBLE
+           / greatest(length(n.norm), 1) > 0.1
+         THEN TRUE ELSE FALSE END AS is_cjk,
+    len(list_intersect(w.ws, {lst('de')})) AS s_de,
+    len(list_intersect(w.ws, {lst('en')})) AS s_en,
+    len(list_intersect(w.ws, {lst('es')})) AS s_es,
+    len(list_intersect(w.ws, {lst('fr')})) AS s_fr
+  FROM n JOIN w ON n.doc_id = w.doc_id)
+SELECT doc_id,
+  CASE WHEN is_cjk THEN 'zh'
+       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_fr THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM s ORDER BY doc_id
+"""
+
+
+def fingerprint_sql(table: str = "documents") -> str:
+    """Content fingerprints (ops.textstats.fingerprint_batch): md5 hex of
+    the normalized text + the order-sensitive polynomial rolling hash over
+    md5_number_lower word hashes, folded in HUGEINT mod 2^61−1."""
+    dre = sql_quote(delim_regex_class())
+    return f"""
+WITH n AS (SELECT doc_id, {norm_expr('text')} AS norm FROM {table}),
+w AS (SELECT doc_id, list_filter(string_split_regex(norm, {dre}), x -> x != '') AS ws FROM n),
+r AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(0::HUGEINT,
+                        list_transform(ws, x -> md5_number_lower(x)::HUGEINT)),
+           (acc, x) -> (acc * 1000003 + x) % 2305843009213693951) AS rh
+  FROM w)
+SELECT n.doc_id, md5(n.norm) AS content_hash, coalesce(r.rh, 0)::BIGINT AS rolling_hash
+FROM n JOIN r ON n.doc_id = r.doc_id ORDER BY n.doc_id
+"""
+
+
+def embedding_lsh_pairs_sql(
+    dim: int = 64,
+    threshold: float = 0.4,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    table: str = "embeddings",
+) -> str:
+    """Oracle for ops.dedup.embedding_dup_pairs_lsh: the seeded hyperplanes
+    are inlined as literal DOUBLE vectors (deterministic — same RandomState
+    stream as the op), buckets recomputed per (table, vec) via sign bits of
+    the raw inner product (sign(raw·p) == sign(normalized·p)), candidate
+    pairs share a (table, bucket), verified by exact cosine ≥ threshold."""
+    from .ops.similarity import _hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        pl = _hyperplanes(dim, n_bits, seed + t)
+        for b in range(n_bits):
+            vec = "[" + ", ".join(repr(float(v)) for v in pl[b]) + "]::DOUBLE[]"
+            rows.append(f"({t}, {b}, {vec})")
+    values = ",\n".join(rows)
+    return f"""
+WITH planes(t, bit, vec) AS (VALUES {values}),
+b AS (
+  SELECT e.vec_id, p.t,
+         sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], p.vec) > 0
+                  THEN (1::BIGINT << p.bit) ELSE 0 END) AS bucket
+  FROM {table} e CROSS JOIN planes p GROUP BY e.vec_id, p.t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2 ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cosine
+FROM cand c
+JOIN {table} ea ON ea.vec_id = c.id_a
+JOIN {table} eb ON eb.vec_id = c.id_b
+WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
 def quality_sql(table: str = "documents") -> str:
     """DuckDB oracle for ops.textstats.quality_batch: token counts over the
     normalized word split, stopword/distinct ratios, and the composite

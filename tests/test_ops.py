@@ -124,6 +124,43 @@ def test_dedup_corpus(ray_session):
     assert kept == [1, 4, 5, 6, 7, 9]  # dropped 2, 3, 8
 
 
+def test_dedup_corpus_ds_label_propagation(ray_session):
+    """Distributed label-propagation clustering ≡ driver union-find: chains
+    (propagation depth > 1), a planted many-pair component, and isolated
+    docs — with no driver-side dict anywhere."""
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.dedup import dedup_clusters_ds, dedup_corpus_ds
+
+    # chain 1-2-3-4-5 (diameter 4 forces several propagation rounds),
+    # star 10-{11..40}, isolated pairs (50,51)
+    ids_a = [1, 2, 3, 4] + [10] * 30 + [50]
+    ids_b = [2, 3, 4, 5] + list(range(11, 41)) + [51]
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(ids_a, pa.int64()),
+                "id_b": pa.array(ids_b, pa.int64()),
+            }
+        )
+    )
+    labels = {
+        r["node"]: r["label"] for r in dedup_clusters_ds(pairs).take_all()
+    }
+    assert all(labels[i] == 1 for i in range(1, 6))
+    assert all(labels[i] == 10 for i in range(10, 41))
+    assert labels[50] == 50 and labels[51] == 50
+
+    corpus = ray.data.from_items(
+        [{"doc_id": i, "text": f"t{i}"} for i in list(range(1, 8)) + [50, 51]]
+    )
+    kept = sorted(
+        dedup_corpus_ds(corpus, pairs).to_pandas()["doc_id"].tolist()
+    )
+    assert kept == [1, 6, 7, 50]  # reps + untouched docs survive
+
+
 def test_html_to_text_extraction(ray_session):
     import pyarrow as pa
     import ray.data
