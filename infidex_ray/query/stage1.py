@@ -203,9 +203,62 @@ def decide_level(plan: QueryPlan, counts: np.ndarray, top_k: int) -> int:
 # --- scoring -----------------------------------------------------------------
 
 
+class TermPostings:
+    """Postings access for one plan term — eager (decoded arrays) or LAZY.
+
+    A lazy term defers decoding to the moment a target set is known, then
+    block-skip decodes only the touched skip blocks
+    (``SegmentData.term_postings_subset`` — the vectorized analogue of the
+    skip-table Advance in MMapBlockPostingsEnum.cs:6-303) and exposes the
+    per-block max weights (BlockPostingsWriter.cs:97-106) for block-max
+    score bounds. Terms whose full list is needed to BUILD the candidate
+    set stay eager; everything else (typically the longest, lowest-idf
+    lists) goes lazy."""
+
+    __slots__ = ("info", "docs", "weights", "_seg", "_idx")
+
+    def __init__(self, info, docs=None, weights=None, seg=None, idx=-1):
+        self.info = info
+        self.docs = docs
+        self.weights = weights
+        self._seg = seg
+        self._idx = idx
+
+    @property
+    def n(self) -> int:
+        if self.docs is not None:
+            return len(self.docs)
+        return int(self._seg.n_postings[self._idx])
+
+    def full(self) -> tuple[np.ndarray, np.ndarray]:
+        if self.docs is None:
+            self.docs, self.weights = self._seg.term_postings(self._idx)
+        return self.docs, self.weights
+
+    def for_targets(self, targets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Postings restricted to the blocks containing ``targets`` (sorted)
+        — a membership-exact superset; full arrays when already decoded."""
+        if self.docs is not None:
+            return self.docs, self.weights
+        return self._seg.term_postings_subset(self._idx, targets)
+
+    def block_bound_tf(self, targets: np.ndarray) -> np.ndarray | None:
+        """Per-target tf upper bound from the block-max skip table (0 for
+        targets before the first posting); None when no skip table exists."""
+        if self._seg is None or self._idx < 0:
+            return None
+        meta = self._seg.term_block_meta(self._idx)
+        if meta is None:
+            return None
+        anchors, block_max = meta
+        pos = np.searchsorted(anchors, targets, side="right") - 1
+        bm = np.where(pos >= 0, block_max[np.maximum(pos, 0)], 0)
+        return bm.astype(np.uint8)
+
+
 def score_candidates(
     candidates: np.ndarray,
-    term_postings: list[tuple[QueryTermInfo, np.ndarray, np.ndarray]],
+    term_postings: list[TermPostings],
     doc_len: np.ndarray,
     avgdl: float,
     top_k: int | None = None,
@@ -216,10 +269,18 @@ def score_candidates(
     With ``top_k``, applies the MaxScore pruning idea term-at-a-time
     (Bm25Scorer.cs:104-193,352-355: per-term upper bounds, suffix sums,
     candidates whose partial + remaining bound cannot reach the current
-    floor are dropped). Lossless for the top-k result set: the floor is the
-    k-th best PARTIAL score (a lower bound on the k-th best final score), and
-    only candidates strictly below it are pruned. Pruned candidates keep
-    score 0."""
+    floor are dropped), tightened per candidate with the next term's
+    BLOCK-max weight when its skip table is available (block-max WAND,
+    Ding & Suel 2011; reference skip rows BlockPostingsWriter.cs:97-106).
+    Lossless for the top-k result set: the floor is the k-th best PARTIAL
+    score (a lower bound on the k-th best final score), bounds are true
+    upper bounds (with a 1e-6 inflation absorbing float reordering), and
+    only candidates strictly below the floor are dropped. Pruned candidates
+    keep score 0.
+
+    Lazy terms decode only the posting blocks containing still-alive
+    candidates — with idf-descending term order the longest lists come
+    last, when pruning has already shrunk the alive set."""
     avgdl32 = np.float32(avgdl if avgdl > 0 else 1.0)
     n = len(candidates)
     scores = np.zeros(n, dtype=np.float32)
@@ -235,26 +296,48 @@ def score_candidates(
     prune = top_k is not None and n > 4 * top_k and len(term_postings) > 1
     if prune:
         max_scores = np.array(
-            [float(tp[0].max_score) for tp in term_postings], dtype=np.float64
+            [float(tp.info.max_score) for tp in term_postings], dtype=np.float64
         )
         suffix = np.concatenate([np.cumsum(max_scores[::-1])[::-1], [0.0]])
 
     alive = np.arange(n)
-    for ti, (info, docs, weights) in enumerate(term_postings):
-        if float(info.idf) <= 0 or len(docs) == 0:
+    for ti, t in enumerate(term_postings):
+        info = t.info
+        if float(info.idf) <= 0 or t.n == 0:
             continue
         cand = candidates[alive]
-        pos = np.searchsorted(docs, cand)
-        pos_c = np.minimum(pos, len(docs) - 1)
-        hit = docs[pos_c] == cand
-        if hit.any():
-            tf = weights[pos_c[hit]].astype(np.float32)
-            core = (tf * (K1 + _ONE)) / (tf + norm_all[alive][hit])
-            scores[alive[hit]] += info.idf * (core + DELTA)
+        docs, weights = t.for_targets(cand)
+        if len(docs):
+            pos = np.searchsorted(docs, cand)
+            pos_c = np.minimum(pos, len(docs) - 1)
+            hit = docs[pos_c] == cand
+            if hit.any():
+                tf = weights[pos_c[hit]].astype(np.float32)
+                core = (tf * (K1 + _ONE)) / (tf + norm_all[alive][hit])
+                scores[alive[hit]] += info.idf * (core + DELTA)
         if prune and ti + 1 < len(term_postings) and len(alive) > top_k:
             floor = np.partition(scores[alive], len(alive) - top_k)[len(alive) - top_k]
             if floor > 0:
-                bound = scores[alive] + np.float32(suffix[ti + 1])
+                nxt = term_postings[ti + 1]
+                bm = (
+                    nxt.block_bound_tf(candidates[alive])
+                    if nxt.docs is None and float(nxt.info.idf) > 0
+                    else None
+                )
+                if bm is not None:
+                    # block-max bound for the next term + global tail after
+                    tf_b = bm.astype(np.float64)
+                    core_b = np.zeros(len(alive), dtype=np.float64)
+                    nz = tf_b > 0
+                    core_b[nz] = (tf_b[nz] * (float(K1) + 1.0)) / (
+                        tf_b[nz] + norm_all[alive][nz].astype(np.float64)
+                    )
+                    nxt_bound = float(nxt.info.idf) * np.where(
+                        nz, core_b + float(DELTA), 0.0
+                    )
+                    bound = scores[alive] + (nxt_bound + suffix[ti + 2]) * 1.000001
+                else:
+                    bound = scores[alive] + np.float32(suffix[ti + 1])
                 keep = bound >= floor
                 dropped = alive[~keep]
                 scores[dropped] = 0  # pruned: cannot reach top-k
@@ -407,21 +490,53 @@ class SegmentStage1:
         return res
 
     # -- local postings for a plan ----------------------------------------
-    def _plan_postings(
-        self, plan: QueryPlan
-    ) -> list[tuple[QueryTermInfo, np.ndarray, np.ndarray]]:
-        out = []
-        for info in plan.infos:
+    def _plan_postings(self, plan: QueryPlan) -> list[TermPostings]:
+        """Postings handles in plan order. Only the ranks whose FULL list is
+        needed to build candidate sets decode eagerly (disjunctive included
+        ranks, tiered selective singles); everything else stays lazy and is
+        block-skip decoded against the candidate/probe set later — the long
+        low-idf lists never pay a full-decode at 100× posting lengths."""
+        if plan.mode == "disjunctive":
+            eager_ranks = set(plan.included_ranks)
+        else:
+            # tiered intersections probe the long lists against the smallest
+            # list (progressive), so only the selective singles must be full
+            eager_ranks = set(plan.selective_ranks)
+        out: list[TermPostings] = []
+        for r, info in enumerate(plan.infos):
             if info.is_fuzzy:
-                docs, card = self.fuzzy_union(info.text)
-                out.append((info, docs, np.ones(len(docs), dtype=np.uint8)))
+                docs, _card = self.fuzzy_union(info.text)
+                out.append(
+                    TermPostings(info, docs, np.ones(len(docs), dtype=np.uint8))
+                )
                 continue
             i = self.seg.term_lookup(info.text)
             if i < 0:
-                out.append((info, np.empty(0, np.uint32), np.empty(0, np.uint8)))
-            else:
+                out.append(
+                    TermPostings(info, np.empty(0, np.uint32), np.empty(0, np.uint8))
+                )
+            elif r in eager_ranks:
                 docs, weights = self.seg.term_postings(i)
-                out.append((info, docs, weights))
+                out.append(TermPostings(info, docs, weights))
+            else:
+                out.append(TermPostings(info, seg=self.seg, idx=i))
+        return out
+
+    @staticmethod
+    def _intersect_progressive(tps: list[TermPostings]) -> np.ndarray:
+        """Intersection of all terms' doc sets, probing the longer lists
+        against the running (small) result with block-skip decode instead of
+        fully decoding every list — order-independent set semantics, so the
+        result is identical to the naive all-full-decode intersection."""
+        if not tps:
+            return np.empty(0, np.uint32)
+        order = sorted(range(len(tps)), key=lambda r: tps[r].n)
+        out = tps[order[0]].full()[0]
+        for r in order[1:]:
+            if len(out) == 0:
+                return out
+            docs = tps[r].for_targets(out)[0]
+            out = np.intersect1d(out, docs, assume_unique=True)
         return out
 
     def _candidate_sets(self, plan: QueryPlan, tp=None) -> list[np.ndarray]:
@@ -432,21 +547,28 @@ class SegmentStage1:
             sets = []
             union = np.empty(0, dtype=np.uint32)
             for r in plan.included_ranks:
-                union = _union_sorted(union, tp[r][1])
+                union = _union_sorted(union, tp[r].full()[0])
                 sets.append(union)
             return sets
-        # tiered
-        all_posts = [d for _, d, _ in tp]
-        t0 = _intersect_sorted(all_posts) if len(tp) >= 2 else np.empty(0, np.uint32)
-        t1 = (
-            _intersect_sorted(all_posts[:-1])
-            if len(tp) >= 3
-            else np.empty(0, np.uint32)
-        )
+        # tiered: t1 (all but the last term) first, then t0 = t1 ∩ last —
+        # the last (lowest-idf, longest) list is only probed, never unioned
+        if len(tp) >= 3:
+            t1 = self._intersect_progressive(tp[:-1])
+            if len(t1):
+                last = tp[-1].for_targets(t1)[0]
+                t0 = np.intersect1d(t1, last, assume_unique=True)
+            else:
+                t0 = t1
+        elif len(tp) == 2:
+            t1 = np.empty(0, np.uint32)
+            t0 = self._intersect_progressive(tp)
+        else:
+            t1 = np.empty(0, np.uint32)
+            t0 = np.empty(0, np.uint32)
         sets = [t0, _union_sorted(t0, t1)]
         cur = sets[-1]
         for r in plan.selective_ranks:
-            cur = _union_sorted(cur, tp[r][1])
+            cur = _union_sorted(cur, tp[r].full()[0])
             sets.append(cur)
         return sets
 

@@ -34,14 +34,25 @@ import pyarrow.parquet as pq
 
 BLOCK_SIZE = 128  # postings per skip block (BlockPostingsWriter.cs:7-9 uses 64-256)
 
-_HEADER = struct.Struct("<IBB")  # n_postings, delta_width, reserved
+# header reserved byte doubles as the format version: 0 = round-1/2 blobs
+# (block_max only), 1 = adds a block-anchor skip table (first doc id per
+# block) so any block decodes independently — the skip-table rows of
+# BlockPostingsWriter.cs:97-106 (minDoc, offset, maxWeight) in columnar form.
+_FMT_V1 = 1
+
+_HEADER = struct.Struct("<IBB")  # n_postings, delta_width, version
 
 
 def encode_postings(doc_ids: np.ndarray, weights: np.ndarray) -> bytes:
     """Encode one sorted posting list.
 
-    Layout: header(n, width, 0) | first_doc u32 | deltas (n-1)*width |
-    weights n*u8 | block_max ceil(n/B)*u8
+    Layout (v1): header(n, width, 1) | first_doc u32 | deltas (n-1)*width |
+    weights n*u8 | block_max ceil(n/B)*u8 | block_anchor ceil(n/B)*u32
+
+    ``block_anchor[j]`` is the first doc id of block j, so a reader can
+    reconstruct block j alone as anchor + cumsum(deltas[jB-1+1 : ...]) —
+    the skip-table advance of MMapBlockPostingsEnum.cs:6-303 without
+    touching earlier blocks; ``block_max`` feeds block-max score bounds.
     """
     n = len(doc_ids)
     assert n > 0
@@ -59,12 +70,14 @@ def encode_postings(doc_ids: np.ndarray, weights: np.ndarray) -> bytes:
     pad = n_blocks * BLOCK_SIZE - n
     wpad = np.pad(weights, (0, pad))
     block_max = wpad.reshape(n_blocks, BLOCK_SIZE).max(axis=1).astype(np.uint8)
+    anchors = doc_ids[::BLOCK_SIZE].astype(np.uint32)
     parts = [
-        _HEADER.pack(n, width, 0),
+        _HEADER.pack(n, width, _FMT_V1),
         struct.pack("<I", int(doc_ids[0])),
         deltas.astype(dt).tobytes(),
         weights.tobytes(),
         block_max.tobytes(),
+        anchors.tobytes(),
     ]
     return b"".join(parts)
 
@@ -93,6 +106,74 @@ def decode_block_max(buf: memoryview) -> np.ndarray:
     n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
     off = _HEADER.size + 4 + (n - 1) * width + n
     return np.frombuffer(buf, dtype=np.uint8, count=n_blocks, offset=off)
+
+
+def decode_block_meta(buf: memoryview) -> tuple[np.ndarray, np.ndarray] | None:
+    """(block_anchors u32, block_max u8) for a v1 blob; None for legacy v0
+    blobs (no anchors → callers fall back to full decode)."""
+    n, width, version = _HEADER.unpack_from(buf, 0)
+    if version < _FMT_V1:
+        return None
+    n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    off = _HEADER.size + 4 + (n - 1) * width + n
+    block_max = np.frombuffer(buf, dtype=np.uint8, count=n_blocks, offset=off)
+    anchors = np.frombuffer(
+        buf, dtype=np.uint32, count=n_blocks, offset=off + n_blocks
+    )
+    return anchors, block_max
+
+
+def decode_postings_subset(
+    buf: memoryview, targets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Block-skip decode: reconstruct ONLY the blocks that could contain any
+    of ``targets`` (sorted doc ids) — the vectorized analogue of the skip-
+    table Advance in MMapBlockPostingsEnum.cs:6-303. Returns the (doc_ids,
+    weights) of the touched blocks (a superset of the matching postings,
+    exact for membership probes). Falls back to a full decode for legacy
+    blobs or when most blocks are touched anyway."""
+    meta = decode_block_meta(buf)
+    if meta is None:
+        return decode_postings(buf)
+    anchors, _ = meta
+    n, width, _v = _HEADER.unpack_from(buf, 0)
+    n_blocks = len(anchors)
+    if n_blocks <= 2:
+        return decode_postings(buf)
+    blocks = np.unique(np.searchsorted(anchors, targets, side="right") - 1)
+    blocks = blocks[blocks >= 0]
+    if len(blocks) * 2 >= n_blocks:  # touching most blocks → decode all
+        return decode_postings(buf)
+    off = _HEADER.size
+    first = struct.unpack_from("<I", buf, off)[0]
+    off += 4
+    dt = {1: np.uint8, 2: np.uint16, 4: np.uint32}[width]
+    deltas = np.frombuffer(buf, dtype=dt, count=n - 1, offset=off)
+    weights_all = np.frombuffer(
+        buf, dtype=np.uint8, count=n, offset=off + (n - 1) * width
+    )
+    # decode contiguous block runs in one cumsum each
+    out_docs: list[np.ndarray] = []
+    out_w: list[np.ndarray] = []
+    i = 0
+    while i < len(blocks):
+        j = i
+        while j + 1 < len(blocks) and blocks[j + 1] == blocks[j] + 1:
+            j += 1
+        b0, b1 = int(blocks[i]), int(blocks[j])
+        lo = b0 * BLOCK_SIZE
+        hi = min((b1 + 1) * BLOCK_SIZE, n)
+        docs = np.empty(hi - lo, dtype=np.uint32)
+        docs[0] = anchors[b0] if lo > 0 else first
+        if hi - lo > 1:
+            np.cumsum(deltas[lo : hi - 1], out=docs[1:], dtype=np.uint32)
+            docs[1:] += docs[0]
+        out_docs.append(docs)
+        out_w.append(weights_all[lo:hi])
+        i = j + 1
+    if not out_docs:
+        return np.empty(0, np.uint32), np.empty(0, np.uint8)
+    return np.concatenate(out_docs), np.concatenate(out_w)
 
 
 TERMS_SCHEMA = pa.schema(
@@ -230,6 +311,20 @@ class SegmentData:
         off = int(self.offsets[idx])
         end = off + int(self.nbytes[idx])
         return decode_postings(self.postings_buf[off:end])
+
+    def term_block_meta(self, idx: int) -> tuple[np.ndarray, np.ndarray] | None:
+        """(block_anchors, block_max) skip table — None for legacy blobs."""
+        off = int(self.offsets[idx])
+        end = off + int(self.nbytes[idx])
+        return decode_block_meta(self.postings_buf[off:end])
+
+    def term_postings_subset(
+        self, idx: int, targets: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Block-skip decode of just the blocks containing ``targets``."""
+        off = int(self.offsets[idx])
+        end = off + int(self.nbytes[idx])
+        return decode_postings_subset(self.postings_buf[off:end], targets)
 
     def term_prefix_range(self, prefix: str) -> tuple[int, int]:
         lo = int(np.searchsorted(self.terms, prefix))

@@ -218,3 +218,184 @@ def test_short_artifacts_match_scan_generated(texts):
     tp = tables["sq_prefix.parquet"]
     got_pc = dict(zip(tp["prefix"].to_pylist(), tp["n_docs"].to_pylist()))
     assert got_pc == pc_ref
+
+
+# --- block-skip decode + block-max pruning (format v1) ----------------------
+
+
+def test_subset_decode_equals_full():
+    """Block-skip decode returns exactly the postings of the touched blocks,
+    and membership probes agree with the full decode for every target."""
+    import numpy as np
+
+    from infidex_ray.segments import (
+        decode_block_meta,
+        decode_postings,
+        decode_postings_subset,
+        encode_postings,
+    )
+
+    rng = np.random.RandomState(3)
+    docs = np.unique(rng.randint(0, 1_000_000, size=5000)).astype(np.uint32)
+    weights = rng.randint(1, 256, size=len(docs)).astype(np.uint8)
+    blob = memoryview(encode_postings(docs, weights))
+
+    fd, fw = decode_postings(blob)
+    assert np.array_equal(fd, docs) and np.array_equal(fw, weights)
+
+    anchors, block_max = decode_block_meta(blob)
+    assert anchors[0] == docs[0]
+
+    for seed in range(5):
+        r2 = np.random.RandomState(seed)
+        targets = np.unique(r2.choice(docs, size=40, replace=False))
+        # mix in misses
+        targets = np.unique(
+            np.concatenate([targets, r2.randint(0, 1_100_000, size=20).astype(np.uint32)])
+        )
+        sd, sw = decode_postings_subset(blob, targets)
+        # every target present in full list must be present with same weight
+        pos = np.searchsorted(sd, targets)
+        pos_c = np.minimum(pos, len(sd) - 1)
+        hit_sub = sd[pos_c] == targets
+        fpos = np.searchsorted(fd, targets)
+        fpos_c = np.minimum(fpos, len(fd) - 1)
+        hit_full = fd[fpos_c] == targets
+        assert np.array_equal(hit_sub, hit_full)
+        assert np.array_equal(sw[pos_c[hit_sub]], fw[fpos_c[hit_full]])
+        # subset decode is a subset of full postings
+        assert np.isin(sd, fd).all()
+
+
+def test_legacy_v0_blob_fallback():
+    """v0 blobs (no anchors) decode normally and subset-decode falls back."""
+    import struct
+
+    import numpy as np
+
+    from infidex_ray.segments import (
+        decode_block_meta,
+        decode_postings,
+        decode_postings_subset,
+        encode_postings,
+    )
+
+    docs = np.arange(0, 4000, 3, dtype=np.uint32)
+    weights = (docs % 250 + 1).astype(np.uint8)
+    blob = bytearray(encode_postings(docs, weights))
+    # strip the anchor tail + clear the version byte → a round-2 v0 blob
+    n_blocks = (len(docs) + 127) // 128
+    legacy = memoryview(bytes(blob[: len(blob) - 4 * n_blocks]))
+    legacy = bytearray(legacy)
+    legacy[5] = 0  # version byte in header (<IBB: 4 bytes n, width, version)
+    legacy = memoryview(bytes(legacy))
+    assert decode_block_meta(legacy) is None
+    fd, fw = decode_postings(legacy)
+    assert np.array_equal(fd, docs) and np.array_equal(fw, weights)
+    sd, sw = decode_postings_subset(legacy, docs[:5])
+    assert np.array_equal(sd, docs) and np.array_equal(sw, weights)
+
+
+def test_blockmax_pruning_rank_identity_long_postings(ray_session, tmp_path):
+    """Rank identity on a corpus engineered for long posting lists: scoring
+    with block-skip + block-max pruning (top_k set) must return the same
+    top-k (score, key) list as exhaustive scoring (top_k=None)."""
+    import numpy as np
+
+    from infidex_ray.config import EngineConfig
+    from infidex_ray.query.stage1 import (
+        SegmentStage1,
+        build_plan,
+        decide_level,
+        prepare_query_terms,
+        score_candidates,
+    )
+    from infidex_ray.segments import read_segment, write_segment
+
+    rng = np.random.RandomState(11)
+    common = ["data", "table", "merge", "query", "batch"]
+    rare = ["zyx", "qwv", "jkl"]
+    docs = []
+    for i in range(3000):
+        words = [common[rng.randint(len(common))] for _ in range(8)]
+        if rng.rand() < 0.02:
+            words.append(rare[rng.randint(len(rare))])
+        docs.append(" ".join(words))
+
+    # index by whole words only (index_sizes empty-ish → use 3-grams anyway);
+    # build posting lists directly for a synthetic segment
+    from collections import defaultdict
+
+    postings = defaultdict(lambda: ([], []))
+    doc_len = np.zeros(len(docs), dtype=np.float32)
+    for lid, text in enumerate(docs):
+        from collections import Counter
+
+        cnt = Counter(text.split())
+        for w, c in cnt.items():
+            postings[w][0].append(lid)
+            postings[w][1].append(min(c, 255))
+        doc_len[lid] = sum(cnt.values())
+
+    terms = sorted(postings)
+    plist = [
+        (np.asarray(postings[t][0], np.uint32), np.asarray(postings[t][1], np.uint8))
+        for t in terms
+    ]
+    seg_dir = str(tmp_path / "seg0")
+    docmap = {
+        "local_id": np.arange(len(docs), dtype=np.int32),
+        "doc_key": np.arange(len(docs), dtype=np.int64),
+        "url": [""] * len(docs),
+        "norm_text": docs,
+        "doc_len": doc_len,
+        "first_token": [d.split()[0] for d in docs],
+        "token_count": np.asarray([len(d.split()) for d in docs], np.int32),
+        "seg_number": np.zeros(len(docs), dtype=np.int32),
+    }
+    write_segment(
+        seg_dir, terms, np.asarray([len(p[0]) for p in plist], np.int64),
+        plist, docmap, {"n_docs": len(docs), "sum_doc_len": float(doc_len.sum())},
+    )
+    seg = read_segment(seg_dir)
+    cfg = EngineConfig()
+    s1 = SegmentStage1(seg, cfg)
+    avgdl = float(doc_len.mean())
+    dfmap = {t: len(postings[t][0]) for t in terms}
+
+    # query mixing a rare term (high idf, first) with common long-posting
+    # terms (low idf, lazy + block-skip + block-max bound path)
+    from infidex_ray.query.stage1 import QueryPlan, QueryTermInfo, compute_idf, max_term_score
+
+    infos = []
+    for w in ["zyx", "data", "table", "merge", "query", "batch"]:
+        df = dfmap[w]
+        idf = compute_idf(len(docs), df)
+        infos.append(QueryTermInfo(w, df, 1, idf, max_term_score(idf, np.float32(avgdl))))
+    plan = build_plan(infos)
+    counts = s1.phase_a(plan)
+    level = decide_level(plan, counts, 10)
+
+    top = s1.phase_b(plan, level, 10, avgdl)
+
+    # exhaustive reference: same candidates, full decode, no pruning
+    tp_full = []
+    for info in plan.infos:
+        i = seg.term_lookup(info.text)
+        d, w = seg.term_postings(i)
+        from infidex_ray.query.stage1 import TermPostings
+
+        tp_full.append(TermPostings(info, d, w))
+    sets = s1._candidate_sets(plan, tp_full)
+    cands = sets[min(level, len(sets)) - 1]
+    ref_scores = score_candidates(cands, tp_full, seg.doc_len, avgdl, top_k=None)
+    hit = ref_scores > 0
+    from infidex_ray.query.stage1 import topk_entries
+
+    ref_top = topk_entries(
+        seg.doc_keys[cands[hit]], ref_scores[hit], 10,
+        seg_id=seg.seg_id, local_ids=cands[hit],
+    )
+    assert [(round(e[0], 4), e[1]) for e in top] == [
+        (round(e[0], 4), e[1]) for e in ref_top
+    ]
