@@ -429,7 +429,9 @@ def _q_image_features(sf_dir: str):
         return pa.table({"doc_id": batch["doc_id"], "media": pa.array(blobs, pa.binary())})
 
     ds = _read(sf_dir, "documents").map_batches(synth, batch_format="pyarrow")
-    return _by(image_features(ds), "doc_id")
+    # fake=True pins the deterministic codec-free path for the contract;
+    # the op itself auto-upgrades to PIL when importable (fake=None)
+    return _by(image_features(ds, fake=True), "doc_id")
 
 
 def _q_infiscript_filter(sf_dir: str):

@@ -12,7 +12,7 @@ from .config import AutoSegmentSetup, EngineConfig, config_100, config_400  # no
 
 
 def __getattr__(name):  # lazy heavy imports (keep `import infidex_ray` cheap)
-    if name in ("Engine", "Query", "Result", "SearchHit"):
+    if name in ("Engine", "Query", "Result", "SearchHit", "SystemStatus"):
         from . import engine
 
         return getattr(engine, name)
@@ -24,11 +24,20 @@ def __getattr__(name):  # lazy heavy imports (keep `import infidex_ray` cheap)
         from .synonyms import SynonymMap
 
         return SynonymMap
+    if name == "FilterBuilder":
+        from .filters import FilterBuilder
+
+        return FilterBuilder
+    if name == "TextNormalizer":
+        from .analyzer import TextNormalizer
+
+        return TextNormalizer
     raise AttributeError(name)
 
 
 __all__ = [
     "AutoSegmentSetup", "DistributedEngine", "Engine", "EngineConfig",
-    "Query", "Result", "SearchHit", "SynonymMap", "config_100", "config_400",
+    "FilterBuilder", "Query", "Result", "SearchHit", "SynonymMap",
+    "SystemStatus", "TextNormalizer", "config_100", "config_400",
 ]
 __version__ = "0.1.0"

@@ -84,6 +84,66 @@ def normalize(text: str) -> str:
     return _SPACE_RUN_RE.sub(" ", text.translate(_TRANSLATE_TABLE))
 
 
+_STD_WS_REPLACEMENTS = {"  ": " ", "\t": " ", "\n": " ", "\r": " "}
+
+
+class TextNormalizer:
+    """User-configurable normalizer — the reference's replacement-map hook
+    (TextNormalizer.cs:8-209): ``string_replacements`` applied first, in
+    insertion order, each via all-occurrence ``str.replace``
+    (ReplaceStrings, :63-70), then the char map in one pass (ReplaceChars,
+    :75-115). When the string replacements are EXACTLY the standard
+    whitespace set {'  ', '\\t', '\\n', '\\r'} → ' ' the fast single-scan
+    path collapses space runs produced by the mapping (:45-57, :137-200) —
+    with the default fold table that path is byte-identical to
+    :func:`normalize`.
+
+    ``one_way_mode``: replacements apply only on the indexing side; query
+    text goes through the default chain (TextNormalizer.cs:17-20)."""
+
+    def __init__(
+        self,
+        string_replacements: dict[str, str] | None = None,
+        char_replacements: dict[str, str] | None = None,
+        one_way_mode: bool = False,
+    ):
+        self.string_replacements = dict(string_replacements or {})
+        self.char_replacements = dict(char_replacements or {})
+        self.one_way_mode = one_way_mode
+        self._table = {
+            ord(k): ord(v) for k, v in self.char_replacements.items()
+        }
+        self._std_ws = self.string_replacements == _STD_WS_REPLACEMENTS
+        if self._std_ws:
+            t = dict(self._table)
+            t.update({0x09: 0x20, 0x0A: 0x20, 0x0D: 0x20})
+            self._ws_table = t
+
+    @classmethod
+    def create_default(cls) -> "TextNormalizer":
+        """CreateDefault: standard whitespace + the diacritic fold table
+        (TextNormalizer.cs:211-302)."""
+        return cls(dict(_STD_WS_REPLACEMENTS), dict(_FOLD_PAIRS))
+
+    def normalize(self, text: str) -> str:
+        if not text:
+            return text
+        if self._std_ws:
+            return _SPACE_RUN_RE.sub(" ", text.translate(self._ws_table))
+        for k, v in self.string_replacements.items():
+            text = text.replace(k, v)
+        return text.translate(self._table) if self._table else text
+
+
+def normalize_with(normalizer: "TextNormalizer | None", text: str, is_query: bool = False) -> str:
+    """Config-aware normalize: the custom normalizer when one is configured
+    (query side falls back to the default chain in one-way mode), else the
+    default fast path."""
+    if normalizer is None or (is_query and normalizer.one_way_mode):
+        return normalize(text)
+    return normalizer.normalize(text)
+
+
 # --- word splitting ----------------------------------------------------------
 
 

@@ -70,7 +70,10 @@ def build_segment_from_arrays(
         raise ValueError("auto_segment and multi-field boundaries are exclusive")
 
     t0 = time.perf_counter()
-    norm_texts = [normalize(t) if t else "" for t in texts]
+    if cfg.normalizer is not None:
+        norm_texts = [cfg.normalizer.normalize(t) if t else "" for t in texts]
+    else:
+        norm_texts = [normalize(t) if t else "" for t in texts]
 
     # optional long-doc chunking: each chunk is its own internal doc sharing
     # the doc key (AutoSegmenter port; SegmentNumber semantics)
@@ -350,10 +353,12 @@ class _BuildSegmentFn:
             else:  # segment written by an older build: recompute from texts
                 from .analyzer import _word_splitter
 
+                from .analyzer import normalize_with
+
                 splitter = _word_splitter(self.cfg.delimiters)
                 word_df = {}
                 for t in texts:
-                    nt = normalize(t).lower() if t else ""
+                    nt = normalize_with(self.cfg.normalizer, t).lower() if t else ""
                     for w in set(w for w in splitter.split(nt) if w):
                         word_df[w] = word_df.get(w, 0) + 1
         else:

@@ -65,6 +65,10 @@ class EngineConfig:
 
         return SynonymMap(self.synonyms) if self.synonyms else None
     coverage_depth: int = 500  # Query.cs:40
+    # Custom replacement-map normalizer (analyzer.TextNormalizer) — None =
+    # the default fold-table chain (SearchEngine.cs:49,57 hook; the instance
+    # is picklable and ships to build tasks/query actors with the config)
+    normalizer: "object | None" = None
     # Build-time physical knobs (Ray-specific, not part of rank semantics)
     target_docs_per_segment: int = 250_000
     build_batch_size: int = 4096

@@ -70,6 +70,21 @@ class Result:
     # src/Infidex/Api/Result.cs:34 (DidTimeOut): the query exceeded its
     # budget and records are the best-effort stage-1 (or partial) results
     did_timeout: bool = False
+    # src/Infidex/Api/Result.cs:44 (ExecutionTimeMs). The reference declares
+    # the field but never populates it; we measure the full query wall time.
+    execution_time_ms: int = 0
+
+
+@dataclass
+class SystemStatus:
+    """Mirror of Infidex.Api.SystemStatus (src/Infidex/Api/SystemStatus.cs:
+    6-22): engine status snapshot returned by :meth:`Engine.get_status`."""
+
+    document_count: int = 0
+    reindex_required: bool = False
+    too_long_search_text: bool = False
+    too_long_client_text: bool = False
+    index_progress: int = 0  # 0-100 %
 
 
 def analyze_query(search_text: str, cfg: EngineConfig) -> tuple[bool, bool, str]:
@@ -372,7 +387,9 @@ class Engine:
             ms = max(0, min(int(timeout_ms), 10000))
             deadline = time.monotonic() + ms / 1000.0
         cfg = self.cfg
-        q = normalize(query_text.strip()).lower()
+        from .analyzer import normalize_with
+
+        q = normalize_with(cfg.normalizer, query_text.strip(), is_query=True).lower()
         if self.synonym_map is not None:  # SearchEngine.cs:279-286
             q = self.synonym_map.canonicalize_text(q, frozenset(cfg.delimiters))
         if not q:
@@ -512,10 +529,16 @@ class Engine:
         facets → take maxResults)."""
         from . import filters as flt
 
+        t_query = time.perf_counter()
         if not q.text or q.text.isspace():
             if q.enable_facets:
-                return self._empty_query_with_facets(q)
-            return Result([], None, 0, 0.0, 0)
+                res = self._empty_query_with_facets(q)
+                res.execution_time_ms = int((time.perf_counter() - t_query) * 1000)
+                return res
+            return Result(
+                [], None, 0, 0.0, 0,
+                execution_time_ms=int((time.perf_counter() - t_query) * 1000),
+            )
 
         hits, did_timeout = self.search_ex(
             q.text, top_k=q.max_results, enable_coverage=q.enable_coverage,
@@ -552,6 +575,23 @@ class Engine:
             top[-1][0] if top else 0.0,
             len(entries),
             did_timeout=did_timeout,
+            execution_time_ms=int((time.perf_counter() - t_query) * 1000),
+        )
+
+    def get_status(self) -> SystemStatus:
+        """ISearchEngine.GetStatus (Api/ISearchEngine.cs:16) — a point-in-time
+        snapshot; ``index_progress`` reflects an attached build monitor when
+        one is running, else 100 for a loaded index."""
+        progress = 100
+        mon = getattr(self, "monitor", None)
+        if mon is not None and getattr(mon, "is_running", False):
+            progress = int(getattr(mon, "progress_percent", 0))
+        return SystemStatus(
+            document_count=sum(len(seg.doc_keys) for seg in self.segments),
+            reindex_required=False,
+            too_long_search_text=False,
+            too_long_client_text=False,
+            index_progress=progress,
         )
 
     # Match-all + facets walks every stored doc in-process (faithful to the
@@ -628,10 +668,10 @@ class Engine:
         """Disjunctive full-corpus BM25+ scores in float64 — the SQL-oracle
         surface (no candidate pruning, no fuzzy expansion): every doc matching
         ≥1 query term gets its exact score. Returns (doc_key, score) rows."""
-        from .analyzer import tokenize_for_search
+        from .analyzer import normalize_with, tokenize_for_search
 
         cfg = self.cfg
-        q = normalize(query_text.strip()).lower()
+        q = normalize_with(cfg.normalizer, query_text.strip(), is_query=True).lower()
         tokens = sorted(
             set(
                 tokenize_for_search(

@@ -526,3 +526,98 @@ def filter_dataset(ds, expression):
         return batch.filter(pa.array(eval_mask(ast, batch)))
 
     return ds.map_batches(_apply, batch_format="pyarrow")
+
+
+# --- fluent builder (Api/FilterBuilder.cs:20-138) ----------------------------
+
+_MISSING = object()
+
+
+class FilterBuilder:
+    """Fluent filter construction over the Infiscript AST — the programmatic
+    mirror of the string parser (reference: src/Infidex/Api/FilterBuilder.cs:
+    20-138). Chainable ``where/and_/or_`` (field equality, range, or an AST
+    node), ``not_()`` negating the whole current expression, and grouped
+    sub-expressions via a callable::
+
+        f = (FilterBuilder.where("lang", "en")
+             .and_range("n_chars", 200, 1500)
+             .or_(lambda b: b.where("lang", "de").and_("tier", 1))
+             .build())
+
+    ``build()`` returns the AST node accepted by ``Query.filter``,
+    ``matches_row`` and ``filter_dataset``. Values are stringified into
+    ``Literal`` (numeric coercion happens at compare time, like parsed
+    expressions)."""
+
+    def __init__(self, initial=None):
+        self._f = initial
+
+    # -- entry points ------------------------------------------------------
+    @classmethod
+    def where(cls, field, value=_MISSING) -> "FilterBuilder":
+        """Where(Filter) / Where(field, value) (FilterBuilder.cs:20-34)."""
+        return cls(cls._value_node(field, value))
+
+    @classmethod
+    def where_range(cls, field, low=None, high=None) -> "FilterBuilder":
+        return cls(cls._range_node(field, low, high))
+
+    # -- connectives -------------------------------------------------------
+    def and_(self, field, value=_MISSING) -> "FilterBuilder":
+        return self._combine("and", self._sub_node(field, value))
+
+    def and_range(self, field, low=None, high=None) -> "FilterBuilder":
+        return self._combine("and", self._range_node(field, low, high))
+
+    def or_(self, field, value=_MISSING) -> "FilterBuilder":
+        return self._combine("or", self._sub_node(field, value))
+
+    def or_range(self, field, low=None, high=None) -> "FilterBuilder":
+        return self._combine("or", self._range_node(field, low, high))
+
+    def not_(self) -> "FilterBuilder":
+        """Negates the CURRENT whole expression (FilterBuilder.cs:93-100)."""
+        if self._f is not None:
+            self._f = Not(self._f)
+        return self
+
+    def build(self):
+        return self._f
+
+    # -- internals ---------------------------------------------------------
+    def _combine(self, op: str, node) -> "FilterBuilder":
+        if node is None:
+            return self
+        self._f = node if self._f is None else BoolOp(op, self._f, node)
+        return self
+
+    @classmethod
+    def _sub_node(cls, field, value):
+        if callable(field) and not isinstance(field, str) and value is _MISSING:
+            # grouped sub-expression (FilterBuilder.cs:102-122)
+            sub = field(cls())
+            return sub.build() if isinstance(sub, cls) else sub
+        return cls._value_node(field, value)
+
+    @staticmethod
+    def _value_node(field, value):
+        if value is _MISSING:
+            return field  # already an AST node (or None)
+        return Compare("=", Ident(field), Literal(_lit(value)))
+
+    @staticmethod
+    def _range_node(field, low, high):
+        if low is not None and high is not None:
+            return Between(Ident(field), Literal(_lit(low)), Literal(_lit(high)))
+        if low is not None:
+            return Compare(">=", Ident(field), Literal(_lit(low)))
+        if high is not None:
+            return Compare("<=", Ident(field), Literal(_lit(high)))
+        return None
+
+
+def _lit(value) -> str:
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)

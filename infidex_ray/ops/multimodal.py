@@ -40,26 +40,57 @@ class ImageFeatureActor:
     """Actor-pool ``map_batches`` stage: decode → resize → feature vector.
 
     Use as ``ds.map_batches(ImageFeatureActor, concurrency=N, batch_size=32,
-    num_cpus=1, fn_constructor_kwargs={"fake": True})``. With ``fake=True``
-    (this container) it produces a deterministic 16-dim byte-histogram
-    feature instead of decoding; with ``fake=False`` it raises
-    DecodeUnavailable where PIL/libjpeg would be called.
-    """
+    num_cpus=1)``. The codec probe runs ONCE per actor in ``__init__``
+    (the stateful-stage pattern):
 
-    def __init__(self, media_col: str = "media", id_col: str = "doc_id", fake: bool = True):
-        # per-actor one-time setup (codec/model load goes here)
+    * ``fake=None`` (default) — auto: use PIL when importable, else the
+      deterministic fake.
+    * ``fake=True`` — force the codec-free path: 16-dim byte-histogram
+      feature + payload-hash pseudo-dimensions (this container has no
+      image libraries, so this is what CI exercises).
+    * ``fake=False`` — require a real codec; raises DecodeUnavailable from
+      ``__init__`` when none is importable (no silent fake shipping).
+
+    Real path (when PIL exists): decode → RGB → true (width, height) →
+    4×4 grayscale thumbnail, L1-normalized, as the 16-dim feature."""
+
+    def __init__(
+        self,
+        media_col: str = "media",
+        id_col: str = "doc_id",
+        fake: bool | None = None,
+    ):
+        # per-actor one-time setup: probe/import the codec here, not per batch
         self.media_col = media_col
         self.id_col = id_col
-        self.fake = fake
+        self._pil = None
+        if fake is not True:
+            try:
+                from PIL import Image  # noqa: F401
 
-    def _decode(self, blob: bytes) -> tuple[int, int]:
-        if not self.fake:
-            raise DecodeUnavailable("image codec not available in this environment")
+                self._pil = Image
+            except ImportError:
+                if fake is False:
+                    raise DecodeUnavailable(
+                        "image codec (PIL) not available in this environment"
+                    )
+        self.fake = self._pil is None
+
+    def _decode_real(self, blob: bytes) -> tuple[int, int, np.ndarray]:
+        import io
+
+        img = self._pil.open(io.BytesIO(blob)).convert("L")
+        w, h = img.size
+        thumb = np.asarray(img.resize((4, 4)), dtype=np.float32).reshape(-1)
+        s = thumb.sum()
+        return w, h, (thumb / s if s > 0 else thumb)
+
+    def _decode_fake(self, blob: bytes) -> tuple[int, int]:
         # deterministic fake decode: pretend dims from the payload hash
         h = hashlib.blake2b(blob, digest_size=4).digest()
         return 64 + h[0] % 192, 64 + h[1] % 192
 
-    def _feature(self, blob: bytes) -> np.ndarray:
+    def _feature_fake(self, blob: bytes) -> np.ndarray:
         # 16-bin byte histogram, L1-normalized — deterministic, codec-free
         arr = np.frombuffer(blob, dtype=np.uint8)
         if len(arr) == 0:
@@ -73,22 +104,41 @@ class ImageFeatureActor:
         rows = {k: [] for k in ("doc_id", "media_type", "n_bytes", "sha16", "width", "height", "feature")}
         for i, blob in zip(ids, blobs):
             blob = blob or b""
-            w, h = self._decode(blob)
+            if self.fake:
+                w, h = self._decode_fake(blob)
+                feat = self._feature_fake(blob)
+                mt = "image/fake"
+            else:
+                try:
+                    w, h, feat = self._decode_real(blob)
+                    mt = "image/decoded"
+                except Exception:
+                    # undecodable payload on the real path → null-ish row
+                    w, h, feat = 0, 0, np.zeros(16, dtype=np.float32)
+                    mt = "image/error"
             rows["doc_id"].append(i)
-            rows["media_type"].append("image/fake")
+            rows["media_type"].append(mt)
             rows["n_bytes"].append(len(blob))
             rows["sha16"].append(hashlib.blake2b(blob, digest_size=8).hexdigest())
             rows["width"].append(w)
             rows["height"].append(h)
-            rows["feature"].append(self._feature(blob).tolist())
+            rows["feature"].append(np.asarray(feat, dtype=np.float32).tolist())
         return pa.table(rows, schema=IMAGE_META_SCHEMA)
 
 
-def image_features(ds, media_col: str = "media", id_col: str = "doc_id", concurrency: int = 2):
-    """Actor-pool feature extraction over a binary media column."""
+def image_features(
+    ds,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    concurrency: int = 2,
+    fake: bool | None = None,
+):
+    """Actor-pool feature extraction over a binary media column. ``fake``
+    as in :class:`ImageFeatureActor` (default: auto-upgrade to a real codec
+    when one is importable on the workers)."""
     return ds.map_batches(
         ImageFeatureActor,
-        fn_constructor_kwargs={"media_col": media_col, "id_col": id_col, "fake": True},
+        fn_constructor_kwargs={"media_col": media_col, "id_col": id_col, "fake": fake},
         batch_size=32,  # large payloads → small batches
         batch_format="pyarrow",
         concurrency=concurrency,

@@ -126,3 +126,64 @@ def test_split_words_offsets():
         ("fox", 4),
         ("a", 9),
     ]
+
+
+# --- custom TextNormalizer replacement maps (TextNormalizer.cs:8-209) -------
+
+
+def test_normalizer_default_matches_module_normalize():
+    from infidex_ray.analyzer import TextNormalizer, normalize
+
+    tn = TextNormalizer.create_default()
+    for s in ["", "héllo  wörld\tfoo\nbar", "Ærø — Škoda", "a  b   c", "ÐðÞþİ"]:
+        assert tn.normalize(s) == normalize(s)
+
+
+def test_normalizer_custom_string_replacements_before_charmap():
+    """General path: string replacements first (insertion order, all
+    occurrences), then the char map — TextNormalizer.Normalize :120-135."""
+    from infidex_ray.analyzer import TextNormalizer
+
+    tn = TextNormalizer(
+        string_replacements={"&": " and ", "™": ""},
+        char_replacements={"é": "e"},
+    )
+    assert tn.normalize("café & bar™") == "cafe  and  bar"
+    # no whitespace collapse in the general path (only the standard set
+    # triggers the single-scan whitespace fast path)
+    assert tn.normalize("a  b") == "a  b"
+
+
+def test_normalizer_one_way_mode_query_side():
+    from infidex_ray.analyzer import TextNormalizer, normalize, normalize_with
+
+    tn = TextNormalizer(string_replacements={"colour": "color"}, one_way_mode=True)
+    assert normalize_with(tn, "colour", is_query=False) == "color"
+    assert normalize_with(tn, "colour", is_query=True) == normalize("colour")
+
+
+def test_engine_config_normalizer_end_to_end(ray_session, tmp_path):
+    """A custom replacement map changes what gets indexed: '&' → ' and '
+    makes the doc findable by the word 'and'-joined form."""
+    import ray.data
+
+    from infidex_ray import EngineConfig
+    from infidex_ray.analyzer import TextNormalizer
+    from infidex_ray.engine import Engine
+
+    tn = TextNormalizer(
+        string_replacements={"  ": " ", "\t": " ", "\n": " ", "\r": " ", "&": " and "},
+    )
+    # NOTE: adding a 5th replacement disables the std-whitespace fast path
+    # detection in the reference too (exact-4 check, TextNormalizer.cs:50-57)
+    rows = [
+        {"doc_id": 0, "text": "fish & chips shop"},
+        {"doc_id": 1, "text": "plain fish restaurant"},
+    ]
+    ds = ray.data.from_items(rows)
+    eng = Engine.build(
+        ds, str(tmp_path / "idx"), EngineConfig(normalizer=tn, target_docs_per_segment=10),
+        text_column="text", key_column="doc_id",
+    )
+    hits = eng.search("fish and chips", top_k=2)
+    assert hits and hits[0].doc_key == 0

@@ -196,3 +196,57 @@ def test_filter_dataset_roundtrip(ray_session):
     assert sorted(out["year"].tolist()) == [2005, 2015]
     out = flt.filter_dataset(ds, "name CONTAINS 'b'").to_pandas()
     assert sorted(out["year"].tolist()) == [2005, 2015]
+
+
+# --- FilterBuilder fluent API (Api/FilterBuilder.cs:20-138) -----------------
+
+
+def test_filter_builder_basic_chain():
+    from infidex_ray.filters import FilterBuilder, matches_row
+
+    f = FilterBuilder.where("lang", "en").and_range("n_chars", 200, 1500).build()
+    assert matches_row(f, {"lang": "en", "n_chars": 500})
+    assert not matches_row(f, {"lang": "de", "n_chars": 500})
+    assert not matches_row(f, {"lang": "en", "n_chars": 1501})
+
+
+def test_filter_builder_matches_parsed_expression():
+    """The builder must produce the same decisions as the string parser."""
+    from infidex_ray.filters import FilterBuilder, matches_row, parse
+
+    built = (
+        FilterBuilder.where("lang", "en")
+        .or_(lambda b: b.where("lang", "de").and_range("tier", 1, 3))
+        .build()
+    )
+    parsed = parse("lang = 'en' OR (lang = 'de' AND tier BETWEEN 1 AND 3)")
+    rows = [
+        {"lang": "en", "tier": 9},
+        {"lang": "de", "tier": 2},
+        {"lang": "de", "tier": 7},
+        {"lang": "fr", "tier": 2},
+    ]
+    for r in rows:
+        assert matches_row(built, r) == matches_row(parsed, r)
+
+
+def test_filter_builder_not_and_open_ranges():
+    from infidex_ray.filters import FilterBuilder, matches_row
+
+    f = FilterBuilder.where_range("x", low=10).not_().build()
+    assert matches_row(f, {"x": 5}) and not matches_row(f, {"x": 15})
+    g = FilterBuilder.where_range("x", high=10).build()
+    assert matches_row(g, {"x": 5}) and not matches_row(g, {"x": 15})
+
+
+def test_filter_builder_in_query_api(ray_session, tmp_path):
+    """Built AST plugs into Query.filter like a parsed string."""
+    from infidex_ray.filters import FilterBuilder, filter_dataset
+    import ray.data
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "lang": "en" if i % 2 else "de", "n": i} for i in range(10)]
+    )
+    built = FilterBuilder.where("lang", "en").and_range("n", 3, 8).build()
+    got = sorted(r["doc_id"] for r in filter_dataset(ds, built).take_all())
+    assert got == [3, 5, 7]

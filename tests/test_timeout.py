@@ -167,3 +167,47 @@ def test_monitor_cancel_interrupts_build(ray_session, tmp_path):
         key_column="doc_key", repartition=False,
     )
     assert m2["stats"]["total_docs"] == 400
+
+
+def test_result_execution_time_and_status(ray_session, tmp_path):
+    """Result.execution_time_ms (Api/Result.cs:44) is populated and
+    Engine.get_status mirrors Api/SystemStatus.cs."""
+    import ray.data
+
+    from infidex_ray import EngineConfig
+    from infidex_ray.engine import Engine, Query
+
+    rows = [{"doc_id": i, "text": f"doc number {i} fast table"} for i in range(30)]
+    eng = Engine.build(
+        ray.data.from_items(rows), str(tmp_path / "idx"),
+        EngineConfig(target_docs_per_segment=10),
+        text_column="text", key_column="doc_id",
+    )
+    res = eng.query(Query("fast table", max_results=5))
+    assert res.records and res.execution_time_ms >= 0
+    st = eng.get_status()
+    assert st.document_count == 30
+    assert st.index_progress == 100
+    assert not st.reindex_required
+
+
+def test_matchall_facet_cap(ray_session, tmp_path):
+    import pytest
+    import ray.data
+
+    from infidex_ray import EngineConfig
+    from infidex_ray.engine import Engine, Query
+
+    rows = [{"doc_id": i, "text": f"doc {i}", "lang": "en"} for i in range(20)]
+    eng = Engine.build(
+        ray.data.from_items(rows), str(tmp_path / "idx"),
+        EngineConfig(target_docs_per_segment=10),
+        text_column="text", key_column="doc_id", store_columns=("lang",),
+    )
+    eng.matchall_facet_cap = 5  # force the guard
+    with pytest.raises(ValueError, match="facet_counts_offline"):
+        eng.query(Query("", max_results=1 << 30, enable_facets=True))
+    # under the cap it still works (reference empty-query-with-facets path)
+    eng.matchall_facet_cap = 1_000_000
+    res = eng.query(Query("", max_results=1 << 30, enable_facets=True))
+    assert res.facets and res.facets["lang"][0] == ("en", 20)
