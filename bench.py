@@ -72,10 +72,12 @@ def _build_index(num_cpus: int, out_dir: str) -> dict:
         lambda b: b, batch_format="pyarrow"
     ).materialize()
     # fixed segment size regardless of cpu count (same physical plan at both
-    # parallelism levels — only the worker count changes). 2000 docs/segment:
-    # measured 63% faster than 5000-doc segments at 480k rows (fine-grained
-    # blocks load-balance the task pool; stragglers dominate coarse plans)
-    seg_docs = 2000
+    # parallelism levels — only the worker count changes). 4000 docs/segment:
+    # round-3 A/B at 480k rows measured build 67 s / query p50 153 ms vs
+    # 2000-doc (76 s / 158-215 ms) and 8000-doc (123 s / 124 ms) — the
+    # balance point; query latency scales with per-segment fixed costs,
+    # build with task granularity
+    seg_docs = 4000
     n_segments = max(1, -(-WEBPAGES_ROWS // seg_docs))
     ds = ray.data.read_parquet(WEBPAGES_PATH, override_num_blocks=n_segments)
     t0 = time.perf_counter()

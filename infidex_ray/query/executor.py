@@ -202,7 +202,11 @@ class DistributedEngine(Engine):
         plan = s1.build_plan(infos)
         if plan is None:
             return []
-        count_vecs = ray.get([a.phase_a.remote(plan) for a in self.actors])
+        # ship the plan ONCE via the object store — inlining it re-pickles
+        # per actor call (2 phases × n_actors), which profiling showed
+        # dominated driver-side submission time
+        plan_ref = ray.put(plan)
+        count_vecs = ray.get([a.phase_a.remote(plan_ref) for a in self.actors])
         width = max((len(c) for c in count_vecs), default=0)
         if width == 0:
             return []
@@ -211,7 +215,7 @@ class DistributedEngine(Engine):
             total[: len(c)] += c
         level = s1.decide_level(plan, total, top_k)
         per = ray.get(
-            [a.phase_b.remote(plan, level, top_k, self.avgdl) for a in self.actors]
+            [a.phase_b.remote(plan_ref, level, top_k, self.avgdl) for a in self.actors]
         )
         return s1.consolidate(s1.merge_topk(per, top_k))
 
@@ -260,6 +264,9 @@ class DistributedEngine(Engine):
             cfg.index_sizes, self.df_lookup, self.word_df, self.total_docs,
             cfg.stop_term_limit,
         )
+        # shared per-query state goes through the object store once instead
+        # of being re-pickled into every shard's task args
+        ctx_ref = ray.put(ctx)
 
         def run_jobs(jobs, best_chunk):
             by_shard: dict[int, list] = {}
@@ -269,9 +276,10 @@ class DistributedEngine(Engine):
             budget_s = None if deadline is None else deadline - _time.monotonic()
             if budget_s is not None and budget_s <= 0:
                 raise qp.DeadlineExceeded
+            bc_ref = ray.put(best_chunk)
             outs = ray.get(
                 [
-                    self.actors[ai].run_jobs.remote(ctx, js, best_chunk, budget_s)
+                    self.actors[ai].run_jobs.remote(ctx_ref, js, bc_ref, budget_s)
                     for ai, js in items
                 ]
             )

@@ -215,7 +215,17 @@ class TermPostings:
     set stay eager; everything else (typically the longest, lowest-idf
     lists) goes lazy."""
 
-    __slots__ = ("info", "docs", "weights", "_seg", "_idx")
+    __slots__ = ("info", "docs", "weights", "_seg", "_idx", "_probes")
+
+    # below this posting count a full decode is cheaper than the block-skip
+    # bookkeeping (searchsorted + per-run cumsum per probe) — profiled: tiny
+    # lazy lists cost 2× an eager decode across a query's probe sequence
+    LAZY_MIN_POSTINGS = 8 * 128  # 8 blocks
+
+    # a lazy list probed this many times in one plan gets promoted to a full
+    # cached decode — unless it is huge, where per-probe skip still wins
+    PROMOTE_AFTER = 3
+    PROMOTE_MAX_N = 65536
 
     def __init__(self, info, docs=None, weights=None, seg=None, idx=-1):
         self.info = info
@@ -223,6 +233,7 @@ class TermPostings:
         self.weights = weights
         self._seg = seg
         self._idx = idx
+        self._probes = 0
 
     @property
     def n(self) -> int:
@@ -237,10 +248,20 @@ class TermPostings:
 
     def for_targets(self, targets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Postings restricted to the blocks containing ``targets`` (sorted)
-        — a membership-exact superset; full arrays when already decoded."""
+        — a membership-exact superset; full arrays when already decoded.
+        Repeated probes of a moderate-size list promote it to a cached full
+        decode (phase A probes + phase B scoring hit the same lists)."""
         if self.docs is not None:
             return self.docs, self.weights
-        return self._seg.term_postings_subset(self._idx, targets)
+        self._probes += 1
+        if self._probes >= self.PROMOTE_AFTER and self.n <= self.PROMOTE_MAX_N:
+            return self.full()
+        sub = self._seg.term_postings_subset_or_none(self._idx, targets)
+        if sub is None:
+            # skipping can't pay for these targets → decode fully ONCE and
+            # cache (a repeated uncached fallback was the top stage-1 cost)
+            return self.full()
+        return sub
 
     def block_bound_tf(self, targets: np.ndarray) -> np.ndarray | None:
         """Per-target tf upper bound from the block-max skip table (0 for
@@ -515,7 +536,10 @@ class SegmentStage1:
                 out.append(
                     TermPostings(info, np.empty(0, np.uint32), np.empty(0, np.uint8))
                 )
-            elif r in eager_ranks:
+            elif (
+                r in eager_ranks
+                or int(self.seg.n_postings[i]) < TermPostings.LAZY_MIN_POSTINGS
+            ):
                 docs, weights = self.seg.term_postings(i)
                 out.append(TermPostings(info, docs, weights))
             else:

@@ -123,27 +123,38 @@ def decode_block_meta(buf: memoryview) -> tuple[np.ndarray, np.ndarray] | None:
     return anchors, block_max
 
 
-def decode_postings_subset(
+def decode_postings_subset_or_none(
     buf: memoryview, targets: np.ndarray
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray] | None:
     """Block-skip decode: reconstruct ONLY the blocks that could contain any
     of ``targets`` (sorted doc ids) — the vectorized analogue of the skip-
     table Advance in MMapBlockPostingsEnum.cs:6-303. Returns the (doc_ids,
     weights) of the touched blocks (a superset of the matching postings,
-    exact for membership probes). Falls back to a full decode for legacy
-    blobs or when most blocks are touched anyway."""
+    exact for membership probes), or None when skipping cannot pay (legacy
+    blob, tiny list, or most blocks touched) — callers should then use the
+    full decode and CACHE it (repeated fallback decodes were the round-3
+    profile's top stage-1 cost)."""
     meta = decode_block_meta(buf)
     if meta is None:
-        return decode_postings(buf)
+        return None
     anchors, _ = meta
     n, width, _v = _HEADER.unpack_from(buf, 0)
     n_blocks = len(anchors)
     if n_blocks <= 2:
-        return decode_postings(buf)
-    blocks = np.unique(np.searchsorted(anchors, targets, side="right") - 1)
-    blocks = blocks[blocks >= 0]
+        return None
+    # targets are sorted → searchsorted output is non-decreasing: dedupe
+    # with a diff mask instead of np.unique's sort
+    pos = np.searchsorted(anchors, targets, side="right") - 1
+    if len(pos):
+        keep = np.empty(len(pos), dtype=bool)
+        keep[0] = True
+        np.not_equal(pos[1:], pos[:-1], out=keep[1:])
+        blocks = pos[keep]
+        blocks = blocks[blocks >= 0]
+    else:
+        blocks = pos
     if len(blocks) * 2 >= n_blocks:  # touching most blocks → decode all
-        return decode_postings(buf)
+        return None
     off = _HEADER.size
     first = struct.unpack_from("<I", buf, off)[0]
     off += 4
@@ -174,6 +185,16 @@ def decode_postings_subset(
     if not out_docs:
         return np.empty(0, np.uint32), np.empty(0, np.uint8)
     return np.concatenate(out_docs), np.concatenate(out_w)
+
+
+def decode_postings_subset(
+    buf: memoryview, targets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Block-skip decode with an inline full-decode fallback (see
+    :func:`decode_postings_subset_or_none` — prefer that in hot paths so
+    the fallback decode can be cached)."""
+    sub = decode_postings_subset_or_none(buf, targets)
+    return decode_postings(buf) if sub is None else sub
 
 
 TERMS_SCHEMA = pa.schema(
@@ -325,6 +346,15 @@ class SegmentData:
         off = int(self.offsets[idx])
         end = off + int(self.nbytes[idx])
         return decode_postings_subset(self.postings_buf[off:end], targets)
+
+    def term_postings_subset_or_none(
+        self, idx: int, targets: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Like :meth:`term_postings_subset` but returns None when skipping
+        cannot pay, so the caller can decode fully ONCE and cache."""
+        off = int(self.offsets[idx])
+        end = off + int(self.nbytes[idx])
+        return decode_postings_subset_or_none(self.postings_buf[off:end], targets)
 
     def term_prefix_range(self, prefix: str) -> tuple[int, int]:
         lo = int(np.searchsorted(self.terms, prefix))
