@@ -125,7 +125,11 @@ def _join_partitions(requested: int | None = None) -> int:
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    cap = max(2, cpus // 2)
+    # default also capped at 8: each partition is an aggregator actor whose
+    # startup dominates small/medium joins (A/B at sf0.1: 4 parts 7.7 s,
+    # 8 parts 8.4 s, 16 parts 11.4 s) — pass num_partitions explicitly for
+    # corpus-scale sketch shuffles
+    cap = max(2, min(cpus // 2, 8))
     return min(requested, cap) if requested else cap
 
 
