@@ -721,7 +721,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, count(*) AS n_docs FROM documents WHERE lang != 'en' "
             "GROUP BY lang ORDER BY lang"
         ),
-        # search_topk / search_topk_distributed (full coverage+fusion cascade),
-        # image_features (fake codec), lsh_knn (multiprobe scan heuristic) are
-        # non-SQL-expressible → rows-only.
+        "lsh_knn": sqlgen.lsh_knn_sql(KNN_QUERY_VEC),
+        # search_topk / search_topk_distributed (full coverage+fusion
+        # cascade) and image_features (fake codec) are non-SQL-expressible
+        # → rows-only.
     }

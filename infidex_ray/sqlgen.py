@@ -372,6 +372,56 @@ ORDER BY id_a, id_b
 """
 
 
+def lsh_knn_sql(
+    query_vec,
+    k: int = 10,
+    n_bits: int = 12,
+    seed: int = 42,
+    table: str = "embeddings",
+) -> str:
+    """Oracle for ops.similarity.lsh_knn with a CONSTANT query vector: the
+    seeded hyperplanes are inlined, the query's bucket (and its Hamming-1
+    multiprobe acceptance) is precomputed here, docs bucket via sign bits of
+    the raw inner product (sign-equal to the op's normalized dot), and the
+    accepted set is ranked by exact cosine desc, vec_id asc."""
+    import numpy as np
+
+    from .ops.similarity import _hyperplanes
+
+    q = np.asarray(query_vec, dtype=np.float64).reshape(-1)
+    planes = _hyperplanes(len(q), n_bits, seed)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    qb = int((( (qn @ planes.T) > 0) @ (1 << np.arange(n_bits))).astype(np.int64))
+    rows = []
+    for b in range(n_bits):
+        vec = "[" + ", ".join(repr(float(v)) for v in planes[b]) + "]::DOUBLE[]"
+        rows.append(f"({b}, {vec})")
+    values = ",\n".join(rows)
+    qvec = "[" + ", ".join(repr(float(v)) for v in q) + "]::DOUBLE[]"
+    return f"""
+WITH planes(bit, vec) AS (VALUES {values}),
+b AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], p.vec) > 0
+                  THEN (1::BIGINT << p.bit) ELSE 0 END) AS bucket
+  FROM {table} e CROSS JOIN planes p GROUP BY e.vec_id
+),
+acc AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], {qvec}) AS cos
+  FROM {table} e JOIN b ON b.vec_id = e.vec_id
+  WHERE bit_count(xor(b.bucket, {qb}::BIGINT)) <= 1
+)
+SELECT 0::INT AS query_idx,
+       row_number() OVER (ORDER BY cos DESC, vec_id) AS rank,
+       vec_id,
+       round(cos, 4) AS cosine
+FROM acc
+ORDER BY cos DESC, vec_id
+LIMIT {k}
+"""
+
+
 def quality_sql(table: str = "documents") -> str:
     """DuckDB oracle for ops.textstats.quality_batch: token counts over the
     normalized word split, stopword/distinct ratios, and the composite
