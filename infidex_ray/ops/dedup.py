@@ -860,10 +860,11 @@ def dedup_clusters_ds(pairs_ds, num_partitions: int | None = None, max_iters: in
     scalar (the changed-label count).
 
     Each iteration: labels ⋈ edges (hash join, distributed) → per-node min
-    over neighbor labels → merge with own label. Iterations needed = graph
-    diameter in the worst case, but near-dup clusters are dense (exact/near
-    copies of one source), so 2–4 rounds typically converge; ``max_iters``
-    bounds pathological chains."""
+    over neighbor labels → merge with own label → one POINTER-JUMPING step
+    (label(x) ← min(label(x), label(label(x)))), which halves the residual
+    chain depth per round, so convergence is O(log diameter) instead of
+    O(diameter) — a planted 50-deep chain converges in ~7 rounds.
+    ``max_iters`` bounds pathological graphs."""
     num_partitions = _join_partitions(num_partitions)
     edges_fwd = pairs_ds.select_columns(["id_a", "id_b"])
 
@@ -925,6 +926,30 @@ def dedup_clusters_ds(pairs_ds, num_partitions: int | None = None, max_iters: in
             )
             .materialize()
         )
+
+        # pointer jumping: attach each node's label's OWN label (labels are
+        # always existing node ids, so the inner self-join is total)
+        jumped = cand.join(
+            cand,
+            "inner",
+            num_partitions,
+            on=("label",),
+            right_on=("node",),
+            left_suffix="_x",
+            right_suffix="_p",
+        )
+
+        def jump_min(batch: pa.Table) -> pa.Table:
+            lx = batch["label_x"].to_numpy(zero_copy_only=False)
+            lp = batch["label_p"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "label": pa.array(np.minimum(lx, lp), pa.int64()),
+                }
+            )
+
+        cand = jumped.map_batches(jump_min, batch_format="pyarrow").materialize()
 
         # convergence: any node whose label shrank this round?
         changed_ds = cand.join(

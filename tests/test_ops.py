@@ -308,3 +308,71 @@ def test_remove_boilerplate_lines(ray_session):
     assert all(banner not in t for t in out.text)
     assert out.text[0] == "unique content 0\nmore 0"  # order preserved
     assert out[out.doc_id == 99].text.iloc[0] == "no banner here"
+
+
+def test_facet_counts_offline(ray_session):
+    """Streaming facet op mirrors Engine._build_facets ordering: count desc
+    then value asc, top-100 cap, nulls skipped, lists exploded."""
+    import ray.data
+
+    from infidex_ray.ops.facets import facet_counts_offline
+
+    rows = (
+        [{"doc_id": i, "lang": "en", "tags": ["a", "b"]} for i in range(5)]
+        + [{"doc_id": 10 + i, "lang": "de", "tags": ["b"]} for i in range(5)]
+        + [{"doc_id": 20 + i, "lang": "fr", "tags": None} for i in range(3)]
+    )
+    ds = ray.data.from_items(rows)
+    out = facet_counts_offline(ds, ["lang", "tags"])
+    langs = list(zip(out["lang"]["value"].to_pylist(), out["lang"]["n_docs"].to_pylist()))
+    # count desc, value asc: de=5 and en=5 tie → alphabetical
+    assert langs == [("de", 5), ("en", 5), ("fr", 3)]
+    tags = list(zip(out["tags"]["value"].to_pylist(), out["tags"]["n_docs"].to_pylist()))
+    assert tags == [("b", 10), ("a", 5)]
+
+    # filtered variant
+    out2 = facet_counts_offline(ds, ["lang"], filter_expr="lang != 'en'")
+    assert out2["lang"]["value"].to_pylist() == ["de", "fr"]
+
+
+def test_label_propagation_planted_scale(ray_session):
+    """Planted many-pair graph (20k edges: one giant star, long chains,
+    random small components) — distributed clustering matches driver
+    union-find with zero driver-side pair state."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.dedup import dedup_clusters, dedup_clusters_ds
+
+    rng = np.random.RandomState(0)
+    edges_a, edges_b = [], []
+    # giant star: hub 0 with 10k leaves (one-round component)
+    edges_a += [0] * 10000
+    edges_b += list(range(1, 10001))
+    # 10 chains of length 50 — pointer jumping converges these in ~7
+    # rounds instead of ~49 (plain min-propagation would time out here)
+    base = 20000
+    for c in range(10):
+        start = base + c * 50
+        edges_a += list(range(start, start + 49))
+        edges_b += list(range(start + 1, start + 50))
+    # random pairs in a disjoint id space
+    ra = rng.randint(100000, 101000, size=2000)
+    rb = rng.randint(100000, 101000, size=2000)
+    keep = ra != rb
+    edges_a += np.minimum(ra[keep], rb[keep]).tolist()
+    edges_b += np.maximum(ra[keep], rb[keep]).tolist()
+
+    tbl = pa.table(
+        {
+            "id_a": pa.array(edges_a, pa.int64()),
+            "id_b": pa.array(edges_b, pa.int64()),
+        }
+    )
+    ref = dedup_clusters(tbl)  # driver union-find ground truth
+    got = {
+        r["node"]: r["label"]
+        for r in dedup_clusters_ds(ray.data.from_arrow(tbl)).take_all()
+    }
+    assert got == ref
