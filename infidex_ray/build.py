@@ -510,6 +510,7 @@ def merge_index(
     out_dir: str,
     fan_in: int = 8,
     use_ray: bool = True,
+    target_segments: int = 1,
 ) -> dict:
     """Hierarchical segment merge (compaction): tree of ``fan_in``-way merges
     run as parallel Ray tasks (SegmentMerger semantics, SegmentMerger.cs:
@@ -518,7 +519,13 @@ def merge_index(
     unchanged (the doc set is identical); the output manifest points at the
     merged segments. Scale note: each round moves every posting once; with
     S segments, ceil(log_fanin S) rounds — run after a build wave to bound
-    segment count, exactly like the reference's background merges."""
+    segment count, exactly like the reference's background merges.
+
+    ``target_segments``: stop once at most this many segments remain — the
+    build-fine/serve-coarse recipe: fine segments load-balance the analyze
+    wave, a single merge pass to ~2×shard-count segments removes the
+    per-segment fixed costs that dominate query latency (measured round 3:
+    p50 at 480k pages was 110 ms at 240 segments vs 84 ms at 30)."""
     from . import segments as seglib
 
     with open(os.path.join(index_dir, "manifest.json")) as f:
@@ -536,13 +543,23 @@ def merge_index(
 
         remote_merge = ray.remote(seglib.merge_segments)
 
+    target = max(1, int(target_segments))
     level = 0
-    while len(current) > 1:
-        groups = [current[i : i + fan_in] for i in range(0, len(current), fan_in)]
+    while len(current) > target:
+        # group count = max(target, ceil(n/fan_in)) — the last round lands
+        # exactly on the target instead of overshooting below it
+        n_groups = max(target, -(-len(current) // fan_in))
+        bounds = np.linspace(0, len(current), n_groups + 1).astype(int)
+        groups = [
+            current[bounds[g] : bounds[g + 1]]
+            for g in range(n_groups)
+            if bounds[g] < bounds[g + 1]
+        ]
         # short-query artifacts are derived from the docmap, so intermediate
         # merge levels skip them (they would be recomputed and discarded at
-        # the next level) — only the FINAL merge writes them
-        dlm = delimiters if len(groups) == 1 else None
+        # the next level) — only the FINAL round writes them
+        final_round = len(groups) <= target
+        dlm = delimiters if final_round else None
         nxt = []
         futures = []
         for gi, group in enumerate(groups):
@@ -562,12 +579,29 @@ def merge_index(
         current = nxt
         level += 1
 
-    final_dir = os.path.join(out_dir, "segments", "seg-0000")
-    if current and current[0] != final_dir:
-        if os.path.dirname(current[0]) == os.path.join(out_dir, "segments"):
-            os.rename(current[0], final_dir)
-        else:  # single input segment: merge-copy it
-            merge_fn(current, final_dir, delimiters=delimiters)
+    if target == 1:
+        final_dir = os.path.join(out_dir, "segments", "seg-0000")
+        if current and current[0] != final_dir:
+            if os.path.dirname(current[0]) == os.path.join(out_dir, "segments"):
+                os.rename(current[0], final_dir)
+            else:  # single input segment: merge-copy it
+                merge_fn(current, final_dir, delimiters=delimiters)
+        current = [final_dir]
+    else:
+        # normalize names + ensure every output lives under out_dir (inputs
+        # passed through untouched get merge-copied so out_dir is standalone)
+        finals = []
+        for i, seg in enumerate(current):
+            dest = os.path.join(out_dir, "segments", f"seg-{i:04d}")
+            if seg == dest:
+                finals.append(dest)
+            elif os.path.dirname(seg) == os.path.join(out_dir, "segments"):
+                os.rename(seg, dest)
+                finals.append(dest)
+            else:
+                merge_fn([seg], dest, delimiters=delimiters)
+                finals.append(dest)
+        current = finals
 
     import shutil
 
@@ -585,14 +619,21 @@ def merge_index(
     if os.path.exists(tomb):
         shutil.copy(tomb, os.path.join(out_dir, "tombstones.json"))
 
-    with open(os.path.join(final_dir, "meta.json")) as f:
-        m = json.load(f)
+    seg_entries = []
+    for seg in current:
+        with open(os.path.join(seg, "meta.json")) as f:
+            m = json.load(f)
+        seg_entries.append(
+            {
+                "name": os.path.basename(seg),
+                "n_docs": m["n_docs"],
+                "lineage": {"merged_from": len(manifest["segments"])},
+            }
+        )
     out_manifest = dict(manifest)
-    out_manifest["segments"] = [
-        {"name": "seg-0000", "n_docs": m["n_docs"], "lineage": {"merged_from": len(manifest["segments"])}}
-    ]
+    out_manifest["segments"] = seg_entries
     out_manifest["stats"] = dict(manifest["stats"])
-    out_manifest["stats"]["n_segments"] = 1
+    out_manifest["stats"]["n_segments"] = len(seg_entries)
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(out_manifest, f)
     return out_manifest

@@ -399,6 +399,11 @@ class Engine:
         can_ngrams, has_mixed, long_words_text = analyze_query(q, cfg)
         coverage_depth = cfg.coverage_depth
 
+        # overlap hook: the distributed executor fires the (stage-1-
+        # independent) WordMatcher candidate computation on the shard actors
+        # here, so it runs concurrently with the stage-1 fan-out
+        self._pre_stage1(q, coverage_on and can_ngrams)
+
         if not can_ngrams:
             if len(q) == 1:
                 stage1_results = self._run_single_char(q, top_k)
@@ -449,6 +454,9 @@ class Engine:
         if final is None:  # coverage unavailable → stage1 backbone
             return self._to_hits(stage1_results[:top_k]), False
         return self._to_hits(final), False
+
+    def _pre_stage1(self, q: str, coverage_likely: bool) -> None:
+        """No-op for the in-process engine (sequential anyway)."""
 
     # overridable primitives (the distributed executor fans these out)
     def _run_single_char(self, q: str, top_k: int):

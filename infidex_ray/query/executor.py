@@ -74,8 +74,20 @@ class IndexShardActor:
         return s1.merge_topk(per, top_k)
 
     # ---- coverage -----------------------------------------------------
-    def wm_scan(self, norm_query: str, tfidf_lids, cap: int):
-        return qp.wm_scan(self.engine, norm_query, tfidf_lids, cap)
+    def wm_prefetch(self, qid: str, norm_query: str) -> None:
+        """Fire-ahead half of the WordMatcher lookup: compute the per-segment
+        candidate ids NOW (concurrently with the stage-1 fan-out — actor
+        tasks execute serially in submission order, so a later wm_scan with
+        the same qid is guaranteed to see the stash)."""
+        self._wm_stash = (qid, qp.wm_candidates(self.engine, norm_query))
+
+    def wm_scan(self, norm_query: str, tfidf_lids, cap: int, qid: str | None = None):
+        pre = None
+        stash = getattr(self, "_wm_stash", None)
+        if qid is not None and stash is not None and stash[0] == qid:
+            pre = stash[1]
+            self._wm_stash = None
+        return qp.wm_scan(self.engine, norm_query, tfidf_lids, cap, precomputed=pre)
 
     def prescreen_keys(self, words, keys):
         """Shard-local posting-union ∩ candidates for the lexical prescreen."""
@@ -194,6 +206,22 @@ class DistributedEngine(Engine):
     def _fuzzy_global_df(self, text: str) -> int:
         return sum(ray.get([a.fuzzy_df.remote(text) for a in self.actors]))
 
+    def _pre_stage1(self, q: str, coverage_likely: bool) -> None:
+        """Fire the WordMatcher candidate computation on every shard BEFORE
+        the stage-1 fan-out — actor tasks run serially in submission order,
+        so the later wm_scan(qid=...) is ordered after the prefetch on each
+        actor and reuses its stash. Saves the wm probe compute from the
+        critical path (it is independent of stage-1 results)."""
+        self._wm_qid = None
+        if not (coverage_likely and self.cfg.enable_word_matcher):
+            return
+        import uuid
+
+        qid = uuid.uuid4().hex
+        for a in self.actors:
+            a.wm_prefetch.remote(qid, q)  # fire-and-forget; ordering by actor queue
+        self._wm_qid = qid
+
     def stage1(self, norm_lower_query: str, top_k: int):
         infos = s1.prepare_query_terms(
             norm_lower_query, self.cfg, self.df_lookup, self.total_docs, self.avgdl,
@@ -251,6 +279,7 @@ class DistributedEngine(Engine):
                             if self.shard_of_seg.get(si) == ai
                         },
                         coverage_depth,
+                        qid=getattr(self, "_wm_qid", None),
                     )
                     for ai, a in enumerate(self.actors)
                 ]

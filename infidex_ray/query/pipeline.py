@@ -107,11 +107,37 @@ def _key_index_for(engine):
     return idx
 
 
+def wm_candidates(engine, norm_query: str) -> dict[int, "np.ndarray"]:
+    """The EXPENSIVE half of the WordMatcher lookup: per-segment candidate
+    ids for the query words (exact ∪ LD1 ∪ affix probes). Independent of
+    the stage-1 result, so the executor fires it CONCURRENTLY with the
+    stage-1 fan-out and only the cheap split waits for stage 1."""
+    import numpy as np
+
+    cfg = engine.cfg
+    from ..analyzer import _word_splitter
+
+    splitter = _word_splitter(cfg.delimiters)
+    query_words = [w for w in splitter.split(norm_query) if w]
+    out: dict[int, np.ndarray] = {}
+    for seg in engine.segments:
+        wm = _word_matcher_for(engine, seg.seg_id)
+        ids = wm.candidates_for_query(query_words, cfg.coverage.cover_prefix_suffix)
+        if getattr(engine, "deleted", None) and len(ids):
+            keep = ~np.isin(
+                seg.doc_keys[ids], np.fromiter(engine.deleted, dtype=np.int64)
+            )
+            ids = ids[keep]
+        out[seg.seg_id] = ids
+    return out
+
+
 def wm_scan(
     engine,
     norm_query: str,
     tfidf_lids_by_seg: dict[int, "np.ndarray"],
     cap: int,
+    precomputed: dict[int, "np.ndarray"] | None = None,
 ) -> tuple[int, list[tuple[int, int, int]], list[tuple[int, int, int]]]:
     """WordMatcherLookup over this engine/shard's segments, split against the
     stage-1 candidate set. Returns (total candidate count,
@@ -123,22 +149,16 @@ def wm_scan(
     the corpus and must never leave the shard."""
     import numpy as np
 
-    cfg = engine.cfg
-    from ..analyzer import _word_splitter
-
-    splitter = _word_splitter(cfg.delimiters)
-    query_words = [w for w in splitter.split(norm_query) if w]
+    per_seg = (
+        precomputed if precomputed is not None else wm_candidates(engine, norm_query)
+    )
     n_total = 0
     overlapping: list[tuple[int, int, int]] = []
     unique: list[tuple[int, int, int]] = []
     for seg in engine.segments:
-        wm = _word_matcher_for(engine, seg.seg_id)
-        ids = wm.candidates_for_query(query_words, cfg.coverage.cover_prefix_suffix)
-        if getattr(engine, "deleted", None) and len(ids):
-            keep = ~np.isin(
-                seg.doc_keys[ids], np.fromiter(engine.deleted, dtype=np.int64)
-            )
-            ids = ids[keep]
+        ids = per_seg.get(seg.seg_id)
+        if ids is None:
+            ids = np.empty(0, dtype=np.int64)
         n_total += len(ids)
         if not len(ids):
             continue
