@@ -234,14 +234,19 @@ class DistributedEngine(Engine):
         # per actor call (2 phases × n_actors), which profiling showed
         # dominated driver-side submission time
         plan_ref = ray.put(plan)
-        count_vecs = ray.get([a.phase_a.remote(plan_ref) for a in self.actors])
-        width = max((len(c) for c in count_vecs), default=0)
-        if width == 0:
-            return []
-        total = np.zeros(width, dtype=np.int64)
-        for c in count_vecs:
-            total[: len(c)] += c
-        level = s1.decide_level(plan, total, top_k)
+        if plan.n_levels == 1:
+            # single candidate level → decide_level is constant 1; skip the
+            # phase-A cardinality fan-out entirely (one fewer RTT)
+            level = 1
+        else:
+            count_vecs = ray.get([a.phase_a.remote(plan_ref) for a in self.actors])
+            width = max((len(c) for c in count_vecs), default=0)
+            if width == 0:
+                return []
+            total = np.zeros(width, dtype=np.int64)
+            for c in count_vecs:
+                total[: len(c)] += c
+            level = s1.decide_level(plan, total, top_k)
         per = ray.get(
             [a.phase_b.remote(plan_ref, level, top_k, self.avgdl) for a in self.actors]
         )

@@ -644,14 +644,20 @@ def run_stage1(
     searchers (the actor executor mirrors this with ray.get batching)."""
     if plan is None:
         return []
-    count_vecs = [s.phase_a(plan) for s in searchers]
-    width = max((len(c) for c in count_vecs), default=0)
-    if width == 0:
-        return []
-    total = np.zeros(width, dtype=np.int64)
-    for c in count_vecs:
-        total[: len(c)] += c
-    level = decide_level(plan, total, top_k)
+    if plan.n_levels == 1:
+        # a single candidate level needs no cardinality round: decide_level
+        # returns 1 regardless of the counts (single-term / one-included-rank
+        # disjunctive plans — skips a whole fan-out in the executor)
+        level = 1
+    else:
+        count_vecs = [s.phase_a(plan) for s in searchers]
+        width = max((len(c) for c in count_vecs), default=0)
+        if width == 0:
+            return []
+        total = np.zeros(width, dtype=np.int64)
+        for c in count_vecs:
+            total[: len(c)] += c
+        level = decide_level(plan, total, top_k)
     per_seg = [s.phase_b(plan, level, top_k, avgdl) for s in searchers]
     return consolidate(merge_topk(per_seg, top_k))
 
