@@ -263,7 +263,23 @@ def ngram_jaccard_pairs(
     cand = shingle_rows.groupby("h").map_groups(
         pairs_per_shingle, batch_format="pyarrow"
     )
-    uniq = cand.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
+    uniq = (
+        cand.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
+        .materialize()
+    )
+    if uniq.count() == 0:
+        # empty Datasets lose their column schema, which breaks the joins
+        import ray
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
 
     joined = _attach_sketches(uniq, sketches, num_partitions)
 
@@ -482,7 +498,24 @@ def minhash_lsh_pairs(
     cand = band_rows.groupby(["band", "bucket"]).map_groups(
         pairs_in_bucket, batch_format="pyarrow"
     )
-    uniq = cand.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
+    uniq = (
+        cand.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
+        .materialize()
+    )
+    if uniq.count() == 0:
+        # empty Datasets lose their column schema, which breaks the joins
+        import ray
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
 
     # verify distributively: attach both sketches per pair via hash joins,
     # then score (signature-agreement estimate + exact shingle Jaccard)
@@ -879,6 +912,14 @@ def dedup_clusters_ds(pairs_ds, num_partitions: int | None = None, max_iters: in
         )
 
     edges = edges_fwd.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        import ray
+
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+            )
+        )
 
     def init_labels(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["src"], "label": batch["src"]})
@@ -989,6 +1030,8 @@ def dedup_corpus_ds(ds, pairs_ds, id_col: str = "doc_id", num_partitions: int | 
     output-sized pair tables but not for a 100-TB crawl's duplicate mass)."""
     num_partitions = _join_partitions(num_partitions)
     labels = dedup_clusters_ds(pairs_ds, num_partitions=num_partitions)
+    if labels.count() == 0:  # no pairs → nothing to drop (and the anti-join
+        return ds  # would fail on the schema-less empty right side)
 
     def drops_only(batch: pa.Table) -> pa.Table:
         keep = (
@@ -997,7 +1040,9 @@ def dedup_corpus_ds(ds, pairs_ds, id_col: str = "doc_id", num_partitions: int | 
         )
         return pa.table({"node": batch["node"].filter(pa.array(keep))})
 
-    drops = labels.map_batches(drops_only, batch_format="pyarrow")
+    drops = labels.map_batches(drops_only, batch_format="pyarrow").materialize()
+    if drops.count() == 0:  # e.g. only self-pairs → schema-less empty side
+        return ds
     return ds.join(
         drops, "left_anti", num_partitions, on=(id_col,), right_on=("node",)
     )

@@ -195,3 +195,24 @@ def test_rebuild_clears_stale_stats_layouts(ray_session, tmp_path):
     assert not os.path.exists(os.path.join(out, "stats", "df"))
     lk = load_df_lookup(out, "word_df")
     assert lk("alpha") == 10  # fresh, not the stale 999
+
+
+def test_merge_index_target_segments(ray_session, minicorpus, tmp_path):
+    """merge_index(target_segments=2): compaction stops at the serving
+    layout (build-fine/serve-coarse) with rank-identical search results."""
+    from infidex_ray.build import merge_index
+
+    src = str(tmp_path / "multi_idx2")
+    build_index_local(minicorpus, src, n_segments=4)
+    eng_multi = Engine.load(src)
+
+    merged = str(tmp_path / "merged2_idx")
+    man = merge_index(src, merged, fan_in=2, use_ray=True, target_segments=2)
+    assert man["stats"]["n_segments"] == 2
+    eng_two = Engine.load(merged)
+    assert len(eng_two.segments) == 2
+    assert eng_two.total_docs == eng_multi.total_docs
+    for q in ["batman", "qick fux", "new york", "speeding", "quick brown fox"]:
+        a = [(h.doc_key, round(h.score, 6)) for h in eng_multi.search(q, top_k=10)]
+        b = [(h.doc_key, round(h.score, 6)) for h in eng_two.search(q, top_k=10)]
+        assert a == b, q

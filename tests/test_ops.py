@@ -376,3 +376,27 @@ def test_label_propagation_planted_scale(ray_session):
         for r in dedup_clusters_ds(ray.data.from_arrow(tbl)).take_all()
     }
     assert got == ref
+
+
+def test_dedup_ops_empty_corpus(ray_session):
+    """Empty inputs flow through the join-based dedup paths without error."""
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.dedup import (
+        dedup_corpus_ds,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    empty = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    assert minhash_lsh_pairs(empty).count() == 0
+    assert ngram_jaccard_pairs(empty).count() == 0
+    pairs = ray.data.from_arrow(
+        pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    )
+    corpus = ray.data.from_items([{"doc_id": 1, "text": "t"}])
+    kept = dedup_corpus_ds(corpus, pairs).to_pandas()["doc_id"].tolist()
+    assert kept == [1]
