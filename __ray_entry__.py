@@ -509,6 +509,46 @@ def _q_lang_dist(sf_dir: str):
     return _by(ds.map_batches(rename, batch_format="pyarrow"), "lang")
 
 
+def _q_sessionize(sf_dir: str):
+    """Gap-based sessionization of the events stream (30-min inactivity
+    split); one groupby(user) shuffle + vectorized in-group split."""
+    from infidex_ray.ops.windows import sessionize
+
+    return _by(sessionize(_read(sf_dir, "events")), "user_id", "session_id")
+
+
+def _q_window_agg(sf_dir: str):
+    """Tumbling 1-hour windows per event type, partial-aggregated inside
+    map_batches (Arrow hash group-by) before the small global groupby."""
+    from infidex_ray.ops.windows import tumbling_window
+
+    return _by(
+        tumbling_window(_read(sf_dir, "events")), "window_start_us", "event_type"
+    )
+
+
+def _q_sample_hash(sf_dir: str):
+    """Deterministic md5-bucket 10% sample of documents — pure row-local
+    filter, reproducible across reruns/cluster sizes; oracle recomputes the
+    exact per-row keep decision via md5_number_lower."""
+    from infidex_ray.ops.sampling import sample_hash
+
+    return _by(sample_hash(_read(sf_dir, "documents"), 0.1), "doc_id")
+
+
+def _q_heavy_hitters(sf_dir: str):
+    """Top-100 corpus tokens via per-batch Arrow value_counts partials +
+    vocabulary-sized groupby. Result re-sorted driver-side to the oracle's
+    (n DESC, token) order for the order-sensitive hash."""
+    from infidex_ray.ops.textstats import heavy_hitters
+
+    tbl = pa.Table.from_pandas(
+        heavy_hitters(_read(sf_dir, "documents"), k=100).to_pandas(),
+        preserve_index=False,
+    )
+    return tbl.sort_by([("n", "descending"), ("token", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -544,6 +584,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_counts": _q_facets,
         "facet_counts_offline": _q_facets_offline,
         "search_topk_distributed": _q_search_topk_distributed,
+        "sessionize": _q_sessionize,
+        "window_agg": _q_window_agg,
+        "sample_hash": _q_sample_hash,
+        "heavy_hitters": _q_heavy_hitters,
     }
 
 
@@ -722,6 +766,40 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY lang ORDER BY lang"
         ),
         "lsh_knn": sqlgen.lsh_knn_sql(KNN_QUERY_VEC),
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+              FROM events
+            ), f AS (
+              SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                             THEN 1 ELSE 0 END AS is_new FROM o
+            ), s AS (
+              SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_id FROM f
+            )
+            SELECT user_id, session_id::BIGINT AS session_id,
+                   min(ts_us) AS session_start_us, count(*) AS n_events,
+                   (max(ts_us) - min(ts_us))::BIGINT AS duration_us,
+                   round(sum(value), 4) AS sum_value
+            FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+        """,
+        "window_agg": (
+            "SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us, "
+            "event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value "
+            "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "sample_hash": (
+            "SELECT * FROM documents "
+            "WHERE md5_number_lower('s0:' || CAST(doc_id AS VARCHAR)) % 1000000 < 100000 "
+            "ORDER BY doc_id"
+        ),
+        "heavy_hitters": (
+            "WITH t AS (SELECT unnest(regexp_split_to_array(lower(text), "
+            "'[ \\t\\n\\r]+')) AS token FROM documents) "
+            "SELECT token, count(*) AS n FROM t WHERE token <> '' "
+            "GROUP BY token ORDER BY n DESC, token LIMIT 100"
+        ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (fake codec) are non-SQL-expressible
         # → rows-only.

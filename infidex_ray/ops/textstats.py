@@ -329,3 +329,57 @@ def remove_boilerplate_lines(
         )
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+# --- Heavy hitters -----------------------------------------------------------
+
+
+def heavy_hitters(ds, k: int = 100, text_col: str = "text"):
+    """Top-k most frequent whitespace tokens across the corpus.
+
+    The combiner pattern end-to-end: each batch collapses to its distinct
+    (token, n) partial counts via Arrow kernels (``utf8_lower`` ->
+    ``split_pattern_regex`` -> ``value_counts``; no Python loop over rows or
+    tokens), so the global ``groupby("token")`` shuffles vocabulary-sized
+    partials, not corpus-sized token streams. At 100 TB the shuffle volume is
+    |vocab| x |blocks| — the standard word-count answer to the "the"-key
+    skew, since the hot token contributes one row per block, not one per
+    occurrence. The final sort+limit runs on the vocabulary-sized aggregate.
+
+    Token order ties break lexicographically; output order (n desc, token
+    asc) matches the SQL oracle's ORDER BY so the driver's order-sensitive
+    hash agrees.
+    """
+    import pyarrow.compute as pc
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), pattern="[ \t\n\r]+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {
+                "token": vc.field("values").cast(pa.string()),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.select_columns([text_col])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .sum("n")
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        c = "sum(n)" if "sum(n)" in t.column_names else "n"
+        return pa.table({"token": t["token"], "n": t[c].cast(pa.int64())})
+
+    top = (
+        agg.map_batches(rename, batch_format="pyarrow")
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
+    return top

@@ -1,0 +1,110 @@
+"""Event-windowing, sampling and heavy-hitter operators."""
+
+import numpy as np
+import pytest
+
+US = 1_000_000
+HOUR = 3600 * US
+
+
+@pytest.fixture(scope="module")
+def events_ds(ray_session):
+    import ray.data
+
+    # Two users; user 1 has a session boundary exactly AT the gap (must NOT
+    # split — the rule is strictly greater-than) and one clearly past it.
+    gap = 1800 * US
+    rows = [
+        # user 1: events at t0, t0+gap (same session), t0+gap+gap+1us (new)
+        {"event_id": 1, "user_id": 1, "ts_us": 0, "value": 1.0},
+        {"event_id": 2, "user_id": 1, "ts_us": gap, "value": 2.0},
+        {"event_id": 3, "user_id": 1, "ts_us": 2 * gap + 1, "value": 4.0},
+        # user 2: single event
+        {"event_id": 4, "user_id": 2, "ts_us": 5 * US, "value": 8.0},
+        # user 1 again, out of order in the input — sorted inside the group
+        {"event_id": 5, "user_id": 1, "ts_us": gap // 2, "value": 16.0},
+    ]
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+            "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+            "ts": pa.array([r["ts_us"] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r["value"] for r in rows], pa.float64()),
+        }
+    )
+    return ray.data.from_arrow(tbl)
+
+
+def test_sessionize_gap_semantics(events_ds):
+    from infidex_ray.ops.windows import sessionize
+
+    df = sessionize(events_ds).sort(["user_id", "session_id"]).to_pandas()
+    u1 = df[df.user_id == 1].reset_index(drop=True)
+    # exactly-at-gap stays in session; past-gap splits -> 2 sessions
+    assert list(u1.session_id) == [1, 2]
+    assert list(u1.n_events) == [3, 1]
+    assert u1.loc[0, "sum_value"] == pytest.approx(19.0)  # 1 + 16 + 2
+    assert u1.loc[0, "duration_us"] == 1800 * US
+    assert u1.loc[1, "sum_value"] == pytest.approx(4.0)
+    u2 = df[df.user_id == 2].reset_index(drop=True)
+    assert len(u2) == 1 and u2.loc[0, "n_events"] == 1
+    assert u2.loc[0, "session_start_us"] == 5 * US
+
+
+def test_tumbling_window_matches_naive(events_ds):
+    from infidex_ray.ops.windows import tumbling_window
+
+    df = (
+        tumbling_window(events_ds, width_s=1800.0, type_col="user_id")
+        .sort(["window_start_us", "user_id"])
+        .to_pandas()
+    )
+    # window 0: events 1 (v=1) + 5 (v=16) for user 1, event 4 (v=8) user 2
+    w0u1 = df[(df.window_start_us == 0) & (df.user_id == 1)].iloc[0]
+    assert w0u1.n_events == 2 and w0u1.sum_value == pytest.approx(17.0)
+    w0u2 = df[(df.window_start_us == 0) & (df.user_id == 2)].iloc[0]
+    assert w0u2.n_events == 1 and w0u2.sum_value == pytest.approx(8.0)
+    # event 2 lands exactly on the 1800s boundary -> second window
+    w1 = df[df.window_start_us == 1800 * US].iloc[0]
+    assert w1.n_events == 1 and w1.sum_value == pytest.approx(2.0)
+
+
+def test_sample_split_disjoint_union(ray_session):
+    import ray.data
+    from infidex_ray.ops.sampling import sample_hash, sample_split
+
+    ds = ray.data.range(1000).map_batches(
+        lambda b: {"doc_id": b["id"]}, batch_format="numpy"
+    )
+    a = sample_split(ds, 0.0, 0.3, key_col="doc_id").to_pandas()
+    b = sample_split(ds, 0.3, 1.0, key_col="doc_id").to_pandas()
+    assert set(a.doc_id).isdisjoint(set(b.doc_id))
+    assert len(a) + len(b) == 1000
+    # rate window [0, r) == sample_hash(r)
+    h = sample_hash(ds, 0.3, key_col="doc_id").to_pandas()
+    assert set(h.doc_id) == set(a.doc_id)
+    # deterministic across reruns; roughly the requested rate
+    h2 = sample_hash(ds, 0.3, key_col="doc_id").to_pandas()
+    assert list(h.doc_id) == list(h2.doc_id)
+    assert 0.2 < len(h) / 1000 < 0.4
+    # a different salt draws a (almost surely) different sample
+    s2 = sample_hash(ds, 0.3, key_col="doc_id", salt="s1").to_pandas()
+    assert set(s2.doc_id) != set(h.doc_id)
+
+
+def test_heavy_hitters_order_and_ties(ray_session):
+    import ray.data
+    from infidex_ray.ops.textstats import heavy_hitters
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "b b b A a\tc\nc"},
+            {"doc_id": 1, "text": "  a c  "},
+        ]
+    )
+    df = heavy_hitters(docs, k=2).to_pandas()
+    # counts: a=3 (A lowercased), b=3, c=3 -> tie broken lexicographically
+    assert list(df.token) == ["a", "b"]
+    assert list(df.n) == [3, 3]
