@@ -549,6 +549,59 @@ def _q_heavy_hitters(sf_dir: str):
     return tbl.sort_by([("n", "descending"), ("token", "ascending")])
 
 
+def _q_asof_join(sf_dir: str):
+    """Each event matched to the user's latest order at or before the event
+    time — the as-of join Ray Data lacks, via schema-aligned union + one
+    hash shuffle + vectorized searchsorted in map_groups (deterministic
+    tie-break on o_orderkey; the oracle reproduces it with a row_number
+    window since DuckDB's native ASOF leaves ties unspecified)."""
+    from infidex_ray.ops.joins import asof_join
+
+    out = asof_join(
+        _read(sf_dir, "events"),
+        _read(sf_dir, "orders"),
+        on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_tie="o_orderkey",
+        left_cols=["event_id"],
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+    return _by(out, "event_id")
+
+
+def _q_range_join(sf_dir: str):
+    """Interval containment join (event value in derived part price
+    windows) via fixed-width bucket co-partitioning — intervals replicate
+    to covered buckets, rows route to one bucket, exact BETWEEN in-group."""
+    from infidex_ray.ops.joins import range_join
+    import pyarrow.compute as pc
+
+    def mk(b: pa.Table) -> pa.Table:
+        lo = pc.multiply(b["p_partkey"].cast(pa.float64()), 2.0)
+        return pa.table(
+            {"p_partkey": b["p_partkey"], "lo": lo, "hi": pc.add(lo, 3.0)}
+        )
+
+    ranges = (
+        _read(sf_dir, "part")
+        .filter(expr="p_partkey < 200")
+        .map_batches(mk, batch_format="pyarrow")
+    )
+    out = range_join(
+        _read(sf_dir, "events"),
+        ranges,
+        value_col="value",
+        lo_col="lo",
+        hi_col="hi",
+        bucket_width=10.0,
+        left_cols=["event_id"],
+        right_cols=["p_partkey"],
+    )
+    return _by(out, "event_id", "p_partkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -588,6 +641,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg": _q_window_agg,
         "sample_hash": _q_sample_hash,
         "heavy_hitters": _q_heavy_hitters,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
     }
 
 
@@ -799,6 +854,26 @@ def oracle_sql() -> dict[str, str]:
             "'[ \\t\\n\\r]+')) AS token FROM documents) "
             "SELECT token, count(*) AS n FROM t WHERE token <> '' "
             "GROUP BY token ORDER BY n DESC, token LIMIT 100"
+        ),
+        "asof_join": """
+            WITH j AS (
+              SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us,
+                     o.o_orderkey, o.o_totalprice,
+                     epoch_us(o.o_orderdate) AS right_ts_us,
+                     row_number() OVER (PARTITION BY e.event_id
+                                        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e JOIN orders o
+                ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+            )
+            SELECT user_id, event_id, ts_us, o_orderkey, o_totalprice, right_ts_us
+            FROM j WHERE rn = 1 ORDER BY event_id
+        """,
+        "range_join": (
+            "SELECT e.event_id, e.value AS value, p.p_partkey, "
+            "p.p_partkey * 2.0 AS lo, p.p_partkey * 2.0 + 3.0 AS hi "
+            "FROM events e JOIN part p ON p.p_partkey < 200 "
+            "AND e.value BETWEEN p.p_partkey * 2.0 AND p.p_partkey * 2.0 + 3.0 "
+            "ORDER BY e.event_id, p.p_partkey"
         ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (fake codec) are non-SQL-expressible

@@ -1,0 +1,261 @@
+"""Custom join operators Ray Data lacks: as-of join and range (interval)
+join.
+
+The reference engine has no relational joins (SURVEY.md §2.6 — its joins are
+candidate→doc lookups), but the graft brief names as-of and range joins as
+first-class custom operators for event/metric corpora. Both are expressed
+with the Dataset API only — no raw tasks, no driver-side state:
+
+- :func:`asof_join` — each left row matches the latest right row with
+  ``right_ts <= left_ts`` for the same key. Implemented as union of the two
+  (schema-aligned) sides → ONE hash shuffle by key → ``map_groups`` doing a
+  vectorized ``searchsorted`` of left timestamps into the sorted right
+  timestamps. Partitioning assumption: one key's rows (both sides) fit in a
+  worker's heap — the same contract as any ``map_groups``; salt or
+  time-bucket split hot keys upstream if a single key is 10^8+ rows.
+
+- :func:`range_join` — left rows matched to right intervals containing
+  their value, via fixed-width bucketing: each interval is replicated to
+  every bucket it covers, each left row goes to exactly one bucket, and the
+  exact containment filter runs in-group. Shuffle volume is rows +
+  sum(interval_width/bucket_width) — choose ``bucket_width`` near the median
+  interval width. No all-pairs product anywhere.
+
+Tie-break: equal ``right_ts`` values resolve to the largest ``right_tie``
+column value, so results are deterministic and the DuckDB oracle can
+reproduce them exactly (DuckDB's native ASOF JOIN leaves ties unspecified —
+the oracle uses an explicit row_number window instead).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _ts_us_arr(col) -> np.ndarray:
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.timestamp("us")).cast(pa.int64())
+    elif not pa.types.is_int64(col.type):
+        col = col.cast(pa.int64())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
+def asof_join(
+    left,
+    right,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_tie: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    right_on: str | None = None,
+):
+    """Inner as-of join: for every left row, the latest right row of the
+    same ``on`` key with ``right_ts <= left_ts`` (ties on ``right_ts`` go to
+    the largest ``right_tie``); left rows with no eligible right row drop.
+
+    Output columns: ``left_cols`` + ``left_ts`` as ``ts_us`` (epoch-us
+    int64) + ``right_cols`` + ``right_ts`` as ``right_ts_us``. Column sets
+    must be disjoint.
+    """
+    right_on = right_on or on
+    lcols = [c for c in left_cols if c != on]
+    rcols = [c for c in right_cols if c != right_on]
+    if right_tie not in rcols:
+        rcols = rcols + [right_tie]
+
+    # Capture plain pyarrow schemas, never the Dataset objects, in the UDF
+    # closures (a captured Dataset would be serialized into every task).
+    left_schema = left.schema().base_schema
+    right_schema = right.schema().base_schema
+
+    # Align both sides onto one schema (other side's columns null) so a
+    # single union → groupby co-locates a key's rows in one shuffle.
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {"__key": batch[on].cast(pa.int64()),
+                "__ts": pa.array(_ts_us_arr(batch[left_ts]), type=pa.int64()),
+                "__side": pa.array(np.zeros(n, dtype=np.int8))}
+        for c in lcols:
+            cols[c] = batch[c]
+        for c in rcols:
+            cols[c] = pa.nulls(n, right_schema.field(c).type)
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {"__key": batch[right_on].cast(pa.int64()),
+                "__ts": pa.array(_ts_us_arr(batch[right_ts]), type=pa.int64()),
+                "__side": pa.array(np.ones(n, dtype=np.int8))}
+        for c in lcols:
+            cols[c] = pa.nulls(n, left_schema.field(c).type)
+        for c in rcols:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    tagged = left.select_columns(list(dict.fromkeys([on, left_ts] + lcols))).map_batches(
+        tag_left, batch_format="pyarrow"
+    ).union(
+        right.select_columns(list(dict.fromkeys([right_on, right_ts] + rcols))).map_batches(
+            tag_right, batch_format="pyarrow"
+        )
+    )
+
+    def match(group: pa.Table) -> pa.Table:
+        side = group["__side"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = group["__ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        l_idx = np.flatnonzero(side == 0)
+        r_idx = np.flatnonzero(side == 1)
+        empty = {
+            **{c: pa.array([], group[c].type) for c in lcols},
+            "ts_us": pa.array([], pa.int64()),
+            **{c: pa.array([], group[c].type) for c in rcols},
+            "right_ts_us": pa.array([], pa.int64()),
+            "__key": pa.array([], pa.int64()),
+        }
+        if len(l_idx) == 0 or len(r_idx) == 0:
+            return pa.table(empty)
+        # take the right rows with pyarrow BEFORE to_numpy: the column has
+        # nulls on left rows, and a null-containing int64 would coerce the
+        # whole array to float64 (lossy past 2^53)
+        tie = (
+            group[right_tie]
+            .combine_chunks()
+            .take(pa.array(r_idx))
+            .to_numpy(zero_copy_only=False)
+        )
+        r_ts = ts[r_idx]
+        order = np.lexsort((tie, r_ts))  # ts asc, tie asc → last eligible wins
+        r_idx, r_ts = r_idx[order], r_ts[order]
+        pos = np.searchsorted(r_ts, ts[l_idx], side="right") - 1
+        ok = pos >= 0
+        l_keep, pos = l_idx[ok], pos[ok]
+        if len(l_keep) == 0:
+            return pa.table(empty)
+        r_match = r_idx[pos]
+        out = {}
+        for c in lcols:
+            out[c] = group[c].combine_chunks().take(pa.array(l_keep))
+        out["ts_us"] = pa.array(ts[l_keep], type=pa.int64())
+        for c in rcols:
+            out[c] = group[c].combine_chunks().take(pa.array(r_match))
+        out["right_ts_us"] = pa.array(ts[r_match], type=pa.int64())
+        out["__key"] = group["__key"].combine_chunks().take(pa.array(l_keep))
+        return pa.table(out)
+
+    joined = tagged.groupby("__key").map_groups(match, batch_format="pyarrow")
+    out_cols = lcols + ["ts_us"] + rcols + ["right_ts_us"]
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {on: batch["__key"].cast(pa.int64())}
+        for c in out_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def range_join(
+    left,
+    right,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    left_cols: list[str],
+    right_cols: list[str],
+):
+    """Interval join: every (left row, right interval) pair with
+    ``lo <= value <= hi``, via fixed-width bucket co-partitioning.
+
+    Right intervals are replicated to each covered bucket inside
+    ``map_batches`` (flat numpy repeat); left rows route to their single
+    bucket; one groupby co-locates them; the exact BETWEEN filter runs
+    in-group, so no pair outside a shared bucket is ever materialized.
+    """
+
+    left_schema = left.schema().base_schema
+    right_schema = right.schema().base_schema
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].cast(pa.float64()).combine_chunks().to_numpy(zero_copy_only=False)
+        cols = {"__bucket": pa.array(np.floor(v / bucket_width).astype(np.int64)),
+                "__side": pa.array(np.zeros(len(batch), dtype=np.int8)),
+                "__v": pa.array(v),
+                "__lo": pa.nulls(len(batch), pa.float64()),
+                "__hi": pa.nulls(len(batch), pa.float64())}
+        for c in left_cols:
+            cols[c] = batch[c]
+        for c in right_cols:
+            cols[c] = pa.nulls(len(batch), right_schema.field(c).type)
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        lo = batch[lo_col].cast(pa.float64()).combine_chunks().to_numpy(zero_copy_only=False)
+        hi = batch[hi_col].cast(pa.float64()).combine_chunks().to_numpy(zero_copy_only=False)
+        b0 = np.floor(lo / bucket_width).astype(np.int64)
+        b1 = np.floor(hi / bucket_width).astype(np.int64)
+        reps = np.maximum(b1 - b0 + 1, 0)
+        idx = np.repeat(np.arange(len(batch)), reps)
+        # bucket sequence b0[i]..b1[i] for each interval, flattened
+        buckets = np.concatenate(
+            [np.arange(a, b + 1) for a, b in zip(b0, b1)]
+        ) if len(batch) else np.empty(0, dtype=np.int64)
+        cols = {"__bucket": pa.array(buckets.astype(np.int64)),
+                "__side": pa.array(np.ones(len(idx), dtype=np.int8)),
+                "__v": pa.nulls(len(idx), pa.float64()),
+                "__lo": pa.array(lo[idx]),
+                "__hi": pa.array(hi[idx])}
+        take = pa.array(idx)
+        for c in left_cols:
+            cols[c] = pa.nulls(len(idx), left_schema.field(c).type)
+        for c in right_cols:
+            cols[c] = batch[c].combine_chunks().take(take)
+        return pa.table(cols)
+
+    tagged = left.select_columns(list(dict.fromkeys([value_col] + left_cols))).map_batches(
+        tag_left, batch_format="pyarrow"
+    ).union(
+        right.select_columns(list(dict.fromkeys([lo_col, hi_col] + right_cols))).map_batches(
+            tag_right, batch_format="pyarrow"
+        )
+    )
+
+    def match(group: pa.Table) -> pa.Table:
+        side = group["__side"].combine_chunks().to_numpy(zero_copy_only=False)
+        l_idx = np.flatnonzero(side == 0)
+        r_idx = np.flatnonzero(side == 1)
+        out_schema = {
+            **{c: group[c].type for c in left_cols},
+            "value": pa.float64(),
+            **{c: group[c].type for c in right_cols},
+            "lo": pa.float64(),
+            "hi": pa.float64(),
+        }
+        if len(l_idx) == 0 or len(r_idx) == 0:
+            return pa.table({c: pa.array([], t) for c, t in out_schema.items()})
+        v = group["__v"].combine_chunks().to_numpy(zero_copy_only=False)[l_idx]
+        lo = group["__lo"].combine_chunks().to_numpy(zero_copy_only=False)[r_idx]
+        hi = group["__hi"].combine_chunks().to_numpy(zero_copy_only=False)[r_idx]
+        # in-bucket candidate pairs: |l| x |r| within ONE bucket only
+        li, ri = np.meshgrid(np.arange(len(l_idx)), np.arange(len(r_idx)), indexing="ij")
+        li, ri = li.ravel(), ri.ravel()
+        keep = (v[li] >= lo[ri]) & (v[li] <= hi[ri])
+        li, ri = li[keep], ri[keep]
+        lt = pa.array(l_idx[li])
+        rt = pa.array(r_idx[ri])
+        out = {}
+        for c in left_cols:
+            out[c] = group[c].combine_chunks().take(lt)
+        out["value"] = pa.array(v[li])
+        for c in right_cols:
+            out[c] = group[c].combine_chunks().take(rt)
+        out["lo"] = pa.array(lo[ri])
+        out["hi"] = pa.array(hi[ri])
+        return pa.table(out)
+
+    return tagged.groupby("__bucket").map_groups(match, batch_format="pyarrow")

@@ -1,0 +1,106 @@
+"""As-of and range (interval) join operators."""
+
+import pyarrow as pa
+import pytest
+
+
+def _ds(tbl):
+    import ray.data
+
+    return ray.data.from_arrow(tbl)
+
+
+@pytest.fixture(scope="module")
+def sides(ray_session):
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+            "ts": pa.array([100, 205, 50, 100, 100], pa.timestamp("us")),
+            "lid": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([1, 1, 1, 2], pa.int64()),
+            "rts": pa.array([100, 100, 200, 150], pa.timestamp("us")),
+            "rid": pa.array([7, 9, 8, 5], pa.int64()),
+            "payload": pa.array([0.5, 0.75, 1.5, 2.5], pa.float64()),
+        }
+    )
+    return _ds(left), _ds(right)
+
+
+def test_asof_join_semantics(sides):
+    from infidex_ray.ops.joins import asof_join
+
+    left, right = sides
+    out = (
+        asof_join(
+            left,
+            right,
+            on="k",
+            right_on="rk",
+            left_ts="ts",
+            right_ts="rts",
+            right_tie="rid",
+            left_cols=["lid"],
+            right_cols=["rid", "payload"],
+        )
+        .sort("lid")
+        .to_pandas()
+    )
+    by_lid = {r.lid: r for r in out.itertuples()}
+    # lid=10 (k=1, ts=100): two right rows at rts=100 -> tie-break max rid=9
+    assert by_lid[10].rid == 9 and by_lid[10].payload == 0.75
+    # lid=11 (k=1, ts=205): latest rts<=205 is 200 -> rid=8
+    assert by_lid[11].rid == 8 and by_lid[11].right_ts_us == 200
+    # lid=12 (k=1, ts=50): no right row at or before -> dropped
+    assert 12 not in by_lid
+    # lid=13 (k=2, ts=100): right row is at 150 (future) -> dropped
+    assert 13 not in by_lid
+    # lid=14 (k=3): key absent on right -> dropped
+    assert 14 not in by_lid
+    assert len(out) == 2
+
+
+def test_range_join_boundaries_and_bucket_span(ray_session):
+    from infidex_ray.ops.joins import range_join
+
+    left = _ds(
+        pa.table(
+            {
+                "v": pa.array([5.0, 10.0, 15.0, 25.0, 35.0], pa.float64()),
+                "lid": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            }
+        )
+    )
+    # interval [10, 30] spans buckets 1..3 at width 10; [5, 5] is degenerate
+    right = _ds(
+        pa.table(
+            {
+                "lo": pa.array([10.0, 5.0], pa.float64()),
+                "hi": pa.array([30.0, 5.0], pa.float64()),
+                "rid": pa.array([100, 200], pa.int64()),
+            }
+        )
+    )
+    out = (
+        range_join(
+            left,
+            right,
+            value_col="v",
+            lo_col="lo",
+            hi_col="hi",
+            bucket_width=10.0,
+            left_cols=["lid"],
+            right_cols=["rid"],
+        )
+        .sort(["lid", "rid"])
+        .to_pandas()
+    )
+    pairs = set(zip(out.lid, out.rid))
+    # inclusive boundaries: v=10 and v=30 would match; v=25 inside; each
+    # (left,right) pair appears exactly once even though [10,30] covers the
+    # left row's bucket plus two more
+    assert pairs == {(0, 200), (1, 100), (2, 100), (3, 100)}
+    assert len(out) == 4  # no duplicate from multi-bucket replication
