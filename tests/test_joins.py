@@ -104,3 +104,105 @@ def test_range_join_boundaries_and_bucket_span(ray_session):
     # left row's bucket plus two more
     assert pairs == {(0, 200), (1, 100), (2, 100), (3, 100)}
     assert len(out) == 4  # no duplicate from multi-bucket replication
+
+
+def _brute_asof(ldf, rdf):
+    """Reference: per left row, latest right (ts, tie) at or before."""
+    out = []
+    for lr in ldf.itertuples():
+        cand = rdf[(rdf.rk == lr.k) & (rdf.rts_us <= lr.ts_us)]
+        if len(cand):
+            best = cand.sort_values(["rts_us", "rid"]).iloc[-1]
+            out.append((lr.lid, int(best.rid)))
+    return sorted(out)
+
+
+def test_asof_join_random_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    from infidex_ray.ops.joins import asof_join
+
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        nl, nr = rng.integers(5, 60, 2)
+        ldf = pd.DataFrame(
+            {
+                "k": rng.integers(0, 6, nl),
+                "ts_us": rng.integers(0, 50, nl),
+                "lid": np.arange(nl),
+            }
+        )
+        rdf = pd.DataFrame(
+            {
+                "rk": rng.integers(0, 6, nr),
+                # few distinct ts values force plenty of tie-break cases
+                "rts_us": rng.integers(0, 50, nr),
+                "rid": np.arange(nr),
+            }
+        )
+        left = _ds(
+            pa.table(
+                {
+                    "k": pa.array(ldf.k, pa.int64()),
+                    "ts": pa.array(ldf.ts_us, pa.timestamp("us")),
+                    "lid": pa.array(ldf.lid, pa.int64()),
+                }
+            )
+        )
+        right = _ds(
+            pa.table(
+                {
+                    "rk": pa.array(rdf.rk, pa.int64()),
+                    "rts": pa.array(rdf.rts_us, pa.timestamp("us")),
+                    "rid": pa.array(rdf.rid, pa.int64()),
+                }
+            )
+        )
+        got = (
+            asof_join(
+                left, right, on="k", right_on="rk", left_ts="ts",
+                right_ts="rts", right_tie="rid",
+                left_cols=["lid"], right_cols=["rid"],
+            )
+            .to_pandas()
+        )
+        assert sorted(zip(got.lid, got.rid)) == _brute_asof(ldf, rdf), trial
+
+
+def test_range_join_random_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    from infidex_ray.ops.joins import range_join
+
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        nl, nr = rng.integers(5, 50, 2)
+        v = rng.uniform(-20, 20, nl).round(2)
+        lo = rng.uniform(-25, 15, nr).round(2)
+        hi = (lo + rng.uniform(0, 30, nr)).round(2)
+        left = _ds(
+            pa.table({"v": pa.array(v), "lid": pa.array(np.arange(nl), pa.int64())})
+        )
+        right = _ds(
+            pa.table(
+                {
+                    "lo": pa.array(lo),
+                    "hi": pa.array(hi),
+                    "rid": pa.array(np.arange(nr), pa.int64()),
+                }
+            )
+        )
+        got = (
+            range_join(
+                left, right, value_col="v", lo_col="lo", hi_col="hi",
+                bucket_width=7.0, left_cols=["lid"], right_cols=["rid"],
+            )
+            .to_pandas()
+        )
+        want = sorted(
+            (li, ri)
+            for li in range(nl)
+            for ri in range(nr)
+            if lo[ri] <= v[li] <= hi[ri]
+        )
+        assert sorted(zip(got.lid, got.rid)) == want, trial
