@@ -549,6 +549,21 @@ def _q_heavy_hitters(sf_dir: str):
     return tbl.sort_by([("n", "descending"), ("token", "ascending")])
 
 
+def _q_top_k_per_group(sf_dir: str):
+    """Best-3 docs per language by length — the per-domain quality-selection
+    pattern; per-block partial top-k bounds the shuffle to k rows per group
+    per block."""
+    from infidex_ray.ops.sampling import top_k_per_group
+
+    return _by(
+        top_k_per_group(
+            _read(sf_dir, "documents"), "lang", "n_chars", "doc_id", k=3
+        ),
+        "lang",
+        "rank",
+    )
+
+
 def _q_asof_join(sf_dir: str):
     """Each event matched to the user's latest order at or before the event
     time — the as-of join Ray Data lacks, via schema-aligned union + one
@@ -643,6 +658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "top_k_per_group": _q_top_k_per_group,
     }
 
 
@@ -854,6 +870,13 @@ def oracle_sql() -> dict[str, str]:
             "'[ \\t\\n\\r]+')) AS token FROM documents) "
             "SELECT token, count(*) AS n FROM t WHERE token <> '' "
             "GROUP BY token ORDER BY n DESC, token LIMIT 100"
+        ),
+        "top_k_per_group": (
+            "WITH r AS (SELECT lang, n_chars, doc_id, "
+            "row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank "
+            "FROM documents) "
+            "SELECT lang, n_chars, doc_id, rank FROM r WHERE rank <= 3 "
+            "ORDER BY lang, rank"
         ),
         "asof_join": """
             WITH j AS (

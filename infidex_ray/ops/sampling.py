@@ -56,3 +56,75 @@ def sample_split(ds, lo: float, hi: float, key_col: str = "doc_id", salt: str = 
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def _group_topk_table(
+    tbl: "pa.Table", group_col: str, score_col: str, id_col: str, k: int
+) -> "pa.Table":
+    """Vectorized per-group top-k of one table under the total order
+    (score desc, id asc): lexsort, detect group changes, rank by cumulative
+    position within group, filter rank < k."""
+    import numpy as np
+
+    if len(tbl) == 0:
+        return tbl
+    g = tbl[group_col].combine_chunks()
+    # dictionary-encode group values so lexsort works for string groups
+    # (combine_chunks on a ChunkedArray yields a plain DictionaryArray)
+    enc = g.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    score = tbl[score_col].combine_chunks().to_numpy(zero_copy_only=False)
+    ids = tbl[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -score, codes))
+    codes_s = codes[order]
+    new_grp = np.empty(len(order), dtype=bool)
+    new_grp[0] = True
+    np.not_equal(codes_s[1:], codes_s[:-1], out=new_grp[1:])
+    # rank within group = position since last group start
+    pos = np.arange(len(order))
+    start = np.maximum.accumulate(np.where(new_grp, pos, 0))
+    rank = pos - start
+    keep = order[rank < k]
+    out = tbl.take(pa.array(np.sort(keep)))
+    return out
+
+
+def top_k_per_group(
+    ds, group_col: str, score_col: str, id_col: str, k: int
+):
+    """Keep the top-``k`` rows per group by ``score_col`` (descending,
+    ties broken by ``id_col`` ascending) and emit each row's 1-based
+    ``rank`` — the per-domain quality-selection pattern of crawl pipelines
+    ("best N pages per site").
+
+    Two-phase: every input block first reduces to its own per-group top-k
+    (the union of per-block top-k under a total order contains the global
+    top-k), so the ``groupby`` shuffle carries at most k rows per group per
+    block instead of the whole corpus; the final in-group step re-ranks the
+    partials. A group's k rows must fit in one worker — true by
+    construction since k is small.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _group_topk_table(batch, group_col, score_col, id_col, k)
+
+    def final(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        top = _group_topk_table(group, group_col, score_col, id_col, k)
+        score = top[score_col].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = top[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -score))
+        top = top.take(pa.array(order))
+        return top.append_column(
+            "rank", pa.array(np.arange(1, len(top) + 1, dtype=np.int64))
+        )
+
+    return (
+        ds.select_columns(list(dict.fromkeys([group_col, score_col, id_col])))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -108,3 +108,39 @@ def test_heavy_hitters_order_and_ties(ray_session):
     # counts: a=3 (A lowercased), b=3, c=3 -> tie broken lexicographically
     assert list(df.token) == ["a", "b"]
     assert list(df.n) == [3, 3]
+
+
+def test_top_k_per_group_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from infidex_ray.ops.sampling import top_k_per_group
+
+    rng = np.random.default_rng(3)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "grp": rng.choice(["a", "b", "c", "d"], n),
+            # few distinct scores -> rank ties broken by id
+            "score": rng.integers(0, 9, n),
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    # many small blocks to exercise the per-block partial top-k phase
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(13)
+    got = (
+        top_k_per_group(ds, "grp", "score", "id", k=5)
+        .sort(["grp", "rank"])
+        .to_pandas()
+    )
+    want = (
+        df.sort_values(["grp", "score", "id"], ascending=[True, False, True])
+        .groupby("grp")
+        .head(5)
+        .reset_index(drop=True)
+    )
+    want["rank"] = want.groupby("grp").cumcount() + 1
+    assert got[["grp", "score", "id", "rank"]].values.tolist() == want[
+        ["grp", "score", "id", "rank"]
+    ].values.tolist()
