@@ -856,7 +856,10 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
         """,
         "window_agg": (
-            "SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us, "
+            # time_bucket (not //): DuckDB integer division truncates toward
+            # zero while the op floors, which diverges on pre-epoch
+            # timestamps; time_bucket floors exactly like numpy //
+            "SELECT epoch_us(time_bucket(INTERVAL 3600 SECOND, ts)) AS window_start_us, "
             "event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
         ),

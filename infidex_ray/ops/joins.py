@@ -32,15 +32,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-
-def _ts_us_arr(col) -> np.ndarray:
-    if pa.types.is_timestamp(col.type):
-        col = col.cast(pa.timestamp("us")).cast(pa.int64())
-    elif not pa.types.is_int64(col.type):
-        col = col.cast(pa.int64())
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    return col.to_numpy(zero_copy_only=False)
+from .windows import _ts_us as _ts_us_arr  # one timestamp-normalization helper
 
 
 def asof_join(
@@ -77,7 +69,9 @@ def asof_join(
     # single union → groupby co-locates a key's rows in one shuffle.
     def tag_left(batch: pa.Table) -> pa.Table:
         n = len(batch)
-        cols = {"__key": batch[on].cast(pa.int64()),
+        # the key keeps its original Arrow type (string domains join fine);
+        # both sides' key columns must share one type for the union
+        cols = {"__key": batch[on],
                 "__ts": pa.array(_ts_us_arr(batch[left_ts]), type=pa.int64()),
                 "__side": pa.array(np.zeros(n, dtype=np.int8))}
         for c in lcols:
@@ -88,7 +82,7 @@ def asof_join(
 
     def tag_right(batch: pa.Table) -> pa.Table:
         n = len(batch)
-        cols = {"__key": batch[right_on].cast(pa.int64()),
+        cols = {"__key": batch[right_on],
                 "__ts": pa.array(_ts_us_arr(batch[right_ts]), type=pa.int64()),
                 "__side": pa.array(np.ones(n, dtype=np.int8))}
         for c in lcols:
@@ -115,7 +109,7 @@ def asof_join(
             "ts_us": pa.array([], pa.int64()),
             **{c: pa.array([], group[c].type) for c in rcols},
             "right_ts_us": pa.array([], pa.int64()),
-            "__key": pa.array([], pa.int64()),
+            "__key": pa.array([], group["__key"].type),
         }
         if len(l_idx) == 0 or len(r_idx) == 0:
             return pa.table(empty)
@@ -151,7 +145,7 @@ def asof_join(
     out_cols = lcols + ["ts_us"] + rcols + ["right_ts_us"]
 
     def finish(batch: pa.Table) -> pa.Table:
-        cols = {on: batch["__key"].cast(pa.int64())}
+        cols = {on: batch["__key"]}
         for c in out_cols:
             cols[c] = batch[c]
         return pa.table(cols)
@@ -241,11 +235,20 @@ def range_join(
         v = group["__v"].combine_chunks().to_numpy(zero_copy_only=False)[l_idx]
         lo = group["__lo"].combine_chunks().to_numpy(zero_copy_only=False)[r_idx]
         hi = group["__hi"].combine_chunks().to_numpy(zero_copy_only=False)[r_idx]
-        # in-bucket candidate pairs: |l| x |r| within ONE bucket only
-        li, ri = np.meshgrid(np.arange(len(l_idx)), np.arange(len(r_idx)), indexing="ij")
-        li, ri = li.ravel(), ri.ravel()
-        keep = (v[li] >= lo[ri]) & (v[li] <= hi[ri])
-        li, ri = li[keep], ri[keep]
+        # in-bucket candidate pairs, chunked over the left side so a hot
+        # bucket never materializes the full |l| x |r| index product —
+        # working memory is bounded by CHUNK x |r| regardless of skew
+        CHUNK = max(1, 1 << 22 >> max(len(r_idx).bit_length(), 1))
+        li_parts, ri_parts = [], []
+        r_pos = np.arange(len(r_idx))
+        for s in range(0, len(l_idx), CHUNK):
+            vc = v[s : s + CHUNK]
+            keep = (vc[:, None] >= lo[None, :]) & (vc[:, None] <= hi[None, :])
+            lc, rc = np.nonzero(keep)
+            li_parts.append(lc + s)
+            ri_parts.append(r_pos[rc])
+        li = np.concatenate(li_parts) if li_parts else np.empty(0, dtype=np.int64)
+        ri = np.concatenate(ri_parts) if ri_parts else np.empty(0, dtype=np.int64)
         lt = pa.array(l_idx[li])
         rt = pa.array(r_idx[ri])
         out = {}

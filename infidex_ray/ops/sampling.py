@@ -22,8 +22,12 @@ from .dedup import _md5_u64
 SAMPLE_MOD = 1_000_000
 
 
-def _keep_mask(keys: list, rate_ppm: int, salt: str) -> list[bool]:
-    return [_md5_u64(f"{salt}:{k}") % SAMPLE_MOD < rate_ppm for k in keys]
+def _keep_mask(keys: list, lo_ppm: int, hi_ppm: int, salt: str) -> list[bool]:
+    """Hash-bucket window test [lo_ppm, hi_ppm) — the one place the keying
+    scheme lives (sample_hash is the [0, rate) special case)."""
+    return [
+        lo_ppm <= _md5_u64(f"{salt}:{k}") % SAMPLE_MOD < hi_ppm for k in keys
+    ]
 
 
 def sample_hash(ds, rate: float, key_col: str = "doc_id", salt: str = "s0"):
@@ -34,13 +38,7 @@ def sample_hash(ds, rate: float, key_col: str = "doc_id", salt: str = "s0"):
     eval ablations come from disjoint rate windows — see
     :func:`sample_split`).
     """
-    rate_ppm = int(round(rate * SAMPLE_MOD))
-
-    def flt(batch: pa.Table) -> pa.Table:
-        mask = _keep_mask(batch[key_col].to_pylist(), rate_ppm, salt)
-        return batch.filter(pa.array(mask, pa.bool_()))
-
-    return ds.map_batches(flt, batch_format="pyarrow")
+    return sample_split(ds, 0.0, rate, key_col=key_col, salt=salt)
 
 
 def sample_split(ds, lo: float, hi: float, key_col: str = "doc_id", salt: str = "s0"):
@@ -49,10 +47,7 @@ def sample_split(ds, lo: float, hi: float, key_col: str = "doc_id", salt: str = 
     lo_ppm, hi_ppm = int(round(lo * SAMPLE_MOD)), int(round(hi * SAMPLE_MOD))
 
     def flt(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col].to_pylist()
-        mask = [
-            lo_ppm <= _md5_u64(f"{salt}:{k}") % SAMPLE_MOD < hi_ppm for k in keys
-        ]
+        mask = _keep_mask(batch[key_col].to_pylist(), lo_ppm, hi_ppm, salt)
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(flt, batch_format="pyarrow")

@@ -31,20 +31,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from .dedup import round_half_up4
-
-_SESSION_SCHEMA = pa.schema(
-    [
-        ("user_id", pa.int64()),
-        ("session_id", pa.int64()),
-        ("session_start_us", pa.int64()),
-        ("n_events", pa.int64()),
-        ("duration_us", pa.int64()),
-        ("sum_value", pa.float64()),
-    ]
-)
 
 
 def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -90,10 +78,14 @@ def sessionize(
         starts = np.flatnonzero(new)
         ends = np.r_[starts[1:], len(ts)]
         sums = np.add.reduceat(val, starts)
-        user = group[user_col][0].as_py()
+        # replicate the group's key via take so ANY key type (string domain,
+        # int user id) flows through with its original Arrow type
+        user = group[user_col].combine_chunks().take(
+            pa.array(np.zeros(len(starts), dtype=np.int64))
+        )
         return pa.table(
             {
-                "user_id": pa.array([user] * len(starts), pa.int64()),
+                user_col: user,
                 "session_id": pa.array(
                     np.arange(1, len(starts) + 1, dtype=np.int64)
                 ),
@@ -143,8 +135,15 @@ def tumbling_window(
         g = t.group_by(["window_start_us", type_col]).aggregate(
             [("one", "sum"), ("value", "sum")]
         )
-        return g.rename_columns(
-            ["window_start_us", type_col, "n_partial", "sum_partial"]
+        # select by NAME, not position: pyarrow's group_by output column
+        # order (keys-first vs aggregates-first) has changed across versions
+        return pa.table(
+            {
+                "window_start_us": g["window_start_us"],
+                type_col: g[type_col],
+                "n_partial": g["one_sum"],
+                "sum_partial": g["value_sum"],
+            }
         )
 
     from ray.data.aggregate import Sum

@@ -206,3 +206,50 @@ def test_range_join_random_matches_bruteforce(ray_session):
             if lo[ri] <= v[li] <= hi[ri]
         )
         assert sorted(zip(got.lid, got.rid)) == want, trial
+
+
+def test_asof_and_sessionize_string_keys(ray_session):
+    import numpy as np
+    from infidex_ray.ops.joins import asof_join
+    from infidex_ray.ops.windows import sessionize
+
+    left = _ds(
+        pa.table(
+            {
+                "domain": pa.array(["a.com", "b.org"], pa.string()),
+                "ts": pa.array([100, 100], pa.timestamp("us")),
+                "lid": pa.array([1, 2], pa.int64()),
+            }
+        )
+    )
+    right = _ds(
+        pa.table(
+            {
+                "domain": pa.array(["a.com", "b.org"], pa.string()),
+                "rts": pa.array([50, 150], pa.timestamp("us")),
+                "rid": pa.array([10, 20], pa.int64()),
+            }
+        )
+    )
+    out = (
+        asof_join(
+            left, right, on="domain", left_ts="ts", right_ts="rts",
+            right_tie="rid", left_cols=["lid"], right_cols=["rid"],
+        )
+        .to_pandas()
+    )
+    assert len(out) == 1 and out.iloc[0].domain == "a.com" and out.iloc[0].rid == 10
+
+    ev = _ds(
+        pa.table(
+            {
+                "sess_key": pa.array(["x", "x", "y"], pa.string()),
+                "ts": pa.array([0, 10, 5], pa.timestamp("us")),
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            }
+        )
+    )
+    s = sessionize(ev, gap_s=1.0, user_col="sess_key").to_pandas()
+    assert sorted(s.sess_key) == ["x", "y"]
+    assert s[s.sess_key == "x"].iloc[0].n_events == 2
