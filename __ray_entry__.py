@@ -564,6 +564,15 @@ def _q_top_k_per_group(sf_dir: str):
     )
 
 
+def _q_group_quantiles(sf_dir: str):
+    """Per-language length quantiles (the thresholds a quality filter cuts
+    against) — one (lang, n_chars) groupby shuffle, exact np.quantile
+    in-group; 'linear' interpolation == DuckDB quantile_cont."""
+    from infidex_ray.ops.textstats import group_quantiles
+
+    return _by(group_quantiles(_read(sf_dir, "documents"), "lang", "n_chars"), "lang")
+
+
 def _q_asof_join(sf_dir: str):
     """Each event matched to the user's latest order at or before the event
     time — the as-of join Ray Data lacks, via schema-aligned union + one
@@ -659,6 +668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "top_k_per_group": _q_top_k_per_group,
+        "group_quantiles": _q_group_quantiles,
     }
 
 
@@ -873,6 +883,14 @@ def oracle_sql() -> dict[str, str]:
             "'[ \\t\\n\\r]+')) AS token FROM documents) "
             "SELECT token, count(*) AS n FROM t WHERE token <> '' "
             "GROUP BY token ORDER BY n DESC, token LIMIT 100"
+        ),
+        "group_quantiles": (
+            "SELECT lang, count(*) AS n, "
+            "round(quantile_cont(n_chars, 0.25), 4) AS q25, "
+            "round(quantile_cont(n_chars, 0.50), 4) AS q50, "
+            "round(quantile_cont(n_chars, 0.75), 4) AS q75, "
+            "round(quantile_cont(n_chars, 0.90), 4) AS q90 "
+            "FROM documents GROUP BY lang ORDER BY lang"
         ),
         "top_k_per_group": (
             "WITH r AS (SELECT lang, n_chars, doc_id, "

@@ -383,3 +383,38 @@ def heavy_hitters(ds, k: int = 100, text_col: str = "text"):
         .limit(k)
     )
     return top
+
+
+def group_quantiles(
+    ds, group_col: str, value_col: str, qs: tuple = (0.25, 0.5, 0.75, 0.9)
+):
+    """Exact per-group quantiles (linear interpolation — numpy 'linear' ==
+    DuckDB ``quantile_cont``) of a numeric column, e.g. the per-language
+    length deciles that quality-threshold filters cut against.
+
+    One groupby shuffle of (group, value) pairs only; quantiles computed
+    in-group with ``np.quantile``. Exactness requires a group's values to
+    fit in one worker — at corpus scale where they don't, sample first
+    (``ops.sampling.sample_hash`` on the value-bearing table) or bin; the
+    exact path is the oracle-checkable baseline.
+    """
+
+    def agg(group: pa.Table) -> pa.Table:
+        v = group[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        g = group[group_col].combine_chunks().slice(0, 1)
+        quo = np.quantile(v.astype(np.float64), qs, method="linear")
+        cols = {
+            group_col: g,
+            "n": pa.array([len(v)], pa.int64()),
+        }
+        for q, x in zip(qs, quo):
+            cols[f"q{int(round(q * 100)):02d}"] = pa.array(
+                [_round4_half_up(np.asarray([x]))[0]], pa.float64()
+            )
+        return pa.table(cols)
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .groupby(group_col)
+        .map_groups(agg, batch_format="pyarrow")
+    )

@@ -85,9 +85,10 @@ def test_sample_split_disjoint_union(ray_session):
     # rate window [0, r) == sample_hash(r)
     h = sample_hash(ds, 0.3, key_col="doc_id").to_pandas()
     assert set(h.doc_id) == set(a.doc_id)
-    # deterministic across reruns; roughly the requested rate
+    # deterministic across reruns (as a set — block completion order is
+    # not stable under the streaming executor); roughly the requested rate
     h2 = sample_hash(ds, 0.3, key_col="doc_id").to_pandas()
-    assert list(h.doc_id) == list(h2.doc_id)
+    assert sorted(h.doc_id) == sorted(h2.doc_id)
     assert 0.2 < len(h) / 1000 < 0.4
     # a different salt draws a (almost surely) different sample
     s2 = sample_hash(ds, 0.3, key_col="doc_id", salt="s1").to_pandas()
@@ -108,6 +109,39 @@ def test_heavy_hitters_order_and_ties(ray_session):
     # counts: a=3 (A lowercased), b=3, c=3 -> tie broken lexicographically
     assert list(df.token) == ["a", "b"]
     assert list(df.n) == [3, 3]
+
+
+def test_group_quantiles_matches_numpy(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from infidex_ray.ops.dedup import round_half_up4_arr
+    from infidex_ray.ops.textstats import group_quantiles
+
+    rng = np.random.default_rng(7)
+    n = 500
+    groups = rng.choice(["de", "en", "fr"], size=n)
+    vals = rng.integers(0, 10_000, size=n)
+    tbl = pa.table(
+        {"lang": pa.array(groups), "n_chars": pa.array(vals, pa.int64())}
+    )
+    # multiple blocks so map_groups must actually co-group across blocks
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    got = (
+        group_quantiles(ds, "lang", "n_chars")
+        .sort("lang")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    df = tbl.to_pandas()
+    for i, (lang, sub) in enumerate(df.groupby("lang")):
+        row = got.iloc[i]
+        assert row["lang"] == lang and row["n"] == len(sub)
+        for q, col in [(0.25, "q25"), (0.5, "q50"), (0.75, "q75"), (0.9, "q90")]:
+            want = round_half_up4_arr(
+                np.asarray([np.quantile(sub.n_chars.to_numpy(float), q)])
+            )[0]
+            assert row[col] == want, (lang, col)
 
 
 def test_top_k_per_group_matches_bruteforce(ray_session):
