@@ -573,6 +573,33 @@ def _q_group_quantiles(sf_dir: str):
     return _by(group_quantiles(_read(sf_dir, "documents"), "lang", "n_chars"), "lang")
 
 
+def _mod97_split(keep_bench: bool):
+    """Vectorized doc_id % 97 split (Ray's filter(expr=) has no modulo):
+    bench = multiples of 97, corpus = the rest. doc_id >= 0 so truncating
+    integer divide is a true mod."""
+    import pyarrow.compute as pc
+
+    def f(b: pa.Table) -> pa.Table:
+        r = pc.subtract(b["doc_id"], pc.multiply(pc.divide(b["doc_id"], 97), 97))
+        return b.filter(pc.equal(r, 0) if keep_bench else pc.not_equal(r, 0))
+
+    return f
+
+
+def _q_decontaminate(sf_dir: str):
+    """Test-set decontamination: corpus docs (doc_id % 97 != 0) checked for
+    word-3-gram overlap with the benchmark split (doc_id % 97 == 0) — hash
+    set broadcast once via ray.put, corpus streams through a vectorized
+    membership map_batches. Real pipelines use 8-13-grams; the synthetic
+    corpus needs n=3 for overlap signal."""
+    from infidex_ray.ops.decontam import decontaminate
+
+    ds = _read(sf_dir, "documents")
+    bench = ds.map_batches(_mod97_split(True), batch_format="pyarrow")
+    corpus = ds.map_batches(_mod97_split(False), batch_format="pyarrow")
+    return _by(decontaminate(corpus, bench, n=3), "doc_id")
+
+
 def _q_asof_join(sf_dir: str):
     """Each event matched to the user's latest order at or before the event
     time — the as-of join Ray Data lacks, via schema-aligned union + one
@@ -669,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": _q_range_join,
         "top_k_per_group": _q_top_k_per_group,
         "group_quantiles": _q_group_quantiles,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -883,6 +911,28 @@ def oracle_sql() -> dict[str, str]:
             "'[ \\t\\n\\r]+')) AS token FROM documents) "
             "SELECT token, count(*) AS n FROM t WHERE token <> '' "
             "GROUP BY token ORDER BY n DESC, token LIMIT 100"
+        ),
+        "decontaminate": (
+            # word-3-gram overlap between the corpus split and the benchmark
+            # split; grams joined on the space-joined token string (bijective
+            # with the uint64 polynomial hash modulo negligible collisions)
+            "WITH ws AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w "
+            "FROM documents), "
+            "pos AS (SELECT doc_id, w, "
+            "unnest(generate_series(1, len(w) - 2)) AS i FROM ws), "
+            "grams AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g "
+            "FROM pos), "
+            "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0), "
+            "agg AS (SELECT c.doc_id, count(DISTINCT c.g) AS n_grams, "
+            "count(DISTINCT b.g) AS n_hits "
+            "FROM grams c LEFT JOIN bench b ON c.g = b.g "
+            "WHERE c.doc_id % 97 <> 0 GROUP BY c.doc_id) "
+            "SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams, "
+            "coalesce(a.n_hits, 0) AS n_hits, "
+            "coalesce(a.n_hits, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN agg a USING (doc_id) "
+            "WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id"
         ),
         "group_quantiles": (
             "SELECT lang, count(*) AS n, "

@@ -400,3 +400,65 @@ def test_dedup_ops_empty_corpus(ray_session):
     corpus = ray.data.from_items([{"doc_id": 1, "text": "t"}])
     kept = dedup_corpus_ds(corpus, pairs).to_pandas()["doc_id"].tolist()
     assert kept == [1]
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    """Brute-force differential: distinct word-3-gram overlap counts against
+    a Python set reference, plus the short-doc (< n words) zero contract."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.decontam import benchmark_ngram_hashes, decontaminate
+
+    bench_texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+    ]
+    corpus_texts = [
+        # shares "quick brown fox" and "brown fox jumps"
+        "a quick brown fox jumps here",
+        # repeats a contaminated gram — distinct count must not double it
+        "pack my box pack my box again",
+        "completely unrelated text about ray data pipelines",
+        "two words",  # < 3 words: no grams at all
+        "",
+    ]
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(corpus_texts)), pa.int64()),
+                "text": pa.array(corpus_texts),
+            }
+        )
+    ).repartition(3)
+    bench = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([100, 101], pa.int64()),
+                "text": pa.array(bench_texts),
+            }
+        )
+    )
+
+    def grams(t, n=3):
+        ws = t.split()
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    bench_set = set(itertools.chain.from_iterable(grams(t) for t in bench_texts))
+    got = (
+        decontaminate(corpus, bench, n=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for i, t in enumerate(corpus_texts):
+        g = grams(t)
+        assert got.loc[i, "n_grams"] == len(g), t
+        assert got.loc[i, "n_hits"] == len(g & bench_set), t
+        assert bool(got.loc[i, "contaminated"]) == bool(g & bench_set)
+    # precomputed-hash reuse path gives identical results
+    hashes = benchmark_ngram_hashes(bench, n=3)
+    got2 = decontaminate(corpus, hashes, n=3).to_pandas().set_index("doc_id")
+    assert got2.sort_index().equals(got)
