@@ -600,6 +600,18 @@ def _q_decontaminate(sf_dir: str):
     return _by(decontaminate(corpus, bench, n=3), "doc_id")
 
 
+def _q_chunk_text(sf_dir: str):
+    """Fixed-window training-sample chunking: 32-word windows every 24 words
+    (8-word overlap) — stateless row-local expansion, no shuffle."""
+    from infidex_ray.ops.chunking import chunk_text
+
+    return _by(
+        chunk_text(_read(sf_dir, "documents"), chunk_words=32, stride=24),
+        "doc_id",
+        "chunk_id",
+    )
+
+
 def _q_asof_join(sf_dir: str):
     """Each event matched to the user's latest order at or before the event
     time — the as-of join Ray Data lacks, via schema-aligned union + one
@@ -697,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_k_per_group": _q_top_k_per_group,
         "group_quantiles": _q_group_quantiles,
         "decontaminate": _q_decontaminate,
+        "chunk_text": _q_chunk_text,
     }
 
 
@@ -933,6 +946,17 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a.n_hits, 0) > 0 AS contaminated "
             "FROM documents d LEFT JOIN agg a USING (doc_id) "
             "WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id"
+        ),
+        "chunk_text": (
+            "WITH ws AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w "
+            "FROM documents), "
+            "pos AS (SELECT doc_id, w, "
+            "unnest(generate_series(1, len(w), 24)) AS p FROM ws) "
+            "SELECT doc_id, (p - 1) // 24 AS chunk_id, "
+            "least(32, len(w) - p + 1) AS n_tokens, "
+            "array_to_string(w[p:p+31], ' ') AS chunk "
+            "FROM pos ORDER BY doc_id, chunk_id"
         ),
         "group_quantiles": (
             "SELECT lang, count(*) AS n, "

@@ -462,3 +462,44 @@ def test_decontaminate_planted_overlap(ray_session):
     hashes = benchmark_ngram_hashes(bench, n=3)
     got2 = decontaminate(corpus, hashes, n=3).to_pandas().set_index("doc_id")
     assert got2.sort_index().equals(got)
+
+
+def test_chunk_text_windows(ray_session):
+    """Window starts/lengths/contents vs a Python reference; empty docs emit
+    nothing; disjoint default covers every token exactly once."""
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.chunking import chunk_text
+
+    texts = {
+        0: " ".join(f"w{i}" for i in range(10)),  # 10 words
+        1: "one two three",  # shorter than chunk
+        2: "",  # no chunks
+        3: " ".join(f"x{i}" for i in range(8)),  # exact multiple of stride
+        4: "   \n\t  ",  # whitespace-only: no chunks
+    }
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values())),
+            }
+        )
+    ).repartition(2)
+    got = (
+        chunk_text(ds, chunk_words=4, stride=3)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for did, t in texts.items():
+        ws = t.split()
+        for k, p in enumerate(range(0, len(ws), 3)):
+            w = ws[p : p + 4]
+            want.append((did, k, len(w), " ".join(w)))
+    assert list(map(tuple, got.itertuples(index=False))) == want
+    # disjoint default: token-count conservation
+    dj = chunk_text(ds, chunk_words=4).to_pandas()
+    assert dj.n_tokens.sum() == sum(len(t.split()) for t in texts.values())
