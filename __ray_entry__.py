@@ -600,6 +600,14 @@ def _q_decontaminate(sf_dir: str):
     return _by(decontaminate(corpus, bench, n=3), "doc_id")
 
 
+def _q_repetition_signals(sf_dir: str):
+    """Gopher within-doc repetition rules: duplicate-line fractions + top
+    word-2-gram character fraction — stateless map_batches, no shuffle."""
+    from infidex_ray.ops.textstats import repetition_signals
+
+    return _by(repetition_signals(_read(sf_dir, "documents")), "doc_id")
+
+
 def _q_chunk_text(sf_dir: str):
     """Fixed-window training-sample chunking: 32-word windows every 24 words
     (8-word overlap) — stateless row-local expansion, no shuffle."""
@@ -710,6 +718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": _q_group_quantiles,
         "decontaminate": _q_decontaminate,
         "chunk_text": _q_chunk_text,
+        "repetition_signals": _q_repetition_signals,
     }
 
 
@@ -957,6 +966,37 @@ def oracle_sql() -> dict[str, str]:
             "least(32, len(w) - p + 1) AS n_tokens, "
             "array_to_string(w[p:p+31], ' ') AS chunk "
             "FROM pos ORDER BY doc_id, chunk_id"
+        ),
+        "repetition_signals": (
+            # duplicate-line + top-2-gram repetition signals; all occurrences
+            # counted, tie-break = (count desc, gram asc), chars = codepoints
+            "WITH nl AS (SELECT doc_id, line, count(*) AS c, "
+            "length(line) AS lc FROM (SELECT doc_id, "
+            "unnest(string_split(text, chr(10))) AS line FROM documents) "
+            "WHERE line <> '' GROUP BY doc_id, line), "
+            "lstats AS (SELECT doc_id, sum(c) AS n_lines, "
+            "count(*) AS n_distinct, "
+            "sum(CASE WHEN c > 1 THEN c * lc ELSE 0 END) AS dup_chars, "
+            "sum(c * lc) AS tot_chars FROM nl GROUP BY doc_id), "
+            "ws AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w "
+            "FROM documents), "
+            "pos AS (SELECT doc_id, w, "
+            "unnest(generate_series(1, len(w) - 1)) AS i FROM ws), "
+            "gc AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g, "
+            "count(*) AS c FROM pos GROUP BY doc_id, g), "
+            "top1 AS (SELECT doc_id, g, c FROM (SELECT doc_id, g, c, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn "
+            "FROM gc) WHERE rn = 1) "
+            "SELECT d.doc_id, coalesce(l.n_lines, 0) AS n_lines, "
+            "round(coalesce((l.n_lines - l.n_distinct) * 1.0 / l.n_lines, 0), 4)"
+            " AS frac_dup_lines, "
+            "round(coalesce(CASE WHEN l.tot_chars > 0 THEN "
+            "l.dup_chars * 1.0 / l.tot_chars END, 0), 4) AS frac_dup_line_chars, "
+            "round(coalesce(t.c * length(t.g) * 1.0 / length(d.text), 0), 4) "
+            "AS top_2gram_frac "
+            "FROM documents d LEFT JOIN lstats l USING (doc_id) "
+            "LEFT JOIN top1 t USING (doc_id) ORDER BY d.doc_id"
         ),
         "group_quantiles": (
             "SELECT lang, count(*) AS n, "

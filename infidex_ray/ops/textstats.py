@@ -418,3 +418,74 @@ def group_quantiles(
         .groupby(group_col)
         .map_groups(agg, batch_format="pyarrow")
     )
+
+
+def repetition_signals_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Within-document repetition signals (the Gopher repetition rules, Rae
+    et al. 2021 Table A1, complementing :func:`gopher_rules_batch`'s
+    length/format rules): duplicate-line fraction, duplicate-line CHARACTER
+    fraction, and the top word-2-gram character fraction — boilerplate-y and
+    looping docs score high and get filtered before training.
+
+    Definitions (raw text, exactly mirrored by the DuckDB oracle):
+
+    * lines = ``text.split('\n')`` with empty strings dropped;
+      ``frac_dup_lines`` = (n_lines − n_distinct_lines) / n_lines;
+      ``frac_dup_line_chars`` = chars in lines occurring > 1× (all
+      occurrences) / chars in all non-empty lines.
+    * 2-grams = adjacent whitespace-token pairs (all occurrences); the top
+      gram is max by (count, then lexicographically smallest);
+      ``top_2gram_frac`` = count × len(gram string) / len(text).
+
+    Stateless map_batches — no shuffle; per-doc Counters, output one row per
+    input row (zeros for empty docs)."""
+    from collections import Counter
+
+    from .dedup import round_half_up4_arr
+
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    n_lines = np.zeros(n, dtype=np.int64)
+    f_dup_lines = np.zeros(n, dtype=np.float64)
+    f_dup_chars = np.zeros(n, dtype=np.float64)
+    top2 = np.zeros(n, dtype=np.float64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        lc = Counter(l for l in t.split("\n") if l != "")
+        nl = sum(lc.values())
+        n_lines[i] = nl
+        if nl:
+            f_dup_lines[i] = (nl - len(lc)) / nl
+            tot = sum(len(l) * c for l, c in lc.items())
+            if tot:
+                f_dup_chars[i] = (
+                    sum(len(l) * c for l, c in lc.items() if c > 1) / tot
+                )
+        ws = t.split()
+        if len(ws) >= 2:
+            gc = Counter(" ".join(p) for p in zip(ws, ws[1:]))
+            g, c = min(gc.items(), key=lambda kv: (-kv[1], kv[0]))
+            top2[i] = c * len(g) / len(t)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_lines": n_lines,
+            "frac_dup_lines": round_half_up4_arr(f_dup_lines),
+            "frac_dup_line_chars": round_half_up4_arr(f_dup_chars),
+            "top_2gram_frac": round_half_up4_arr(top2),
+        }
+    )
+
+
+def repetition_signals(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset wrapper for :func:`repetition_signals_batch`."""
+    import functools
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        functools.partial(
+            repetition_signals_batch, id_col=id_col, text_col=text_col
+        ),
+        batch_format="pyarrow",
+    )

@@ -503,3 +503,50 @@ def test_chunk_text_windows(ray_session):
     # disjoint default: token-count conservation
     dj = chunk_text(ds, chunk_words=4).to_pandas()
     assert dj.n_tokens.sum() == sum(len(t.split()) for t in texts.values())
+
+
+def test_repetition_signals_planted(ray_session):
+    """Hand-computed repetition signals on planted docs: dup lines, dup-line
+    char fraction counting all occurrences, top-2-gram tie-break."""
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.textstats import repetition_signals
+
+    texts = {
+        0: "spam\nspam\nunique line\nspam",  # 4 lines, 3 "spam" dups
+        1: "a b a b a b",  # "a b" x3, "b a" x2 -> top gram "a b"
+        2: "x y\nx y",  # dup lines AND tie "x y" count 2 vs "y x" 1
+        3: "",
+        4: "single",
+    }
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values())),
+            }
+        )
+    ).repartition(2)
+    got = (
+        repetition_signals(ds)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 0: 4 non-empty lines, 3 of one kind -> dup lines (4-2)/4 = 0.5
+    assert got.loc[0, "n_lines"] == 4
+    assert got.loc[0, "frac_dup_lines"] == 0.5
+    # chars: spam(4)*3 dup + unique line(11) -> 12/23
+    assert got.loc[0, "frac_dup_line_chars"] == round(12 / 23, 4)
+    # doc 1: top gram "a b" count 3, len 3, text len 11
+    assert got.loc[1, "top_2gram_frac"] == round(3 * 3 / 11, 4)
+    # doc 2: 2 identical lines -> frac_dup_lines 0.5, all chars dup
+    assert got.loc[2, "frac_dup_lines"] == 0.5
+    assert got.loc[2, "frac_dup_line_chars"] == 1.0
+    # "x y" appears twice (once per line); gram tie-break picks count 2
+    assert got.loc[2, "top_2gram_frac"] == round(2 * 3 / 7, 4)
+    # empty + single-word docs: all zeros
+    for d in (3, 4):
+        assert got.loc[d, "frac_dup_lines"] == 0.0
+        assert got.loc[d, "top_2gram_frac"] == 0.0
