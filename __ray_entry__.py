@@ -600,6 +600,31 @@ def _q_decontaminate(sf_dir: str):
     return _by(decontaminate(corpus, bench, n=3), "doc_id")
 
 
+def _q_pii_redact(sf_dir: str):
+    """PII scrub over text with deterministically planted emails/IPs/phones
+    (every 3rd doc) — Arrow RE2 kernels end-to-end, so the DuckDB oracle
+    (also RE2) is engine-identical, not just pattern-identical."""
+    from infidex_ray.ops.pii import pii_redact
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        out = [
+            (t or "")
+            + (
+                f" contact user{d}@example.com or +1 555-000-{d % 10000}"
+                f" at 10.0.{d % 256}.{d % 100}"
+                if d % 3 == 0
+                else ""
+            )
+            for d, t in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": b["doc_id"], "text": pa.array(out, pa.string())})
+
+    ds = _read(sf_dir, "documents").map_batches(plant, batch_format="pyarrow")
+    return _by(pii_redact(ds), "doc_id")
+
+
 def _q_repetition_signals(sf_dir: str):
     """Gopher within-doc repetition rules: duplicate-line fractions + top
     word-2-gram character fraction — stateless map_batches, no shuffle."""
@@ -719,6 +744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "chunk_text": _q_chunk_text,
         "repetition_signals": _q_repetition_signals,
+        "pii_redact": _q_pii_redact,
     }
 
 
@@ -966,6 +992,31 @@ def oracle_sql() -> dict[str, str]:
             "least(32, len(w) - p + 1) AS n_tokens, "
             "array_to_string(w[p:p+31], ' ') AS chunk "
             "FROM pos ORDER BY doc_id, chunk_id"
+        ),
+        "pii_redact": (
+            # same planted PII, same RE2 patterns, same email->ip->phone
+            # staging as ops.pii.PII_PATTERNS
+            "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+            "coalesce(text, '') || ' contact user' || doc_id || "
+            "'@example.com or +1 555-000-' || (doc_id % 10000) || "
+            "' at 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) "
+            "ELSE coalesce(text, '') END AS t0 FROM documents), "
+            "s1 AS (SELECT doc_id, len(regexp_extract_all(t0, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails, "
+            "regexp_replace(t0, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g') AS t1 FROM aug), "
+            "s2 AS (SELECT doc_id, n_emails, len(regexp_extract_all(t1, "
+            "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) "
+            "AS n_ips, regexp_replace(t1, "
+            "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', "
+            "'<IP>', 'g') AS t2 FROM s1), "
+            "s3 AS (SELECT doc_id, n_emails, n_ips, "
+            "len(regexp_extract_all(t2, '\\+?[0-9][0-9() \\-]{7,}[0-9]')) "
+            "AS n_phones, regexp_replace(t2, "
+            "'\\+?[0-9][0-9() \\-]{7,}[0-9]', '<PHONE>', 'g') AS t3 FROM s2) "
+            "SELECT doc_id, t3 AS text, n_emails, n_ips, n_phones "
+            "FROM s3 ORDER BY doc_id"
         ),
         "repetition_signals": (
             # duplicate-line + top-2-gram repetition signals; all occurrences

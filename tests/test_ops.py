@@ -550,3 +550,40 @@ def test_repetition_signals_planted(ray_session):
     for d in (3, 4):
         assert got.loc[d, "frac_dup_lines"] == 0.0
         assert got.loc[d, "top_2gram_frac"] == 0.0
+
+
+def test_pii_redact_planted(ray_session):
+    """Planted PII is scrubbed and counted; staging means placeholders never
+    re-match; clean text passes through byte-identical."""
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.pii import pii_redact
+
+    texts = {
+        0: "mail a.b+c@foo-bar.org and d@e.io now",
+        1: "server at 10.0.255.1 and 192.168.0.42, call +1 (555) 123-4567",
+        2: "no pii here, just 1.5 and v2.0 tokens",
+        3: "",
+        4: "edge: 1.2.3.4.5 chains",  # first 4 octets match, 5th survives
+    }
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values())),
+            }
+        )
+    )
+    got = pii_redact(ds).to_pandas().set_index("doc_id").sort_index()
+    assert got.loc[0, "n_emails"] == 2 and got.loc[0, "text"] == (
+        "mail <EMAIL> and <EMAIL> now"
+    )
+    assert got.loc[1, "n_ips"] == 2 and got.loc[1, "n_phones"] == 1
+    assert got.loc[1, "text"] == "server at <IP> and <IP>, call <PHONE>"
+    assert got.loc[2, "text"] == texts[2]
+    assert (
+        got.loc[2, ["n_emails", "n_ips", "n_phones"]].astype(int).sum() == 0
+    )
+    assert got.loc[3, "text"] == ""
+    assert got.loc[4, "n_ips"] == 1
