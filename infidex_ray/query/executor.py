@@ -73,6 +73,18 @@ class IndexShardActor:
         per = [s.phase_b(plan, level, top_k, avgdl) for s in self.engine.searchers]
         return s1.merge_topk(per, top_k)
 
+    def phase_ab(self, plan, guess_level: int, top_k: int, avgdl: float):
+        """Fused cardinality + speculative scoring round: phase_a counts AND
+        phase_b results at the driver's guessed level in ONE actor RTT. The
+        driver uses the speculative results only when the globally decided
+        level equals the guess (else it issues a corrective phase_b round),
+        so ranks are identical to the two-round protocol by construction.
+        Both phases share the per-plan memo, so a fused call costs the same
+        compute as the two separate calls."""
+        counts = self.phase_a(plan)
+        per = self.phase_b(plan, guess_level, top_k, avgdl)
+        return counts, per
+
     # ---- coverage -----------------------------------------------------
     def wm_prefetch(self, qid: str, norm_query: str) -> None:
         """Fire-ahead half of the WordMatcher lookup: compute the per-segment
@@ -152,6 +164,9 @@ class DistributedEngine(Engine):
         self.actors = actors
         self.shard_of_seg = shard_of_seg
         self._qid = itertools.count()
+        # (plan_key, top_k) → last globally decided candidate level, enabling
+        # the fused speculative phase_ab round on repeat plans
+        self._level_memo: dict = {}
 
     @classmethod
     def connect(
@@ -237,19 +252,48 @@ class DistributedEngine(Engine):
         if plan.n_levels == 1:
             # single candidate level → decide_level is constant 1; skip the
             # phase-A cardinality fan-out entirely (one fewer RTT)
-            level = 1
+            per = ray.get(
+                [
+                    a.phase_b.remote(plan_ref, 1, top_k, self.avgdl)
+                    for a in self.actors
+                ]
+            )
+            return s1.consolidate(s1.merge_topk(per, top_k))
+        memo_key = (s1.SegmentStage1._plan_key(plan), top_k)
+        guess = self._level_memo.get(memo_key)
+        if guess is not None:
+            # warm path: fused counts + speculative scoring in ONE round;
+            # the speculative results are used only when the global decision
+            # matches the guess, so ranks are identical to the two-round
+            # protocol (corrective round on a miss)
+            outs = ray.get(
+                [
+                    a.phase_ab.remote(plan_ref, guess, top_k, self.avgdl)
+                    for a in self.actors
+                ]
+            )
+            count_vecs = [o[0] for o in outs]
+            per = [o[1] for o in outs]
         else:
             count_vecs = ray.get([a.phase_a.remote(plan_ref) for a in self.actors])
-            width = max((len(c) for c in count_vecs), default=0)
-            if width == 0:
-                return []
-            total = np.zeros(width, dtype=np.int64)
-            for c in count_vecs:
-                total[: len(c)] += c
-            level = s1.decide_level(plan, total, top_k)
-        per = ray.get(
-            [a.phase_b.remote(plan_ref, level, top_k, self.avgdl) for a in self.actors]
-        )
+            per = None
+        width = max((len(c) for c in count_vecs), default=0)
+        if width == 0:
+            return []
+        total = np.zeros(width, dtype=np.int64)
+        for c in count_vecs:
+            total[: len(c)] += c
+        level = s1.decide_level(plan, total, top_k)
+        if len(self._level_memo) >= 256:  # bounded: drop an arbitrary entry
+            self._level_memo.pop(next(iter(self._level_memo)))
+        self._level_memo[memo_key] = level
+        if per is None or level != guess:
+            per = ray.get(
+                [
+                    a.phase_b.remote(plan_ref, level, top_k, self.avgdl)
+                    for a in self.actors
+                ]
+            )
         return s1.consolidate(s1.merge_topk(per, top_k))
 
     def _coverage_stage(self, q, stage1_results, coverage_depth, top_k, deadline=None):
@@ -270,29 +314,26 @@ class DistributedEngine(Engine):
                     if filtered:
                         stage1_results = filtered
         wm_result = (0, [], [])
+        wm_refs = None
         if cfg.enable_word_matcher:
             top = stage1_results[:coverage_depth]
             by_seg = qp.tfidf_lids_by_seg(top)
-            # ship each shard only its own segments' stage-1 lids
-            parts = ray.get(
-                [
-                    a.wm_scan.remote(
-                        q,
-                        {
-                            si: lids
-                            for si, lids in by_seg.items()
-                            if self.shard_of_seg.get(si) == ai
-                        },
-                        coverage_depth,
-                        qid=getattr(self, "_wm_qid", None),
-                    )
-                    for ai, a in enumerate(self.actors)
-                ]
-            )
-            n_total = sum(p[0] for p in parts)
-            overlapping = [t for p in parts for t in p[1]]
-            unique = [t for p in parts for t in p[2]]
-            wm_result = (n_total, overlapping, unique)
+            # ship each shard only its own segments' stage-1 lids; SUBMIT the
+            # round but don't block yet — the ctx prep + object-store put
+            # below overlap with the in-flight actor compute
+            wm_refs = [
+                a.wm_scan.remote(
+                    q,
+                    {
+                        si: lids
+                        for si, lids in by_seg.items()
+                        if self.shard_of_seg.get(si) == ai
+                    },
+                    coverage_depth,
+                    qid=getattr(self, "_wm_qid", None),
+                )
+                for ai, a in enumerate(self.actors)
+            ]
         ctx = cov.prepare_query(
             q, cfg.coverage.min_word_size, frozenset(cfg.delimiters),
             cfg.index_sizes, self.df_lookup, self.word_df, self.total_docs,
@@ -301,6 +342,12 @@ class DistributedEngine(Engine):
         # shared per-query state goes through the object store once instead
         # of being re-pickled into every shard's task args
         ctx_ref = ray.put(ctx)
+        if wm_refs is not None:
+            parts = ray.get(wm_refs)
+            n_total = sum(p[0] for p in parts)
+            overlapping = [t for p in parts for t in p[1]]
+            unique = [t for p in parts for t in p[2]]
+            wm_result = (n_total, overlapping, unique)
 
         def run_jobs(jobs, best_chunk):
             by_shard: dict[int, list] = {}
