@@ -61,6 +61,9 @@ class IndexShardActor:
     def fuzzy_df(self, text: str) -> int:
         return sum(s.fuzzy_union(text)[1] for s in self.engine.searchers)
 
+    def fuzzy_df_batch(self, texts: list[str]) -> list[int]:
+        return [self.fuzzy_df(t) for t in texts]
+
     def phase_a(self, plan) -> list[int]:
         vecs = [s.phase_a(plan) for s in self.engine.searchers]
         width = max((len(v) for v in vecs), default=0)
@@ -221,6 +224,12 @@ class DistributedEngine(Engine):
     def _fuzzy_global_df(self, text: str) -> int:
         return sum(ray.get([a.fuzzy_df.remote(text) for a in self.actors]))
 
+    def _fuzzy_global_df_batch(self, texts: list[str]) -> list[int]:
+        """All unknown terms probed in ONE fan-out round (per-term rounds
+        made a two-typo query pay two sequential ~30 ms RTTs)."""
+        parts = ray.get([a.fuzzy_df_batch.remote(texts) for a in self.actors])
+        return [sum(p[i] for p in parts) for i in range(len(texts))]
+
     def _pre_stage1(self, q: str, coverage_likely: bool) -> None:
         """Fire the WordMatcher candidate computation on every shard BEFORE
         the stage-1 fan-out — actor tasks run serially in submission order,
@@ -241,6 +250,7 @@ class DistributedEngine(Engine):
         infos = s1.prepare_query_terms(
             norm_lower_query, self.cfg, self.df_lookup, self.total_docs, self.avgdl,
             fuzzy_df_fn=self._fuzzy_global_df,
+            fuzzy_df_batch_fn=self._fuzzy_global_df_batch,
         )
         plan = s1.build_plan(infos)
         if plan is None:

@@ -104,6 +104,7 @@ def prepare_query_terms(
     total_docs: int,
     avgdl: float,
     fuzzy_df_fn=None,
+    fuzzy_df_batch_fn=None,
 ) -> list[QueryTermInfo]:
     """Tokenize the (normalized+lowered) query, dedupe into unique terms with
     occurrence counts and global df, compute idf/maxScore
@@ -127,12 +128,29 @@ def prepare_query_terms(
             uniq.append((t, 1))
 
     avgdl32 = np.float32(avgdl if avgdl > 0 else 1.0)
+    dfs = [int(df_lookup(text) or 0) for text, _ in uniq]
+    # batch the fuzzy-df probes: a multi-typo query would otherwise pay one
+    # fan-out RTT PER unknown term on a distributed engine
+    fuzzy_dfs: dict[str, int] = {}
+    if fuzzy_df_batch_fn is not None or fuzzy_df_fn is not None:
+        need = [
+            text
+            for (text, _), df in zip(uniq, dfs)
+            if df == 0 and len(text) >= 4
+        ]
+        if need:
+            if fuzzy_df_batch_fn is not None:
+                fuzzy_dfs = {
+                    t: int(v or 0)
+                    for t, v in zip(need, fuzzy_df_batch_fn(need))
+                }
+            else:
+                fuzzy_dfs = {t: int(fuzzy_df_fn(t) or 0) for t in need}
     out: list[QueryTermInfo] = []
-    for text, occ in uniq:
-        df = int(df_lookup(text) or 0)
+    for (text, occ), df in zip(uniq, dfs):
         is_fuzzy = False
-        if df == 0 and len(text) >= 4 and fuzzy_df_fn is not None:
-            fdf = int(fuzzy_df_fn(text) or 0)
+        if df == 0:
+            fdf = fuzzy_dfs.get(text, 0)
             if fdf > 0:
                 df, is_fuzzy = fdf, True
         if df <= 0 or df > cfg.stop_term_limit:
