@@ -536,6 +536,44 @@ def _q_sample_hash(sf_dir: str):
     return _by(sample_hash(_read(sf_dir, "documents"), 0.1), "doc_id")
 
 
+def _q_sample_split(sf_dir: str):
+    """Disjoint 80/10/10 train/val/test corpus split from non-overlapping
+    md5-bucket rate windows — three row-local filters + union, no shuffle;
+    the oracle re-decides every row's window."""
+    from infidex_ray.ops.sampling import sample_split
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"])
+    parts = []
+    for label, lo, hi in (
+        ("train", 0.0, 0.8),
+        ("val", 0.8, 0.9),
+        ("test", 0.9, 1.0),
+    ):
+        def tag(b: pa.Table, label=label) -> pa.Table:
+            return b.append_column(
+                "split", pa.array([label] * len(b), pa.string())
+            )
+
+        parts.append(
+            sample_split(ds, lo, hi).map_batches(tag, batch_format="pyarrow")
+        )
+    out = parts[0].union(parts[1]).union(parts[2])
+    return _by(out, "doc_id")
+
+
+def _q_json_extract(sf_dir: str):
+    """Typed top-level JSON field extraction from the events props payload
+    (stateless map_batches; DuckDB ->> parity for top-level keys)."""
+    from infidex_ray.ops.jsonx import json_extract
+
+    out = json_extract(
+        _read(sf_dir, "events").select_columns(["event_id", "props"]),
+        "props",
+        [("k", "k", pa.int64())],
+    )
+    return _by(out, "event_id")
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Top-100 corpus tokens via per-batch Arrow value_counts partials +
     vocabulary-sized groupby. Result re-sorted driver-side to the oracle's
@@ -745,6 +783,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_text": _q_chunk_text,
         "repetition_signals": _q_repetition_signals,
         "pii_redact": _q_pii_redact,
+        "sample_split": _q_sample_split,
+        "json_extract": _q_json_extract,
     }
 
 
@@ -953,6 +993,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM documents "
             "WHERE md5_number_lower('s0:' || CAST(doc_id AS VARCHAR)) % 1000000 < 100000 "
             "ORDER BY doc_id"
+        ),
+        "sample_split": (
+            "SELECT doc_id, CASE WHEN b < 800000 THEN 'train' "
+            "WHEN b < 900000 THEN 'val' ELSE 'test' END AS split "
+            "FROM (SELECT doc_id, md5_number_lower('s0:' || "
+            "CAST(doc_id AS VARCHAR)) % 1000000 AS b FROM documents) "
+            "ORDER BY doc_id"
+        ),
+        "json_extract": (
+            "SELECT event_id, CAST(props->>'k' AS BIGINT) AS k "
+            "FROM events ORDER BY event_id"
         ),
         "heavy_hitters": (
             "WITH t AS (SELECT unnest(regexp_split_to_array(lower(text), "

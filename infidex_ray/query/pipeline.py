@@ -70,6 +70,9 @@ def _word_matcher_for(engine, si: int):
     return wm
 
 
+_PREP_CACHE_MAX = 100_000  # ~tens of MB of slices at typical chunk sizes
+
+
 def _prep_for(engine, si: int, lid: int, setup, delimiters):
     """Per-doc-chunk tokenization prep, cached on the engine/shard — the
     dominant per-candidate cost, query-independent so computed once."""
@@ -81,6 +84,12 @@ def _prep_for(engine, si: int, lid: int, setup, delimiters):
     if prep is None:
         text = _cov_doc_text(engine, si, lid, delimiters)
         prep = cov.prepare_doc(text, setup.min_word_size, delimiters)
+        # bounded LRU-ish cache: hot candidates recur across queries, but a
+        # long-lived serving shard must not accumulate prep state without
+        # limit (dict preserves insertion order → popping the oldest entry
+        # approximates LRU well enough for a recurrence cache)
+        if len(cache) >= _PREP_CACHE_MAX:
+            cache.pop(next(iter(cache)))
         cache[key] = prep
     return prep
 

@@ -587,3 +587,45 @@ def test_pii_redact_planted(ray_session):
     )
     assert got.loc[3, "text"] == ""
     assert got.loc[4, "n_ips"] == 1
+
+
+def test_json_extract_types_and_malformed(ray_session):
+    """Typed extraction with nulls for missing keys, malformed JSON, and
+    non-object payloads; pass-through columns preserved."""
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.jsonx import json_extract
+
+    rows = [
+        '{"k": 7, "s": "x", "f": 1.5}',
+        '{"s": "only-s"}',
+        "not json at all",
+        None,
+        "[1, 2, 3]",  # valid JSON but not an object
+        '{"k": null}',
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"event_id": pa.array(range(6), pa.int64()), "props": pa.array(rows)}
+        )
+    )
+    got = (
+        json_extract(
+            ds,
+            "props",
+            [
+                ("k", "k", pa.int64()),
+                ("s", "s", pa.string()),
+                ("f", "f", pa.float64()),
+            ],
+        )
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert "props" not in got.columns
+    assert got.loc[0, "k"] == 7 and got.loc[0, "s"] == "x" and got.loc[0, "f"] == 1.5
+    assert got.loc[1, "s"] == "only-s" and got["k"].isna().tolist() == [
+        False, True, True, True, True, True,
+    ]
