@@ -663,6 +663,28 @@ def _q_pii_redact(sf_dir: str):
     return _by(pii_redact(ds), "doc_id")
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Greedy sequence packing of the 32/24 chunk stream into ≤128-token
+    bins, hash-bucketed 8 ways (bins never cross buckets — the documented
+    partitioning unit); oracle replays the greedy recurrence with a
+    recursive CTE advancing all buckets in lock-step."""
+    from infidex_ray.ops.chunking import chunk_text
+    from infidex_ray.ops.packing import pack_sequences
+
+    chunks = chunk_text(
+        _read(sf_dir, "documents"), chunk_words=32, stride=24
+    ).select_columns(["doc_id", "chunk_id", "n_tokens"])
+    out = pack_sequences(
+        chunks,
+        token_col="n_tokens",
+        id_col="doc_id",
+        order_cols=["doc_id", "chunk_id"],
+        capacity=128,
+        num_buckets=8,
+    ).select_columns(["doc_id", "chunk_id", "bucket", "bin"])
+    return _by(out, "doc_id", "chunk_id")
+
+
 def _q_repetition_signals(sf_dir: str):
     """Gopher within-doc repetition rules: duplicate-line fractions + top
     word-2-gram character fraction — stateless map_batches, no shuffle."""
@@ -785,6 +807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "sample_split": _q_sample_split,
         "json_extract": _q_json_extract,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -1068,6 +1091,32 @@ def oracle_sql() -> dict[str, str]:
             "'\\+?[0-9][0-9() \\-]{7,}[0-9]', '<PHONE>', 'g') AS t3 FROM s2) "
             "SELECT doc_id, t3 AS text, n_emails, n_ips, n_phones "
             "FROM s3 ORDER BY doc_id"
+        ),
+        "pack_sequences": (
+            # same chunk stream as chunk_text; greedy first-fit recurrence
+            # replayed per bucket via a lock-step recursive CTE
+            "WITH RECURSIVE "
+            "ws AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w "
+            "FROM documents), "
+            "pos AS (SELECT doc_id, w, "
+            "unnest(generate_series(1, len(w), 24)) AS p FROM ws), "
+            "c AS (SELECT doc_id, (p - 1) // 24 AS chunk_id, "
+            "least(32, len(w) - p + 1) AS n_tokens FROM pos), "
+            "r AS (SELECT doc_id, chunk_id, n_tokens, doc_id % 8 AS bucket, "
+            "row_number() OVER (PARTITION BY doc_id % 8 "
+            "ORDER BY doc_id, chunk_id) AS rn FROM c), "
+            "pk AS (SELECT bucket, rn, doc_id, chunk_id, n_tokens, "
+            "CAST(0 AS BIGINT) AS bin, n_tokens AS acc FROM r WHERE rn = 1 "
+            "UNION ALL "
+            "SELECT r.bucket, r.rn, r.doc_id, r.chunk_id, r.n_tokens, "
+            "CASE WHEN pk.acc + r.n_tokens > 128 THEN pk.bin + 1 "
+            "ELSE pk.bin END, "
+            "CASE WHEN pk.acc + r.n_tokens > 128 THEN r.n_tokens "
+            "ELSE pk.acc + r.n_tokens END "
+            "FROM pk JOIN r ON r.bucket = pk.bucket AND r.rn = pk.rn + 1) "
+            "SELECT doc_id, chunk_id, bucket, bin FROM pk "
+            "ORDER BY doc_id, chunk_id"
         ),
         "repetition_signals": (
             # duplicate-line + top-2-gram repetition signals; all occurrences

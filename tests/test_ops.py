@@ -629,3 +629,61 @@ def test_json_extract_types_and_malformed(ray_session):
     assert got.loc[1, "s"] == "only-s" and got["k"].isna().tolist() == [
         False, True, True, True, True, True,
     ]
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Bin sums respect capacity (except singleton oversized rows), bins are
+    contiguous per bucket, packing is greedy first-fit in order, and results
+    are partition-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.packing import pack_sequences
+
+    rng = np.random.default_rng(11)
+    n = 300
+    ids = np.arange(n, dtype=np.int64)
+    toks = rng.integers(1, 90, size=n).astype(np.int64)
+    toks[7] = 200  # oversized: must get its own bin
+    tbl = pa.table({"doc_id": ids, "n_tokens": toks})
+    got = (
+        pack_sequences(
+            ray.data.from_arrow(tbl).repartition(5),
+            capacity=128,
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["bucket", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == n
+    for bucket, sub in got.groupby("bucket"):
+        # greedy reference within the bucket
+        acc, b = 0, 0
+        for _, row in sub.iterrows():
+            t = int(row.n_tokens)
+            if acc > 0 and acc + t > 128:
+                b, acc = b + 1, 0
+            assert row.bin == b, (bucket, row.doc_id)
+            acc += t
+        sums = sub.groupby("bin").n_tokens.sum()
+        counts = sub.groupby("bin").size()
+        for bi, s in sums.items():
+            assert s <= 128 or counts[bi] == 1
+    # oversized row alone in its bin
+    over = got[got.doc_id == 7].iloc[0]
+    mates = got[(got.bucket == over.bucket) & (got.bin == over.bin)]
+    assert len(mates) == 1
+    # partition invariance
+    got2 = (
+        pack_sequences(
+            ray.data.from_arrow(tbl).repartition(11),
+            capacity=128,
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["bucket", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert got2.equals(got)
