@@ -663,6 +663,30 @@ def _q_pii_redact(sf_dir: str):
     return _by(pii_redact(ds), "doc_id")
 
 
+def _q_url_parse(sf_dir: str):
+    """URL split + domain normalization over deterministically planted
+    crawl-style URLs — Arrow RE2 extract_regex end-to-end (engine-identical
+    to the DuckDB regexp_extract oracle)."""
+    from infidex_ray.ops.urls import url_parse
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        urls = [
+            ("http" if d % 5 == 0 else "https")
+            + f"://WWW.Site{d % 37}.example.com/p/{d}"
+            + (f"?q={d % 7}&utm=x" if d % 3 == 0 else "")
+            for d in ids
+        ]
+        return pa.table({"doc_id": b["doc_id"], "url": pa.array(urls, pa.string())})
+
+    ds = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id"])
+        .map_batches(plant, batch_format="pyarrow")
+    )
+    return _by(url_parse(ds), "doc_id")
+
+
 def _q_pack_sequences(sf_dir: str):
     """Greedy sequence packing of the 32/24 chunk stream into ≤128-token
     bins, hash-bucketed 8 ways (bins never cross buckets — the documented
@@ -808,6 +832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_split": _q_sample_split,
         "json_extract": _q_json_extract,
         "pack_sequences": _q_pack_sequences,
+        "url_parse": _q_url_parse,
     }
 
 
@@ -1091,6 +1116,26 @@ def oracle_sql() -> dict[str, str]:
             "'\\+?[0-9][0-9() \\-]{7,}[0-9]', '<PHONE>', 'g') AS t3 FROM s2) "
             "SELECT doc_id, t3 AS text, n_emails, n_ips, n_phones "
             "FROM s3 ORDER BY doc_id"
+        ),
+        "url_parse": (
+            "WITH u AS (SELECT doc_id, "
+            "(CASE WHEN doc_id % 5 = 0 THEN 'http' ELSE 'https' END) || "
+            "'://WWW.Site' || (doc_id % 37) || '.example.com/p/' || doc_id || "
+            "(CASE WHEN doc_id % 3 = 0 THEN '?q=' || (doc_id % 7) || '&utm=x' "
+            "ELSE '' END) AS url FROM documents) "
+            "SELECT doc_id, "
+            "regexp_extract(url, '^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?"
+            "([^/?#]*)([^?#]*)(?:\\?([^#]*))?', 1) AS scheme, "
+            "regexp_extract(url, '^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?"
+            "([^/?#]*)([^?#]*)(?:\\?([^#]*))?', 2) AS host, "
+            "regexp_replace(lower(regexp_extract(url, "
+            "'^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?([^/?#]*)([^?#]*)"
+            "(?:\\?([^#]*))?', 2)), '^www\\.', '') AS domain, "
+            "regexp_extract(url, '^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?"
+            "([^/?#]*)([^?#]*)(?:\\?([^#]*))?', 3) AS path, "
+            "regexp_extract(url, '^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?"
+            "([^/?#]*)([^?#]*)(?:\\?([^#]*))?', 4) AS url_query "
+            "FROM u ORDER BY doc_id"
         ),
         "pack_sequences": (
             # same chunk stream as chunk_text; greedy first-fit recurrence

@@ -687,3 +687,36 @@ def test_pack_sequences_invariants(ray_session):
         .reset_index(drop=True)
     )
     assert got2.equals(got)
+
+
+def test_url_parse_edges(ray_session):
+    """Scheme-less URLs, missing query, fragments, www stripping, case
+    normalization of the domain key only (host preserved)."""
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.urls import url_parse
+
+    urls = [
+        "https://WWW.Example.COM/a/b?x=1&y=2#frag",
+        "http://sub.site.org/",
+        "example.net/path",          # no scheme
+        "https://nopath.io",         # no path, no query
+        "",                           # empty
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"i": pa.array(range(5), pa.int64()), "url": pa.array(urls)})
+    )
+    got = url_parse(ds).to_pandas().set_index("i").sort_index()
+    assert "url" not in got.columns
+    assert list(got.loc[0, ["scheme", "host", "domain", "path", "url_query"]]) == [
+        "https", "WWW.Example.COM", "example.com", "/a/b", "x=1&y=2",
+    ]
+    assert list(got.loc[1, ["scheme", "domain", "path"]]) == [
+        "http", "sub.site.org", "/",
+    ]
+    assert list(got.loc[2, ["scheme", "host", "path"]]) == [
+        "", "example.net", "/path",
+    ]
+    assert list(got.loc[3, ["host", "path", "url_query"]]) == ["nopath.io", "", ""]
+    assert list(got.loc[4, ["scheme", "host", "path"]]) == ["", "", ""]
