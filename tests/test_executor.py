@@ -60,3 +60,45 @@ def test_distributed_delete(dist_pair):
             json.dump([], f)
         import ray
         ray.get([a.set_deleted.remote([]) for a in deng.actors])
+
+
+def test_distributed_repeat_queries_speculative_path(dist_pair):
+    """Repeat queries exercise the fused speculative phase_ab round (the
+    level memo only activates on the second submission of a plan): results
+    must be bit-identical across three consecutive runs AND identical to the
+    in-process engine, whether the level guess hits or misses."""
+    eng, deng = dist_pair
+    for q in QUERIES:
+        runs = [
+            [(h.doc_key, round(h.score, 6), h.tiebreaker)
+             for h in deng.search(q, top_k=10)]
+            for _ in range(3)
+        ]
+        assert runs[0] == runs[1] == runs[2], q
+        ref = [(h.doc_key, round(h.score, 6), h.tiebreaker)
+               for h in eng.search(q, top_k=10)]
+        assert runs[0] == ref, q
+    # a miss is forced by polluting the memo with a wrong guess
+    import infidex_ray.query.stage1 as s1
+    from infidex_ray.analyzer import normalize
+
+    for q in QUERIES:
+        nq = normalize(q).lower().strip()
+        infos = s1.prepare_query_terms(
+            nq, deng.cfg, deng.df_lookup, deng.total_docs, deng.avgdl,
+            fuzzy_df_fn=deng._fuzzy_global_df,
+            fuzzy_df_batch_fn=deng._fuzzy_global_df_batch,
+        )
+        plan = s1.build_plan(infos)
+        if plan is None or plan.n_levels == 1:
+            continue
+        key = (s1.SegmentStage1._plan_key(plan), 10 * deng.cfg.coverage.depth_factor
+               if hasattr(deng.cfg.coverage, "depth_factor") else None)
+        # poison every memo entry for this engine with an off-by-one level
+        for k, v in list(deng._level_memo.items()):
+            deng._level_memo[k] = max(1, v - 1) if v > 1 else v + 1
+        got = [(h.doc_key, round(h.score, 6), h.tiebreaker)
+               for h in deng.search(q, top_k=10)]
+        ref = [(h.doc_key, round(h.score, 6), h.tiebreaker)
+               for h in eng.search(q, top_k=10)]
+        assert got == ref, f"corrective round broke rank identity for {q!r}"
