@@ -673,10 +673,12 @@ def simhash_dup_pairs(
 
 
 def _unpack_vec_block(tbl: pa.Table, id_col: str, vec_col: str):
-    ids = np.asarray(tbl[id_col].to_pylist(), dtype=np.int64)
+    from .similarity import _to_matrix
+
+    ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     if len(ids) == 0:
         return ids, np.empty((0, 0))
-    m = np.vstack([np.asarray(v, dtype=np.float64) for v in tbl[vec_col].to_pylist()])
+    m = _to_matrix(tbl, vec_col)  # zero-copy flatten+reshape, no row objects
     norms = np.linalg.norm(m, axis=1)
     norms[norms == 0] = 1.0
     return ids, m / norms[:, None]

@@ -20,8 +20,33 @@ import pyarrow as pa
 
 
 def _to_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """(n, dim) float64 matrix from a list<float> / fixed_size_list column.
+
+    Zero-copy path: flatten the list child values (one buffer) and reshape —
+    no per-row Python objects. Ragged rows or nulls fall back to the row-wise
+    path (embeddings are fixed-width in practice, so the fast path always
+    hits)."""
     col = batch[vec_col]
     arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    try:
+        if isinstance(arr, pa.FixedSizeListArray) and arr.null_count == 0:
+            width = arr.type.list_size
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(len(arr), width).astype(np.float64, copy=False)
+        if (
+            isinstance(arr, (pa.ListArray, pa.LargeListArray))
+            and arr.null_count == 0
+            and len(arr)
+        ):
+            offsets = arr.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offsets)
+            if (widths == widths[0]).all() and widths[0] > 0:
+                flat = arr.flatten().to_numpy(zero_copy_only=False)
+                return flat.reshape(len(arr), int(widths[0])).astype(
+                    np.float64, copy=False
+                )
+    except (pa.ArrowInvalid, ValueError):
+        pass
     return np.vstack([np.asarray(v, dtype=np.float64) for v in arr.to_pylist()])
 
 
