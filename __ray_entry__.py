@@ -574,6 +574,21 @@ def _q_json_extract(sf_dir: str):
     return _by(out, "event_id")
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Language-rebalanced corpus: keep 20% of en, 60% of zh, everything
+    else at 100% — per-stratum md5-bucket decision, row-local, no shuffle;
+    the oracle re-decides every row."""
+    from infidex_ray.ops.sampling import stratified_sample
+
+    out = stratified_sample(
+        _read(sf_dir, "documents").select_columns(["doc_id", "lang"]),
+        rates={"en": 0.2, "zh": 0.6},
+        strata_col="lang",
+        default_rate=1.0,
+    )
+    return _by(out, "doc_id")
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Top-100 corpus tokens via per-batch Arrow value_counts partials +
     vocabulary-sized groupby. Result re-sorted driver-side to the oracle's
@@ -833,6 +848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract": _q_json_extract,
         "pack_sequences": _q_pack_sequences,
         "url_parse": _q_url_parse,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -1052,6 +1068,13 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": (
             "SELECT event_id, CAST(props->>'k' AS BIGINT) AS k "
             "FROM events ORDER BY event_id"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE md5_number_lower('s0:' || CAST(doc_id AS VARCHAR)) "
+            "% 1000000 < (CASE lang WHEN 'en' THEN 200000 "
+            "WHEN 'zh' THEN 600000 ELSE 1000000 END) "
+            "ORDER BY doc_id"
         ),
         "heavy_hitters": (
             "WITH t AS (SELECT unnest(regexp_split_to_array(lower(text), "

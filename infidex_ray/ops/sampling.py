@@ -123,3 +123,33 @@ def top_k_per_group(
         .groupby(group_col)
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def stratified_sample(
+    ds,
+    rates: dict,
+    strata_col: str,
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "s0",
+):
+    """Per-stratum deterministic Bernoulli sample: keep a row iff its
+    md5 bucket < rates[stratum] (``default_rate`` for unlisted strata).
+
+    The language-rebalancing primitive (downsample English, keep all of the
+    tail): still a pure row-local filter — the ``rates`` dict is tiny and
+    ships inside the task closure, so there is no shuffle and no driver
+    state, same as :func:`sample_hash`."""
+    ppm = {k: int(round(v * SAMPLE_MOD)) for k, v in rates.items()}
+    dflt = int(round(default_rate * SAMPLE_MOD))
+
+    def flt(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        strata = batch[strata_col].to_pylist()
+        mask = [
+            _md5_u64(f"{salt}:{k}") % SAMPLE_MOD < ppm.get(s, dflt)
+            for k, s in zip(keys, strata)
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(flt, batch_format="pyarrow")

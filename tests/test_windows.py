@@ -178,3 +178,31 @@ def test_top_k_per_group_matches_bruteforce(ray_session):
     assert got[["grp", "score", "id", "rank"]].values.tolist() == want[
         ["grp", "score", "id", "rank"]
     ].values.tolist()
+
+
+def test_stratified_sample_per_group_rates(ray_session):
+    """Per-stratum keep decisions match the hash reference; default rate
+    covers unlisted strata; deterministic across reruns."""
+    import pyarrow as pa
+    import ray.data
+    from infidex_ray.ops.dedup import _md5_u64
+    from infidex_ray.ops.sampling import SAMPLE_MOD, stratified_sample
+
+    n = 900
+    langs = ["en", "de", "zh"] * (n // 3)
+    tbl = pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()), "lang": pa.array(langs)}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    rates = {"en": 0.25, "zh": 0.75}
+    got = stratified_sample(ds, rates, "lang", default_rate=0.0).to_pandas()
+    want = {
+        i
+        for i, l in zip(range(n), langs)
+        if _md5_u64(f"s0:{i}") % SAMPLE_MOD
+        < int(rates.get(l, 0.0) * SAMPLE_MOD)
+    }
+    assert set(got.doc_id) == want
+    assert (got.lang != "de").all()  # default 0.0 drops unlisted strata
+    got2 = stratified_sample(ds, rates, "lang", default_rate=0.0).to_pandas()
+    assert sorted(got2.doc_id) == sorted(got.doc_id)
