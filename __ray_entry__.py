@@ -372,6 +372,25 @@ def _q_fingerprint(sf_dir: str):
     return _by(_read(sf_dir, "documents").map_batches(fingerprint_batch, batch_format="pyarrow"), "doc_id")
 
 
+def _q_embedding_dedup_corpus(sf_dir: str):
+    """Composition: exact embedding near-dup pairs → distributed
+    label-propagation clustering → anti-join keep-min-representative; the
+    oracle replays it with a recursive transitive closure over the same
+    cosine pair set."""
+    from infidex_ray.ops.dedup import dedup_corpus_ds, embedding_dup_pairs
+
+    import ray.data
+
+    ds = _read(sf_dir, "embeddings")
+    pairs = embedding_dup_pairs(ds, threshold=0.4)
+    if isinstance(pairs, pa.Table):  # the exact path returns a Table
+        pairs = ray.data.from_arrow(pairs)
+    kept = dedup_corpus_ds(
+        ds.select_columns(["vec_id"]), pairs, id_col="vec_id"
+    )
+    return _by(kept, "vec_id")
+
+
 def _q_dedup_corpus_exact(sf_dir: str):
     """Exact-dedup pipeline with a SQL oracle: byte-identical-text groups →
     (rep, dup) pairs → union-find → corpus keeping min-id per group."""
@@ -813,6 +832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs_lsh": _q_emb_dup_lsh,
         "dedup_corpus": _q_dedup_corpus,
         "dedup_corpus_exact": _q_dedup_corpus_exact,
+        "embedding_dedup_corpus": _q_embedding_dedup_corpus,
         "html_extract": _q_html_extract,
         "image_features": _q_image_features,
         "knn_cosine": _q_knn,
@@ -918,6 +938,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_corpus_exact": (
             "SELECT doc_id FROM documents WHERE doc_id IN "
             "(SELECT min(doc_id) FROM documents GROUP BY text) ORDER BY doc_id"
+        ),
+        "embedding_dedup_corpus": (
+            "WITH RECURSIVE p AS ("
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], "
+            "b.embedding::DOUBLE[]) >= 0.4), "
+            "edges AS (SELECT id_a AS src, id_b AS dst FROM p "
+            "UNION SELECT id_b, id_a FROM p), "
+            "reach(src, dst) AS (SELECT src, dst FROM edges UNION "
+            "SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), "
+            "rep AS (SELECT src AS node, min(dst) AS mn FROM reach "
+            "GROUP BY src) "
+            "SELECT vec_id FROM embeddings WHERE vec_id NOT IN "
+            "(SELECT node FROM rep WHERE mn < node) ORDER BY vec_id"
         ),
         "quality_score": sqlgen.quality_sql(),
         "html_extract": (
