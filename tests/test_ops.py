@@ -720,3 +720,77 @@ def test_url_parse_edges(ray_session):
     ]
     assert list(got.loc[3, ["host", "path", "url_query"]]) == ["nopath.io", "", ""]
     assert list(got.loc[4, ["scheme", "host", "path"]]) == ["", "", ""]
+
+
+def test_new_ops_property_invariants(ray_session):
+    """Cross-op invariants on random text: disjoint chunking reconstructs
+    the word stream; PII redaction is idempotent; url_parse round-trips;
+    decontamination hits are monotone in the benchmark set."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.chunking import chunk_text
+    from infidex_ray.ops.decontam import benchmark_ngram_hashes, decontaminate
+    from infidex_ray.ops.pii import pii_redact_batch
+    from infidex_ray.ops.urls import url_parse_batch
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(40)] + ["a@b.io", "10.0.0.1", "+12 345-678-90"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 60)))
+        for _ in range(120)
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+
+    # 1) disjoint chunk reconstruction
+    ch = (
+        chunk_text(ds, chunk_words=7)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    for did, sub in ch.groupby("doc_id"):
+        assert " ".join(sub.chunk) == " ".join(texts[did].split())
+
+    # 2) PII idempotence (vectorized batch fn, no Ray needed)
+    once = pii_redact_batch(tbl)
+    twice = pii_redact_batch(once.select(["doc_id", "text"]))
+    assert twice["text"].to_pylist() == once["text"].to_pylist()
+    assert pa.compute.sum(twice["n_emails"]).as_py() == 0
+    assert pa.compute.sum(twice["n_ips"]).as_py() == 0
+
+    # 3) url round-trip on well-formed urls
+    urls = [f"https://Host{i}.org/p/{i}?x={i}" for i in range(50)]
+    ut = pa.table({"i": pa.array(range(50), pa.int64()), "url": pa.array(urls)})
+    parsed = url_parse_batch(ut, url_col="url")
+    rebuilt = [
+        f"{s}://{h}{p}?{q}"
+        for s, h, p, q in zip(
+            parsed["scheme"].to_pylist(), parsed["host"].to_pylist(),
+            parsed["path"].to_pylist(), parsed["url_query"].to_pylist(),
+        )
+    ]
+    assert rebuilt == urls
+
+    # 4) decontam monotonicity: hashes of a superset benchmark give >= hits
+    bench_small = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array([texts[0]])})
+    )
+    bench_big = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array([texts[0], texts[1]]),
+            }
+        )
+    )
+    h_small = benchmark_ngram_hashes(bench_small, n=3)
+    h_big = benchmark_ngram_hashes(bench_big, n=3)
+    assert set(h_small).issubset(set(h_big))
+    d_small = decontaminate(ds, h_small, n=3).to_pandas().set_index("doc_id")
+    d_big = decontaminate(ds, h_big, n=3).to_pandas().set_index("doc_id")
+    assert (d_big.n_hits >= d_small.n_hits).all()
+    assert (d_big.n_grams == d_small.n_grams).all()
