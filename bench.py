@@ -155,12 +155,46 @@ def _ops_bench(sf_dir: str) -> dict:
     return out
 
 
+def _host_probe() -> dict:
+    """Busy-loop CPU-backing probe (BASELINE.md environment note): the
+    sandbox's vCPUs are credit-throttled and identical work swings up to
+    10× between windows — the probe result is stamped into the bench JSON
+    so a round's numbers can be read against the host state that produced
+    them. ALU-bound, so it still OVERSTATES backing for memory-bound Arrow
+    work (see the round-3 task-level starvation analysis)."""
+    import multiprocessing as mp
+
+    def burn(q):
+        t0 = time.time()
+        n = 0
+        while time.time() - t0 < 1.0:
+            for _ in range(10000):
+                n += 1
+        q.put(n)
+
+    def run(k):
+        q = mp.Queue()
+        ps = [mp.Process(target=burn, args=(q,)) for _ in range(k)]
+        [p.start() for p in ps]
+        tot = sum(q.get() for _ in ps)
+        [p.join() for p in ps]
+        return tot / 1e6
+
+    one, sixteen = run(1), run(16)
+    return {
+        "probe_mops_1way": round(one, 1),
+        "probe_mops_16way": round(sixteen, 1),
+        "probe_16way_speedup": round(sixteen / one, 2) if one else None,
+    }
+
+
 def run_full() -> dict:
     import ray
 
     queries: dict[str, float] = {}
     idx_dir = "/tmp/infidex_bench/idx_main"
 
+    probe = _host_probe()
     build = _build_index(NUM_CPUS, idx_dir)
     queries["index_build"] = round(build["seconds"], 3)
 
@@ -186,6 +220,7 @@ def run_full() -> dict:
             "segments": build["segments"],
             "query_p50_ms": round(ql["p50_ms"], 2),
             "query_p99_ms": round(ql["p99_ms"], 2),
+            **probe,
         },
     }
     ray.shutdown()
