@@ -74,7 +74,9 @@ class IndexShardActor:
 
     def phase_b(self, plan, level: int, top_k: int, avgdl: float):
         per = [s.phase_b(plan, level, top_k, avgdl) for s in self.engine.searchers]
-        return s1.merge_topk(per, top_k)
+        # packed columns: the driver merges 16 shards' results per query —
+        # numpy columns cross the wire ~9x cheaper than Python tuples
+        return s1.pack_topk(per, top_k)
 
     def phase_ab(self, plan, guess_level: int, top_k: int, avgdl: float):
         """Fused cardinality + speculative scoring round: phase_a counts AND
@@ -103,6 +105,93 @@ class IndexShardActor:
             pre = stash[1]
             self._wm_stash = None
         return qp.wm_scan(self.engine, norm_query, tfidf_lids, cap, precomputed=pre)
+
+    def cov_fused(
+        self,
+        ctx,
+        norm_query: str,
+        s1_jobs: list,
+        tfidf_lids,
+        cap: int,
+        spec_budget: int,
+        memo_keys: dict,
+        qid: str | None = None,
+        budget_s: float | None = None,
+    ):
+        """Fused coverage round: WordMatcher split + candidate scoring in ONE
+        actor RTT (the old protocol paid separate wm_scan and run_jobs
+        fan-outs; on a loaded host each 16-way fan-out costs 20-40 ms, so the
+        round count IS the latency floor).
+
+        ``s1_jobs`` = this shard's stage-1 jobs ``(si, lid, norm_bm25, di)``
+        in global rank order. The shard classifies its wm candidates against
+        ``tfidf_lids`` (its segments' stage-1 lids), then scores
+        ``[overlapping, stage-1]`` plus — speculatively, in a SECOND
+        ``process_candidates`` call with its own memo — the first
+        ``spec_budget`` unique wm candidates. The driver keeps speculative
+        results/memo only within the global ``coverage_depth − overlap``
+        unique cap, so ranks are identical to the unfused protocol by
+        construction (rank-identity goldens in tests/test_executor.py).
+
+        Memo-exactness notes (the 2-slot LCS/wordHits memo of
+        SearchPipeline.cs:492,517): all of a doc key's jobs are co-located on
+        the shard owning its segment, memo VALUES are chunk-independent
+        (lcs/word_hits derive from the best chunk's prep), and the driver
+        only enables this path for queries ≤ 255 chars, where the min(·,255)
+        store clamp is the identity — so write order across a key's jobs
+        cannot change any value. ``memo_keys`` maps the global top-2 doc keys
+        to their doc_index slots for candidates whose stage-1 entry carried
+        no (si, lid) location.
+
+        best_chunk needs no shipping: for any key this shard can see, the
+        stage-1 best chunk is in its OWN ``s1_jobs`` (all chunks of a source
+        doc live in one segment → one shard).
+
+        Returns (n_wm_total, overlapping, unique, n_spec_scored,
+        main_results, spec_results, main_memo, spec_memo), or ("timeout",)
+        when the budget expires mid-scan."""
+        import time as _time
+
+        deadline = _time.monotonic() + budget_s if budget_s is not None else None
+        pre = None
+        stash = getattr(self, "_wm_stash", None)
+        if qid is not None and stash is not None and stash[0] == qid:
+            pre = stash[1]
+            self._wm_stash = None
+        n_total, overlapping, unique = qp.wm_scan(
+            self.engine, norm_query, tfidf_lids, cap, precomputed=pre
+        )
+        key_di: dict[int, int] = dict(memo_keys)
+        best_chunk: dict[int, tuple[int, int]] = {}
+        for si, lid, _base, di in s1_jobs:
+            key = int(self.engine.seg_by_id(si).doc_keys[lid])
+            key_di[key] = di
+            best_chunk.setdefault(key, (si, lid))
+        jobs: list[tuple[int, int, float, int]] = []
+        for si, lid, key in overlapping:
+            jobs.append((si, lid, 0.0, key_di.get(key, -1)))
+        jobs.extend(s1_jobs)
+        try:
+            results, memo = qp.process_candidates(
+                self.engine, ctx, jobs, best_chunk, deadline=deadline
+            )
+            n_spec = min(len(unique), spec_budget)
+            spec_results: list = []
+            spec_memo: dict = {}
+            if n_spec:
+                spec_jobs = [
+                    (si, lid, 0.0, key_di.get(key, -1))
+                    for si, lid, key in unique[:n_spec]
+                ]
+                spec_results, spec_memo = qp.process_candidates(
+                    self.engine, ctx, spec_jobs, best_chunk, deadline=deadline
+                )
+        except qp.DeadlineExceeded:
+            return ("timeout",)
+        return (
+            n_total, overlapping, unique, n_spec,
+            results, spec_results, memo, spec_memo,
+        )
 
     def prescreen_keys(self, words, keys):
         """Shard-local posting-union ∩ candidates for the lexical prescreen."""
@@ -237,6 +326,7 @@ class DistributedEngine(Engine):
         actor and reuses its stash. Saves the wm probe compute from the
         critical path (it is independent of stage-1 results)."""
         self._wm_qid = None
+        self._cov_q = q if coverage_likely else None
         if not (coverage_likely and self.cfg.enable_word_matcher):
             return
         import uuid
@@ -255,20 +345,22 @@ class DistributedEngine(Engine):
         plan = s1.build_plan(infos)
         if plan is None:
             return []
-        # ship the plan ONCE via the object store — inlining it re-pickles
-        # per actor call (2 phases × n_actors), which profiling showed
-        # dominated driver-side submission time
-        plan_ref = ray.put(plan)
+        # plans pickle to ~1-2 KB / ~0.2 ms (profiled on the bench panel):
+        # inlining into the task args costs ~3 ms/query across 16 actors,
+        # while a ray.put measured ~9 ms median on the critical path — so
+        # small plans are inlined and only unusually large ones (many fuzzy
+        # expansions) go through the object store once
+        plan_ref = plan if plan.approx_nbytes() < 64_000 else ray.put(plan)
         if plan.n_levels == 1:
             # single candidate level → decide_level is constant 1; skip the
             # phase-A cardinality fan-out entirely (one fewer RTT)
-            per = ray.get(
-                [
-                    a.phase_b.remote(plan_ref, 1, top_k, self.avgdl)
-                    for a in self.actors
-                ]
-            )
-            return s1.consolidate(s1.merge_topk(per, top_k))
+            refs = [
+                a.phase_b.remote(plan_ref, 1, top_k, self.avgdl)
+                for a in self.actors
+            ]
+            self._overlap_ctx_prep()
+            per = ray.get(refs)
+            return s1.merge_packed(per, top_k)
         memo_key = (s1.SegmentStage1._plan_key(plan), top_k)
         guess = self._level_memo.get(memo_key)
         if guess is not None:
@@ -276,16 +368,18 @@ class DistributedEngine(Engine):
             # the speculative results are used only when the global decision
             # matches the guess, so ranks are identical to the two-round
             # protocol (corrective round on a miss)
-            outs = ray.get(
-                [
-                    a.phase_ab.remote(plan_ref, guess, top_k, self.avgdl)
-                    for a in self.actors
-                ]
-            )
+            refs = [
+                a.phase_ab.remote(plan_ref, guess, top_k, self.avgdl)
+                for a in self.actors
+            ]
+            self._overlap_ctx_prep()
+            outs = ray.get(refs)
             count_vecs = [o[0] for o in outs]
             per = [o[1] for o in outs]
         else:
-            count_vecs = ray.get([a.phase_a.remote(plan_ref) for a in self.actors])
+            refs = [a.phase_a.remote(plan_ref) for a in self.actors]
+            self._overlap_ctx_prep()
+            count_vecs = ray.get(refs)
             per = None
         width = max((len(c) for c in count_vecs), default=0)
         if width == 0:
@@ -304,9 +398,176 @@ class DistributedEngine(Engine):
                     for a in self.actors
                 ]
             )
-        return s1.consolidate(s1.merge_topk(per, top_k))
+        return s1.merge_packed(per, top_k)
+
+    # per-shard speculative budget for unique wm candidates in the fused
+    # round: on real corpora overlap == coverage_depth so the unique cap is 0
+    # and nothing is wasted; on small corpora (tests) unique counts are tiny
+    # and the speculation keeps the round count at 2
+    SPEC_UNIQUE_BUDGET = 64
+
+    def _ctx_for(self, q: str):
+        """Coverage query context + its object-store ref, cached for the
+        current query. Depends only on (q, global stats) — NOT on stage-1
+        results — so ``stage1`` builds it while the phase fan-out is in
+        flight, taking ctx prep + ray.put off the critical path."""
+        hit = getattr(self, "_ctx_cache", None)
+        if hit is not None and hit[0] == q:
+            return hit[1], hit[2]
+        cfg = self.cfg
+        ctx = cov.prepare_query(
+            q, cfg.coverage.min_word_size, frozenset(cfg.delimiters),
+            cfg.index_sizes, self.df_lookup, self.word_df, self.total_docs,
+            cfg.stop_term_limit,
+        )
+        ref = ray.put(ctx)
+        self._ctx_cache = (q, ctx, ref)
+        return ctx, ref
+
+    def _overlap_ctx_prep(self) -> None:
+        """Called by ``stage1`` right after submitting a fan-out round (the
+        driver would otherwise idle inside ray.get)."""
+        q = getattr(self, "_cov_q", None)
+        if q is not None:
+            self._ctx_for(q)
 
     def _coverage_stage(self, q, stage1_results, coverage_depth, top_k, deadline=None):
+        cfg = self.cfg
+        if (
+            cfg.enable_word_matcher
+            and not cfg.coverage.enable_lexical_prescreen
+            and len(stage1_results) >= 2
+            and len(q) <= 255  # min(lcs, 255) memo clamp is the identity
+        ):
+            return self._coverage_fused(
+                q, stage1_results, coverage_depth, top_k, deadline
+            )
+        return self._coverage_unfused(
+            q, stage1_results, coverage_depth, top_k, deadline
+        )
+
+    def _coverage_fused(self, q, stage1_results, coverage_depth, top_k, deadline=None):
+        """Two-RTT warm path: one fused wm+score round (see
+        IndexShardActor.cov_fused), plus a small second round ONLY when the
+        speculative unique budget under-covered the global unique cap."""
+        import time as _time
+
+        top = stage1_results[:coverage_depth]
+        ctx, ctx_ref = self._ctx_for(q)
+        by_seg = qp.tfidf_lids_by_seg(top)
+        doc_index: dict[int, int] = {}
+        for e in top:
+            if e[1] not in doc_index:
+                doc_index[e[1]] = len(doc_index)
+        memo_keys = {
+            key: di for key, di in doc_index.items() if di < qp.MEMO_HEIGHT
+        }
+        max_tfidf = top[0][0] if top else 1.0
+        jobs_by_shard: dict[int, list] = {ai: [] for ai in range(len(self.actors))}
+        for e in top:
+            if not (len(e) >= 5 and e[3] >= 0 and e[4] >= 0):
+                continue
+            si, lid = e[3], e[4]
+            norm_bm25 = e[0] / max_tfidf if max_tfidf > 0 else 0.0
+            jobs_by_shard[self.shard_of_seg[si]].append(
+                (si, lid, norm_bm25, doc_index[e[1]])
+            )
+        budget_s = None if deadline is None else deadline - _time.monotonic()
+        if budget_s is not None and budget_s <= 0:
+            raise qp.DeadlineExceeded
+        qid = getattr(self, "_wm_qid", None)
+        # speculation pays only when the unique cap (depth − overlap) can be
+        # big: with a FULL stage-1 page the overlap is ~always == depth on
+        # web-scale corpora (every top candidate contains a query word), so
+        # every speculative job would be discarded — skip them and let the
+        # rare partial-overlap query pay the small second round instead
+        spec_budget = 0 if len(top) >= coverage_depth else self.SPEC_UNIQUE_BUDGET
+        outs = ray.get(
+            [
+                a.cov_fused.remote(
+                    ctx_ref, q, jobs_by_shard[ai],
+                    {
+                        si: lids
+                        for si, lids in by_seg.items()
+                        if self.shard_of_seg.get(si) == ai
+                    },
+                    coverage_depth, spec_budget, memo_keys,
+                    qid, budget_s,
+                )
+                for ai, a in enumerate(self.actors)
+            ]
+        )
+        n_wm_total = 0
+        overlapping: list = []
+        results: list = []
+        memo: dict[int, list[int]] = {}
+        per_shard: list = []
+        for o in outs:
+            if o[0] == "timeout":
+                raise qp.DeadlineExceeded
+            n_t, ov, un, n_spec, main_res, spec_res, main_memo, spec_memo = o
+            n_wm_total += n_t
+            overlapping.extend(ov)
+            results.extend(main_res)
+            memo.update(main_memo)
+            per_shard.append((un, n_spec, spec_res, spec_memo))
+
+        # global unique cap = first (coverage_depth − overlap) of the
+        # shard-order concatenation (coverage_driver's unique[:wm_limit])
+        top_key_of_di = {di: key for key, di in memo_keys.items()}
+        remaining = max(0, coverage_depth - len(overlapping))
+        allowed_unique: list = []
+        missing_by_shard: dict[int, list] = {}
+        for ai, (un, n_spec, spec_res, spec_memo) in enumerate(per_shard):
+            take = min(remaining, len(un))
+            remaining -= take
+            allowed = un[:take]
+            allowed_unique.extend(allowed)
+            results.extend(spec_res[: min(take, n_spec)])
+            if take > n_spec:
+                missing_by_shard[ai] = [
+                    (si, lid, 0.0, -1) for si, lid, _k in un[n_spec:take]
+                ]
+            if spec_memo:
+                allowed_keys_shard = {k for _si, _lid, k in allowed}
+                for di, entry in spec_memo.items():
+                    if top_key_of_di.get(di) in allowed_keys_shard:
+                        memo.setdefault(di, entry)
+        if missing_by_shard:
+            budget_s = None if deadline is None else deadline - _time.monotonic()
+            if budget_s is not None and budget_s <= 0:
+                raise qp.DeadlineExceeded
+            # stage-1 best-chunk map for unique candidates whose KEY is a
+            # stage-1 doc via a different chunk (coverage text must be the
+            # stage-1 chunk's, SegmentProcessor.GetBestSegmentText)
+            best_chunk: dict[int, tuple[int, int]] = {}
+            for e in top:
+                if len(e) >= 5 and e[3] >= 0 and e[4] >= 0:
+                    best_chunk.setdefault(e[1], (e[3], e[4]))
+            bc_ref = ray.put(best_chunk)
+            outs2 = ray.get(
+                [
+                    self.actors[ai].run_jobs.remote(ctx_ref, js, bc_ref, budget_s)
+                    for ai, js in sorted(missing_by_shard.items())
+                ]
+            )
+            for res2, m2 in outs2:
+                if res2 == "timeout":
+                    raise qp.DeadlineExceeded
+                results.extend(res2)
+                memo.update(m2)
+
+        for _si, _lid, key in sorted(
+            overlapping + allowed_unique, key=lambda t: (t[0], t[1])
+        ):
+            if key not in doc_index:
+                doc_index[key] = len(doc_index)
+        return qp.finalize_coverage(
+            self.cfg.coverage, results, memo, doc_index, n_wm_total,
+            coverage_depth, top_k,
+        )
+
+    def _coverage_unfused(self, q, stage1_results, coverage_depth, top_k, deadline=None):
         import time as _time
 
         cfg = self.cfg
@@ -344,14 +605,10 @@ class DistributedEngine(Engine):
                 )
                 for ai, a in enumerate(self.actors)
             ]
-        ctx = cov.prepare_query(
-            q, cfg.coverage.min_word_size, frozenset(cfg.delimiters),
-            cfg.index_sizes, self.df_lookup, self.word_df, self.total_docs,
-            cfg.stop_term_limit,
-        )
         # shared per-query state goes through the object store once instead
-        # of being re-pickled into every shard's task args
-        ctx_ref = ray.put(ctx)
+        # of being re-pickled into every shard's task args (and may already
+        # be cached from the stage-1 overlap hook)
+        ctx, ctx_ref = self._ctx_for(q)
         if wm_refs is not None:
             parts = ray.get(wm_refs)
             n_total = sum(p[0] for p in parts)

@@ -333,7 +333,25 @@ def coverage_driver(
         jobs.append((loc[0], loc[1], norm_bm25, doc_index.get(e[1], -1)))
 
     results, memo = run_jobs(jobs, best_chunk)
+    return finalize_coverage(
+        setup, results, memo, doc_index, n_wm_total, coverage_depth, top_k
+    )
 
+
+def finalize_coverage(
+    setup,
+    results: list[tuple[float, int, int, int]],
+    memo: dict[int, list[int]],
+    doc_index: dict[int, int],
+    n_wm_total: int,
+    coverage_depth: int,
+    top_k: int,
+):
+    """Driver-side coverage epilogue shared by ``coverage_driver`` and the
+    executor's fused round: dedupe/sort scored candidates, then apply the
+    reference's truncation rule (ResultProcessor.CalculateTruncationIndex,
+    src/Infidex/Scoring/ResultProcessor.cs:146-178). Returns final entries or
+    None (stage-1 fallback)."""
     max_word_hits = max((r[3] for r in results), default=0)
     if max_word_hits == 0 and n_wm_total == 0:
         return None  # → stage-1 fallback

@@ -96,6 +96,11 @@ class QueryPlan:
             return len(self.included_ranks)
         return 2 + len(self.selective_ranks)  # t0, t1, s1?, s2?
 
+    def approx_nbytes(self) -> int:
+        """Rough pickled size — decides inline-vs-object-store shipping in the
+        distributed executor (typical panel plans are 0.5-2 KB)."""
+        return 80 * len(self.infos) + sum(len(i.text) for i in self.infos) + 128
+
 
 def prepare_query_terms(
     query_text: str,
@@ -423,6 +428,46 @@ def merge_topk(entry_lists: list[list[tuple]], k: int) -> list[tuple]:
     ky = np.fromiter((e[1] for e in alle), np.int64, count=n)
     order = np.lexsort((ky, -tb, -sc))[:k]
     return [alle[i] for i in order]
+
+
+def pack_topk(entry_lists: list[list[tuple]], k: int):
+    """Shard-actor side: merge per-segment entry lists and pack the top-k as
+    numpy columns — the wire format between shard actors and the driver.
+    16 shards × 500 Python tuples cost ~9 ms/query to pickle + merge on the
+    driver; packed columns cross in ~1 ms (pickle-5 zero-copy buffers)."""
+    ent = merge_topk(entry_lists, k)
+    n = len(ent)
+    return (
+        np.fromiter((e[0] for e in ent), np.float64, count=n),
+        np.fromiter((e[1] for e in ent), np.int64, count=n),
+        np.fromiter((e[2] for e in ent), np.int64, count=n),
+        np.fromiter((e[3] for e in ent), np.int64, count=n),
+        np.fromiter((e[4] for e in ent), np.int64, count=n),
+    )
+
+
+def merge_packed(parts: list, k: int) -> list[tuple]:
+    """Driver side: global top-k + consolidation over packed columns.
+    Equivalent to ``consolidate(merge_topk(...))`` — the lexsort is stable,
+    so ties keep concatenation (= shard) order exactly like the tuple path,
+    and first-occurrence-per-key on the rank-ordered top-k IS the
+    best-entry-per-key rule."""
+    parts = [p for p in parts if p is not None and len(p[0])]
+    if not parts:
+        return []
+    sc = np.concatenate([p[0] for p in parts])
+    ky = np.concatenate([p[1] for p in parts])
+    tb = np.concatenate([p[2] for p in parts])
+    si = np.concatenate([p[3] for p in parts])
+    lid = np.concatenate([p[4] for p in parts])
+    order = np.lexsort((ky, -tb, -sc))[:k]
+    sc, ky, tb, si, lid = sc[order], ky[order], tb[order], si[order], lid[order]
+    _, first = np.unique(ky, return_index=True)
+    first.sort()
+    return [
+        (float(sc[i]), int(ky[i]), int(tb[i]), int(si[i]), int(lid[i]))
+        for i in first
+    ]
 
 
 def consolidate(entries: list[tuple]) -> list[tuple]:
