@@ -213,6 +213,12 @@ def process_candidates(
     min_stem_length = engine.cfg.min_index_size
     memo: dict[int, list[int]] = {}
     results: list[tuple[float, int, int, int]] = []
+    # overlapping wm jobs and stage-1 jobs for the same candidate carry the
+    # SAME (si, lid, best-chunk, lcs) → identical features; only base_score
+    # differs. Caching halves the matcher-cascade work for the common
+    # full-overlap case. Keyed on the lcs actually used, so the raw-vs-
+    # clamped >255 edge recomputes and stays exact.
+    feat_cache: dict[tuple, object] = {}
 
     import time as _time
 
@@ -243,12 +249,16 @@ def process_candidates(
                     )
                 lcs = lcs_containment(ctx.query, prep[0], tol)
                 m[0] = min(lcs, 255)
-        features = cov.calculate_features(
-            ctx, doc_text, lcs, setup, delimiters, min_stem_length,
-            doc_first_token=seg.first_tokens[lid],
-            doc_has_tokens=int(seg.token_counts[lid]) > 0,
-            doc_prep=prep,
-        )
+        feat_key = (si, lid, tsi, tlid, lcs)
+        features = feat_cache.get(feat_key)
+        if features is None:
+            features = cov.calculate_features(
+                ctx, doc_text, lcs, setup, delimiters, min_stem_length,
+                doc_first_token=seg.first_tokens[lid],
+                doc_has_tokens=int(seg.token_counts[lid]) > 0,
+                doc_prep=prep,
+            )
+            feat_cache[feat_key] = features
         score, tiebreaker = fusion_calculate(ctx.query, doc_text, features, base_score)
         if 0 <= di < MEMO_HEIGHT:
             m = memo.setdefault(di, [0, 0])
