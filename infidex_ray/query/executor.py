@@ -221,25 +221,36 @@ class IndexShardActor:
         # contained in the union of per-shard top-ks
         return sq.run_single_char(self.engine.shorts, ch, top_k)
 
-    def sq_prefix(self, qid: str, patterns, q: str) -> tuple[int, int]:
-        """Phase 1: per-segment prefix passes; keeps scratch in the actor.
-        Returns (matched doc count, local max raw score)."""
-        states = []
-        for s in self.engine.shorts:
-            states.append(s.prefix_pass(patterns, q))
-        self._sq_state[qid] = states
+    def sq_phase1(self, qid: str, patterns, q: str) -> tuple[int, int, int | None]:
+        """Fused phase 1: per-segment prefix passes PLUS a speculative local
+        fuzzy pass. The reference's fuzzy-fallback gate is on the GLOBAL
+        matched count (< FUZZY_FALLBACK_DOC_LIMIT, ShortQuery :221), and
+        global < LIMIT implies every local count < LIMIT — so speculating
+        whenever the LOCAL count is under the limit covers every case where
+        the driver will decide to use fuzzy. One actor RTT replaces the old
+        sq_prefix + sq_fuzzy rounds; results are identical by construction
+        (the prefix snapshot is used when the global gate says no-fuzzy).
+
+        Returns (matched doc count, prefix max score, fuzzy max or None)."""
+        states = [s.prefix_pass(patterns, q) for s in self.engine.shorts]
         n = sum(len(ds) for ds, _ in states)
-        mx = max((max(ds.values(), default=0) for ds, _ in states), default=0)
-        return n, mx
+        pre_max = max((max(ds.values(), default=0) for ds, _ in states), default=0)
+        fuzzy_states = None
+        fuzzy_max = None
+        if n < sq.FUZZY_FALLBACK_DOC_LIMIT:
+            fuzzy_states = [(dict(ds), set(fp)) for ds, fp in states]
+            for s, (ds, fp) in zip(self.engine.shorts, fuzzy_states):
+                s.fuzzy_pass(patterns, q, ds, fp)
+            fuzzy_max = max(
+                (max(ds.values(), default=0) for ds, _ in fuzzy_states), default=0
+            )
+        self._sq_state[qid] = (states, fuzzy_states)
+        return n, pre_max, fuzzy_max
 
-    def sq_fuzzy(self, qid: str, patterns, q: str) -> int:
-        states = self._sq_state[qid]
-        for s, (ds, fp) in zip(self.engine.shorts, states):
-            s.fuzzy_pass(patterns, q, ds, fp)
-        return max((max(ds.values(), default=0) for ds, _ in states), default=0)
-
-    def sq_final(self, qid: str, global_max: int, q: str, query_tokens):
-        states = self._sq_state.pop(qid)
+    def sq_final(self, qid: str, use_fuzzy: bool, global_max: int, q: str, query_tokens):
+        states, fuzzy_states = self._sq_state.pop(qid)
+        if use_fuzzy:
+            states = fuzzy_states
         out = []
         for s, (ds, fp) in zip(self.engine.shorts, states):
             out.extend(s.final_entries(ds, fp, global_max, q, query_tokens))
@@ -658,18 +669,21 @@ class DistributedEngine(Engine):
         patterns = sq.build_prefix_patterns(
             q, self.cfg.min_index_size, self.cfg.start_pad_size
         )
-        phase1 = ray.get([a.sq_prefix.remote(qid, patterns, q) for a in self.actors])
-        total_matched = sum(n for n, _ in phase1)
-        if total_matched < sq.FUZZY_FALLBACK_DOC_LIMIT:
-            maxes = ray.get([a.sq_fuzzy.remote(qid, patterns, q) for a in self.actors])
-        else:
-            maxes = [m for _, m in phase1]
+        phase1 = ray.get([a.sq_phase1.remote(qid, patterns, q) for a in self.actors])
+        total_matched = sum(n for n, _pm, _fm in phase1)
+        use_fuzzy = total_matched < sq.FUZZY_FALLBACK_DOC_LIMIT
+        # global < LIMIT ⇒ every local count < LIMIT ⇒ every shard speculated
+        # the fuzzy pass in phase 1 — no second fuzzy round needed
+        maxes = [fm if use_fuzzy else pm for _n, pm, fm in phase1]
         global_max = max(maxes, default=0)
         splitter = _word_splitter(self.cfg.delimiters)
         query_tokens = [w for w in splitter.split(q) if w]
         entries = []
         for part in ray.get(
-            [a.sq_final.remote(qid, global_max, q, query_tokens) for a in self.actors]
+            [
+                a.sq_final.remote(qid, use_fuzzy, global_max, q, query_tokens)
+                for a in self.actors
+            ]
         ):
             entries.extend(part)
         entries.sort(key=lambda e: (-e[0], -e[2], e[1]))

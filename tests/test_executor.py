@@ -102,3 +102,24 @@ def test_distributed_repeat_queries_speculative_path(dist_pair):
         ref = [(h.doc_key, round(h.score, 6), h.tiebreaker)
                for h in eng.search(q, top_k=10)]
         assert got == ref, f"corrective round broke rank identity for {q!r}"
+
+
+def test_short_query_no_fuzzy_branch_identity(ray_session, tmp_path_factory):
+    """Short queries over a corpus with >= FUZZY_FALLBACK_DOC_LIMIT matches
+    take the no-fuzzy branch of the fused sq_phase1 protocol — the driver
+    must then use the PREFIX snapshot/max, identical to the in-process
+    gate (ShortQuery fallback limit, reference :221)."""
+    from infidex_ray.query.executor import DistributedEngine
+    from infidex_ray.query.shortquery import FUZZY_FALLBACK_DOC_LIMIT
+
+    n = FUZZY_FALLBACK_DOC_LIMIT + 40
+    docs = [(k, f"theme park number {k} with thick thorny thistles") for k in range(n)]
+    docs += [(n + 1, "zebra yard"), (n + 2, "xylophone quartz")]
+    out = tmp_path_factory.mktemp("sq_nofuzzy")
+    build_index_local(docs, str(out), n_segments=4)
+    eng = Engine.load(str(out))
+    deng = DistributedEngine.connect(str(out), num_shards=2)
+    for q in ("th", "the", "zeb", "x", "qz"):
+        a = [(h.doc_key, round(h.score, 6), h.tiebreaker) for h in eng.search(q, top_k=10)]
+        b = [(h.doc_key, round(h.score, 6), h.tiebreaker) for h in deng.search(q, top_k=10)]
+        assert a == b, q
