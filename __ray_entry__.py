@@ -608,6 +608,59 @@ def _q_stratified_sample(sf_dir: str):
     return _by(out, "doc_id")
 
 
+def _q_hashed_bow(sf_dir: str):
+    """Feature-hashing vectorizer (Weinberger et al. 2009) in long format:
+    bucket = md5_number_lower(token) % 64 — no vocabulary, no shuffle; the
+    oracle recomputes every bucket and term frequency exactly."""
+    from infidex_ray.ops.vectorize import hashed_bow
+
+    out = hashed_bow(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]), dim=64
+    )
+    return _by(out, "doc_id", "bucket")
+
+
+def _q_domain_stats(sf_dir: str):
+    """Per-domain doc counts + total chars over planted crawl URLs (the
+    url_parse fixture): per-batch combiner → |domains|-row groupby."""
+    from infidex_ray.ops.urls import domain_stats, url_parse
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        urls = [
+            ("http" if d % 5 == 0 else "https")
+            + f"://WWW.Site{d % 37}.example.com/p/{d}"
+            for d in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars": b["n_chars"],
+                "url": pa.array(urls, pa.string()),
+            }
+        )
+
+    parsed = url_parse(
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "n_chars"])
+        .map_batches(plant, batch_format="pyarrow")
+    )
+    return _by(domain_stats(parsed, size_col="n_chars"), "domain")
+
+
+def _q_value_histogram(sf_dir: str):
+    """Fixed-width histogram of the events value stream: per-batch bincount
+    partials (≤ n_bins rows per block) → n_bins-key groupby; bin rule is
+    float64 floor((x−lo)/width), bit-identical to the SQL expression."""
+    from infidex_ray.ops.histogram import numeric_histogram
+
+    out = numeric_histogram(
+        _read(sf_dir, "events").select_columns(["value"]),
+        col="value", lo=0.0, hi=500.0, n_bins=16,
+    )
+    return _by(out, "bin")
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Top-100 corpus tokens via per-batch Arrow value_counts partials +
     vocabulary-sized groupby. Result re-sorted driver-side to the oracle's
@@ -869,6 +922,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "url_parse": _q_url_parse,
         "stratified_sample": _q_stratified_sample,
+        "hashed_bow": _q_hashed_bow,
+        "domain_stats": _q_domain_stats,
+        "value_histogram": _q_value_histogram,
     }
 
 
@@ -1116,6 +1172,31 @@ def oracle_sql() -> dict[str, str]:
             "'[ \\t\\n\\r]+')) AS token FROM documents) "
             "SELECT token, count(*) AS n FROM t WHERE token <> '' "
             "GROUP BY token ORDER BY n DESC, token LIMIT 100"
+        ),
+        "hashed_bow": (
+            "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all("
+            "coalesce(text, ''), '\\S+')) AS tok FROM documents) "
+            "SELECT doc_id, CAST(md5_number_lower(tok) % 64 AS BIGINT) AS bucket, "
+            "count(*)::BIGINT AS tf FROM toks "
+            "GROUP BY doc_id, bucket ORDER BY doc_id, bucket"
+        ),
+        "domain_stats": (
+            # the fixture plants host WWW.Site{doc_id%37}.example.com; after
+            # lowering + www-stripping the domain is site{k}.example.com
+            "SELECT 'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' "
+            "AS domain, count(*)::BIGINT AS n_docs, "
+            "sum(n_chars)::BIGINT AS total_n_chars "
+            "FROM documents GROUP BY 1 ORDER BY domain"
+        ),
+        "value_histogram": (
+            "SELECT CAST(floor((value - 0.0) / ((500.0 - 0.0) / 16)) AS BIGINT) AS bin, "
+            "count(*)::BIGINT AS n, "
+            "0.0 + CAST(floor((value - 0.0) / ((500.0 - 0.0) / 16)) AS BIGINT) "
+            "* ((500.0 - 0.0) / 16) AS lo_edge, "
+            "0.0 + (CAST(floor((value - 0.0) / ((500.0 - 0.0) / 16)) AS BIGINT) + 1) "
+            "* ((500.0 - 0.0) / 16) AS hi_edge "
+            "FROM events WHERE value IS NOT NULL AND value >= 0.0 AND value < 500.0 "
+            "GROUP BY 1 ORDER BY bin"
         ),
         "decontaminate": (
             # word-3-gram overlap between the corpus split and the benchmark

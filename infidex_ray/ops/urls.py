@@ -19,7 +19,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["URL_PATTERN", "url_parse"]
+__all__ = ["URL_PATTERN", "url_parse", "domain_stats", "filter_domains"]
 
 # scheme optional; host = up to the first /?#; path = up to ?#; query after ?
 URL_PATTERN = (
@@ -70,3 +70,60 @@ def url_parse(ds, url_col: str = "url", keep_cols: list[str] | None = None):
         functools.partial(url_parse_batch, url_col=url_col, keep_cols=keep_cols),
         batch_format="pyarrow",
     )
+
+
+def domain_stats(ds, domain_col: str = "domain", size_col: str | None = None):
+    """Per-domain corpus statistics — the input to per-domain caps and
+    quality priors in crawl curation (e.g. RefinedWeb / C4 keep at most N
+    pages per site).
+
+    Scale design: a per-batch combiner pre-aggregates to ≤ 1 row per domain
+    per block BEFORE the groupby, so the exchange moves |domains| rows, not
+    |docs| (the skew answer for megasites). Returns (domain, n_docs[,
+    total_<size_col>])."""
+    def combine(batch: pa.Table) -> pa.Table:
+        gb = batch.group_by([domain_col])
+        if size_col is None:
+            agg = gb.aggregate([(domain_col, "count")])
+            return agg.rename_columns([domain_col, "n_docs"])
+        agg = gb.aggregate([(domain_col, "count"), (size_col, "sum")])
+        return agg.rename_columns([domain_col, "n_docs", f"total_{size_col}"])
+
+    partial = ds.map_batches(combine, batch_format="pyarrow")
+    if size_col is None:
+        out = partial.groupby(domain_col).sum("n_docs")
+        return out.map_batches(
+            lambda b: b.rename_columns([domain_col, "n_docs"]),
+            batch_format="pyarrow",
+        )
+    out = partial.groupby(domain_col).sum(["n_docs", f"total_{size_col}"])
+    return out.map_batches(
+        lambda b: b.rename_columns([domain_col, "n_docs", f"total_{size_col}"]),
+        batch_format="pyarrow",
+    )
+
+
+def filter_domains(
+    ds, blocklist, domain_col: str = "domain", keep_listed: bool = False
+):
+    """Drop (or keep, ``keep_listed=True``) rows whose domain is in
+    ``blocklist``. The list is broadcast ONCE via ``ray.put`` and resolved
+    inside each task — never re-pickled per batch and never a shuffle join
+    (blocklists are small-side by construction)."""
+    import pyarrow.compute as _pc
+    import ray as _ray
+
+    block_ref = _ray.put(sorted({d.lower() for d in blocklist}))
+
+    def apply(batch: pa.Table) -> pa.Table:
+        block = _ray.get(block_ref)
+        mask = _pc.is_in(
+            batch[domain_col], value_set=pa.array(block, pa.string())
+        )
+        if not keep_listed:
+            mask = _pc.invert(_pc.fill_null(mask, False))
+        else:
+            mask = _pc.fill_null(mask, False)
+        return batch.filter(mask)
+
+    return ds.map_batches(apply, batch_format="pyarrow")

@@ -1,0 +1,135 @@
+"""Feature-hashing vectorization — the "hashing trick" (Weinberger et al.,
+*Feature Hashing for Large Scale Multitask Learning*, ICML 2009).
+
+Turns a text column into fixed-dimension bag-of-words features WITHOUT a
+vocabulary: bucket = hash(token) mod dim. That is exactly the property that
+matters at 100 TB — a vocabulary-based vectorizer needs a global
+(term → index) table (an all-to-all groupby + a broadcast that grows with
+the corpus), while the hashing trick is one stateless ``map_batches`` with
+zero shared state, so it streams and scales embarrassingly.
+
+Two output layouts:
+
+* :func:`hashed_bow` — LONG format ``(id, bucket, tf)``: joins/aggregates
+  naturally, and is exactly recomputable in SQL (token hash =
+  ``md5_number_lower`` = :func:`infidex_ray.ops.dedup._md5_u64`), so it is
+  driver-contract-checkable bit for bit.
+* :func:`hashed_bow_dense` — ``(id, vec: list<float>)`` with optional L2
+  normalization: feeds the similarity suite (``knn_cosine`` /
+  ``embedding_dup_pairs``) so a corpus without model embeddings still gets
+  the full ANN/dedup toolchain.
+
+Tokens are raw whitespace-delimited runs (``\\S+``) — no lowercasing or
+normalization, so the SQL oracle needs no engine-specific Unicode casing
+parity.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import _md5_u64
+
+__all__ = ["hashed_bow", "hashed_bow_dense", "hashed_bow_batch"]
+
+_WS_RE = re.compile(r"\S+")
+
+
+def _doc_buckets(texts: list, dim: int, cache: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten all docs' token buckets: returns (doc_row_idx, bucket)."""
+    rows: list[int] = []
+    buckets: list[int] = []
+    for i, t in enumerate(texts):
+        toks = _WS_RE.findall(t or "")
+        if not toks:
+            continue
+        rows.extend([i] * len(toks))
+        for tok in toks:
+            b = cache.get(tok)
+            if b is None:
+                b = cache[tok] = _md5_u64(tok) % dim
+            buckets.append(b)
+    return (
+        np.asarray(rows, dtype=np.int64),
+        np.asarray(buckets, dtype=np.int64),
+    )
+
+
+def hashed_bow_batch(
+    batch: pa.Table, dim: int = 256, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """(id, bucket, tf) rows for one batch — vectorized group-count via
+    lexsort + run-length encoding over the flattened (doc, bucket) pairs."""
+    texts = batch[text_col].to_pylist()
+    ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+    cache: dict[str, int] = {}
+    rows, buckets = _doc_buckets(texts, dim, cache)
+    if len(rows) == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+    order = np.lexsort((buckets, rows))
+    rows, buckets = rows[order], buckets[order]
+    # run-length count of identical (row, bucket) pairs
+    change = np.empty(len(rows), dtype=bool)
+    change[0] = True
+    change[1:] = (rows[1:] != rows[:-1]) | (buckets[1:] != buckets[:-1])
+    starts = np.flatnonzero(change)
+    tf = np.diff(np.append(starts, len(rows)))
+    return pa.table(
+        {
+            id_col: ids[rows[starts]],
+            "bucket": buckets[starts],
+            "tf": tf.astype(np.int64),
+        }
+    )
+
+
+def hashed_bow(ds, dim: int = 256, id_col: str = "doc_id", text_col: str = "text"):
+    """Long-format hashed bag-of-words over a Dataset. Stateless
+    ``map_batches``; no shuffle, no global vocabulary."""
+    return ds.map_batches(
+        lambda b: hashed_bow_batch(b, dim=dim, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+    )
+
+
+def hashed_bow_dense(
+    ds,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    l2_normalize: bool = True,
+):
+    """Dense (id, vec list<float32>) hashed features — drop-in input for
+    ``ops.similarity`` (brute/IVF/LSH knn) and ``embedding_dup_pairs`` on
+    corpora that have no model embeddings. Keep ``dim`` modest (64-1024);
+    the vector column is dim × 4 bytes per doc."""
+
+    def to_dense(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        cache: dict[str, int] = {}
+        rows, buckets = _doc_buckets(texts, dim, cache)
+        mat = np.zeros((len(texts), dim), dtype=np.float32)
+        if len(rows):
+            np.add.at(mat, (rows, buckets), 1.0)
+        if l2_normalize:
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            np.divide(mat, norms, out=mat, where=norms > 0)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.reshape(-1), pa.float32()), dim
+                ),
+            }
+        )
+
+    return ds.map_batches(to_dense, batch_format="pyarrow")

@@ -794,3 +794,77 @@ def test_new_ops_property_invariants(ray_session):
     d_big = decontaminate(ds, h_big, n=3).to_pandas().set_index("doc_id")
     assert (d_big.n_hits >= d_small.n_hits).all()
     assert (d_big.n_grams == d_small.n_grams).all()
+
+
+def test_hashed_bow_long_vs_dense(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.vectorize import hashed_bow, hashed_bow_dense
+
+    docs = [
+        {"doc_id": 1, "text": "alpha beta alpha gamma"},
+        {"doc_id": 2, "text": "beta beta"},
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": "  alpha\tbeta\nalpha gamma  "},
+    ]
+    ds = ray.data.from_items(docs)
+    long = hashed_bow(ds, dim=32).to_pandas()
+    # per-doc tf sums to the token count
+    assert long[long.doc_id == 1].tf.sum() == 4
+    assert long[long.doc_id == 2].tf.sum() == 2
+    assert 3 not in set(long.doc_id)
+    # whitespace-run tokenization: doc 4 == doc 1's multiset
+    a = long[long.doc_id == 1].set_index("bucket").tf.sort_index()
+    b = long[long.doc_id == 4].set_index("bucket").tf.sort_index()
+    assert a.equals(b)
+
+    dense = hashed_bow_dense(ray.data.from_items(docs), dim=32).to_pandas()
+    vecs = {r.doc_id: np.asarray(r.vec, dtype=np.float32) for r in dense.itertuples()}
+    assert all(len(v) == 32 for v in vecs.values())
+    for d in (1, 2, 4):
+        assert abs(np.linalg.norm(vecs[d]) - 1.0) < 1e-6
+    assert np.linalg.norm(vecs[3]) == 0.0
+    # dense == L2-normalized long-format counts
+    raw = np.zeros(32, dtype=np.float32)
+    for r in long[long.doc_id == 1].itertuples():
+        raw[r.bucket] = r.tf
+    np.testing.assert_allclose(vecs[1], raw / np.linalg.norm(raw), rtol=1e-6)
+
+
+def test_domain_stats_and_blocklist(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.urls import domain_stats, filter_domains, url_parse
+
+    rows = [
+        {"doc_id": i, "n_chars": 10 * i, "url": f"https://WWW.Site{i % 3}.org/p/{i}"}
+        for i in range(12)
+    ]
+    parsed = url_parse(ray.data.from_items(rows))
+    stats = domain_stats(parsed, size_col="n_chars").to_pandas().set_index("domain")
+    assert stats.loc["site0.org", "n_docs"] == 4
+    assert stats.loc["site1.org", "total_n_chars"] == 10 * (1 + 4 + 7 + 10)
+
+    kept = filter_domains(parsed, ["site1.org"]).to_pandas()
+    assert set(kept.domain) == {"site0.org", "site2.org"} and len(kept) == 8
+    only = filter_domains(parsed, ["site1.org"], keep_listed=True).to_pandas()
+    assert set(only.domain) == {"site1.org"} and len(only) == 4
+
+
+def test_numeric_histogram(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.histogram import numeric_histogram
+
+    vals = [0.0, 0.5, 9.99, 10.0, 55.0, 99.999, 100.0, -1.0, 250.0]
+    ds = ray.data.from_items([{"v": v} for v in vals])
+    h = numeric_histogram(ds, "v", lo=0.0, hi=100.0, n_bins=10).to_pandas()
+    h = h.set_index("bin")
+    # in-range values only: 100.0, 250.0, -1.0 dropped
+    assert h.n.sum() == 6
+    assert h.loc[0, "n"] == 3  # 0.0, 0.5, 9.99
+    assert h.loc[1, "n"] == 1  # 10.0
+    assert h.loc[5, "n"] == 1  # 55.0
+    assert h.loc[9, "n"] == 1  # 99.999
+    assert h.loc[0, "lo_edge"] == 0.0 and h.loc[0, "hi_edge"] == 10.0
+    assert 2 not in h.index  # empty bins omitted
