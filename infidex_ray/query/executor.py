@@ -374,6 +374,14 @@ class DistributedEngine(Engine):
             return s1.merge_packed(per, top_k)
         memo_key = (s1.SegmentStage1._plan_key(plan), top_k)
         guess = self._level_memo.get(memo_key)
+        if guess is None:
+            # cold plan: speculate with the session's last decided level —
+            # decided levels are heavily skewed in practice, so this usually
+            # saves the phase-A round; a miss pays exactly the old cold cost
+            # (corrective phase_b) and ranks are identical either way
+            guess = getattr(self, "_default_level", None)
+            if guess is not None and not (1 <= guess <= plan.n_levels):
+                guess = None
         if guess is not None:
             # warm path: fused counts + speculative scoring in ONE round;
             # the speculative results are used only when the global decision
@@ -402,6 +410,7 @@ class DistributedEngine(Engine):
         if len(self._level_memo) >= 256:  # bounded: drop an arbitrary entry
             self._level_memo.pop(next(iter(self._level_memo)))
         self._level_memo[memo_key] = level
+        self._default_level = level
         if per is None or level != guess:
             per = ray.get(
                 [
