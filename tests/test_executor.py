@@ -123,3 +123,20 @@ def test_short_query_no_fuzzy_branch_identity(ray_session, tmp_path_factory):
         a = [(h.doc_key, round(h.score, 6), h.tiebreaker) for h in eng.search(q, top_k=10)]
         b = [(h.doc_key, round(h.score, 6), h.tiebreaker) for h in deng.search(q, top_k=10)]
         assert a == b, q
+
+
+def test_fused_coverage_under_speculation_identity(dist_pair, monkeypatch):
+    """Force the speculative unique budget to 0 and 1 so the fused path's
+    corrective second round (missing allowed-unique jobs) runs — results
+    must stay identical to the in-process engine."""
+    eng, deng = dist_pair
+    from infidex_ray.query.executor import DistributedEngine
+
+    for budget in (0, 1):
+        monkeypatch.setattr(DistributedEngine, "SPEC_UNIQUE_BUDGET", budget)
+        for q in QUERIES:
+            a = [(h.doc_key, round(h.score, 6), h.tiebreaker)
+                 for h in eng.search(q, top_k=10)]
+            b = [(h.doc_key, round(h.score, 6), h.tiebreaker)
+                 for h in deng.search(q, top_k=10)]
+            assert a == b, (budget, q)
