@@ -326,8 +326,12 @@ class DistributedEngine(Engine):
 
     def _fuzzy_global_df_batch(self, texts: list[str]) -> list[int]:
         """All unknown terms probed in ONE fan-out round (per-term rounds
-        made a two-typo query pay two sequential ~30 ms RTTs)."""
-        parts = ray.get([a.fuzzy_df_batch.remote(texts) for a in self.actors])
+        made a two-typo query pay two sequential ~30 ms RTTs). The coverage
+        ctx prep overlaps with this RTT too — typo queries reach the stage-1
+        fan-out with the ctx already in the object store."""
+        refs = [a.fuzzy_df_batch.remote(texts) for a in self.actors]
+        self._overlap_ctx_prep()
+        parts = ray.get(refs)
         return [sum(p[i] for p in parts) for i in range(len(texts))]
 
     def _pre_stage1(self, q: str, coverage_likely: bool) -> None:
