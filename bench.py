@@ -236,6 +236,7 @@ def run_scaling() -> dict:
     pair = tuple(
         int(x) for x in os.environ.get("GRAFT_SCALING_PAIR", "4,16").split(",")
     )
+    probe = _host_probe()  # host-backing context stamped alongside the ratio
     results = {}
     for n in pair:
         env = dict(os.environ)
@@ -270,6 +271,7 @@ def run_scaling() -> dict:
         },
         "sf": WEBPAGES_PATH,
         "num_cpus": hi,
+        "detail": probe,
     }
     _append_baseline(out)
     return out
@@ -288,6 +290,8 @@ def _append_baseline(out: dict) -> None:
         qlines,
         f"- scaling efficiency: **{out['value']}** (target ≥ 0.8)\n",
     ]
+    if out.get("detail"):
+        lines.append(f"- host probe before pair: {out['detail']}\n")
     with open(path, "a") as f:
         f.writelines(lines)
 

@@ -266,6 +266,12 @@ class DistributedEngine(Engine):
         super().__init__(index_dir, cfg, [], df_lookup, word_df, total_docs, avgdl)
         self.actors = actors
         self.shard_of_seg = shard_of_seg
+        # qid namespace unique per engine: several driver-side engines may
+        # share one actor pool (concurrent serving threads), and the actors'
+        # per-qid scratch must not collide across them
+        import uuid as _uuid
+
+        self._qid_prefix = _uuid.uuid4().hex[:8]
         self._qid = itertools.count()
         # (plan_key, top_k) → last globally decided candidate level, enabling
         # the fused speculative phase_ab round on repeat plans
@@ -678,7 +684,7 @@ class DistributedEngine(Engine):
     def _run_short_query(self, q: str):
         from ..analyzer import _word_splitter
 
-        qid = str(next(self._qid))
+        qid = f"{self._qid_prefix}-{next(self._qid)}"
         patterns = sq.build_prefix_patterns(
             q, self.cfg.min_index_size, self.cfg.start_pad_size
         )
