@@ -648,6 +648,18 @@ def _q_domain_stats(sf_dir: str):
     return _by(domain_stats(parsed, size_col="n_chars"), "domain")
 
 
+def _q_unigram_lm(sf_dir: str):
+    """CCNet-style unigram-LM quality score (avg negative log-likelihood,
+    pruned 256-token model, OOV floor 1/total): two-pass train (vocab-sized
+    combiner groupby) + broadcast-model streaming score — no corpus-side
+    shuffle. vocab_size=256 exercises the pruning + OOV path."""
+    from infidex_ray.ops.lm import unigram_logprob
+
+    return _by(
+        unigram_logprob(_read(sf_dir, "documents"), vocab_size=256), "doc_id"
+    )
+
+
 def _q_value_histogram(sf_dir: str):
     """Fixed-width histogram of the events value stream: per-batch bincount
     partials (≤ n_bins rows per block) → n_bins-key groupby; bin rule is
@@ -925,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hashed_bow": _q_hashed_bow,
         "domain_stats": _q_domain_stats,
         "value_histogram": _q_value_histogram,
+        "unigram_lm": _q_unigram_lm,
     }
 
 
@@ -1197,6 +1210,24 @@ def oracle_sql() -> dict[str, str]:
             "* ((500.0 - 0.0) / 16) AS hi_edge "
             "FROM events WHERE value IS NOT NULL AND value >= 0.0 AND value < 500.0 "
             "GROUP BY 1 ORDER BY bin"
+        ),
+        "unigram_lm": (
+            # pruned (top-256 by count desc, token asc) unigram LM over the
+            # corpus itself; OOV floor = 1/total; nll = -avg ln p(token)
+            "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+            "lower(text), '[ \\t\\n\\r]+')) AS tok FROM documents), "
+            "toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), "
+            "counts AS (SELECT tok, count(*)::BIGINT AS n FROM toks2 GROUP BY tok), "
+            "total AS (SELECT sum(n)::DOUBLE AS tot FROM counts), "
+            "vocab AS (SELECT tok, n FROM (SELECT tok, n, row_number() OVER "
+            "(ORDER BY n DESC, tok) AS r FROM counts) WHERE r <= 256), "
+            "scored AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens, "
+            "round(-avg(ln(coalesce(v.n, 1)::DOUBLE / (SELECT tot FROM total))), 4) AS nll "
+            "FROM toks2 t LEFT JOIN vocab v ON t.tok = v.tok GROUP BY t.doc_id) "
+            "SELECT d.doc_id, coalesce(s.n_tokens, 0)::BIGINT AS n_tokens, "
+            "coalesce(s.nll, 0.0) AS nll "
+            "FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id "
+            "ORDER BY d.doc_id"
         ),
         "decontaminate": (
             # word-3-gram overlap between the corpus split and the benchmark

@@ -868,3 +868,41 @@ def test_numeric_histogram(ray_session):
     assert h.loc[9, "n"] == 1  # 99.999
     assert h.loc[0, "lo_edge"] == 0.0 and h.loc[0, "hi_edge"] == 10.0
     assert 2 not in h.index  # empty bins omitted
+
+
+def test_unigram_logprob(ray_session):
+    import math
+
+    import ray.data
+
+    from infidex_ray.ops.lm import unigram_logprob, unigram_model
+
+    rows = [
+        {"doc_id": 0, "text": "the cat sat"},
+        {"doc_id": 1, "text": "the the dog"},
+        {"doc_id": 2, "text": ""},
+    ]
+    ds = ray.data.from_items(rows)
+    out = unigram_logprob(ds).sort("doc_id").to_pandas()
+    # counts: the=3 cat=1 sat=1 dog=1, total=6
+    p = {"the": 3 / 6, "cat": 1 / 6, "sat": 1 / 6, "dog": 1 / 6}
+    exp0 = -(math.log(p["the"]) + math.log(p["cat"]) + math.log(p["sat"])) / 3
+    exp1 = -(2 * math.log(p["the"]) + math.log(p["dog"])) / 3
+    assert out.n_tokens.tolist() == [3, 3, 0]
+    assert abs(out.nll[0] - round(exp0, 4)) < 1e-9
+    assert abs(out.nll[1] - round(exp1, 4)) < 1e-9
+    assert out.nll[2] == 0.0
+
+    # pruning: vocab_size=1 keeps only "the"; others hit the OOV floor 1/6
+    out1 = unigram_logprob(ds, vocab_size=1).sort("doc_id").to_pandas()
+    oov = math.log(1 / 6)
+    exp1_pruned = -(2 * math.log(3 / 6) + oov) / 3
+    assert abs(out1.nll[1] - round(exp1_pruned, 4)) < 1e-9
+
+    # cross-corpus: train on doc 0 only; "dog" is OOV (floor 1/3)
+    train = ray.data.from_items([rows[0]])
+    tokens, logp, total, oov_logp = unigram_model(train)
+    assert total == 3 and abs(oov_logp - math.log(1 / 3)) < 1e-12
+    outx = unigram_logprob(ds, train_ds=train).sort("doc_id").to_pandas()
+    expx = -(2 * math.log(1 / 3) + math.log(1 / 3)) / 3
+    assert abs(outx.nll[1] - round(expx, 4)) < 1e-9
