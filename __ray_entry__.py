@@ -660,6 +660,30 @@ def _q_unigram_lm(sf_dir: str):
     )
 
 
+def _q_dedup_against(sf_dir: str):
+    """Incremental-crawl exact dedup: drop docs whose text already exists in
+    the reference shard (doc_id % 7 == 0 split of the same table). Broadcast
+    path: reference collapses to distinct 128-bit digests (partials in-task),
+    corpus streams through a searchsorted membership filter — no shuffle."""
+    from infidex_ray.ops.dedup import dedup_against
+
+    import pyarrow.compute as pc
+
+    def is_ref(b: pa.Table) -> pa.Table:
+        r = pc.subtract(b["doc_id"], pc.multiply(pc.divide(b["doc_id"], 7), 7))
+        return b.filter(pc.equal(r, 0))
+
+    docs = _read(sf_dir, "documents")
+    ref = _read(sf_dir, "documents").map_batches(is_ref, batch_format="pyarrow")
+    out = dedup_against(docs, ref)
+    return _by(
+        out.map_batches(
+            lambda t: t.select(["doc_id", "n_chars"]), batch_format="pyarrow"
+        ),
+        "doc_id",
+    )
+
+
 def _q_value_histogram(sf_dir: str):
     """Fixed-width histogram of the events value stream: per-batch bincount
     partials (≤ n_bins rows per block) → n_bins-key groupby; bin rule is
@@ -938,6 +962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": _q_domain_stats,
         "value_histogram": _q_value_histogram,
         "unigram_lm": _q_unigram_lm,
+        "dedup_against": _q_dedup_against,
     }
 
 
@@ -1210,6 +1235,12 @@ def oracle_sql() -> dict[str, str]:
             "* ((500.0 - 0.0) / 16) AS hi_edge "
             "FROM events WHERE value IS NOT NULL AND value >= 0.0 AND value < 500.0 "
             "GROUP BY 1 ORDER BY bin"
+        ),
+        "dedup_against": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE coalesce(text, '') NOT IN "
+            "(SELECT coalesce(text, '') FROM documents WHERE doc_id % 7 = 0) "
+            "ORDER BY doc_id"
         ),
         "unigram_lm": (
             # pruned (top-256 by count desc, token asc) unigram LM over the

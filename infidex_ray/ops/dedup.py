@@ -1048,3 +1048,121 @@ def dedup_corpus_ds(ds, pairs_ds, id_col: str = "doc_id", num_partitions: int | 
     return ds.join(
         drops, "left_anti", num_partitions, on=(id_col,), right_on=("node",)
     )
+
+
+# --- cross-corpus (incremental) exact dedup ----------------------------------
+
+
+_DIGEST_DT = np.dtype([("a", np.uint64), ("b", np.uint64)])
+
+
+def _text_digests(texts: list) -> np.ndarray:
+    """16-byte blake2b digests of the raw texts as a structured (a, b)
+    uint64-pair numpy array (None ≡ empty string, matching
+    :func:`exact_dedup`). The pair form survives Arrow transfer and supports
+    sorted ``searchsorted`` membership — a fixed-width ``S16`` array would
+    silently truncate trailing NUL bytes at Python-object conversion."""
+    buf = b"".join(
+        hashlib.blake2b((t or "").encode("utf-8"), digest_size=16).digest()
+        for t in texts
+    )
+    flat = np.frombuffer(buf, dtype=">u8").reshape(-1, 2).astype(np.uint64)
+    rec = np.empty(len(texts), dtype=_DIGEST_DT)
+    if len(texts):
+        rec["a"], rec["b"] = flat[:, 0], flat[:, 1]
+    return rec
+
+
+def dedup_against(
+    corpus_ds,
+    reference_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+    broadcast: bool = True,
+    num_partitions: int | None = None,
+):
+    """Drop corpus documents whose ``text`` appears (byte-identically) in a
+    reference corpus — the incremental-crawl pass: dedup the new shard
+    against everything already ingested, without re-clustering the old data.
+
+    Two physical plans, picked by ``broadcast``:
+
+    * ``broadcast=True`` (default, reference ≪ corpus): the reference side
+      collapses to DISTINCT 16-byte digests with per-batch partials before
+      the driver sees a row, is ``ray.put`` once, and the 100-TB corpus
+      streams through a vectorized ``searchsorted`` membership filter — no
+      shuffle anywhere (same pattern as ``ops.decontam``). Driver/worker
+      memory is 16 bytes × |reference distinct texts|.
+    * ``broadcast=False`` (both sides huge): hash column + ``left_anti``
+      Dataset join — one all-to-all of (digest, row) keys per side, never
+      the texts.
+
+    Hash collisions (~2⁻¹²⁸) are the only divergence from the SQL oracle's
+    literal ``text NOT IN (...)``.
+    """
+    ref_text_col = ref_text_col or text_col
+
+    if broadcast:
+        import ray
+
+        def ref_partial(batch: pa.Table) -> pa.Table:
+            u = np.unique(_text_digests(batch[ref_text_col].to_pylist()))
+            return pa.table({"a": pa.array(u["a"]), "b": pa.array(u["b"])})
+
+        parts = []
+        for b in (
+            reference_ds.select_columns([ref_text_col])
+            .map_batches(ref_partial, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ):
+            if len(b) == 0:
+                continue
+            rec = np.empty(len(b), dtype=_DIGEST_DT)
+            rec["a"] = b["a"].to_numpy(zero_copy_only=False)
+            rec["b"] = b["b"].to_numpy(zero_copy_only=False)
+            parts.append(rec)
+        ref = (
+            np.unique(np.concatenate(parts))
+            if parts
+            else np.empty(0, dtype=_DIGEST_DT)
+        )
+        ref_ref = ray.put(ref)
+
+        def keep_new(batch: pa.Table) -> pa.Table:
+            r = ray.get(ref_ref)
+            if len(r) == 0:
+                return batch
+            h = _text_digests(batch[text_col].to_pylist())
+            idx = np.searchsorted(r, h)
+            idx[idx == len(r)] = 0
+            seen = r[idx] == h
+            return batch.filter(pa.array(~seen))
+
+        return corpus_ds.map_batches(keep_new, batch_format="pyarrow")
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hexes = [
+            hashlib.blake2b((t or "").encode("utf-8"), digest_size=16).hexdigest()
+            for t in batch[text_col].to_pylist()
+        ]
+        return batch.append_column("__h", pa.array(hexes, pa.string()))
+
+    def ref_hashes(batch: pa.Table) -> pa.Table:
+        hexes = sorted(
+            {
+                hashlib.blake2b((t or "").encode("utf-8"), digest_size=16).hexdigest()
+                for t in batch[ref_text_col].to_pylist()
+            }
+        )
+        return pa.table({"__h": pa.array(hexes, pa.string())})
+
+    num_partitions = _join_partitions(num_partitions)
+    hashed = corpus_ds.map_batches(add_hash, batch_format="pyarrow")
+    ref = reference_ds.select_columns([ref_text_col]).map_batches(
+        ref_hashes, batch_format="pyarrow"
+    )
+    joined = hashed.join(ref, "left_anti", num_partitions, on=("__h",))
+    return joined.map_batches(
+        lambda t: t.drop_columns(["__h"]), batch_format="pyarrow"
+    )

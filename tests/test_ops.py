@@ -906,3 +906,37 @@ def test_unigram_logprob(ray_session):
     outx = unigram_logprob(ds, train_ds=train).sort("doc_id").to_pandas()
     expx = -(2 * math.log(1 / 3) + math.log(1 / 3)) / 3
     assert abs(outx.nll[1] - round(expx, 4)) < 1e-9
+
+
+def test_dedup_against(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.dedup import dedup_against
+
+    corpus = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "alpha"},
+            {"doc_id": 1, "text": "beta"},
+            {"doc_id": 2, "text": "gamma"},
+            {"doc_id": 3, "text": "alpha"},
+            {"doc_id": 4, "text": ""},
+        ]
+    )
+    ref = ray.data.from_items(
+        [
+            {"doc_id": 100, "text": "alpha"},
+            {"doc_id": 101, "text": ""},
+            {"doc_id": 102, "text": "delta"},
+        ]
+    )
+    for broadcast in (True, False):
+        out = dedup_against(corpus, ref, broadcast=broadcast).to_pandas()
+        assert sorted(out.doc_id) == [1, 2], broadcast
+        assert set(out.columns) == {"doc_id", "text"}
+
+    # empty reference keeps everything
+    empty_ref = ray.data.from_items([{"doc_id": 1, "text": "zzz"}]).filter(
+        lambda r: False
+    )
+    kept = dedup_against(corpus, empty_ref, broadcast=True).to_pandas()
+    assert sorted(kept.doc_id) == [0, 1, 2, 3, 4]
