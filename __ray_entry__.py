@@ -660,6 +660,49 @@ def _q_unigram_lm(sf_dir: str):
     )
 
 
+def _links_ds(sf_dir: str):
+    """Planted-outlink fixture: doc d carries d % 4 anchors targeting docs
+    (d*7 + j*13) % 500 on the site{t % 37} domains, wrapped in real HTML —
+    the op extracts them back out of the markup, the oracle generates the
+    same URLs arithmetically (a mismatch anywhere in the extraction path
+    breaks the hash)."""
+    from infidex_ray.ops.html import extract_links
+
+    def synth(batch: pa.Table) -> pa.Table:
+        htmls = []
+        for d in batch["doc_id"].to_pylist():
+            anchors = "".join(
+                f'<a href="https://site{((d * 7 + j * 13) % 500) % 37}'
+                f'.example.com/p/{(d * 7 + j * 13) % 500}">l{j}</a>'
+                for j in range(1, d % 4 + 1)
+            )
+            htmls.append(
+                f"<html><body><p>doc {d}</p>{anchors}</body></html>".encode()
+            )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "html": pa.array(htmls, pa.binary())}
+        )
+
+    ds = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id"])
+        .map_batches(synth, batch_format="pyarrow")
+    )
+    return extract_links(ds)
+
+
+def _q_html_links(sf_dir: str):
+    return _by(_links_ds(sf_dir), "doc_id", "href")
+
+
+def _q_link_in_degrees(sf_dir: str):
+    """In-degree per link target over the distinct edge list — value_counts
+    partials then one target-keyed groupby (word-count combiner shape)."""
+    from infidex_ray.ops.html import link_in_degrees
+
+    return _by(link_in_degrees(_links_ds(sf_dir)), "href")
+
+
 def _q_dedup_against(sf_dir: str):
     """Incremental-crawl exact dedup: drop docs whose text already exists in
     the reference shard (doc_id % 7 == 0 split of the same table). Broadcast
@@ -963,6 +1006,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "unigram_lm": _q_unigram_lm,
         "dedup_against": _q_dedup_against,
+        "html_links": _q_html_links,
+        "link_in_degrees": _q_link_in_degrees,
     }
 
 
@@ -1235,6 +1280,27 @@ def oracle_sql() -> dict[str, str]:
             "* ((500.0 - 0.0) / 16) AS hi_edge "
             "FROM events WHERE value IS NOT NULL AND value >= 0.0 AND value < 500.0 "
             "GROUP BY 1 ORDER BY bin"
+        ),
+        "html_links": (
+            # arithmetic regeneration of the planted anchors — any extraction
+            # defect (missed anchor, quote handling, entity damage) mismatches
+            "WITH j AS (SELECT doc_id, unnest(generate_series(1, "
+            "CAST(doc_id % 4 AS INT))) AS j FROM documents), "
+            "links AS (SELECT DISTINCT doc_id, 'https://site' || "
+            "CAST(((doc_id * 7 + j * 13) % 500) % 37 AS VARCHAR) || "
+            "'.example.com/p/' || CAST((doc_id * 7 + j * 13) % 500 AS VARCHAR) "
+            "AS href FROM j) "
+            "SELECT doc_id, href FROM links ORDER BY doc_id, href"
+        ),
+        "link_in_degrees": (
+            "WITH j AS (SELECT doc_id, unnest(generate_series(1, "
+            "CAST(doc_id % 4 AS INT))) AS j FROM documents), "
+            "links AS (SELECT DISTINCT doc_id, 'https://site' || "
+            "CAST(((doc_id * 7 + j * 13) % 500) % 37 AS VARCHAR) || "
+            "'.example.com/p/' || CAST((doc_id * 7 + j * 13) % 500 AS VARCHAR) "
+            "AS href FROM j) "
+            "SELECT href, count(*)::BIGINT AS in_degree FROM links "
+            "GROUP BY href ORDER BY href"
         ),
         "dedup_against": (
             "SELECT doc_id, n_chars FROM documents "

@@ -62,3 +62,98 @@ def extract_text(ds, html_col: str = "html", out_col: str = "text"):
         return out.drop_columns([html_col])
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- outlink extraction (web-graph side of a crawl pipeline) -----------------
+
+
+def extract_links(ds, html_col: str = "html", id_col: str = "doc_id"):
+    """Distinct ``(doc_id, href)`` outlink pairs from an HTML column — the
+    web-graph edge list a crawl pipeline feeds into PageRank-style quality
+    signals and frontier scheduling.
+
+    Fully vectorized (no Python loop over rows or matches): Arrow
+    ``split_pattern`` on ``href="`` explodes each page into fragments, the
+    per-list first fragment is masked off with numpy offset arithmetic, and
+    the URL is the prefix of each remaining fragment up to the closing quote
+    (fragments without one — truncated pages — are dropped, matching the
+    regex-oracle semantics of ``href="([^"]*)"``). Distinctness is resolved
+    per batch with an Arrow C++ group-by: each doc's links live in exactly
+    one batch, so per-batch distinct ≡ global distinct — no shuffle."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[html_col]
+        if len(batch) == 0 or pa.types.is_null(col.type):  # all-null block
+            return pa.table(
+                {
+                    id_col: pa.array([], batch[id_col].type),
+                    "href": pa.array([], pa.string()),
+                }
+            )
+        if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            try:
+                col = col.cast(pa.string())
+            except pa.ArrowInvalid:  # non-utf8 crawl bytes: lossy decode
+                col = pa.array(
+                    [
+                        b.decode("utf-8", errors="replace") if b is not None else None
+                        for b in col.to_pylist()
+                    ],
+                    pa.string(),
+                )
+        parts = pc.split_pattern(col, pattern='href="')
+        ln = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        ln = np.nan_to_num(ln.astype(np.float64)).astype(np.int64)  # nulls → 0
+        flat = pc.list_flatten(parts)
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), ln)
+        first = np.zeros(len(flat), dtype=bool)
+        offs = np.cumsum(ln) - ln
+        first[offs[ln > 0]] = True  # fragment 0 of each page = pre-href text
+        keep = ~first
+        frag = flat.filter(pa.array(keep))
+        doc_idx = doc_idx[keep]
+        cut = pc.split_pattern(frag, pattern='"', max_splits=1)
+        closed = pc.greater(pc.list_value_length(cut), 1).to_numpy(
+            zero_copy_only=False
+        )
+        href = pc.list_element(cut, 0).filter(pa.array(closed))
+        doc_idx = doc_idx[closed]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_idx]
+        pairs = pa.table({id_col: pa.array(ids), "href": href})
+        return pairs.group_by([id_col, "href"]).aggregate([])
+
+    return ds.select_columns([id_col, html_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def link_in_degrees(links_ds, href_col: str = "href"):
+    """In-degree per link target over a distinct edge list: per-batch Arrow
+    ``value_counts`` partials (≤ |targets| rows leave each task) → one
+    target-keyed ``groupby().sum`` — the word-count combiner shape, so a hot
+    target (every page links the homepage) costs one row per block."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch[href_col])
+        return pa.table(
+            {
+                href_col: vc.field("values").cast(pa.string()),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        links_ds.select_columns([href_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(href_col)
+        .sum("n")
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        c = "sum(n)" if "sum(n)" in t.column_names else "n"
+        return pa.table({href_col: t[href_col], "in_degree": t[c].cast(pa.int64())})
+
+    return agg.map_batches(rename, batch_format="pyarrow")

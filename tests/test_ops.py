@@ -940,3 +940,27 @@ def test_dedup_against(ray_session):
     )
     kept = dedup_against(corpus, empty_ref, broadcast=True).to_pandas()
     assert sorted(kept.doc_id) == [0, 1, 2, 3, 4]
+
+
+def test_extract_links_and_in_degrees(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.html import extract_links, link_in_degrees
+
+    rows = [
+        {"doc_id": 0, "html": b'<a href="u1">x</a> <a href="u2">y</a> <a href="u1">z</a>'},
+        {"doc_id": 1, "html": b'no links here'},
+        {"doc_id": 2, "html": b'<a href="u2">q</a><a href="unclosed'},
+        {"doc_id": 3, "html": None},
+    ]
+    links = extract_links(ray.data.from_items(rows)).to_pandas()
+    got = sorted(map(tuple, links[["doc_id", "href"]].itertuples(index=False)))
+    # duplicates collapse; unclosed href dropped; null html yields nothing
+    assert got == [(0, "u1"), (0, "u2"), (2, "u2")]
+
+    deg = (
+        link_in_degrees(extract_links(ray.data.from_items(rows)))
+        .to_pandas()
+        .set_index("href")
+    )
+    assert deg.loc["u1", "in_degree"] == 1 and deg.loc["u2", "in_degree"] == 2
