@@ -727,6 +727,14 @@ def _q_dedup_against(sf_dir: str):
     )
 
 
+def _q_tfidf_keywords(sf_dir: str):
+    """Top-5 TF-IDF keywords per doc: vocab-sized df table broadcast once,
+    per-doc tf + top-k selection in-batch — corpus side never shuffles."""
+    from infidex_ray.ops.vectorize import tfidf_keywords
+
+    return _by(tfidf_keywords(_read(sf_dir, "documents"), k=5), "doc_id", "rank")
+
+
 def _q_value_histogram(sf_dir: str):
     """Fixed-width histogram of the events value stream: per-batch bincount
     partials (≤ n_bins rows per block) → n_bins-key groupby; bin rule is
@@ -1008,6 +1016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_against": _q_dedup_against,
         "html_links": _q_html_links,
         "link_in_degrees": _q_link_in_degrees,
+        "tfidf_keywords": _q_tfidf_keywords,
     }
 
 
@@ -1280,6 +1289,22 @@ def oracle_sql() -> dict[str, str]:
             "* ((500.0 - 0.0) / 16) AS hi_edge "
             "FROM events WHERE value IS NOT NULL AND value >= 0.0 AND value < 500.0 "
             "GROUP BY 1 ORDER BY bin"
+        ),
+        "tfidf_keywords": (
+            "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+            "lower(text), '[ \\t\\n\\r]+')) AS tok FROM documents), "
+            "toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), "
+            "tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf "
+            "FROM toks2 GROUP BY doc_id, tok), "
+            "df AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok), "
+            "n AS (SELECT count(*)::DOUBLE AS nd FROM documents), "
+            "scored AS (SELECT tf.doc_id, tf.tok, "
+            "tf.tf * ln((SELECT nd FROM n) / df.df) AS s "
+            "FROM tf JOIN df USING (tok)), "
+            "ranked AS (SELECT doc_id, tok, s, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY s DESC, tok) AS r FROM scored) "
+            "SELECT doc_id, r::BIGINT AS rank, tok AS token, round(s, 4) AS score "
+            "FROM ranked WHERE r <= 5 ORDER BY doc_id, rank"
         ),
         "html_links": (
             # arithmetic regeneration of the planted anchors — any extraction

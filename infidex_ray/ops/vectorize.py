@@ -133,3 +133,135 @@ def hashed_bow_dense(
         )
 
     return ds.map_batches(to_dense, batch_format="pyarrow")
+
+
+# --- TF-IDF keyword extraction ------------------------------------------------
+
+
+def document_frequencies(ds, text_col: str = "text"):
+    """(token, df) over lowercase whitespace tokens — df = number of docs
+    containing the token. Per-batch partial: one Arrow ``group_by`` collapses
+    the batch to distinct (doc, token) rows, then ``value_counts`` over the
+    token column; the global ``groupby(token).sum`` shuffles vocabulary-sized
+    partials only (one row per token per block, the word-count combiner)."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), pattern="[ \t\n\r]+"
+        )
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).fill_null(0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        doc_of = doc_of[keep.to_numpy(zero_copy_only=False)]
+        per_doc = (
+            pa.table({"i": pa.array(doc_of), "token": flat})
+            .group_by(["i", "token"])
+            .aggregate([])
+        )
+        vc = pc.value_counts(per_doc["token"])
+        return pa.table(
+            {
+                "token": vc.field("values").cast(pa.string()),
+                "df": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("df")
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        c = "sum(df)" if "sum(df)" in t.column_names else "df"
+        return pa.table({"token": t["token"], "df": t[c].cast(pa.int64())})
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def tfidf_keywords(
+    ds, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Top-k TF-IDF keywords per document: ``score = tf · ln(N/df)``, ties
+    broken by token ascending. Returns ``(id, rank, token, score)`` with
+    score rounded half-away-from-zero to 4 decimals (DuckDB ``ROUND``).
+
+    Two-pass broadcast shape: pass 1 trains the vocabulary-sized df table
+    (see :func:`document_frequencies`) which is sorted, ``ray.put`` ONCE and
+    probed per batch with ``searchsorted``; pass 2 recomputes per-doc tf with
+    an in-batch Arrow ``group_by`` and selects top-k with one ``np.lexsort``
+    — the corpus side never shuffles. The broadcast is |vocab|-bounded (the
+    same small side the index's df lookup holds; prune with a min-df filter
+    upstream if a 100-TB crawl's tail vocabulary outgrows worker heaps)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .dedup import round_half_up4_arr
+
+    dfp = document_frequencies(ds, text_col).to_pandas()
+    n_docs = float(ds.count())
+    order = np.argsort(dfp["token"].to_numpy(), kind="stable")
+    vocab = dfp["token"].to_numpy()[order]
+    idf = np.log(n_docs / dfp["df"].to_numpy()[order].astype(np.float64))
+    model_ref = ray.put((vocab, idf))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab_a, idf_a = ray.get(model_ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), pattern="[ \t\n\r]+"
+        )
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).fill_null(0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        doc_of = doc_of[keep.to_numpy(zero_copy_only=False)]
+        tf_tbl = (
+            pa.table({"i": pa.array(doc_of), "token": flat})
+            .group_by(["i", "token"])
+            .aggregate([("token", "count")])
+        )
+        i = tf_tbl["i"].to_numpy(zero_copy_only=False)
+        tok = tf_tbl["token"].to_numpy(zero_copy_only=False)
+        tf = tf_tbl["token_count"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(i) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch[id_col].type),
+                    "rank": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        ti = np.searchsorted(vocab_a, tok)  # every token is in the df table
+        s = tf * idf_a[ti]
+        # total order (doc, score desc, token asc) — token order via its
+        # vocab index, which is lexicographic by construction
+        ordr = np.lexsort((ti, -s, i))
+        i_s, s_s = i[ordr], s[ordr]
+        starts = np.concatenate([[True], i_s[1:] != i_s[:-1]])
+        start_pos = np.flatnonzero(starts)
+        grp = np.cumsum(starts) - 1
+        rank = np.arange(len(i_s), dtype=np.int64) - start_pos[grp] + 1
+        top = rank <= k
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(ids[i_s[top]]),
+                "rank": pa.array(rank[top]),
+                "token": pa.array(tok[ordr][top], pa.string()),
+                "score": pa.array(round_half_up4_arr(s_s[top]), pa.float64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow"
+    )

@@ -964,3 +964,34 @@ def test_extract_links_and_in_degrees(ray_session):
         .set_index("href")
     )
     assert deg.loc["u1", "in_degree"] == 1 and deg.loc["u2", "in_degree"] == 2
+
+
+def test_tfidf_keywords(ray_session):
+    import math
+
+    import ray.data
+
+    from infidex_ray.ops.vectorize import tfidf_keywords
+
+    rows = [
+        {"doc_id": 0, "text": "apple apple banana common"},
+        {"doc_id": 1, "text": "banana cherry common"},
+        {"doc_id": 2, "text": "common common"},
+    ]
+    out = (
+        tfidf_keywords(ray.data.from_items(rows), k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # df: apple=1 banana=2 cherry=1 common=3; N=3 → idf(common)=0
+    la, lb = math.log(3 / 1), math.log(3 / 2)
+    d0 = out[out.doc_id == 0]
+    assert list(d0.token) == ["apple", "banana"]
+    assert abs(d0.score.iloc[0] - round(2 * la, 4)) < 1e-9
+    assert abs(d0.score.iloc[1] - round(lb, 4)) < 1e-9
+    d1 = out[out.doc_id == 1]
+    assert list(d1.token) == ["cherry", "banana"]  # ln3 > ln1.5
+    d2 = out[out.doc_id == 2]
+    # common has idf 0 but is still doc 2's only (hence top) keyword
+    assert list(d2.token) == ["common"] and d2.score.iloc[0] == 0.0
