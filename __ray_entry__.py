@@ -727,6 +727,31 @@ def _q_dedup_against(sf_dir: str):
     )
 
 
+def _q_pagerank(sf_dir: str):
+    """3-iteration PageRank over the planted doc→doc edge list (same
+    arithmetic fixture as html_links but on integer ids): rank state stays a
+    materialized Dataset, each iteration is join + groupby — driver sees
+    only N. Oracle = the iteration unrolled as chained CTEs."""
+    from infidex_ray.ops.graph import pagerank
+
+    def synth(batch: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for d in batch["doc_id"].to_pylist():
+            for j in range(1, d % 4 + 1):
+                src.append(d)
+                dst.append((d * 7 + j * 13) % 500)
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id"])
+        .map_batches(synth, batch_format="pyarrow")
+    )
+    return _by(pagerank(edges, num_iters=3), "node")
+
+
 def _q_tfidf_keywords(sf_dir: str):
     """Top-5 TF-IDF keywords per doc: vocab-sized df table broadcast once,
     per-doc tf + top-k selection in-batch — corpus side never shuffles."""
@@ -1017,6 +1042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_links": _q_html_links,
         "link_in_degrees": _q_link_in_degrees,
         "tfidf_keywords": _q_tfidf_keywords,
+        "pagerank": _q_pagerank,
     }
 
 
@@ -1289,6 +1315,30 @@ def oracle_sql() -> dict[str, str]:
             "* ((500.0 - 0.0) / 16) AS hi_edge "
             "FROM events WHERE value IS NOT NULL AND value >= 0.0 AND value < 500.0 "
             "GROUP BY 1 ORDER BY bin"
+        ),
+        "pagerank": (
+            # 3 unrolled power iterations of r <- (1-d)/N + d*sum_in(r/od)
+            "WITH e AS (SELECT doc_id AS src, (doc_id*7 + j*13) % 500 AS dst "
+            "FROM (SELECT doc_id, unnest(generate_series(1, "
+            "CAST(doc_id % 4 AS INT))) AS j FROM documents)), "
+            "nodes AS (SELECT DISTINCT node FROM "
+            "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), "
+            "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes), "
+            "od AS (SELECT src, count(*)::DOUBLE AS od FROM e GROUP BY src), "
+            "r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM nodes), "
+            "c1 AS (SELECT e.dst AS node, sum(r0.r/od.od) AS c FROM e "
+            "JOIN od ON e.src=od.src JOIN r0 ON r0.node=e.src GROUP BY e.dst), "
+            "r1 AS (SELECT nodes.node, (CAST(1 AS DOUBLE)-0.85)/(SELECT n FROM nn) "
+            "+ 0.85*coalesce(c1.c, 0) AS r FROM nodes LEFT JOIN c1 USING(node)), "
+            "c2 AS (SELECT e.dst AS node, sum(r1.r/od.od) AS c FROM e "
+            "JOIN od ON e.src=od.src JOIN r1 ON r1.node=e.src GROUP BY e.dst), "
+            "r2 AS (SELECT nodes.node, (CAST(1 AS DOUBLE)-0.85)/(SELECT n FROM nn) "
+            "+ 0.85*coalesce(c2.c, 0) AS r FROM nodes LEFT JOIN c2 USING(node)), "
+            "c3 AS (SELECT e.dst AS node, sum(r2.r/od.od) AS c FROM e "
+            "JOIN od ON e.src=od.src JOIN r2 ON r2.node=e.src GROUP BY e.dst), "
+            "r3 AS (SELECT nodes.node, (CAST(1 AS DOUBLE)-0.85)/(SELECT n FROM nn) "
+            "+ 0.85*coalesce(c3.c, 0) AS r FROM nodes LEFT JOIN c3 USING(node)) "
+            "SELECT node, round(r, 4) AS rank FROM r3 ORDER BY node"
         ),
         "tfidf_keywords": (
             "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("

@@ -995,3 +995,29 @@ def test_tfidf_keywords(ray_session):
     d2 = out[out.doc_id == 2]
     # common has idf 0 but is still doc 2's only (hence top) keyword
     assert list(d2.token) == ["common"] and d2.score.iloc[0] == 0.0
+
+
+def test_pagerank(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.graph import pagerank
+
+    # 0 -> 1, 0 -> 2, 1 -> 2, 2 -> 0 (classic 3-node example)
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0)]
+    ds = ray.data.from_items([{"src": s, "dst": d} for s, d in edges])
+    out = pagerank(ds, num_iters=3).to_pandas().set_index("node")["rank"]
+
+    # literal reference: r <- 0.05 + 0.85 * sum_in r/od, 3 iterations
+    import numpy as np
+
+    r = {n: 1 / 3 for n in (0, 1, 2)}
+    od = {0: 2.0, 1: 1.0, 2: 1.0}
+    for _ in range(3):
+        c = {n: 0.0 for n in r}
+        for s, d in edges:
+            c[d] += r[s] / od[s]
+        r = {n: (1 - 0.85) / 3 + 0.85 * c[n] for n in r}
+    for n in (0, 1, 2):
+        assert abs(out.loc[n] - round(r[n], 4)) < 1e-9, (n, out.loc[n], r[n])
+    # ranks are a probability-ish mass: all positive, 2 is the sink-heavy node
+    assert out.loc[2] > out.loc[0] > out.loc[1]
