@@ -38,11 +38,10 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
         ]
         return pa.table({"h": pa.array(hashes, pa.string()), "doc_id": batch[id_col]})
 
+    from ray.data.aggregate import Count, Min
+
     hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
-    agg = hashed.groupby("h").aggregate(
-        __import__("ray").data.aggregate.Min("doc_id"),
-        __import__("ray").data.aggregate.Count(),
-    )
+    agg = hashed.groupby("h").aggregate(Min("doc_id"), Count())
 
     def rename(batch: pa.Table) -> pa.Table:
         cols = {c: batch[c] for c in batch.column_names}
@@ -612,20 +611,22 @@ def simhash_dup_pairs(
     )
 
     def emit_blocks(batch: pa.Table) -> pa.Table:
-        ids, blk, key, full = [], [], [], []
-        for i, h in zip(batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()):
-            uh = np.uint64(h)
-            for bi in range(4):
-                ids.append(i)
-                blk.append(bi)
-                key.append(int((int(uh) >> (16 * bi)) & 0xFFFF))
-                full.append(h)
+        # 4 rows per doc, fully vectorized: shift the uint64 view of the
+        # simhash by each block offset and mask the 16-bit key
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = batch["simhash"].to_numpy(zero_copy_only=False)
+        uh = h.view(np.uint64)
+        n = len(ids)
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        keys = ((uh[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)).astype(
+            np.int32
+        )
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "block": pa.array(blk, pa.int32()),
-                "key": pa.array(key, pa.int32()),
-                "simhash": pa.array(full, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "block": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "key": pa.array(keys.reshape(-1)),
+                "simhash": pa.array(np.repeat(h, 4), pa.int64()),
             }
         )
 
