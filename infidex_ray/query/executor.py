@@ -350,6 +350,15 @@ class DistributedEngine(Engine):
         self._cov_q = q if coverage_likely else None
         if not (coverage_likely and self.cfg.enable_word_matcher):
             return
+        # OFF by default since the fused protocol: the prefetch can only hide
+        # wm compute inside the driver's ~5-10 ms plan-prep window, but costs
+        # a whole extra 16-way submission fan-out (~0.9 ms driver CPU per
+        # actor call). Interleaved A/B on the 480k-page index, 96 samples,
+        # rank-identity asserted per query: p50 114.9→84.9 ms (−26 %),
+        # p90 219→166 ms with the prefetch off. INFIDEX_WM_PREFETCH=1
+        # re-enables it (the old default) for word-table-heavy corpora.
+        if os.environ.get("INFIDEX_WM_PREFETCH", "0") != "1":
+            return
         import uuid
 
         qid = uuid.uuid4().hex
