@@ -760,6 +760,17 @@ def _q_tfidf_keywords(sf_dir: str):
     return _by(tfidf_keywords(_read(sf_dir, "documents"), k=5), "doc_id", "rank")
 
 
+def _q_mix_corpora(sf_dir: str):
+    """Deterministic pretraining mixture: 30% 'web' + 10% 'books' draws of
+    the documents table under independent per-source hash salts, tagged and
+    unioned — pure map_batches + union, rerun-stable with zero coordination."""
+    from infidex_ray.ops.sampling import mix_corpora
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
+    out = mix_corpora([("web", docs, 0.3), ("books", docs, 0.1)])
+    return _by(out, "mix_source", "doc_id")
+
+
 def _q_value_histogram(sf_dir: str):
     """Fixed-width histogram of the events value stream: per-batch bincount
     partials (≤ n_bins rows per block) → n_bins-key groupby; bin rule is
@@ -1043,6 +1054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_in_degrees": _q_link_in_degrees,
         "tfidf_keywords": _q_tfidf_keywords,
         "pagerank": _q_pagerank,
+        "mix_corpora": _q_mix_corpora,
     }
 
 
@@ -1266,6 +1278,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM documents "
             "WHERE md5_number_lower('s0:' || CAST(doc_id AS VARCHAR)) % 1000000 < 100000 "
             "ORDER BY doc_id"
+        ),
+        "mix_corpora": (
+            "SELECT doc_id, n_chars, 'web' AS mix_source FROM documents "
+            "WHERE md5_number_lower('mix:web:' || CAST(doc_id AS VARCHAR)) "
+            "% 1000000 < 300000 "
+            "UNION ALL "
+            "SELECT doc_id, n_chars, 'books' AS mix_source FROM documents "
+            "WHERE md5_number_lower('mix:books:' || CAST(doc_id AS VARCHAR)) "
+            "% 1000000 < 100000 "
+            "ORDER BY mix_source, doc_id"
         ),
         "sample_split": (
             "SELECT doc_id, CASE WHEN b < 800000 THEN 'train' "

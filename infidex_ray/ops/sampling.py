@@ -153,3 +153,34 @@ def stratified_sample(
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def mix_corpora(sources, key_col: str = "doc_id", salt: str = "mix"):
+    """Assemble a deterministic training mixture from several corpora:
+    ``sources`` is a list of ``(name, ds, rate)`` — each corpus contributes a
+    hash-keyed Bernoulli(rate) sample tagged with a ``mix_source`` column,
+    and the tagged streams are unioned (schemas must already agree).
+
+    This is the data-mixing step of a pretraining pipeline (N× web, 1×
+    books, 2× code …) made rerun-stable: the keep decision is
+    ``md5(salt:name:key)``, so re-running the job — or running it shard by
+    shard on a 256-node cluster — reproduces the same mixture with zero
+    coordination, and upweighting one source never reshuffles another
+    (per-source salts are independent). Pure map_batches + union: no
+    shuffle, no driver state.
+    """
+
+    tagged = []
+    for name, ds, rate in sources:
+        part = sample_hash(ds, rate, key_col=key_col, salt=f"{salt}:{name}")
+
+        def tag(batch: pa.Table, _n=name) -> pa.Table:
+            return batch.append_column(
+                "mix_source", pa.array([_n] * len(batch), pa.string())
+            )
+
+        tagged.append(part.map_batches(tag, batch_format="pyarrow"))
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.union(t)
+    return out

@@ -1021,3 +1021,24 @@ def test_pagerank(ray_session):
         assert abs(out.loc[n] - round(r[n], 4)) < 1e-9, (n, out.loc[n], r[n])
     # ranks are a probability-ish mass: all positive, 2 is the sink-heavy node
     assert out.loc[2] > out.loc[0] > out.loc[1]
+
+
+def test_mix_corpora(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.dedup import _md5_u64
+    from infidex_ray.ops.sampling import mix_corpora
+
+    docs = ray.data.from_items([{"doc_id": i} for i in range(300)])
+    out = mix_corpora([("a", docs, 0.5), ("b", docs, 0.2)]).to_pandas()
+    for src, rate in (("a", 0.5), ("b", 0.2)):
+        got = set(out[out.mix_source == src].doc_id)
+        exp = {
+            i for i in range(300)
+            if _md5_u64(f"mix:{src}:{i}") % 1_000_000 < rate * 1_000_000
+        }
+        assert got == exp, src
+    # independent salts: the two draws are not nested/correlated copies
+    a = set(out[out.mix_source == "a"].doc_id)
+    b = set(out[out.mix_source == "b"].doc_id)
+    assert not b <= a or len(b) == 0 or a != b
