@@ -771,6 +771,19 @@ def _q_mix_corpora(sf_dir: str):
     return _by(out, "mix_source", "doc_id")
 
 
+def _q_ngram_containment(sf_dir: str):
+    """Subset-duplication pairs (|A∩B|/min sizes ≥ 0.6): the quote/mirror
+    detector Jaccard misses when the container is long; rare-shingle
+    candidates + exact in-join verification, zero driver state."""
+    from infidex_ray.ops.dedup import ngram_containment_pairs
+
+    return _by(
+        ngram_containment_pairs(_read(sf_dir, "documents"), threshold=0.6),
+        "id_a",
+        "id_b",
+    )
+
+
 def _q_value_histogram(sf_dir: str):
     """Fixed-width histogram of the events value stream: per-batch bincount
     partials (≤ n_bins rows per block) → n_bins-key groupby; bin rule is
@@ -1055,6 +1068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords": _q_tfidf_keywords,
         "pagerank": _q_pagerank,
         "mix_corpora": _q_mix_corpora,
+        "ngram_containment_pairs": _q_ngram_containment,
     }
 
 
@@ -1237,6 +1251,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY lang ORDER BY lang"
         ),
         "ngram_jaccard_pairs": sqlgen.ngram_jaccard_sql(),
+        "ngram_containment_pairs": sqlgen.ngram_containment_sql(threshold=0.6),
         "minhash_lsh_pairs": sqlgen.minhash_pairs_sql(threshold=0.5),
         "simhash_pairs": sqlgen.simhash_pairs_sql(),
         "langid": sqlgen.langid_sql(),

@@ -140,9 +140,20 @@ def _attach_sketches(pairs, sketches, num_partitions: int | None = None):
     the component that would OOM first on a boilerplate-heavy crawl.
     Non-key sketch columns come back suffixed ``_a`` / ``_b``."""
     num_partitions = _join_partitions(num_partitions)
+    # a sparse groupby upstream leaves MIXED physical block schemas (Ray 2.49
+    # logs "RefBundle with a different schema"); the join's aggregator then
+    # builds schema-less empty left partitions and pyarrow's FieldRef(id_a)
+    # fails. One pair-table-sized repartition rewrites the blocks uniformly
+    # (pairs ≪ corpus, so this pass is noise next to the joins themselves).
+    pairs = pairs.repartition(num_partitions).materialize()
     j1 = pairs.join(
         sketches, "inner", num_partitions, on=("id_a",), right_on=("doc_id",)
     )
+    # same normalization between the chained joins: a Ray 2.49 join emits
+    # schema-LESS empty partitions, and feeding those into a second join
+    # fails pyarrow's FieldRef resolution whenever the pair table is small
+    # enough to leave a partition empty (minimal repro: 1 pair, 2 partitions)
+    j1 = j1.repartition(num_partitions).materialize()
     return j1.join(
         sketches,
         "inner",
@@ -197,6 +208,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     rare_shingle_cap: int = 20,
     num_partitions: int | None = None,
+    metric: str = "jaccard",
 ):
     """Near-dup pairs by exact Jaccard on distinct char n-grams.
 
@@ -213,7 +225,14 @@ def ngram_jaccard_pairs(
     sketch is computed once; candidates come from a groupby over 8-byte
     shingle hashes; verification attaches the two sketches to each pair via
     two hash joins (`_attach_sketches`) and scores in ``map_batches``.
+
+    ``metric="containment"`` scores ``|A∩B| / min(|A|, |B|)`` instead — the
+    subset-duplication detector (a page quoting or mirroring another scores
+    ~1.0 by containment but can be far below any Jaccard threshold when the
+    container is much longer); the output column is then ``containment``.
     """
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
         blobs = [
@@ -293,8 +312,11 @@ def ngram_jaccard_pairs(
             sa = np.frombuffer(ba, dtype=np.uint64)
             sb = np.frombuffer(bb, dtype=np.uint64)
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            jac = inter / union if union else 0.0
+            if metric == "containment":
+                denom = min(len(sa), len(sb))
+            else:
+                denom = len(sa) + len(sb) - inter
+            jac = inter / denom if denom else 0.0
             if jac >= threshold:
                 out_a.append(x)
                 out_b.append(y)
@@ -303,11 +325,36 @@ def ngram_jaccard_pairs(
             {
                 "id_a": pa.array(out_a, pa.int64()),
                 "id_b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
+                metric: pa.array(out_j, pa.float64()),
             }
         )
 
     return joined.map_batches(score, batch_format="pyarrow")
+
+
+def ngram_containment_pairs(
+    ds,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_shingle_cap: int = 20,
+    num_partitions: int | None = None,
+):
+    """Subset-duplication pairs: ``|A∩B| / min(|A|, |B|) ≥ threshold`` over
+    distinct char n-grams — catches a page that quotes/mirrors another even
+    when the longer container dilutes Jaccard below any useful cut. Same
+    rare-shingle candidate machinery as :func:`ngram_jaccard_pairs`."""
+    return ngram_jaccard_pairs(
+        ds,
+        threshold=threshold,
+        n=n,
+        id_col=id_col,
+        text_col=text_col,
+        rare_shingle_cap=rare_shingle_cap,
+        num_partitions=num_partitions,
+        metric="containment",
+    )
 
 
 # --- MinHash + LSH -----------------------------------------------------------

@@ -156,6 +156,46 @@ ORDER BY id_a, id_b
 """
 
 
+def ngram_containment_sql(
+    table: str = "documents", threshold: float = 0.8, cap: int = 20
+) -> str:
+    """Containment |A∩B|/min(|A|,|B|) over distinct unpadded char 3-grams;
+    same rare-shingle candidate restriction as ngram_jaccard_sql — identical
+    semantics to ops.dedup.ngram_containment_pairs."""
+    return f"""
+WITH n AS (SELECT doc_id, {norm_expr('text')} AS norm FROM {table}),
+g AS (
+  SELECT DISTINCT doc_id, substr(norm, i, 3) AS term
+  FROM n, (SELECT unnest(generate_series(1,
+        (SELECT coalesce(max(length(norm)),1) FROM n))) AS i) s
+  WHERE i <= length(norm) - 2
+),
+sdf AS (SELECT term, count(*) AS c FROM g GROUP BY term),
+rare AS (SELECT term FROM sdf WHERE c BETWEEN 2 AND {cap}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM g a JOIN rare r ON a.term = r.term
+  JOIN g b ON b.term = a.term AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+inter AS (
+  SELECT c.ia, c.ib, count(*) AS i
+  FROM cand c
+  JOIN g ga ON ga.doc_id = c.ia
+  JOIN g gb ON gb.doc_id = c.ib AND gb.term = ga.term
+  GROUP BY c.ia, c.ib
+)
+SELECT c.ia AS id_a, c.ib AS id_b,
+       round(i.i::DOUBLE / least(sa.sz, sb.sz), 4) AS containment
+FROM cand c
+JOIN inter i ON i.ia = c.ia AND i.ib = c.ib
+JOIN sizes sa ON sa.doc_id = c.ia
+JOIN sizes sb ON sb.doc_id = c.ib
+WHERE i.i::DOUBLE / least(sa.sz, sb.sz) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
 def word_shingles_cte(table: str = "documents") -> str:
     """CTEs ``n``/``w``/``wsh``: distinct word 3-gram shingles of the
     normalized text, with the short-doc contract (0 < words < 3 → one

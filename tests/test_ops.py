@@ -1042,3 +1042,23 @@ def test_mix_corpora(ray_session):
     a = set(out[out.mix_source == "a"].doc_id)
     b = set(out[out.mix_source == "b"].doc_id)
     assert not b <= a or len(b) == 0 or a != b
+
+
+def test_ngram_containment_pairs(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.dedup import ngram_containment_pairs, ngram_jaccard_pairs
+
+    long = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        {"doc_id": 0, "text": long},
+        {"doc_id": 1, "text": "the quick brown fox"},  # contained in 0
+        {"doc_id": 2, "text": "completely different words entirely"},
+    ]
+    ds = ray.data.from_items(rows)
+    cont = ngram_containment_pairs(ds, threshold=0.9).to_pandas()
+    assert [(r.id_a, r.id_b) for r in cont.itertuples()] == [(0, 1)]
+    assert cont.containment.iloc[0] == 1.0  # every 3-gram of 1 is in 0
+    # jaccard misses the same pair at any useful threshold
+    jac = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    assert len(jac) == 0
