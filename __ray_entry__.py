@@ -784,6 +784,21 @@ def _q_ngram_containment(sf_dir: str):
     )
 
 
+def _q_phrase_scan(sf_dir: str):
+    """Blocklist phrase scan (safety/compliance filter): phrase tuple
+    broadcast once via ray.put, one vectorized Arrow match_substring pass
+    per phrase per batch — corpus streams, no shuffle."""
+    from infidex_ray.ops.phrases import phrase_scan
+
+    return _by(
+        phrase_scan(
+            _read(sf_dir, "documents"),
+            ["fast table", "slow window", "spark a", "no-such-phrase-xyzzy"],
+        ),
+        "doc_id",
+    )
+
+
 def _q_value_histogram(sf_dir: str):
     """Fixed-width histogram of the events value stream: per-batch bincount
     partials (≤ n_bins rows per block) → n_bins-key groupby; bin rule is
@@ -1069,6 +1084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "mix_corpora": _q_mix_corpora,
         "ngram_containment_pairs": _q_ngram_containment,
+        "phrase_scan": _q_phrase_scan,
     }
 
 
@@ -1293,6 +1309,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM documents "
             "WHERE md5_number_lower('s0:' || CAST(doc_id AS VARCHAR)) % 1000000 < 100000 "
             "ORDER BY doc_id"
+        ),
+        "phrase_scan": (
+            "SELECT doc_id, "
+            "(CASE WHEN contains(coalesce(text,''), 'fast table') THEN 1 ELSE 0 END "
+            "+ CASE WHEN contains(coalesce(text,''), 'slow window') THEN 1 ELSE 0 END "
+            "+ CASE WHEN contains(coalesce(text,''), 'spark a') THEN 1 ELSE 0 END "
+            "+ CASE WHEN contains(coalesce(text,''), 'no-such-phrase-xyzzy') THEN 1 ELSE 0 END"
+            ")::BIGINT AS n_phrases_hit, "
+            "(contains(coalesce(text,''), 'fast table') "
+            "OR contains(coalesce(text,''), 'slow window') "
+            "OR contains(coalesce(text,''), 'spark a') "
+            "OR contains(coalesce(text,''), 'no-such-phrase-xyzzy')) AS flagged "
+            "FROM documents ORDER BY doc_id"
         ),
         "mix_corpora": (
             "SELECT doc_id, n_chars, 'web' AS mix_source FROM documents "

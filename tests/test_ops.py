@@ -1062,3 +1062,30 @@ def test_ngram_containment_pairs(ray_session):
     # jaccard misses the same pair at any useful threshold
     jac = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
     assert len(jac) == 0
+
+
+def test_phrase_scan_and_filter(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.phrases import phrase_filter, phrase_scan
+
+    rows = [
+        {"doc_id": 0, "text": "the quick brown fox"},
+        {"doc_id": 1, "text": "quick quick quick"},  # distinct phrases, not hits
+        {"doc_id": 2, "text": "nothing here"},
+        {"doc_id": 3, "text": None},
+    ]
+    ds = ray.data.from_items(rows)
+    out = (
+        phrase_scan(ds, ["quick", "brown fox", "zebra"])
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.n_phrases_hit.tolist() == [2, 1, 0, 0]
+    assert out.flagged.tolist() == [True, True, False, False]
+
+    kept = phrase_filter(ds, ["quick"]).to_pandas()
+    assert sorted(kept.doc_id) == [2, 3]
+    only = phrase_filter(ds, ["quick"], keep_flagged=True).to_pandas()
+    assert sorted(only.doc_id) == [0, 1]
