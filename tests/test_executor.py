@@ -140,3 +140,16 @@ def test_fused_coverage_under_speculation_identity(dist_pair, monkeypatch):
             b = [(h.doc_key, round(h.score, 6), h.tiebreaker)
                  for h in deng.search(q, top_k=10)]
             assert a == b, (budget, q)
+
+
+def test_wm_prefetch_env_path_identity(dist_pair, monkeypatch):
+    """INFIDEX_WM_PREFETCH=1 re-enables the pre-stage-1 WordMatcher fan-out
+    (off by default since the fused protocol); results must be identical —
+    the prefetch only precomputes what cov_fused would compute inline."""
+    _, deng = dist_pair
+    for q in QUERIES:
+        monkeypatch.setenv("INFIDEX_WM_PREFETCH", "1")
+        a = [(h.doc_key, round(h.score, 6), h.tiebreaker) for h in deng.search(q, top_k=10)]
+        monkeypatch.setenv("INFIDEX_WM_PREFETCH", "0")
+        b = [(h.doc_key, round(h.score, 6), h.tiebreaker) for h in deng.search(q, top_k=10)]
+        assert a == b, f"prefetch toggle mismatch for {q!r}"
