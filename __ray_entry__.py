@@ -784,6 +784,16 @@ def _q_ngram_containment(sf_dir: str):
     )
 
 
+def _q_profile_columns(sf_dir: str):
+    """Pre-training data-quality profile: per column, exact row/null/distinct
+    counts — combiner partials plus one per-block-unique distinct shuffle."""
+    from infidex_ray.ops.profile import profile_columns
+
+    return profile_columns(
+        _read(sf_dir, "documents"), ["doc_id", "lang", "source", "n_chars"]
+    )
+
+
 def _q_phrase_scan(sf_dir: str):
     """Blocklist phrase scan (safety/compliance filter): phrase tuple
     broadcast once via ray.put, one vectorized Arrow match_substring pass
@@ -1085,6 +1095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_corpora": _q_mix_corpora,
         "ngram_containment_pairs": _q_ngram_containment,
         "phrase_scan": _q_phrase_scan,
+        "profile_columns": _q_profile_columns,
     }
 
 
@@ -1309,6 +1320,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM documents "
             "WHERE md5_number_lower('s0:' || CAST(doc_id AS VARCHAR)) % 1000000 < 100000 "
             "ORDER BY doc_id"
+        ),
+        "profile_columns": (
+            "SELECT 'doc_id' AS \"column\", count(*)::BIGINT AS n_rows, "
+            "sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls, "
+            "count(DISTINCT doc_id)::BIGINT AS n_distinct FROM documents "
+            "UNION ALL SELECT 'lang', count(*)::BIGINT, "
+            "sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT, "
+            "count(DISTINCT lang)::BIGINT FROM documents "
+            "UNION ALL SELECT 'n_chars', count(*)::BIGINT, "
+            "sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT, "
+            "count(DISTINCT n_chars)::BIGINT FROM documents "
+            "UNION ALL SELECT 'source', count(*)::BIGINT, "
+            "sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT, "
+            "count(DISTINCT source)::BIGINT FROM documents "
+            "ORDER BY \"column\""
         ),
         "phrase_scan": (
             "SELECT doc_id, "

@@ -186,7 +186,11 @@ def document_frequencies(ds, text_col: str = "text"):
 
 
 def tfidf_keywords(
-    ds, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+    ds,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_vocab: int | None = None,
 ):
     """Top-k TF-IDF keywords per document: ``score = tf · ln(N/df)``, ties
     broken by token ascending. Returns ``(id, rank, token, score)`` with
@@ -197,14 +201,23 @@ def tfidf_keywords(
     probed per batch with ``searchsorted``; pass 2 recomputes per-doc tf with
     an in-batch Arrow ``group_by`` and selects top-k with one ``np.lexsort``
     — the corpus side never shuffles. The broadcast is |vocab|-bounded (the
-    same small side the index's df lookup holds; prune with a min-df filter
-    upstream if a 100-TB crawl's tail vocabulary outgrows worker heaps)."""
+    same small side the index's df lookup holds); on a crawl whose tail
+    vocabulary outgrows worker heaps, pass ``max_vocab`` to keep only the
+    top-V tokens by (df DESC, token ASC) — tokens outside the kept
+    vocabulary are then simply not keyword candidates (a df-1 hapax is
+    ironically the HIGHEST-idf token, so pruning changes results; it is the
+    explicit memory/fidelity trade, not a silent cap)."""
     import pyarrow.compute as pc
     import ray
 
     from .dedup import round_half_up4_arr
 
-    dfp = document_frequencies(ds, text_col).to_pandas()
+    df_ds = document_frequencies(ds, text_col)
+    if max_vocab is not None:
+        df_ds = df_ds.sort(["df", "token"], descending=[True, False]).limit(
+            max_vocab
+        )
+    dfp = df_ds.to_pandas()
     n_docs = float(ds.count())
     order = np.argsort(dfp["token"].to_numpy(), kind="stable")
     vocab = dfp["token"].to_numpy()[order]
@@ -241,7 +254,23 @@ def tfidf_keywords(
                     "score": pa.array([], pa.float64()),
                 }
             )
-        ti = np.searchsorted(vocab_a, tok)  # every token is in the df table
+        ti = np.searchsorted(vocab_a, tok)
+        if len(vocab_a):
+            hit = vocab_a[np.minimum(ti, len(vocab_a) - 1)] == tok
+        else:
+            hit = np.zeros(len(tok), dtype=bool)
+        # tokens outside the (possibly pruned) vocabulary are not candidates
+        if not hit.all():
+            i, tok, tf, ti = i[hit], tok[hit], tf[hit], ti[hit]
+            if len(i) == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], batch[id_col].type),
+                        "rank": pa.array([], pa.int64()),
+                        "token": pa.array([], pa.string()),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
         s = tf * idf_a[ti]
         # total order (doc, score desc, token asc) — token order via its
         # vocab index, which is lexicographic by construction

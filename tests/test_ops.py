@@ -1089,3 +1089,46 @@ def test_phrase_scan_and_filter(ray_session):
     assert sorted(kept.doc_id) == [2, 3]
     only = phrase_filter(ds, ["quick"], keep_flagged=True).to_pandas()
     assert sorted(only.doc_id) == [0, 1]
+
+
+def test_tfidf_keywords_pruned_vocab(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.vectorize import tfidf_keywords
+
+    rows = [
+        {"doc_id": 0, "text": "apple apple banana common"},
+        {"doc_id": 1, "text": "banana cherry common"},
+        {"doc_id": 2, "text": "common common"},
+    ]
+    # max_vocab=2 keeps (common df=3, banana df=2); apple/cherry are OOV
+    out = (
+        tfidf_keywords(ray.data.from_items(rows), k=2, max_vocab=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+    )
+    assert set(out.token) <= {"common", "banana"}
+    d0 = out[out.doc_id == 0]
+    assert list(d0.token) == ["banana", "common"]
+
+
+def test_profile_columns(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.profile import profile_columns
+
+    rows = [
+        {"doc_id": 0, "lang": "en", "v": 1.5},
+        {"doc_id": 1, "lang": "en", "v": None},
+        {"doc_id": 2, "lang": None, "v": 1.5},
+        {"doc_id": 3, "lang": "de", "v": 2.0},
+    ]
+    out = (
+        profile_columns(ray.data.from_items(rows), ["doc_id", "lang", "v"])
+        .to_pandas()
+        .set_index("column")
+    )
+    assert out.loc["doc_id"].tolist() == [4, 0, 4]
+    assert out.loc["lang"].tolist() == [4, 1, 2]
+    assert out.loc["v"].tolist() == [4, 1, 2]
+    assert list(out.index) == ["doc_id", "lang", "v"]  # sorted
