@@ -546,6 +546,19 @@ def _q_window_agg(sf_dir: str):
     )
 
 
+def _q_hopping_window(sf_dir: str):
+    """Hopping 1-hour windows at 15-min stride (k=4 overlap): the k-fold
+    replication stays inside the per-batch combiner, global shuffle still
+    |windows|×|types|-bounded."""
+    from infidex_ray.ops.windows import hopping_window
+
+    return _by(
+        hopping_window(_read(sf_dir, "events"), width_s=3600.0, stride_s=900.0),
+        "window_start_us",
+        "event_type",
+    )
+
+
 def _q_sample_hash(sf_dir: str):
     """Deterministic md5-bucket 10% sample of documents — pure row-local
     filter, reproducible across reruns/cluster sizes; oracle recomputes the
@@ -1096,6 +1109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_containment_pairs": _q_ngram_containment,
         "phrase_scan": _q_phrase_scan,
         "profile_columns": _q_profile_columns,
+        "hopping_window": _q_hopping_window,
     }
 
 
@@ -1315,6 +1329,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT epoch_us(time_bucket(INTERVAL 3600 SECOND, ts)) AS window_start_us, "
             "event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "hopping_window": (
+            # every event lands in k=4 stride-aligned windows; time_bucket
+            # floors like numpy // (see window_agg note)
+            "WITH e AS (SELECT epoch_us(time_bucket(INTERVAL 900 SECOND, ts)) "
+            "AS lastw, event_type, value FROM events), "
+            "r AS (SELECT lastw - j * 900000000 AS window_start_us, event_type, "
+            "value FROM e, (SELECT unnest(generate_series(0, 3)) AS j) js) "
+            "SELECT window_start_us, event_type, count(*)::BIGINT AS n_events, "
+            "round(sum(value), 4) AS sum_value "
+            "FROM r GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "sample_hash": (
             "SELECT * FROM documents "

@@ -172,3 +172,87 @@ def tumbling_window(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def hopping_window(
+    events,
+    width_s: float = 3600.0,
+    stride_s: float = 900.0,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Hopping (sliding, stride-aligned) event-time windows per event type:
+    every event lands in ``k = width/stride`` overlapping windows (width
+    must be an integer multiple of stride).
+
+    Output: (window_start_us, event_type, n_events, sum_value) — same shape
+    as :func:`tumbling_window` (the k = 1 special case). The k-fold event
+    replication happens INSIDE the per-batch partial, which still collapses
+    to ≤ |windows| × |types| rows via Arrow hash group-by before the global
+    shuffle — so the combiner bound is unchanged and the replication never
+    crosses the wire. Early events produce negative-start windows when the
+    stream begins after epoch-aligned 0; they are real windows, kept.
+    """
+    width_us = int(round(width_s * 1_000_000))
+    stride_us = int(round(stride_s * 1_000_000))
+    if width_us % stride_us != 0:
+        raise ValueError("width_s must be an integer multiple of stride_s")
+    k = width_us // stride_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch[ts_col])
+        last = (ts // stride_us) * stride_us
+        # (n, k) window starts: last, last-stride, ..., last-(k-1)*stride
+        wins = last[:, None] - (np.arange(k, dtype=np.int64) * stride_us)[None, :]
+        n = len(ts)
+        t = pa.table(
+            {
+                "window_start_us": pa.array(wins.reshape(-1), type=pa.int64()),
+                type_col: batch[type_col].take(
+                    pa.array(np.repeat(np.arange(n), k))
+                ),
+                "one": pa.array(np.ones(n * k, dtype=np.int64)),
+                "value": batch[value_col]
+                .cast(pa.float64())
+                .take(pa.array(np.repeat(np.arange(n), k))),
+            }
+        )
+        g = t.group_by(["window_start_us", type_col]).aggregate(
+            [("one", "sum"), ("value", "sum")]
+        )
+        return pa.table(
+            {
+                "window_start_us": g["window_start_us"],
+                type_col: g[type_col],
+                "n_partial": g["one_sum"],
+                "sum_partial": g["value_sum"],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        events.select_columns([ts_col, type_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start_us", type_col])
+        .aggregate(
+            Sum("n_partial", alias_name="n_events"),
+            Sum("sum_partial", alias_name="sum_value_raw"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start_us": batch["window_start_us"].cast(pa.int64()),
+                type_col: batch[type_col],
+                "n_events": batch["n_events"].cast(pa.int64()),
+                "sum_value": pa.array(
+                    [round_half_up4(v) for v in batch["sum_value_raw"].to_pylist()],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -206,3 +206,46 @@ def test_stratified_sample_per_group_rates(ray_session):
     assert (got.lang != "de").all()  # default 0.0 drops unlisted strata
     got2 = stratified_sample(ds, rates, "lang", default_rate=0.0).to_pandas()
     assert sorted(got2.doc_id) == sorted(got.doc_id)
+
+
+def test_hopping_window(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from infidex_ray.ops.windows import hopping_window
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        {"ts": base, "event_type": "a", "value": 1.0},
+        {"ts": base + dt.timedelta(seconds=950), "event_type": "a", "value": 2.0},
+    ]
+    out = (
+        hopping_window(
+            ray.data.from_items(rows), width_s=3600.0, stride_s=900.0
+        )
+        .to_pandas()
+        .sort_values(["window_start_us", "event_type"])
+        .reset_index(drop=True)
+    )
+    base_us = int(base.timestamp() * 1_000_000)
+    s = 900 * 1_000_000
+    # event 1 covers windows starting base, base-s, base-2s, base-3s;
+    # event 2 (at +950s) covers base+s, base, base-s, base-2s
+    exp = {
+        base_us - 3 * s: (1, 1.0),
+        base_us - 2 * s: (2, 3.0),
+        base_us - 1 * s: (2, 3.0),
+        base_us: (2, 3.0),
+        base_us + s: (1, 2.0),
+    }
+    got = {
+        int(r.window_start_us): (int(r.n_events), float(r.sum_value))
+        for r in out.itertuples()
+    }
+    assert got == exp
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        hopping_window(ray.data.from_items(rows), width_s=3600.0, stride_s=1000.0)
