@@ -807,6 +807,27 @@ def _q_profile_columns(sf_dir: str):
     )
 
 
+def _q_frame_sample(sf_dir: str):
+    """Video frame-sampling plumbing (actor pool, one row per sampled
+    frame): media planted as the utf-8 text bytes; the deterministic
+    arithmetic fake (n_frames = n_bytes % 97 + 1 at 30 fps) makes the
+    explode SQL-checkable end-to-end."""
+    from infidex_ray.ops.multimodal import frame_sample
+
+    def plant(b: pa.Table) -> pa.Table:
+        blobs = [(t or "").encode("utf-8") for t in b["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": b["doc_id"], "media": pa.array(blobs, pa.binary())}
+        )
+
+    ds = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+    )
+    return _by(frame_sample(ds, stride=30), "doc_id", "frame_idx")
+
+
 def _q_phrase_scan(sf_dir: str):
     """Blocklist phrase scan (safety/compliance filter): phrase tuple
     broadcast once via ray.put, one vectorized Arrow match_substring pass
@@ -1110,6 +1131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_scan": _q_phrase_scan,
         "profile_columns": _q_profile_columns,
         "hopping_window": _q_hopping_window,
+        "frame_sample": _q_frame_sample,
     }
 
 
@@ -1329,6 +1351,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT epoch_us(time_bucket(INTERVAL 3600 SECOND, ts)) AS window_start_us, "
             "event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "frame_sample": (
+            # arithmetic fake decode: n_frames = octet_length % 97 + 1,
+            # frames 0, 30, 60, ... ts at nominal 30 fps
+            "WITH m AS (SELECT doc_id, octet_length(encode(coalesce(text,''))) "
+            "AS n_bytes FROM documents), "
+            "f AS (SELECT doc_id, n_bytes % 97 + 1 AS n_frames FROM m), "
+            "s AS (SELECT doc_id, n_frames, unnest(generate_series(0, "
+            "CAST((n_frames - 1) // 30 AS INT))) AS j FROM f) "
+            "SELECT doc_id, (j * 30)::BIGINT AS frame_idx, "
+            "(j * 30 * 1000 // 30)::BIGINT AS ts_ms, n_frames::BIGINT AS n_frames "
+            "FROM s ORDER BY doc_id, frame_idx"
         ),
         "hopping_window": (
             # every event lands in k=4 stride-aligned windows; time_bucket

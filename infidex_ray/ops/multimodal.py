@@ -143,3 +143,113 @@ def image_features(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+FRAME_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("frame_idx", pa.int64()),
+        ("ts_ms", pa.int64()),
+        ("n_frames", pa.int64()),
+    ]
+)
+
+
+class FrameSampleActor:
+    """Actor-pool ``map_batches`` stage: video payload → every ``stride``-th
+    frame descriptor (the frame-sampling step ahead of a vision encoder).
+
+    Same honesty contract as :class:`ImageFeatureActor`: ``fake=None``
+    auto-uses cv2 when importable, else a DETERMINISTIC ARITHMETIC fake —
+    ``n_frames = n_bytes % 97 + 1`` at a nominal 30 fps — chosen so the
+    Ray-side plumbing (explode to one row per sampled frame, actor pool,
+    small batches) is exercised end-to-end AND the output is SQL-checkable
+    (the fake is plain arithmetic on the payload length, no hashing).
+    ``fake=False`` raises :class:`DecodeUnavailable` when no codec exists.
+    """
+
+    def __init__(
+        self,
+        media_col: str = "media",
+        id_col: str = "doc_id",
+        stride: int = 30,
+        fake: bool | None = None,
+    ):
+        self.media_col = media_col
+        self.id_col = id_col
+        self.stride = int(stride)
+        self._cv2 = None
+        if fake is not True:
+            try:
+                import cv2  # noqa: F401
+
+                self._cv2 = cv2
+            except ImportError:
+                if fake is False:
+                    raise DecodeUnavailable(
+                        "video codec (cv2) not available in this environment"
+                    )
+        self.fake = self._cv2 is None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        col = batch[self.media_col]
+        if len(batch) == 0 or pa.types.is_null(col.type):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "frame_idx": pa.array([], pa.int64()),
+                    "ts_ms": pa.array([], pa.int64()),
+                    "n_frames": pa.array([], pa.int64()),
+                },
+                schema=FRAME_SCHEMA,
+            )
+        if not self.fake:
+            raise DecodeUnavailable(
+                "real cv2 frame decode not wired in this environment"
+            )
+        n_bytes = np.asarray(
+            [len(b) if b is not None else 0 for b in col.to_pylist()],
+            dtype=np.int64,
+        )
+        n_frames = n_bytes % 97 + 1
+        n_sampled = (n_frames - 1) // self.stride + 1
+        doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), n_sampled)
+        # within-doc sample ordinal 0..n_sampled-1, vectorized
+        starts = np.cumsum(n_sampled) - n_sampled
+        ordinal = np.arange(len(doc_of), dtype=np.int64) - starts[doc_of]
+        frame_idx = ordinal * self.stride
+        ts_ms = frame_idx * 1000 // 30  # nominal 30 fps
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_of]),
+                "frame_idx": pa.array(frame_idx),
+                "ts_ms": pa.array(ts_ms),
+                "n_frames": pa.array(n_frames[doc_of]),
+            },
+            schema=FRAME_SCHEMA,
+        )
+
+
+def frame_sample(
+    ds,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    stride: int = 30,
+    concurrency: int = 2,
+    fake: bool | None = None,
+):
+    """Actor-pool frame sampling over a binary video column — one output row
+    per sampled frame. ``fake`` as in :class:`FrameSampleActor`."""
+    return ds.map_batches(
+        FrameSampleActor,
+        fn_constructor_kwargs={
+            "media_col": media_col,
+            "id_col": id_col,
+            "stride": stride,
+            "fake": fake,
+        },
+        batch_size=32,  # large payloads → small batches
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -1132,3 +1132,23 @@ def test_profile_columns(ray_session):
     assert out.loc["lang"].tolist() == [4, 1, 2]
     assert out.loc["v"].tolist() == [4, 1, 2]
     assert list(out.index) == ["doc_id", "lang", "v"]  # sorted
+
+
+def test_frame_sample_fake_plumbing(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.multimodal import frame_sample
+
+    rows = [
+        {"doc_id": 0, "media": b"x" * 10},   # 10 % 97 + 1 = 11 frames → 0
+        {"doc_id": 1, "media": b"y" * 130},  # 130 % 97 + 1 = 34 → 0, 30
+        {"doc_id": 2, "media": None},        # 0 bytes → 1 frame → 0
+    ]
+    out = (
+        frame_sample(ray.data.from_items(rows), stride=30, fake=True)
+        .to_pandas()
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    got = [(r.doc_id, r.frame_idx, r.ts_ms, r.n_frames) for r in out.itertuples()]
+    assert got == [(0, 0, 0, 11), (1, 0, 0, 34), (1, 30, 1000, 34), (2, 0, 0, 1)]
