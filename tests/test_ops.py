@@ -1152,3 +1152,24 @@ def test_frame_sample_fake_plumbing(ray_session):
     )
     got = [(r.doc_id, r.frame_idx, r.ts_ms, r.n_frames) for r in out.itertuples()]
     assert got == [(0, 0, 0, 11), (1, 0, 0, 34), (1, 30, 1000, 34), (2, 0, 0, 1)]
+
+
+def test_curate_webtext_pipeline(ray_session):
+    import ray.data
+
+    from infidex_ray.pipelines import curate_webtext
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(lambda r: r["doc_id"] % 97 == 0)
+    out = curate_webtext(
+        docs, bench=bench, langs=("en",), min_quality=0.2,
+        chunk_words=64, pack_capacity=256,
+    )
+    df = out.to_pandas()
+    assert len(df) > 0
+    assert {"doc_id", "chunk_id", "n_tokens", "bucket", "bin"} <= set(df.columns)
+    # packing invariant: per (bucket, bin) token sums within capacity unless
+    # a single oversized chunk owns the bin
+    sums = df.groupby(["bucket", "bin"]).n_tokens.agg(["sum", "count", "max"])
+    bad = sums[(sums["sum"] > 256) & (sums["count"] > 1)]
+    assert bad.empty
