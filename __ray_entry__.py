@@ -828,6 +828,26 @@ def _q_frame_sample(sf_dir: str):
     return _by(frame_sample(ds, stride=30), "doc_id", "frame_idx")
 
 
+def _q_audio_features(sf_dir: str):
+    """Audio framing plumbing (actor pool): media = utf-8 text bytes; the
+    16 kHz 8-bit arithmetic fake (25 ms windows / 10 ms hop) keeps the
+    stage SQL-checkable."""
+    from infidex_ray.ops.multimodal import audio_features
+
+    def plant(b: pa.Table) -> pa.Table:
+        blobs = [(t or "").encode("utf-8") for t in b["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": b["doc_id"], "media": pa.array(blobs, pa.binary())}
+        )
+
+    ds = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+    )
+    return _by(audio_features(ds), "doc_id")
+
+
 def _q_phrase_scan(sf_dir: str):
     """Blocklist phrase scan (safety/compliance filter): phrase tuple
     broadcast once via ray.put, one vectorized Arrow match_substring pass
@@ -1132,6 +1152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_columns": _q_profile_columns,
         "hopping_window": _q_hopping_window,
         "frame_sample": _q_frame_sample,
+        "audio_features": _q_audio_features,
     }
 
 
@@ -1351,6 +1372,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT epoch_us(time_bucket(INTERVAL 3600 SECOND, ts)) AS window_start_us, "
             "event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "audio_features": (
+            "WITH m AS (SELECT doc_id, octet_length(encode(coalesce(text,''))) "
+            "AS n_bytes FROM documents), "
+            "d AS (SELECT doc_id, n_bytes, n_bytes * 1000 // 16000 AS duration_ms "
+            "FROM m) "
+            "SELECT doc_id, n_bytes::BIGINT AS n_bytes, "
+            "duration_ms::BIGINT AS duration_ms, "
+            "(CASE WHEN duration_ms >= 25 THEN (duration_ms - 25) // 10 + 1 "
+            "ELSE 0 END)::BIGINT AS n_windows "
+            "FROM d ORDER BY doc_id"
         ),
         "frame_sample": (
             # arithmetic fake decode: n_frames = octet_length % 97 + 1,

@@ -253,3 +253,96 @@ def frame_sample(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_bytes", pa.int64()),
+        ("duration_ms", pa.int64()),
+        ("n_windows", pa.int64()),
+    ]
+)
+
+
+class AudioFeatureActor:
+    """Actor-pool ``map_batches`` stage: audio payload → duration + analysis
+    window count (the framing step ahead of an audio encoder).
+
+    Honesty contract as in :class:`ImageFeatureActor`: auto-probes
+    ``soundfile`` in ``__init__`` (``fake=False`` raises
+    :class:`DecodeUnavailable` when absent); the codec-free fake treats the
+    payload as 16 kHz mono 8-bit PCM — ``duration_ms = n_bytes * 1000 //
+    16000``, 25 ms windows at 10 ms hop — plain arithmetic on the payload
+    length, so the plumbing is SQL-checkable end-to-end."""
+
+    def __init__(
+        self, media_col: str = "media", id_col: str = "doc_id", fake: bool | None = None
+    ):
+        self.media_col = media_col
+        self.id_col = id_col
+        self._sf = None
+        if fake is not True:
+            try:
+                import soundfile  # noqa: F401
+
+                self._sf = soundfile
+            except ImportError:
+                if fake is False:
+                    raise DecodeUnavailable(
+                        "audio codec (soundfile) not available in this environment"
+                    )
+        self.fake = self._sf is None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.media_col]
+        if len(batch) == 0 or pa.types.is_null(col.type):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_bytes": pa.array([], pa.int64()),
+                    "duration_ms": pa.array([], pa.int64()),
+                    "n_windows": pa.array([], pa.int64()),
+                },
+                schema=AUDIO_SCHEMA,
+            )
+        if not self.fake:
+            raise DecodeUnavailable(
+                "real soundfile decode not wired in this environment"
+            )
+        n_bytes = np.asarray(
+            [len(b) if b is not None else 0 for b in col.to_pylist()],
+            dtype=np.int64,
+        )
+        duration_ms = n_bytes * 1000 // 16000
+        # 25 ms windows at 10 ms hop; 0 when shorter than one window
+        n_windows = np.where(
+            duration_ms >= 25, (duration_ms - 25) // 10 + 1, 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch[self.id_col],
+                "n_bytes": pa.array(n_bytes),
+                "duration_ms": pa.array(duration_ms),
+                "n_windows": pa.array(n_windows),
+            },
+            schema=AUDIO_SCHEMA,
+        )
+
+
+def audio_features(
+    ds,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    concurrency: int = 2,
+    fake: bool | None = None,
+):
+    """Actor-pool audio framing over a binary media column. ``fake`` as in
+    :class:`AudioFeatureActor`."""
+    return ds.map_batches(
+        AudioFeatureActor,
+        fn_constructor_kwargs={"media_col": media_col, "id_col": id_col, "fake": fake},
+        batch_size=32,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

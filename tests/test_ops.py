@@ -1173,3 +1173,24 @@ def test_curate_webtext_pipeline(ray_session):
     sums = df.groupby(["bucket", "bin"]).n_tokens.agg(["sum", "count", "max"])
     bad = sums[(sums["sum"] > 256) & (sums["count"] > 1)]
     assert bad.empty
+
+
+def test_audio_features_fake_plumbing(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.multimodal import audio_features
+
+    rows = [
+        {"doc_id": 0, "media": b"x" * 16000},  # 1000 ms → (1000-25)//10+1 = 98
+        {"doc_id": 1, "media": b"y" * 160},    # 10 ms → 0 windows
+        {"doc_id": 2, "media": None},
+    ]
+    out = (
+        audio_features(ray.data.from_items(rows), fake=True)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0].tolist() == [16000, 1000, 98]
+    assert out.loc[1].tolist() == [160, 10, 0]
+    assert out.loc[2].tolist() == [0, 0, 0]
