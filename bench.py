@@ -336,6 +336,59 @@ def run_compact() -> dict:
     return out
 
 
+def run_curate():
+    """Composed-pipeline throughput: `pipelines.curate_webtext` (fused
+    lang/quality/Gopher gate → exact + MinHash dedup → decontaminate →
+    chunk → pack) over the cached synthetic web corpus. Output consumed by
+    writing partitioned parquet under /tmp (the streaming sink, not a
+    driver materialize)."""
+    import shutil
+
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from infidex_ray.datagen import write_webpages
+    from infidex_ray.ops.dedup import _md5_u64
+    from infidex_ray.pipelines import curate_webtext
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    write_webpages(WEBPAGES_PATH, WEBPAGES_ROWS)
+
+    def add_id(b: pa.Table) -> pa.Table:
+        ids = [_md5_u64(u) % (1 << 62) for u in b["url"].to_pylist()]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": b["text"]}
+        )
+
+    docs = ray.data.read_parquet(WEBPAGES_PATH, columns=["url", "text"]).map_batches(
+        add_id, batch_format="pyarrow"
+    )
+    bench_set = docs.filter(lambda r: r["doc_id"] % 97 == 0)
+    out_dir = "/tmp/infidex_bench/curated"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    packed = curate_webtext(docs, bench=bench_set, min_quality=0.2)
+    packed.write_parquet(out_dir, partition_cols=["bucket"])
+    dt = time.perf_counter() - t0
+    n_out = ray.data.read_parquet(out_dir).count()
+    out = {
+        "metric": "curate_webtext pipeline wall time",
+        "value": round(dt, 3),
+        "unit": "sec",
+        "queries": {
+            "docs_in": WEBPAGES_ROWS,
+            "chunks_out": n_out,
+            "docs_per_sec": round(WEBPAGES_ROWS / dt, 1),
+        },
+        "num_cpus": num_cpus,
+    }
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         run_scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
@@ -343,5 +396,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--compact" in sys.argv:
         print(json.dumps(run_compact()))
+    elif "--curate" in sys.argv:
+        print(json.dumps(run_curate()))
     else:
         print(json.dumps(run_full()))

@@ -88,6 +88,13 @@ def unigram_model(train_ds, text_col: str = "text", vocab_size: int | None = Non
         total = counts.sum("n")
         kept = counts.to_pandas()
     total = int(total or 0)
+    if "token" not in kept.columns:  # empty corpus: groupby loses the schema
+        return (
+            np.empty(0, dtype=object),
+            np.zeros(0),
+            0,
+            0.0,
+        )
     order = np.argsort(kept["token"].to_numpy(), kind="stable")
     tokens = kept["token"].to_numpy()[order]
     n = kept["n"].to_numpy()[order].astype(np.float64)

@@ -24,6 +24,7 @@ def curate_webtext(
     minhash_threshold: float = 0.8,
     chunk_words: int = 64,
     pack_capacity: int = 256,
+    decontam_n: int = 8,
 ):
     """The standard webtext curation recipe (CCNet/Gopher/RefinedWeb shape):
 
@@ -32,8 +33,9 @@ def curate_webtext(
     3. exact dedup (hash groupby of (hash, id) rows; min-id survivor)
     4. MinHash near-dedup (band-key shuffle; exact-Jaccard-verified pairs →
        label-propagation clusters → anti-join)
-    5. optional decontamination against a benchmark set (broadcast n-gram
-       hash set; drops contaminated docs)
+    5. optional decontamination against a benchmark set (broadcast
+       ``decontam_n``-gram hash set — 8 by default, the GPT-3/PaLM range;
+       drops contaminated docs)
     6. chunk into ``chunk_words``-word training samples and greedily pack
        into ``pack_capacity``-token sequences (bucket, bin)
 
@@ -85,7 +87,7 @@ def curate_webtext(
 
     # --- decontamination ----------------------------------------------------
     if bench is not None:
-        rep = decontaminate(docs, bench, n=3, id_col=id_col, text_col=text_col)
+        rep = decontaminate(docs, bench, n=decontam_n, id_col=id_col, text_col=text_col)
         import numpy as np
         import ray
 

@@ -1163,7 +1163,7 @@ def test_curate_webtext_pipeline(ray_session):
     bench = docs.filter(lambda r: r["doc_id"] % 97 == 0)
     out = curate_webtext(
         docs, bench=bench, langs=("en",), min_quality=0.2,
-        chunk_words=64, pack_capacity=256,
+        chunk_words=64, pack_capacity=256, decontam_n=3,
     )
     df = out.to_pandas()
     assert len(df) > 0
@@ -1194,3 +1194,26 @@ def test_audio_features_fake_plumbing(ray_session):
     assert out.loc[0].tolist() == [16000, 1000, 98]
     assert out.loc[1].tolist() == [160, 10, 0]
     assert out.loc[2].tolist() == [0, 0, 0]
+
+
+def test_pagerank_empty_and_unigram_empty(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.graph import pagerank
+    from infidex_ray.ops.lm import unigram_logprob
+
+    empty_edges = ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    )
+    assert pagerank(empty_edges).count() == 0
+
+    empty_docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    assert unigram_logprob(empty_docs).count() == 0
+
+    # all-empty-text corpus: total==0 path (no tokens anywhere)
+    blank = ray.data.from_items([{"doc_id": 0, "text": ""}])
+    out = unigram_logprob(blank).to_pandas()
+    assert out.n_tokens.tolist() == [0] and out.nll.tolist() == [0.0]
