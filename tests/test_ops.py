@@ -1217,3 +1217,62 @@ def test_pagerank_empty_and_unigram_empty(ray_session):
     blank = ray.data.from_items([{"doc_id": 0, "text": ""}])
     out = unigram_logprob(blank).to_pandas()
     assert out.n_tokens.tolist() == [0] and out.nll.tolist() == [0.0]
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_containment_matches_bruteforce(ray_session, seed):
+    import random
+
+    import ray.data
+
+    from infidex_ray.ops.dedup import (
+        _char_shingle_hashes,
+        ngram_containment_pairs,
+        round_half_up4,
+    )
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = []
+    for i in range(14):
+        words = [rng.choice(vocab) for _ in range(rng.randint(1, 12))]
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    got = ngram_containment_pairs(
+        ray.data.from_items(rows), threshold=0.7, rare_shingle_cap=1000
+    ).to_pandas()
+    got_pairs = {
+        (r.id_a, r.id_b): r.containment for r in got.itertuples()
+    }
+
+    sets = {r["doc_id"]: set(_char_shingle_hashes(r["text"], 3)) for r in rows}
+    exp = {}
+    for a in range(14):
+        for b in range(a + 1, 14):
+            sa, sb = sets[a], sets[b]
+            denom = min(len(sa), len(sb))
+            c = len(sa & sb) / denom if denom else 0.0
+            if c >= 0.7:
+                exp[(a, b)] = round_half_up4(c)
+    assert set(got_pairs) == set(exp), (seed, got_pairs, exp)
+    for k in exp:
+        assert abs(got_pairs[k] - exp[k]) < 1e-9
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_dedup_against_matches_set_difference(ray_session, seed):
+    import random
+
+    import ray.data
+
+    from infidex_ray.ops.dedup import dedup_against
+
+    rng = random.Random(seed)
+    texts = [f"t{rng.randint(0, 9)}" for _ in range(30)]
+    corpus = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ref_texts = {f"t{rng.randint(0, 9)}" for _ in range(5)}
+    ref = [{"doc_id": 100 + j, "text": t} for j, t in enumerate(sorted(ref_texts))]
+    out = dedup_against(
+        ray.data.from_items(corpus), ray.data.from_items(ref)
+    ).to_pandas()
+    exp = {r["doc_id"] for r in corpus if r["text"] not in ref_texts}
+    assert set(out.doc_id) == exp, seed
