@@ -304,10 +304,14 @@ class DistributedEngine(Engine):
             num_shards = max(1, min(n_segments, int(ray.cluster_resources().get("CPU", 4)) - 1))
         num_shards = min(num_shards, n_segments)
         slices = np.array_split(np.arange(n_segments), num_shards)
+        # max_restarts=-1: a shard killed by node loss / OOM is transparently
+        # restarted and reloads its slice (incl. persisted tombstones) from
+        # the index dir in __init__ — all cross-RTT state is per-query, so
+        # the driver just retries the whole query once (see search_ex)
         actors = [
-            IndexShardActor.options(num_cpus=num_cpus_per_actor).remote(
-                index_dir, s.tolist()
-            )
+            IndexShardActor.options(
+                num_cpus=num_cpus_per_actor, max_restarts=-1
+            ).remote(index_dir, s.tolist())
             for s in slices
             if len(s)
         ]
@@ -730,6 +734,36 @@ class DistributedEngine(Engine):
             "filters/facets need stored fields local to the process — "
             "use Engine.load(index_dir).query(...) for the Query API"
         )
+
+    def search_ex(
+        self,
+        query_text: str,
+        top_k: int = 10,
+        enable_coverage: bool | None = None,
+        timeout_ms: int | None = None,
+    ):
+        """One transparent retry on shard-actor death: actors restart
+        automatically (max_restarts=-1) and reload their slice + persisted
+        tombstones from disk in ``__init__``; every piece of cross-RTT
+        state (stage-1 scratch, wm stash, short-query state) is per-query,
+        so re-running the whole query from scratch is rank-identical. The
+        restart itself takes seconds (index reload), so retries back off
+        until the pool is reachable again (bounded at ~30 s)."""
+        import time as _time
+
+        deadline = _time.monotonic() + 30.0
+        while True:
+            try:
+                return super().search_ex(
+                    query_text, top_k, enable_coverage, timeout_ms
+                )
+            except (
+                ray.exceptions.RayActorError,
+                ray.exceptions.ActorUnavailableError,
+            ):
+                if _time.monotonic() >= deadline:
+                    raise
+                _time.sleep(0.5)
 
     def add_documents(self, docs, fields=None):  # pragma: no cover
         raise NotImplementedError(

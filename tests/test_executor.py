@@ -153,3 +153,21 @@ def test_wm_prefetch_env_path_identity(dist_pair, monkeypatch):
         monkeypatch.setenv("INFIDEX_WM_PREFETCH", "0")
         b = [(h.doc_key, round(h.score, 6), h.tiebreaker) for h in deng.search(q, top_k=10)]
         assert a == b, f"prefetch toggle mismatch for {q!r}"
+
+
+def test_shard_actor_restart_mid_serving(dist_pair):
+    """A killed shard restarts (max_restarts=-1), reloads its slice from
+    disk, and the driver's one-shot retry makes the next search identical."""
+    import ray
+
+    _, deng = dist_pair
+    before = {
+        q: [(h.doc_key, round(h.score, 6)) for h in deng.search(q, top_k=10)]
+        for q in QUERIES
+    }
+    ray.kill(deng.actors[0], no_restart=False)
+    after = {
+        q: [(h.doc_key, round(h.score, 6)) for h in deng.search(q, top_k=10)]
+        for q in QUERIES
+    }
+    assert after == before
