@@ -524,12 +524,18 @@ class Engine:
         if loc is None:
             return {}
         si, lid = loc
-        seg = self.segments[si]
+        # si is a GLOBAL segment id (shard engines hold a subset, so
+        # positional indexing into self.segments would be wrong there)
+        seg = self.seg_by_id(si)
         row = {"url": seg.urls[lid] if seg.urls else None}
         if seg.fields:
             for name, col in seg.fields.items():
                 row[name] = col[lid]
         return row
+
+    def _prefetch_field_rows(self, keys) -> None:
+        """No-op in-process (stored fields are local); the distributed
+        engine overrides this with one batched shard fan-out."""
 
     def query(self, q: Query) -> Result:
         """SearchEngine.Search(Query) incl. post-processing
@@ -553,6 +559,12 @@ class Engine:
             timeout_ms=q.timeout_ms,
         )
         entries = [(h.score, h.doc_key, h.tiebreaker) for h in hits]
+
+        if q.filter or q.boosts or q.sort_by or q.enable_facets:
+            # batch hook: the distributed engine fetches every needed stored
+            # row in ONE shard fan-out here; in-process it is a no-op and
+            # _field_row reads segments directly
+            self._prefetch_field_rows([e[1] for e in entries])
 
         if q.filter:
             ast = flt.parse(q.filter) if isinstance(q.filter, str) else q.filter

@@ -49,6 +49,16 @@ class IndexShardActor:
     def set_deleted(self, keys) -> None:
         self.engine.deleted = set(keys)
 
+    def field_rows(self, keys) -> dict:
+        """Stored field rows for the subset of ``keys`` this shard owns
+        (Query-API post-processing: filter/boost/sort/facet inputs)."""
+        out = {}
+        for k in keys:
+            row = self.engine._field_row(int(k))
+            if row:
+                out[int(k)] = row
+        return out
+
     def warm(self) -> int:
         """Pre-build word-matcher tables + doc preps (actor-init cost paid
         once, in parallel across the pool)."""
@@ -729,11 +739,9 @@ class DistributedEngine(Engine):
     def doc_text_by_key(self, key: int):  # pragma: no cover
         raise NotImplementedError("use shard actors / the in-process Engine")
 
-    def query(self, q):  # pragma: no cover
-        raise NotImplementedError(
-            "filters/facets need stored fields local to the process — "
-            "use Engine.load(index_dir).query(...) for the Query API"
-        )
+    # Query API (filters/boosts/sort/facets) is inherited from Engine: the
+    # post-processing operates on stored rows fetched via the batched
+    # _prefetch_field_rows fan-out above — no process-local segments needed.
 
     def search_ex(
         self,
@@ -764,6 +772,28 @@ class DistributedEngine(Engine):
                 if _time.monotonic() >= deadline:
                     raise
                 _time.sleep(0.5)
+
+    def _prefetch_field_rows(self, keys) -> None:
+        """ONE batched shard fan-out fetches every stored row the Query-API
+        post-processing (filter → boosts → sort → facets) will touch; each
+        shard returns only the keys it owns. Payload is result-sized
+        (≤ max_results rows), never corpus-sized."""
+        keys = [int(k) for k in keys]
+        merged: dict[int, dict] = {}
+        if keys:
+            for part in ray.get([a.field_rows.remote(keys) for a in self.actors]):
+                merged.update(part)
+        self._row_cache = merged
+
+    def _field_row(self, key: int) -> dict:
+        return getattr(self, "_row_cache", {}).get(int(key), {})
+
+    def _empty_query_with_facets(self, q):
+        raise ValueError(
+            "match-all facets are an in-process serving feature "
+            "(Engine.load(...).query(...)); for corpus-scale facet jobs use "
+            "infidex_ray.ops.facets.facet_counts_offline (streaming Ray groupby)"
+        )
 
     def add_documents(self, docs, fields=None):  # pragma: no cover
         raise NotImplementedError(

@@ -171,3 +171,49 @@ def test_shard_actor_restart_mid_serving(dist_pair):
         for q in QUERIES
     }
     assert after == before
+
+
+def test_distributed_query_api_parity(ray_session, tmp_path_factory):
+    """The Query API (filter/boosts/sort/facets) runs on the distributed
+    engine via one batched field_rows fan-out and matches the in-process
+    engine result-for-result."""
+    import pytest
+
+    from infidex_ray.engine import Query
+
+    movies = [
+        (1, "The Matrix", {"genre": "Sci-Fi", "year": 1999}),
+        (2, "The Matrix Reloaded", {"genre": "Sci-Fi", "year": 2003}),
+        (3, "The Matrix Revolutions", {"genre": "Sci-Fi", "year": 2003}),
+        (4, "The Match", {"genre": "Drama", "year": 2021}),
+        (5, "Matriarch Rising", {"genre": "Horror", "year": 2018}),
+    ]
+    out = tmp_path_factory.mktemp("dist_field_idx")
+    build_index_local(
+        [(k, t) for k, t, _ in movies], str(out), n_segments=2,
+        fields=[f for _, _, f in movies],
+    )
+    from infidex_ray.query.executor import DistributedEngine
+
+    eng = Engine.load(str(out))
+    deng = DistributedEngine.connect(str(out), num_shards=2)
+    panels = [
+        Query("matrix", max_results=10, filter="year >= 2000"),
+        Query("matrix", max_results=10, filter="genre = 'Sci-Fi'"),
+        Query("matrix", max_results=10, boosts=(("year >= 2003 AND year <= 2003", 3),)),
+        Query("matrix", max_results=10, sort_by="year"),
+        Query("matrix", max_results=10, sort_by="year", sort_ascending=False),
+        Query("matrix", max_results=10, enable_facets=True),
+        Query("matrix", max_results=2, filter="year >= 2000", enable_facets=True),
+    ]
+    for q in panels:
+        a, b = eng.query(q), deng.query(q)
+        assert [(h.doc_key, round(h.score, 6)) for h in a.records] == [
+            (h.doc_key, round(h.score, 6)) for h in b.records
+        ], q
+        assert a.facets == b.facets, q
+        assert a.total_candidates == b.total_candidates, q
+
+    # match-all facets are refused with a pointer at the offline path
+    with pytest.raises(ValueError):
+        deng.query(Query("", max_results=10, enable_facets=True))
