@@ -50,3 +50,56 @@ def write_results(ds, out_dir: str, partition_cols: list[str] | None = None, **k
 
     ds.write_parquet(out_dir, partition_cols=partition_cols, **kwargs)
     return out_dir
+
+
+def write_partitioned_resumable(ds, out_dir: str, partition_col: str):
+    """Resumable partitioned parquet sink: one ``{partition_col}={value}/``
+    directory per key value, each committed ATOMICALLY with a ``_SUCCESS``
+    marker (write part file → fsync-rename semantics of the marker).
+
+    Re-running the same job first lists the committed partitions, filters
+    their rows out of the stream (cheap broadcast membership test — the
+    done-set is |partitions|-sized), and writes only the missing ones, so a
+    failed 100-TB job resumes from the last committed partition instead of
+    rewriting everything. The write itself is a ``groupby(partition_col).
+    map_groups`` — one task per partition, no driver I/O.
+
+    Returns the number of partitions written THIS run.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = {
+        d.split("=", 1)[1]
+        for d in os.listdir(out_dir)
+        if "=" in d and os.path.exists(os.path.join(out_dir, d, "_SUCCESS"))
+    }
+    done_ref = ray.put(frozenset(done))
+
+    def drop_done(batch: pa.Table) -> pa.Table:
+        d = ray.get(done_ref)
+        if not d:
+            return batch
+        vals = [str(v) for v in batch[partition_col].to_pylist()]
+        mask = pa.array([v not in d for v in vals])
+        return batch.filter(mask)
+
+    def write_group(group: pa.Table) -> pa.Table:
+        val = str(group[partition_col][0].as_py())
+        pdir = os.path.join(out_dir, f"{partition_col}={val}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, "part-0.parquet.tmp")
+        pq.write_table(group, tmp)
+        os.replace(tmp, os.path.join(pdir, "part-0.parquet"))
+        with open(os.path.join(pdir, "_SUCCESS"), "w"):
+            pass
+        return pa.table({"partition": pa.array([val], pa.string())})
+
+    written = (
+        ds.map_batches(drop_done, batch_format="pyarrow")
+        .groupby(partition_col)
+        .map_groups(write_group, batch_format="pyarrow")
+    )
+    return written.count()

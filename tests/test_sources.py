@@ -73,3 +73,29 @@ def test_write_results_partitioned(ray_session, corpus_files, tmp_path):
         "lang=de",
         "lang=en",
     ]
+
+
+def test_write_partitioned_resumable(ray_session, tmp_path):
+    import os
+    import shutil
+
+    import ray.data
+
+    from infidex_ray.sources import write_partitioned_resumable
+
+    rows = [{"doc_id": i, "grp": i % 3, "text": f"t{i}"} for i in range(30)]
+    out = str(tmp_path / "sink")
+    n = write_partitioned_resumable(ray.data.from_items(rows), out, "grp")
+    assert n == 3
+    back = ray.data.read_parquet(out).to_pandas()
+    assert len(back) == 30 and set(back.doc_id) == set(range(30))
+
+    # simulate a crashed partition: drop one dir entirely
+    shutil.rmtree(os.path.join(out, "grp=1"))
+    done_file = os.path.join(out, "grp=0", "part-0.parquet")
+    mtime_before = os.path.getmtime(done_file)
+    n2 = write_partitioned_resumable(ray.data.from_items(rows), out, "grp")
+    assert n2 == 1  # only the missing partition is rewritten
+    assert os.path.getmtime(done_file) == mtime_before  # committed untouched
+    back = ray.data.read_parquet(out).to_pandas()
+    assert len(back) == 30 and set(back.doc_id) == set(range(30))
