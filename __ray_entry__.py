@@ -848,6 +848,31 @@ def _q_audio_features(sf_dir: str):
     return _by(audio_features(ds), "doc_id")
 
 
+def _q_canonical_url(sf_dir: str):
+    """URL canonicalization ahead of URL-level dedup: planted tracked/cased/
+    fragmented URL variants normalized by one RE2 map_batches chain that the
+    oracle mirrors as a regexp_replace chain (both RE2, single pass each)."""
+    from infidex_ray.ops.urls import canonical_url
+
+    def plant(b: pa.Table) -> pa.Table:
+        urls = []
+        for d in b["doc_id"].to_pylist():
+            u = f"HTTPS://WWW.Site{d % 37}.example.com/P/{d}"
+            if d % 3 == 0:
+                u += f"/?utm_source=s{d % 5}&a={d}"
+            if d % 4 == 0:
+                u += f"#frag{d}"
+            urls.append(u)
+        return pa.table({"doc_id": b["doc_id"], "url": pa.array(urls, pa.string())})
+
+    ds = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id"])
+        .map_batches(plant, batch_format="pyarrow")
+    )
+    return _by(canonical_url(ds), "doc_id")
+
+
 def _q_phrase_scan(sf_dir: str):
     """Blocklist phrase scan (safety/compliance filter): phrase tuple
     broadcast once via ray.put, one vectorized Arrow match_substring pass
@@ -1153,6 +1178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": _q_hopping_window,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
+        "canonical_url": _q_canonical_url,
     }
 
 
@@ -1372,6 +1398,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT epoch_us(time_bucket(INTERVAL 3600 SECOND, ts)) AS window_start_us, "
             "event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "canonical_url": (
+            # regenerate the planted URL, then the SAME RE2 rewrite chain the
+            # op runs (fragment strip -> lowercase scheme://host -> tracking
+            # param strip w/ kept separator -> dangling ?/& -> trailing /)
+            "WITH u AS (SELECT doc_id, "
+            "'HTTPS://WWW.Site' || CAST(doc_id % 37 AS VARCHAR) "
+            "|| '.example.com/P/' || CAST(doc_id AS VARCHAR) "
+            "|| (CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=s' "
+            "|| CAST(doc_id % 5 AS VARCHAR) || '&a=' || CAST(doc_id AS VARCHAR) "
+            "ELSE '' END) "
+            "|| (CASE WHEN doc_id % 4 = 0 THEN '#frag' || CAST(doc_id AS VARCHAR) "
+            "ELSE '' END) AS url FROM documents), "
+            "s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u), "
+            "s2 AS (SELECT doc_id, url, "
+            "lower(regexp_extract(nofrag, '^((?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*)(.*)$', 1)) "
+            "|| regexp_extract(nofrag, '^((?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*)(.*)$', 2) AS lowered "
+            "FROM s1), "
+            "s3 AS (SELECT doc_id, url, regexp_replace(lowered, "
+            "'([?&])(?:utm_[a-z]+|gclid|fbclid|ref|mc_cid|mc_eid)=[^&]*&?', '\\1', 'g') AS stripped FROM s2), "
+            "s4 AS (SELECT doc_id, url, regexp_replace(stripped, '[?&]$', '') AS tidied FROM s3) "
+            "SELECT doc_id, url, regexp_replace(tidied, '([^/])/$', '\\1') AS canonical_url "
+            "FROM s4 ORDER BY doc_id"
         ),
         "audio_features": (
             "WITH m AS (SELECT doc_id, octet_length(encode(coalesce(text,''))) "

@@ -127,3 +127,49 @@ def filter_domains(
         return batch.filter(mask)
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+# --- URL canonicalization ------------------------------------------------------
+
+# tracking parameters every crawl pipeline strips before URL dedup; the
+# leading separator is captured and kept so "?utm=x&a=1" → "?a=1" (one RE2
+# GlobalReplace pass — adjacent tracking params need the pass the oracle
+# also runs once, so engine and SQL stay bit-identical by construction)
+_TRACKING_PARAM_RE = (
+    r"(?P<sep>[?&])(?:utm_[a-z]+|gclid|fbclid|ref|mc_cid|mc_eid)=[^&]*&?"
+)
+
+
+def canonical_url(ds, url_col: str = "url", out_col: str = "canonical_url"):
+    """Canonical form of a URL column for URL-level dedup: lowercase scheme
+    and host, strip the fragment, drop tracking query parameters
+    (``utm_*``, ``gclid``, ``fbclid``, ``ref``, ``mc_cid``/``mc_eid``),
+    drop an emptied ``?``/``&`` and a single trailing ``/`` (any final slash
+    not part of ``//`` — ``host.com/`` ≡ ``host.com``).
+
+    One stateless ``map_batches`` of Arrow RE2 kernels — no Python per row,
+    no shuffle, and each rewrite step is expressible as the same
+    ``regexp_replace`` chain in the DuckDB oracle."""
+
+    def canon(batch: pa.Table) -> pa.Table:
+        u = batch[url_col]
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        u = pc.replace_substring_regex(u, pattern=r"#.*$", replacement="")
+        # lowercase scheme://host prefix only (path/query are case-significant)
+        m = pc.extract_regex(
+            u, pattern=r"^(?P<pre>(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*)(?P<rest>.*)$"
+        )
+        pre = pc.ascii_lower(pc.struct_field(m, "pre"))
+        rest = pc.struct_field(m, "rest")
+        u = pc.binary_join_element_wise(pre, rest, "")
+        # strip tracking params (separator preserved), tidy a dangling ?/&
+        u = pc.replace_substring_regex(
+            u, pattern=_TRACKING_PARAM_RE, replacement="\\1"
+        )
+        u = pc.replace_substring_regex(u, pattern=r"[?&]$", replacement="")
+        # single trailing slash on a non-root path
+        u = pc.replace_substring_regex(u, pattern=r"(?P<keep>[^/])/$", replacement="\\1")
+        return batch.append_column(out_col, u)
+
+    return ds.map_batches(canon, batch_format="pyarrow")

@@ -1276,3 +1276,22 @@ def test_dedup_against_matches_set_difference(ray_session, seed):
     ).to_pandas()
     exp = {r["doc_id"] for r in corpus if r["text"] not in ref_texts}
     assert set(out.doc_id) == exp, seed
+
+
+def test_canonical_url(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.urls import canonical_url
+
+    cases = {
+        "HTTPS://WWW.Ex.com/P/?utm_source=x&a=1#f": "https://www.ex.com/P/?a=1",
+        "http://s.org/p?a=1&utm_campaign=z": "http://s.org/p?a=1",
+        "https://h.com/": "https://h.com",
+        "host.com/NoScheme?ref=abc": "host.com/NoScheme",
+        "https://h.com/p?a=1&b=2": "https://h.com/p?a=1&b=2",
+        "": "",
+    }
+    rows = [{"i": i, "url": u} for i, u in enumerate(cases)]
+    out = canonical_url(ray.data.from_items(rows)).to_pandas().sort_values("i")
+    got = dict(zip([r["url"] for r in rows], out.canonical_url))
+    assert got == cases
