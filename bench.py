@@ -181,10 +181,53 @@ def _host_probe() -> dict:
         return tot / 1e6
 
     one, sixteen = run(1), run(16)
+    mem = _membw_probe()
     return {
         "probe_mops_1way": round(one, 1),
         "probe_mops_16way": round(sixteen, 1),
         "probe_16way_speedup": round(sixteen / one, 2) if one else None,
+        **mem,
+    }
+
+
+def _membw_probe() -> dict:
+    """Memory-bandwidth probe (round-3 VERDICT asked for this): large
+    out-of-cache ``np.add`` GB/s, 1-way and 8-way, so 'memory-bandwidth
+    throttling the ALU probe can't see' is a falsifiable claim in every
+    stamped bench JSON. Streams 3 × 128 MiB float64 arrays (read a, read b,
+    write out) per pass."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    N = 16 * 1024 * 1024  # 128 MiB per array
+
+    def stream(q):
+        a = np.ones(N)
+        b = np.ones(N)
+        out = np.empty(N)
+        np.add(a, b, out=out)  # warm pages
+        t0 = time.perf_counter()
+        passes = 0
+        while time.perf_counter() - t0 < 1.0:
+            np.add(a, b, out=out)
+            passes += 1
+        dt = time.perf_counter() - t0
+        q.put(passes * 3 * N * 8 / dt / 1e9)
+
+    def run(k):
+        q = mp.Queue()
+        ps = [mp.Process(target=stream, args=(q,)) for _ in range(k)]
+        [p.start() for p in ps]
+        tot = sum(q.get() for _ in ps)
+        [p.join() for p in ps]
+        return tot
+
+    one, eight = run(1), run(8)
+    return {
+        "membw_gbps_1way": round(one, 2),
+        "membw_gbps_8way": round(eight, 2),
+        "membw_8way_speedup": round(eight / one, 2) if one else None,
     }
 
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .asciiws import split_ascii_ws
+
 __all__ = ["chunk_text"]
 
 
@@ -46,7 +48,7 @@ def chunk_text(
         n_tok: list[int] = []
         chunks: list[str] = []
         for did, t in zip(ids_in, batch[text_col].to_pylist()):
-            ws = (t or "").split()
+            ws = split_ascii_ws(t or "")
             L = len(ws)
             for k, p in enumerate(range(0, L, stride)):
                 w = ws[p : p + chunk_words]

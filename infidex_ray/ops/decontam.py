@@ -31,6 +31,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .asciiws import split_ascii_ws
 from .dedup import _shingle_hashes, _word_hashes
 
 __all__ = ["benchmark_ngram_hashes", "decontaminate"]
@@ -40,7 +41,7 @@ def _doc_gram_hashes(text: str | None, n: int, cache: dict) -> np.ndarray:
     """Distinct word-n-gram hashes of one document; docs with < n words have
     NO n-grams (unlike dedup's short-doc synthetic-shingle contract — a
     3-word doc cannot contain a 5-gram)."""
-    ws = (text or "").split()
+    ws = split_ascii_ws(text or "")
     if len(ws) < n:
         return np.empty(0, dtype=np.uint64)
     return _shingle_hashes(_word_hashes(ws, cache), n)

@@ -26,7 +26,14 @@ _BLOCK_TAGS = re.compile(
     re.IGNORECASE,
 )
 _ANY_TAG = re.compile(r"<[^>]*>")
-_WS = re.compile(r"\s+")
+# re.ASCII: the oracle collapses RE2 \s+ (ASCII only) — exotic Unicode
+# whitespace must survive both engines identically (ops/asciiws.py).
+_WS = re.compile(r"\s+", re.ASCII)
+# Unicode category Zs — what DuckDB trim() strips (probed per codepoint).
+_ZS_CHARS = (
+    "\x20\xa0\u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007"
+    "\u2008\u2009\u200a\u202f\u205f\u3000"
+)
 
 
 def html_to_text(html_bytes: bytes | None) -> str:
@@ -39,7 +46,10 @@ def html_to_text(html_bytes: bytes | None) -> str:
     raw = _BLOCK_TAGS.sub(" ", raw)  # block boundaries become whitespace
     raw = _ANY_TAG.sub("", raw)
     raw = _htmllib.unescape(raw)
-    return _WS.sub(" ", raw).strip()
+    # DuckDB trim() strips exactly Unicode Zs (space separators) — NOT the
+    # control whitespace \t\n\v\f\r\x85   that Python .strip()
+    # would also eat (probed empirically; the oracle mirrors this trim).
+    return _WS.sub(" ", raw).strip(_ZS_CHARS)
 
 
 def extract_text_batch(

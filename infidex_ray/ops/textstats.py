@@ -15,6 +15,7 @@ import pyarrow as pa
 
 from ..analyzer import _word_splitter, normalize
 from ..config import DEFAULT_DELIMITERS
+from .asciiws import split_ascii_ws
 from .dedup import round_half_up4_arr as _round4_half_up  # canonical rounding
 
 # A small fixed English stopword list (public knowledge) for quality scoring.
@@ -81,13 +82,15 @@ def token_count_batch(
     if _BPE_RE is None:
         import re
 
-        _BPE_RE = re.compile(BPE_ISH_PATTERN)
+        # re.ASCII: \s in the pattern must mean RE2's ASCII class, matching
+        # the DuckDB oracle engine (see ops/asciiws.py).
+        _BPE_RE = re.compile(BPE_ISH_PATTERN, re.ASCII)
     texts = batch[text_col].to_pylist()
     n_ws = np.zeros(len(texts), dtype=np.int64)
     n_bpe = np.zeros(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
         t = t or ""
-        n_ws[i] = len(t.split())
+        n_ws[i] = len(split_ascii_ws(t))
         n_bpe[i] = sum(1 for _ in _BPE_RE.finditer(t))
     return pa.table(
         {"doc_id": batch[id_col], "n_ws_tokens": n_ws, "n_bpe_tokens": n_bpe}
@@ -152,7 +155,7 @@ def gopher_rules_batch(
     frac_alpha = np.zeros(n, dtype=np.float64)
     for i, t in enumerate(texts):
         t = t or ""
-        words = t.split()
+        words = split_ascii_ws(t)
         nw = len(words)
         n_words[i] = nw
         lines = t.split("\n")
@@ -463,7 +466,7 @@ def repetition_signals_batch(
                 f_dup_chars[i] = (
                     sum(len(l) * c for l, c in lc.items() if c > 1) / tot
                 )
-        ws = t.split()
+        ws = split_ascii_ws(t)
         if len(ws) >= 2:
             gc = Counter(" ".join(p) for p in zip(ws, ws[1:]))
             g, c = min(gc.items(), key=lambda kv: (-kv[1], kv[0]))

@@ -35,7 +35,9 @@ from .dedup import _md5_u64
 
 __all__ = ["hashed_bow", "hashed_bow_dense", "hashed_bow_batch"]
 
-_WS_RE = re.compile(r"\S+")
+# re.ASCII: \S must be RE2's ASCII complement, matching the DuckDB oracle
+# (see ops/asciiws.py).
+_WS_RE = re.compile(r"\S+", re.ASCII)
 
 
 def _doc_buckets(texts: list, dim: int, cache: dict) -> tuple[np.ndarray, np.ndarray]:
