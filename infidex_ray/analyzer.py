@@ -26,6 +26,8 @@ from __future__ import annotations
 import re
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from .config import DEFAULT_DELIMITERS, START_PAD_CHAR, STOP_PAD_CHAR
 
@@ -445,6 +447,36 @@ def _word_splitter(delimiters: tuple[str, ...]) -> re.Pattern:
     return pat
 
 
+def _split_words_flat(
+    lower_texts: list[str], delimiters: tuple[str, ...]
+) -> tuple["pa.Array", np.ndarray, np.ndarray]:
+    """Batch word split via Arrow RE2 (same explicit char-class pattern as
+    ``_word_splitter`` — literal classes behave identically in RE2 and
+    Python ``re``): returns (flat token Array, doc index per token int64,
+    codepoint length per token int64). Empty tokens are INCLUDED (length 0)
+    — callers mask on length, mirroring the Python ``if w`` filters."""
+    arr = pa.array(lower_texts, pa.large_string())
+    toks = pc.split_pattern_regex(
+        arr, pattern="[" + re.escape("".join(delimiters)) + "]+"
+    )
+    lens = (
+        pc.list_value_length(toks)
+        .fill_null(0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    doc_of = np.repeat(np.arange(len(lower_texts), dtype=np.int64), lens)
+    wl = (
+        pc.utf8_length(flat)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    return flat, doc_of, wl
+
+
 def _batch_gram3_keys(
     lower_texts: list[str], start_pad_size: int, stop_pad_size: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -602,33 +634,60 @@ def _count_tokens_batch_gram3(
 ) -> BatchTokenCounts:
     """Default-config (IndexSizes=[3]) batch counting: single-pass 3-gram
     extraction over the concatenated batch + the word emission pass."""
-    splitter = _word_splitter(delimiters)
     n_docs = len(lower_texts)
     doc_idx, keys, doc_total = _batch_gram3_keys(
         lower_texts, start_pad_size, stop_pad_size
     )
 
-    # word pass (words len ≥ 3; 3-char words are gram-key-encodable)
-    long_word_occ: dict[str, list[int]] = {}
-    extra_docs: list[int] = []
-    extra_keys: list[int] = []
-    for d, text in enumerate(lower_texts):
-        if not text:
-            continue
-        for w in splitter.split(text):
-            lw = len(w)
-            if lw < 3:
-                continue
-            doc_total[d] += 1
-            if lw == 3:
-                extra_docs.append(d)
-                extra_keys.append(encode_gram_key(w))
-            else:
-                long_word_occ.setdefault(w, []).append(d)
+    # word pass (words len ≥ 3; 3-char words are gram-key-encodable) —
+    # vectorized: one Arrow RE2 split over the batch (the char-class pattern
+    # is engine-identical to the Python splitter), utf8_length mask, and a
+    # C++ dictionary-encode for the long-word vocabulary. The former per-word
+    # Python loop was ~25% of segment-build CPU.
+    flat, doc_of, wl = _split_words_flat(lower_texts, delimiters)
+    ge3 = wl >= 3
+    if ge3.any():
+        doc_total += np.bincount(doc_of[ge3], minlength=n_docs)
 
-    if extra_keys:
-        doc_idx = np.concatenate([doc_idx, np.asarray(extra_docs, dtype=np.int32)])
-        keys = np.concatenate([keys, np.asarray(extra_keys, dtype=np.uint64)])
+    m3 = wl == 3
+    if m3.any():
+        w3 = flat.filter(pa.array(m3))
+        cps = np.frombuffer(
+            "".join(w3.to_pylist()).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.uint64)
+        cps = cps.reshape(-1, 3)
+        keys3 = (
+            _GRAM3_FLAG
+            | (cps[:, 0] << np.uint64(42))
+            | (cps[:, 1] << np.uint64(21))
+            | cps[:, 2]
+        )
+        doc_idx = np.concatenate([doc_idx, doc_of[m3].astype(np.int32)])
+        keys = np.concatenate([keys, keys3])
+
+    mL = wl > 3
+    if mL.any():
+        flatL = flat.filter(pa.array(mL))
+        docL = doc_of[mL]
+        enc = flatL.dictionary_encode()
+        widx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        wordsL = enc.dictionary.to_pylist()
+        order = np.lexsort((docL, widx))
+        ii, dd = widx[order], docL[order]
+        pair_b = np.empty(len(ii), dtype=bool)
+        pair_b[0] = True
+        pair_b[1:] = (ii[1:] != ii[:-1]) | (dd[1:] != dd[:-1])
+        pst = np.flatnonzero(pair_b)
+        pcnt = np.diff(np.append(pst, len(ii))).astype(np.int32)
+        u_idx, u_doc = ii[pst], dd[pst].astype(np.int32)
+        wb = np.flatnonzero(np.concatenate(([True], u_idx[1:] != u_idx[:-1])))
+        we = np.append(wb[1:], len(u_idx))
+        word_counts_v: dict[str, tuple[np.ndarray, np.ndarray]] = {
+            wordsL[u_idx[wb[k]]]: (u_doc[wb[k] : we[k]], pcnt[wb[k] : we[k]])
+            for k in range(len(wb))
+        }
+    else:
+        word_counts_v = {}
 
     if len(keys):
         order = np.lexsort((doc_idx, keys))
@@ -647,11 +706,7 @@ def _count_tokens_batch_gram3(
         gram_key = np.empty(0, np.uint64)
         gram_count = np.empty(0, np.int32)
 
-    word_counts: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-    for w, occ in long_word_occ.items():
-        arr = np.asarray(occ, dtype=np.int32)
-        docs, counts2 = np.unique(arr, return_counts=True)
-        word_counts[w] = (docs.astype(np.int32), counts2.astype(np.int32))
+    word_counts = word_counts_v
 
     sat = gram_count > 255
     doc_sat = np.zeros(n_docs, dtype=np.int64)

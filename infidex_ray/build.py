@@ -215,18 +215,36 @@ def _finish_segment(
     from . import segments as seglib
 
     # docmap metadata (DocumentMetadataCache semantics, VectorModel.cs:250-313)
-    from .analyzer import _word_splitter
+    # — vectorized: one Arrow split + dictionary-encode replaces the former
+    # per-doc split/set loop (same tokens; empties masked on length)
+    from .analyzer import _split_words_flat, _word_splitter
 
     splitter = _word_splitter(cfg.delimiters)
-    first_tokens: list[str] = []
-    token_counts = np.zeros(len(lower_texts), dtype=np.int32)
+    n_rows = len(lower_texts)
+    flat, doc_of, wl = _split_words_flat(lower_texts, cfg.delimiters)
+    nz = wl > 0
+    token_counts = np.bincount(doc_of[nz], minlength=n_rows).astype(np.int32)
+    first_tokens = [""] * n_rows
+    if nz.any():
+        # doc_of is nondecreasing → first nonzero-length token per doc is the
+        # first occurrence of each doc id in the masked stream
+        fdocs, fidx = np.unique(doc_of[nz], return_index=True)
+        sel = np.flatnonzero(nz)[fidx]
+        for d, w in zip(fdocs.tolist(), flat.take(pa.array(sel)).to_pylist()):
+            first_tokens[d] = w
     word_df: dict[str, int] = {}  # word-level df (VectorModel.cs:864-908)
-    for i, t in enumerate(lower_texts):
-        ws = [w for w in splitter.split(t) if w]
-        first_tokens.append(ws[0] if ws else "")
-        token_counts[i] = len(ws)
-        for w in set(ws):
-            word_df[w] = word_df.get(w, 0) + 1
+    if nz.any():
+        flatnz = flat.filter(pa.array(nz))
+        docnz = doc_of[nz]
+        enc = flatnz.dictionary_encode()
+        widx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((docnz, widx))
+        ii, dd = widx[order], docnz[order]
+        pair_b = np.empty(len(ii), dtype=bool)
+        pair_b[0] = True
+        pair_b[1:] = (ii[1:] != ii[:-1]) | (dd[1:] != dd[:-1])
+        dfc = np.bincount(ii[pair_b], minlength=len(enc.dictionary))
+        word_df = dict(zip(enc.dictionary.to_pylist(), dfc.tolist()))
 
     docmap = {
         "local_id": np.arange(len(urls), dtype=np.int32),
@@ -266,6 +284,9 @@ def _finish_segment(
         from .query.shortquery import compute_short_tables
 
         sq_lower = [lower_1to1(t) for t in norm_texts]
+        # NOTE: measured — the Python nested split beats Arrow split +
+        # to_pylist here (tiny token strings; Arrow→Python materialization
+        # dominates), so this stays a comprehension
         sq_words = [[w for w in splitter.split(t) if w] for t in sq_lower]
         extra.update(compute_short_tables(sq_lower, sq_words, doc_keys, seg_id=0))
     meta["timings_s"]["short_artifacts"] = round(time.perf_counter() - t_sq, 4)
@@ -823,8 +844,20 @@ def build_index(
         zero_copy_batch=True,
     )
 
-    # the one (small) shuffle: global df = Σ per-segment df
-    agg = df_rows.groupby(["kind", "term"]).sum("df")
+    # the one (small) shuffle: global df = Σ per-segment df.
+    # Repartition first: Ray's all-to-all defaults to ONE output partition
+    # per input block, so feeding n_segments blocks straight into groupby
+    # makes AggregateMap emit n_segments² tiny objects (measured 77 CPU·s of
+    # pure exchange overhead at 144 segments for a 137k-row df stream —
+    # ray_stats.txt). The df stream is vocab-sized, not corpus-sized; a
+    # CPU-scaled partition count keeps the exchange linear and also bounds
+    # the vocab parquet part count that ShardedDfLookup probes.
+    import ray as _ray
+
+    stats_parts = max(4, min(64, int(_ray.cluster_resources().get("CPU", 8))))
+    agg = (
+        df_rows.repartition(stats_parts).groupby(["kind", "term"]).sum("df")
+    )
     t_plan = time.perf_counter()
 
     # Global vocab stats written DISTRIBUTED: sorted, range-partitioned

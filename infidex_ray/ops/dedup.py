@@ -116,20 +116,43 @@ def _hash64(s: str) -> int:
     )
 
 
-def _join_partitions(requested: int | None = None) -> int:
-    """Join partition count bounded by cluster CPUs: `Dataset.join` spawns
-    one aggregator actor per partition and (empirically, Ray 2.49) chained
-    joins DEADLOCK when partitions exceed ~CPUs/2 — on a 256-node cluster
-    the cap is thousands, on the 4-CPU test fixture it is 2."""
+def _ray_chained_join_deadlock() -> bool:
+    """True while the running Ray has the chained-``Dataset.join`` deadlock
+    (probed empirically on 2.49: chained joins hang when num_partitions
+    exceeds ~CPUs/2; tests/test_ops.py::test_chained_join_deadlock_probe
+    reproduces the shape). Version-gated so the cap self-deletes on a fixed
+    Ray — bump the tuple when a release is verified clean."""
+    import ray
+
+    try:
+        v = tuple(int(x) for x in ray.__version__.split(".")[:2])
+    except Exception:
+        return True  # unknown version: assume affected
+    return v <= (2, 49)
+
+
+def _join_partitions(requested: int | None = None, chained: bool = True) -> int:
+    """Join partition count: `Dataset.join` spawns one aggregator actor per
+    partition.
+
+    * ``requested`` is honored (the corpus-scale escape hatch) — clamped to
+      CPUs/2 only for ``chained`` joins on a deadlock-affected Ray
+      (``_ray_chained_join_deadlock``).
+    * The default scales with cluster CPUs — ``max(8, cpus/4)`` bounded by
+      the CPUs/2 safety line: aggregator-actor startup dominates small and
+      medium joins (A/B at sf0.1: 4 parts 7.7 s, 8 parts 8.4 s, 16 parts
+      11.4 s), so small sessions stay at 8 while a 256-node cluster gets
+      hundreds of partitions.
+    """
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    # default also capped at 8: each partition is an aggregator actor whose
-    # startup dominates small/medium joins (A/B at sf0.1: 4 parts 7.7 s,
-    # 8 parts 8.4 s, 16 parts 11.4 s) — pass num_partitions explicitly for
-    # corpus-scale sketch shuffles
-    cap = max(2, min(cpus // 2, 8))
-    return min(requested, cap) if requested else cap
+    safety = max(2, cpus // 2)
+    if requested:
+        if chained and _ray_chained_join_deadlock():
+            return min(requested, safety)
+        return requested
+    return max(2, min(safety, max(8, cpus // 4)))
 
 
 def _attach_sketches(pairs, sketches, num_partitions: int | None = None):

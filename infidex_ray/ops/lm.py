@@ -62,7 +62,9 @@ def _token_count_partials(ds, text_col: str):
     )
 
 
-def unigram_model(train_ds, text_col: str = "text", vocab_size: int | None = None):
+def unigram_model(
+    train_ds, text_col: str = "text", vocab_size: int | None = 2_000_000
+):
     """Train the pruned unigram LM: returns ``(tokens_sorted, logp, total,
     oov_logp)`` where ``tokens_sorted`` is a lexicographically sorted numpy
     string array and ``logp[i] = ln(count(tokens_sorted[i]) / total)``.
@@ -71,6 +73,10 @@ def unigram_model(train_ds, text_col: str = "text", vocab_size: int | None = Non
     reassigns tail tokens to the OOV floor — it never inflates in-vocab
     probabilities. The returned arrays are vocabulary-sized (the small side
     by construction; CCNet ships its pruned LM to every worker the same way).
+
+    ``vocab_size`` defaults to 2M tokens so the driver-side collect stays
+    bounded on crawl-scale vocabularies; pass ``vocab_size=None`` to opt in
+    to the unbounded exact vocabulary.
     """
     agg = _token_count_partials(train_ds, text_col)
 
@@ -108,7 +114,7 @@ def unigram_logprob(
     train_ds=None,
     text_col: str = "text",
     id_col: str = "doc_id",
-    vocab_size: int | None = None,
+    vocab_size: int | None = 2_000_000,
 ):
     """Per-document average negative log-likelihood under a unigram LM
     trained on ``train_ds`` (default: the corpus itself).

@@ -192,11 +192,15 @@ def tfidf_keywords(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_vocab: int | None = None,
+    max_vocab: int | None = 1_000_000,
 ):
     """Top-k TF-IDF keywords per document: ``score = tf · ln(N/df)``, ties
     broken by token ascending. Returns ``(id, rank, token, score)`` with
     score rounded half-away-from-zero to 4 decimals (DuckDB ``ROUND``).
+
+    ``max_vocab`` defaults to 1M tokens so the driver-side df collect is
+    bounded on web-scale vocabularies; pass ``max_vocab=None`` to opt in to
+    the unbounded exact vocabulary (driver memory = |vocab|).
 
     Two-pass broadcast shape: pass 1 trains the vocabulary-sized df table
     (see :func:`document_frequencies`) which is sorted, ``ray.put`` ONCE and
