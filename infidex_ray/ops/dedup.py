@@ -162,6 +162,18 @@ def _attach_sketches(pairs, sketches, num_partitions: int | None = None):
     — this replaces round-2's candidate-bounded driver broadcast, which was
     the component that would OOM first on a boilerplate-heavy crawl.
     Non-key sketch columns come back suffixed ``_a`` / ``_b``."""
+    if num_partitions is None:
+        # each partition costs an aggregator-actor startup (~0.5 s): size the
+        # join by the LARGER side at ~500k rows/partition when both sides are
+        # already materialized (count() is then metadata-only), else default
+        try:
+            from ray.data.dataset import MaterializedDataset as _MatDs
+
+            if isinstance(pairs, _MatDs) and isinstance(sketches, _MatDs):
+                rows = max(pairs.count(), sketches.count())
+                num_partitions = max(2, -(-rows // 500_000))
+        except Exception:  # noqa: BLE001 — sizing is a pure optimization
+            pass
     num_partitions = _join_partitions(num_partitions)
     # a sparse groupby upstream leaves MIXED physical block schemas (Ray 2.49
     # logs "RefBundle with a different schema"); the join's aggregator then
@@ -550,22 +562,66 @@ def minhash_lsh_pairs(
 
     band_rows = sigs.map_batches(emit_bands, batch_format="pyarrow")
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        docs = sorted(set(group["doc_id"].to_pylist()))
-        if len(docs) < 2 or len(docs) > max_bucket_size:
-            # oversize buckets dropped (boilerplate/empty-doc skew guard)
+    # ONE coarse group per bucket-hash slice instead of one per (band,
+    # bucket): `map_groups` pays a Python call per group, and ~n_docs×bands
+    # mostly-singleton buckets made that the dominant cost (3.5 s of a 9.4 s
+    # run at 5k docs). A slice key is a pure function of (band, bucket), so
+    # every bucket still lands wholly inside one group; the UDF then finds
+    # bucket runs with one lexsort and expands pairs per qualifying bucket.
+    # Slice count scales with the band-row volume (~2M rows per group task)
+    # so one slice never outgrows a worker; sigs is materialized, so count()
+    # is metadata-only.
+    N_SLICES = int(min(65536, max(64, (sigs.count() * bands) // 2_000_000)))
+
+    def add_slice(batch: pa.Table) -> pa.Table:
+        bk = batch["bucket"].to_numpy(zero_copy_only=False)
+        bd = batch["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            sl = ((bk.view(np.uint64) ^ (bd.view(np.uint64) * _MIX1)) * _MIX2)
+        return batch.append_column(
+            "slice", pa.array((sl % np.uint64(N_SLICES)).astype(np.int32))
+        )
+
+    def pairs_in_slice(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        bd = group["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = group["bucket"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bk, bd))
+        ids, bd, bk = ids[order], bd[order], bk[order]
+        new = np.empty(len(ids), dtype=bool)
+        if len(ids) == 0:
             return pa.table(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
             )
+        new[0] = True
+        new[1:] = (bd[1:] != bd[:-1]) | (bk[1:] != bk[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(ids)]
         pa_, pb_ = [], []
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                pa_.append(docs[i])
-                pb_.append(docs[j])
-        return pa.table({"id_a": pa.array(pa_, pa.int64()), "id_b": pa.array(pb_, pa.int64())})
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            docs = np.unique(ids[s:e])
+            m = len(docs)
+            if m < 2 or m > max_bucket_size:
+                # oversize buckets dropped (boilerplate/empty-doc skew guard)
+                continue
+            iu, ju = np.triu_indices(m, k=1)
+            pa_.append(docs[iu])
+            pb_.append(docs[ju])
+        if not pa_:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(pa_), pa.int64()),
+                "id_b": pa.array(np.concatenate(pb_), pa.int64()),
+            }
+        )
 
-    cand = band_rows.groupby(["band", "bucket"]).map_groups(
-        pairs_in_bucket, batch_format="pyarrow"
+    cand = (
+        band_rows.map_batches(add_slice, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(pairs_in_slice, batch_format="pyarrow")
     )
     uniq = (
         cand.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
