@@ -72,12 +72,13 @@ def _build_index(num_cpus: int, out_dir: str) -> dict:
         lambda b: b, batch_format="pyarrow"
     ).materialize()
     # fixed segment size regardless of cpu count (same physical plan at both
-    # parallelism levels — only the worker count changes). 4000 docs/segment:
-    # round-3 A/B at 480k rows measured build 67 s / query p50 153 ms vs
-    # 2000-doc (76 s / 158-215 ms) and 8000-doc (123 s / 124 ms) — the
-    # balance point; query latency scales with per-segment fixed costs,
-    # build with task granularity
-    seg_docs = 4000
+    # parallelism levels — only the worker count changes). 5000 docs/segment
+    # via the streaming rebatch (repartition=None): round-4 interleaved A/B
+    # at 480k rows — 96 segments: build 29.9 s / p50 62.5 ms; 48 segments:
+    # 41.0 s / 53.9 ms (48 tasks pack poorly on 32 CPUs); 144 segments:
+    # 40.3 s / 70.9 ms. Query latency scales with per-segment fixed costs,
+    # build with task packing; 96 is the joint optimum
+    seg_docs = 5000
     n_segments = max(1, -(-WEBPAGES_ROWS // seg_docs))
     ds = ray.data.read_parquet(WEBPAGES_PATH, override_num_blocks=n_segments)
     t0 = time.perf_counter()
@@ -87,7 +88,7 @@ def _build_index(num_cpus: int, out_dir: str) -> dict:
         target_docs_per_segment=seg_docs, auto_segment=AutoSegmentSetup(200, 0.2)
     )
     manifest = build_index(
-        ds, out_dir, cfg, text_column="text", key_column="url", repartition=False
+        ds, out_dir, cfg, text_column="text", key_column="url", repartition=None
     )
     dt = time.perf_counter() - t0
     return {
