@@ -5,13 +5,51 @@ Everything stays lazy Ray Data end-to-end: each stage is a map_batches /
 broadcast / bounded-shuffle operator from `ops/`, so the composition
 inherits their 100-TB properties (the only all-to-alls are the dedup
 band-key groupby, the pair joins, and the pack bucket groupby; every
-filter/score step streams). Consume the result with ``write_parquet`` /
+filter/score step streams). Intermediate corpora that are consumed more
+than once are checkpointed to partitioned parquet (the disk tier — at
+100 TB the object store is the wrong persistence layer for a full corpus
+snapshot, and the ``_SUCCESS``-marked partitions make a re-run resume
+instead of recompute). Consume the result with ``write_parquet`` /
 ``sources.write_results`` — do not materialize it.
 """
 
 from __future__ import annotations
 
+import os
+
 __all__ = ["curate_webtext"]
+
+
+def _checkpoint(docs, ckpt_dir: str, id_col: str, n_parts: int):
+    """Spill a corpus snapshot to ``_SUCCESS``-marked partitioned parquet and
+    re-read it (``sources.write_partitioned_resumable``): the snapshot is
+    consumed by more than one downstream pass, and parquet-on-disk is the
+    right tier for that at crawl scale — object-store `materialize()` pins
+    the whole corpus in cluster memory. Partition key = ``id % n_parts``
+    (deterministic, so a killed run resumes from committed partitions)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .sources import write_partitioned_resumable
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if "__part" in batch.column_names:
+            batch = batch.drop_columns(["__part"])
+        return batch.append_column(
+            "__part", pa.array((ids % n_parts).astype(np.int32))
+        )
+
+    write_partitioned_resumable(
+        docs.map_batches(add_part, batch_format="pyarrow"), ckpt_dir, "__part"
+    )
+    # file_extensions: the _SUCCESS markers otherwise make read_parquet
+    # return an empty dataset (Ray 2.49 includes them in the file listing)
+    out = ray.data.read_parquet(ckpt_dir, file_extensions=["parquet"])
+    return out.drop_columns(["__part"])
 
 
 def curate_webtext(
@@ -25,6 +63,8 @@ def curate_webtext(
     chunk_words: int = 64,
     pack_capacity: int = 256,
     decontam_n: int = 8,
+    checkpoint_dir: str | None = None,
+    checkpoint_partitions: int = 64,
 ):
     """The standard webtext curation recipe (CCNet/Gopher/RefinedWeb shape):
 
@@ -35,7 +75,8 @@ def curate_webtext(
        label-propagation clusters → anti-join)
     5. optional decontamination against a benchmark set (broadcast
        ``decontam_n``-gram hash set — 8 by default, the GPT-3/PaLM range;
-       drops contaminated docs)
+       contaminated ids are dropped with a distributed left_anti join,
+       never collected to the driver)
     6. chunk into ``chunk_words``-word training samples and greedily pack
        into ``pack_capacity``-token sequences (bucket, bin)
 
@@ -44,14 +85,31 @@ def curate_webtext(
     semantics, only plumbing. Filter stages are row-local, so they fuse:
     one map_batches computes the score and filters in place — no label
     join, no second pass over the text.
+
+    The two corpus snapshots that are consumed twice (the gated corpus:
+    pair mining + anti-join; the deduped corpus: decontam + chunking) are
+    checkpointed to resumable partitioned parquet under ``checkpoint_dir``
+    (default: a fresh directory under /tmp). Scale ``checkpoint_partitions``
+    with the corpus (one write task and one ``_SUCCESS`` unit per
+    partition).
     """
     import pyarrow as pa
 
     from .ops.chunking import chunk_text
     from .ops.decontam import decontaminate
-    from .ops.dedup import dedup_corpus_ds, exact_dup_pairs, minhash_lsh_pairs
+    from .ops.dedup import (
+        _join_partitions,
+        dedup_corpus_ds,
+        exact_dup_pairs,
+        minhash_lsh_pairs,
+    )
     from .ops.packing import pack_sequences
     from .ops.textstats import gopher_rules_batch, langid_batch, quality_batch
+
+    if checkpoint_dir is None:
+        import tempfile
+
+        checkpoint_dir = tempfile.mkdtemp(prefix="curate_ckpt_")
 
     lang_set = set(langs)
 
@@ -76,44 +134,43 @@ def curate_webtext(
         )
         return batch.filter(pa.array(keep))
 
-    docs = docs.map_batches(keep_good, batch_format="pyarrow").materialize()
+    docs = _checkpoint(
+        docs.map_batches(keep_good, batch_format="pyarrow"),
+        os.path.join(checkpoint_dir, "gated"),
+        id_col,
+        checkpoint_partitions,
+    )
 
     # --- exact then near dedup (the two all-to-alls) ----------------------
     docs = dedup_corpus_ds(docs, exact_dup_pairs(docs, id_col, text_col), id_col)
     pairs = minhash_lsh_pairs(
         docs, threshold=minhash_threshold, id_col=id_col, text_col=text_col
     )
-    docs = dedup_corpus_ds(docs, pairs, id_col).materialize()
+    docs = _checkpoint(
+        dedup_corpus_ds(docs, pairs, id_col),
+        os.path.join(checkpoint_dir, "deduped"),
+        id_col,
+        checkpoint_partitions,
+    )
 
-    # --- decontamination ----------------------------------------------------
+    # --- decontamination: distributed left_anti join on contaminated ids ----
     if bench is not None:
         rep = decontaminate(docs, bench, n=decontam_n, id_col=id_col, text_col=text_col)
-        import numpy as np
-        import ray
 
-        bad_parts = [
-            b[id_col].to_numpy(zero_copy_only=False)[
-                b["contaminated"].to_numpy(zero_copy_only=False)
-            ]
-            for b in rep.iter_batches(batch_format="pyarrow")
-        ]
-        bad = (
-            np.sort(np.concatenate(bad_parts))
-            if bad_parts
-            else np.empty(0, np.int64)
-        )
-        bad_ref = ray.put(bad)
+        def contaminated_ids(batch: pa.Table) -> pa.Table:
+            bad = batch.filter(batch["contaminated"])
+            return pa.table({id_col: bad[id_col]})
 
-        def drop_bad(batch: pa.Table) -> pa.Table:
-            drop = ray.get(bad_ref)
-            if len(drop) == 0 or len(batch) == 0:
-                return batch
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(drop, ids)
-            idx[idx == len(drop)] = 0
-            return batch.filter(pa.array(drop[idx] != ids))
-
-        docs = docs.map_batches(drop_bad, batch_format="pyarrow")
+        bad_ids = rep.map_batches(
+            contaminated_ids, batch_format="pyarrow"
+        ).materialize()  # id-only, contamination-bounded — the small side
+        if bad_ids.count() > 0:
+            docs = docs.join(
+                bad_ids,
+                "left_anti",
+                _join_partitions(chained=False),
+                on=(id_col,),
+            )
 
     # --- chunk + pack --------------------------------------------------------
     chunks = chunk_text(
