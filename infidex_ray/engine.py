@@ -323,6 +323,59 @@ class Engine:
             stats["avg_doc_len"],
         )
 
+    # ------------------------------------------------------- single-file I/O
+    def save_file(self, file_path: str) -> None:
+        """Export the whole index as ONE portable file (reference parity:
+        ``SearchEngine.Save(filePath)``, src/Infidex/SearchEngine.cs:385-442
+        + Indexing/IndexPersistence.cs:15-50). The container is an
+        uncompressed tar of the index directory tree (segments + manifest +
+        stats + tombstones) written atomically (tmp → rename), so an index
+        can be shipped/downloaded as a single artifact; the directory layout
+        stays the canonical cluster-serving format."""
+        with open(file_path + ".tmp", "wb") as f:
+            self.save_stream(f)
+        os.replace(file_path + ".tmp", file_path)
+
+    def save_stream(self, fileobj) -> None:
+        """``SaveToStream`` parity: tar the index tree into a writable binary
+        stream (deterministic member order)."""
+        import tarfile
+
+        with tarfile.open(fileobj=fileobj, mode="w") as tar:
+            for root, dirs, files in os.walk(self.index_dir):
+                dirs.sort()
+                for name in sorted(files):
+                    if name.endswith(".tmp"):
+                        continue
+                    full = os.path.join(root, name)
+                    arc = os.path.relpath(full, self.index_dir)
+                    tar.add(full, arcname=arc, recursive=False)
+
+    @classmethod
+    def load_file(
+        cls,
+        file_path: str,
+        extract_dir: str | None = None,
+        cfg: EngineConfig | None = None,
+    ) -> "Engine":
+        """Open a ``save_file`` container: extract the tree (segments are
+        mmapped, so they must land on disk) and ``load`` it. ``extract_dir``
+        defaults to ``<file_path>.d`` next to the container; an existing
+        extraction is reused only if its manifest is present."""
+        with open(file_path, "rb") as f:
+            return cls.load_stream(f, extract_dir or (file_path + ".d"), cfg)
+
+    @classmethod
+    def load_stream(
+        cls, fileobj, extract_dir: str, cfg: EngineConfig | None = None
+    ) -> "Engine":
+        import tarfile
+
+        os.makedirs(extract_dir, exist_ok=True)
+        with tarfile.open(fileobj=fileobj, mode="r") as tar:
+            tar.extractall(extract_dir, filter="data")
+        return cls.load(extract_dir, cfg)
+
     # ----------------------------------------------------------------- search
     def _fuzzy_global_df(self, text: str) -> int:
         """Global cardinality of the LD1 union = Σ per-segment cardinalities

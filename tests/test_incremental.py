@@ -216,3 +216,36 @@ def test_merge_index_target_segments(ray_session, minicorpus, tmp_path):
         a = [(h.doc_key, round(h.score, 6)) for h in eng_multi.search(q, top_k=10)]
         b = [(h.doc_key, round(h.score, 6)) for h in eng_two.search(q, top_k=10)]
         assert a == b, q
+
+
+def test_single_file_save_load_roundtrip(ray_session, tmp_path):
+    """save_file → load_file rank identity vs the directory-loaded engine
+    (reference Save/SaveToStream parity, SearchEngine.cs:385-442)."""
+    import ray.data
+
+    from infidex_ray import EngineConfig
+    from infidex_ray.engine import Engine
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "idx")
+    eng = Engine.build(
+        ds, idx, EngineConfig(target_docs_per_segment=150),
+        text_column="text", key_column="doc_id",
+    )
+    container = str(tmp_path / "index.infdx")
+    eng.save_file(container)
+    eng2 = Engine.load_file(container)
+    for q in ("fast column table", "fsat colunm tble", "ab", "§", ""):
+        a = [(h.doc_key, h.score) for h in eng.search(q, top_k=10)]
+        b = [(h.doc_key, h.score) for h in eng2.search(q, top_k=10)]
+        assert a == b, q
+    # stream variants roundtrip too
+    import io
+
+    buf = io.BytesIO()
+    eng.save_stream(buf)
+    buf.seek(0)
+    eng3 = Engine.load_stream(buf, str(tmp_path / "extract2"))
+    a = [(h.doc_key, h.score) for h in eng.search("fast column", top_k=5)]
+    c = [(h.doc_key, h.score) for h in eng3.search("fast column", top_k=5)]
+    assert a == c
