@@ -1109,6 +1109,30 @@ def _q_range_join(sf_dir: str):
     return _by(out, "event_id", "p_partkey")
 
 
+def _q_char_entropy(sf_dir: str):
+    """Per-doc Shannon character entropy (gibberish / binary-spill gate) —
+    stateless map_batches; numpy and DuckDB ln agree bit-for-bit."""
+    from infidex_ray.ops.textstats import char_entropy
+
+    return _by(char_entropy(_read(sf_dir, "documents")), "doc_id")
+
+
+def _q_collocations(sf_dir: str):
+    """Corpus PMI collocations: bigram-count combiner partials → one (w1,w2)
+    groupby → vocab-sized marginal joins → top-50 by rounded PMI."""
+    from infidex_ray.ops.textstats import collocations
+
+    return collocations(_read(sf_dir, "documents"), min_count=5, top_k=50)
+
+
+def _q_event_order(sf_dir: str):
+    """Per-user event rank + gap-to-previous (all-integer window op): one
+    user-key shuffle, vectorized in-group lexsort."""
+    from infidex_ray.ops.windows import event_order
+
+    return _by(event_order(_read(sf_dir, "events")), "user_id", "rank")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -1147,6 +1171,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_topk_distributed": _q_search_topk_distributed,
         "sessionize": _q_sessionize,
         "window_agg": _q_window_agg,
+        "char_entropy": _q_char_entropy,
+        "collocations": _q_collocations,
+        "event_order": _q_event_order,
         "sample_hash": _q_sample_hash,
         "heavy_hitters": _q_heavy_hitters,
         "asof_join": _q_asof_join,
@@ -1767,6 +1794,45 @@ def oracle_sql() -> dict[str, str]:
             "AS top_2gram_frac "
             "FROM documents d LEFT JOIN lstats l USING (doc_id) "
             "LEFT JOIN top1 t USING (doc_id) ORDER BY d.doc_id"
+        ),
+        "char_entropy": (
+            # Shannon entropy over codepoint counts; ln(n) − Σ k·ln(k)/n
+            "WITH ch AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS c "
+            "FROM documents), "
+            "cc AS (SELECT doc_id, c, count(*) AS k FROM ch WHERE c <> '' "
+            "GROUP BY doc_id, c), "
+            "ag AS (SELECT doc_id, sum(k) AS n, sum(k * ln(k)) AS s "
+            "FROM cc GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(a.n, 0)::BIGINT AS n_chars_raw, "
+            "round(coalesce(ln(a.n) - a.s / a.n, 0), 4) AS entropy "
+            "FROM documents d LEFT JOIN ag a USING (doc_id) ORDER BY d.doc_id"
+        ),
+        "collocations": (
+            # adjacent-bigram PMI from the ONE bigram table: marginals +
+            # total N derived from it; integer products stay exact (<2^53)
+            # so the single double division and ln match numpy bit-for-bit
+            "WITH ws AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w "
+            "FROM documents), "
+            "pos AS (SELECT doc_id, w, "
+            "unnest(generate_series(1, len(w) - 1)) AS i FROM ws), "
+            "bg AS (SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS c "
+            "FROM pos GROUP BY w1, w2), "
+            "nn AS (SELECT sum(c) AS n FROM bg), "
+            "lx AS (SELECT w1, sum(c) AS cx FROM bg GROUP BY w1), "
+            "rx AS (SELECT w2, sum(c) AS cy FROM bg GROUP BY w2) "
+            "SELECT b.w1, b.w2, b.c::BIGINT AS c, "
+            "round(ln(b.c * (SELECT n FROM nn) * 1.0 / (l.cx * r.cy)), 4) AS pmi "
+            "FROM bg b JOIN lx l USING (w1) JOIN rx r USING (w2) "
+            "WHERE b.c >= 5 ORDER BY pmi DESC, w1, w2 LIMIT 50"
+        ),
+        "event_order": (
+            "SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS rank, "
+            "coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us "
+            "FROM events ORDER BY user_id, rank"
         ),
         "group_quantiles": (
             "SELECT lang, count(*) AS n, "

@@ -492,3 +492,168 @@ def repetition_signals(ds, id_col: str = "doc_id", text_col: str = "text"):
         ),
         batch_format="pyarrow",
     )
+
+
+def char_entropy_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Per-document Shannon character entropy (nats) — a cheap gibberish /
+    binary-spill detector for web-text gating (low entropy = repeated
+    padding, very high = random bytes). entropy = ln(n) − Σ c·ln(c) / n over
+    codepoint counts; 0.0 for empty docs. Stateless map_batches; the DuckDB
+    oracle recomputes it from ``string_split(text, '')`` counts (numpy and
+    DuckDB ``ln`` agree bit-for-bit — probed)."""
+    from collections import Counter
+
+    from .dedup import round_half_up4_arr
+
+    texts = batch[text_col].to_pylist()
+    n_out = np.zeros(len(texts), dtype=np.int64)
+    ent = np.zeros(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        n = len(t)
+        n_out[i] = n
+        if n:
+            c = np.fromiter(Counter(t).values(), dtype=np.float64)
+            ent[i] = np.log(float(n)) - float((c * np.log(c)).sum()) / n
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_chars_raw": n_out,
+            "entropy": round_half_up4_arr(ent),
+        }
+    )
+
+
+def char_entropy(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset wrapper for :func:`char_entropy_batch`."""
+    import functools
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        functools.partial(char_entropy_batch, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+    )
+
+
+def collocations(
+    ds,
+    min_count: int = 5,
+    top_k: int = 50,
+    text_col: str = "text",
+):
+    """Corpus-level PMI collocations: the ``top_k`` adjacent word bigrams by
+    pointwise mutual information (the classic phrase-mining signal —
+    Mikolov-style phrase joining / stopword-free boilerplate discovery).
+
+    Tokens are ASCII-whitespace words (the RE2-``\\s`` oracle contract,
+    ops/asciiws.py). With pair count c(x,y), left/right marginals
+    c(x,·)/c(·,y) and total pair count N — all derived from the ONE bigram
+    table — ``pmi = ln(c(x,y) · N / (c(x,·) · c(·,y)))``. Output
+    (w1, w2, c, pmi) for pairs with ``c ≥ min_count``, ordered by
+    (pmi DESC, w1, w2), limited to ``top_k``; pmi rounded
+    half-away-from-zero to 4 decimals.
+
+    Scale: per-batch bigram Counters emit ≤ |batch bigram vocab| partial
+    rows (the combiner pattern); ONE (w1, w2) groupby sums them; marginals
+    and N are vocab-sized aggregates of that table computed driver-side
+    from the already-small filtered result? No — marginals must be over ALL
+    pairs (pre-filter), so they come from two more vocab-keyed groupbys;
+    only the final ≥min_count + top-k table is collected."""
+    from collections import Counter
+
+    import pyarrow.compute as pc  # noqa: F401  (kept for parity with peers)
+
+    from .dedup import round_half_up4_arr
+
+    def bigram_partials(batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            ws = split_ascii_ws(t or "")
+            cnt.update(zip(ws, ws[1:]))
+        if not cnt:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.large_string()),
+                    "w2": pa.array([], pa.large_string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        w1, w2 = zip(*cnt.keys())
+        return pa.table(
+            {
+                "w1": pa.array(list(w1), pa.large_string()),
+                "w2": pa.array(list(w2), pa.large_string()),
+                "c": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    def rename(col):
+        def fn(t: pa.Table) -> pa.Table:
+            c = f"sum(c)" if "sum(c)" in t.column_names else "c"
+            names = [n for n in t.column_names if n != c]
+            return t.select(names).append_column(col, t[c].cast(pa.int64()))
+
+        return fn
+
+    pairs = (
+        ds.select_columns([text_col])
+        .map_batches(bigram_partials, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .sum("c")
+        .map_batches(rename("c"), batch_format="pyarrow")
+        .materialize()
+    )
+    # vocab-sized marginals + scalar N from the pair table
+    left = pairs.groupby("w1").sum("c").map_batches(rename("cx"), batch_format="pyarrow")
+    right = pairs.groupby("w2").sum("c").map_batches(rename("cy"), batch_format="pyarrow")
+    n_pairs = int(pairs.sum("c") or 0)
+    if n_pairs == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "w1": pa.array([], pa.large_string()),
+                    "w2": pa.array([], pa.large_string()),
+                    "c": pa.array([], pa.int64()),
+                    "pmi": pa.array([], pa.float64()),
+                }
+            )
+        )
+    from .dedup import _join_partitions
+
+    k = _join_partitions(chained=False)
+    cand = pairs.filter(expr=f"c >= {int(min_count)}")
+    scored = cand.join(left, "inner", k, on=("w1",)).join(
+        right.materialize(), "inner", k, on=("w2",)
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.large_string()),
+                    "w2": pa.array([], pa.large_string()),
+                    "c": pa.array([], pa.int64()),
+                    "pmi": pa.array([], pa.float64()),
+                }
+            )
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cx = batch["cx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cy = batch["cy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log(c * float(n_pairs) / (cx * cy))
+        return pa.table(
+            {
+                "w1": batch["w1"],
+                "w2": batch["w2"],
+                "c": batch["c"].cast(pa.int64()),
+                "pmi": pa.array(round_half_up4_arr(pmi)),
+            }
+        )
+
+    return (
+        scored.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+        .limit(top_k)
+    )

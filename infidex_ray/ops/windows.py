@@ -256,3 +256,47 @@ def hopping_window(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def event_order(
+    events,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+):
+    """Per-user event ordering signals: rank in time order and microseconds
+    since the user's previous event (−1 for the first) — the feature-prep
+    step ahead of sequence models / sessionization tuning. All-integer
+    outputs, so the DuckDB window oracle (row_number + lag) matches exactly.
+
+    One user-key shuffle; ordering inside each group is one lexsort
+    (tie-break = event id, mirroring the oracle's ORDER BY ts, event_id)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def order_user(group: pa.Table) -> pa.Table:
+        ts = _ts_us(group[ts_col])
+        ev = group[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        o = np.lexsort((ev, ts))
+        ts, ev = ts[o], ev[o]
+        gap = np.empty(len(ts), dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = ts[1:] - ts[:-1]
+        user = group[user_col].combine_chunks().take(
+            pa.array(np.zeros(len(ts), dtype=np.int64))
+        )
+        return pa.table(
+            {
+                user_col: user,
+                id_col: pa.array(ev),
+                "ts_us": pa.array(ts, pa.int64()),
+                "rank": pa.array(np.arange(1, len(ts) + 1, dtype=np.int64)),
+                "gap_us": pa.array(gap, pa.int64()),
+            }
+        )
+
+    return (
+        events.select_columns([user_col, ts_col, id_col])
+        .groupby(user_col)
+        .map_groups(order_user, batch_format="pyarrow")
+    )

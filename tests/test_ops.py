@@ -1380,3 +1380,85 @@ ray.shutdown()
             "the version gate in ops/dedup._ray_chained_join_deadlock and "
             "delete the cap"
         )
+
+
+def test_char_entropy_brute(ray_session):
+    import math
+
+    import ray.data
+
+    from infidex_ray.ops.textstats import char_entropy
+
+    rows = [
+        {"doc_id": 0, "text": ""},
+        {"doc_id": 1, "text": "aaaa"},
+        {"doc_id": 2, "text": "ab"},
+        {"doc_id": 3, "text": "abcd"},
+        {"doc_id": 4, "text": "aab"},
+    ]
+    df = char_entropy(ray.data.from_items(rows)).to_pandas().sort_values("doc_id")
+    assert list(df.n_chars_raw) == [0, 4, 2, 4, 3]
+    assert abs(df.entropy.iloc[1] - 0.0) < 1e-9  # single repeated char
+    assert abs(df.entropy.iloc[2] - round(math.log(2), 4)) < 1e-9
+    assert abs(df.entropy.iloc[3] - round(math.log(4), 4)) < 1e-9
+    want = math.log(3) - (2 * math.log(2)) / 3
+    assert abs(df.entropy.iloc[4] - round(want, 4)) < 1e-4
+
+
+def test_collocations_pmi(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.textstats import collocations
+
+    docs = ["new york " * 6, "the cat the dog the car the cat the dog", "new york"]
+    ds = ray.data.from_items([{"doc_id": i, "text": t} for i, t in enumerate(docs)])
+    df = collocations(ds, min_count=2, top_k=10).to_pandas()
+
+    # brute-force PMI reference
+    import math
+    from collections import Counter
+
+    bg = Counter()
+    for t in docs:
+        ws = t.split()
+        bg.update(zip(ws, ws[1:]))
+    n = sum(bg.values())
+    lx, rx = Counter(), Counter()
+    for (a, b), c in bg.items():
+        lx[a] += c
+        rx[b] += c
+    want = sorted(
+        (
+            (round(math.log(c * n / (lx[a] * rx[b])) * 1e4) / 1e4, a, b, c)
+            for (a, b), c in bg.items()
+            if c >= 2
+        ),
+        key=lambda r: (-r[0], r[1], r[2]),
+    )[:10]
+    got = list(zip(df.pmi, df.w1, df.w2, df.c))
+    assert [(a, b, c) for _, a, b, c in got] == [(a, b, c) for _, a, b, c in want]
+    assert all(abs(g[0] - w[0]) < 1e-9 for g, w in zip(got, want))
+    assert ("new", "york") in {(a, b) for _, a, b, _ in got}
+
+
+def test_event_order_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from infidex_ray.ops.windows import event_order
+
+    events = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    got = (
+        event_order(events)
+        .to_pandas()
+        .sort_values(["user_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ref = events.to_pandas()
+    ref["ts_us"] = pd.to_datetime(ref.ts).astype("datetime64[us]").astype("int64")
+    ref = ref.sort_values(["user_id", "ts_us", "event_id"]).reset_index(drop=True)
+    ref["rank"] = ref.groupby("user_id").cumcount() + 1
+    ref["gap_us"] = ref.groupby("user_id")["ts_us"].diff().fillna(-1).astype("int64")
+    for col in ("event_id", "ts_us", "rank", "gap_us"):
+        assert list(got[col]) == list(ref[col]), col
