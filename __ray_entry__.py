@@ -1109,6 +1109,36 @@ def _q_range_join(sf_dir: str):
     return _by(out, "event_id", "p_partkey")
 
 
+def _q_dedup_lines(sf_dir: str):
+    """C4-style global line dedup (first occurrence wins): line-hash min
+    groupby + loser shuffle + one doc-keyed rebuild join — corpus streams.
+    A boilerplate footer is planted on every 3rd doc (identically in the
+    SQL oracle) so the winner/loser/rebuild path is actually exercised —
+    the synthetic corpus has no natural duplicate lines."""
+    import pyarrow as pa
+
+    from infidex_ray.ops.dedup import dedup_lines
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = [
+            (t or "") + "\nShared footer boilerplate" if i % 3 == 0 else (t or "")
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pa.array(out, pa.large_string()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    return _by(dedup_lines(ds), "doc_id")
+
+
 def _q_char_entropy(sf_dir: str):
     """Per-doc Shannon character entropy (gibberish / binary-spill gate) —
     stateless map_batches; numpy and DuckDB ln agree bit-for-bit."""
@@ -1174,6 +1204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": _q_char_entropy,
         "collocations": _q_collocations,
         "event_order": _q_event_order,
+        "dedup_lines": _q_dedup_lines,
         "sample_hash": _q_sample_hash,
         "heavy_hitters": _q_heavy_hitters,
         "asof_join": _q_asof_join,
@@ -1794,6 +1825,27 @@ def oracle_sql() -> dict[str, str]:
             "AS top_2gram_frac "
             "FROM documents d LEFT JOIN lstats l USING (doc_id) "
             "LEFT JOIN top1 t USING (doc_id) ORDER BY d.doc_id"
+        ),
+        "dedup_lines": (
+            # first-occurrence-wins line dedup; winner = min packed pos
+            # (doc_id·2²² + 0-based line_no), blanks always kept
+            "WITH docs2 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+            "coalesce(text, '') || chr(10) || 'Shared footer boilerplate' "
+            "ELSE coalesce(text, '') END AS text FROM documents), "
+            "d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2), "
+            "idx AS (SELECT unnest(generate_series(1, (SELECT coalesce(max(len(ls)), 1) FROM d))) AS i), "
+            "lines AS (SELECT d.doc_id, i.i, d.ls[i.i] AS line FROM d, idx i WHERE i.i <= len(d.ls)), "
+            "nb AS (SELECT doc_id, i, line, doc_id * 4194304 + (i - 1) AS pos FROM lines "
+            "WHERE trim(line, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) <> ''), "
+            "w AS (SELECT line, min(pos) AS keep_pos FROM nb GROUP BY line), "
+            "kept AS (SELECT l.doc_id, l.i, l.line FROM lines l LEFT JOIN w ON w.line = l.line "
+            "WHERE trim(l.line, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) = '' "
+            "OR l.doc_id * 4194304 + (l.i - 1) = w.keep_pos), "
+            "agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text "
+            "FROM kept GROUP BY doc_id) "
+            "SELECT d2.doc_id, coalesce(a.text, '') AS text "
+            "FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id "
+            "ORDER BY d2.doc_id"
         ),
         "char_entropy": (
             # Shannon entropy over codepoint counts; ln(n) − Σ k·ln(k)/n

@@ -1293,3 +1293,128 @@ def dedup_against(
     return joined.map_batches(
         lambda t: t.drop_columns(["__h"]), batch_format="pyarrow"
     )
+
+
+def dedup_lines(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pos_bits: int = 22,
+    num_partitions: int | None = None,
+):
+    """C4-style corpus-level line dedup, first occurrence wins (Raffel et
+    al. 2020 used three-sentence spans; the line is the web-text unit here,
+    complementing :func:`remove_boilerplate_lines`'s ≥k-docs rule): every
+    non-blank line keeps exactly ONE occurrence corpus-wide — the one with
+    the smallest ``doc_id · 2^pos_bits + line_no`` — and later copies are
+    dropped from their documents; blank lines always survive (document
+    structure). Returns (id, text) with lines rebuilt in original order.
+
+    Scale: the corpus streams; only (line_hash, packed_pos) 16-byte rows
+    shuffle into the min-groupby, losers shuffle back via one id-keyed
+    groupby, and the rebuild pass joins docs ⋈ loser-line-lists with one
+    hash join — no driver state (the md5 line hash is 64-bit; a collision
+    merges two distinct lines with probability ~2⁻⁶⁴ per pair — the SQL
+    oracle groups by the line text itself, which is the semantic spec).
+    Requires integer ids and line counts < 2^pos_bits per doc."""
+    import ray
+
+    B = np.int64(1 << pos_bits)
+    _BLANK = " \t\r\x0b\x0c"
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        hs: list[int] = []
+        pos: list[int] = []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            base = int(i) << pos_bits
+            for ln, line in enumerate((t or "").split("\n")):
+                if line.strip(_BLANK):
+                    hs.append(_md5_u64(line) & 0x7FFFFFFFFFFFFFFF)
+                    pos.append(base + ln)
+        return pa.table(
+            {"h": pa.array(hs, pa.int64()), "pos": pa.array(pos, pa.int64())}
+        )
+
+    lines = ds.select_columns([id_col, text_col]).map_batches(
+        line_rows, batch_format="pyarrow"
+    )
+    winners = lines.groupby("h").min("pos")
+
+    def rename_min(t: pa.Table) -> pa.Table:
+        c = "min(pos)" if "min(pos)" in t.column_names else "pos"
+        return pa.table({"h": t["h"], "keep_pos": t[c].cast(pa.int64())})
+
+    winners = winners.map_batches(rename_min, batch_format="pyarrow")
+    k = _join_partitions(num_partitions, chained=False)
+    joined = lines.join(winners, "inner", k, on=("h",))
+
+    def losers(batch: pa.Table) -> pa.Table:
+        p = batch["pos"].to_numpy(zero_copy_only=False)
+        kp = batch["keep_pos"].to_numpy(zero_copy_only=False)
+        m = p != kp
+        p = p[m]
+        return pa.table(
+            {
+                id_col: pa.array((p >> pos_bits).astype(np.int64)),
+                "line_no": pa.array((p & (int(B) - 1)).astype(np.int64)),
+            }
+        )
+
+    def collect_doc(group: pa.Table) -> pa.Table:
+        ln = np.sort(group["line_no"].to_numpy(zero_copy_only=False))
+        # comma-joined string: Ray 2.49 hash joins reject list<> payload
+        # columns ("not supported in join non-key field")
+        return pa.table(
+            {
+                id_col: group[id_col].slice(0, 1),
+                "drop_lines": pa.array(
+                    [",".join(map(str, ln.tolist()))], pa.large_string()
+                ),
+            }
+        )
+
+    loser_lists = (
+        joined.map_batches(losers, batch_format="pyarrow")
+        .groupby(id_col)
+        .map_groups(collect_doc, batch_format="pyarrow")
+        .materialize()
+    )
+
+    if loser_lists.count() == 0:
+        def passthrough(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "text": batch[text_col].cast(pa.large_string()),
+                }
+            )
+
+        return ds.select_columns([id_col, text_col]).map_batches(
+            passthrough, batch_format="pyarrow"
+        )
+
+    cleaned = ds.select_columns([id_col, text_col]).join(
+        loser_lists, "left_outer", k, on=(id_col,)
+    )
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        drops = batch["drop_lines"].to_pylist()
+        out = []
+        for t, d in zip(texts, drops):
+            if not d:
+                out.append(t or "")
+                continue
+            dset = {int(x) for x in d.split(",")}
+            lines_ = (t or "").split("\n")
+            out.append(
+                "\n".join(l for j, l in enumerate(lines_) if j not in dset)
+            )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "text": pa.array(out, pa.large_string()),
+            }
+        )
+
+    return cleaned.map_batches(rebuild, batch_format="pyarrow")

@@ -1462,3 +1462,26 @@ def test_event_order_brute(ray_session):
     ref["gap_us"] = ref.groupby("user_id")["ts_us"].diff().fillna(-1).astype("int64")
     for col in ("event_id", "ts_us", "rank", "gap_us"):
         assert list(got[col]) == list(ref[col]), col
+
+
+def test_dedup_lines_first_occurrence(ray_session):
+    """Planted dup lines: first occurrence (min doc, then min line) wins;
+    within-doc repeats dropped; blank lines always survive."""
+    import ray.data
+
+    from infidex_ray.ops.dedup import dedup_lines
+
+    rows = [
+        {"doc_id": 0, "text": "alpha\nbeta\nalpha\n\ngamma"},  # self-dup alpha
+        {"doc_id": 1, "text": "beta\ndelta"},  # beta already in doc 0
+        {"doc_id": 2, "text": "unique line\n  \ngamma"},  # gamma in doc 0
+        {"doc_id": 3, "text": ""},
+    ]
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines(ray.data.from_items(rows)).take_all()
+    }
+    assert got[0] == "alpha\nbeta\n\ngamma"
+    assert got[1] == "delta"
+    assert got[2] == "unique line\n  "
+    assert got[3] == ""
