@@ -433,6 +433,99 @@ def run_curate():
     return out
 
 
+def run_qps_child(index_dir: str, seconds: float, num_shards: int) -> None:
+    import ray
+
+    addr = os.environ["INFIDEX_QPS_ADDR"]
+    ray.init(address=addr, ignore_reinit_error=True)
+    from infidex_ray.query.executor import DistributedEngine
+
+    eng = DistributedEngine.connect(
+        index_dir, num_shards=num_shards, num_cpus_per_actor=0.5
+    )
+    for q in QUERY_PANEL:  # warm
+        eng.search(q, top_k=10)
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < seconds:
+        for q in QUERY_PANEL:
+            eng.search(q, top_k=10)
+            n += 1
+            if time.perf_counter() - t0 >= seconds:
+                break
+    dt = time.perf_counter() - t0
+    print("QPS_RESULT " + json.dumps({"n": n, "seconds": dt}))
+    ray.shutdown()
+
+
+def run_qps(clients: int = 3, seconds: float = 15.0) -> dict:
+    """Aggregate serving throughput: ``clients`` frontend processes share
+    ONE Ray cluster (children join via the GCS address), each owning its own
+    shard-actor pool (0.5 CPU/actor so the pools co-schedule) and running
+    the query panel closed-loop for ``seconds``. Models the production
+    shape — several query frontends multiplexed onto one serving cluster —
+    and complements the sequential-latency panel: a 2-RTT protocol leaves
+    the actors idle most of each round, so aggregate QPS should exceed
+    1/p50 by roughly the client count."""
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    idx = "/tmp/infidex_bench/idx_main"
+    if not os.path.isdir(os.path.join(idx, "segments")):
+        _build_index(num_cpus, idx)
+    probe = _host_probe()
+    addr = ray.get_runtime_context().gcs_address
+    env = dict(os.environ)
+    env["INFIDEX_QPS_ADDR"] = addr
+    shards = max(2, num_cpus // (2 * clients))
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--qps-child",
+                idx,
+                str(seconds),
+                str(shards),
+            ],
+            stdout=subprocess.PIPE,
+            text=True,
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for _ in range(clients)
+    ]
+    total_n, max_dt = 0, 0.0
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        for line in out.splitlines():
+            if line.startswith("QPS_RESULT "):
+                r = json.loads(line[len("QPS_RESULT "):])
+                total_n += r["n"]
+                max_dt = max(max_dt, r["seconds"])
+    qps = total_n / max_dt if max_dt else 0.0
+    # single-client reference on the same cluster
+    ql = _query_latency(idx, num_cpus)
+    out = {
+        "metric": "aggregate query throughput (multi-frontend, one cluster)",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "queries": {
+            "clients": clients,
+            "shards_per_client": shards,
+            "total_queries": total_n,
+            "window_s": round(max_dt, 2),
+            "single_client_p50_ms": round(ql["p50_ms"], 2),
+        },
+        "num_cpus": num_cpus,
+        "detail": probe,
+    }
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         run_scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
@@ -442,5 +535,10 @@ if __name__ == "__main__":
         print(json.dumps(run_compact()))
     elif "--curate" in sys.argv:
         print(json.dumps(run_curate()))
+    elif "--qps-child" in sys.argv:
+        i = sys.argv.index("--qps-child")
+        run_qps_child(sys.argv[i + 1], float(sys.argv[i + 2]), int(sys.argv[i + 3]))
+    elif "--qps" in sys.argv:
+        print(json.dumps(run_qps()))
     else:
         print(json.dumps(run_full()))
