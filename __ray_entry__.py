@@ -965,6 +965,18 @@ def _q_decontaminate(sf_dir: str):
     return _by(decontaminate(corpus, bench, n=3), "doc_id")
 
 
+def _q_duplicate_spans(sf_dir: str):
+    """Exact duplicate-span (substring) stats: per doc, the count/fraction of
+    word-5-gram positions whose gram also occurs in other documents — the
+    bounded form of suffix-array substring dedup (Lee et al. 2021). Emission
+    rows are per-(doc, gram-hash) with multiplicity; duplicated grams come
+    from a gram-keyed groupby; everything joins back distributed
+    (ops/spans.py)."""
+    from infidex_ray.ops.spans import duplicate_spans
+
+    return _by(duplicate_spans(_read(sf_dir, "documents"), n=5), "doc_id")
+
+
 def _q_pii_redact(sf_dir: str):
     """PII scrub over text with deterministically planted emails/IPs/phones
     (every 3rd doc) — Arrow RE2 kernels end-to-end, so the DuckDB oracle
@@ -1237,6 +1249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
         "canonical_url": _q_canonical_url,
+        "duplicate_spans": _q_duplicate_spans,
     }
 
 
@@ -1712,6 +1725,32 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a.n_hits, 0) > 0 AS contaminated "
             "FROM documents d LEFT JOIN agg a USING (doc_id) "
             "WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id"
+        ),
+        "duplicate_spans": (
+            # word-5-gram positions duplicated across >= 2 distinct docs;
+            # grams compared on the space-joined token string (bijective with
+            # ops/spans.py's uint64 polynomial hash modulo negligible
+            # collisions — same contract as decontaminate)
+            "WITH ws AS (SELECT doc_id, "
+            "list_filter(string_split_regex(coalesce(text,''), '\\s+'), "
+            "x -> x <> '') AS w FROM documents), "
+            "pos AS (SELECT doc_id, w, "
+            "unnest(generate_series(1, len(w) - 4)) AS i FROM ws), "
+            "grams AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g "
+            "FROM pos), "
+            "cnt AS (SELECT g FROM grams GROUP BY g "
+            "HAVING count(DISTINCT doc_id) >= 2), "
+            "per AS (SELECT gr.doc_id, count(*) AS dup_ngrams "
+            "FROM grams gr JOIN cnt USING (g) GROUP BY gr.doc_id), "
+            "tot AS (SELECT doc_id, greatest(len(w) - 4, 0) AS total_ngrams "
+            "FROM ws) "
+            "SELECT d.doc_id, t.total_ngrams, "
+            "coalesce(p.dup_ngrams, 0) AS dup_ngrams, "
+            "CASE WHEN t.total_ngrams > 0 THEN "
+            "round(coalesce(p.dup_ngrams, 0) / CAST(t.total_ngrams AS DOUBLE), 4) "
+            "ELSE 0.0 END AS dup_frac "
+            "FROM documents d JOIN tot t USING (doc_id) "
+            "LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id"
         ),
         "chunk_text": (
             "WITH ws AS (SELECT doc_id, "

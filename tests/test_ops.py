@@ -1485,3 +1485,74 @@ def test_dedup_lines_first_occurrence(ray_session):
     assert got[1] == "delta"
     assert got[2] == "unique line\n  "
     assert got[3] == ""
+
+
+def test_duplicate_spans_brute_force(ray_session):
+    """Differential vs a Python-set reference: per-doc duplicated n-gram
+    position counts, the short-doc zero contract, and within-doc-repeat
+    semantics (a gram duplicated across docs counts EVERY position it
+    occupies; a gram repeated only within one doc does not count at all)."""
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.spans import duplicate_spans
+
+    texts = [
+        "a b c d e f",  # shares "a b c" and "b c d" with doc 1
+        "x a b c d y",
+        "a b c a b c z",  # "a b c" twice (both positions count) + "b c a", "c a b" only here
+        "p q",  # < n words: zero grams
+        "",  # empty
+        "unique words only here nothing shared",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(3)
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_spans(ds, n=3).take_all()
+    }
+
+    # brute-force reference
+    grams = {}
+    for i, t in enumerate(texts):
+        ws = t.split()
+        for p in range(max(len(ws) - 2, 0)):
+            grams.setdefault(" ".join(ws[p : p + 3]), set()).add(i)
+    dup = {g for g, docs in grams.items() if len(docs) >= 2}
+    for i, t in enumerate(texts):
+        ws = t.split()
+        total = max(len(ws) - 2, 0)
+        hits = sum(
+            1 for p in range(total) if " ".join(ws[p : p + 3]) in dup
+        )
+        assert out[i]["total_ngrams"] == total, i
+        assert out[i]["dup_ngrams"] == hits, i
+        exp_frac = round(hits / total, 4) if total else 0.0
+        assert abs(out[i]["dup_frac"] - exp_frac) < 1e-9, i
+    # sanity on the interesting rows
+    assert out[2]["dup_ngrams"] == 2 and out[2]["total_ngrams"] == 5
+    assert out[3]["dup_ngrams"] == 0 and out[3]["total_ngrams"] == 0
+
+
+def test_duplicate_spans_no_duplicates(ray_session):
+    """All-unique corpus exercises the empty-dup-gram-set fast path (the
+    schema-less empty join side guard)."""
+    import ray.data
+
+    from infidex_ray.ops.spans import duplicate_spans
+
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma delta"},
+        {"doc_id": 1, "text": "epsilon zeta eta theta"},
+    ]
+    out = duplicate_spans(ray.data.from_items(rows), n=3).take_all()
+    assert sorted((r["doc_id"], r["total_ngrams"], r["dup_ngrams"]) for r in out) == [
+        (0, 2, 0),
+        (1, 2, 0),
+    ]
