@@ -977,6 +977,18 @@ def _q_duplicate_spans(sf_dir: str):
     return _by(duplicate_spans(_read(sf_dir, "documents"), n=5), "doc_id")
 
 
+def _q_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table (k=4, 3
+    iterations): per-iteration partial-sum map_batches (≤ k rows per block
+    collected), ray.put centroid broadcast, streaming final labeling —
+    the whole-corpus counterpart of ivf_build's sampled training
+    (ops/clustering.py)."""
+    from infidex_ray.ops.clustering import kmeans
+
+    _, labeled = kmeans(_read(sf_dir, "embeddings"), k=4, iters=3)
+    return _by(labeled, "vec_id")
+
+
 def _q_pii_redact(sf_dir: str):
     """PII scrub over text with deterministically planted emails/IPs/phones
     (every 3rd doc) — Arrow RE2 kernels end-to-end, so the DuckDB oracle
@@ -1250,6 +1262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _q_audio_features,
         "canonical_url": _q_canonical_url,
         "duplicate_spans": _q_duplicate_spans,
+        "kmeans_embeddings": _q_kmeans,
     }
 
 
@@ -1726,6 +1739,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN agg a USING (doc_id) "
             "WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id"
         ),
+        "kmeans_embeddings": sqlgen.kmeans_sql(4, 3),
         "duplicate_spans": (
             # word-5-gram positions duplicated across >= 2 distinct docs;
             # grams compared on the space-joined token string (bijective with

@@ -1,0 +1,127 @@
+"""Distributed Lloyd's k-means over an embedding column (``list<float>``).
+
+The training-data use case: topic-bucketing / domain-mixing a web corpus by
+embedding cluster before sampling (e.g. the DSIR / cluster-balanced
+pretraining mixtures). Complements ``ops/similarity.ivf_build``, which
+trains centroids on a driver-side SAMPLE — this op runs true Lloyd
+iterations over the WHOLE corpus, so it is the 100-TB-honest variant:
+
+* each iteration is ONE streaming ``map_batches`` pass emitting at most
+  ``k`` partial rows per block — ``(cluster, member_count, sum_vector)`` —
+  combined on the driver into new centroids. The driver only ever holds
+  ``O(k × dim × blocks)`` partials, never vectors or assignments;
+* centroids are broadcast once per iteration via ``ray.put`` (read in every
+  task, never re-shipped per batch);
+* the final labeling pass streams, so assignments can go straight to
+  ``write_parquet(partition_cols=["cluster"])`` for pruned downstream reads.
+
+Determinism contract (what the DuckDB oracle checks, ``sqlgen.kmeans_sql``):
+centroids initialize to the embeddings of the ``k`` smallest ids (computed
+with per-block partial min-k, no global sort); distances are squared
+euclidean in float64; argmin ties break to the lowest cluster id; empty
+clusters keep their previous centroid.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import round_half_up4_arr
+from .similarity import _to_matrix
+
+__all__ = ["kmeans"]
+
+
+def _sq_dists(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n, k) squared euclidean distances, computed as the direct
+    elementwise (e-c)² sum — NOT the |m|²-2mc+|c|² expansion, which differs
+    numerically and would drift from the oracle's per-dim sum."""
+    diff = m[:, None, :] - cents[None, :, :]
+    return np.einsum("nkd,nkd->nk", diff, diff)
+
+
+def _init_centroids(ds, k: int, id_col: str, vec_col: str) -> np.ndarray:
+    """Embeddings of the k smallest ids: per-block partial min-k, then a
+    tiny (k × blocks rows) driver merge — no global sort."""
+
+    def mink(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _to_matrix(batch, vec_col)
+        order = np.argsort(ids, kind="stable")[:k]
+        return pa.table(
+            {
+                "vid": pa.array(ids[order]),
+                "vec": pa.array([m[i].tolist() for i in order]),
+            }
+        )
+
+    rows = ds.map_batches(mink, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["vid"])
+    if len(rows) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(rows)}")
+    return np.asarray([r["vec"] for r in rows[:k]], dtype=np.float64)
+
+
+def kmeans(
+    ds,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Returns ``(centroids, labeled_ds)`` — final float64 ``(k, dim)``
+    centroids and a streaming Dataset of ``(id_col, cluster, dist2)`` rows
+    (``dist2`` = squared distance to the winning centroid, rounded to 4
+    for oracle comparison)."""
+    import ray
+
+    centroids = _init_centroids(ds, k, id_col, vec_col)
+
+    for _ in range(iters):
+        ref = ray.put(centroids)
+
+        def partials(batch: pa.Table, _ref=ref) -> pa.Table:
+            cents = ray.get(_ref)
+            m = _to_matrix(batch, vec_col)
+            a = np.argmin(_sq_dists(m, cents), axis=1)
+            uniq = np.unique(a)
+            return pa.table(
+                {
+                    "cluster": pa.array(uniq.astype(np.int64)),
+                    "n": pa.array(
+                        [int((a == j).sum()) for j in uniq], pa.int64()
+                    ),
+                    "s": pa.array([m[a == j].sum(axis=0).tolist() for j in uniq]),
+                }
+            )
+
+        # ≤ k rows per block — the ONLY thing the driver collects
+        parts = ds.map_batches(partials, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for r in parts:
+            sums[r["cluster"]] += np.asarray(r["s"], dtype=np.float64)
+            counts[r["cluster"]] += r["n"]
+        nonempty = counts > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+
+    ref = ray.put(centroids)
+
+    def label(batch: pa.Table, _ref=ref) -> pa.Table:
+        cents = ray.get(_ref)
+        m = _to_matrix(batch, vec_col)
+        d2 = _sq_dists(m, cents)
+        a = np.argmin(d2, axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "cluster": pa.array(a.astype(np.int64)),
+                "dist2": pa.array(
+                    round_half_up4_arr(d2[np.arange(len(a)), a])
+                ),
+            }
+        )
+
+    return centroids, ds.map_batches(label, batch_format="pyarrow")

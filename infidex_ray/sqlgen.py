@@ -531,3 +531,57 @@ scored AS (
 )
 SELECT doc_id, round(score, 4) AS score FROM scored WHERE score > 0 ORDER BY doc_id
 """
+
+
+def kmeans_sql(k: int, iters: int, table: str = "embeddings") -> str:
+    """Unrolled-CTE Lloyd's k-means matching ops/clustering.kmeans: init from
+    the k smallest vec_ids, squared-euclidean argmin (ties -> lowest
+    cluster), AVG centroid update with empty clusters keeping the previous
+    centroid, one final assignment against the last centroids."""
+    ctes = [
+        f"dims AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e, "
+        f"generate_subscripts(embedding, 1) AS i FROM {table})",
+        f"init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 "
+        f"AS cluster FROM (SELECT vec_id FROM {table} ORDER BY vec_id "
+        f"LIMIT {k}))",
+        "c0 AS (SELECT init.cluster, d.i, d.e AS c "
+        "FROM init JOIN dims d USING (vec_id))",
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"d{t} AS (SELECT dims.vec_id, {prev}.cluster, "
+            f"sum((dims.e - {prev}.c) * (dims.e - {prev}.c)) AS d2 "
+            f"FROM dims JOIN {prev} ON dims.i = {prev}.i "
+            f"GROUP BY dims.vec_id, {prev}.cluster)"
+        )
+        ctes.append(
+            f"a{t} AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster, "
+            f"row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) "
+            f"AS rn FROM d{t}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"u{t} AS (SELECT a{t}.cluster, dims.i, avg(dims.e) AS c "
+            f"FROM a{t} JOIN dims USING (vec_id) GROUP BY a{t}.cluster, dims.i)"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT p.cluster, p.i, coalesce(u.c, p.c) AS c "
+            f"FROM {prev} p LEFT JOIN u{t} u "
+            f"ON p.cluster = u.cluster AND p.i = u.i)"
+        )
+        prev = f"c{t}"
+    fin = iters + 1
+    ctes.append(
+        f"d{fin} AS (SELECT dims.vec_id, {prev}.cluster, "
+        f"sum((dims.e - {prev}.c) * (dims.e - {prev}.c)) AS d2 "
+        f"FROM dims JOIN {prev} ON dims.i = {prev}.i "
+        f"GROUP BY dims.vec_id, {prev}.cluster)"
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + " SELECT vec_id, cluster, round(d2, 4) AS dist2 FROM "
+        + f"(SELECT vec_id, cluster, d2, row_number() OVER "
+        + f"(PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d{fin}) "
+        + "WHERE rn = 1 ORDER BY vec_id"
+    )

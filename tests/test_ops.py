@@ -1556,3 +1556,66 @@ def test_duplicate_spans_no_duplicates(ray_session):
         (0, 2, 0),
         (1, 2, 0),
     ]
+
+
+def test_kmeans_brute_force(ray_session):
+    """Differential vs a single-process numpy Lloyd reference with the same
+    contract (init = k smallest ids, squared-euclidean argmin with
+    lowest-cluster ties, empty clusters keep their centroid)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.clustering import kmeans
+
+    rng = np.random.RandomState(7)
+    n, dim, k, iters = 60, 5, 3, 4
+    vecs = np.round(rng.randn(n, dim), 3)
+    ids = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array([v.tolist() for v in vecs]),
+            }
+        )
+    ).repartition(4)
+    cents, labeled = kmeans(ds, k=k, iters=iters)
+    got = {r["vec_id"]: r["cluster"] for r in labeled.take_all()}
+
+    ref = vecs[:k].astype(np.float64).copy()
+    for _ in range(iters):
+        d2 = ((vecs[:, None, :] - ref[None]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for j in range(k):
+            if (a == j).any():
+                ref[j] = vecs[a == j].mean(axis=0)
+    d2 = ((vecs[:, None, :] - ref[None]) ** 2).sum(axis=2)
+    expect = np.argmin(d2, axis=1)
+    assert got == {int(i): int(c) for i, c in zip(ids, expect)}
+    assert np.allclose(np.sort(cents, axis=0), np.sort(ref, axis=0))
+
+
+def test_kmeans_empty_cluster_and_small_corpus(ray_session):
+    """An isolated far-away init point keeps its centroid when it captures
+    nothing after reassignment; k > n raises."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from infidex_ray.ops.clustering import kmeans
+
+    # ids 0 and 1 are IDENTICAL points, so init centroids 0 and 1 coincide;
+    # every tie breaks to cluster 0, cluster 1 never captures a member and
+    # must keep its (0,0) init centroid through both iterations
+    vecs = [[0.0, 0.0], [0.0, 0.0], [5.0, 5.0], [5.0, 6.0], [6.0, 5.0]]
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": v} for i, v in enumerate(vecs)]
+    )
+    cents, labeled = kmeans(ds, k=3, iters=2)
+    out = {r["vec_id"]: r["cluster"] for r in labeled.take_all()}
+    assert out == {0: 0, 1: 0, 2: 2, 3: 2, 4: 2}
+    assert np.allclose(cents[1], [0.0, 0.0])  # empty cluster kept its init
+    with pytest.raises(ValueError):
+        kmeans(ds, k=9, iters=1)
