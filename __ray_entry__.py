@@ -989,6 +989,50 @@ def _q_kmeans(sf_dir: str):
     return _by(labeled, "vec_id")
 
 
+def _q_script_profile(sf_dir: str):
+    """Script/char-class profile over text with deterministically planted
+    Cyrillic / Han / digit suffixes (every 3rd doc) — Arrow RE2
+    count_substring_regex end-to-end, so the DuckDB oracle (also RE2) is
+    engine-identical."""
+    from infidex_ray.ops.textstats import script_profile
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            t = t or ""
+            if i % 3 == 0:
+                t = t + " Привет мир 42"
+            elif i % 3 == 1:
+                t = t + " 你好世界"
+            out.append(t)
+        return pa.table({"doc_id": b["doc_id"], "text": pa.array(out)})
+
+    ds = _read(sf_dir, "documents").map_batches(plant, batch_format="pyarrow")
+    return _by(script_profile(ds), "doc_id")
+
+
+def _q_split_sentences(sf_dir: str):
+    """Sentence explosion over text with periods planted after every 7th
+    word by an RE2 GlobalReplace — the SAME rewrite runs in Arrow
+    (replace_substring_regex) and DuckDB (regexp_replace 'g'), so the
+    augmented corpora are byte-identical before the split even runs."""
+    import pyarrow.compute as pc
+
+    from infidex_ray.ops.chunking import split_sentences
+
+    def plant(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(pc.cast(b["text"], pa.string()), "")
+        aug = pc.replace_substring_regex(
+            texts, pattern=r"((\S+ ){6}\S+) ", replacement=r"\1. "
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": aug})
+
+    ds = _read(sf_dir, "documents").map_batches(plant, batch_format="pyarrow")
+    return _by(split_sentences(ds), "doc_id", "sent_idx")
+
+
 def _q_pii_redact(sf_dir: str):
     """PII scrub over text with deterministically planted emails/IPs/phones
     (every 3rd doc) — Arrow RE2 kernels end-to-end, so the DuckDB oracle
@@ -1263,6 +1307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_url": _q_canonical_url,
         "duplicate_spans": _q_duplicate_spans,
         "kmeans_embeddings": _q_kmeans,
+        "script_profile": _q_script_profile,
+        "split_sentences": _q_split_sentences,
     }
 
 
@@ -1740,6 +1786,37 @@ def oracle_sql() -> dict[str, str]:
             "WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id"
         ),
         "kmeans_embeddings": sqlgen.kmeans_sql(4, 3),
+        "script_profile": (
+            # same planted multi-script suffixes; RE2 classes in both engines
+            "WITH aug AS (SELECT doc_id, CASE "
+            "WHEN doc_id % 3 = 0 THEN coalesce(text,'') || ' Привет мир 42' "
+            "WHEN doc_id % 3 = 1 THEN coalesce(text,'') || ' 你好世界' "
+            "ELSE coalesce(text,'') END AS t FROM documents) "
+            "SELECT doc_id, length(t) AS n_chars, "
+            "len(regexp_extract_all(t, '[\\p{Latin}]'))::BIGINT AS n_latin, "
+            "len(regexp_extract_all(t, '[\\p{Cyrillic}]'))::BIGINT AS n_cyrillic, "
+            "len(regexp_extract_all(t, '[\\p{Han}]'))::BIGINT AS n_han, "
+            "len(regexp_extract_all(t, '[0-9]'))::BIGINT AS n_digit, "
+            "len(regexp_extract_all(t, '[^\\x00-\\x7F]'))::BIGINT AS n_nonascii, "
+            "round(len(regexp_extract_all(t, '[\\p{Latin}]')) "
+            "/ CAST(greatest(length(t), 1) AS DOUBLE), 4) AS latin_frac "
+            "FROM aug ORDER BY doc_id"
+        ),
+        "split_sentences": (
+            # periods planted by the SAME RE2 GlobalReplace, then the same
+            # RE2 split; per-doc index after dropping empties
+            "WITH aug AS (SELECT doc_id, regexp_replace(coalesce(text,''), "
+            "'((\\S+ ){6}\\S+) ', '\\1. ', 'g') AS t FROM documents), "
+            "sp AS (SELECT doc_id, string_split_regex(t, "
+            "'[.!?]+[\\t\\n\\x0b\\x0c\\r ]+') AS arr FROM aug), "
+            "parts AS (SELECT doc_id, unnest(arr) AS s, "
+            "generate_subscripts(arr, 1) AS i FROM sp), "
+            "f AS (SELECT doc_id, s, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY i) - 1 AS sent_idx "
+            "FROM parts WHERE s <> '') "
+            "SELECT doc_id, sent_idx, s AS sentence, "
+            "length(s) AS n_chars FROM f ORDER BY doc_id, sent_idx"
+        ),
         "duplicate_spans": (
             # word-5-gram positions duplicated across >= 2 distinct docs;
             # grams compared on the space-joined token string (bijective with

@@ -21,7 +21,7 @@ import pyarrow as pa
 
 from .asciiws import split_ascii_ws
 
-__all__ = ["chunk_text"]
+__all__ = ["chunk_text", "split_sentences"]
 
 
 def chunk_text(
@@ -68,3 +68,56 @@ def chunk_text(
     return ds.select_columns([id_col, text_col]).map_batches(
         split, batch_format="pyarrow"
     )
+
+
+SENTENCE_SPLIT_RE = r"[.!?]+[\t\n\x0b\x0c\r ]+"
+
+
+def split_sentences(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = SENTENCE_SPLIT_RE,
+):
+    """Explode documents into sentences: one row per non-empty sentence with
+    a per-doc index — the unit-of-text step ahead of sentence-level dedup /
+    embedding. Split runs RE2 (Arrow ``split_pattern_regex``), so a DuckDB
+    ``string_split_regex`` oracle is engine-identical; the boundary
+    punctuation is consumed by the split on BOTH sides (RE2 has no
+    lookbehind, so keep-the-delimiter is not expressible — the contract is
+    'terminator consumed').
+
+    Vectorized: one split kernel per batch, flat child values + offsets, no
+    per-row Python."""
+    import pyarrow.compute as pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        parts = pc.split_pattern_regex(texts, pattern=pattern).combine_chunks()
+        counts = np.diff(parts.offsets.to_numpy(zero_copy_only=False))
+        flat = parts.flatten()
+        doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_of = doc_of[keep]
+        flat = flat.filter(pa.array(keep))
+        # per-doc sentence index after the empty filter: doc_of stays grouped
+        # contiguous, so idx = position - first position of the doc's run
+        if len(doc_of):
+            starts = np.flatnonzero(np.diff(doc_of, prepend=doc_of[0] - 1))
+            run_lens = np.diff(np.append(starts, len(doc_of)))
+            idx = np.arange(len(doc_of), dtype=np.int64) - np.repeat(
+                starts, run_lens
+            )
+        else:
+            idx = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_of]),
+                "sent_idx": pa.array(idx),
+                "sentence": flat,
+                "n_chars": pc.cast(pc.utf8_length(flat), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")

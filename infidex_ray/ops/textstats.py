@@ -657,3 +657,54 @@ def collocations(
         .sort(["pmi", "w1", "w2"], descending=[True, False, False])
         .limit(top_k)
     )
+
+
+# --- script / char-class profiling -------------------------------------------
+
+# RE2 character classes counted by script_profile. Both Arrow's
+# count_substring_regex and DuckDB's regexp_extract_all run RE2, so the two
+# sides are ENGINE-identical, not just pattern-identical (the same guarantee
+# ops/pii.py leans on).
+SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("n_latin", r"[\p{Latin}]"),
+    ("n_cyrillic", r"[\p{Cyrillic}]"),
+    ("n_han", r"[\p{Han}]"),
+    ("n_digit", "[0-9]"),
+    ("n_nonascii", r"[^\x00-\x7F]"),
+)
+
+
+def script_profile_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Per-doc script/char-class counts — the language/script gate of a web
+    curation pipeline (complements the stopword-list ``langid_batch`` for
+    non-whitespace scripts where word lists do not apply). Vectorized Arrow
+    RE2 kernels only; no Python row loop."""
+    import pyarrow.compute as pc
+
+    texts = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+    n_chars = pc.cast(pc.utf8_length(texts), pa.int64())
+    cols: dict = {
+        "doc_id": batch[id_col].cast(pa.int64()),
+        "n_chars": n_chars,
+    }
+    for name, pat in SCRIPT_CLASSES:
+        cols[name] = pc.cast(pc.count_substring_regex(texts, pat), pa.int64())
+    latin = cols["n_latin"].to_numpy(zero_copy_only=False).astype(np.float64)
+    total = np.maximum(n_chars.to_numpy(zero_copy_only=False), 1).astype(
+        np.float64
+    )
+    from .dedup import round_half_up4_arr
+
+    cols["latin_frac"] = pa.array(round_half_up4_arr(latin / total))
+    return pa.table(cols)
+
+
+def script_profile(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Streaming per-doc script profile: ``(doc_id, n_chars, n_latin,
+    n_cyrillic, n_han, n_digit, n_nonascii, latin_frac)``."""
+    return ds.map_batches(
+        lambda b: script_profile_batch(b, id_col, text_col),
+        batch_format="pyarrow",
+    )

@@ -1619,3 +1619,58 @@ def test_kmeans_empty_cluster_and_small_corpus(ray_session):
     assert np.allclose(cents[1], [0.0, 0.0])  # empty cluster kept its init
     with pytest.raises(ValueError):
         kmeans(ds, k=9, iters=1)
+
+
+def test_script_profile_counts(ray_session):
+    """Known mixed-script strings: exact class counts, codepoint length,
+    rounded latin fraction, null text."""
+    import ray.data
+
+    from infidex_ray.ops.textstats import script_profile
+
+    rows = [
+        {"doc_id": 0, "text": "abc Привет 你好 12!"},
+        {"doc_id": 1, "text": ""},
+        {"doc_id": 2, "text": None},
+        {"doc_id": 3, "text": "café"},  # é is Latin AND non-ASCII
+    ]
+    out = {r["doc_id"]: r for r in script_profile(ray.data.from_items(rows)).take_all()}
+    r0 = out[0]
+    assert r0["n_chars"] == len("abc Привет 你好 12!")
+    assert r0["n_latin"] == 3
+    assert r0["n_cyrillic"] == 6
+    assert r0["n_han"] == 2
+    assert r0["n_digit"] == 2
+    assert r0["n_nonascii"] == 8
+    assert r0["latin_frac"] == round(3 / r0["n_chars"], 4)
+    assert out[1]["n_chars"] == 0 and out[1]["latin_frac"] == 0.0
+    assert out[2]["n_chars"] == 0
+    assert out[3]["n_latin"] == 4 and out[3]["n_nonascii"] == 1
+
+
+def test_split_sentences_explode(ray_session):
+    """Terminator-consumed split, per-doc reindex after empty drop, no rows
+    for empty docs, ASCII-whitespace boundary (NBSP does NOT split)."""
+    import ray.data
+
+    from infidex_ray.ops.chunking import split_sentences
+
+    rows = [
+        {"doc_id": 0, "text": "one two. three four! five"},
+        {"doc_id": 1, "text": ""},
+        {"doc_id": 2, "text": "tail dot."},  # end-of-string '.' not a boundary
+        {"doc_id": 3, "text": "a?\xa0b. c"},  # NBSP after '?' -> not a split
+    ]
+    got = [
+        (r["doc_id"], r["sent_idx"], r["sentence"])
+        for r in split_sentences(ray.data.from_items(rows)).take_all()
+    ]
+    got.sort()
+    assert got == [
+        (0, 0, "one two"),
+        (0, 1, "three four"),
+        (0, 2, "five"),
+        (2, 0, "tail dot."),
+        (3, 0, "a? b"),
+        (3, 1, "c"),
+    ]
