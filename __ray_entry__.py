@@ -989,6 +989,25 @@ def _q_kmeans(sf_dir: str):
     return _by(labeled, "vec_id")
 
 
+def _q_dedup_against_minhash(sf_dir: str):
+    """Fuzzy cross-corpus decontamination: reference = every 10th doc (so
+    each flags itself at Jaccard 1.0 and its planted near-dup partners at
+    0.9x); only cross-corpus band-bucket pairs are mined, verified with the
+    exact word-shingle Jaccard (ops/dedup.py::dedup_against_minhash)."""
+    import pyarrow.compute as pc
+
+    from infidex_ray.ops.dedup import dedup_against_minhash
+
+    ds = _read(sf_dir, "documents")
+
+    def ref_only(b: pa.Table) -> pa.Table:
+        r = pc.subtract(b["doc_id"], pc.multiply(pc.divide(b["doc_id"], 10), 10))
+        return b.filter(pc.equal(r, 0))
+
+    ref = ds.map_batches(ref_only, batch_format="pyarrow")
+    return _by(dedup_against_minhash(ds, ref, threshold=0.5), "doc_id")
+
+
 def _q_script_profile(sf_dir: str):
     """Script/char-class profile over text with deterministically planted
     Cyrillic / Han / digit suffixes (every 3rd doc) — Arrow RE2
@@ -1309,6 +1328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": _q_kmeans,
         "script_profile": _q_script_profile,
         "split_sentences": _q_split_sentences,
+        "dedup_against_minhash": _q_dedup_against_minhash,
     }
 
 
@@ -1786,6 +1806,9 @@ def oracle_sql() -> dict[str, str]:
             "WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id"
         ),
         "kmeans_embeddings": sqlgen.kmeans_sql(4, 3),
+        "dedup_against_minhash": sqlgen.dedup_against_minhash_sql(
+            "documents", 0.5, 10
+        ),
         "script_profile": (
             # same planted multi-script suffixes; RE2 classes in both engines
             "WITH aug AS (SELECT doc_id, CASE "

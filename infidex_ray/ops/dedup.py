@@ -1418,3 +1418,243 @@ def dedup_lines(
         )
 
     return cleaned.map_batches(rebuild, batch_format="pyarrow")
+
+
+# --- cross-corpus NEAR-dup decontamination ------------------------------------
+
+
+def dedup_against_minhash(
+    corpus,
+    reference,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int = 256,
+    num_partitions: int | None = None,
+):
+    """Fuzzy cross-corpus decontamination: flag every corpus doc whose exact
+    word-n-gram Jaccard against ANY reference doc reaches ``threshold`` —
+    the near-dup analogue of :func:`dedup_against` (which is digest-exact)
+    and of ``ops/decontam`` (which counts gram overlap, not similarity).
+    The GPT-3/PaLM-style "remove train docs similar to eval docs" step.
+
+    Returns one row per corpus doc: ``(doc_id, n_near, max_jaccard,
+    near_contaminated)`` where ``n_near`` counts matched reference docs.
+
+    Scale shape mirrors :func:`minhash_lsh_pairs` (band-bucket LSH,
+    oversize-bucket skew guard, sketch hash-joins, zero driver state) but
+    mines ONLY cross-corpus candidate pairs — corpus×corpus and ref×ref
+    bucket co-occupants are never expanded, so a boilerplate-heavy corpus
+    doesn't pay for in-corpus pairs it will discard. Corpus and reference
+    ids may overlap: internally keys are ``id*2 + source`` and reference
+    ids never appear in the output."""
+    import ray
+    from ray.data.aggregate import Count, Max
+
+    from ..analyzer import _word_splitter
+    from ..config import DEFAULT_DELIMITERS
+
+    rows_per_band = num_perm // bands
+    a, b = _minhash_params(num_perm, seed)
+
+    def sketches_src(src: int):
+        def compute(batch: pa.Table) -> pa.Table:
+            splitter = _word_splitter(DEFAULT_DELIMITERS)
+            cache: dict[str, int] = {}
+            out_ids, out_sig, out_sh = [], [], []
+            for i, t in zip(
+                batch[id_col].to_pylist(), batch[text_col].to_pylist()
+            ):
+                tnorm = normalize(t or "").lower()
+                ws = [w for w in splitter.split(tnorm) if w]
+                sh = _shingle_hashes(_word_hashes(ws, cache), n)
+                out_ids.append(int(i) * 2 + src)
+                out_sig.append(minhash_signature(sh, a, b).tobytes())
+                out_sh.append(sh.tobytes())
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_ids, pa.int64()),
+                    "sig": pa.array(out_sig, pa.binary()),
+                    "sh": pa.array(out_sh, pa.binary()),
+                }
+            )
+
+        return compute
+
+    sigs = (
+        corpus.map_batches(sketches_src(0), batch_format="pyarrow")
+        .union(reference.map_batches(sketches_src(1), batch_format="pyarrow"))
+        .materialize()
+    )
+
+    def emit_bands(batch: pa.Table) -> pa.Table:
+        n_docs = len(batch)
+        if n_docs == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        keys = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        S = np.vstack(
+            [np.frombuffer(s, dtype=np.uint64) for s in batch["sig"].to_pylist()]
+        ).reshape(n_docs, bands, rows_per_band)
+        powers = _MIX2 ** np.arange(rows_per_band, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            buckets = ((S * powers[None, None, :]).sum(axis=2) * _MIX1).view(
+                np.int64
+            )
+        return pa.table(
+            {
+                "key": pa.array(np.repeat(keys, bands), pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(bands, dtype=np.int32), n_docs), pa.int32()
+                ),
+                "bucket": pa.array(buckets.reshape(-1), pa.int64()),
+            }
+        )
+
+    band_rows = sigs.map_batches(emit_bands, batch_format="pyarrow")
+    n_slices = int(min(65536, max(64, (sigs.count() * bands) // 2_000_000)))
+
+    def add_slice(batch: pa.Table) -> pa.Table:
+        bk = batch["bucket"].to_numpy(zero_copy_only=False)
+        bd = batch["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            sl = (bk.view(np.uint64) ^ (bd.view(np.uint64) * _MIX1)) * _MIX2
+        return batch.append_column(
+            "slice", pa.array((sl % np.uint64(n_slices)).astype(np.int32))
+        )
+
+    def cross_pairs_in_slice(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        keys = group["key"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return empty
+        bd = group["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = group["bucket"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, bk, bd))
+        keys, bd, bk = keys[order], bd[order], bk[order]
+        new = np.empty(len(keys), dtype=bool)
+        new[0] = True
+        new[1:] = (bd[1:] != bd[:-1]) | (bk[1:] != bk[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(keys)]
+        ca, rb = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            docs = np.unique(keys[s:e])
+            c = docs[docs % 2 == 0]
+            r = docs[docs % 2 == 1]
+            # oversize-bucket skew guard applies per SIDE: a hot boilerplate
+            # bucket would otherwise emit |c|×|r| pairs
+            if len(c) == 0 or len(r) == 0:
+                continue
+            if len(c) > max_bucket_size or len(r) > max_bucket_size:
+                continue
+            ca.append(np.repeat(c, len(r)))
+            rb.append(np.tile(r, len(c)))
+        if not ca:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(ca), pa.int64()),
+                "id_b": pa.array(np.concatenate(rb), pa.int64()),
+            }
+        )
+
+    cand = (
+        band_rows.map_batches(add_slice, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(cross_pairs_in_slice, batch_format="pyarrow")
+    )
+    uniq = (
+        cand.groupby(["id_a", "id_b"])
+        .count()
+        .select_columns(["id_a", "id_b"])
+        .materialize()
+    )
+
+    def corpus_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch[id_col].cast(pa.int64())})
+
+    tot_ds = corpus.map_batches(corpus_ids, batch_format="pyarrow")
+
+    def zeros(batch: pa.Table) -> pa.Table:
+        z = np.zeros(len(batch), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_near": pa.array(z),
+                "max_jaccard": pa.array(np.zeros(len(batch), dtype=np.float64)),
+                "near_contaminated": pa.array(np.zeros(len(batch), dtype=bool)),
+            }
+        )
+
+    if uniq.count() == 0:
+        return tot_ds.map_batches(zeros, batch_format="pyarrow")
+
+    joined = _attach_sketches(uniq, sigs, num_partitions)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids, jacs = [], []
+        for key_c, sha, shb in zip(
+            batch["id_a"].to_pylist(),
+            batch["sh_a"].to_pylist(),
+            batch["sh_b"].to_pylist(),
+        ):
+            sa = np.frombuffer(sha, dtype=np.uint64)
+            sb = np.frombuffer(shb, dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac = inter / union if union else 0.0
+            if jac >= threshold:
+                ids.append(key_c // 2)
+                jacs.append(round_half_up4(jac))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "jaccard": pa.array(jacs, pa.float64()),
+            }
+        )
+
+    hits = joined.map_batches(score, batch_format="pyarrow")
+    agg = hits.groupby("doc_id").aggregate(Count(), Max("jaccard"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "n_near", "max_jaccard"])
+
+    parts = _join_partitions(num_partitions, chained=True)
+    agg = (
+        agg.map_batches(rename, batch_format="pyarrow")
+        .repartition(parts)
+        .materialize()
+    )
+    if agg.count() == 0:  # candidates existed but none verified
+        return tot_ds.map_batches(zeros, batch_format="pyarrow")
+    out = tot_ds.join(
+        agg, "left_outer", parts, on=("doc_id",), right_on=("doc_id",)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nn = batch["n_near"].to_numpy(zero_copy_only=False)
+        nn = np.where(np.isnan(nn.astype(np.float64)), 0, nn).astype(np.int64)
+        mx = batch["max_jaccard"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mx = np.where(np.isnan(mx), 0.0, mx)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_near": pa.array(nn),
+                "max_jaccard": pa.array(mx),
+                "near_contaminated": pa.array(nn > 0),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

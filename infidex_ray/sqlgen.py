@@ -585,3 +585,35 @@ def kmeans_sql(k: int, iters: int, table: str = "embeddings") -> str:
         + f"(PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d{fin}) "
         + "WHERE rn = 1 ORDER BY vec_id"
     )
+
+
+def dedup_against_minhash_sql(
+    table: str = "documents", threshold: float = 0.5, ref_mod: int = 10
+) -> str:
+    """Ground truth for ops.dedup.dedup_against_minhash with the reference
+    corpus = docs whose id % ref_mod == 0: per corpus doc, the count and max
+    of exact word-3-gram Jaccard scores >= threshold against any reference
+    doc (LSH recall at 32x4 bands is ~1 at the j >= 0.9 matches this corpus
+    contains, so the op's verified output equals this brute force)."""
+    return f"""
+WITH {word_shingles_cte(table)},
+wsizes AS (SELECT doc_id, count(*) AS sz FROM wsh GROUP BY doc_id),
+ci AS (
+  SELECT a.doc_id AS ca, b.doc_id AS rb, count(*) AS i
+  FROM wsh a JOIN wsh b ON a.s = b.s
+  WHERE b.doc_id % {ref_mod} = 0
+  GROUP BY a.doc_id, b.doc_id
+),
+hits AS (
+  SELECT ca, i::DOUBLE / (sa.sz + sb.sz - i) AS j
+  FROM ci JOIN wsizes sa ON sa.doc_id = ca JOIN wsizes sb ON sb.doc_id = rb
+  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= {threshold}
+),
+agg AS (SELECT ca AS doc_id, count(*) AS n_near,
+        max(round(j, 4)) AS max_jaccard FROM hits GROUP BY ca)
+SELECT d.doc_id, coalesce(g.n_near, 0) AS n_near,
+  coalesce(g.max_jaccard, 0.0) AS max_jaccard,
+  coalesce(g.n_near, 0) > 0 AS near_contaminated
+FROM {table} d LEFT JOIN agg g USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -1674,3 +1674,55 @@ def test_split_sentences_explode(ray_session):
         (3, 0, "a? b"),
         (3, 1, "c"),
     ]
+
+
+def test_dedup_against_minhash_cross_only(ray_session):
+    """Planted cross-corpus near-dups: corpus docs matching one or BOTH
+    reference docs are flagged with the right match count and max Jaccard;
+    in-corpus near-dup pairs alone do NOT flag; id overlap between corpus
+    and reference is harmless (internal key transform)."""
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.dedup import dedup_against_minhash, word_shingles
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps on the warm mat near the old wooden door frame today"
+    )
+    ref_texts = {100: base, 101: base.replace("dog", "wolf")}
+    corpus_texts = {
+        0: base,  # matches BOTH reference docs
+        1: base.replace("today", "tonight"),  # near-dup of both too
+        2: "completely different text about ray data pipelines and arrow",
+        # 3 and 4 are near-dups of each other but of NO reference doc:
+        3: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        4: "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        100: "unrelated content sharing the reference id on purpose",
+    }
+    corpus = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in corpus_texts.items()]
+    ).repartition(2)
+    ref = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in ref_texts.items()]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_against_minhash(corpus, ref, threshold=0.5).take_all()
+    }
+    assert len(out) == len(corpus_texts)
+
+    def jac(a, b):
+        sa, sb = word_shingles(a), word_shingles(b)
+        return len(sa & sb) / len(sa | sb)
+
+    for i, t in corpus_texts.items():
+        js = [jac(t, rt) for rt in ref_texts.values()]
+        hits = [j for j in js if j >= 0.5]
+        assert out[i]["n_near"] == len(hits), i
+        exp_max = round(max(hits), 4) if hits else 0.0
+        assert abs(out[i]["max_jaccard"] - exp_max) < 1e-9, i
+        assert out[i]["near_contaminated"] == (len(hits) > 0), i
+    assert out[0]["n_near"] == 2 and out[0]["max_jaccard"] == 1.0
+    assert not out[3]["near_contaminated"] and not out[4]["near_contaminated"]
+    assert not out[100]["near_contaminated"]
