@@ -989,6 +989,15 @@ def _q_kmeans(sf_dir: str):
     return _by(labeled, "vec_id")
 
 
+def _q_quantize_embeddings(sf_dir: str):
+    """int8 symmetric scalar quantization of the embeddings table, long
+    format (vec_id, i, q, scale) — one matrix op per batch, no shuffle
+    (ops/vectorize.py::quantize_embeddings)."""
+    from infidex_ray.ops.vectorize import quantize_embeddings
+
+    return _by(quantize_embeddings(_read(sf_dir, "embeddings")), "vec_id", "i")
+
+
 def _q_dedup_against_minhash(sf_dir: str):
     """Fuzzy cross-corpus decontamination: reference = every 10th doc (so
     each flags itself at Jaccard 1.0 and its planted near-dup partners at
@@ -1329,6 +1338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_profile": _q_script_profile,
         "split_sentences": _q_split_sentences,
         "dedup_against_minhash": _q_dedup_against_minhash,
+        "quantize_embeddings": _q_quantize_embeddings,
     }
 
 
@@ -1808,6 +1818,19 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": sqlgen.kmeans_sql(4, 3),
         "dedup_against_minhash": sqlgen.dedup_against_minhash_sql(
             "documents", 0.5, 10
+        ),
+        "quantize_embeddings": (
+            # per-vector max-abs int8 quantization, long format; DuckDB
+            # round() is half-away-from-zero == ops/vectorize._round_half_away
+            "WITH dims AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) "
+            "AS e, generate_subscripts(embedding, 1) AS i FROM embeddings), "
+            "mx AS (SELECT vec_id, max(abs(e)) AS m FROM dims "
+            "GROUP BY vec_id) "
+            "SELECT d.vec_id, d.i::BIGINT AS i, "
+            "CASE WHEN m.m = 0 THEN 0 "
+            "ELSE CAST(round(d.e / (m.m / 127)) AS BIGINT) END AS q, "
+            "round(m.m / 127, 6) AS scale "
+            "FROM dims d JOIN mx m USING (vec_id) ORDER BY d.vec_id, d.i"
         ),
         "script_profile": (
             # same planted multi-script suffixes; RE2 classes in both engines

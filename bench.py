@@ -241,6 +241,12 @@ def run_full() -> dict:
     probe = _host_probe()
     build = _build_index(NUM_CPUS, idx_dir)
     queries["index_build"] = round(build["seconds"], 3)
+    # the sandbox host runs on CPU credits: a probe at process start can read
+    # healthy while the SUSTAINED build phase runs throttled (r4: start probe
+    # 35.8 Mops / 74 GB/s, probe right after the build 16.5 / 34). Stamping a
+    # second probe immediately after the longest phase makes a throttled
+    # index_build reading falsifiable inside the bench JSON itself.
+    probe_after = {f"{k}_after_build": v for k, v in _host_probe().items()}
 
     t0 = time.perf_counter()
     ql = _query_latency(idx_dir, NUM_CPUS)
@@ -265,6 +271,7 @@ def run_full() -> dict:
             "query_p50_ms": round(ql["p50_ms"], 2),
             "query_p99_ms": round(ql["p99_ms"], 2),
             **probe,
+            **probe_after,
         },
     }
     ray.shutdown()

@@ -300,3 +300,56 @@ def tfidf_keywords(
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+# --- int8 scalar quantization -------------------------------------------------
+
+
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """Vectorized round-half-away-from-zero to integers — DuckDB ``round()``
+    semantics (numpy's ``np.round`` is banker's and diverges on exact .5)."""
+    return np.copysign(np.floor(np.abs(x) + 0.5), x)
+
+
+def quantize_embeddings(
+    ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+):
+    """Per-vector symmetric scalar quantization of an embedding column — the
+    storage-compression step ahead of large-scale ANN (4× smaller than
+    float32 at 8 bits; recall loss is bounded by the per-vector max-abs
+    scale). Output is LONG format, one row per dimension:
+    ``(vec_id, i, q, scale)`` with ``q = round(e / scale)`` half-away,
+    ``scale = max|e| / (2^(bits-1) - 1)`` rounded to 6 (all-zero vectors get
+    scale 0 and q 0) — long rather than ``list<int8>`` so the DuckDB oracle
+    hashes it row-for-row (the ``hashed_bow`` convention).
+
+    Stateless vectorized map_batches: one matrix op per batch, rows explode
+    by repeat/tile — embarrassingly parallel, no shuffle."""
+    from .similarity import _to_matrix
+
+    qmax = float(2 ** (bits - 1) - 1)
+
+    def quant(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _to_matrix(batch, vec_col)
+        n, dim = m.shape
+        scale = np.abs(m).max(axis=1) / qmax
+        safe = np.where(scale == 0, 1.0, scale)
+        q = _round_half_away(m / safe[:, None]).astype(np.int64)
+        q[scale == 0] = 0
+        scale6 = np.copysign(np.floor(np.abs(scale) * 1e6 + 0.5) / 1e6, scale)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, dim)),
+                "i": pa.array(
+                    np.tile(np.arange(1, dim + 1, dtype=np.int64), n)
+                ),
+                "q": pa.array(q.reshape(-1)),
+                "scale": pa.array(np.repeat(scale6, dim)),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")

@@ -1726,3 +1726,40 @@ def test_dedup_against_minhash_cross_only(ray_session):
     assert out[0]["n_near"] == 2 and out[0]["max_jaccard"] == 1.0
     assert not out[3]["near_contaminated"] and not out[4]["near_contaminated"]
     assert not out[100]["near_contaminated"]
+
+
+def test_quantize_embeddings_roundtrip(ray_session):
+    """Exact quantization contract: max-abs symmetric scale, half-away
+    rounding (including the .5 boundary), zero-vector handling, and bounded
+    reconstruction error."""
+    import numpy as np
+    import ray.data
+
+    from infidex_ray.ops.vectorize import quantize_embeddings
+
+    rows = [
+        {"vec_id": 0, "embedding": [1.0, -0.5, 0.25, 0.0]},
+        {"vec_id": 1, "embedding": [0.0, 0.0, 0.0, 0.0]},  # zero vector
+        # scale = 2/127; 0.5 boundary: 0.0118110... * q -> check half-away
+        {"vec_id": 2, "embedding": [2.0, -2.0, 1.0, 0.003937007874015748]},
+    ]
+    out = quantize_embeddings(ray.data.from_items(rows)).take_all()
+    by = {}
+    for r in out:
+        by.setdefault(r["vec_id"], {})[r["i"]] = r
+
+    # vec 0: scale = 1/127; q = round(e*127)
+    assert [by[0][i]["q"] for i in (1, 2, 3, 4)] == [127, -64, 32, 0]
+    assert abs(by[0][1]["scale"] - round(1 / 127, 6)) < 1e-12
+    # zero vector: scale 0, all q 0
+    assert [by[1][i]["q"] for i in (1, 2, 3, 4)] == [0, 0, 0, 0]
+    assert by[1][1]["scale"] == 0.0
+    # vec 2: scale = 2/127; last element = exactly 0.25 quanta -> q 0
+    # (0.5/2 = .25) — and 1.0/(2/127) = 63.5 rounds AWAY to 64
+    assert [by[2][i]["q"] for i in (1, 2, 3)] == [127, -127, 64]
+    # reconstruction error bounded by scale/2 per element
+    for r in rows:
+        vid = r["vec_id"]
+        scale = by[vid][1]["scale"]
+        for i, e in enumerate(r["embedding"], start=1):
+            assert abs(by[vid][i]["q"] * scale - e) <= scale / 2 + 1e-9
