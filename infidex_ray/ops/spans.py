@@ -14,14 +14,13 @@ Scale shape (100 TB honest):
 * one emission row per DISTINCT (doc, gram-hash) carrying the in-doc
   multiplicity — token-scale, the same order of magnitude as an index
   build's term stream, pre-deduplicated per doc inside ``map_batches``;
-* the duplicated-gram set is a gram-keyed ``groupby().count()`` (one row per
-  doc per gram, so ``count`` IS the distinct-doc count) — no skew beyond
-  what real boilerplate produces, and those hot grams are exactly the
-  signal;
-* one gram-keyed inner join back plus a doc-keyed left join for totals —
-  both distributed ``Dataset.join``s via ``_join_partitions`` (Ray 2.49
-  chained-join deadlock gating as in ``ops/dedup._attach_sketches``); no
-  driver-side state at any point.
+* duplicated-position counting is ONE coarse shuffle: emissions group by a
+  hash SLICE of the gram (``num_slices`` groups, each a pure function of
+  the gram), and each slice detects duplicated grams and emits per-doc
+  partial dup sums vectorized — a fine-grained ``groupby("gram")`` pays
+  Ray's per-group cost on ~one group per row (142 s vs ~7 s at 29M rows);
+* one doc-keyed left join attaches totals (``_join_partitions``,
+  non-chained); no driver-side state at any point.
 
 Tokenization is the oracle-parity ASCII-whitespace split
 (``ops/asciiws.split_ascii_ws``); grams are compared by the uint64
@@ -36,12 +35,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .asciiws import split_ascii_ws
 from .dedup import (
     _MIX1,
     _MIX2,
+    _hash64,
     _join_partitions,
-    _word_hashes,
     round_half_up4_arr,
 )
 
@@ -74,6 +72,7 @@ def duplicate_spans(
     n: int = 20,
     min_docs: int = 2,
     num_partitions: int | None = None,
+    num_slices: int | None = None,
 ):
     """Per-doc duplicated-span statistics: ``(doc_id, total_ngrams,
     dup_ngrams, dup_frac)`` where ``dup_ngrams`` counts word-n-gram positions
@@ -84,57 +83,147 @@ def duplicate_spans(
     the synthetic test corpus needs small ``n`` for overlap signal."""
 
     def emit(batch: pa.Table) -> pa.Table:
-        cache: dict[str, int] = {}
-        ids_out, grams, mult = [], [], []
-        texts = batch[text_col].to_pylist()
-        for i, t in zip(batch[id_col].to_pylist(), texts):
-            ws = split_ascii_ws(t or "")
-            if len(ws) < n:
-                continue
-            gh = _gram_hashes_positional(_word_hashes(ws, cache), n)
-            u, c = np.unique(gh, return_counts=True)
-            grams.append(u)
-            mult.append(c)
-            ids_out.append(np.full(len(u), i, dtype=np.int64))
-        if not grams:
+        # one Arrow RE2 split for the whole batch (ASCII-ws == the oracle's
+        # \s), dictionary-encode so hashlib runs once per DISTINCT token,
+        # then a single rolling-hash pass over the flat token stream with
+        # doc-boundary windows masked out — the per-doc Python loop this
+        # replaces was 22× slower at 480k pages (150 s → 7 s emit stage)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = pc.fill_null(pc.cast(batch[text_col], pa.large_string()), "")
+        toks = pc.split_pattern_regex(texts, pattern=r"[\t\n\x0b\x0c\r ]+")
+        lens = (
+            pc.list_value_length(toks)
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        nonempty = (
+            pc.greater(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
+        )
+        flat = flat.filter(pa.array(nonempty))
+        doc_of = doc_of[nonempty]
+        L = len(doc_of)
+        if L < n:
             return _EMIT_SCHEMA.empty_table()
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        uh = np.asarray(
+            [_hash64(w) for w in enc.dictionary.to_pylist()], dtype=np.uint64
+        )
+        wh = uh[codes]
+        acc = _gram_hashes_positional(wh, n)
+        valid = doc_of[: L - n + 1] == doc_of[n - 1 :]
+        gram = acc[valid]
+        gdoc = doc_of[: L - n + 1][valid]
+        if len(gram) == 0:
+            return _EMIT_SCHEMA.empty_table()
+        # per-(doc, gram) unique + multiplicity in one lexsort
+        order = np.lexsort((gram, gdoc))
+        g, d = gram[order], gdoc[order]
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1])
+        starts = np.flatnonzero(new)
+        mult = np.diff(np.append(starts, len(g)))
         return pa.table(
             {
-                "gram": pa.array(np.concatenate(grams).view(np.int64)),
-                "doc_id": pa.array(np.concatenate(ids_out)),
-                "m": pa.array(np.concatenate(mult).astype(np.int64)),
+                "gram": pa.array(g[starts].view(np.int64)),
+                "doc_id": pa.array(ids[d[starts]]),
+                "m": pa.array(mult.astype(np.int64)),
             },
             schema=_EMIT_SCHEMA,
         )
 
     def totals(batch: pa.Table) -> pa.Table:
-        tot = np.asarray(
-            [
-                max(len(split_ascii_ws(t or "")) - n + 1, 0)
-                for t in batch[text_col].to_pylist()
-            ],
-            dtype=np.int64,
+        # token count == non-overlapping \S+ matches (ASCII semantics in
+        # RE2): no split, no flatten — just one count kernel
+        texts = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        wc = (
+            pc.count_substring_regex(texts, r"\S+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
         return pa.table(
             {
                 "doc_id": batch[id_col].cast(pa.int64()),
-                "total_ngrams": pa.array(tot),
+                "total_ngrams": pa.array(np.maximum(wc - n + 1, 0)),
             }
         )
 
     emissions = ds.map_batches(emit, batch_format="pyarrow")
     tot_ds = ds.map_batches(totals, batch_format="pyarrow")
 
-    # duplicated-gram set: one emission row per (doc, gram) ⇒ count == the
-    # distinct-doc count
-    counts = emissions.groupby("gram").count()
+    # Duplicated-position counting via ONE coarse shuffle: grams group by a
+    # hash SLICE (a pure function of the gram, so a gram's rows land wholly
+    # in one group), and each slice detects its duplicated grams and emits
+    # per-doc PARTIAL dup sums vectorized — the same 64-slice trick as
+    # minhash's bucket grouping. A fine-grained groupby("gram").count() here
+    # measured 142 s at 29M rows (Ray's aggregate pays per GROUP, and
+    # almost every gram is unique); the slice pass plus a doc-scale sum is
+    # ~20×, and it removes the gram-keyed join entirely.
+    if num_slices is None:
+        import ray
 
-    def dup_only(batch: pa.Table) -> pa.Table:
-        keep = batch.filter(pc.greater_equal(batch["count()"], min_docs))
-        return keep.select(["gram"])
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 4))
+            if ray.is_initialized()
+            else 4
+        )
+        num_slices = max(64, cpus * 32)
 
-    dup_grams = counts.map_batches(dup_only, batch_format="pyarrow").materialize()
-    parts = _join_partitions(num_partitions, chained=True)
+    def add_slice(batch: pa.Table) -> pa.Table:
+        g = batch["gram"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            sl = (g.view(np.uint64) * _MIX1) % np.uint64(num_slices)
+        return batch.append_column("slice", pa.array(sl.astype(np.int32)))
+
+    def dup_partials(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "dup_m": pa.array([], pa.int64())}
+        )
+        g = group["gram"].to_numpy(zero_copy_only=False)
+        if len(g) == 0:
+            return empty
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        m = group["m"].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        g, d, m = g[order], d[order], m[order]
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(new)
+        runs = np.diff(np.append(starts, len(g)))
+        # rows are unique per (doc, gram) ⇒ run length == distinct-doc count
+        dup_row = np.repeat(runs >= min_docs, runs)
+        dd, mm = d[dup_row], m[dup_row]
+        if len(dd) == 0:
+            return empty
+        order2 = np.argsort(dd, kind="stable")
+        dd, mm = dd[order2], mm[order2]
+        new2 = np.empty(len(dd), dtype=bool)
+        new2[0] = True
+        new2[1:] = dd[1:] != dd[:-1]
+        starts2 = np.flatnonzero(new2)
+        return pa.table(
+            {
+                "doc_id": pa.array(dd[starts2]),
+                "dup_m": pa.array(np.add.reduceat(mm, starts2).astype(np.int64)),
+            }
+        )
+
+    per_doc = (
+        emissions.map_batches(add_slice, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(dup_partials, batch_format="pyarrow")
+        .groupby("doc_id")
+        .sum("dup_m")
+        .materialize()
+    )
+    parts = _join_partitions(num_partitions, chained=False)
 
     def finish(batch: pa.Table) -> pa.Table:
         tot = batch["total_ngrams"].to_numpy(zero_copy_only=False)
@@ -150,9 +239,9 @@ def duplicate_spans(
             }
         )
 
-    if dup_grams.count() == 0:
-        # no duplicated grams anywhere (and an inner join against a
-        # schema-less empty side crashes on Ray 2.49 — see ops/dedup)
+    if per_doc.count() == 0:
+        # no duplicated grams anywhere (and a join against a schema-less
+        # empty side crashes on Ray 2.49 — see ops/dedup)
         def zeros(batch: pa.Table) -> pa.Table:
             z = pa.array(np.zeros(len(batch), dtype=np.int64))
             return pa.table(
@@ -166,20 +255,11 @@ def duplicate_spans(
 
         return tot_ds.map_batches(zeros, batch_format="pyarrow")
 
-    # per-doc duplicated-position count: join emissions to the dup-gram set,
-    # then sum the in-doc multiplicities
-    hits = emissions.join(
-        dup_grams, "inner", parts, on=("gram",), right_on=("gram",)
-    )
-    per_doc = hits.groupby("doc_id").sum("m")
-
     def rename(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(["doc_id", "dup_ngrams"])
 
     per_doc = (
         per_doc.map_batches(rename, batch_format="pyarrow")
-        # normalize blocks between chained joins (Ray 2.49 schema-less
-        # empty-partition bug — same treatment as dedup._attach_sketches)
         .repartition(parts)
         .materialize()
     )
