@@ -1465,19 +1465,29 @@ def dedup_against_minhash(
         def compute(batch: pa.Table) -> pa.Table:
             splitter = _word_splitter(DEFAULT_DELIMITERS)
             cache: dict[str, int] = {}
-            out_ids, out_sig, out_sh = [], [], []
-            for i, t in zip(
-                batch[id_col].to_pylist(), batch[text_col].to_pylist()
-            ):
+            # key = (id << 1) | src in wraparound uint64 — injective for the
+            # full non-negative int64 id range (a Python `id*2+src` overflows
+            # C long for ids >= 2^62, e.g. hash-derived ids)
+            keys = (
+                (
+                    batch[id_col]
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                    .view(np.uint64)
+                    << np.uint64(1)
+                )
+                | np.uint64(src)
+            ).view(np.int64)
+            out_sig, out_sh = [], []
+            for t in batch[text_col].to_pylist():
                 tnorm = normalize(t or "").lower()
                 ws = [w for w in splitter.split(tnorm) if w]
                 sh = _shingle_hashes(_word_hashes(ws, cache), n)
-                out_ids.append(int(i) * 2 + src)
                 out_sig.append(minhash_signature(sh, a, b).tobytes())
                 out_sh.append(sh.tobytes())
             return pa.table(
                 {
-                    "doc_id": pa.array(out_ids, pa.int64()),
+                    "doc_id": pa.array(keys),
                     "sig": pa.array(out_sig, pa.binary()),
                     "sh": pa.array(out_sh, pa.binary()),
                 }
@@ -1616,7 +1626,9 @@ def dedup_against_minhash(
             union = len(sa) + len(sb) - inter
             jac = inter / union if union else 0.0
             if jac >= threshold:
-                ids.append(key_c // 2)
+                # invert the (id << 1) | src packing in wraparound arithmetic
+                # (int64 floor-div would corrupt keys whose top bit is set)
+                ids.append((key_c % (1 << 64)) >> 1)
                 jacs.append(round_half_up4(jac))
         return pa.table(
             {
