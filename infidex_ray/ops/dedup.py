@@ -155,13 +155,19 @@ def _join_partitions(requested: int | None = None, chained: bool = True) -> int:
     return max(2, min(safety, max(8, cpus // 4)))
 
 
-def _attach_sketches(pairs, sketches, num_partitions: int | None = None):
+def _attach_sketches(
+    pairs, sketches, num_partitions: int | None = None, sketches_b=None
+):
     """Attach each candidate pair's two per-doc sketch rows via two
     distributed hash joins (``Dataset.join``): sketches shuffle by id hash,
     the pair table stays pair-sized, and NOTHING is collected to the driver
     — this replaces round-2's candidate-bounded driver broadcast, which was
     the component that would OOM first on a boilerplate-heavy crawl.
-    Non-key sketch columns come back suffixed ``_a`` / ``_b``."""
+    Non-key sketch columns come back suffixed ``_a`` / ``_b``. For
+    cross-corpus pairs whose two sides live in different id spaces, pass the
+    ``id_b``-side table as ``sketches_b`` (default: same table both joins)."""
+    if sketches_b is None:
+        sketches_b = sketches
     if num_partitions is None:
         # each partition costs an aggregator-actor startup (~0.5 s): size the
         # join by the LARGER side at ~500k rows/partition when both sides are
@@ -169,8 +175,10 @@ def _attach_sketches(pairs, sketches, num_partitions: int | None = None):
         try:
             from ray.data.dataset import MaterializedDataset as _MatDs
 
-            if isinstance(pairs, _MatDs) and isinstance(sketches, _MatDs):
-                rows = max(pairs.count(), sketches.count())
+            if all(
+                isinstance(d, _MatDs) for d in (pairs, sketches, sketches_b)
+            ):
+                rows = max(pairs.count(), sketches.count(), sketches_b.count())
                 num_partitions = max(2, -(-rows // 500_000))
         except Exception:  # noqa: BLE001 — sizing is a pure optimization
             pass
@@ -190,7 +198,7 @@ def _attach_sketches(pairs, sketches, num_partitions: int | None = None):
     # enough to leave a partition empty (minimal repro: 1 pair, 2 partitions)
     j1 = j1.repartition(num_partitions).materialize()
     return j1.join(
-        sketches,
+        sketches_b,
         "inner",
         num_partitions,
         on=("id_b",),
@@ -1450,8 +1458,10 @@ def dedup_against_minhash(
     mines ONLY cross-corpus candidate pairs — corpus×corpus and ref×ref
     bucket co-occupants are never expanded, so a boilerplate-heavy corpus
     doesn't pay for in-corpus pairs it will discard. Corpus and reference
-    ids may overlap: internally keys are ``id*2 + source`` and reference
-    ids never appear in the output."""
+    ids may overlap and may span the FULL signed int64 range (hash-derived
+    ids are routinely negative when viewed as int64): the two sides are
+    kept in separate sketch tables and separated by an explicit ``src``
+    column rather than a packed key bit, so no id bits are ever lost."""
     import ray
     from ray.data.aggregate import Count, Max
 
@@ -1461,77 +1471,77 @@ def dedup_against_minhash(
     rows_per_band = num_perm // bands
     a, b = _minhash_params(num_perm, seed)
 
-    def sketches_src(src: int):
-        def compute(batch: pa.Table) -> pa.Table:
-            splitter = _word_splitter(DEFAULT_DELIMITERS)
-            cache: dict[str, int] = {}
-            # key = (id << 1) | src in wraparound uint64 — injective for the
-            # full non-negative int64 id range (a Python `id*2+src` overflows
-            # C long for ids >= 2^62, e.g. hash-derived ids)
-            keys = (
-                (
-                    batch[id_col]
-                    .cast(pa.int64())
-                    .to_numpy(zero_copy_only=False)
-                    .view(np.uint64)
-                    << np.uint64(1)
-                )
-                | np.uint64(src)
-            ).view(np.int64)
-            out_sig, out_sh = [], []
-            for t in batch[text_col].to_pylist():
-                tnorm = normalize(t or "").lower()
-                ws = [w for w in splitter.split(tnorm) if w]
-                sh = _shingle_hashes(_word_hashes(ws, cache), n)
-                out_sig.append(minhash_signature(sh, a, b).tobytes())
-                out_sh.append(sh.tobytes())
-            return pa.table(
-                {
-                    "doc_id": pa.array(keys),
-                    "sig": pa.array(out_sig, pa.binary()),
-                    "sh": pa.array(out_sh, pa.binary()),
-                }
-            )
-
-        return compute
-
-    sigs = (
-        corpus.map_batches(sketches_src(0), batch_format="pyarrow")
-        .union(reference.map_batches(sketches_src(1), batch_format="pyarrow"))
-        .materialize()
-    )
-
-    def emit_bands(batch: pa.Table) -> pa.Table:
-        n_docs = len(batch)
-        if n_docs == 0:
-            return pa.table(
-                {
-                    "key": pa.array([], pa.int64()),
-                    "band": pa.array([], pa.int32()),
-                    "bucket": pa.array([], pa.int64()),
-                }
-            )
-        keys = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
-        S = np.vstack(
-            [np.frombuffer(s, dtype=np.uint64) for s in batch["sig"].to_pylist()]
-        ).reshape(n_docs, bands, rows_per_band)
-        powers = _MIX2 ** np.arange(rows_per_band, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            buckets = ((S * powers[None, None, :]).sum(axis=2) * _MIX1).view(
-                np.int64
-            )
+    def sketches_fn(batch: pa.Table) -> pa.Table:
+        splitter = _word_splitter(DEFAULT_DELIMITERS)
+        cache: dict[str, int] = {}
+        keys = batch[id_col].cast(pa.int64())
+        out_sig, out_sh = [], []
+        for t in batch[text_col].to_pylist():
+            tnorm = normalize(t or "").lower()
+            ws = [w for w in splitter.split(tnorm) if w]
+            sh = _shingle_hashes(_word_hashes(ws, cache), n)
+            out_sig.append(minhash_signature(sh, a, b).tobytes())
+            out_sh.append(sh.tobytes())
         return pa.table(
             {
-                "key": pa.array(np.repeat(keys, bands), pa.int64()),
-                "band": pa.array(
-                    np.tile(np.arange(bands, dtype=np.int32), n_docs), pa.int32()
-                ),
-                "bucket": pa.array(buckets.reshape(-1), pa.int64()),
+                "doc_id": keys,
+                "sig": pa.array(out_sig, pa.binary()),
+                "sh": pa.array(out_sh, pa.binary()),
             }
         )
 
-    band_rows = sigs.map_batches(emit_bands, batch_format="pyarrow")
-    n_slices = int(min(65536, max(64, (sigs.count() * bands) // 2_000_000)))
+    corpus_sigs = corpus.map_batches(
+        sketches_fn, batch_format="pyarrow"
+    ).materialize()
+    ref_sigs = reference.map_batches(
+        sketches_fn, batch_format="pyarrow"
+    ).materialize()
+
+    def emit_bands_src(src: int):
+        def emit_bands(batch: pa.Table) -> pa.Table:
+            n_docs = len(batch)
+            if n_docs == 0:
+                return pa.table(
+                    {
+                        "key": pa.array([], pa.int64()),
+                        "src": pa.array([], pa.int8()),
+                        "band": pa.array([], pa.int32()),
+                        "bucket": pa.array([], pa.int64()),
+                    }
+                )
+            keys = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+            S = np.vstack(
+                [
+                    np.frombuffer(s, dtype=np.uint64)
+                    for s in batch["sig"].to_pylist()
+                ]
+            ).reshape(n_docs, bands, rows_per_band)
+            powers = _MIX2 ** np.arange(rows_per_band, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                buckets = ((S * powers[None, None, :]).sum(axis=2) * _MIX1).view(
+                    np.int64
+                )
+            return pa.table(
+                {
+                    "key": pa.array(np.repeat(keys, bands), pa.int64()),
+                    "src": pa.array(
+                        np.full(n_docs * bands, src, dtype=np.int8), pa.int8()
+                    ),
+                    "band": pa.array(
+                        np.tile(np.arange(bands, dtype=np.int32), n_docs),
+                        pa.int32(),
+                    ),
+                    "bucket": pa.array(buckets.reshape(-1), pa.int64()),
+                }
+            )
+
+        return emit_bands
+
+    band_rows = corpus_sigs.map_batches(
+        emit_bands_src(0), batch_format="pyarrow"
+    ).union(ref_sigs.map_batches(emit_bands_src(1), batch_format="pyarrow"))
+    n_sigs = corpus_sigs.count() + ref_sigs.count()
+    n_slices = int(min(65536, max(64, (n_sigs * bands) // 2_000_000)))
 
     def add_slice(batch: pa.Table) -> pa.Table:
         bk = batch["bucket"].to_numpy(zero_copy_only=False)
@@ -1549,10 +1559,11 @@ def dedup_against_minhash(
         keys = group["key"].to_numpy(zero_copy_only=False)
         if len(keys) == 0:
             return empty
+        srcs = group["src"].to_numpy(zero_copy_only=False)
         bd = group["band"].to_numpy(zero_copy_only=False).astype(np.int64)
         bk = group["bucket"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((keys, bk, bd))
-        keys, bd, bk = keys[order], bd[order], bk[order]
+        order = np.lexsort((keys, srcs, bk, bd))
+        keys, srcs, bd, bk = keys[order], srcs[order], bd[order], bk[order]
         new = np.empty(len(keys), dtype=bool)
         new[0] = True
         new[1:] = (bd[1:] != bd[:-1]) | (bk[1:] != bk[:-1])
@@ -1560,9 +1571,9 @@ def dedup_against_minhash(
         ends = np.r_[starts[1:], len(keys)]
         ca, rb = [], []
         for s, e in zip(starts.tolist(), ends.tolist()):
-            docs = np.unique(keys[s:e])
-            c = docs[docs % 2 == 0]
-            r = docs[docs % 2 == 1]
+            m = srcs[s:e] == 0
+            c = np.unique(keys[s:e][m])
+            r = np.unique(keys[s:e][~m])
             # oversize-bucket skew guard applies per SIDE: a hot boilerplate
             # bucket would otherwise emit |c|×|r| pairs
             if len(c) == 0 or len(r) == 0:
@@ -1611,7 +1622,7 @@ def dedup_against_minhash(
     if uniq.count() == 0:
         return tot_ds.map_batches(zeros, batch_format="pyarrow")
 
-    joined = _attach_sketches(uniq, sigs, num_partitions)
+    joined = _attach_sketches(uniq, corpus_sigs, num_partitions, ref_sigs)
 
     def score(batch: pa.Table) -> pa.Table:
         ids, jacs = [], []
@@ -1626,9 +1637,7 @@ def dedup_against_minhash(
             union = len(sa) + len(sb) - inter
             jac = inter / union if union else 0.0
             if jac >= threshold:
-                # invert the (id << 1) | src packing in wraparound arithmetic
-                # (int64 floor-div would corrupt keys whose top bit is set)
-                ids.append((key_c % (1 << 64)) >> 1)
+                ids.append(key_c)
                 jacs.append(round_half_up4(jac))
         return pa.table(
             {

@@ -1728,6 +1728,43 @@ def test_dedup_against_minhash_cross_only(ray_session):
     assert not out[100]["near_contaminated"]
 
 
+def test_dedup_against_minhash_full_int64_id_range(ray_session):
+    """Hash-derived ids cover the FULL signed int64 range (md5-as-uint64
+    viewed signed is negative half the time). Regression: the old packed
+    ``(id << 1) | src`` key dropped the id's top bit, silently losing every
+    negative-id match."""
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.dedup import dedup_against_minhash
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps on the warm mat near the old wooden door frame today"
+    )
+    ids = [-(2**63), -12345, (1 << 62) + 99, 2**63 - 1, 7]
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": [base, base, base, "unrelated arrow ray text", base],
+            }
+        )
+    ).repartition(2)
+    ref = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([-1], pa.int64()), "text": [base]})
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_against_minhash(corpus, ref, threshold=0.8).take_all()
+    }
+    assert set(out) == set(ids)
+    for i in ids:
+        expected = i != 2**63 - 1
+        assert out[i]["near_contaminated"] == expected, i
+        assert out[i]["max_jaccard"] == (1.0 if expected else 0.0), i
+
+
 def test_quantize_embeddings_roundtrip(ray_session):
     """Exact quantization contract: max-abs symmetric scale, half-away
     rounding (including the .5 boundary), zero-vector handling, and bounded
