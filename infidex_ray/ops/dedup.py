@@ -460,6 +460,118 @@ def _word_hashes(ws: list[str], cache: dict[str, int]) -> np.ndarray:
     return out
 
 
+def _batch_minhash_sketches(
+    texts: list,
+    n: int,
+    a: np.ndarray,
+    b: np.ndarray,
+    chunk_elems: int = 1 << 24,
+) -> tuple[list, list]:
+    """Whole-batch minhash sketches, byte-identical to the per-doc
+    ``minhash_signature(_shingle_hashes(_word_hashes(...)))`` path but with
+    every per-doc Python step hoisted to one batch-level kernel: Arrow RE2
+    split (`_split_words_flat`), blake2b over the token DICTIONARY only,
+    one flat rolling polynomial for all window shingles, one lexsort for
+    per-doc distinct, and one ``(x·a+b) mod p`` matrix + ``minimum.reduceat``
+    for the signatures. Returns (sig bytes, sorted-distinct shingle bytes)
+    per doc. The per-row loop was the hottest stage of minhash_lsh_pairs
+    (VERDICT r3 item: minhash_dedup 13.1 s vs 4.4 s in r2)."""
+    from ..analyzer import _split_words_flat
+    from ..config import DEFAULT_DELIMITERS
+
+    n_docs = len(texts)
+    num_perm = len(a)
+    u64max = np.iinfo(np.uint64).max
+    if n_docs == 0:
+        return [], []
+    lower = [normalize(t or "").lower() for t in texts]
+    flat, doc_of, wl = _split_words_flat(lower, DEFAULT_DELIMITERS)
+    nz = wl > 0
+    if isinstance(flat, pa.ChunkedArray):  # pragma: no cover - combined above
+        flat = flat.combine_chunks()
+    enc = flat.dictionary_encode()
+    idx = np.asarray(enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+    words = enc.dictionary.to_pylist()
+    dh = np.fromiter(
+        (_hash64(w) for w in words), dtype=np.uint64, count=len(words)
+    )
+    wh = dh[idx[nz]]
+    doc_of = doc_of[nz]
+    counts = np.bincount(doc_of, minlength=n_docs)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    with np.errstate(over="ignore"):
+        powers = _MIX1 ** np.arange(n, dtype=np.uint64)
+        F = len(wh)
+        if F >= n:
+            acc = np.zeros(F - n + 1, dtype=np.uint64)
+            for k in range(n):
+                acc += wh[k : F - n + 1 + k] * powers[k]
+            acc *= _MIX2
+            wdoc = doc_of[: F - n + 1]
+            valid = (np.arange(F - n + 1, dtype=np.int64) + n) <= ends[wdoc]
+            win_docs, win_hashes = wdoc[valid], acc[valid]
+        else:
+            win_docs = np.empty(0, dtype=np.int64)
+            win_hashes = np.empty(0, dtype=np.uint64)
+        # short-doc contract (0 < L < n → ONE whole-doc shingle), rare: loop
+        short = np.flatnonzero((counts > 0) & (counts < n))
+        if len(short):
+            sh_hashes = np.asarray(
+                [
+                    (wh[starts[d] : ends[d]] * powers[: counts[d]]).sum()
+                    * _MIX2
+                    for d in short.tolist()
+                ],
+                dtype=np.uint64,
+            )
+            win_docs = np.concatenate([win_docs, short])
+            win_hashes = np.concatenate([win_hashes, sh_hashes])
+    # per-doc sorted distinct == np.unique per doc
+    order = np.lexsort((win_hashes, win_docs))
+    d2, h2 = win_docs[order], win_hashes[order]
+    if len(d2):
+        keep = np.empty(len(d2), dtype=bool)
+        keep[0] = True
+        keep[1:] = (d2[1:] != d2[:-1]) | (h2[1:] != h2[:-1])
+        d3, h3 = d2[keep], h2[keep]
+    else:
+        d3, h3 = d2, h2
+    sig = np.full((n_docs, num_perm), u64max, dtype=np.uint64)
+    c3 = np.bincount(d3, minlength=n_docs)
+    if len(h3):
+        nonempty = np.flatnonzero(c3 > 0)
+        seg_starts = (np.cumsum(c3) - c3)[nonempty]
+        seg_ends = seg_starts + c3[nonempty]
+        # chunk the (shingles × num_perm) matrix at doc boundaries so a
+        # long-doc batch stays ~128 MB per task instead of O(batch tokens)
+        chunk_rows = max(1, chunk_elems // max(1, num_perm))
+        i = 0
+        while i < len(nonempty):
+            j = int(
+                np.searchsorted(
+                    seg_ends, seg_starts[i] + chunk_rows, side="left"
+                )
+            )
+            j = max(j, i + 1)
+            base = seg_starts[i]
+            with np.errstate(over="ignore"):
+                vals = (
+                    h3[base : seg_ends[j - 1], None] * a[None, :] + b[None, :]
+                ) % np.uint64(_MERSENNE)
+            sig[nonempty[i:j]] = np.minimum.reduceat(
+                vals, seg_starts[i:j] - base, axis=0
+            )
+            i = j
+    out_sig = [sig[i].tobytes() for i in range(n_docs)]
+    out_sh = []
+    pos = 0
+    for c in c3.tolist():
+        out_sh.append(h3[pos : pos + c].tobytes())
+        pos += c
+    return out_sig, out_sh
+
+
 def _shingle_hashes(wh: np.ndarray, n: int) -> np.ndarray:
     """Distinct word-n-gram shingle hashes, vectorized: polynomial combine of
     the word-hash sliding window under uint64 wraparound (deterministic; the
@@ -519,19 +631,12 @@ def minhash_lsh_pairs(
     a, b = _minhash_params(num_perm, seed)
 
     def compute_sketches(batch: pa.Table) -> pa.Table:
-        splitter = _word_splitter(DEFAULT_DELIMITERS)
-        cache: dict[str, int] = {}
-        out_ids, out_sig, out_sh = [], [], []
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            tnorm = normalize(t or "").lower()
-            ws = [w for w in splitter.split(tnorm) if w]
-            sh = _shingle_hashes(_word_hashes(ws, cache), n)
-            out_ids.append(i)
-            out_sig.append(minhash_signature(sh, a, b).tobytes())
-            out_sh.append(sh.tobytes())
+        out_sig, out_sh = _batch_minhash_sketches(
+            batch[text_col].to_pylist(), n, a, b
+        )
         return pa.table(
             {
-                "doc_id": pa.array(out_ids, pa.int64()),
+                "doc_id": batch[id_col].cast(pa.int64()),
                 "sig": pa.array(out_sig, pa.binary()),
                 "sh": pa.array(out_sh, pa.binary()),
             }
@@ -1472,19 +1577,12 @@ def dedup_against_minhash(
     a, b = _minhash_params(num_perm, seed)
 
     def sketches_fn(batch: pa.Table) -> pa.Table:
-        splitter = _word_splitter(DEFAULT_DELIMITERS)
-        cache: dict[str, int] = {}
-        keys = batch[id_col].cast(pa.int64())
-        out_sig, out_sh = [], []
-        for t in batch[text_col].to_pylist():
-            tnorm = normalize(t or "").lower()
-            ws = [w for w in splitter.split(tnorm) if w]
-            sh = _shingle_hashes(_word_hashes(ws, cache), n)
-            out_sig.append(minhash_signature(sh, a, b).tobytes())
-            out_sh.append(sh.tobytes())
+        out_sig, out_sh = _batch_minhash_sketches(
+            batch[text_col].to_pylist(), n, a, b
+        )
         return pa.table(
             {
-                "doc_id": keys,
+                "doc_id": batch[id_col].cast(pa.int64()),
                 "sig": pa.array(out_sig, pa.binary()),
                 "sh": pa.array(out_sh, pa.binary()),
             }

@@ -1800,3 +1800,55 @@ def test_quantize_embeddings_roundtrip(ray_session):
         scale = by[vid][1]["scale"]
         for i, e in enumerate(r["embedding"], start=1):
             assert abs(by[vid][i]["q"] * scale - e) <= scale / 2 + 1e-9
+
+
+def test_batch_minhash_sketches_parity():
+    """The batch-vectorized sketch kernel must be BYTE-identical to the
+    per-doc ``minhash_signature(_shingle_hashes(_word_hashes(...)))`` path
+    it replaced inside minhash_lsh_pairs / dedup_against_minhash — including
+    the short-doc (<n words) single-shingle contract, empty/None docs, and
+    unicode whitespace (tokenization is the analyzer splitter, NOT \\s)."""
+    from infidex_ray.analyzer import _word_splitter
+    from infidex_ray.config import DEFAULT_DELIMITERS
+    from infidex_ray.ops.dedup import (
+        _batch_minhash_sketches,
+        _minhash_params,
+        _shingle_hashes,
+        _word_hashes,
+        minhash_signature,
+        normalize,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        None,
+        "one",
+        "two words",
+        "exactly three words",
+        "nbsp\xa0joined and vertical\x0btab plus em space tokens",
+        "dup dup dup dup dup dup dup dup",
+        "Tab\tand\nnewline   runs, punct!? marks",
+        "repeat " * 300 + "tail unique words here",
+        "ünïcödé Ärger ßtraße déjà vu déjà vu déjà",
+    ]
+    for num_perm, n in ((128, 3), (16, 5), (4, 1)):
+        a, b = _minhash_params(num_perm)
+        got_sig, got_sh = _batch_minhash_sketches(texts, n, a, b)
+        # tiny chunk → exercises the doc-boundary chunked reduceat path
+        got_sig_c, got_sh_c = _batch_minhash_sketches(
+            texts, n, a, b, chunk_elems=num_perm * 2
+        )
+        assert got_sig_c == got_sig and got_sh_c == got_sh
+        splitter = _word_splitter(DEFAULT_DELIMITERS)
+        cache = {}
+        for i, t in enumerate(texts):
+            ws = [w for w in splitter.split(normalize(t or "").lower()) if w]
+            sh = _shingle_hashes(_word_hashes(ws, cache), n)
+            assert got_sh[i] == sh.tobytes(), (num_perm, n, i, t)
+            assert got_sig[i] == minhash_signature(sh, a, b).tobytes(), (
+                num_perm,
+                n,
+                i,
+                t,
+            )
