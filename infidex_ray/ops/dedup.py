@@ -18,6 +18,7 @@ Scale design notes (100 TB):
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -155,6 +156,116 @@ def _join_partitions(requested: int | None = None, chained: bool = True) -> int:
     return max(2, min(safety, max(8, cpus // 4)))
 
 
+#: Pair-count ceiling for the broadcast verify path (id pairs are 16 B each,
+#: so 1M pairs ≈ 16 MB on the driver / object store — far below any worker
+#: heap). Above it, verification falls back to the fully distributed joins.
+_BROADCAST_VERIFY_MAX_PAIRS = int(
+    os.environ.get("INFIDEX_BROADCAST_VERIFY_MAX_PAIRS", "1000000")
+)
+
+
+def _attach_sketches_broadcast(pairs_tbl: pa.Table, sketches, sketches_b=None):
+    """Map-side variant of :func:`_attach_sketches` for SMALL pair tables:
+    the (id_a, id_b) list — ids only, never the sketches — is broadcast once
+    via ``ray.put``; each sketch block emits its locally matching rows keyed
+    by (pair index, side), and one pair-sized slice groupby pairs the two
+    sides back up. Replaces two aggregator-actor joins plus their two
+    repartition+materialize normalizations with one map and one small sort —
+    the joins' fixed startup (~0.5 s per partition actor) dominated small
+    and medium verifies (A/B at 5k docs / 256 pairs: 7 s → ~2 s)."""
+    import ray
+
+    if sketches_b is None:
+        sketches_b = sketches
+    ids_a = np.asarray(pairs_tbl["id_a"].to_numpy(zero_copy_only=False), np.int64)
+    ids_b = np.asarray(pairs_tbl["id_b"].to_numpy(zero_copy_only=False), np.int64)
+    npairs = len(ids_a)
+    side_lookup = {}
+    for side, ids in (("a", ids_a), ("b", ids_b)):
+        order = np.argsort(ids, kind="stable")
+        side_lookup[side] = (ids[order], order.astype(np.int64))
+    ref = ray.put((side_lookup, ids_a, ids_b))
+
+    def emit_side(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            lookup, _, _ = ray.get(ref)
+            sorted_ids, pidx = lookup[side]
+            doc = np.asarray(
+                batch["doc_id"].to_numpy(zero_copy_only=False), np.int64
+            )
+            lo = np.searchsorted(sorted_ids, doc, "left")
+            hi = np.searchsorted(sorted_ids, doc, "right")
+            counts = hi - lo
+            total = int(counts.sum())
+            cols = [c for c in batch.column_names if c != "doc_id"]
+            if total == 0:
+                empty = {
+                    "pair_idx": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "slice": pa.array([], pa.int32()),
+                }
+                for c in cols:
+                    empty[c] = batch[c].slice(0, 0)
+                return pa.table(empty)
+            row_idx = np.repeat(np.arange(len(doc), dtype=np.int64), counts)
+            starts = np.repeat(lo, counts)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            p = pidx[starts + within]
+            out = {
+                "pair_idx": pa.array(p, pa.int64()),
+                "side": pa.array(
+                    np.full(total, 0 if side == "a" else 1, np.int8), pa.int8()
+                ),
+                "slice": pa.array((p % np.int64(_n_verify_slices(npairs))).astype(np.int32)),
+            }
+            taken = batch.select(cols).take(pa.array(row_idx, pa.int64()))
+            for c in cols:
+                out[c] = taken[c]
+            return pa.table(out)
+
+        return fn
+
+    long_ds = sketches.map_batches(
+        emit_side("a"), batch_format="pyarrow"
+    ).union(sketches_b.map_batches(emit_side("b"), batch_format="pyarrow"))
+
+    def combine(group: pa.Table) -> pa.Table:
+        _, ia, ib = ray.get(ref)
+        p = np.asarray(group["pair_idx"].to_numpy(zero_copy_only=False), np.int64)
+        s = np.asarray(group["side"].to_numpy(zero_copy_only=False), np.int64)
+        cols = [
+            c for c in group.column_names if c not in ("pair_idx", "side", "slice")
+        ]
+        order = np.lexsort((s, p))
+        p2, s2 = p[order], s[order]
+        first = (
+            np.flatnonzero((p2[:-1] == p2[1:]) & (s2[:-1] == 0) & (s2[1:] == 1))
+            if len(p2) > 1
+            else np.empty(0, np.int64)
+        )
+        out = {
+            "id_a": pa.array(ia[p2[first]] if len(first) else [], pa.int64()),
+            "id_b": pa.array(ib[p2[first]] if len(first) else [], pa.int64()),
+        }
+        a_rows = pa.array(order[first], pa.int64())
+        b_rows = pa.array(order[first + 1], pa.int64())
+        for c in cols:
+            out[f"{c}_a"] = group[c].take(a_rows)
+            out[f"{c}_b"] = group[c].take(b_rows)
+        return pa.table(out)
+
+    return long_ds.groupby("slice").map_groups(combine, batch_format="pyarrow")
+
+
+def _n_verify_slices(npairs: int) -> int:
+    """Slice count for the broadcast-verify groupby: ~20k pair-rows per
+    group keeps a slice's sketch payload well under a worker heap while
+    never paying more group-task overhead than the pair volume warrants."""
+    return max(1, min(256, (2 * npairs) // 20_000 + 1))
+
+
 def _attach_sketches(
     pairs, sketches, num_partitions: int | None = None, sketches_b=None
 ):
@@ -165,9 +276,36 @@ def _attach_sketches(
     the component that would OOM first on a boilerplate-heavy crawl.
     Non-key sketch columns come back suffixed ``_a`` / ``_b``. For
     cross-corpus pairs whose two sides live in different id spaces, pass the
-    ``id_b``-side table as ``sketches_b`` (default: same table both joins)."""
+    ``id_b``-side table as ``sketches_b`` (default: same table both joins).
+
+    When the pair table is small (≤ ``_BROADCAST_VERIFY_MAX_PAIRS``, known
+    for free when ``pairs`` is materialized), the id list — never the
+    sketches — is broadcast instead and the joins are skipped entirely
+    (:func:`_attach_sketches_broadcast`): the classic broadcast-vs-shuffle
+    join cutover. Only the pair IDS ever reach the driver; the sketch
+    payload stays distributed on both paths."""
     if sketches_b is None:
         sketches_b = sketches
+    try:
+        from ray.data.dataset import MaterializedDataset as _MatDs2
+
+        if (
+            num_partitions is None  # an explicit count forces the join path
+            and isinstance(pairs, _MatDs2)
+            and pairs.count() <= _BROADCAST_VERIFY_MAX_PAIRS
+        ):
+            import ray
+
+            pairs_tbl = pa.concat_tables(
+                [
+                    t.select(["id_a", "id_b"])
+                    for t in ray.get(pairs.to_arrow_refs())
+                    if t.num_rows
+                ]
+            ).combine_chunks()
+            return _attach_sketches_broadcast(pairs_tbl, sketches, sketches_b)
+    except Exception:  # noqa: BLE001 — fall back to the join path
+        pass
     if num_partitions is None:
         # each partition costs an aggregator-actor startup (~0.5 s): size the
         # join by the LARGER side at ~500k rows/partition when both sides are
@@ -206,6 +344,55 @@ def _attach_sketches(
         left_suffix="_a",
         right_suffix="_b",
     )
+
+
+def _verify_pairs(cand, sketches, num_partitions: int | None = None, sketches_b=None):
+    """Dedup a candidate (id_a, id_b) stream and attach both sides' sketch
+    rows, picking the cheapest safe strategy by measured size:
+
+    * small candidate table (≤ ``_BROADCAST_VERIFY_MAX_PAIRS`` rows BEFORE
+      dedup, known for free after the materialize) → dedup the 16-byte id
+      pairs on the driver and use the broadcast attach — skips one
+      all-to-all groupby plus both hash joins;
+    * otherwise → distributed ``groupby((id_a, id_b))`` dedup and the
+      aggregator-actor join path. Only ids ever reach the driver.
+
+    Returns the joined Dataset (columns ``id_a, id_b, <sketch cols>_a/_b``)
+    or ``None`` when there are no candidates (callers return their own
+    empty schema — an empty Dataset here would be schema-less)."""
+    import ray
+
+    cand = cand.materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return None
+    if num_partitions is None and n_cand <= _BROADCAST_VERIFY_MAX_PAIRS:
+        # per-block select: map_groups blocks can disagree on column ORDER
+        # (and empty blocks can be schema-less), which concat_tables rejects
+        blocks = [
+            t.select(["id_a", "id_b"])
+            for t in ray.get(cand.to_arrow_refs())
+            if t.num_rows
+        ]
+        tbl = pa.concat_tables(blocks).combine_chunks()
+        ia = np.asarray(tbl["id_a"].to_numpy(zero_copy_only=False), np.int64)
+        ib = np.asarray(tbl["id_b"].to_numpy(zero_copy_only=False), np.int64)
+        order = np.lexsort((ib, ia))
+        ia, ib = ia[order], ib[order]
+        keep = np.empty(len(ia), dtype=bool)
+        keep[0] = True
+        keep[1:] = (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])
+        pairs_tbl = pa.table(
+            {"id_a": pa.array(ia[keep], pa.int64()), "id_b": pa.array(ib[keep], pa.int64())}
+        )
+        return _attach_sketches_broadcast(pairs_tbl, sketches, sketches_b)
+    uniq = (
+        cand.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
+        .materialize()
+    )
+    if uniq.count() == 0:  # pragma: no cover — cand non-empty implies pairs
+        return None
+    return _attach_sketches(uniq, sketches, num_partitions, sketches_b)
 
 
 def _pack3_shingles(t: str) -> np.ndarray:
@@ -324,11 +511,8 @@ def ngram_jaccard_pairs(
     cand = shingle_rows.groupby("h").map_groups(
         pairs_per_shingle, batch_format="pyarrow"
     )
-    uniq = (
-        cand.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
-        .materialize()
-    )
-    if uniq.count() == 0:
+    joined = _verify_pairs(cand, sketches, num_partitions)
+    if joined is None:
         # empty Datasets lose their column schema, which breaks the joins
         import ray
 
@@ -337,12 +521,10 @@ def ngram_jaccard_pairs(
                 {
                     "id_a": pa.array([], pa.int64()),
                     "id_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
+                    metric: pa.array([], pa.float64()),
                 }
             )
         )
-
-    joined = _attach_sketches(uniq, sketches, num_partitions)
 
     def score(batch: pa.Table) -> pa.Table:
         out_a, out_b, out_j = [], [], []
@@ -465,7 +647,7 @@ def _batch_minhash_sketches(
     n: int,
     a: np.ndarray,
     b: np.ndarray,
-    chunk_elems: int = 1 << 24,
+    chunk_elems: int = 1 << 16,
 ) -> tuple[list, list]:
     """Whole-batch minhash sketches, byte-identical to the per-doc
     ``minhash_signature(_shingle_hashes(_word_hashes(...)))`` path but with
@@ -543,8 +725,11 @@ def _batch_minhash_sketches(
         nonempty = np.flatnonzero(c3 > 0)
         seg_starts = (np.cumsum(c3) - c3)[nonempty]
         seg_ends = seg_starts + c3[nonempty]
-        # chunk the (shingles × num_perm) matrix at doc boundaries so a
-        # long-doc batch stays ~128 MB per task instead of O(batch tokens)
+        # chunk the (shingles × num_perm) matrix at doc boundaries, sized to
+        # stay cache-resident: the compute writes then min-reduces the same
+        # matrix, so a ~512 KB chunk is 2.2× faster than a 128 MB one
+        # (measured 0.42 s vs 0.92 s / 5000 bench docs) — DRAM round-trips
+        # dominate otherwise. Long docs still get one whole-doc chunk.
         chunk_rows = max(1, chunk_elems // max(1, num_perm))
         i = 0
         while i < len(nonempty):
@@ -736,11 +921,10 @@ def minhash_lsh_pairs(
         .groupby("slice")
         .map_groups(pairs_in_slice, batch_format="pyarrow")
     )
-    uniq = (
-        cand.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
-        .materialize()
-    )
-    if uniq.count() == 0:
+    # verify distributively: attach both sketches per pair (broadcast ids or
+    # hash joins by size), then score (signature estimate + exact Jaccard)
+    joined = _verify_pairs(cand, sigs, num_partitions)
+    if joined is None:
         # empty Datasets lose their column schema, which breaks the joins
         import ray
 
@@ -754,10 +938,6 @@ def minhash_lsh_pairs(
                 }
             )
         )
-
-    # verify distributively: attach both sketches per pair via hash joins,
-    # then score (signature-agreement estimate + exact shingle Jaccard)
-    joined = _attach_sketches(uniq, sigs, num_partitions)
 
     def score(batch: pa.Table) -> pa.Table:
         oa, ob, oe, oj = [], [], [], []
@@ -1153,7 +1333,17 @@ def dedup_clusters_ds(pairs_ds, num_partitions: int | None = None, max_iters: in
             }
         )
 
-    edges = edges_fwd.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    # every materialize below is preceded by a repartition: the upstream
+    # sparse groupbys / joins leave MIXED block schemas (schema-less empties;
+    # Ray 2.49 logs "RefBundle with a different schema"), and a hash-join
+    # aggregator fed such blocks fails pyarrow FieldRef resolution — the same
+    # normalization `_attach_sketches` applies between its chained joins.
+    # All four datasets are pair-graph-sized, so the extra pass is noise.
+    edges = (
+        edges_fwd.map_batches(both_dirs, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
     if edges.count() == 0:
         import ray
 
@@ -1179,6 +1369,7 @@ def dedup_clusters_ds(pairs_ds, num_partitions: int | None = None, max_iters: in
             ),
             batch_format="pyarrow",
         )
+        .repartition(num_partitions)
         .materialize()
     )
 
@@ -1207,6 +1398,7 @@ def dedup_clusters_ds(pairs_ds, num_partitions: int | None = None, max_iters: in
                 ),
                 batch_format="pyarrow",
             )
+            .repartition(num_partitions)
             .materialize()
         )
 
@@ -1232,7 +1424,11 @@ def dedup_clusters_ds(pairs_ds, num_partitions: int | None = None, max_iters: in
                 }
             )
 
-        cand = jumped.map_batches(jump_min, batch_format="pyarrow").materialize()
+        cand = (
+            jumped.map_batches(jump_min, batch_format="pyarrow")
+            .repartition(num_partitions)
+            .materialize()
+        )
 
         # convergence: any node whose label shrank this round?
         changed_ds = cand.join(
@@ -1694,12 +1890,6 @@ def dedup_against_minhash(
         .groupby("slice")
         .map_groups(cross_pairs_in_slice, batch_format="pyarrow")
     )
-    uniq = (
-        cand.groupby(["id_a", "id_b"])
-        .count()
-        .select_columns(["id_a", "id_b"])
-        .materialize()
-    )
 
     def corpus_ids(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": batch[id_col].cast(pa.int64())})
@@ -1717,10 +1907,9 @@ def dedup_against_minhash(
             }
         )
 
-    if uniq.count() == 0:
+    joined = _verify_pairs(cand, corpus_sigs, num_partitions, ref_sigs)
+    if joined is None:
         return tot_ds.map_batches(zeros, batch_format="pyarrow")
-
-    joined = _attach_sketches(uniq, corpus_sigs, num_partitions, ref_sigs)
 
     def score(batch: pa.Table) -> pa.Table:
         ids, jacs = [], []
