@@ -288,6 +288,15 @@ def _q_knn(sf_dir: str):
     return knn_cosine(_read(sf_dir, "embeddings"), np.asarray([KNN_QUERY_VEC]), k=10)
 
 
+def _q_knn_graph(sf_dir: str):
+    """Exact cosine top-5 neighbor graph over every embedding (self
+    excluded) — block-pair streaming tasks, Dataset-assembled result
+    (ops/similarity.py::knn_graph)."""
+    from infidex_ray.ops.similarity import knn_graph
+
+    return _by(knn_graph(_read(sf_dir, "embeddings"), k=5), "vec_id", "rank")
+
+
 def _q_ivf_knn(sf_dir: str):
     """IVF ANN probing every list → exact (checked against the same SQL
     oracle as brute-force knn)."""
@@ -989,6 +998,20 @@ def _q_kmeans(sf_dir: str):
     return _by(labeled, "vec_id")
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup composition: k-means bucket the embedding space, mine
+    near-dup pairs within clusters only, connected-components + anti-join
+    keep-min-representative (ops/clustering.py::semantic_dedup). The oracle
+    replays the same unrolled k-means assignment and restricts the pair
+    closure to same-cluster edges."""
+    from infidex_ray.ops.clustering import semantic_dedup
+
+    return _by(
+        semantic_dedup(_read(sf_dir, "embeddings"), k=4, iters=2, threshold=0.4),
+        "vec_id",
+    )
+
+
 def _q_quantize_embeddings(sf_dir: str):
     """int8 symmetric scalar quantization of the embeddings table, long
     format (vec_id, i, q, scale) — one matrix op per batch, no shuffle
@@ -1279,6 +1302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract": _q_html_extract,
         "image_features": _q_image_features,
         "knn_cosine": _q_knn,
+        "knn_graph": _q_knn_graph,
         "ivf_knn": _q_ivf_knn,
         "ivf_knn_pruned": _q_ivf_knn_pruned,
         "lsh_knn": _q_lsh_knn,
@@ -1335,6 +1359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_url": _q_canonical_url,
         "duplicate_spans": _q_duplicate_spans,
         "kmeans_embeddings": _q_kmeans,
+        "semantic_dedup": _q_semantic_dedup,
         "script_profile": _q_script_profile,
         "split_sentences": _q_split_sentences,
         "dedup_against_minhash": _q_dedup_against_minhash,
@@ -1378,6 +1403,20 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY list_cosine_similarity(embedding::DOUBLE[], {vec_lit}) DESC, vec_id
             LIMIT 10
+        """,
+        "knn_graph": """
+            SELECT vec_id, rank, nbr_id, cosine FROM (
+              SELECT a.vec_id AS vec_id,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                                b.vec_id
+                     ) AS rank,
+                     b.vec_id AS nbr_id,
+                     round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            ) t WHERE rank <= 5
+            ORDER BY vec_id, rank
         """,
         # IVF probing all lists is exact → same oracle as brute-force knn
         "ivf_knn_pruned": f"""
@@ -1816,6 +1855,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id"
         ),
         "kmeans_embeddings": sqlgen.kmeans_sql(4, 3),
+        "semantic_dedup": sqlgen.semantic_dedup_sql(4, 2, 0.4),
         "dedup_against_minhash": sqlgen.dedup_against_minhash_sql(
             "documents", 0.5, 10
         ),

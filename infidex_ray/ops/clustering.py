@@ -30,7 +30,7 @@ import pyarrow as pa
 from .dedup import round_half_up4_arr
 from .similarity import _to_matrix
 
-__all__ = ["kmeans"]
+__all__ = ["kmeans", "semantic_dedup"]
 
 
 def _sq_dists(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
@@ -125,3 +125,97 @@ def kmeans(
         )
 
     return centroids, ds.map_batches(label, batch_format="pyarrow")
+
+
+# --- SemDeDup-style semantic dedup --------------------------------------------
+
+
+def semantic_dedup(
+    ds,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pair_block: int = 4096,
+    num_partitions: int | None = None,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    k-means-cluster the embedding space, mine near-duplicate pairs ONLY
+    within each cluster (pairwise cosine ≥ threshold), connected-components
+    the pair graph, keep the min-id representative per component. Returns
+    the kept ``(id_col,)`` Dataset.
+
+    The clustering is what makes semantic dedup tractable at corpus scale:
+    pair mining is O(Σ cluster_size²) instead of the exact graph's O(N²),
+    at the cost of missing duplicates that straddle a cluster boundary (the
+    paper's accepted recall trade; the oracle mirrors it exactly).
+
+    Partitioning assumption: ``k`` must scale with the corpus so one
+    cluster fits a single group task (SemDeDup used 50k clusters for
+    LAION-440M); in-group mining is blocked at ``pair_block`` rows per
+    matmul so task memory stays O(cluster·dim + pair_block²). Components +
+    anti-join reuse the label-propagation machinery
+    (``dedup.dedup_corpus_ds`` — Dataset-resident labels, O(log diameter)
+    rounds)."""
+    import ray
+
+    from .dedup import dedup_corpus_ds
+
+    centroids, _ = kmeans(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    ref = ray.put(centroids)
+
+    def assign_with_vecs(batch: pa.Table, _ref=ref) -> pa.Table:
+        cents = ray.get(_ref)
+        m = _to_matrix(batch, vec_col)
+        a = np.argmin(_sq_dists(m, cents), axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "cluster": pa.array(a.astype(np.int64)),
+                vec_col: batch[vec_col],
+            }
+        )
+
+    assigned = ds.map_batches(assign_with_vecs, batch_format="pyarrow")
+    empty = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+
+    def pairs_in_cluster(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
+        if len(ids) < 2:
+            return empty
+        m = _to_matrix(group, vec_col)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        m = m / n[:, None]
+        order = np.argsort(ids, kind="stable")
+        ids, m = ids[order], m[order]  # ascending ids ⇒ rect blocks emit a<b
+        oa, ob = [], []
+        for s in range(0, len(ids), pair_block):
+            mi = m[s : s + pair_block]
+            for t in range(s, len(ids), pair_block):
+                sims = mi @ m[t : t + pair_block].T
+                if t == s:
+                    sims = np.triu(sims, k=1)
+                r, c = np.nonzero(sims >= threshold)
+                if len(r):
+                    oa.append(ids[s + r])
+                    ob.append(ids[t + c])
+        if not oa:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(oa), pa.int64()),
+                "id_b": pa.array(np.concatenate(ob), pa.int64()),
+            }
+        )
+
+    pairs = assigned.groupby("cluster").map_groups(
+        pairs_in_cluster, batch_format="pyarrow"
+    )
+    return dedup_corpus_ds(
+        ds.select_columns([id_col]), pairs, id_col=id_col,
+        num_partitions=num_partitions,
+    )

@@ -419,3 +419,97 @@ def ivf_knn(
 
     partials = assigned_ds.map_batches(partial, batch_format="pyarrow")
     return _merge_partials(partials, k)
+
+
+# --- exact k-nearest-neighbor GRAPH (all-pairs top-k) -------------------------
+
+
+def knn_graph(
+    ds,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Exact cosine k-nearest-neighbor graph: the top-k neighbors of EVERY
+    vector (self excluded) — the building block of SemDeDup-style semantic
+    dedup and embedding-curation pipelines (cluster the graph, keep one doc
+    per tight neighborhood).
+
+    Block-pair design (same shape as ``dedup.embedding_dup_pairs``): the
+    corpus' Arrow blocks stay in the object store; ONE Ray task per query
+    block streams every block through a matmul and keeps a running
+    (k × block-rows) top-k buffer, so no full similarity matrix and no
+    full-corpus matrix ever exists anywhere — task memory is
+    O(block² + block·k) and the result is a Dataset assembled from the
+    per-task output refs, never driver-collected. Compute is the
+    unavoidable O(N²/P) of an exact graph; at web scale cluster first
+    (``ops.clustering.kmeans``) and build per-cluster graphs, or accept LSH
+    recall with bucketed candidates (``dedup.embedding_dup_pairs_lsh``).
+
+    Returns a Dataset of (vec_id, rank, nbr_id, cosine), rank 1..k with the
+    deterministic tie-break (cosine desc, nbr_id asc); cosine is rounded
+    half-away-from-zero to 4 decimals (DuckDB ROUND parity)."""
+    import ray
+
+    from .dedup import round_half_up4_arr
+
+    refs = ds.select_columns([id_col, vec_col]).materialize().to_arrow_refs()
+
+    @ray.remote
+    def block_topk(tq: pa.Table, all_refs: list) -> pa.Table:
+        ids_q = np.asarray(tq[id_col].to_pylist(), dtype=np.int64)
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int32()),
+                "nbr_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        nq = len(ids_q)
+        if nq == 0:
+            return empty
+        mq = _normalize_rows(_to_matrix(tq, vec_col))
+        buf_s = np.empty((nq, 0), dtype=np.float64)
+        buf_i = np.empty((nq, 0), dtype=np.int64)
+        for r in all_refs:  # nested refs are NOT auto-resolved: stream blocks
+            tb = ray.get(r)
+            ids_b = np.asarray(tb[id_col].to_pylist(), dtype=np.int64)
+            if len(ids_b) == 0:
+                continue
+            mb = _normalize_rows(_to_matrix(tb, vec_col))
+            sims = mq @ mb.T
+            sims[ids_q[:, None] == ids_b[None, :]] = -np.inf  # self-edges out
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            buf_s = np.hstack([buf_s, np.take_along_axis(sims, part, axis=1)])
+            buf_i = np.hstack([buf_i, ids_b[part]])
+            # shrink back to k, ties to the smaller id: a stable sort over
+            # id-ascending-reordered rows resolves equal cosines by id
+            oid = np.argsort(buf_i, axis=1, kind="stable")
+            s2 = np.take_along_axis(buf_s, oid, axis=1)
+            i2 = np.take_along_axis(buf_i, oid, axis=1)
+            osim = np.argsort(-s2, axis=1, kind="stable")[:, :k]
+            buf_s = np.take_along_axis(s2, osim, axis=1)
+            buf_i = np.take_along_axis(i2, osim, axis=1)
+        valid = np.isfinite(buf_s)  # -inf = self slot when corpus ≤ k
+        nvalid = valid.sum(axis=1).astype(np.int64)
+        total = int(nvalid.sum())
+        if total == 0:
+            return empty
+        ranks = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(nvalid) - nvalid, nvalid)
+            + 1
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids_q, nvalid), pa.int64()),
+                "rank": pa.array(ranks.astype(np.int32), pa.int32()),
+                "nbr_id": pa.array(buf_i[valid], pa.int64()),
+                "cosine": pa.array(round_half_up4_arr(buf_s[valid]), pa.float64()),
+            }
+        )
+
+    futures = [block_topk.remote(r, refs) for r in refs]
+    return ray.data.from_arrow_refs(futures)

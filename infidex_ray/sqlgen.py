@@ -533,11 +533,11 @@ SELECT doc_id, round(score, 4) AS score FROM scored WHERE score > 0 ORDER BY doc
 """
 
 
-def kmeans_sql(k: int, iters: int, table: str = "embeddings") -> str:
-    """Unrolled-CTE Lloyd's k-means matching ops/clustering.kmeans: init from
-    the k smallest vec_ids, squared-euclidean argmin (ties -> lowest
-    cluster), AVG centroid update with empty clusters keeping the previous
-    centroid, one final assignment against the last centroids."""
+def _kmeans_assign_ctes(k: int, iters: int, table: str) -> tuple[list, str]:
+    """Shared unrolled-CTE Lloyd's construction: returns (cte list, name of
+    the final per-(vec_id, cluster) distance relation). Callers append their
+    own final selection (kmeans_sql keeps dist2; semantic_dedup_sql keeps
+    only the winning cluster per vec)."""
     ctes = [
         f"dims AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e, "
         f"generate_subscripts(embedding, 1) AS i FROM {table})",
@@ -577,13 +577,62 @@ def kmeans_sql(k: int, iters: int, table: str = "embeddings") -> str:
         f"FROM dims JOIN {prev} ON dims.i = {prev}.i "
         f"GROUP BY dims.vec_id, {prev}.cluster)"
     )
+    return ctes, f"d{fin}"
+
+
+def kmeans_sql(k: int, iters: int, table: str = "embeddings") -> str:
+    """Unrolled-CTE Lloyd's k-means matching ops/clustering.kmeans: init from
+    the k smallest vec_ids, squared-euclidean argmin (ties -> lowest
+    cluster), AVG centroid update with empty clusters keeping the previous
+    centroid, one final assignment against the last centroids."""
+    ctes, dfin = _kmeans_assign_ctes(k, iters, table)
     return (
         "WITH "
         + ", ".join(ctes)
         + " SELECT vec_id, cluster, round(d2, 4) AS dist2 FROM "
         + f"(SELECT vec_id, cluster, d2, row_number() OVER "
-        + f"(PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d{fin}) "
+        + f"(PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM {dfin}) "
         + "WHERE rn = 1 ORDER BY vec_id"
+    )
+
+
+def semantic_dedup_sql(
+    k: int, iters: int, threshold: float, table: str = "embeddings"
+) -> str:
+    """Ground truth for ops.clustering.semantic_dedup: the same unrolled
+    k-means assignment, near-dup pairs restricted to SAME-cluster vec pairs
+    with cosine >= threshold, recursive transitive closure, keep the min-id
+    representative per component (pairs straddling two clusters are NOT
+    edges — by design on both sides; that is SemDeDup's recall trade)."""
+    ctes, dfin = _kmeans_assign_ctes(k, iters, table)
+    ctes.append(
+        "assign AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster, "
+        f"row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) "
+        f"AS rn FROM {dfin}) WHERE rn = 1)"
+    )
+    ctes.append(
+        f"p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+        f"FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id "
+        f"JOIN assign ca ON ca.vec_id = a.vec_id "
+        f"JOIN assign cb ON cb.vec_id = b.vec_id "
+        f"WHERE ca.cluster = cb.cluster AND "
+        f"list_cosine_similarity(a.embedding::DOUBLE[], "
+        f"b.embedding::DOUBLE[]) >= {threshold})"
+    )
+    ctes.append(
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM p "
+        "UNION SELECT id_b, id_a FROM p)"
+    )
+    ctes.append(
+        "reach(src, dst) AS (SELECT src, dst FROM edges UNION "
+        "SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)"
+    )
+    ctes.append("rep AS (SELECT src AS node, min(dst) AS mn FROM reach GROUP BY src)")
+    return (
+        "WITH RECURSIVE "
+        + ", ".join(ctes)
+        + f" SELECT vec_id FROM {table} WHERE vec_id NOT IN "
+        + "(SELECT node FROM rep WHERE mn < node) ORDER BY vec_id"
     )
 
 

@@ -1852,3 +1852,74 @@ def test_batch_minhash_sketches_parity():
                 i,
                 t,
             )
+
+
+def test_knn_graph_exact(ray_session):
+    """knn_graph = per-vector exact top-k (self excluded), verified against
+    a brute-force numpy reference; multi-block to exercise the block-pair
+    streaming merge, k > n-1 to exercise the -inf self-slot filtering."""
+    import ray.data
+
+    from infidex_ray.ops.similarity import knn_graph
+
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(23, 8))
+    vecs[5] = vecs[0]  # exact duplicate → cosine 1.0, tie-broken by id
+    rows = [
+        {"vec_id": 100 + i, "embedding": [float(x) for x in vecs[i]]}
+        for i in range(len(vecs))
+    ]
+    ds = ray.data.from_items(rows).repartition(5)
+
+    out = {}
+    for r in knn_graph(ds, k=4).take_all():
+        out.setdefault(r["vec_id"], []).append((r["rank"], r["nbr_id"], r["cosine"]))
+
+    n = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    sims = n @ n.T
+    for i in range(len(vecs)):
+        got = sorted(out[100 + i])
+        order = sorted(
+            (j for j in range(len(vecs)) if j != i),
+            key=lambda j: (-sims[i, j], 100 + j),
+        )[:4]
+        assert [g[1] for g in got] == [100 + j for j in order], i
+        for (rank, nbr, cos), j in zip(got, order):
+            assert abs(cos - sims[i, j]) < 5e-5
+    # dup pair must be each other's rank-1 neighbor at cosine 1.0
+    assert out[100][0][1:] == (105, 1.0) and out[105][0][1:] == (100, 1.0)
+
+    # k larger than corpus: every vector still gets exactly n-1 neighbors
+    tiny = ray.data.from_items(rows[:3]).repartition(2)
+    cnt = {}
+    for r in knn_graph(tiny, k=10).take_all():
+        cnt[r["vec_id"]] = cnt.get(r["vec_id"], 0) + 1
+    assert cnt == {100: 2, 101: 2, 102: 2}
+
+
+def test_semantic_dedup_within_cluster_only(ray_session):
+    """semantic_dedup drops near-dups only when k-means co-clusters them:
+    two tight planted groups far apart → each keeps its min id; a straddling
+    pair in different clusters survives (the SemDeDup recall trade)."""
+    import ray.data
+
+    from infidex_ray.ops.clustering import kmeans, semantic_dedup
+
+    rng = np.random.RandomState(3)
+    base_a = np.asarray([10.0, 0.0, 0.0, 0.0])
+    base_b = np.asarray([0.0, 10.0, 0.0, 0.0])
+    rows = []
+    for i in range(4):  # cluster A: 4 near-identical vectors
+        rows.append({"vec_id": i, "embedding": (base_a + rng.normal(scale=0.01, size=4)).tolist()})
+    for i in range(4, 8):  # cluster B: 4 near-identical vectors
+        rows.append({"vec_id": i, "embedding": (base_b + rng.normal(scale=0.01, size=4)).tolist()})
+    ds = ray.data.from_items(rows).repartition(3)
+    kept = sorted(r["vec_id"] for r in semantic_dedup(ds, k=2, iters=2, threshold=0.99).take_all())
+    assert kept == [0, 4]
+
+    # sanity: the two groups really land in different clusters
+    _, labeled = kmeans(ds, k=2, iters=2)
+    lab = {r["vec_id"]: r["cluster"] for r in labeled.take_all()}
+    assert len({lab[i] for i in range(4)}) == 1
+    assert len({lab[i] for i in range(4, 8)}) == 1
+    assert lab[0] != lab[4]
