@@ -725,6 +725,25 @@ def _q_link_in_degrees(sf_dir: str):
     return _by(link_in_degrees(_links_ds(sf_dir)), "href")
 
 
+def _q_dsir_logweights(sf_dir: str):
+    """DSIR importance resampling weights (Xie et al. 2023): hashed
+    unigram+bigram bucket LMs for target (doc_id % 10 == 0 split) vs the
+    raw table, per-doc log-ratio sum (ops/dsir.py). Two streaming count
+    passes + one ray.put log-ratio broadcast — no vocabulary shuffle."""
+    import pyarrow.compute as pc
+
+    from infidex_ray.ops.dsir import dsir_logweights
+
+    docs = _read(sf_dir, "documents")
+
+    def is_target(b: pa.Table) -> pa.Table:
+        r = pc.subtract(b["doc_id"], pc.multiply(pc.divide(b["doc_id"], 10), 10))
+        return b.filter(pc.equal(r, 0))
+
+    target = docs.map_batches(is_target, batch_format="pyarrow")
+    return _by(dsir_logweights(docs, target), "doc_id")
+
+
 def _q_dedup_against(sf_dir: str):
     """Incremental-crawl exact dedup: drop docs whose text already exists in
     the reference shard (doc_id % 7 == 0 split of the same table). Broadcast
@@ -1345,6 +1364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "unigram_lm": _q_unigram_lm,
         "dedup_against": _q_dedup_against,
+        "dsir_logweights": _q_dsir_logweights,
         "html_links": _q_html_links,
         "link_in_degrees": _q_link_in_degrees,
         "tfidf_keywords": _q_tfidf_keywords,
@@ -1814,6 +1834,7 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT coalesce(text, '') FROM documents WHERE doc_id % 7 = 0) "
             "ORDER BY doc_id"
         ),
+        "dsir_logweights": sqlgen.dsir_logweights_sql(4096, 10),
         "unigram_lm": (
             # pruned (top-256 by count desc, token asc) unigram LM over the
             # corpus itself; OOV floor = 1/total; nll = -avg ln p(token)

@@ -1,0 +1,179 @@
+"""DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling",
+arXiv:2302.03169 — public method).
+
+Given a RAW web corpus and a small TARGET corpus (the distribution you want
+more of — e.g. curated books/wiki), every raw document gets a log importance
+weight under bag-of-hashed-n-grams unigram models:
+
+    logweight(doc) = Σ_feature [ ln p_target(bucket) − ln p_raw(bucket) ]
+
+where features are the doc's unigrams AND adjacent-word bigrams, each hashed
+into ``n_buckets`` buckets, and both bucket distributions are add-1
+(Laplace) smoothed. Resampling raw docs ∝ exp(logweight) shifts the corpus
+toward the target distribution — the published recipe behind DSIR-filtered
+pretraining mixes.
+
+Ray shape (the 100-TB-honest layout):
+
+1. **Count** — one streaming pass per corpus: per-batch dense ``bincount``
+   over the bucket space emits ≤ ``n_buckets`` partial rows per block into a
+   tiny ``groupby(bucket).sum`` (key space = n_buckets, not vocabulary).
+2. **Broadcast** — the (n_buckets,) float64 log-ratio vector is ``ray.put``
+   once (32 KB at the default 4096 buckets) — a model broadcast, same tier
+   as the unigram-LM vocab.
+3. **Score** — the raw corpus streams through a stateless ``map_batches``;
+   per doc the weight is the token-order sum of log-ratios, matching the
+   oracle's per-feature-row SUM.
+
+Cross-engine hash contract: bucket = ``md5_number_lower(feature) %
+n_buckets`` (dedup._md5_u64 ↔ DuckDB ``md5_number_lower``); tokenization is
+lowercase + ``[ \\t\\n\\r]+`` split (bijective with the oracle's
+``string_split_regex``), bigram feature = ``w_i || ' ' || w_{i+1}``.
+
+No reference-engine analogue (pure beyond-reference training-data op).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import _md5_u64, round_half_up4_arr
+
+__all__ = ["dsir_logweights", "hashed_ngram_counts"]
+
+_SPLIT = "[ \t\n\r]+"
+
+
+def _bucket_features(texts: list, n_buckets: int) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket, doc_of) int64 arrays for every unigram + adjacent bigram of
+    every text, in token order. md5 runs once per DISTINCT feature string
+    per batch (features repeat heavily across a web batch)."""
+    import pyarrow.compute as pc
+
+    arr = pa.array([(t or "") for t in texts], pa.large_string())
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), pattern=_SPLIT)
+    lens = (
+        pc.list_value_length(toks)
+        .fill_null(0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), lens)[keep]
+    flat = flat.filter(pa.array(keep))
+    # bigrams: adjacent same-doc tokens joined with one space
+    n_tok = len(flat)
+    if n_tok > 1:
+        same_doc = doc_of[1:] == doc_of[:-1]
+        lead = flat.slice(0, n_tok - 1)
+        trail = flat.slice(1, n_tok - 1)
+        bi = pc.binary_join_element_wise(
+            lead, trail, pa.scalar(" ", pa.large_string())
+        )
+        bi = bi.filter(pa.array(same_doc))
+        bi_doc = doc_of[:-1][same_doc]
+    else:
+        bi = pa.array([], pa.large_string())
+        bi_doc = np.empty(0, dtype=np.int64)
+    buckets_parts, docs_parts = [], []
+    for feats, fdocs in ((flat, doc_of), (bi, bi_doc)):
+        if len(feats) == 0:
+            continue
+        enc = feats.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):  # pragma: no cover
+            enc = enc.combine_chunks()
+        words = enc.dictionary.to_pylist()
+        dh = np.fromiter(
+            (_md5_u64(w) % n_buckets for w in words),
+            dtype=np.int64,
+            count=len(words),
+        )
+        idx = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        buckets_parts.append(dh[idx])
+        docs_parts.append(fdocs)
+    if not buckets_parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(buckets_parts), np.concatenate(docs_parts)
+
+
+def hashed_ngram_counts(ds, text_col: str = "text", n_buckets: int = 4096):
+    """(n_buckets,) int64 bucket-count vector plus the grand total for a
+    corpus — per-batch dense bincount partials into a bucket-keyed groupby
+    (≤ n_buckets rows leave each block; the groupby key space is the fixed
+    bucket count, never the vocabulary)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b, _ = _bucket_features(batch[text_col].to_pylist(), n_buckets)
+        c = np.bincount(b, minlength=n_buckets)
+        nz = np.flatnonzero(c)
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int64), pa.int64()),
+                "n": pa.array(c[nz], pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum("n")
+        .take_all()
+    )
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    for r in rows:
+        counts[r["bucket"]] = r.get("sum(n)", r.get("n"))
+    return counts, int(counts.sum())
+
+
+def dsir_logweights(
+    raw_ds,
+    target_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+):
+    """Per-raw-document DSIR log importance weight (see module docstring).
+    Returns a streaming Dataset of ``(id_col, n_features, logweight)`` with
+    ``logweight`` rounded half-away-from-zero to 4 decimals (DuckDB ROUND
+    parity); docs with no features weigh 0.0."""
+    import ray
+
+    t_counts, t_total = hashed_ngram_counts(target_ds, text_col, n_buckets)
+    r_counts, r_total = hashed_ngram_counts(raw_ds, text_col, n_buckets)
+    logratio = np.log((t_counts + 1) / np.float64(t_total + n_buckets)) - np.log(
+        (r_counts + 1) / np.float64(r_total + n_buckets)
+    )
+    ref = ray.put(logratio)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lr = ray.get(ref)
+        b, doc_of = _bucket_features(batch[text_col].to_pylist(), n_buckets)
+        n_docs = len(batch)
+        order = np.argsort(doc_of, kind="stable")  # unigrams+bigrams per doc
+        b, doc_of = b[order], doc_of[order]
+        nfeat = np.bincount(doc_of, minlength=n_docs)
+        # direct per-doc segment sums in token order (== the oracle's
+        # per-feature-row SUM; a prefix-sum difference would carry cross-doc
+        # rounding into each doc's value)
+        w = np.zeros(n_docs, dtype=np.float64)
+        if len(b):
+            ends = np.cumsum(nfeat)
+            nz = np.flatnonzero(nfeat)
+            w[nz] = np.add.reduceat(lr[b], (ends - nfeat)[nz])
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "n_features": pa.array(nfeat.astype(np.int64), pa.int64()),
+                "logweight": pa.array(round_half_up4_arr(w), pa.float64()),
+            }
+        )
+
+    return raw_ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow"
+    )

@@ -666,3 +666,39 @@ SELECT d.doc_id, coalesce(g.n_near, 0) AS n_near,
 FROM {table} d LEFT JOIN agg g USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+def dsir_logweights_sql(
+    n_buckets: int = 4096, ref_mod: int = 10, table: str = "documents"
+) -> str:
+    """Ground truth for ops.dsir.dsir_logweights with target corpus = docs
+    whose id % ref_mod == 0: hashed unigram+bigram buckets via
+    md5_number_lower % n_buckets, add-1-smoothed bucket distributions for
+    target and raw (raw = the whole table), per-doc SUM of the bucket
+    log-ratios. Docs with no features weigh 0."""
+    b = n_buckets
+    return f"""
+WITH t AS (SELECT doc_id, list_filter(
+         string_split_regex(lower(text), '[ \t\n\r]+'), x -> x != '') AS ws
+       FROM {table}),
+tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM t),
+uni AS (SELECT doc_id, CAST(md5_number_lower(w) % {b} AS BIGINT) AS bk FROM tok),
+big AS (SELECT a.doc_id,
+               CAST(md5_number_lower(a.w || ' ' || c.w) % {b} AS BIGINT) AS bk
+        FROM tok a JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 1),
+feat AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+tc AS (SELECT bk, count(*) AS c FROM feat WHERE doc_id % {ref_mod} = 0 GROUP BY bk),
+rc AS (SELECT bk, count(*) AS c FROM feat GROUP BY bk),
+tt AS (SELECT count(*) AS n FROM feat WHERE doc_id % {ref_mod} = 0),
+rt AS (SELECT count(*) AS n FROM feat),
+lr AS (SELECT r.bk,
+         ln((coalesce(t.c, 0) + 1) / CAST((SELECT n FROM tt) + {b} AS DOUBLE))
+       - ln((r.c + 1) / CAST((SELECT n FROM rt) + {b} AS DOUBLE)) AS v
+       FROM rc r LEFT JOIN tc t ON r.bk = t.bk),
+wsum AS (SELECT f.doc_id, count(*) AS n_features, sum(lr.v) AS w
+         FROM feat f JOIN lr ON f.bk = lr.bk GROUP BY f.doc_id)
+SELECT d.doc_id, coalesce(ws2.n_features, 0) AS n_features,
+       round(coalesce(ws2.w, 0), 4) AS logweight
+FROM {table} d LEFT JOIN wsum ws2 ON d.doc_id = ws2.doc_id
+ORDER BY d.doc_id
+"""

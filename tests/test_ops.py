@@ -1923,3 +1923,32 @@ def test_semantic_dedup_within_cluster_only(ray_session):
     assert len({lab[i] for i in range(4)}) == 1
     assert len({lab[i] for i in range(4, 8)}) == 1
     assert lab[0] != lab[4]
+
+
+def test_dsir_logweights_directional(ray_session):
+    """DSIR log importance weights: documents resembling the target corpus
+    must outweigh documents resembling only the raw background; empty docs
+    weigh exactly 0; n_features counts unigrams + adjacent bigrams."""
+    import ray.data
+
+    from infidex_ray.ops.dsir import dsir_logweights
+
+    target_text = "quantum physics entangled state superposition wave"
+    noise_text = "cheap pills click here buy now free offer spam"
+    raw = [
+        {"doc_id": 0, "text": target_text},                # on-target
+        {"doc_id": 1, "text": noise_text},                 # off-target
+        {"doc_id": 2, "text": "quantum wave physics state"},  # partial match
+        {"doc_id": 3, "text": ""},                         # empty
+    ] + [{"doc_id": 10 + i, "text": noise_text} for i in range(6)]
+    target = [{"doc_id": 100 + i, "text": target_text} for i in range(4)]
+    raw_ds = ray.data.from_items(raw).repartition(3)
+    tgt_ds = ray.data.from_items(target)
+
+    out = {r["doc_id"]: r for r in dsir_logweights(raw_ds, tgt_ds).take_all()}
+    assert len(out) == len(raw)
+    assert out[3]["logweight"] == 0.0 and out[3]["n_features"] == 0
+    # 6 words -> 6 unigrams + 5 bigrams
+    assert out[0]["n_features"] == 11
+    assert out[0]["logweight"] > out[2]["logweight"] > out[1]["logweight"]
+    assert out[0]["logweight"] > 0 > out[1]["logweight"]
