@@ -744,6 +744,27 @@ def _q_dsir_logweights(sf_dir: str):
     return _by(dsir_logweights(docs, target), "doc_id")
 
 
+def _q_approx_distinct(sf_dir: str):
+    """HyperLogLog cardinality of documents.text (2^12 registers): per-batch
+    register partials → fixed-key groupby max → driver estimate. The sketch
+    is a deterministic function of the md5 hashes, so the oracle replays the
+    ESTIMATE bit-for-bit (ops/sketches.py)."""
+    from infidex_ray.ops.sketches import approx_distinct
+
+    return approx_distinct(_read(sf_dir, "documents"), "text")
+
+
+def _q_approx_distinct_by(sf_dir: str):
+    """Per-group HLL: distinct users per event type; partials move <= 2^p
+    rows per (group, block), never the values (ops/sketches.py)."""
+    from infidex_ray.ops.sketches import approx_distinct_by
+
+    return _by(
+        approx_distinct_by(_read(sf_dir, "events"), "event_type", "user_id"),
+        "event_type",
+    )
+
+
 def _q_dedup_against(sf_dir: str):
     """Incremental-crawl exact dedup: drop docs whose text already exists in
     the reference shard (doc_id % 7 == 0 split of the same table). Broadcast
@@ -1365,6 +1386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_lm": _q_unigram_lm,
         "dedup_against": _q_dedup_against,
         "dsir_logweights": _q_dsir_logweights,
+        "approx_distinct": _q_approx_distinct,
+        "approx_distinct_by": _q_approx_distinct_by,
         "html_links": _q_html_links,
         "link_in_degrees": _q_link_in_degrees,
         "tfidf_keywords": _q_tfidf_keywords,
@@ -1835,6 +1858,13 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id"
         ),
         "dsir_logweights": sqlgen.dsir_logweights_sql(4096, 10),
+        "approx_distinct": sqlgen.hll_estimate_sql("coalesce(text, '')", "documents"),
+        "approx_distinct_by": sqlgen.hll_estimate_sql(
+            "CAST(user_id AS VARCHAR)",
+            "events",
+            key_expr="event_type",
+            key_name="event_type",
+        ),
         "unigram_lm": (
             # pruned (top-256 by count desc, token asc) unigram LM over the
             # corpus itself; OOV floor = 1/total; nll = -avg ln p(token)

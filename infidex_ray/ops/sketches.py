@@ -1,0 +1,169 @@
+"""Distributed cardinality sketches (HyperLogLog, Flajolet et al. 2007 —
+public algorithm; bias constants per the original paper).
+
+At 100 TB, ``count(DISTINCT x)`` per group is a full shuffle of every
+distinct value; an HLL register vector is a few KB, merges with an
+element-wise MAX, and answers within ~1.04/√m. The sketch here is fully
+deterministic — the hash is ``md5_number_lower`` (DuckDB parity, same as
+simhash/fingerprints), register index = low ``p`` bits, rank = leading-zero
+count of the top ``64−p`` bits — so the DuckDB oracle recomputes the EXACT
+same estimate, not just a close one: the estimator is a pure function of
+the data.
+
+* :func:`approx_distinct` — global cardinality of one column: per-batch
+  register partials (≤ m rows per block) → ``groupby(register).max`` over a
+  fixed m-key space → driver estimate from m rows.
+* :func:`approx_distinct_by` — per-group cardinality (e.g. distinct users
+  per event type, distinct docs per domain): partials keyed by
+  ``(group, register)``, per-group estimate vectorized inside
+  ``map_groups``. The shuffle moves ≤ m rows per group per block instead of
+  every distinct value.
+
+Estimator: ``E = α_m · m² / Σ 2^−M[j]`` with the standard small-range
+linear-counting correction (``E ≤ 2.5·m`` and empty registers present →
+``m·ln(m/V)``); the 64-bit-hash variant needs no large-range correction.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import _md5_u64
+
+__all__ = ["approx_distinct", "approx_distinct_by"]
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Vectorized ``int.bit_length`` over uint64 (exact — no float log2)."""
+    out = np.zeros(len(w), dtype=np.int64)
+    v = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(shift))
+        out[big] += shift
+        v[big] >>= np.uint64(shift)
+    out[w > 0] += 1
+    return out
+
+
+def _ranks(values: list, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per value: idx = low p hash bits, rank =
+    1 + leading zeros of the top 64−p bits (q+1 when they are all zero)."""
+    q = 64 - p
+    h = np.fromiter(
+        (_md5_u64("" if v is None else str(v)) for v in values),
+        dtype=np.uint64,
+        count=len(values),
+    )
+    idx = (h & np.uint64((1 << p) - 1)).astype(np.int64)
+    w = h >> np.uint64(p)
+    rank = q + 1 - _bit_length_u64(w)
+    return idx, rank
+
+
+def _estimate(regs: np.ndarray) -> float:
+    """HLL estimate from the full m-length register vector."""
+    m = len(regs)
+    ssum = float(np.power(2.0, -regs.astype(np.float64)).sum())
+    e = _alpha(m) * m * m / ssum
+    zeros = int((regs == 0).sum())
+    if e <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return e
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> pa.Table:
+    """Approximate ``count(DISTINCT col)`` via a 2^p-register HLL. Returns a
+    one-row table ``(approx_distinct,)`` — deterministically identical to
+    the oracle's SQL replay of the same registers."""
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        idx, rank = _ranks(batch[col].to_pylist(), p)
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, idx, rank)
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {
+                "register": pa.array(nz.astype(np.int64), pa.int64()),
+                "r": pa.array(regs[nz], pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("register")
+        .max("r")
+        .take_all()
+    )
+    regs = np.zeros(m, dtype=np.int64)
+    for row in rows:
+        regs[row["register"]] = row.get("max(r)", row.get("r"))
+    est = _estimate(regs)
+    return pa.table(
+        {"approx_distinct": pa.array([int(math.floor(est + 0.5))], pa.int64())}
+    )
+
+
+def approx_distinct_by(
+    ds, key_col: str, col: str, p: int = 12
+):
+    """Per-group approximate distinct counts: one HLL per ``key_col`` value.
+    Returns a Dataset of ``(key_col, approx_distinct)``. Partials move
+    ≤ 2^p rows per (group, block) — never the distinct values themselves."""
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        idx, rank = _ranks(batch[col].to_pylist(), p)
+        # per-(key, register) max within the batch via lexsort + run ends
+        enc = keys.combine_chunks().dictionary_encode() if isinstance(
+            keys, pa.ChunkedArray
+        ) else keys.dictionary_encode()
+        kid = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        order = np.lexsort((rank, idx, kid))
+        k2, i2, r2 = kid[order], idx[order], rank[order]
+        last = np.ones(len(k2), dtype=bool)
+        last[:-1] = (k2[1:] != k2[:-1]) | (i2[1:] != i2[:-1])
+        sel = np.flatnonzero(last)
+        return pa.table(
+            {
+                key_col: enc.dictionary.take(pa.array(k2[sel], pa.int64())),
+                "register": pa.array(i2[sel], pa.int64()),
+                "r": pa.array(r2[sel], pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.select_columns([key_col, col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "register"])
+        .max("r")
+    )
+
+    def finish(group: pa.Table) -> pa.Table:
+        rcol = "max(r)" if "max(r)" in group.column_names else "r"
+        regs = np.zeros(m, dtype=np.int64)
+        regs[group["register"].to_numpy(zero_copy_only=False)] = group[
+            rcol
+        ].to_numpy(zero_copy_only=False)
+        est = _estimate(regs)
+        return pa.table(
+            {
+                key_col: group[key_col].slice(0, 1),
+                "approx_distinct": pa.array(
+                    [int(math.floor(est + 0.5))], pa.int64()
+                ),
+            }
+        )
+
+    return merged.groupby(key_col).map_groups(finish, batch_format="pyarrow")

@@ -702,3 +702,63 @@ SELECT d.doc_id, coalesce(ws2.n_features, 0) AS n_features,
 FROM {table} d LEFT JOIN wsum ws2 ON d.doc_id = ws2.doc_id
 ORDER BY d.doc_id
 """
+
+
+def _hll_rank_case(w_expr: str, p: int) -> str:
+    """Exact SQL for the HLL rank (1 + leading zeros of the top 64-p hash
+    bits): a descending power-of-two CASE ladder — integer comparisons only,
+    no float log2 (whose boundary rounding could diverge)."""
+    q = 64 - p
+    whens = " ".join(
+        f"WHEN {w_expr} >= {1 << (q - 1 - k)} THEN {k + 1}" for k in range(q)
+    )
+    return f"(CASE WHEN {w_expr} = 0 THEN {q + 1} {whens} END)"
+
+
+def hll_estimate_sql(
+    value_expr: str,
+    table: str,
+    p: int = 12,
+    key_expr: str | None = None,
+    key_name: str = "k",
+) -> str:
+    """Ground truth for ops.sketches.approx_distinct(_by): replays the
+    deterministic HLL — md5_number_lower hash, low-p-bit register, exact
+    rank ladder, alpha*m^2/sum(2^-r) with linear-counting correction — so
+    the oracle reproduces the ESTIMATE bit-for-bit, not the true count."""
+    m = 1 << p
+    alpha_m2 = (0.7213 / (1 + 1.079 / m)) * m * m
+    rank = _hll_rank_case(f"(h // {m})", p)
+    kcol = f"{key_expr} AS {key_name}, " if key_expr else ""
+    kgrp = f"{key_name}, " if key_expr else ""
+    ksel = f"{key_name}, " if key_expr else ""
+    est = (
+        f"CASE WHEN {alpha_m2!r} / ssum <= {2.5 * m!r} AND zeros > 0 "
+        f"THEN {m} * ln({m} / CAST(zeros AS DOUBLE)) "
+        f"ELSE {alpha_m2!r} / ssum END"
+    )
+    keys_cte = (
+        f", keys AS (SELECT DISTINCT {key_name} FROM h), "
+        f"grid AS (SELECT keys.{key_name}, s.i AS idx FROM keys, ser s)"
+        if key_expr
+        else ", grid AS (SELECT s.i AS idx FROM ser s)"
+    )
+    join_on = (
+        f"reg.{key_name} = grid.{key_name} AND reg.idx = grid.idx"
+        if key_expr
+        else "reg.idx = grid.idx"
+    )
+    order = f"ORDER BY {key_name}" if key_expr else ""
+    return f"""
+WITH h AS (SELECT {kcol}md5_number_lower({value_expr}) AS h FROM {table}),
+rk AS (SELECT {kgrp}CAST(h % {m} AS BIGINT) AS idx, {rank} AS r FROM h),
+reg AS (SELECT {kgrp}idx, max(r) AS r FROM rk GROUP BY {kgrp}idx),
+ser AS (SELECT unnest(generate_series(0, {m - 1})) AS i){keys_cte},
+allr AS (SELECT {('grid.' + key_name + ', ') if key_expr else ''}grid.idx,
+         coalesce(reg.r, 0) AS r FROM grid LEFT JOIN reg ON {join_on}),
+agg AS (SELECT {kgrp}sum(power(2.0, -r)) AS ssum,
+        sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros
+        FROM allr {('GROUP BY ' + key_name) if key_expr else ''})
+SELECT {ksel}CAST(floor(({est}) + 0.5) AS BIGINT) AS approx_distinct
+FROM agg {order}
+"""

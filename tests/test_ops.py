@@ -1952,3 +1952,31 @@ def test_dsir_logweights_directional(ray_session):
     assert out[0]["n_features"] == 11
     assert out[0]["logweight"] > out[2]["logweight"] > out[1]["logweight"]
     assert out[0]["logweight"] > 0 > out[1]["logweight"]
+
+
+def test_hll_approx_distinct(ray_session):
+    """HLL sketch: estimate within the ~1.04/sqrt(m) envelope of the true
+    cardinality, invariant to duplication and block layout (register merge
+    is an element-wise max), and per-group sketches are independent."""
+    import ray.data
+
+    from infidex_ray.ops.sketches import approx_distinct, approx_distinct_by
+
+    rows = [{"k": "a" if i % 3 else "b", "v": f"value-{i % 700}"} for i in range(5000)]
+    ds1 = ray.data.from_items(rows).repartition(2)
+    ds2 = ray.data.from_items(rows * 3).repartition(7)  # dups + other layout
+
+    e1 = approx_distinct(ds1, "v")["approx_distinct"][0].as_py()
+    e2 = approx_distinct(ds2, "v")["approx_distinct"][0].as_py()
+    assert e1 == e2  # duplication/layout-invariant
+    assert abs(e1 - 700) / 700 < 0.10
+
+    by = {
+        r["k"]: r["approx_distinct"]
+        for r in approx_distinct_by(ds1, "k", "v").take_all()
+    }
+    # k="b" sees i % 3 == 0 rows -> value-(0,3,...) distinct multiples of 3
+    true_b = len({i % 700 for i in range(5000) if i % 3 == 0})
+    true_a = len({i % 700 for i in range(5000) if i % 3})
+    assert abs(by["b"] - true_b) / true_b < 0.10
+    assert abs(by["a"] - true_a) / true_a < 0.10
