@@ -744,6 +744,31 @@ def _q_dsir_logweights(sf_dir: str):
     return _by(dsir_logweights(docs, target), "doc_id")
 
 
+def _q_dedup_against_bloom(sf_dir: str):
+    """Space-bounded incremental dedup: Bloom filter of the reference texts
+    (doc_id % 7 == 0 split; n_bits/8 bytes total, any reference size),
+    corpus streams through an all-k-positions-set test. Deterministic false
+    positives — the oracle replays the identical filter
+    (ops/dedup.py::dedup_against_bloom)."""
+    import pyarrow.compute as pc
+
+    from infidex_ray.ops.dedup import dedup_against_bloom
+
+    def is_ref(b: pa.Table) -> pa.Table:
+        r = pc.subtract(b["doc_id"], pc.multiply(pc.divide(b["doc_id"], 7), 7))
+        return b.filter(pc.equal(r, 0))
+
+    docs = _read(sf_dir, "documents")
+    ref = _read(sf_dir, "documents").map_batches(is_ref, batch_format="pyarrow")
+    out = dedup_against_bloom(docs, ref)
+    return _by(
+        out.map_batches(
+            lambda t: t.select(["doc_id", "n_chars"]), batch_format="pyarrow"
+        ),
+        "doc_id",
+    )
+
+
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog cardinality of documents.text (2^12 registers): per-batch
     register partials → fixed-key groupby max → driver estimate. The sketch
@@ -1388,6 +1413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_logweights": _q_dsir_logweights,
         "approx_distinct": _q_approx_distinct,
         "approx_distinct_by": _q_approx_distinct_by,
+        "dedup_against_bloom": _q_dedup_against_bloom,
         "html_links": _q_html_links,
         "link_in_degrees": _q_link_in_degrees,
         "tfidf_keywords": _q_tfidf_keywords,
@@ -1858,6 +1884,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id"
         ),
         "dsir_logweights": sqlgen.dsir_logweights_sql(4096, 10),
+        "dedup_against_bloom": sqlgen.dedup_against_bloom_sql(),
         "approx_distinct": sqlgen.hll_estimate_sql("coalesce(text, '')", "documents"),
         "approx_distinct_by": sqlgen.hll_estimate_sql(
             "CAST(user_id AS VARCHAR)",

@@ -1966,3 +1966,74 @@ def dedup_against_minhash(
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _bloom_positions(texts: list, n_bits: int, k_hashes: int) -> np.ndarray:
+    """(len(texts), k_hashes) int64 Bloom bit positions via Kirsch-
+    Mitzenmacher double hashing over the two md5 halves: pos_i =
+    ((lower % n) + i·(upper % n)) % n — computed in the reduced space so the
+    SQL oracle can replay it without uint64 wraparound (DuckDB UBIGINT
+    overflow raises instead of wrapping)."""
+    dig = _text_digests(texts)
+    h1 = dig["a"].astype(np.uint64) % np.uint64(n_bits)
+    h2 = dig["b"].astype(np.uint64) % np.uint64(n_bits)
+    i = np.arange(k_hashes, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(n_bits)).astype(
+        np.int64
+    )
+
+
+def dedup_against_bloom(
+    corpus_ds,
+    reference_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+    n_bits: int = 1 << 20,
+    k_hashes: int = 4,
+):
+    """Space-bounded :func:`dedup_against`: when the reference's exact
+    digest set is too large to broadcast (16 B × |ref|), a Bloom filter of
+    the reference texts costs ``n_bits/8`` bytes TOTAL regardless of
+    reference size — the classic incremental-crawl membership sketch
+    (Bloom 1970; double hashing per Kirsch & Mitzenmacher 2006).
+
+    Build: per-batch distinct bit positions (≤ k·batch int64 rows) →
+    ``groupby(pos)`` distinct → the ≤ n_bits sorted positions array is
+    ``ray.put`` once. Filter: the corpus streams through a vectorized
+    ``searchsorted`` ALL-k-positions-set test. Drops every reference text
+    (no false negatives) plus a deterministic ~(set_bits/n_bits)^k false
+    positive mass — the oracle replays the exact same filter, false
+    positives included, so the output is still hash-checkable."""
+    import ray
+
+    ref_text_col = ref_text_col or text_col
+
+    def ref_partial(batch: pa.Table) -> pa.Table:
+        pos = _bloom_positions(batch[ref_text_col].to_pylist(), n_bits, k_hashes)
+        u = np.unique(pos.reshape(-1))
+        return pa.table({"pos": pa.array(u, pa.int64())})
+
+    bits_rows = (
+        reference_ds.select_columns([ref_text_col])
+        .map_batches(ref_partial, batch_format="pyarrow")
+        .groupby("pos")
+        .count()
+        .take_all()
+    )
+    set_bits = np.sort(np.asarray([r["pos"] for r in bits_rows], dtype=np.int64))
+    ref = ray.put(set_bits)
+
+    def keep_fn(batch: pa.Table) -> pa.Table:
+        bits = ray.get(ref)
+        pos = _bloom_positions(batch[text_col].to_pylist(), n_bits, k_hashes)
+        if len(bits):
+            loc = np.searchsorted(bits, pos)
+            loc[loc >= len(bits)] = len(bits) - 1 if len(bits) else 0
+            hit = bits[loc] == pos
+            drop = hit.all(axis=1)
+        else:
+            drop = np.zeros(len(batch), dtype=bool)
+        return batch.filter(pa.array(~drop))
+
+    return corpus_ds.map_batches(keep_fn, batch_format="pyarrow")

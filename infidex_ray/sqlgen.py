@@ -762,3 +762,34 @@ agg AS (SELECT {kgrp}sum(power(2.0, -r)) AS ssum,
 SELECT {ksel}CAST(floor(({est}) + 0.5) AS BIGINT) AS approx_distinct
 FROM agg {order}
 """
+
+
+def dedup_against_bloom_sql(
+    n_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    ref_mod: int = 7,
+    table: str = "documents",
+) -> str:
+    """Ground truth for ops.dedup.dedup_against_bloom with reference = docs
+    whose id % ref_mod == 0: replays the exact Bloom filter — double-hashed
+    positions from the two md5 halves reduced mod n_bits, drop iff ALL
+    k positions are set — false positives included, so the op's output is
+    hash-identical by construction (the sketch is a pure hash function)."""
+    n, k = n_bits, k_hashes
+    return f"""
+WITH refs AS (SELECT DISTINCT coalesce(text, '') AS t FROM {table}
+              WHERE doc_id % {ref_mod} = 0),
+rh AS (SELECT CAST(md5_number_lower(t) % {n} AS BIGINT) AS h1,
+              CAST(md5_number_upper(t) % {n} AS BIGINT) AS h2 FROM refs),
+ser AS (SELECT unnest(generate_series(0, {k - 1})) AS i),
+refpos AS (SELECT DISTINCT (h1 + i * h2) % {n} AS pos FROM rh, ser),
+ch AS (SELECT doc_id, CAST(md5_number_lower(coalesce(text, '')) % {n} AS BIGINT) AS h1,
+              CAST(md5_number_upper(coalesce(text, '')) % {n} AS BIGINT) AS h2
+       FROM {table}),
+cp AS (SELECT doc_id, (h1 + i * h2) % {n} AS pos FROM ch, ser),
+hits AS (SELECT doc_id, count(*) AS c FROM cp JOIN refpos USING (pos)
+         GROUP BY doc_id)
+SELECT d.doc_id, d.n_chars FROM {table} d
+LEFT JOIN hits ON d.doc_id = hits.doc_id
+WHERE coalesce(hits.c, 0) < {k} ORDER BY d.doc_id
+"""

@@ -1980,3 +1980,44 @@ def test_hll_approx_distinct(ray_session):
     true_a = len({i % 700 for i in range(5000) if i % 3})
     assert abs(by["b"] - true_b) / true_b < 0.10
     assert abs(by["a"] - true_a) / true_a < 0.10
+
+
+def test_dedup_against_bloom(ray_session):
+    """Bloom incremental dedup: zero false negatives always (every reference
+    text is dropped); with a roomy filter it equals exact dedup_against; a
+    deliberately tiny filter produces deterministic false positives that a
+    local replay of the same double-hash filter predicts exactly."""
+    import ray.data
+
+    from infidex_ray.ops.dedup import _bloom_positions, dedup_against_bloom
+
+    ref_rows = [{"doc_id": 1000 + i, "text": f"ref text {i}"} for i in range(20)]
+    new_rows = [{"doc_id": i, "text": f"new text {i}"} for i in range(50)]
+    corpus = ray.data.from_items(new_rows + ref_rows[:7]).repartition(3)
+    ref = ray.data.from_items(ref_rows)
+
+    kept = sorted(
+        r["doc_id"] for r in dedup_against_bloom(corpus, ref).take_all()
+    )
+    assert all(k < 1000 for k in kept)  # every duplicated ref text dropped
+    assert set(range(50)).issuperset(kept) and len(kept) >= 45
+
+    # tiny filter -> false positives, reproduced by the reference replay
+    n_bits, k = 64, 2
+    kept_tiny = sorted(
+        r["doc_id"]
+        for r in dedup_against_bloom(corpus, ref, n_bits=n_bits, k_hashes=k).take_all()
+    )
+    bits = set(
+        _bloom_positions([r["text"] for r in ref_rows], n_bits, k).reshape(-1).tolist()
+    )
+    expect = sorted(
+        r["doc_id"]
+        for r in new_rows + ref_rows[:7]
+        if not all(
+            p in bits
+            for p in _bloom_positions([r["text"]], n_bits, k).reshape(-1).tolist()
+        )
+    )
+    assert kept_tiny == expect
+    assert len(kept_tiny) < len(kept)  # the tiny filter really did over-drop
