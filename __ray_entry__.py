@@ -769,6 +769,21 @@ def _q_dedup_against_bloom(sf_dir: str):
     )
 
 
+def _q_funnel(sf_dir: str):
+    """Ordered view→click→purchase funnel over high-value events (value >
+    100 keeps the stage distribution non-degenerate): per user the deepest
+    step reached with strictly increasing timestamps. One hash-slice
+    shuffle, whole-slice vectorized (ops/windows.py::funnel)."""
+    import pyarrow.compute as pc
+
+    from infidex_ray.ops.windows import funnel
+
+    ev = _read(sf_dir, "events").map_batches(
+        lambda t: t.filter(pc.greater(t["value"], 100)), batch_format="pyarrow"
+    )
+    return _by(funnel(ev, ["view", "click", "purchase"]), "user_id")
+
+
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog cardinality of documents.text (2^12 registers): per-batch
     register partials → fixed-key groupby max → driver estimate. The sketch
@@ -1414,6 +1429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": _q_approx_distinct,
         "approx_distinct_by": _q_approx_distinct_by,
         "dedup_against_bloom": _q_dedup_against_bloom,
+        "funnel": _q_funnel,
         "html_links": _q_html_links,
         "link_in_degrees": _q_link_in_degrees,
         "tfidf_keywords": _q_tfidf_keywords,
@@ -1885,6 +1901,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dsir_logweights": sqlgen.dsir_logweights_sql(4096, 10),
         "dedup_against_bloom": sqlgen.dedup_against_bloom_sql(),
+        "funnel": sqlgen.funnel_sql(
+            ["view", "click", "purchase"],
+            table="(SELECT * FROM events WHERE value > 100)",
+        ),
         "approx_distinct": sqlgen.hll_estimate_sql("coalesce(text, '')", "documents"),
         "approx_distinct_by": sqlgen.hll_estimate_sql(
             "CAST(user_id AS VARCHAR)",

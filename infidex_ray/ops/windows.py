@@ -300,3 +300,81 @@ def event_order(
         .groupby(user_col)
         .map_groups(order_user, batch_format="pyarrow")
     )
+
+
+def funnel(
+    events,
+    steps: list,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    n_slices: int = 256,
+):
+    """Ordered funnel analysis: per user, the deepest prefix of ``steps``
+    completed with strictly increasing timestamps — step i+1 must occur
+    strictly AFTER the user's earliest completion of step i (the standard
+    product-analytics funnel; re-orderings don't count). Returns a Dataset
+    of ``(user_col, steps_completed)`` covering every user in the table.
+
+    Scale shape: ONE hash-slice shuffle of (user, type, ts) rows; within a
+    slice the whole multi-user funnel runs vectorized — per-step masked
+    ``minimum.reduceat`` over user segments, failure cascading through the
+    +inf sentinel — instead of one Python ``map_groups`` call per user (the
+    per-group dispatch cost is the known Ray 2.49 groupby tax)."""
+    import pyarrow.compute as pc
+
+    cols = [user_col, type_col, ts_col]
+
+    def add_slice(batch: pa.Table) -> pa.Table:
+        # md5-derived slice: must be IDENTICAL across worker processes so a
+        # user's rows co-locate (Python hash() is per-process-seeded — unsafe
+        # here). Hash once per distinct user in the batch, not per row.
+        from ..ops.dedup import _md5_u64
+
+        uarr = batch[user_col].combine_chunks()
+        enc = uarr.dictionary_encode()
+        dh = np.fromiter(
+            (_md5_u64(str(v)) % n_slices for v in enc.dictionary.to_pylist()),
+            dtype=np.int32,
+            count=len(enc.dictionary),
+        )
+        idx = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        return batch.append_column("slice", pa.array(dh[idx]))
+
+    def funnel_slice(group: pa.Table) -> pa.Table:
+        uarr = group[user_col].combine_chunks()
+        enc = uarr.dictionary_encode()
+        uid = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        ts = _ts_us(group[ts_col])
+        et = group[type_col].combine_chunks()
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        et = et.take(pa.array(order, pa.int64()))
+        n_users = len(enc.dictionary)
+        counts = np.bincount(uid, minlength=n_users)
+        starts = np.cumsum(counts) - counts
+        prev = np.full(n_users, np.iinfo(np.int64).min, dtype=np.float64)
+        done = np.zeros(n_users, dtype=np.int64)
+        tsf = ts.astype(np.float64)
+        for step in steps:
+            mask = pc.equal(et, step).to_numpy(zero_copy_only=False)
+            cand = np.where(
+                mask & (tsf > np.repeat(prev, counts)), tsf, np.inf
+            )
+            step_min = np.minimum.reduceat(cand, starts)
+            step_min[counts == 0] = np.inf  # reduceat quirk on empty segs
+            done += np.isfinite(step_min)
+            prev = step_min  # +inf cascades: later steps can't match
+        return pa.table(
+            {
+                user_col: enc.dictionary,
+                "steps_completed": pa.array(done, pa.int64()),
+            }
+        )
+
+    return (
+        events.select_columns(cols)
+        .map_batches(add_slice, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(funnel_slice, batch_format="pyarrow")
+    )

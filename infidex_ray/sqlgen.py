@@ -793,3 +793,34 @@ SELECT d.doc_id, d.n_chars FROM {table} d
 LEFT JOIN hits ON d.doc_id = hits.doc_id
 WHERE coalesce(hits.c, 0) < {k} ORDER BY d.doc_id
 """
+
+
+def funnel_sql(steps: list, table: str = "events") -> str:
+    """Ground truth for ops.windows.funnel: cascaded per-user min-timestamp
+    CTEs, step i+1 restricted to events strictly after the user's earliest
+    completion of step i; steps_completed = deepest non-NULL stage."""
+    ctes = [
+        f"s1 AS (SELECT user_id, min(ts) AS t FROM {table} "
+        f"WHERE event_type = {sql_quote(steps[0])} GROUP BY user_id)"
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"s{i + 1} AS (SELECT e.user_id, min(e.ts) AS t FROM {table} e "
+            f"JOIN s{i} USING (user_id) "
+            f"WHERE e.event_type = {sql_quote(steps[i])} AND e.ts > s{i}.t "
+            f"GROUP BY e.user_id)"
+        )
+    case = " ".join(
+        f"WHEN s{i}.t IS NOT NULL THEN {i}"
+        for i in range(len(steps), 0, -1)
+    )
+    joins = " ".join(
+        f"LEFT JOIN s{i} ON u.user_id = s{i}.user_id"
+        for i in range(1, len(steps) + 1)
+    )
+    return (
+        f"WITH u AS (SELECT DISTINCT user_id FROM {table}), "
+        + ", ".join(ctes)
+        + f" SELECT u.user_id, (CASE {case} ELSE 0 END) AS steps_completed "
+        + f"FROM u {joins} ORDER BY u.user_id"
+    )

@@ -2021,3 +2021,37 @@ def test_dedup_against_bloom(ray_session):
     )
     assert kept_tiny == expect
     assert len(kept_tiny) < len(kept)  # the tiny filter really did over-drop
+
+
+def test_funnel_ordered_steps(ray_session):
+    """funnel counts only strictly-ordered step completions: out-of-order
+    events don't count, equal timestamps don't count (strict >), failure at
+    step i zeroes all later steps, and every user appears in the output."""
+    import ray.data
+
+    from infidex_ray.ops.windows import funnel
+
+    def ev(u, t, typ):
+        return {"user_id": u, "ts": t, "event_type": typ}
+
+    rows = [
+        # u1: perfect order -> 3
+        ev("u1", 10, "view"), ev("u1", 20, "click"), ev("u1", 30, "buy"),
+        # u2: click BEFORE view -> only view counts -> 1
+        ev("u2", 5, "click"), ev("u2", 10, "view"),
+        # u3: click at the SAME ts as view (strict >) -> 1
+        ev("u3", 10, "view"), ev("u3", 10, "click"),
+        # u4: no funnel events at all -> 0
+        ev("u4", 1, "scroll"),
+        # u5: view->buy but no click -> 1 (cascade stops)
+        ev("u5", 1, "view"), ev("u5", 2, "buy"),
+        # u6: earliest view is AFTER its only click; later click rescues -> 3
+        ev("u6", 1, "view"), ev("u6", 2, "click"), ev("u6", 0, "click"),
+        ev("u6", 3, "buy"),
+    ]
+    ds = ray.data.from_items(rows).repartition(4)
+    out = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel(ds, ["view", "click", "buy"], n_slices=8).take_all()
+    }
+    assert out == {"u1": 3, "u2": 1, "u3": 1, "u4": 0, "u5": 1, "u6": 3}
