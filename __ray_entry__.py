@@ -760,12 +760,29 @@ def _q_dedup_against_bloom(sf_dir: str):
 
     docs = _read(sf_dir, "documents")
     ref = _read(sf_dir, "documents").map_batches(is_ref, batch_format="pyarrow")
-    out = dedup_against_bloom(docs, ref)
+    # deliberately small filter: the hash check then covers the FALSE
+    # POSITIVE semantics (md5 double-hash parity), not just exact dedup
+    out = dedup_against_bloom(docs, ref, n_bits=1024, k_hashes=3)
     return _by(
         out.map_batches(
             lambda t: t.select(["doc_id", "n_chars"]), batch_format="pyarrow"
         ),
         "doc_id",
+    )
+
+
+_CMS_KEYS = ["view", "click", "purchase", "signup", "error", "absent-key"]
+
+
+def _q_cms_counts(sf_dir: str):
+    """Count-min frequency estimates for the event types (plus one absent
+    key) at a deliberately narrow width so hash collisions occur — the
+    estimate replay, collisions included, is what the oracle checks
+    (ops/sketches.py::cms_counts)."""
+    from infidex_ray.ops.sketches import cms_counts
+
+    return cms_counts(
+        _read(sf_dir, "events"), "event_type", _CMS_KEYS, width=64, depth=3
     )
 
 
@@ -1430,6 +1447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_by": _q_approx_distinct_by,
         "dedup_against_bloom": _q_dedup_against_bloom,
         "funnel": _q_funnel,
+        "cms_counts": _q_cms_counts,
         "html_links": _q_html_links,
         "link_in_degrees": _q_link_in_degrees,
         "tfidf_keywords": _q_tfidf_keywords,
@@ -1900,7 +1918,8 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id"
         ),
         "dsir_logweights": sqlgen.dsir_logweights_sql(4096, 10),
-        "dedup_against_bloom": sqlgen.dedup_against_bloom_sql(),
+        "dedup_against_bloom": sqlgen.dedup_against_bloom_sql(1024, 3),
+        "cms_counts": sqlgen.cms_counts_sql(_CMS_KEYS, 64, 3),
         "funnel": sqlgen.funnel_sql(
             ["view", "click", "purchase"],
             table="(SELECT * FROM events WHERE value > 100)",

@@ -1968,15 +1968,36 @@ def dedup_against_minhash(
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _md5_u64_upper(s: str) -> int:
+    """Upper md5 half, little-endian — bit-for-bit DuckDB
+    ``md5_number_upper()`` (the second independent 64-bit hash the
+    Bloom/CMS double hashing needs)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+
+
+def _md5_pair_mod(texts: list, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(lower % n, upper % n) uint64 arrays per text (None ≡ ''). One md5
+    per text, both halves consumed — the exact values DuckDB's
+    md5_number_lower/upper % n reproduce."""
+    import hashlib as _h
+
+    h1 = np.empty(len(texts), dtype=np.uint64)
+    h2 = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        d = _h.md5(("" if t is None else str(t)).encode("utf-8")).digest()
+        h1[i] = int.from_bytes(d[8:16], "little") % n
+        h2[i] = int.from_bytes(d[:8], "little") % n
+    return h1, h2
+
+
 def _bloom_positions(texts: list, n_bits: int, k_hashes: int) -> np.ndarray:
     """(len(texts), k_hashes) int64 Bloom bit positions via Kirsch-
-    Mitzenmacher double hashing over the two md5 halves: pos_i =
-    ((lower % n) + i·(upper % n)) % n — computed in the reduced space so the
-    SQL oracle can replay it without uint64 wraparound (DuckDB UBIGINT
-    overflow raises instead of wrapping)."""
-    dig = _text_digests(texts)
-    h1 = dig["a"].astype(np.uint64) % np.uint64(n_bits)
-    h2 = dig["b"].astype(np.uint64) % np.uint64(n_bits)
+    Mitzenmacher double hashing over the two md5 halves (DuckDB
+    md5_number_lower/upper parity — false positives must replay exactly):
+    pos_i = ((lower % n) + i·(upper % n)) % n — computed in the reduced
+    space so the SQL oracle can replay it without uint64 wraparound (DuckDB
+    UBIGINT overflow raises instead of wrapping)."""
+    h1, h2 = _md5_pair_mod(texts, n_bits)
     i = np.arange(k_hashes, dtype=np.uint64)
     return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(n_bits)).astype(
         np.int64

@@ -167,3 +167,66 @@ def approx_distinct_by(
         )
 
     return merged.groupby(key_col).map_groups(finish, batch_format="pyarrow")
+
+
+# --- count-min sketch ---------------------------------------------------------
+
+
+def cms_counts(
+    ds,
+    col: str,
+    keys: list,
+    width: int = 8192,
+    depth: int = 4,
+):
+    """Count-min sketch frequency estimates (Cormode & Muthukrishnan 2005 —
+    public algorithm) for a set of query keys: each of ``depth`` rows hashes
+    every value into ``width`` buckets (double hashing over the two md5
+    halves, same family as the Bloom filter); a key's estimate is the MIN of
+    its ``depth`` bucket counts — an upper bound on the true count that
+    tightens as width grows.
+
+    The sketch is ``depth × width`` int64 — per-batch dense bincount
+    partials into a fixed-key groupby, so the shuffle never moves values.
+    Deterministic (pure hash function), so the oracle replays the estimates
+    exactly, collisions included. Returns a one-block table
+    ``(key, est_count)`` in the order given."""
+    from .dedup import _md5_pair_mod
+
+    def positions(values: list) -> np.ndarray:
+        h1, h2 = _md5_pair_mod(values, width)
+        d = np.arange(depth, dtype=np.uint64)
+        return (
+            (h1[:, None] + d[None, :] * h2[:, None]) % np.uint64(width)
+        ).astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pos = positions(batch[col].to_pylist())  # (n, depth)
+        flat = pos + (np.arange(depth, dtype=np.int64) * width)[None, :]
+        c = np.bincount(flat.reshape(-1), minlength=depth * width)
+        nz = np.flatnonzero(c)
+        return pa.table(
+            {
+                "cell": pa.array(nz.astype(np.int64), pa.int64()),
+                "n": pa.array(c[nz], pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .sum("n")
+        .take_all()
+    )
+    sketch = np.zeros(depth * width, dtype=np.int64)
+    for r in rows:
+        sketch[r["cell"]] = r.get("sum(n)", r.get("n"))
+    qpos = positions(keys) + (np.arange(depth, dtype=np.int64) * width)[None, :]
+    est = sketch[qpos].min(axis=1)
+    return pa.table(
+        {
+            "key": pa.array([str(k) for k in keys], pa.string()),
+            "est_count": pa.array(est, pa.int64()),
+        }
+    )

@@ -824,3 +824,36 @@ def funnel_sql(steps: list, table: str = "events") -> str:
         + f" SELECT u.user_id, (CASE {case} ELSE 0 END) AS steps_completed "
         + f"FROM u {joins} ORDER BY u.user_id"
     )
+
+
+def cms_counts_sql(
+    keys: list,
+    width: int,
+    depth: int,
+    col: str = "event_type",
+    table: str = "events",
+) -> str:
+    """Ground truth for ops.sketches.cms_counts: replays the count-min
+    sketch — per-depth-row double-hashed bucket counts over the column, a
+    key's estimate = min over rows — collisions included (the sketch is a
+    pure function of the md5 hashes)."""
+    keys_vals = ", ".join(
+        f"({i}, {sql_quote(str(k))})" for i, k in enumerate(keys)
+    )
+    return f"""
+WITH ser AS (SELECT unnest(generate_series(0, {depth - 1})) AS d),
+vals AS (SELECT CAST(md5_number_lower(coalesce(CAST({col} AS VARCHAR), '')) % {width} AS BIGINT) AS h1,
+                CAST(md5_number_upper(coalesce(CAST({col} AS VARCHAR), '')) % {width} AS BIGINT) AS h2
+         FROM {table}),
+cells AS (SELECT d, (h1 + d * h2) % {width} AS pos, count(*) AS n
+          FROM vals, ser GROUP BY d, (h1 + d * h2) % {width}),
+q(ord, key) AS (VALUES {keys_vals}),
+qh AS (SELECT ord, key,
+              CAST(md5_number_lower(key) % {width} AS BIGINT) AS h1,
+              CAST(md5_number_upper(key) % {width} AS BIGINT) AS h2 FROM q),
+qpos AS (SELECT ord, key, d, (h1 + d * h2) % {width} AS pos FROM qh, ser),
+est AS (SELECT qpos.ord, qpos.key, min(coalesce(cells.n, 0)) AS est_count
+        FROM qpos LEFT JOIN cells ON cells.d = qpos.d AND cells.pos = qpos.pos
+        GROUP BY qpos.ord, qpos.key)
+SELECT key, est_count FROM est ORDER BY ord
+"""

@@ -2055,3 +2055,28 @@ def test_funnel_ordered_steps(ray_session):
         for r in funnel(ds, ["view", "click", "buy"], n_slices=8).take_all()
     }
     assert out == {"u1": 3, "u2": 1, "u3": 1, "u4": 0, "u5": 1, "u6": 3}
+
+
+def test_cms_counts(ray_session):
+    """CMS estimates: exact at generous width, upper-bound-only under forced
+    collisions, layout-invariant, and an absent key reads the collision
+    floor (0 at generous width)."""
+    import ray.data
+
+    from infidex_ray.ops.sketches import cms_counts
+
+    rows = (
+        [{"v": "hot"}] * 500 + [{"v": "warm"}] * 50 + [{"v": f"cold-{i}"} for i in range(100)]
+    )
+    ds = ray.data.from_items(rows).repartition(4)
+    keys = ["hot", "warm", "cold-7", "never-seen"]
+
+    wide = {r["key"]: r["est_count"] for r in cms_counts(ds, "v", keys, width=8192, depth=4).to_pylist()}
+    assert wide == {"hot": 500, "warm": 50, "cold-7": 1, "never-seen": 0}
+
+    narrow = {r["key"]: r["est_count"] for r in cms_counts(ds, "v", keys, width=8, depth=2).to_pylist()}
+    for k in ("hot", "warm", "cold-7"):
+        assert narrow[k] >= wide[k]  # CMS never underestimates
+
+    again = {r["key"]: r["est_count"] for r in cms_counts(ds.repartition(9), "v", keys, width=8, depth=2).to_pylist()}
+    assert again == narrow  # layout-invariant
