@@ -1465,7 +1465,28 @@ def dedup_corpus_ds(ds, pairs_ds, id_col: str = "doc_id", num_partitions: int | 
     Dataset, then an ANTI join dropping every doc whose cluster label is not
     itself — no driver-side dict or broadcast set at any point (the filter
     side of :func:`dedup_corpus` broadcasts the drop set, which is fine for
-    output-sized pair tables but not for a 100-TB crawl's duplicate mass)."""
+    output-sized pair tables but not for a 100-TB crawl's duplicate mass).
+
+    Size gate (same cutover as ``_verify_pairs``): a pair graph of
+    ≤ ``_BROADCAST_VERIFY_MAX_PAIRS`` edges union-finds on the driver and
+    broadcasts the drop set instead — O(log d) iterations of three hash
+    joins each are pure barrier overhead at that size. An explicit
+    ``num_partitions`` forces the distributed path."""
+    if num_partitions is None:
+        pairs_ds = pairs_ds.materialize()
+        if pairs_ds.count() <= _BROADCAST_VERIFY_MAX_PAIRS:
+            import ray
+
+            blocks = [
+                t.select(["id_a", "id_b"])
+                for t in ray.get(pairs_ds.to_arrow_refs())
+                if t.num_rows
+            ]
+            if not blocks:
+                return ds
+            return dedup_corpus(
+                ds, pa.concat_tables(blocks).combine_chunks(), id_col=id_col
+            )
     num_partitions = _join_partitions(num_partitions)
     labels = dedup_clusters_ds(pairs_ds, num_partitions=num_partitions)
     if labels.count() == 0:  # no pairs → nothing to drop (and the anti-join
