@@ -2080,3 +2080,35 @@ def test_cms_counts(ray_session):
 
     again = {r["key"]: r["est_count"] for r in cms_counts(ds.repartition(9), "v", keys, width=8, depth=2).to_pylist()}
     assert again == narrow  # layout-invariant
+
+
+def test_verify_pairs_broadcast_equals_join_path(ray_session):
+    """The size-gated broadcast verify must produce the same pairs as the
+    distributed join path on the same corpus (minhash output is a pure
+    function of the input, so the two physical plans must agree row-set-
+    for-row-set). An explicit num_partitions forces the join plan."""
+    import ray.data
+
+    from infidex_ray.ops.dedup import minhash_lsh_pairs
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(40):
+        words = [vocab[j] for j in rng.randint(0, len(vocab), size=30)]
+        rows.append({"doc_id": i, "text": " ".join(words)})
+        if i % 4 == 0:  # planted near-dup
+            mutated = list(words)
+            mutated[rng.randint(0, len(words))] = "mutant"
+            rows.append({"doc_id": 1000 + i, "text": " ".join(mutated)})
+    ds = ray.data.from_items(rows).repartition(5)
+
+    def canon(out):
+        return sorted(
+            (r["id_a"], r["id_b"], r["est_jaccard"], r["jaccard"])
+            for r in out.take_all()
+        )
+
+    broadcast = canon(minhash_lsh_pairs(ds, threshold=0.3))
+    joined = canon(minhash_lsh_pairs(ds, threshold=0.3, num_partitions=2))
+    assert broadcast == joined and len(broadcast) >= 10
