@@ -801,6 +801,20 @@ def _q_funnel(sf_dir: str):
     return _by(funnel(ev, ["view", "click", "purchase"]), "user_id")
 
 
+def _q_retention(sf_dir: str):
+    """Daily cohort retention triangle over the events table: cohort =
+    user's first active day, n_users active again k days later. One
+    md5-slice shuffle + vectorized in-slice firsts/offsets + a tiny
+    (cohort, offset) groupby (ops/windows.py::retention)."""
+    from infidex_ray.ops.windows import retention
+
+    return _by(
+        retention(_read(sf_dir, "events"), period_s=86400.0),
+        "cohort",
+        "period_offset",
+    )
+
+
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog cardinality of documents.text (2^12 registers): per-batch
     register partials → fixed-key groupby max → driver estimate. The sketch
@@ -869,6 +883,31 @@ def _q_pagerank(sf_dir: str):
         .map_batches(synth, batch_format="pyarrow")
     )
     return _by(pagerank(edges, num_iters=3), "node")
+
+
+def _q_connected_components(sf_dir: str):
+    """Connected components over the same synthetic edge fixture as
+    pagerank (ops/graph.py::connected_components — size-gated: driver
+    union-find small, label propagation at scale). Oracle = recursive
+    transitive closure, component = least(node, min reachable)."""
+    from infidex_ray.ops.graph import connected_components
+
+    def synth(batch: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for d in batch["doc_id"].to_pylist():
+            for j in range(1, d % 4 + 1):
+                src.append(d)
+                dst.append((d * 7 + j * 13) % 500)
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id"])
+        .map_batches(synth, batch_format="pyarrow")
+    )
+    return _by(connected_components(edges), "node")
 
 
 def _q_tfidf_keywords(sf_dir: str):
@@ -1448,10 +1487,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_against_bloom": _q_dedup_against_bloom,
         "funnel": _q_funnel,
         "cms_counts": _q_cms_counts,
+        "retention": _q_retention,
         "html_links": _q_html_links,
         "link_in_degrees": _q_link_in_degrees,
         "tfidf_keywords": _q_tfidf_keywords,
         "pagerank": _q_pagerank,
+        "connected_components": _q_connected_components,
         "mix_corpora": _q_mix_corpora,
         "ngram_containment_pairs": _q_ngram_containment,
         "phrase_scan": _q_phrase_scan,
@@ -1850,6 +1891,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WHERE value IS NOT NULL AND value >= 0.0 AND value < 500.0 "
             "GROUP BY 1 ORDER BY bin"
         ),
+        "connected_components": (
+            "WITH RECURSIVE e AS (SELECT doc_id AS src, (doc_id*7 + j*13) % 500 AS dst "
+            "FROM (SELECT doc_id, unnest(generate_series(1, "
+            "CAST(doc_id % 4 AS INT))) AS j FROM documents)), "
+            "edges AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+            "reach(src, dst) AS (SELECT src, dst FROM edges UNION "
+            "SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src), "
+            "rep AS (SELECT src AS node, min(dst) AS mn FROM reach GROUP BY src) "
+            "SELECT node, least(node, mn) AS component FROM rep ORDER BY node"
+        ),
         "pagerank": (
             # 3 unrolled power iterations of r <- (1-d)/N + d*sum_in(r/od)
             "WITH e AS (SELECT doc_id AS src, (doc_id*7 + j*13) % 500 AS dst "
@@ -1920,6 +1971,14 @@ def oracle_sql() -> dict[str, str]:
         "dsir_logweights": sqlgen.dsir_logweights_sql(4096, 10),
         "dedup_against_bloom": sqlgen.dedup_against_bloom_sql(1024, 3),
         "cms_counts": sqlgen.cms_counts_sql(_CMS_KEYS, 64, 3),
+        "retention": (
+            "WITH up AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS p FROM events), "
+            "f AS (SELECT user_id, min(p) AS c FROM up GROUP BY user_id) "
+            "SELECT f.c AS cohort, up.p - f.c AS period_offset, "
+            "count(*) AS n_users FROM up JOIN f USING (user_id) "
+            "GROUP BY f.c, up.p - f.c ORDER BY cohort, period_offset"
+        ),
         "funnel": sqlgen.funnel_sql(
             ["view", "click", "purchase"],
             table="(SELECT * FROM events WHERE value > 100)",

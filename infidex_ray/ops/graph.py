@@ -17,7 +17,7 @@ import pyarrow as pa
 
 from .dedup import _join_partitions, round_half_up4_arr
 
-__all__ = ["graph_nodes", "pagerank"]
+__all__ = ["graph_nodes", "pagerank", "connected_components"]
 
 
 def graph_nodes(edges_ds, src_col: str = "src", dst_col: str = "dst"):
@@ -147,3 +147,69 @@ def pagerank(
         )
 
     return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def connected_components(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+):
+    """Connected components over an undirected edge Dataset: returns
+    (node, component) with component = the min node id reachable from each
+    node. The same size-gated machinery as near-dup clustering
+    (``dedup.dedup_clusters_ds``): ≤1M edges union-find on the driver;
+    bigger graphs run distributed min-label propagation with pointer
+    jumping (O(log diameter) rounds of hash joins, Dataset-resident
+    labels) — promoted to a public graph op because component labeling is
+    its own pipeline primitive (site clusters, near-dup families, user
+    identity stitching), not just a dedup internal."""
+    from .dedup import _BROADCAST_VERIFY_MAX_PAIRS, dedup_clusters, dedup_clusters_ds
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": t[src_col].cast(pa.int64()),
+                "id_b": t[dst_col].cast(pa.int64()),
+            }
+        )
+
+    pairs = edges_ds.map_batches(rename, batch_format="pyarrow")
+    if num_partitions is None:
+        pairs = pairs.materialize()
+        if pairs.count() <= _BROADCAST_VERIFY_MAX_PAIRS:
+            import ray
+            import ray.data
+
+            blocks = [
+                t.select(["id_a", "id_b"])
+                for t in ray.get(pairs.to_arrow_refs())
+                if t.num_rows
+            ]
+            if not blocks:
+                return ray.data.from_arrow(
+                    pa.table(
+                        {
+                            "node": pa.array([], pa.int64()),
+                            "component": pa.array([], pa.int64()),
+                        }
+                    )
+                )
+            labels = dedup_clusters(pa.concat_tables(blocks).combine_chunks())
+            nodes = sorted(labels)
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array(nodes, pa.int64()),
+                        "component": pa.array(
+                            [labels[n] for n in nodes], pa.int64()
+                        ),
+                    }
+                )
+            )
+    out = dedup_clusters_ds(pairs, num_partitions=num_partitions)
+
+    def comp_rename(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "component": t["label"]})
+
+    return out.map_batches(comp_rename, batch_format="pyarrow")

@@ -378,3 +378,91 @@ def funnel(
         .groupby("slice")
         .map_groups(funnel_slice, batch_format="pyarrow")
     )
+
+
+def retention(
+    events,
+    period_s: float = 86400.0 * 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    n_slices: int = 256,
+):
+    """Cohort retention: bucket time into fixed periods, assign each user to
+    the cohort of their FIRST active period, and count how many of each
+    cohort are active again k periods later. Returns a Dataset of
+    ``(cohort, period_offset, n_users)`` — the standard retention triangle.
+
+    Scale shape: one md5-slice shuffle co-locates each user's rows
+    (deterministic across worker processes); within a slice, first-period
+    and offsets are computed vectorized over all users, emitting one
+    partial row per (cohort, offset) per slice into a tiny final groupby —
+    no user-keyed join and no per-user Python dispatch."""
+    period_us = int(round(period_s * 1_000_000))
+    cols = [user_col, ts_col]
+
+    def add_slice(batch: pa.Table) -> pa.Table:
+        from ..ops.dedup import _md5_u64
+
+        uarr = batch[user_col].combine_chunks()
+        enc = uarr.dictionary_encode()
+        dh = np.fromiter(
+            (_md5_u64(str(v)) % n_slices for v in enc.dictionary.to_pylist()),
+            dtype=np.int32,
+            count=len(enc.dictionary),
+        )
+        idx = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        return batch.append_column("slice", pa.array(dh[idx]))
+
+    def retention_slice(group: pa.Table) -> pa.Table:
+        enc = group[user_col].combine_chunks().dictionary_encode()
+        uid = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        p = _ts_us(group[ts_col]) // period_us
+        # distinct (user, period)
+        order = np.lexsort((p, uid))
+        u2, p2 = uid[order], p[order]
+        keep = np.ones(len(u2), dtype=bool)
+        keep[1:] = (u2[1:] != u2[:-1]) | (p2[1:] != p2[:-1])
+        u3, p3 = u2[keep], p2[keep]
+        # first period per user == first row of each user run (p ascending)
+        first_of_run = np.ones(len(u3), dtype=bool)
+        first_of_run[1:] = u3[1:] != u3[:-1]
+        run_id = np.cumsum(first_of_run) - 1
+        cohort = p3[np.flatnonzero(first_of_run)][run_id]
+        off = p3 - cohort
+        # partial counts per (cohort, offset)
+        key_order = np.lexsort((off, cohort))
+        c2, o2 = cohort[key_order], off[key_order]
+        new = np.ones(len(c2), dtype=bool)
+        new[1:] = (c2[1:] != c2[:-1]) | (o2[1:] != o2[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate((starts, [len(c2)])))
+        return pa.table(
+            {
+                "cohort": pa.array(c2[starts], pa.int64()),
+                "period_offset": pa.array(o2[starts], pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    partials = (
+        events.select_columns(cols)
+        .map_batches(add_slice, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(retention_slice, batch_format="pyarrow")
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        c = "sum(n)" if "sum(n)" in t.column_names else "n"
+        return pa.table(
+            {
+                "cohort": t["cohort"],
+                "period_offset": t["period_offset"],
+                "n_users": t[c],
+            }
+        )
+
+    return (
+        partials.groupby(["cohort", "period_offset"])
+        .sum("n")
+        .map_batches(rename, batch_format="pyarrow")
+    )

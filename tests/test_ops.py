@@ -2112,3 +2112,56 @@ def test_verify_pairs_broadcast_equals_join_path(ray_session):
     broadcast = canon(minhash_lsh_pairs(ds, threshold=0.3))
     joined = canon(minhash_lsh_pairs(ds, threshold=0.3, num_partitions=2))
     assert broadcast == joined and len(broadcast) >= 10
+
+
+def test_connected_components(ray_session):
+    """connected_components: chain + triangle + isolated pair all labeled by
+    their min node; size gate and distributed path agree."""
+    import ray.data
+
+    from infidex_ray.ops.graph import connected_components
+
+    edges = [
+        {"src": 5, "dst": 6}, {"src": 6, "dst": 7},          # chain 5-6-7
+        {"src": 10, "dst": 11}, {"src": 11, "dst": 12}, {"src": 12, "dst": 10},
+        {"src": 99, "dst": 100},
+    ]
+    ds = ray.data.from_items(edges).repartition(3)
+    want = {5: 5, 6: 5, 7: 5, 10: 10, 11: 10, 12: 10, 99: 99, 100: 99}
+    got = {r["node"]: r["component"] for r in connected_components(ds).take_all()}
+    assert got == want
+    got_dist = {
+        r["node"]: r["component"]
+        for r in connected_components(ds, num_partitions=2).take_all()
+    }
+    assert got_dist == want
+
+
+def test_retention_triangle(ray_session):
+    """retention: cohorts keyed by first active period, offsets count
+    distinct users (multiple events in one period count once)."""
+    import ray.data
+
+    from infidex_ray.ops.windows import retention
+
+    P = 1_000_000 * 100  # 100-second periods, ts in epoch-us ints
+    def ev(u, period):
+        return {"user_id": u, "ts": period * P + (hash((u, period)) % 50)}
+
+    rows = [
+        ev("a", 0), ev("a", 0), ev("a", 1), ev("a", 3),   # cohort 0: a
+        ev("b", 0), ev("b", 1),                            # cohort 0: b
+        ev("c", 2), ev("c", 3),                            # cohort 2: c
+    ]
+    ds = ray.data.from_items(rows).repartition(3)
+    got = {
+        (r["cohort"], r["period_offset"]): r["n_users"]
+        for r in retention(ds, period_s=100.0, n_slices=4).take_all()
+    }
+    assert got == {
+        (0, 0): 2,  # a, b
+        (0, 1): 2,  # a, b
+        (0, 3): 1,  # a
+        (2, 0): 1,  # c
+        (2, 1): 1,  # c
+    }
