@@ -297,6 +297,20 @@ def _q_knn_graph(sf_dir: str):
     return _by(knn_graph(_read(sf_dir, "embeddings"), k=5), "vec_id", "rank")
 
 
+def _q_knn_graph_lsh(sf_dir: str):
+    """Approximate kNN graph via hyperplane LSH buckets: in-bucket exact
+    top-k, cross-table dedup, per-vec merge — the near-linear scale path for
+    knn_graph (ops/similarity.py::knn_graph_lsh). Oracle replays the seeded
+    hyperplanes and ranks over all distinct co-bucketed candidates."""
+    from infidex_ray.ops.similarity import knn_graph_lsh
+
+    return _by(
+        knn_graph_lsh(_read(sf_dir, "embeddings"), k=5, n_bits=6, n_tables=3),
+        "vec_id",
+        "rank",
+    )
+
+
 def _q_ivf_knn(sf_dir: str):
     """IVF ANN probing every list → exact (checked against the same SQL
     oracle as brute-force knn)."""
@@ -1439,6 +1453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": _q_image_features,
         "knn_cosine": _q_knn,
         "knn_graph": _q_knn_graph,
+        "knn_graph_lsh": _q_knn_graph_lsh,
         "ivf_knn": _q_ivf_knn,
         "ivf_knn_pruned": _q_ivf_knn_pruned,
         "lsh_knn": _q_lsh_knn,
@@ -1562,6 +1577,9 @@ def oracle_sql() -> dict[str, str]:
             ) t WHERE rank <= 5
             ORDER BY vec_id, rank
         """,
+        "knn_graph_lsh": sqlgen.knn_graph_lsh_sql(
+            64, k=5, n_bits=6, n_tables=3
+        ),
         # IVF probing all lists is exact → same oracle as brute-force knn
         "ivf_knn_pruned": f"""
             SELECT 0::INT AS query_idx,

@@ -513,3 +513,157 @@ def knn_graph(
 
     futures = [block_topk.remote(r, refs) for r in refs]
     return ray.data.from_arrow_refs(futures)
+
+
+def knn_graph_lsh(
+    ds,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    max_bucket_size: int = 4096,
+    n_slices: int = 256,
+):
+    """Approximate (LSH-bucketed) cosine kNN graph — the near-linear scale
+    path for :func:`knn_graph`: candidates are co-members of any
+    (hyperplane-table, bucket); each bucket group computes its members'
+    exact in-group top-k; a cross-table dedup plus one per-vec top-k merge
+    yields each node's best k among ALL its candidates (per-group top-k →
+    global top-k is lossless over the candidate set — only recall vs the
+    exact graph is sacrificed, growing with ``n_tables``). Oversize buckets
+    (boilerplate/zero vectors) are dropped like every bucketed op here.
+
+    Output matches :func:`knn_graph`: (vec_id, rank, nbr_id, cosine),
+    tie-break (cosine desc, nbr_id asc), round-half-away-4."""
+    import ray
+
+    from .dedup import round_half_up4_arr
+
+    probe = ds.select_columns([vec_col]).limit(1).take(1)
+    if not probe:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int32()),
+                    "nbr_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        )
+    dim = len(probe[0][vec_col])
+    planes = [_hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)]
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    def emit_buckets(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "t": pa.array([], pa.int32()),
+                    "bucket": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "vec": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        m = _to_matrix(batch, vec_col)
+        vec_lists = m.tolist()
+        cols = {"t": [], "bucket": [], "doc_id": [], "vec": []}
+        for t, pl in enumerate(planes):
+            buckets = ((m @ pl.T) > 0) @ weights
+            cols["t"].extend([t] * len(ids))
+            cols["bucket"].extend(int(x) for x in buckets)
+            cols["doc_id"].extend(int(x) for x in ids)
+            cols["vec"].extend(vec_lists)
+        return pa.table(
+            {
+                "t": pa.array(cols["t"], pa.int32()),
+                "bucket": pa.array(cols["bucket"], pa.int64()),
+                "doc_id": pa.array(cols["doc_id"], pa.int64()),
+                "vec": pa.array(cols["vec"], pa.list_(pa.float64())),
+            }
+        )
+
+    def group_topk(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "nbr_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
+        m_cnt = len(ids)
+        if m_cnt < 2 or m_cnt > max_bucket_size:
+            return empty
+        m = _normalize_rows(
+            np.asarray(group["vec"].to_pylist(), dtype=np.float64)
+        )
+        sims = m @ m.T
+        np.fill_diagonal(sims, -np.inf)
+        kk = min(k, m_cnt - 1)
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        cand = np.take_along_axis(sims, part, axis=1)
+        rows = np.repeat(ids, kk)
+        return pa.table(
+            {
+                "vec_id": pa.array(rows, pa.int64()),
+                "nbr_id": pa.array(ids[part].reshape(-1), pa.int64()),
+                "cosine": pa.array(cand.reshape(-1), pa.float64()),
+            }
+        )
+
+    cand = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(emit_buckets, batch_format="pyarrow")
+        .groupby(["t", "bucket"])
+        .map_groups(group_topk, batch_format="pyarrow")
+    )
+
+    def add_slice(batch: pa.Table) -> pa.Table:
+        v = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "slice", pa.array((v % n_slices).astype(np.int32))
+        )
+
+    def merge_slice(group: pa.Table) -> pa.Table:
+        v = group["vec_id"].to_numpy(zero_copy_only=False)
+        nbr = group["nbr_id"].to_numpy(zero_copy_only=False)
+        cos = group["cosine"].to_numpy(zero_copy_only=False)
+        # cross-table dedup of (v, nbr), then per-v rank (cos desc, nbr asc)
+        order = np.lexsort((nbr, -cos, v))
+        v2, n2, c2 = v[order], nbr[order], cos[order]
+        keep = np.ones(len(v2), dtype=bool)
+        # identical (v, nbr) rows are adjacent within the (-cos, nbr) order
+        # only if their cosines agree — they do (exact per pair), so sort by
+        # (v, nbr) for the dedup pass first
+        d_order = np.lexsort((n2, v2))
+        vd, nd = v2[d_order], n2[d_order]
+        dup = np.zeros(len(vd), dtype=bool)
+        dup[1:] = (vd[1:] == vd[:-1]) & (nd[1:] == nd[:-1])
+        keep[d_order] = ~dup
+        v2, n2, c2 = v2[keep], n2[keep], c2[keep]
+        group_start = np.zeros(len(v2), dtype=np.int64)
+        new_group = np.flatnonzero(np.diff(v2)) + 1
+        group_start[new_group] = new_group
+        np.maximum.accumulate(group_start, out=group_start)
+        pos = np.arange(len(v2)) - group_start
+        sel = pos < k
+        return pa.table(
+            {
+                "vec_id": pa.array(v2[sel], pa.int64()),
+                "rank": pa.array((pos[sel] + 1).astype(np.int32), pa.int32()),
+                "nbr_id": pa.array(n2[sel], pa.int64()),
+                "cosine": pa.array(round_half_up4_arr(c2[sel]), pa.float64()),
+            }
+        )
+
+    return (
+        cand.map_batches(add_slice, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(merge_slice, batch_format="pyarrow")
+    )

@@ -857,3 +857,59 @@ est AS (SELECT qpos.ord, qpos.key, min(coalesce(cells.n, 0)) AS est_count
         GROUP BY qpos.ord, qpos.key)
 SELECT key, est_count FROM est ORDER BY ord
 """
+
+
+def knn_graph_lsh_sql(
+    dim: int,
+    k: int = 10,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    max_bucket_size: int = 4096,
+    table: str = "embeddings",
+) -> str:
+    """Oracle for ops.similarity.knn_graph_lsh: inlined seeded hyperplanes,
+    buckets via sign bits of the raw inner product, candidates = co-members
+    of any non-oversize (table, bucket), per-vec top-k by exact cosine.
+    Per-group top-k then global top-k is lossless over the candidate set,
+    so the oracle ranks over ALL distinct candidates directly."""
+    from .ops.similarity import _hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        pl = _hyperplanes(dim, n_bits, seed + t)
+        for b in range(n_bits):
+            vec = "[" + ", ".join(repr(float(v)) for v in pl[b]) + "]::DOUBLE[]"
+            rows.append(f"({t}, {b}, {vec})")
+    values = ",\n".join(rows)
+    return f"""
+WITH planes(t, bit, vec) AS (VALUES {values}),
+b AS (
+  SELECT e.vec_id, p.t,
+         sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], p.vec) > 0
+                  THEN (1::BIGINT << p.bit) ELSE 0 END) AS bucket
+  FROM {table} e CROSS JOIN planes p GROUP BY e.vec_id, p.t
+),
+bs AS (SELECT t, bucket, count(*) AS c FROM b GROUP BY t, bucket),
+cand AS (
+  SELECT DISTINCT a.vec_id AS v, b2.vec_id AS nbr
+  FROM b a
+  JOIN b b2 ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id <> b2.vec_id
+  JOIN bs ON bs.t = a.t AND bs.bucket = a.bucket
+  WHERE bs.c BETWEEN 2 AND {max_bucket_size}
+),
+scored AS (
+  SELECT c.v, c.nbr,
+         list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cos
+  FROM cand c
+  JOIN {table} ea ON ea.vec_id = c.v
+  JOIN {table} eb ON eb.vec_id = c.nbr
+)
+SELECT vec_id, rank, nbr_id, cosine FROM (
+  SELECT v AS vec_id,
+         row_number() OVER (PARTITION BY v ORDER BY cos DESC, nbr) AS rank,
+         nbr AS nbr_id, round(cos, 4) AS cosine
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY vec_id, rank
+"""

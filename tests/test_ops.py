@@ -2165,3 +2165,37 @@ def test_retention_triangle(ray_session):
         (2, 0): 1,  # c
         (2, 1): 1,  # c
     }
+
+
+def test_knn_graph_lsh_recall(ray_session):
+    """LSH kNN graph: on tight planted clusters every within-cluster
+    neighbor co-buckets (identical sign patterns), so the approximate graph
+    matches the exact graph restricted to those candidates; ranks and
+    cosines agree with knn_graph where both report the pair."""
+    import ray.data
+
+    from infidex_ray.ops.similarity import knn_graph, knn_graph_lsh
+
+    rng = np.random.RandomState(5)
+    centers = rng.normal(size=(3, 16)) * 10
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(6):
+            rows.append(
+                {"vec_id": vid, "embedding": (c + rng.normal(scale=0.01, size=16)).tolist()}
+            )
+            vid += 1
+    ds = ray.data.from_items(rows).repartition(4)
+
+    exact = {
+        (r["vec_id"], r["nbr_id"]): (r["rank"], r["cosine"])
+        for r in knn_graph(ds, k=5).take_all()
+    }
+    approx = {
+        (r["vec_id"], r["nbr_id"]): (r["rank"], r["cosine"])
+        for r in knn_graph_lsh(ds, k=5, n_bits=4, n_tables=3, n_slices=4).take_all()
+    }
+    # tight clusters: each node's 5 within-cluster peers are its true top-5
+    # and share its bucket in every table -> approx == exact here
+    assert approx == exact and len(approx) == 18 * 5
