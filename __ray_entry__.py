@@ -684,6 +684,21 @@ def _q_domain_stats(sf_dir: str):
     return _by(domain_stats(parsed, size_col="n_chars"), "domain")
 
 
+def _q_bigram_lm(sf_dir: str):
+    """Jelinek-Mercer interpolated bigram perplexity (lam=0.75, pruned
+    256-token unigram + 512-pair bigram tables): two combiner-partial count
+    passes + one broadcast model, corpus streams (ops/lm.py::bigram_logprob).
+    Small prune sizes exercise the pruned-miss and OOV paths."""
+    from infidex_ray.ops.lm import bigram_logprob
+
+    return _by(
+        bigram_logprob(
+            _read(sf_dir, "documents"), vocab_size=256, bigram_size=512
+        ),
+        "doc_id",
+    )
+
+
 def _q_unigram_lm(sf_dir: str):
     """CCNet-style unigram-LM quality score (avg negative log-likelihood,
     pruned 256-token model, OOV floor 1/total): two-pass train (vocab-sized
@@ -1495,6 +1510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": _q_domain_stats,
         "value_histogram": _q_value_histogram,
         "unigram_lm": _q_unigram_lm,
+        "bigram_lm": _q_bigram_lm,
         "dedup_against": _q_dedup_against,
         "dsir_logweights": _q_dsir_logweights,
         "approx_distinct": _q_approx_distinct,
@@ -2008,6 +2024,7 @@ def oracle_sql() -> dict[str, str]:
             key_expr="event_type",
             key_name="event_type",
         ),
+        "bigram_lm": sqlgen.bigram_logprob_sql(256, 512, 0.75),
         "unigram_lm": (
             # pruned (top-256 by count desc, token asc) unigram LM over the
             # corpus itself; OOV floor = 1/total; nll = -avg ln p(token)

@@ -32,7 +32,7 @@ import pyarrow as pa
 
 from .dedup import round_half_up4_arr
 
-__all__ = ["unigram_model", "unigram_logprob"]
+__all__ = ["unigram_model", "unigram_logprob", "bigram_logprob"]
 
 _SPLIT = "[ \t\n\r]+"
 
@@ -148,6 +148,174 @@ def unigram_logprob(
             tok_lp = np.where(hit, lp[np.minimum(idx, len(lp) - 1)], oov_logp)
         else:
             tok_lp = np.full(len(flat), oov_logp)
+        n_tokens = np.bincount(doc_of, minlength=len(batch)).astype(np.int64)
+        sums = np.bincount(doc_of, weights=tok_lp, minlength=len(batch))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            nll = np.where(n_tokens > 0, -sums / np.maximum(n_tokens, 1), 0.0)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n_tokens),
+                "nll": pa.array(round_half_up4_arr(nll), pa.float64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def _bigram_count_partials(ds, text_col: str):
+    """(prev, tok, n) partial bigram counts per batch — adjacent same-doc
+    token pairs, collapsed to distinct-pair rows inside the task (Arrow hash
+    group-by), so the shuffle moves the bigram VOCABULARY per block, not one
+    row per occurrence."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), pattern=_SPLIT)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        doc_of = doc_of[keep]
+        n = len(flat)
+        empty = pa.table(
+            {
+                "prev": pa.array([], pa.string()),
+                "tok": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        same = doc_of[1:] == doc_of[:-1]
+        if not same.any():
+            return empty
+        t = pa.table(
+            {
+                "prev": flat.slice(0, n - 1).filter(pa.array(same)).cast(pa.string()),
+                "tok": flat.slice(1, n - 1).filter(pa.array(same)).cast(pa.string()),
+            }
+        )
+        g = t.group_by(["prev", "tok"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "prev": g["prev"],
+                "tok": g["tok"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["prev", "tok"])
+        .sum("n")
+    )
+
+
+def bigram_logprob(
+    ds,
+    train_ds=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+    vocab_size: int | None = 2_000_000,
+    bigram_size: int | None = 4_000_000,
+):
+    """Per-document average negative log-likelihood under a Jelinek-Mercer
+    interpolated bigram LM (public recipe — the classic smoothing between
+    KenLM-style n-gram filters and the unigram floor):
+
+        p(w_i | w_{i-1}) = lam · cnt(w_{i-1}, w_i)/cnt(w_{i-1})
+                         + (1 − lam) · p_uni(w_i)
+
+    with the first token of each document scored by the unigram alone, a
+    pruned bigram table (top ``bigram_size`` by count desc, pair asc — a
+    pruned miss contributes 0 to the bigram term, never an error), and the
+    unigram side inheriting :func:`unigram_model`'s pruning + OOV floor.
+
+    Returns ``(id_col, n_tokens, nll)`` — same shape/rounding as
+    :func:`unigram_logprob`. Both count passes are combiner-partial
+    groupbys; the two pruned tables broadcast once via ``ray.put``."""
+    import ray
+
+    src = train_ds if train_ds is not None else ds
+    tokens, logp, total, oov_logp = unigram_model(src, text_col, vocab_size)
+    # exact integer counts back from logp (= ln(n/total)): rint kills the
+    # exp∘ln round-trip ulp so p_uni below is n/total BIT-identically to
+    # the oracle's integer division
+    uni_n = np.rint(np.exp(logp) * float(total)) if total else np.zeros(0)
+
+    agg = _bigram_count_partials(src, text_col)
+
+    def rename(t: pa.Table) -> pa.Table:
+        c = "sum(n)" if "sum(n)" in t.column_names else "n"
+        return pa.table({"prev": t["prev"], "tok": t["tok"], "n": t[c].cast(pa.int64())})
+
+    bcounts = agg.map_batches(rename, batch_format="pyarrow")
+    if bigram_size is not None:
+        bcounts = bcounts.sort(
+            ["n", "prev", "tok"], descending=[True, False, False]
+        ).limit(bigram_size)
+    bdf = bcounts.to_pandas()
+    if len(bdf):
+        pair = (bdf["prev"] + "\x00" + bdf["tok"]).to_numpy()
+        order = np.argsort(pair, kind="stable")
+        pair_sorted = pair[order]
+        pair_n = bdf["n"].to_numpy()[order].astype(np.float64)
+    else:
+        pair_sorted = np.empty(0, dtype=object)
+        pair_n = np.zeros(0)
+    model_ref = ray.put((tokens, uni_n, pair_sorted, pair_n))
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tok_arr, un, pairs, pn = ray.get(model_ref)
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), pattern=_SPLIT)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        keep = flat != ""
+        flat, doc_of = flat[keep], doc_of[keep]
+        nf = len(flat)
+        # unigram term per token
+        tot = float(total) if total else 1.0
+        if nf and len(tok_arr):
+            idx = np.searchsorted(tok_arr, flat)
+            idx[idx == len(tok_arr)] = 0
+            hit = tok_arr[idx] == flat
+            cnt_self = np.where(hit, un[np.minimum(idx, len(un) - 1)], 1.0)
+            p_uni = cnt_self / tot  # = n/total exactly (OOV floor: 1/total)
+            cnt_prev = np.where(hit, un[np.minimum(idx, len(un) - 1)], 0.0)
+        else:
+            p_uni = np.full(nf, 1.0 / tot)
+            cnt_prev = np.zeros(nf)
+        p = p_uni.copy()
+        if nf > 1:
+            same = doc_of[1:] == doc_of[:-1]
+            pos = np.flatnonzero(same) + 1  # token positions with a prev
+            if len(pos) and len(pairs):
+                keys = np.char.add(
+                    np.char.add(flat[pos - 1].astype(str), "\x00"),
+                    flat[pos].astype(str),
+                )
+                bi = np.searchsorted(pairs, keys)
+                bi[bi == len(pairs)] = 0
+                bhit = pairs[bi] == keys
+                cb = np.where(bhit, pn[np.minimum(bi, len(pn) - 1)], 0.0)
+            else:
+                cb = np.zeros(len(pos))
+            denom = cnt_prev[pos - 1]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                p_bi = np.where(denom > 0, cb / np.maximum(denom, 1e-300), 0.0)
+            p[pos] = lam * p_bi + (1.0 - lam) * p_uni[pos]
+        tok_lp = np.log(p)
         n_tokens = np.bincount(doc_of, minlength=len(batch)).astype(np.int64)
         sums = np.bincount(doc_of, weights=tok_lp, minlength=len(batch))
         with np.errstate(invalid="ignore", divide="ignore"):

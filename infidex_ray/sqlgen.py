@@ -913,3 +913,56 @@ SELECT vec_id, rank, nbr_id, cosine FROM (
 ) WHERE rank <= {k}
 ORDER BY vec_id, rank
 """
+
+
+def bigram_logprob_sql(
+    vocab_size: int = 256,
+    bigram_size: int = 512,
+    lam: float = 0.75,
+    table: str = "documents",
+) -> str:
+    """Ground truth for ops.lm.bigram_logprob: Jelinek-Mercer interpolated
+    bigram perplexity with pruned unigram (top vocab_size by count desc,
+    token asc; OOV floor 1/total) and pruned bigram (top bigram_size by
+    count desc, pair asc; pruned/unseen bigram term = 0); first token of
+    each doc scores unigram-only."""
+    return f"""
+WITH raw AS (SELECT doc_id,
+        unnest(regexp_split_to_array(lower(text), '[ \t\n\r]+')) AS tok,
+        generate_subscripts(regexp_split_to_array(lower(text), '[ \t\n\r]+'), 1) AS i
+      FROM {table}),
+tk AS (SELECT doc_id, tok,
+       row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+       FROM raw WHERE tok <> ''),
+uc AS (SELECT tok, count(*)::BIGINT AS n FROM tk GROUP BY tok),
+ut AS (SELECT sum(n)::DOUBLE AS tot FROM uc),
+uv AS (SELECT tok, n FROM (SELECT tok, n,
+        row_number() OVER (ORDER BY n DESC, tok) AS rn FROM uc)
+       WHERE rn <= {vocab_size}),
+bp AS (SELECT a.tok AS prev, b.tok AS tok, count(*)::BIGINT AS n
+       FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+       GROUP BY a.tok, b.tok),
+bv AS (SELECT prev, tok, n FROM (SELECT prev, tok, n,
+        row_number() OVER (ORDER BY n DESC, prev, tok) AS rn FROM bp)
+       WHERE rn <= {bigram_size}),
+scored AS (
+  SELECT t.doc_id,
+    CASE WHEN t.j = 1
+      THEN coalesce(u.n, 1) / (SELECT tot FROM ut)
+      ELSE {lam!r} * (CASE WHEN up.n IS NOT NULL AND bvv.n IS NOT NULL
+                      THEN bvv.n / CAST(up.n AS DOUBLE) ELSE 0 END)
+         + {1.0 - lam!r} * (coalesce(u.n, 1) / (SELECT tot FROM ut))
+    END AS p
+  FROM tk t
+  LEFT JOIN uv u ON u.tok = t.tok
+  LEFT JOIN tk tp ON tp.doc_id = t.doc_id AND tp.j = t.j - 1
+  LEFT JOIN uv up ON up.tok = tp.tok
+  LEFT JOIN bv bvv ON bvv.prev = tp.tok AND bvv.tok = t.tok
+),
+w AS (SELECT doc_id, count(*) AS n_tokens, -avg(ln(p)) AS nll
+      FROM scored GROUP BY doc_id)
+SELECT d.doc_id, coalesce(w.n_tokens, 0) AS n_tokens,
+       round(coalesce(w.nll, 0), 4) AS nll
+FROM {table} d LEFT JOIN w ON d.doc_id = w.doc_id
+ORDER BY d.doc_id
+"""

@@ -2199,3 +2199,31 @@ def test_knn_graph_lsh_recall(ray_session):
     # tight clusters: each node's 5 within-cluster peers are its true top-5
     # and share its bucket in every table -> approx == exact here
     assert approx == exact and len(approx) == 18 * 5
+
+
+def test_bigram_logprob(ray_session):
+    """Interpolated bigram LM: sequential structure scores better than under
+    the unigram (the bigram term rewards observed transitions); docs built
+    from unseen transitions fall back toward the unigram; empty docs 0."""
+    import ray.data
+
+    from infidex_ray.ops.lm import bigram_logprob, unigram_logprob
+
+    seq = "a b c d " * 25  # strong transitions a->b->c->d->a
+    rows = [
+        {"doc_id": 0, "text": seq},
+        {"doc_id": 1, "text": "d c b a " * 25},  # same unigrams, reversed transitions
+        {"doc_id": 2, "text": ""},
+    ]
+    ds = ray.data.from_items(rows)
+    train = ray.data.from_items([{"doc_id": 100 + i, "text": seq} for i in range(4)])
+
+    bi = {r["doc_id"]: r["nll"] for r in bigram_logprob(ds, train).take_all()}
+    uni = {r["doc_id"]: r["nll"] for r in unigram_logprob(ds, train).take_all()}
+    # doc 0 follows the trained transitions -> bigram beats unigram
+    assert bi[0] < uni[0]
+    # doc 1 has the same unigram distribution but unseen transitions ->
+    # bigram can only lose (interpolation discounts to 0.25 * p_uni)
+    assert bi[1] > uni[1]
+    assert bi[0] < bi[1]
+    assert bi[2] == 0.0
