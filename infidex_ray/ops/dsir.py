@@ -41,7 +41,7 @@ import pyarrow as pa
 
 from .dedup import _md5_u64, round_half_up4_arr
 
-__all__ = ["dsir_logweights", "hashed_ngram_counts"]
+__all__ = ["dsir_logweights", "dsir_logratio", "hashed_ngram_counts"]
 
 _SPLIT = "[ \t\n\r]+"
 
@@ -131,6 +131,21 @@ def hashed_ngram_counts(ds, text_col: str = "text", n_buckets: int = 4096):
     return counts, int(counts.sum())
 
 
+def dsir_logratio(
+    raw_ds, target_ds, text_col: str = "text", n_buckets: int = 4096
+) -> np.ndarray:
+    """The (n_buckets,) float64 per-bucket log importance ratio
+    ``ln p_target − ln p_raw`` (add-1 smoothed) — the whole DSIR model;
+    broadcast it once and score/filter anywhere (see
+    :func:`dsir_logweights` and ``pipelines.curate_webtext``'s fused
+    filter stage)."""
+    t_counts, t_total = hashed_ngram_counts(target_ds, text_col, n_buckets)
+    r_counts, r_total = hashed_ngram_counts(raw_ds, text_col, n_buckets)
+    return np.log((t_counts + 1) / np.float64(t_total + n_buckets)) - np.log(
+        (r_counts + 1) / np.float64(r_total + n_buckets)
+    )
+
+
 def dsir_logweights(
     raw_ds,
     target_ds,
@@ -144,12 +159,7 @@ def dsir_logweights(
     parity); docs with no features weigh 0.0."""
     import ray
 
-    t_counts, t_total = hashed_ngram_counts(target_ds, text_col, n_buckets)
-    r_counts, r_total = hashed_ngram_counts(raw_ds, text_col, n_buckets)
-    logratio = np.log((t_counts + 1) / np.float64(t_total + n_buckets)) - np.log(
-        (r_counts + 1) / np.float64(r_total + n_buckets)
-    )
-    ref = ray.put(logratio)
+    ref = ray.put(dsir_logratio(raw_ds, target_ds, text_col, n_buckets))
 
     def score(batch: pa.Table) -> pa.Table:
         lr = ray.get(ref)

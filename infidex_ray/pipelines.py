@@ -65,6 +65,9 @@ def curate_webtext(
     decontam_n: int = 8,
     checkpoint_dir: str | None = None,
     checkpoint_partitions: int = 64,
+    dsir_target=None,
+    dsir_min_logweight: float = 0.0,
+    dsir_buckets: int = 4096,
 ):
     """The standard webtext curation recipe (CCNet/Gopher/RefinedWeb shape):
 
@@ -77,7 +80,10 @@ def curate_webtext(
        ``decontam_n``-gram hash set — 8 by default, the GPT-3/PaLM range;
        contaminated ids are dropped with a distributed left_anti join,
        never collected to the driver)
-    6. chunk into ``chunk_words``-word training samples and greedily pack
+    6. optional DSIR importance filter (``dsir_target`` + threshold): the
+       hashed-n-gram log-ratio model broadcasts as one 32 KB vector and the
+       gate is row-local — keeps docs whose logweight ≥ ``dsir_min_logweight``
+    7. chunk into ``chunk_words``-word training samples and greedily pack
        into ``pack_capacity``-token sequences (bucket, bin)
 
     Returns the packed-chunk Dataset. Each stage is individually
@@ -171,6 +177,39 @@ def curate_webtext(
                 _join_partitions(chained=False),
                 on=(id_col,),
             )
+
+    # --- optional DSIR importance filter (Xie et al. 2023) -------------------
+    # hashed-n-gram target-vs-corpus bucket LMs; the whole model is one
+    # 32 KB log-ratio vector broadcast once, and the filter is row-local —
+    # no join, no shuffle, the corpus streams straight into chunking
+    if dsir_target is not None:
+        import numpy as np
+        import ray
+
+        from .ops.dsir import _bucket_features, dsir_logratio
+
+        lr_ref = ray.put(
+            dsir_logratio(docs, dsir_target, text_col, dsir_buckets)
+        )
+
+        def dsir_gate(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return batch
+            lr = ray.get(lr_ref)
+            b, doc_of = _bucket_features(
+                batch[text_col].to_pylist(), dsir_buckets
+            )
+            w = np.zeros(len(batch), dtype=np.float64)
+            if len(b):
+                order = np.argsort(doc_of, kind="stable")
+                b, doc_of = b[order], doc_of[order]
+                nfeat = np.bincount(doc_of, minlength=len(batch))
+                ends = np.cumsum(nfeat)
+                nz = np.flatnonzero(nfeat)
+                w[nz] = np.add.reduceat(lr[b], (ends - nfeat)[nz])
+            return batch.filter(pa.array(w >= dsir_min_logweight))
+
+        docs = docs.map_batches(dsir_gate, batch_format="pyarrow")
 
     # --- chunk + pack --------------------------------------------------------
     chunks = chunk_text(

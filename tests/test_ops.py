@@ -2227,3 +2227,36 @@ def test_bigram_logprob(ray_session):
     assert bi[1] > uni[1]
     assert bi[0] < bi[1]
     assert bi[2] == 0.0
+
+
+def test_curate_webtext_dsir_stage(ray_session):
+    """The opt-in DSIR gate drops low-importance docs before chunking: with
+    a target, output shrinks vs the no-DSIR run but stays non-empty, and the
+    surviving doc set equals a direct dsir_logweights threshold filter over
+    the deduped corpus."""
+    import ray.data
+
+    from infidex_ray.ops.dsir import dsir_logweights
+    from infidex_ray.pipelines import curate_webtext
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    target = docs.filter(lambda r: r["doc_id"] % 5 == 0)
+
+    base = curate_webtext(docs, langs=("en",), min_quality=0.2)
+    base_ids = {r["doc_id"] for r in base.select_columns(["doc_id"]).take_all()}
+
+    out = curate_webtext(
+        docs, langs=("en",), min_quality=0.2,
+        dsir_target=target, dsir_min_logweight=-15.0,
+    )
+    out_ids = {r["doc_id"] for r in out.select_columns(["doc_id"]).take_all()}
+    assert out_ids and out_ids < base_ids  # strictly filtered, non-empty
+
+    # cross-check against the standalone scorer on the same survivors
+    survivors = docs.filter(lambda r: r["doc_id"] in base_ids)
+    w = {
+        r["doc_id"]: r["logweight"]
+        for r in dsir_logweights(survivors, target).take_all()
+    }
+    expect = {d for d in base_ids if w[d] >= -15.0}
+    assert out_ids == expect
