@@ -644,6 +644,40 @@ def _q_stratified_sample(sf_dir: str):
     return _by(out, "doc_id")
 
 
+def _q_temperature_mix(sf_dir: str):
+    """Temperature-rebalanced corpus (alpha=0.5, the mBERT/XLM-R sampler):
+    stratum keep-rate sqrt(n_min/n_lang) — strata-sized count pass + the
+    row-local md5 filter; sqrt/division are IEEE-correctly-rounded so the
+    oracle recomputes the exact ppm threshold per stratum."""
+    from infidex_ray.ops.sampling import temperature_mix
+
+    out = temperature_mix(
+        _read(sf_dir, "documents").select_columns(["doc_id", "lang"]),
+        strata_col="lang",
+        alpha=0.5,
+    )
+    return _by(out, "doc_id")
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Weighted without-replacement top-50 via replicated min-hash draws
+    (integer-exact: no ln/pow, so no cross-engine libm risk). Weight =
+    doc_id % 5 (w=0 rows can never win); per-block partial top-k means only
+    k rows per block reach the final sort."""
+    from infidex_ray.ops.sampling import weighted_sample
+
+    def add_w(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("w", pa.array(ids % 5, pa.int64()))
+
+    ds = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id"])
+        .map_batches(add_w, batch_format="pyarrow")
+    )
+    return _by(weighted_sample(ds, "w", k=50), "rank")
+
+
 def _q_hashed_bow(sf_dir: str):
     """Feature-hashing vectorizer (Weinberger et al. 2009) in long format:
     bucket = md5_number_lower(token) % 64 — no vocabulary, no shuffle; the
@@ -1506,6 +1540,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "url_parse": _q_url_parse,
         "stratified_sample": _q_stratified_sample,
+        "temperature_mix": _q_temperature_mix,
+        "weighted_sample": _q_weighted_sample,
         "hashed_bow": _q_hashed_bow,
         "domain_stats": _q_domain_stats,
         "value_histogram": _q_value_histogram,
@@ -1893,6 +1929,34 @@ def oracle_sql() -> dict[str, str]:
             "% 1000000 < (CASE lang WHEN 'en' THEN 200000 "
             "WHEN 'zh' THEN 600000 ELSE 1000000 END) "
             "ORDER BY doc_id"
+        ),
+        "temperature_mix": (
+            # stratum ppm threshold = floor(sqrt(n_min/n_lang)*1e6); sqrt and
+            # int->double division are IEEE-correctly-rounded, so both engines
+            # compute the identical threshold — the keep decision is exact
+            "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), "
+            "m AS (SELECT min(n) AS n_min FROM c), "
+            "r AS (SELECT lang, CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n) "
+            "* 1000000) AS BIGINT) AS ppm FROM c, m) "
+            "SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
+            "WHERE md5_number_lower('temp:' || CAST(d.doc_id AS VARCHAR)) "
+            "% 1000000 < ppm ORDER BY d.doc_id"
+        ),
+        "weighted_sample": (
+            # replicated-min-hash weighted bottom-k: doc makes w = doc_id%5
+            # draws md5('ws:id:j'), competes with the min; integer-exact
+            "WITH w AS (SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS w "
+            "FROM documents), "
+            "r AS (SELECT doc_id, w, unnest(generate_series(0, "
+            "CAST(w AS INT) - 1)) AS j FROM w WHERE w > 0), "
+            "d AS (SELECT doc_id, min(w) AS w, "
+            "min(md5_number_lower('ws:' || CAST(doc_id AS VARCHAR) || ':' || "
+            "CAST(j AS VARCHAR))) AS draw FROM r GROUP BY doc_id), "
+            "sel AS (SELECT doc_id, w, draw FROM d "
+            "ORDER BY draw, doc_id LIMIT 50) "
+            "SELECT row_number() OVER (ORDER BY draw, doc_id) AS rank, "
+            "doc_id, w, CAST(draw % 1000000000000000 AS BIGINT) AS draw_mod "
+            "FROM sel ORDER BY rank"
         ),
         "heavy_hitters": (
             "WITH t AS (SELECT unnest(regexp_split_to_array(lower(text), "

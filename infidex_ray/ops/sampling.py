@@ -155,6 +155,156 @@ def stratified_sample(
     return ds.map_batches(flt, batch_format="pyarrow")
 
 
+def temperature_mix(
+    ds,
+    strata_col: str,
+    alpha: float = 0.5,
+    key_col: str = "doc_id",
+    salt: str = "temp",
+):
+    """Temperature-based stratum rebalancing (the multilingual-pretraining
+    sampler of mBERT / XLM-R / mT5): resample so stratum mass follows
+    ``p_i^alpha`` instead of the raw ``p_i``, flattening head strata while
+    keeping the tail. ``alpha=1`` is a no-op, ``alpha=0`` is uniform-over-
+    strata; the per-row keep rate reduces to ``(n_min / n_i)**(1 - alpha)``
+    (the largest stratum is downsampled hardest, the smallest kept whole —
+    corpus size N cancels, so only the tiny per-stratum count table is
+    needed).
+
+    Two passes, both scale-safe: a stratum ``groupby().count()`` (rows out =
+    number of strata) whose result is collected driver-side ONLY because it
+    is strata-sized, then the same row-local deterministic md5 filter as
+    :func:`stratified_sample`. ``alpha=0.5`` computes the rate as
+    ``sqrt(n_min / n_i)`` — IEEE-correctly-rounded division + sqrt, so a SQL
+    oracle reproduces the exact ppm threshold bit-for-bit; other alphas go
+    through ``pow`` (documented cross-engine risk of 1-ulp divergence at a
+    ppm boundary, fine for production, avoided in the contract entry).
+    """
+    import math
+
+    counts = ds.groupby(strata_col).count()
+    rows = counts.take_all()  # strata-sized (dozens of rows), not corpus-sized
+    ccol = "count()" if rows and "count()" in rows[0] else "count"
+    n_by = {r[strata_col]: int(r[ccol]) for r in rows}
+    n_min = min(n_by.values()) if n_by else 0
+    rates = {}
+    for s, n in n_by.items():
+        if alpha == 0.5:
+            rates[s] = math.sqrt(n_min / n)
+        else:
+            rates[s] = (n_min / n) ** (1.0 - alpha)
+    ppm = {s: int(math.floor(r * SAMPLE_MOD)) for s, r in rates.items()}
+
+    def flt(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        strata = batch[strata_col].to_pylist()
+        mask = [
+            _md5_u64(f"{salt}:{k}") % SAMPLE_MOD < ppm.get(s, 0)
+            for k, s in zip(keys, strata)
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def weighted_sample(
+    ds,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "ws",
+):
+    """Deterministic weighted top-``k`` sample (integer weights): each row
+    makes ``w`` independent md5 draws ``md5(salt:key:j), j < w`` and
+    competes with its MINIMUM draw; the global ``k`` smallest minima win.
+    P(rank-1 = row i) is exactly ``w_i / Σw`` (the overall minimum lands
+    uniformly on one of the Σw replicas), and subsequent ranks follow the
+    replicated bottom-k scheme — a weighted without-replacement sample that
+    is integer-exact in any engine (no ``ln``/``pow``, so no cross-engine
+    libm divergence; DuckDB replays it with ``generate_series`` +
+    ``md5_number_lower`` + ``min``).
+
+    Scale: the replicated draws never leave their batch (a per-batch
+    ``minimum.reduceat`` collapses them), each block then reduces to its own
+    ``k`` best rows, and only ``k × n_blocks`` tiny rows reach the final
+    sort+limit — no corpus shuffle. Weights must be small non-negative
+    integers (replication factor per row); ``w == 0`` rows never win.
+    """
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        w = np.asarray(batch[weight_col].to_pylist(), dtype=np.int64)
+        w = np.maximum(w, 0)
+        if len(keys) == 0 or int(w.sum()) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], batch[key_col].type),
+                    weight_col: pa.array([], pa.int64()),
+                    "draw": pa.array([], pa.uint64()),
+                }
+            )
+        reps = np.repeat(np.arange(len(keys), dtype=np.int64), w)
+        j = np.arange(len(reps), dtype=np.int64) - np.repeat(
+            np.cumsum(w) - w, w
+        )
+        draws = np.fromiter(
+            (
+                _md5_u64(f"{salt}:{keys[i]}:{jj}")
+                for i, jj in zip(reps, j)
+            ),
+            dtype=np.uint64,
+            count=len(reps),
+        )
+        nz = w > 0
+        offs = (np.cumsum(w) - w)[nz]
+        mins = np.minimum.reduceat(draws, offs)
+        ids = np.arange(len(keys), dtype=np.int64)[nz]
+        # per-block partial top-k: only the k best rows leave this task
+        order = np.argsort(mins, kind="stable")[:k]
+        keep = ids[order]
+        tbl = pa.table(
+            {
+                key_col: pa.array([keys[i] for i in keep], batch[key_col].type),
+                weight_col: pa.array(w[keep].astype(np.int64)),
+                "draw": pa.array(mins[order], pa.uint64()),
+            }
+        )
+        return tbl
+
+    top = (
+        ds.select_columns(list(dict.fromkeys([key_col, weight_col])))
+        .map_batches(partial, batch_format="pyarrow")
+        .sort("draw")
+        .limit(k)
+        .repartition(1)
+    )
+
+    def rank(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = batch["draw"].to_numpy(zero_copy_only=False)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, d))
+        batch = batch.take(pa.array(order))
+        n = len(batch)
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                key_col: batch[key_col],
+                weight_col: batch[weight_col],
+                # emit mod 1e15 so both engines land in signed-64 range
+                "draw_mod": pa.array(
+                    (batch["draw"].to_numpy(zero_copy_only=False) % 10**15).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    return top.map_batches(rank, batch_format="pyarrow")
+
+
 def mix_corpora(sources, key_col: str = "doc_id", salt: str = "mix"):
     """Assemble a deterministic training mixture from several corpora:
     ``sources`` is a list of ``(name, ds, rate)`` — each corpus contributes a

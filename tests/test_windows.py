@@ -249,3 +249,68 @@ def test_hopping_window(ray_session):
 
     with pytest.raises(ValueError):
         hopping_window(ray.data.from_items(rows), width_s=3600.0, stride_s=1000.0)
+
+
+def test_temperature_mix_rates(ray_session):
+    """alpha=0.5 keep-rate is sqrt(n_min/n_stratum); the smallest stratum is
+    kept whole (rate 1.0) and the per-row decision matches the md5
+    reference exactly."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+    from infidex_ray.ops.dedup import _md5_u64
+    from infidex_ray.ops.sampling import SAMPLE_MOD, temperature_mix
+
+    langs = ["en"] * 800 + ["de"] * 150 + ["zh"] * 50
+    n = len(langs)
+    tbl = pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()), "lang": pa.array(langs)}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = temperature_mix(ds, "lang", alpha=0.5).to_pandas()
+    counts = {"en": 800, "de": 150, "zh": 50}
+    ppm = {
+        l: int(math.floor(math.sqrt(50 / c) * SAMPLE_MOD))
+        for l, c in counts.items()
+    }
+    want = {
+        i
+        for i, l in zip(range(n), langs)
+        if _md5_u64(f"temp:{i}") % SAMPLE_MOD < ppm[l]
+    }
+    assert set(got.doc_id) == want
+    # the smallest stratum survives intact (rate exactly 1.0)
+    assert (got.lang == "zh").sum() == 50
+    # alpha=1 keeps everything
+    full = temperature_mix(ds, "lang", alpha=1.0).to_pandas()
+    assert len(full) == n
+
+
+def test_weighted_sample_min_hash(ray_session):
+    """Top-k by min-of-w md5 draws matches a brute-force reference; zero
+    weights never win; partial top-k across blocks loses nothing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from infidex_ray.ops.dedup import _md5_u64
+    from infidex_ray.ops.sampling import weighted_sample
+
+    n = 400
+    w = [(i * 3) % 6 for i in range(n)]  # includes zeros
+    tbl = pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()), "w": pa.array(w, pa.int64())}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    k = 25
+    got = weighted_sample(ds, "w", k=k, salt="ws").to_pandas()
+    mins = {
+        i: min(_md5_u64(f"ws:{i}:{j}") for j in range(wi))
+        for i, wi in zip(range(n), w)
+        if wi > 0
+    }
+    ref = sorted(mins.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+    assert got.doc_id.tolist() == [i for i, _ in ref]
+    assert got["rank"].tolist() == list(range(1, k + 1))
+    assert got.draw_mod.tolist() == [m % 10**15 for _, m in ref]
+    assert set(got.doc_id).isdisjoint({i for i, wi in zip(range(n), w) if wi == 0})
