@@ -776,6 +776,51 @@ def _links_ds(sf_dir: str):
     return extract_links(ds)
 
 
+def _anchors_ds(sf_dir: str):
+    """Planted-anchor fixture (same arithmetic targets as :func:`_links_ds`
+    plus a visible anchor token ``t{(d+j)%7}``): the op re-extracts
+    (doc_id, href, anchor) occurrences out of real markup; the oracle
+    regenerates them arithmetically — any defect in the four-cut extraction
+    chain (tag-boundary guard, quote handling, nested-markup rejection)
+    breaks the hash."""
+    from infidex_ray.ops.html import extract_anchors
+
+    def synth(batch: pa.Table) -> pa.Table:
+        htmls = []
+        for d in batch["doc_id"].to_pylist():
+            anchors = "".join(
+                f'<a href="https://site{((d * 7 + j * 13) % 500) % 37}'
+                f'.example.com/p/{(d * 7 + j * 13) % 500}">t{(d + j) % 7}</a>'
+                for j in range(1, d % 4 + 1)
+            )
+            htmls.append(
+                f"<html><body><p>doc {d}</p>{anchors}</body></html>".encode()
+            )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "html": pa.array(htmls, pa.binary())}
+        )
+
+    ds = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id"])
+        .map_batches(synth, batch_format="pyarrow")
+    )
+    return extract_anchors(ds)
+
+
+def _q_anchor_text(sf_dir: str):
+    return _by(_anchors_ds(sf_dir), "doc_id", "href")
+
+
+def _q_anchor_stats(sf_dir: str):
+    """Per-target-domain anchor rollup (n_links / distinct anchors / modal
+    anchor with lexicographic tie-break) — (domain,anchor) count partials,
+    one domain shuffle, vectorized in-group reduce."""
+    from infidex_ray.ops.html import anchor_stats
+
+    return _by(anchor_stats(_anchors_ds(sf_dir)), "domain")
+
+
 def _q_html_links(sf_dir: str):
     return _by(_links_ds(sf_dir), "doc_id", "href")
 
@@ -1556,6 +1601,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": _q_cms_counts,
         "retention": _q_retention,
         "html_links": _q_html_links,
+        "anchor_text": _q_anchor_text,
+        "anchor_stats": _q_anchor_stats,
         "link_in_degrees": _q_link_in_degrees,
         "tfidf_keywords": _q_tfidf_keywords,
         "pagerank": _q_pagerank,
@@ -2049,6 +2096,34 @@ def oracle_sql() -> dict[str, str]:
             "'.example.com/p/' || CAST((doc_id * 7 + j * 13) % 500 AS VARCHAR) "
             "AS href FROM j) "
             "SELECT doc_id, href FROM links ORDER BY doc_id, href"
+        ),
+        "anchor_text": (
+            # arithmetic regeneration of planted (href, anchor) occurrences;
+            # links are distinct within a doc so (doc_id, href) orders fully
+            "WITH j AS (SELECT doc_id, unnest(generate_series(1, "
+            "CAST(doc_id % 4 AS INT))) AS j FROM documents) "
+            "SELECT doc_id, 'https://site' || "
+            "CAST(((doc_id * 7 + j * 13) % 500) % 37 AS VARCHAR) || "
+            "'.example.com/p/' || CAST((doc_id * 7 + j * 13) % 500 AS VARCHAR) "
+            "AS href, 't' || CAST((doc_id + j) % 7 AS VARCHAR) AS anchor "
+            "FROM j ORDER BY doc_id, href"
+        ),
+        "anchor_stats": (
+            "WITH j AS (SELECT doc_id, unnest(generate_series(1, "
+            "CAST(doc_id % 4 AS INT))) AS j FROM documents), "
+            "links AS (SELECT 'site' || "
+            "CAST(((doc_id * 7 + j * 13) % 500) % 37 AS VARCHAR) || "
+            "'.example.com' AS domain, "
+            "'t' || CAST((doc_id + j) % 7 AS VARCHAR) AS anchor FROM j), "
+            "per AS (SELECT domain, anchor, count(*) AS n FROM links "
+            "GROUP BY domain, anchor), "
+            "ranked AS (SELECT domain, anchor, n, row_number() OVER "
+            "(PARTITION BY domain ORDER BY n DESC, anchor) AS r FROM per), "
+            "agg AS (SELECT domain, sum(n)::BIGINT AS n_links, "
+            "count(*)::BIGINT AS n_unique_anchors FROM per GROUP BY domain) "
+            "SELECT a.domain, a.n_links, a.n_unique_anchors, "
+            "r.anchor AS top_anchor FROM agg a JOIN ranked r "
+            "ON a.domain = r.domain AND r.r = 1 ORDER BY a.domain"
         ),
         "link_in_degrees": (
             "WITH j AS (SELECT doc_id, unnest(generate_series(1, "

@@ -102,17 +102,7 @@ def extract_links(ds, html_col: str = "html", id_col: str = "doc_id"):
                     "href": pa.array([], pa.string()),
                 }
             )
-        if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
-            try:
-                col = col.cast(pa.string())
-            except pa.ArrowInvalid:  # non-utf8 crawl bytes: lossy decode
-                col = pa.array(
-                    [
-                        b.decode("utf-8", errors="replace") if b is not None else None
-                        for b in col.to_pylist()
-                    ],
-                    pa.string(),
-                )
+        col = _decode_html_col(col)
         parts = pc.split_pattern(col, pattern='href="')
         ln = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
         ln = np.nan_to_num(ln.astype(np.float64)).astype(np.int64)  # nulls → 0
@@ -136,6 +126,163 @@ def extract_links(ds, html_col: str = "html", id_col: str = "doc_id"):
 
     return ds.select_columns([id_col, html_col]).map_batches(
         fn, batch_format="pyarrow"
+    )
+
+
+def _decode_html_col(col):
+    """binary → utf-8 string column (lossy decode for non-utf8 crawl bytes)."""
+    if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+        try:
+            col = col.cast(pa.string())
+        except pa.ArrowInvalid:
+            col = pa.array(
+                [
+                    b.decode("utf-8", errors="replace") if b is not None else None
+                    for b in col.to_pylist()
+                ],
+                pa.string(),
+            )
+    return col
+
+
+def extract_anchors(ds, html_col: str = "html", id_col: str = "doc_id"):
+    """``(doc_id, href, anchor)`` triples from an HTML column — one row per
+    link OCCURRENCE (unlike :func:`extract_links`' distinct edge list), with
+    the visible anchor text, matching the regex semantics
+    ``<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a``: href must appear inside the
+    opening tag (no ``>`` before it), and anchors containing nested markup
+    (a ``<`` before ``</a``) are dropped.
+
+    Anchor text is the strongest off-page relevance signal a web corpus has
+    (what OTHER pages call a target); this is the extraction stage feeding
+    :func:`anchor_stats`. Fully vectorized: one ``split_pattern`` explosion
+    per page on ``<a ``, then four ``max_splits=1`` cuts with numpy masks —
+    no Python loop over rows or matches, no shuffle."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "href": pa.array([], pa.string()),
+            "anchor": pa.array([], pa.string()),
+        }
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[html_col]
+        if len(batch) == 0 or pa.types.is_null(col.type):
+            return empty.set_column(
+                0, id_col, pa.array([], batch[id_col].type)
+            )
+        col = _decode_html_col(col)
+        parts = pc.split_pattern(col, pattern="<a ")
+        ln = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        ln = np.nan_to_num(ln.astype(np.float64)).astype(np.int64)
+        flat = pc.list_flatten(parts)
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), ln)
+        first = np.zeros(len(flat), dtype=bool)
+        offs = np.cumsum(ln) - ln
+        first[offs[ln > 0]] = True
+        keep = ~first
+        frag, doc_idx = flat.filter(pa.array(keep)), doc_idx[keep]
+        # NB: pc.list_element(col, 1) raises on ANY length-1 list, so each
+        # cut filters to the surviving rows BEFORE taking element 1.
+        # cut 1: href=" must exist, with no '>' before it (same opening tag)
+        cut = pc.split_pattern(frag, pattern='href="', max_splits=1)
+        has = pc.greater(pc.list_value_length(cut), 1).to_numpy(zero_copy_only=False)
+        intag = pc.equal(
+            pc.count_substring(pc.list_element(cut, 0), ">"), 0
+        ).to_numpy(zero_copy_only=False)
+        ok = has & intag
+        rest = pc.list_element(cut.filter(pa.array(ok)), 1)
+        doc_idx = doc_idx[ok]
+        # cut 2: closing quote of the href value
+        cut = pc.split_pattern(rest, pattern='"', max_splits=1)
+        ok = pc.greater(pc.list_value_length(cut), 1).to_numpy(zero_copy_only=False)
+        cut = cut.filter(pa.array(ok))
+        href, rest = pc.list_element(cut, 0), pc.list_element(cut, 1)
+        doc_idx = doc_idx[ok]
+        # cut 3: end of the opening tag
+        cut = pc.split_pattern(rest, pattern=">", max_splits=1)
+        ok = pc.greater(pc.list_value_length(cut), 1).to_numpy(zero_copy_only=False)
+        href = href.filter(pa.array(ok))
+        body = pc.list_element(cut.filter(pa.array(ok)), 1)
+        doc_idx = doc_idx[ok]
+        # cut 4: anchor text up to </a, rejecting nested markup ([^<]*)
+        cut = pc.split_pattern(body, pattern="</a", max_splits=1)
+        closed = pc.greater(pc.list_value_length(cut), 1).to_numpy(
+            zero_copy_only=False
+        )
+        anchor = pc.list_element(cut, 0)
+        clean = pc.equal(
+            pc.count_substring(anchor, "<"), 0
+        ).to_numpy(zero_copy_only=False)
+        ok = closed & clean
+        mask = pa.array(ok)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_idx[ok]]
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "href": href.filter(mask),
+                "anchor": anchor.filter(mask),
+            }
+        )
+
+    return ds.select_columns([id_col, html_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def anchor_stats(anchors_ds, href_col: str = "href", anchor_col: str = "anchor"):
+    """Per-target-domain anchor-text rollup over an ``(href, anchor)``
+    occurrence stream: ``n_links`` (total inbound link occurrences),
+    ``n_unique_anchors`` (distinct anchor strings), ``top_anchor`` (the most
+    frequent anchor, ties → lexicographically smallest) — the classic
+    anchor-corpus signal table (site-level descriptors for ranking /
+    spam triage).
+
+    Scale shape: domain = host part of the href (vectorized scheme/path
+    cuts), then per-batch ``(domain, anchor)`` count partials (≤ distinct
+    pairs per block leave each task) → one domain-keyed shuffle whose
+    groups are (domain, anchor, partial_n) rows, re-summed and reduced
+    vectorized per group. A hot domain costs rows = its distinct anchors,
+    not its inbound links."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        href = batch[href_col]
+        # host: drop the scheme (RE2 rewrite — total, safe on empty/relative
+        # hrefs) then keep the prefix up to the first '/'
+        tail = pc.replace_substring_regex(
+            href, pattern=r"^[A-Za-z][A-Za-z0-9+.-]*://", replacement=""
+        )
+        host = pc.list_element(pc.split_pattern(tail, pattern="/", max_splits=1), 0)
+        pairs = pa.table({"domain": host, anchor_col: batch[anchor_col]})
+        return pairs.group_by(["domain", anchor_col]).aggregate(
+            [("domain", "count")]
+        ).rename_columns(["domain", anchor_col, "n"])
+
+    def final(group: pa.Table) -> pa.Table:
+        summed = group.group_by(["domain", anchor_col]).aggregate([("n", "sum")])
+        n = summed["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        anchors = summed[anchor_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((anchors, -n))
+        top = order[0]
+        return pa.table(
+            {
+                "domain": summed["domain"].take(pa.array([0])),
+                "n_links": pa.array([int(n.sum())], pa.int64()),
+                "n_unique_anchors": pa.array([len(summed)], pa.int64()),
+                "top_anchor": pa.array([str(anchors[top])], pa.string()),
+            }
+        )
+
+    return (
+        anchors_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("domain")
+        .map_groups(final, batch_format="pyarrow")
     )
 
 

@@ -2260,3 +2260,48 @@ def test_curate_webtext_dsir_stage(ray_session):
     }
     expect = {d for d in base_ids if w[d] >= -15.0}
     assert out_ids == expect
+
+
+def test_extract_anchors_regex_equivalence(ray_session):
+    """The four-cut vectorized extraction matches the reference regex
+    <a [^>]*href="([^"]*)"[^>]*>([^<]*)</a on adversarial markup: href in a
+    LATER tag, nested markup in the anchor, unclosed tags, empty values."""
+    import re
+
+    import pyarrow as pa
+    import ray.data
+    from infidex_ray.ops.html import anchor_stats, extract_anchors
+
+    pages = [
+        '<a href="http://a.com/x">plain</a>',
+        '<a class="z" href="http://b.com/">with attrs</a> tail',
+        "<a >no href</a><a href=\"http://c.com\">second</a>",
+        '<a href="http://d.com">nested <b>bold</b></a>',  # rejected: [^<]*
+        '<a href="http://e.com">unclosed anchor',  # rejected: no </a
+        '<a href="http://f.com">empty next</a><a href="">empty href</a>',
+        '<a id="k">later tag has href</a><a rel="x" href="http://g.com/p">ok</a>',
+        '<p>no anchors at all</p>',
+        '<a href="http://h.com/1">one</a><a href="http://h.com/2">two</a>',
+    ]
+    rx = re.compile(r'<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a')
+    want = []
+    for i, p in enumerate(pages):
+        for m in rx.finditer(p):
+            want.append((i, m.group(1), m.group(2)))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(pages)), pa.int64()),
+                "html": pa.array([p.encode() for p in pages], pa.binary()),
+            }
+        )
+    ).repartition(3)
+    got = extract_anchors(ds).to_pandas()
+    got_t = sorted(map(tuple, got[["doc_id", "href", "anchor"]].values.tolist()))
+    assert got_t == sorted(want)
+
+    stats = anchor_stats(extract_anchors(ds)).to_pandas()
+    by_dom = {r.domain: r for r in stats.itertuples()}
+    assert by_dom["h.com"].n_links == 2
+    assert by_dom["h.com"].n_unique_anchors == 2
+    assert by_dom["h.com"].top_anchor == "one"  # tie -> lexicographic
