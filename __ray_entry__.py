@@ -1242,6 +1242,20 @@ def _q_kmeans(sf_dir: str):
     return _by(labeled, "vec_id")
 
 
+def _q_embedding_outliers(sf_dir: str):
+    """Per-cluster farthest-5 embedding outliers (curation probe for
+    off-distribution vectors): kmeans labeling + per-block partial top-k —
+    both stages stream; ranking uses the rounded dist2 on BOTH sides so
+    the cut line cannot diverge on float ordering."""
+    from infidex_ray.ops.clustering import embedding_outliers
+
+    return _by(
+        embedding_outliers(_read(sf_dir, "embeddings"), k=4, iters=3, top_n=5),
+        "cluster",
+        "rank",
+    )
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup composition: k-means bucket the embedding space, mine
     near-dup pairs within clusters only, connected-components + anti-join
@@ -1617,6 +1631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_url": _q_canonical_url,
         "duplicate_spans": _q_duplicate_spans,
         "kmeans_embeddings": _q_kmeans,
+        "embedding_outliers": _q_embedding_outliers,
         "semantic_dedup": _q_semantic_dedup,
         "script_profile": _q_script_profile,
         "split_sentences": _q_split_sentences,
@@ -2205,6 +2220,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id"
         ),
         "kmeans_embeddings": sqlgen.kmeans_sql(4, 3),
+        "embedding_outliers": sqlgen.embedding_outliers_sql(4, 3, 5),
         "semantic_dedup": sqlgen.semantic_dedup_sql(4, 2, 0.4),
         "dedup_against_minhash": sqlgen.dedup_against_minhash_sql(
             "documents", 0.5, 10

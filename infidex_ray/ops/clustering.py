@@ -30,7 +30,7 @@ import pyarrow as pa
 from .dedup import round_half_up4_arr
 from .similarity import _to_matrix
 
-__all__ = ["kmeans", "semantic_dedup"]
+__all__ = ["kmeans", "semantic_dedup", "embedding_outliers"]
 
 
 def _sq_dists(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
@@ -125,6 +125,33 @@ def kmeans(
         )
 
     return centroids, ds.map_batches(label, batch_format="pyarrow")
+
+
+def embedding_outliers(
+    ds,
+    k: int = 8,
+    iters: int = 3,
+    top_n: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Per-cluster embedding outliers: the ``top_n`` vectors FARTHEST from
+    their assigned k-means centroid (squared euclidean, rank ties → lowest
+    id) — the standard curation probe for mislabeled / off-distribution /
+    garbage embeddings (prune the tail of each semantic bucket before
+    training). Returns ``(cluster, dist2, id, rank)`` rows.
+
+    Pure composition of two already-scale-safe stages: :func:`kmeans`
+    (streaming Lloyd's, ≤k partial rows per block per iteration) and
+    ``ops.sampling.top_k_per_group`` (per-block partial top-k, so the
+    cluster-keyed shuffle carries at most ``top_n`` rows per cluster per
+    block). Ranking uses the 4-decimal-rounded distance the label pass
+    emits, which is also what the unrolled-CTE oracle ranks on — no
+    float-ordering divergence at the cut line."""
+    from .sampling import top_k_per_group
+
+    _, labeled = kmeans(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    return top_k_per_group(labeled, "cluster", "dist2", id_col, top_n)
 
 
 # --- SemDeDup-style semantic dedup --------------------------------------------

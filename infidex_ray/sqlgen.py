@@ -596,6 +596,29 @@ def kmeans_sql(k: int, iters: int, table: str = "embeddings") -> str:
     )
 
 
+def embedding_outliers_sql(
+    k: int, iters: int, top_n: int, table: str = "embeddings"
+) -> str:
+    """Per-cluster farthest-``top_n`` outliers over the unrolled k-means
+    assignment (ops/clustering.embedding_outliers): rank on the 4-rounded
+    dist2 (DESC, id ASC tie-break) — the same value the engine ranks on."""
+    ctes, dfin = _kmeans_assign_ctes(k, iters, table)
+    ctes.append(
+        "assign AS (SELECT vec_id, cluster, round(d2, 4) AS dist2 FROM "
+        "(SELECT vec_id, cluster, d2, row_number() OVER "
+        f"(PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM {dfin}) "
+        "WHERE rn = 1)"
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + " SELECT cluster, dist2, vec_id, rank FROM "
+        + "(SELECT cluster, dist2, vec_id, row_number() OVER "
+        + "(PARTITION BY cluster ORDER BY dist2 DESC, vec_id) AS rank "
+        + f"FROM assign) WHERE rank <= {top_n} ORDER BY cluster, rank"
+    )
+
+
 def semantic_dedup_sql(
     k: int, iters: int, threshold: float, table: str = "embeddings"
 ) -> str:

@@ -1621,6 +1621,51 @@ def test_kmeans_empty_cluster_and_small_corpus(ray_session):
         kmeans(ds, k=9, iters=1)
 
 
+def test_embedding_outliers_brute_force(ray_session):
+    """Per-cluster farthest-n matches a single-process reference: run the
+    same Lloyd contract, then for every cluster take the top_n largest
+    ROUNDED dist2 (ties → lowest id), rank 1-based."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.clustering import embedding_outliers
+
+    rng = np.random.RandomState(11)
+    n, dim, k, iters, top_n = 80, 4, 3, 3, 4
+    vecs = np.round(rng.randn(n, dim), 3)
+    ids = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array([v.tolist() for v in vecs]),
+            }
+        )
+    ).repartition(5)
+    out = embedding_outliers(ds, k=k, iters=iters, top_n=top_n).take_all()
+    got = sorted((r["cluster"], r["rank"], r["vec_id"], r["dist2"]) for r in out)
+
+    ref = vecs[:k].astype(np.float64).copy()
+    for _ in range(iters):
+        d2 = ((vecs[:, None, :] - ref[None]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for j in range(k):
+            if (a == j).any():
+                ref[j] = vecs[a == j].mean(axis=0)
+    d2 = ((vecs[:, None, :] - ref[None]) ** 2).sum(axis=2)
+    a = np.argmin(d2, axis=1)
+    raw = d2[np.arange(n), a]
+    best = np.copysign(np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4, raw)
+    expect = []
+    for c in range(k):
+        members = [(float(best[i]), int(i)) for i in ids if a[i] == c]
+        members.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (dd, i) in enumerate(members[:top_n], 1):
+            expect.append((c, rank, i, dd))
+    assert got == sorted(expect)
+
+
 def test_script_profile_counts(ray_session):
     """Known mixed-script strings: exact class counts, codepoint length,
     rounded latin fraction, null text."""
