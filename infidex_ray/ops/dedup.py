@@ -642,30 +642,23 @@ def _word_hashes(ws: list[str], cache: dict[str, int]) -> np.ndarray:
     return out
 
 
-def _batch_minhash_sketches(
-    texts: list,
-    n: int,
-    a: np.ndarray,
-    b: np.ndarray,
-    chunk_elems: int = 1 << 16,
-) -> tuple[list, list]:
-    """Whole-batch minhash sketches, byte-identical to the per-doc
-    ``minhash_signature(_shingle_hashes(_word_hashes(...)))`` path but with
-    every per-doc Python step hoisted to one batch-level kernel: Arrow RE2
-    split (`_split_words_flat`), blake2b over the token DICTIONARY only,
-    one flat rolling polynomial for all window shingles, one lexsort for
-    per-doc distinct, and one ``(x·a+b) mod p`` matrix + ``minimum.reduceat``
-    for the signatures. Returns (sig bytes, sorted-distinct shingle bytes)
-    per doc. The per-row loop was the hottest stage of minhash_lsh_pairs
-    (VERDICT r3 item: minhash_dedup 13.1 s vs 4.4 s in r2)."""
+def _batch_doc_shingles(texts: list, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT word-``n``-gram shingle hashes for a whole batch,
+    flat: returns ``(doc_idx, hashes)`` sorted by (doc, hash), distinct
+    within each doc — every per-doc Python step hoisted to one batch-level
+    kernel: Arrow RE2 split (`_split_words_flat`), blake2b over the token
+    DICTIONARY only, one flat rolling polynomial for all window shingles,
+    one lexsort for per-doc distinct. Byte-identical to the per-doc
+    ``_shingle_hashes(_word_hashes(...))`` path (parity-tested via
+    `_batch_minhash_sketches`); short-doc contract as in
+    :func:`word_shingles`."""
     from ..analyzer import _split_words_flat
     from ..config import DEFAULT_DELIMITERS
 
     n_docs = len(texts)
-    num_perm = len(a)
-    u64max = np.iinfo(np.uint64).max
     if n_docs == 0:
-        return [], []
+        e64 = np.empty(0, dtype=np.uint64)
+        return np.empty(0, dtype=np.int64), e64
     lower = [normalize(t or "").lower() for t in texts]
     flat, doc_of, wl = _split_words_flat(lower, DEFAULT_DELIMITERS)
     nz = wl > 0
@@ -716,9 +709,30 @@ def _batch_minhash_sketches(
         keep = np.empty(len(d2), dtype=bool)
         keep[0] = True
         keep[1:] = (d2[1:] != d2[:-1]) | (h2[1:] != h2[:-1])
-        d3, h3 = d2[keep], h2[keep]
-    else:
-        d3, h3 = d2, h2
+        return d2[keep], h2[keep]
+    return d2, h2
+
+
+def _batch_minhash_sketches(
+    texts: list,
+    n: int,
+    a: np.ndarray,
+    b: np.ndarray,
+    chunk_elems: int = 1 << 16,
+) -> tuple[list, list]:
+    """Whole-batch minhash sketches, byte-identical to the per-doc
+    ``minhash_signature(_shingle_hashes(_word_hashes(...)))`` path:
+    :func:`_batch_doc_shingles` for the flat distinct shingles, then one
+    ``(x·a+b) mod p`` matrix + ``minimum.reduceat`` for the signatures.
+    Returns (sig bytes, sorted-distinct shingle bytes) per doc. The per-row
+    loop was the hottest stage of minhash_lsh_pairs (VERDICT r3 item:
+    minhash_dedup 13.1 s vs 4.4 s in r2)."""
+    n_docs = len(texts)
+    num_perm = len(a)
+    u64max = np.iinfo(np.uint64).max
+    if n_docs == 0:
+        return [], []
+    d3, h3 = _batch_doc_shingles(texts, n)
     sig = np.full((n_docs, num_perm), u64max, dtype=np.uint64)
     c3 = np.bincount(d3, minlength=n_docs)
     if len(h3):
