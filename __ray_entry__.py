@@ -1540,6 +1540,43 @@ def _q_event_order(sf_dir: str):
     return _by(event_order(_read(sf_dir, "events")), "user_id", "rank")
 
 
+def _q_readability(sf_dir: str):
+    """Flesch reading-ease / FK grade over text with periods planted by the
+    SAME RE2 GlobalReplace as split_sentences — word/sentence/vowel-group
+    counts are Arrow RE2 count kernels, engine-identical to the oracle's
+    regexp_extract_all lengths."""
+    import pyarrow.compute as pc
+
+    from infidex_ray.ops.textstats import readability
+
+    def plant(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(pc.cast(b["text"], pa.string()), "")
+        aug = pc.replace_substring_regex(
+            texts, pattern=r"((\S+ ){6}\S+) ", replacement=r"\1. "
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": aug})
+
+    ds = _read(sf_dir, "documents").map_batches(plant, batch_format="pyarrow")
+    return _by(readability(ds), "doc_id")
+
+
+def _q_keep_latest(sf_dir: str):
+    """Per-user latest-event snapshot (CDC compaction): per-block partial
+    latest + coarse key-slice groupby; ties broken by event_id."""
+    from infidex_ray.ops.windows import keep_latest
+
+    return _by(keep_latest(_read(sf_dir, "events")), "user_id")
+
+
+def _q_corpus_overlap(sf_dir: str):
+    """Inter-source word-3-gram shingle overlap matrix (train/test-overlap
+    audit): per-batch distinct (source, shingle) reduction, hash-slice
+    groupby, O(sources²) counter rows to the driver."""
+    from infidex_ray.ops.dedup import corpus_overlap
+
+    return corpus_overlap(_read(sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -1637,6 +1674,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_sentences": _q_split_sentences,
         "dedup_against_minhash": _q_dedup_against_minhash,
         "quantize_embeddings": _q_quantize_embeddings,
+        "readability": _q_readability,
+        "keep_latest": _q_keep_latest,
+        "corpus_overlap": _q_corpus_overlap,
     }
 
 
@@ -2502,6 +2542,50 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e JOIN part p ON p.p_partkey < 200 "
             "AND e.value BETWEEN p.p_partkey * 2.0 AND p.p_partkey * 2.0 + 3.0 "
             "ORDER BY e.event_id, p.p_partkey"
+        ),
+        "readability": (
+            # same planted periods as split_sentences; RE2 counts both sides;
+            # all literals pinned ::DOUBLE (DuckDB decimal literals otherwise
+            # change the arithmetic — the pagerank lesson)
+            "WITH aug AS (SELECT doc_id, regexp_replace(coalesce(text,''), "
+            "'((\\S+ ){6}\\S+) ', '\\1. ', 'g') AS t FROM documents), "
+            "c AS (SELECT doc_id, "
+            "len(regexp_extract_all(t, '\\S+'))::BIGINT AS w, "
+            "len(regexp_extract_all(t, '[.!?]+'))::BIGINT AS s, "
+            "len(regexp_extract_all(t, '[aeiouyAEIOUY]+'))::BIGINT AS y "
+            "FROM aug) "
+            "SELECT doc_id, w AS n_words, greatest(s, 1) AS n_sentences, "
+            "y AS n_syllables, "
+            "round(206.835::DOUBLE - 1.015::DOUBLE * (w / CAST(greatest(s, 1) AS DOUBLE)) "
+            "- 84.6::DOUBLE * (y / CAST(w AS DOUBLE)), 4) AS flesch_ease, "
+            "round(0.39::DOUBLE * (w / CAST(greatest(s, 1) AS DOUBLE)) "
+            "+ 11.8::DOUBLE * (y / CAST(w AS DOUBLE)) - 15.59::DOUBLE, 4) AS fk_grade "
+            "FROM c WHERE w > 0 ORDER BY doc_id"
+        ),
+        "keep_latest": (
+            "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, "
+            "value, props FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) = 1 ORDER BY user_id"
+        ),
+        "corpus_overlap": (
+            # distinct word-3-gram shingles per SOURCE (same shingle CTE as
+            # the minhash oracle), full pair matrix incl. zero overlaps
+            f"WITH {sqlgen.word_shingles_cte('documents')}, "
+            "gsh AS (SELECT DISTINCT d.source AS g, w.s AS s "
+            "FROM wsh w JOIN documents d ON d.doc_id = w.doc_id), "
+            "sizes AS (SELECT g, count(*) AS sz FROM gsh GROUP BY g), "
+            "inter AS (SELECT a.g AS ga, b.g AS gb, count(*) AS i "
+            "FROM gsh a JOIN gsh b ON a.s = b.s AND a.g < b.g "
+            "GROUP BY a.g, b.g), "
+            "pairs AS (SELECT a.g AS ga, a.sz AS sza, b.g AS gb, b.sz AS szb "
+            "FROM sizes a JOIN sizes b ON a.g < b.g) "
+            "SELECT p.ga AS source_a, p.gb AS source_b, p.sza AS size_a, "
+            "p.szb AS size_b, coalesce(i.i, 0) AS intersection, "
+            "round(coalesce(i.i, 0)::DOUBLE / (p.sza + p.szb - coalesce(i.i, 0)), 4) AS jaccard, "
+            "round(coalesce(i.i, 0)::DOUBLE / least(p.sza, p.szb), 4) AS containment "
+            "FROM pairs p LEFT JOIN inter i ON i.ga = p.ga AND i.gb = p.gb "
+            "ORDER BY source_a, source_b"
         ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (fake codec) are non-SQL-expressible

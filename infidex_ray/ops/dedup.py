@@ -2093,3 +2093,156 @@ def dedup_against_bloom(
         return batch.filter(pa.array(~drop))
 
     return corpus_ds.map_batches(keep_fn, batch_format="pyarrow")
+
+
+def corpus_overlap(
+    ds,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+    num_slices: int | None = None,
+):
+    """Inter-corpus shingle-overlap matrix: for every unordered pair of
+    ``group_col`` values (crawl source / snapshot / train-vs-benchmark
+    split), the Jaccard and containment of their DISTINCT word-``n``-gram
+    shingle sets — the train/test-overlap measurement of the C4/Pile-style
+    corpus audits. Returns one row per pair (including zero-overlap pairs):
+    ``(source_a, source_b, size_a, size_b, intersection, jaccard,
+    containment)``.
+
+    Scale design: each block reduces to its distinct (group, shingle-hash)
+    pairs via the same vectorized kernel as the minhash sketch stage
+    (:func:`_batch_doc_shingles` — Arrow RE2 split, dictionary blake2b, flat
+    rolling hash); the hash space is then partitioned into ``num_slices``
+    coarse slices (a pure function of the hash — the duplicate_spans
+    slice-groupby, never a per-shingle groupby), and each slice computes its
+    per-group distinct counts plus pairwise intersection counts fully
+    vectorized (run-boundary detection + bincount over pair codes). Only
+    O(groups²) counter rows per slice reach the driver; the text never moves
+    past stage one. Short-doc shingle contract as in :func:`word_shingles`.
+    """
+    import pandas as pd
+    import ray
+
+    if num_slices is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_slices = max(64, cpus * 8)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        groups = batch[group_col].to_pylist()
+        d, h = _batch_doc_shingles(texts, n)
+        if len(h) == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "h": pa.array([], pa.uint64()),
+                    "slice": pa.array([], pa.int32()),
+                }
+            )
+        uniq = sorted({g or "" for g in groups})
+        gmap = {g: i for i, g in enumerate(uniq)}
+        gi = np.asarray([gmap[g or ""] for g in groups], dtype=np.int64)[d]
+        order = np.lexsort((h, gi))
+        gi, hh = gi[order], h[order]
+        keep = np.empty(len(gi), dtype=bool)
+        keep[0] = True
+        keep[1:] = (gi[1:] != gi[:-1]) | (hh[1:] != hh[:-1])
+        gi, hh = gi[keep], hh[keep]
+        gvals = pa.array(uniq, pa.string()).take(pa.array(gi))
+        sl = ((hh * _MIX2) % np.uint64(num_slices)).astype(np.int32)
+        return pa.table({"g": gvals, "h": pa.array(hh, pa.uint64()), "slice": pa.array(sl)})
+
+    def slice_counts(tbl: pa.Table) -> pa.Table:
+        gd = tbl["g"].combine_chunks().dictionary_encode()
+        names = gd.dictionary.to_pylist()
+        gi = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        hh = tbl["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        ng = len(names)
+        # distinct (group, hash) across the slice's input blocks
+        order = np.lexsort((gi, hh))
+        gi, hh = gi[order], hh[order]
+        keep = np.empty(len(gi), dtype=bool)
+        if len(gi):
+            keep[0] = True
+            keep[1:] = (gi[1:] != gi[:-1]) | (hh[1:] != hh[:-1])
+            gi, hh = gi[keep], hh[keep]
+        sizes = np.bincount(gi, minlength=ng)
+        out_a, out_b, out_n = [], [], []
+        for i, nm in enumerate(names):
+            if sizes[i]:
+                out_a.append(nm)
+                out_b.append("")
+                out_n.append(int(sizes[i]))
+        # runs of equal hash: members are distinct groups, gi ascending in-run
+        if len(hh):
+            starts = np.flatnonzero(np.r_[True, hh[1:] != hh[:-1]])
+            lens = np.diff(np.r_[starts, len(hh)])
+            pair_codes = []
+            for c in range(2, int(lens.max()) + 1 if len(lens) else 1):
+                rows = starts[lens == c]
+                if not len(rows):
+                    continue
+                ia, ib = np.triu_indices(c, k=1)
+                ga = gi[rows[:, None] + ia[None, :]]
+                gb = gi[rows[:, None] + ib[None, :]]
+                pair_codes.append((ga * ng + gb).ravel())
+            if pair_codes:
+                codes = np.concatenate(pair_codes)
+                cnt = np.bincount(codes, minlength=ng * ng)
+                nz = np.flatnonzero(cnt)
+                for code in nz:
+                    out_a.append(names[code // ng])
+                    out_b.append(names[code % ng])
+                    out_n.append(int(cnt[code]))
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.string()),
+                "b": pa.array(out_b, pa.string()),
+                "cnt": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(slice_counts, batch_format="pyarrow")
+    )
+    # O(groups²) rows per slice — a tiny driver-side aggregate by design.
+    agg: dict[tuple[str, str], int] = {}
+    for row in parts.iter_rows():
+        k = (row["a"], row["b"])
+        agg[k] = agg.get(k, 0) + int(row["cnt"])
+    sizes = {a: v for (a, b), v in agg.items() if b == ""}
+    srcs = sorted(sizes)
+    rows = []
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            inter = agg.get((sa, sb), 0) + agg.get((sb, sa), 0)
+            za, zb = sizes[sa], sizes[sb]
+            rows.append(
+                {
+                    "source_a": sa,
+                    "source_b": sb,
+                    "size_a": za,
+                    "size_b": zb,
+                    "intersection": inter,
+                    "jaccard": round_half_up4(inter / (za + zb - inter)) if za + zb - inter else 0.0,
+                    "containment": round_half_up4(inter / min(za, zb)) if min(za, zb) else 0.0,
+                }
+            )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "source_a",
+            "source_b",
+            "size_a",
+            "size_b",
+            "intersection",
+            "jaccard",
+            "containment",
+        ],
+    )

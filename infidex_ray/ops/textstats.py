@@ -708,3 +708,64 @@ def script_profile(ds, id_col: str = "doc_id", text_col: str = "text"):
         lambda b: script_profile_batch(b, id_col, text_col),
         batch_format="pyarrow",
     )
+
+
+# --- readability --------------------------------------------------------------
+
+# RE2 patterns shared verbatim with the DuckDB oracle (regexp_extract_all):
+# words are ASCII-whitespace-delimited runs (RE2 \S is ASCII-complement —
+# the ops/asciiws.py parity rule), sentences are [.!?]+ runs, "syllables"
+# are vowel-group runs (the classic cheap FK syllable heuristic; vowel
+# groups never span whitespace, so counting over the whole text equals the
+# per-word sum).
+_READ_WORD_PAT = r"\S+"
+_READ_SENT_PAT = r"[.!?]+"
+_READ_SYL_PAT = "[aeiouyAEIOUY]+"
+
+
+def readability_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Per-doc Flesch reading-ease + Flesch–Kincaid grade via vectorized
+    Arrow RE2 count kernels (engine-identical to the DuckDB oracle's
+    regexp_extract_all counts). Sentence count is floored at 1 so unpunctuated
+    docs still score; docs with zero words are dropped (no formula applies).
+    Quality-scoring gate in the Gopher/C4 family — a readability band is a
+    cheap proxy for prose vs boilerplate/code."""
+    import pyarrow.compute as pc
+
+    texts = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+    w = pc.cast(pc.count_substring_regex(texts, _READ_WORD_PAT), pa.int64())
+    s = pc.cast(pc.count_substring_regex(texts, _READ_SENT_PAT), pa.int64())
+    y = pc.cast(pc.count_substring_regex(texts, _READ_SYL_PAT), pa.int64())
+    wn = w.to_numpy(zero_copy_only=False).astype(np.float64)
+    sn = np.maximum(s.to_numpy(zero_copy_only=False), 1).astype(np.float64)
+    yn = y.to_numpy(zero_copy_only=False).astype(np.float64)
+    keep = wn > 0
+    wn, sn, yn = wn[keep], sn[keep], yn[keep]
+    from .dedup import round_half_up4_arr
+
+    wps = wn / sn
+    spw = yn / wn
+    ease = 206.835 - 1.015 * wps - 84.6 * spw
+    grade = 0.39 * wps + 11.8 * spw - 15.59
+    mask = pa.array(keep)
+    return pa.table(
+        {
+            "doc_id": batch[id_col].cast(pa.int64()).filter(mask),
+            "n_words": w.filter(mask),
+            "n_sentences": pa.array(sn.astype(np.int64)),
+            "n_syllables": y.filter(mask),
+            "flesch_ease": pa.array(round_half_up4_arr(ease)),
+            "fk_grade": pa.array(round_half_up4_arr(grade)),
+        }
+    )
+
+
+def readability(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Streaming per-doc readability: ``(doc_id, n_words, n_sentences,
+    n_syllables, flesch_ease, fk_grade)``."""
+    return ds.map_batches(
+        lambda b: readability_batch(b, id_col, text_col),
+        batch_format="pyarrow",
+    )

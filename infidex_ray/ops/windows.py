@@ -466,3 +466,66 @@ def retention(
         .sum("n")
         .map_batches(rename, batch_format="pyarrow")
     )
+
+
+def keep_latest(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_slices: int | None = None,
+):
+    """Per-key latest-snapshot dedup: keep, for every ``key_col`` value, the
+    single row with the greatest ``ts_col`` (ties broken by greatest
+    ``id_col``) — the CDC/snapshot-compaction primitive ("current state per
+    user/entity" over an append-only event log).
+
+    Scale design: every input block first reduces to its own per-key latest
+    row (vectorized lexsort + run-boundary take, no Python row loop), so the
+    shuffle carries at most one row per key per block. The reduced rows are
+    then hash-partitioned by a coarse SLICE of the key (``num_slices``
+    groups — NEVER a per-key groupby, which pays per group in Ray 2.49; see
+    duplicate_spans) and each slice repeats the same vectorized reduction.
+    ``ts_col`` is normalized to epoch-us int64 (``ts_us``) at the edge, like
+    every windows op."""
+    import ray
+
+    if num_slices is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_slices = max(16, cpus * 4)
+    mix = np.uint64(0xBF58476D1CE4E5B9)
+
+    def _latest(tbl: pa.Table) -> pa.Table:
+        keys = tbl[key_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        ts = _ts_us(tbl["ts_us"] if "ts_us" in tbl.column_names else tbl[ts_col])
+        ids = tbl[id_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return tbl
+        order = np.lexsort((ids, ts, keys))
+        k = keys[order]
+        last = np.r_[k[1:] != k[:-1], True]
+        return tbl.take(pa.array(order[last]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if "ts_us" not in batch.column_names:
+            batch = batch.set_column(
+                batch.column_names.index(ts_col),
+                "ts_us",
+                pa.array(_ts_us(batch[ts_col]), pa.int64()),
+            )
+        red = _latest(batch)
+        keys = red[key_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        sl = ((keys.astype(np.int64).view(np.uint64) * mix) % np.uint64(num_slices)).astype(np.int32)
+        return red.append_column("slice", pa.array(sl))
+
+    def final(group: pa.Table) -> pa.Table:
+        return _latest(group).drop_columns(["slice"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(final, batch_format="pyarrow")
+    )

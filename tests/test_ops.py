@@ -2350,3 +2350,59 @@ def test_extract_anchors_regex_equivalence(ray_session):
     assert by_dom["h.com"].n_links == 2
     assert by_dom["h.com"].n_unique_anchors == 2
     assert by_dom["h.com"].top_anchor == "one"  # tie -> lexicographic
+
+
+def test_readability_formula(ray_session):
+    """FK ease/grade against hand-computed counts; sentence floor at 1;
+    zero-word docs dropped; ASCII-whitespace word boundary (NBSP glues)."""
+    import ray.data
+
+    from infidex_ray.ops.dedup import round_half_up4
+    from infidex_ray.ops.textstats import readability
+
+    rows = [
+        {"doc_id": 0, "text": "The cat sat. The dog ran! Did it rain?"},
+        {"doc_id": 1, "text": "no terminal punctuation here"},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": None},
+        {"doc_id": 4, "text": "a\xa0b c"},  # NBSP: 2 words, not 3
+    ]
+    out = {r["doc_id"]: r for r in readability(ray.data.from_items(rows)).take_all()}
+    assert set(out) == {0, 1, 4}
+    r0 = out[0]
+    assert (r0["n_words"], r0["n_sentences"], r0["n_syllables"]) == (9, 3, 9)
+    w, s, y = 9.0, 3.0, 9.0
+    assert r0["flesch_ease"] == round_half_up4(206.835 - 1.015 * (w / s) - 84.6 * (y / w))
+    assert r0["fk_grade"] == round_half_up4(0.39 * (w / s) + 11.8 * (y / w) - 15.59)
+    assert out[1]["n_sentences"] == 1 and out[1]["n_words"] == 4
+    assert out[4]["n_words"] == 2
+
+
+def test_corpus_overlap_matrix(ray_session):
+    """Known shingle sets: exact sizes/intersections/jaccard, zero-overlap
+    pairs present, distinctness across duplicate docs within a source."""
+    import ray.data
+
+    from infidex_ray.ops.dedup import corpus_overlap, word_shingles
+
+    docs = {
+        "A": ["one two three four", "one two three four"],  # dup within source
+        "B": ["one two three four five"],
+        "C": ["totally different words here"],
+    }
+    rows, i = [], 0
+    for src, texts in docs.items():
+        for t in texts:
+            rows.append({"doc_id": i, "source": src, "text": t})
+            i += 1
+    got = corpus_overlap(ray.data.from_items(rows).repartition(3))
+    sets = {s: set().union(*(word_shingles(t) for t in ts)) for s, ts in docs.items()}
+    assert len(got) == 3
+    for _, r in got.iterrows():
+        sa, sb = sets[r.source_a], sets[r.source_b]
+        assert r.size_a == len(sa) and r.size_b == len(sb)
+        assert r.intersection == len(sa & sb)
+        exp_j = round(len(sa & sb) / len(sa | sb), 4)
+        assert abs(r.jaccard - exp_j) < 1e-9
+    ac = got[(got.source_a == "A") & (got.source_b == "C")].iloc[0]
+    assert ac.intersection == 0 and ac.jaccard == 0.0

@@ -314,3 +314,45 @@ def test_weighted_sample_min_hash(ray_session):
     assert got["rank"].tolist() == list(range(1, k + 1))
     assert got.draw_mod.tolist() == [m % 10**15 for _, m in ref]
     assert set(got.doc_id).isdisjoint({i for i, wi in zip(range(n), w) if wi == 0})
+
+
+def test_keep_latest_per_key(ray_session):
+    """Latest row per key by (ts, event_id) desc, across blocks; output
+    carries every original column with ts normalized to epoch-us int64."""
+    import datetime as dt
+
+    import ray.data
+
+    from infidex_ray.ops.windows import keep_latest
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for eid in range(200):
+        rows.append(
+            {
+                "event_id": eid,
+                "ts": base + dt.timedelta(minutes=(eid * 37) % 97),
+                "user_id": eid % 13,
+                "event_type": f"t{eid % 3}",
+                "value": float(eid),
+            }
+        )
+    # exact tie on ts for user 5: higher event_id must win
+    rows.append(
+        {"event_id": 999, "ts": rows[5]["ts"], "user_id": 5,
+         "event_type": "tie", "value": -1.0}
+    )
+    ds = ray.data.from_items(rows).repartition(7)
+    got = {r["user_id"]: r for r in keep_latest(ds).take_all()}
+    assert len(got) == 13
+    best = {}
+    for r in rows:
+        ts_us = int(r["ts"].timestamp() * 1_000_000)
+        k = r["user_id"]
+        cand = (ts_us, r["event_id"])
+        if k not in best or cand > best[k][:2]:
+            best[k] = (ts_us, r["event_id"], r["value"])
+    for k, (ts_us, eid, val) in best.items():
+        assert got[k]["event_id"] == eid
+        assert got[k]["ts_us"] == ts_us
+        assert got[k]["value"] == val
