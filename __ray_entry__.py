@@ -1577,6 +1577,14 @@ def _q_corpus_overlap(sf_dir: str):
     return corpus_overlap(_read(sf_dir, "documents"))
 
 
+def _q_linear_score(sf_dir: str):
+    """fastText-style linear quality-model scoring: ray.put-broadcast weight
+    vector, hashed-unigram mean + sigmoid, stateless map_batches."""
+    from infidex_ray.ops.vectorize import linear_score
+
+    return _by(linear_score(_read(sf_dir, "documents"), dim=64, seed=7), "doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -1677,6 +1685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": _q_readability,
         "keep_latest": _q_keep_latest,
         "corpus_overlap": _q_corpus_overlap,
+        "linear_score": _q_linear_score,
     }
 
 
@@ -2586,6 +2595,23 @@ def oracle_sql() -> dict[str, str]:
             "round(coalesce(i.i, 0)::DOUBLE / least(p.sza, p.szb), 4) AS containment "
             "FROM pairs p LEFT JOIN inter i ON i.ga = p.ga AND i.gb = p.gb "
             "ORDER BY source_a, source_b"
+        ),
+        "linear_score": (
+            # same md5 % dim feature hashing as hashed_bow; synthetic weights
+            # re-derived per bucket via md5_number_lower; literals pinned
+            "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all("
+            "coalesce(text, ''), '\\S+')) AS tok FROM documents), "
+            "b AS (SELECT doc_id, CAST(md5_number_lower(tok) % 64 AS BIGINT) "
+            "AS bucket FROM toks), "
+            "w AS (SELECT doc_id, "
+            "(CAST(md5_number_lower('w7:' || CAST(bucket AS VARCHAR)) % 20001 AS BIGINT) "
+            "- 10000) / 10000.0::DOUBLE AS wt FROM b), "
+            "s AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(wt) AS sw "
+            "FROM w GROUP BY doc_id) "
+            "SELECT doc_id, n_tokens, "
+            "round(sw / CAST(n_tokens AS DOUBLE), 4) AS logit, "
+            "round(1.0::DOUBLE / (1.0::DOUBLE + exp(-(sw / CAST(n_tokens AS DOUBLE)))), 4) AS prob "
+            "FROM s ORDER BY doc_id"
         ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (fake codec) are non-SQL-expressible

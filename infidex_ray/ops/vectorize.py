@@ -353,3 +353,75 @@ def quantize_embeddings(
         )
 
     return ds.map_batches(quant, batch_format="pyarrow")
+
+
+# --- linear classifier scoring ------------------------------------------------
+
+
+def default_linear_weights(dim: int, seed: int = 7) -> np.ndarray:
+    """Deterministic synthetic weight vector in [-1, 1]: ``(md5("w{seed}:{b}")
+    % 20001 - 10000) / 10000`` per bucket — the stand-in for a trained
+    fastText/logistic quality model (no model files ship in this repo; a real
+    deployment passes its trained vector as ``weights=``)."""
+    return np.asarray(
+        [(_md5_u64(f"w{seed}:{b}") % 20001 - 10000) / 10000.0 for b in range(dim)],
+        dtype=np.float64,
+    )
+
+
+def linear_score(
+    ds,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: np.ndarray | None = None,
+):
+    """fastText-style linear classifier scoring: hashed-unigram mean of a
+    broadcast weight vector, through a sigmoid — the distributed "quality
+    model" gate of CCNet/DCLM-style curation (score every page, keep a band).
+
+    Emits ``(doc_id, n_tokens, logit, prob)`` for docs with ≥ 1 token; logit
+    = mean over tokens of ``w[md5(tok) % dim]``, prob = ``1/(1+exp(-logit))``
+    (both rounded half-away-4 to match DuckDB ROUND).
+
+    Scale design: the weight vector is ``ray.put`` ONCE (a trained quality
+    model is a few MB) and read per task; scoring is a stateless
+    ``map_batches`` — bucket lookup + one ``bincount`` per batch, no shuffle,
+    no per-batch re-ship of the model. Same feature hashing as
+    :func:`hashed_bow` (md5 % dim, RE2-ASCII ``\\S+`` tokens), so the DuckDB
+    oracle is hash-identical via ``md5_number_lower``."""
+    import ray
+
+    from .dedup import round_half_up4_arr
+
+    w = default_linear_weights(dim, seed) if weights is None else np.asarray(weights, dtype=np.float64)
+    if len(w) != dim:
+        raise ValueError(f"weights length {len(w)} != dim {dim}")
+    wref = ray.put(w)
+
+    def score(batch: pa.Table) -> pa.Table:
+        wv = ray.get(wref)
+        texts = batch[text_col].to_pylist()
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        cache: dict[str, int] = {}
+        rows, buckets = _doc_buckets(texts, dim, cache)
+        n_tok = np.bincount(rows, minlength=len(texts)) if len(rows) else np.zeros(len(texts), dtype=np.int64)
+        sw = (
+            np.bincount(rows, weights=wv[buckets], minlength=len(texts))
+            if len(rows)
+            else np.zeros(len(texts), dtype=np.float64)
+        )
+        keep = n_tok > 0
+        logit = sw[keep] / n_tok[keep]
+        prob = 1.0 / (1.0 + np.exp(-logit))
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep]),
+                "n_tokens": pa.array(n_tok[keep].astype(np.int64)),
+                "logit": pa.array(round_half_up4_arr(logit)),
+                "prob": pa.array(round_half_up4_arr(prob)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

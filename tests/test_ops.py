@@ -2406,3 +2406,32 @@ def test_corpus_overlap_matrix(ray_session):
         assert abs(r.jaccard - exp_j) < 1e-9
     ac = got[(got.source_a == "A") & (got.source_b == "C")].iloc[0]
     assert ac.intersection == 0 and ac.jaccard == 0.0
+
+
+def test_linear_score_custom_weights(ray_session):
+    """Custom weight vector: logit is the per-token weight mean, sigmoid'd;
+    empty docs dropped; md5 bucketing matches the hashed_bow scheme."""
+    import ray.data
+
+    from infidex_ray.ops.dedup import _md5_u64, round_half_up4
+    from infidex_ray.ops.vectorize import linear_score
+
+    dim = 16
+    w = np.arange(dim, dtype=np.float64) / 10.0 - 0.5
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma"},
+        {"doc_id": 1, "text": "alpha alpha"},
+        {"doc_id": 2, "text": ""},
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in linear_score(
+            ray.data.from_items(rows), dim=dim, weights=w
+        ).take_all()
+    }
+    assert set(out) == {0, 1}
+    for did, toks in ((0, ["alpha", "beta", "gamma"]), (1, ["alpha", "alpha"])):
+        logit = float(np.mean([w[_md5_u64(t) % dim] for t in toks]))
+        assert out[did]["logit"] == round_half_up4(logit)
+        assert out[did]["prob"] == round_half_up4(1.0 / (1.0 + np.exp(-logit)))
+        assert out[did]["n_tokens"] == len(toks)
