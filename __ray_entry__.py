@@ -1585,6 +1585,37 @@ def _q_linear_score(sf_dir: str):
     return _by(linear_score(_read(sf_dir, "documents"), dim=64, seed=7), "doc_id")
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Recrawl snapshot diff: old = docs sans doc_id%11==3, new = docs sans
+    doc_id%7==0 with ' v2' appended when doc_id%5==0 — added/removed/changed
+    detected from digest rows via a coarse key-slice groupby."""
+    import pyarrow.compute as pc
+
+    from infidex_ray.ops.dedup import snapshot_diff
+
+    import numpy as np
+
+    def mk_old(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids % 11 != 3))
+        return pa.table(
+            {"doc_id": b["doc_id"], "text": pc.fill_null(pc.cast(b["text"], pa.string()), "")}
+        )
+
+    def mk_new(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids % 7 != 0))
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = pc.fill_null(pc.cast(b["text"], pa.string()), "")
+        bump = pa.array(ids % 5 == 0)
+        t = pc.if_else(bump, pc.binary_join_element_wise(t, " v2", ""), t)
+        return pa.table({"doc_id": b["doc_id"], "text": t})
+
+    old = _read(sf_dir, "documents").map_batches(mk_old, batch_format="pyarrow")
+    new = _read(sf_dir, "documents").map_batches(mk_new, batch_format="pyarrow")
+    return _by(snapshot_diff(old, new), "doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -1686,6 +1717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keep_latest": _q_keep_latest,
         "corpus_overlap": _q_corpus_overlap,
         "linear_score": _q_linear_score,
+        "snapshot_diff": _q_snapshot_diff,
     }
 
 
@@ -2612,6 +2644,21 @@ def oracle_sql() -> dict[str, str]:
             "round(sw / CAST(n_tokens AS DOUBLE), 4) AS logit, "
             "round(1.0::DOUBLE / (1.0::DOUBLE + exp(-(sw / CAST(n_tokens AS DOUBLE)))), 4) AS prob "
             "FROM s ORDER BY doc_id"
+        ),
+        "snapshot_diff": (
+            # text compared directly (≡ the op's blake2b-128 digests modulo
+            # negligible collisions — same contract as dedup_against)
+            "WITH o AS (SELECT doc_id, coalesce(text, '') AS t FROM documents "
+            "WHERE doc_id % 11 <> 3), "
+            "n AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+            "THEN coalesce(text, '') || ' v2' ELSE coalesce(text, '') END AS t "
+            "FROM documents WHERE doc_id % 7 <> 0) "
+            "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, "
+            "CASE WHEN o.doc_id IS NULL THEN 'added' "
+            "WHEN n.doc_id IS NULL THEN 'removed' ELSE 'changed' END AS status "
+            "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id "
+            "WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.t <> n.t "
+            "ORDER BY doc_id"
         ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (fake codec) are non-SQL-expressible

@@ -2435,3 +2435,30 @@ def test_linear_score_custom_weights(ray_session):
         assert out[did]["logit"] == round_half_up4(logit)
         assert out[did]["prob"] == round_half_up4(1.0 / (1.0 + np.exp(-logit)))
         assert out[did]["n_tokens"] == len(toks)
+
+
+def test_snapshot_diff_statuses(ray_session):
+    """added/removed/changed detection across blocks; unchanged keys silent;
+    None ≡ '' (digest contract of exact_dedup)."""
+    import ray.data
+
+    from infidex_ray.ops.dedup import snapshot_diff
+
+    old = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "same"},
+            {"doc_id": 2, "text": "will change"},
+            {"doc_id": 3, "text": "will vanish"},
+            {"doc_id": 4, "text": None},
+        ]
+    ).repartition(3)
+    new = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "same"},
+            {"doc_id": 2, "text": "changed!"},
+            {"doc_id": 4, "text": ""},  # None == "" → unchanged
+            {"doc_id": 5, "text": "brand new"},
+        ]
+    ).repartition(2)
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).take_all()}
+    assert got == {2: "changed", 3: "removed", 5: "added"}
