@@ -1616,6 +1616,32 @@ def _q_snapshot_diff(sf_dir: str):
     return _by(snapshot_diff(old, new), "doc_id")
 
 
+def _q_margin_mine(sf_dir: str):
+    """Artetxe–Schwenk ratio-margin mining between the even- and odd-label
+    halves of the embeddings table: block-pair streamed forward/reverse
+    top-k, reverse averages broadcast once."""
+    import pyarrow.compute as pc
+
+    from infidex_ray.ops.similarity import margin_mine
+
+    emb = _read(sf_dir, "embeddings")
+
+    def side(parity: int):
+        def fn(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            lab = b["label"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(lab % 2 == parity)).select(
+                ["vec_id", "embedding"]
+            )
+
+        return fn
+
+    src = emb.map_batches(side(0), batch_format="pyarrow")
+    tgt = emb.map_batches(side(1), batch_format="pyarrow")
+    return _by(margin_mine(src, tgt, k=4), "src_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -1718,6 +1744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_overlap": _q_corpus_overlap,
         "linear_score": _q_linear_score,
         "snapshot_diff": _q_snapshot_diff,
+        "margin_mine": _q_margin_mine,
     }
 
 
@@ -2659,6 +2686,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id "
             "WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.t <> n.t "
             "ORDER BY doc_id"
+        ),
+        "margin_mine": (
+            # all-pairs ground truth with window-ranked top-k both ways;
+            # margin from RAW cosines, rounded only at the edge
+            "WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 0), "
+            "b AS (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 1), "
+            "p AS (SELECT a.vec_id AS sa, b.vec_id AS tb, "
+            "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c "
+            "FROM a CROSS JOIN b), "
+            "f AS (SELECT sa, tb, c, row_number() OVER "
+            "(PARTITION BY sa ORDER BY c DESC, tb) AS rn FROM p), "
+            "fa AS (SELECT sa, avg(c) AS af FROM f WHERE rn <= 4 GROUP BY sa), "
+            "r AS (SELECT tb, c, row_number() OVER "
+            "(PARTITION BY tb ORDER BY c DESC, sa) AS rn FROM p), "
+            "ra AS (SELECT tb, avg(c) AS ar FROM r WHERE rn <= 4 GROUP BY tb), "
+            "best AS (SELECT sa, tb, c FROM f WHERE rn = 1) "
+            "SELECT best.sa AS src_id, best.tb AS tgt_id, "
+            "round(best.c, 4) AS cosine, "
+            "round(best.c / ((fa.af + ra.ar) / 2.0::DOUBLE), 4) AS margin "
+            "FROM best JOIN fa ON fa.sa = best.sa JOIN ra ON ra.tb = best.tb "
+            "ORDER BY src_id"
         ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (fake codec) are non-SQL-expressible

@@ -667,3 +667,120 @@ def knn_graph_lsh(
         .groupby("slice")
         .map_groups(merge_slice, batch_format="pyarrow")
     )
+
+
+def margin_mine(
+    ds_src,
+    ds_tgt,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Margin-based cross-corpus neighbor mining (the Artetxe & Schwenk
+    ratio-margin of LASER/CCMatrix bitext mining, public method): for every
+    source vector, its best cosine match in the target corpus scored by
+    ``margin = cos(x, y) / ((avgₖ(x→tgt) + avgₖ(y→src)) / 2)`` — the margin
+    normalizes away "hubness" so a 1.0+ score means the pair is mutually
+    exceptional, not just near a hub. Returns (src_id, tgt_id, cosine,
+    margin), one row per source vector; threshold downstream.
+
+    Scale design: same block-pair streaming as :func:`knn_graph` — both
+    corpora stay as object-store Arrow blocks; one task per source block
+    streams the target blocks (forward top-k) and one per target block
+    streams the source blocks (reverse top-k). The reverse side reduces to
+    ONE (id, avg) row per target vector, which is collected and ``ray.put``
+    broadcast for the final margin attach — choose ``ds_tgt`` as the smaller
+    corpus, or pre-bucket with LSH/k-means at web scale (the same guidance
+    as knn_graph). Compute is the unavoidable O(N·M/P) of exact mining."""
+    import ray
+
+    from .dedup import round_half_up4_arr
+
+    refs_s = ds_src.select_columns([id_col, vec_col]).materialize().to_arrow_refs()
+    refs_t = ds_tgt.select_columns([id_col, vec_col]).materialize().to_arrow_refs()
+
+    @ray.remote
+    def block_stats(tq: pa.Table, other_refs: list) -> pa.Table:
+        """Per query row: best other-side id/cosine + mean of top-k cosines."""
+        ids_q = np.asarray(tq[id_col].to_pylist(), dtype=np.int64)
+        nq = len(ids_q)
+        if nq == 0:
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "bid": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                    "avg": pa.array([], pa.float64()),
+                }
+            )
+        mq = _normalize_rows(_to_matrix(tq, vec_col))
+        buf_s = np.empty((nq, 0), dtype=np.float64)
+        buf_i = np.empty((nq, 0), dtype=np.int64)
+        for r in other_refs:
+            tb = ray.get(r)
+            ids_b = np.asarray(tb[id_col].to_pylist(), dtype=np.int64)
+            if len(ids_b) == 0:
+                continue
+            mb = _normalize_rows(_to_matrix(tb, vec_col))
+            sims = mq @ mb.T
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            buf_s = np.hstack([buf_s, np.take_along_axis(sims, part, axis=1)])
+            buf_i = np.hstack([buf_i, ids_b[part]])
+            oid = np.argsort(buf_i, axis=1, kind="stable")
+            s2 = np.take_along_axis(buf_s, oid, axis=1)
+            i2 = np.take_along_axis(buf_i, oid, axis=1)
+            osim = np.argsort(-s2, axis=1, kind="stable")[:, :k]
+            buf_s = np.take_along_axis(s2, osim, axis=1)
+            buf_i = np.take_along_axis(i2, osim, axis=1)
+        if buf_s.shape[1] == 0:
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "bid": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                    "avg": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "qid": pa.array(ids_q, pa.int64()),
+                "bid": pa.array(buf_i[:, 0], pa.int64()),
+                "cos": pa.array(buf_s[:, 0], pa.float64()),
+                "avg": pa.array(buf_s.mean(axis=1), pa.float64()),
+            }
+        )
+
+    # reverse pass: one (id, avg) row per target vector — the broadcast side
+    rev_tables = ray.get([block_stats.remote(r, refs_s) for r in refs_t])
+    rev_ids = np.concatenate(
+        [t["qid"].to_numpy(zero_copy_only=False) for t in rev_tables]
+        or [np.empty(0, np.int64)]
+    )
+    rev_avg = np.concatenate(
+        [t["avg"].to_numpy(zero_copy_only=False) for t in rev_tables]
+        or [np.empty(0, np.float64)]
+    )
+    order = np.argsort(rev_ids)
+    rev_ref = ray.put((rev_ids[order], rev_avg[order]))
+
+    fwd = ray.data.from_arrow_refs([block_stats.remote(r, refs_t) for r in refs_s])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        rid, ravg = ray.get(rev_ref)
+        bid = batch["bid"].to_numpy(zero_copy_only=False)
+        cos = batch["cos"].to_numpy(zero_copy_only=False)
+        af = batch["avg"].to_numpy(zero_copy_only=False)
+        loc = np.searchsorted(rid, bid)
+        ar = ravg[loc]
+        margin = cos / ((af + ar) / 2.0)
+        return pa.table(
+            {
+                "src_id": batch["qid"],
+                "tgt_id": batch["bid"],
+                "cosine": pa.array(round_half_up4_arr(cos)),
+                "margin": pa.array(round_half_up4_arr(margin)),
+            }
+        )
+
+    return fwd.map_batches(attach, batch_format="pyarrow")

@@ -2462,3 +2462,37 @@ def test_snapshot_diff_statuses(ray_session):
     ).repartition(2)
     got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).take_all()}
     assert got == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_margin_mine_bruteforce(ray_session):
+    """Margin mining vs a numpy brute-force oracle: best match, top-k
+    forward/reverse averages, ratio margin; multi-block on both sides."""
+    import ray.data
+
+    from infidex_ray.ops.dedup import round_half_up4
+    from infidex_ray.ops.similarity import margin_mine
+
+    rng = np.random.default_rng(11)
+    na, nb, d, k = 23, 17, 8, 4
+    A = rng.normal(size=(na, d))
+    B = rng.normal(size=(nb, d))
+    src = ray.data.from_items(
+        [{"vec_id": i, "embedding": A[i].tolist()} for i in range(na)]
+    ).repartition(4)
+    tgt = ray.data.from_items(
+        [{"vec_id": 100 + j, "embedding": B[j].tolist()} for j in range(nb)]
+    ).repartition(3)
+    got = {r["src_id"]: r for r in margin_mine(src, tgt, k=k).take_all()}
+    An = A / np.linalg.norm(A, axis=1, keepdims=True)
+    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+    S = An @ Bn.T
+    ra = np.sort(S, axis=0)[::-1][:k].mean(axis=0)  # reverse avg per tgt
+    assert len(got) == na
+    for i in range(na):
+        top = np.sort(S[i])[::-1][:k]
+        j = int(np.argmax(S[i]))
+        af = top.mean()
+        m = S[i, j] / ((af + ra[j]) / 2.0)
+        assert got[i]["tgt_id"] == 100 + j
+        assert got[i]["cosine"] == round_half_up4(S[i, j])
+        assert abs(got[i]["margin"] - round_half_up4(m)) <= 1e-4
