@@ -1642,6 +1642,37 @@ def _q_margin_mine(sf_dir: str):
     return _by(margin_mine(src, tgt, k=4), "src_id")
 
 
+def _q_budget_select(sf_dir: str):
+    """Token-budget selection: md5-derived integer score, n_chars cost,
+    budget = floor(10% of total corpus chars) — one global sort + a
+    distributed prefix-sum cut."""
+    import numpy as np
+
+    from infidex_ray.ops.dedup import _md5_u64
+    from infidex_ray.ops.sampling import budget_select
+
+    ds = _read(sf_dir, "documents")
+    total = ds.sum("n_chars")
+    budget = int(np.floor(0.1 * total))
+
+    def add_score(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        sc = [_md5_u64(f"bsel:{d}") % 100000 for d in ids]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "score": pa.array(sc, pa.int64()),
+                "n_chars": b["n_chars"],
+            }
+        )
+
+    scored = ds.map_batches(add_score, batch_format="pyarrow")
+    return _by(
+        budget_select(scored, budget, score_col="score", cost_col="n_chars"),
+        "doc_id",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -1745,6 +1776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_score": _q_linear_score,
         "snapshot_diff": _q_snapshot_diff,
         "margin_mine": _q_margin_mine,
+        "budget_select": _q_budget_select,
     }
 
 
@@ -2707,6 +2739,18 @@ def oracle_sql() -> dict[str, str]:
             "round(best.c / ((fa.af + ra.ar) / 2.0::DOUBLE), 4) AS margin "
             "FROM best JOIN fa ON fa.sa = best.sa JOIN ra ON ra.tb = best.tb "
             "ORDER BY src_id"
+        ),
+        "budget_select": (
+            # window-sum ground truth for the distributed prefix-sum cut;
+            # integer costs make the cumulative exact on both sides
+            "WITH s AS (SELECT doc_id, "
+            "CAST(md5_number_lower('bsel:' || CAST(doc_id AS VARCHAR)) % 100000 AS BIGINT) AS score, "
+            "n_chars FROM documents), "
+            "c AS (SELECT doc_id, score, n_chars, "
+            "CAST(sum(n_chars) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS cum FROM s) "
+            "SELECT doc_id, score, n_chars, cum FROM c "
+            "WHERE cum <= (SELECT CAST(floor(0.1::DOUBLE * sum(n_chars)) AS BIGINT) "
+            "FROM documents) ORDER BY doc_id"
         ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (fake codec) are non-SQL-expressible

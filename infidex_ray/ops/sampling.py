@@ -14,6 +14,7 @@ a distribution.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from .dedup import _md5_u64
@@ -334,3 +335,61 @@ def mix_corpora(sources, key_col: str = "doc_id", salt: str = "mix"):
     for t in tagged[1:]:
         out = out.union(t)
     return out
+
+
+def budget_select(
+    ds,
+    budget: float,
+    score_col: str,
+    cost_col: str,
+    id_col: str = "doc_id",
+):
+    """Token-budget corpus selection: order the corpus by ``score_col``
+    descending (ties by ``id_col`` ascending) and keep the prefix whose
+    cumulative ``cost_col`` stays ≤ ``budget`` — "take the best N tokens"
+    of data-mixing recipes (DoReMi/DCLM-style: score every doc, spend a
+    fixed token budget from the top). Emits ``(id, score, cost, cum)``
+    where ``cum`` includes the row itself.
+
+    Scale design: ONE global sort (the unavoidable all-to-all), then a
+    distributed prefix scan — each sorted block reports its cost sum (an
+    O(blocks) driver scalar), the driver cumsums the per-block offsets, and
+    each block cuts itself independently with its start offset. No block
+    ever sees another block's rows; the driver holds one number per block.
+    Costs must be integers (exact cumulative sums — float costs would make
+    the cut order-dependent)."""
+    import ray
+
+    sorted_ds = ds.select_columns(
+        list(dict.fromkeys([id_col, score_col, cost_col]))
+    ).sort([score_col, id_col], descending=[True, False]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def block_sum(t: pa.Table) -> int:
+        if len(t) == 0:
+            return 0
+        return int(
+            np.sum(t[cost_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        )
+
+    sums = ray.get([block_sum.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(sums, dtype=np.int64)[:-1]])
+
+    @ray.remote
+    def cut(t: pa.Table, start: int) -> pa.Table:
+        cost = t[cost_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = start + np.cumsum(cost, dtype=np.int64)
+        keep = cum <= budget
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                score_col: t[score_col],
+                cost_col: t[cost_col],
+                "cum": pa.array(cum[keep], pa.int64()),
+            }
+        )
+
+    futures = [cut.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(futures)

@@ -2496,3 +2496,36 @@ def test_margin_mine_bruteforce(ray_session):
         assert got[i]["tgt_id"] == 100 + j
         assert got[i]["cosine"] == round_half_up4(S[i, j])
         assert abs(got[i]["margin"] - round_half_up4(m)) <= 1e-4
+
+
+def test_budget_select_prefix_cut(ray_session):
+    """Global sort by (score desc, id asc) + exact cumulative-cost cut; the
+    kept set equals the brute-force prefix regardless of block layout."""
+    import ray.data
+
+    from infidex_ray.ops.sampling import budget_select
+
+    rng = np.random.default_rng(3)
+    n = 200
+    rows = [
+        {"doc_id": i, "score": int(rng.integers(0, 50)), "cost": int(rng.integers(1, 30))}
+        for i in range(n)
+    ]
+    budget = 400
+    got = sorted(
+        (r["doc_id"], r["cum"])
+        for r in budget_select(
+            ray.data.from_items(rows).repartition(9),
+            budget,
+            score_col="score",
+            cost_col="cost",
+        ).take_all()
+    )
+    order = sorted(rows, key=lambda r: (-r["score"], r["doc_id"]))
+    cum, exp = 0, []
+    for r in order:
+        cum += r["cost"]
+        if cum > budget:
+            break
+        exp.append((r["doc_id"], cum))
+    assert got == sorted(exp)
