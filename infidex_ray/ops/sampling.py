@@ -366,15 +366,28 @@ def budget_select(
     refs = sorted_ds.to_arrow_refs()
 
     @ray.remote
-    def block_sum(t: pa.Table) -> int:
+    def block_sum(t: pa.Table) -> tuple:
+        # Ray 2.49 sort can emit schema-LESS empty blocks (same quirk the
+        # dedup joins guard against) — report rows so they are skipped
         if len(t) == 0:
-            return 0
-        return int(
-            np.sum(t[cost_col].to_numpy(zero_copy_only=False).astype(np.int64))
+            return (0, 0)
+        return (
+            len(t),
+            int(np.sum(t[cost_col].to_numpy(zero_copy_only=False).astype(np.int64))),
         )
 
-    sums = ray.get([block_sum.remote(r) for r in refs])
-    offsets = np.concatenate([[0], np.cumsum(sums, dtype=np.int64)[:-1]])
+    stats = ray.get([block_sum.remote(r) for r in refs])
+    refs = [r for r, (n, _) in zip(refs, stats) if n > 0]
+    sums = [s for (n, s) in stats if n > 0]
+    offsets = np.concatenate([[0], np.cumsum(sums, dtype=np.int64)[:-1]]) if sums else []
+    if not refs:  # empty corpus: keep the (id, score, cost, cum) shape
+
+        def add_cum(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "cum", pa.array(np.zeros(len(t), dtype=np.int64))
+            )
+
+        return sorted_ds.map_batches(add_cum, batch_format="pyarrow")
 
     @ray.remote
     def cut(t: pa.Table, start: int) -> pa.Table:

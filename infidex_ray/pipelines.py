@@ -46,6 +46,13 @@ def _checkpoint(docs, ckpt_dir: str, id_col: str, n_parts: int):
     write_partitioned_resumable(
         docs.map_batches(add_part, batch_format="pyarrow"), ckpt_dir, "__part"
     )
+    import glob
+
+    if not glob.glob(os.path.join(ckpt_dir, "**", "*.parquet"), recursive=True):
+        # everything was filtered upstream: read_parquet errors on a dir
+        # with no data files — signal the caller to short-circuit (joins
+        # over limit(0) datasets trip a Ray 2.49 planner assertion)
+        return None
     # file_extensions: the _SUCCESS markers otherwise make read_parquet
     # return an empty dataset (Ray 2.49 includes them in the file listing)
     out = ray.data.read_parquet(ckpt_dir, file_extensions=["parquet"])
@@ -68,6 +75,11 @@ def curate_webtext(
     dsir_target=None,
     dsir_min_logweight: float = 0.0,
     dsir_buckets: int = 4096,
+    quality_model=None,
+    quality_model_dim: int = 64,
+    quality_model_min_prob: float = 0.5,
+    readability_band: tuple | None = None,
+    token_budget: int | None = None,
 ):
     """The standard webtext curation recipe (CCNet/Gopher/RefinedWeb shape):
 
@@ -83,7 +95,13 @@ def curate_webtext(
     6. optional DSIR importance filter (``dsir_target`` + threshold): the
        hashed-n-gram log-ratio model broadcasts as one 32 KB vector and the
        gate is row-local — keeps docs whose logweight ≥ ``dsir_min_logweight``
-    7. chunk into ``chunk_words``-word training samples and greedily pack
+    7. optional token-budget cap (``token_budget``): one global sort by the
+       quality-model prob (or a deterministic md5 priority) + a distributed
+       prefix-sum cut, then a left_semi join — "spend the budget from the
+       top" (DCLM shape). Opt-in gates fused into step 2: a trained linear
+       quality model (``quality_model`` weights, broadcast once) and a
+       Flesch reading-ease band (``readability_band``)
+    8. chunk into ``chunk_words``-word training samples and greedily pack
        into ``pack_capacity``-token sequences (bucket, bin)
 
     Returns the packed-chunk Dataset. Each stage is individually
@@ -119,9 +137,20 @@ def curate_webtext(
 
     lang_set = set(langs)
 
+    # optional trained-quality-model gate: weights broadcast ONCE, read per
+    # task — the linear_score machinery fused into the row-local gate below
+    wref = None
+    if quality_model is not None:
+        import numpy as np
+        import ray
+
+        wref = ray.put(np.asarray(quality_model, dtype=np.float64))
+
     def keep_good(batch: pa.Table) -> pa.Table:
         """Fused row-local gate: language ∈ langs, quality ≥ floor, Gopher
-        rules pass — scores computed per batch, rows filtered in place."""
+        rules pass, plus opt-in readability band and linear quality-model
+        floor — all scores computed per batch, rows filtered in one place
+        (no label joins, one pass over the text)."""
         import numpy as np
 
         if len(batch) == 0:
@@ -138,7 +167,74 @@ def curate_webtext(
             & (q >= min_quality)
             & g.astype(bool)
         )
+        if readability_band is not None:
+            import pyarrow.compute as pc
+
+            from .ops.textstats import (
+                _READ_SENT_PAT,
+                _READ_SYL_PAT,
+                _READ_WORD_PAT,
+            )
+
+            texts = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+            w = pc.count_substring_regex(texts, _READ_WORD_PAT).to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
+            s = np.maximum(
+                pc.count_substring_regex(texts, _READ_SENT_PAT).to_numpy(
+                    zero_copy_only=False
+                ),
+                1,
+            ).astype(np.float64)
+            y = pc.count_substring_regex(texts, _READ_SYL_PAT).to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
+            ws = np.maximum(w, 1.0)
+            ease = 206.835 - 1.015 * (w / s) - 84.6 * (y / ws)
+            lo, hi = readability_band
+            keep &= (w > 0) & (ease >= lo) & (ease <= hi)
+        if wref is not None:
+            import ray
+
+            from .ops.vectorize import _doc_buckets
+
+            wv = ray.get(wref)
+            texts = batch[text_col].to_pylist()
+            cache: dict = {}
+            rows, buckets = _doc_buckets(texts, quality_model_dim, cache)
+            n_tok = (
+                np.bincount(rows, minlength=len(batch))
+                if len(rows)
+                else np.zeros(len(batch), dtype=np.int64)
+            )
+            sw = (
+                np.bincount(rows, weights=wv[buckets], minlength=len(batch))
+                if len(rows)
+                else np.zeros(len(batch), dtype=np.float64)
+            )
+            logit = np.where(n_tok > 0, sw / np.maximum(n_tok, 1), -np.inf)
+            prob = 1.0 / (1.0 + np.exp(-logit))
+            keep &= prob >= quality_model_min_prob
         return batch.filter(pa.array(keep))
+
+    def _empty_packed():
+        """Typed empty result in the packed-output schema — returned when a
+        gate empties the corpus (feeding joins a limit(0) dataset trips a
+        Ray 2.49 planner assertion, so short-circuit instead)."""
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "chunk": pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int64()),
+                    "bin": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     docs = _checkpoint(
         docs.map_batches(keep_good, batch_format="pyarrow"),
@@ -146,6 +242,8 @@ def curate_webtext(
         id_col,
         checkpoint_partitions,
     )
+    if docs is None:
+        return _empty_packed()
 
     # --- exact then near dedup (the two all-to-alls) ----------------------
     docs = dedup_corpus_ds(docs, exact_dup_pairs(docs, id_col, text_col), id_col)
@@ -158,6 +256,8 @@ def curate_webtext(
         id_col,
         checkpoint_partitions,
     )
+    if docs is None:
+        return _empty_packed()
 
     # --- decontamination: distributed left_anti join on contaminated ids ----
     if bench is not None:
@@ -210,6 +310,60 @@ def curate_webtext(
             return batch.filter(pa.array(w >= dsir_min_logweight))
 
         docs = docs.map_batches(dsir_gate, batch_format="pyarrow")
+
+    # --- optional token-budget cap (DCLM "spend the budget from the top") ----
+    # score = quality-model prob when a model is given, else a deterministic
+    # md5 priority (uniform random but rerun-stable); cost = ASCII-ws token
+    # count (the same notion chunk_text bins by). One global sort of the
+    # (id, score, cost) projection + a prefix-sum cut, then a left_semi join
+    # brings the surviving text rows through.
+    if token_budget is not None:
+        import numpy as np
+        import ray
+
+        from .ops.dedup import _md5_u64
+        from .ops.sampling import budget_select
+        from .ops.vectorize import _WS_RE, _doc_buckets
+
+        def score_and_cost(batch: pa.Table) -> pa.Table:
+            texts = batch[text_col].to_pylist()
+            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            cost = np.asarray(
+                [len(_WS_RE.findall(t or "")) for t in texts], dtype=np.int64
+            )
+            if wref is not None:
+                wv = ray.get(wref)
+                cache: dict = {}
+                rows, buckets = _doc_buckets(texts, quality_model_dim, cache)
+                sw = (
+                    np.bincount(rows, weights=wv[buckets], minlength=len(batch))
+                    if len(rows)
+                    else np.zeros(len(batch), dtype=np.float64)
+                )
+                score = np.where(cost > 0, sw / np.maximum(cost, 1), -np.inf)
+            else:
+                score = np.asarray(
+                    [_md5_u64(f"bsel:{d}") % (1 << 32) for d in ids],
+                    dtype=np.float64,
+                )
+            return pa.table(
+                {
+                    id_col: pa.array(ids),
+                    "__bsel_score": pa.array(score),
+                    "__bsel_cost": pa.array(cost),
+                }
+            )
+
+        kept = budget_select(
+            docs.map_batches(score_and_cost, batch_format="pyarrow"),
+            token_budget,
+            score_col="__bsel_score",
+            cost_col="__bsel_cost",
+            id_col=id_col,
+        ).select_columns([id_col])
+        docs = docs.join(
+            kept, "left_semi", _join_partitions(chained=False), on=(id_col,)
+        )
 
     # --- chunk + pack --------------------------------------------------------
     chunks = chunk_text(
