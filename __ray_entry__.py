@@ -1673,6 +1673,29 @@ def _q_budget_select(sf_dir: str):
     )
 
 
+def _q_code_detect(sf_dir: str):
+    """Code-likeness tagger over text with a code snippet planted on every
+    4th doc (plain concatenation, identical on both sides) — one (?m) RE2
+    line pattern, engine-identical Arrow/DuckDB counts."""
+    from infidex_ray.ops.textstats import code_detect
+
+    snippet = (
+        "\nfor (i = 0; i < n; i++) {\n  total += i;\n}\nreturn total;\ndef f():"
+    )
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        out = [
+            (t or "") + (snippet if d % 4 == 0 else "")
+            for d, t in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": b["doc_id"], "text": pa.array(out)})
+
+    ds = _read(sf_dir, "documents").map_batches(plant, batch_format="pyarrow")
+    return _by(code_detect(ds), "doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -1777,6 +1800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "margin_mine": _q_margin_mine,
         "budget_select": _q_budget_select,
+        "code_detect": _q_code_detect,
     }
 
 
@@ -2751,6 +2775,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, score, n_chars, cum FROM c "
             "WHERE cum <= (SELECT CAST(floor(0.1::DOUBLE * sum(n_chars)) AS BIGINT) "
             "FROM documents) ORDER BY doc_id"
+        ),
+        "code_detect": (
+            # same planted snippet (chr(10) joins ≡ the Python \n literal);
+            # the (?m) line pattern runs RE2 in BOTH engines
+            "WITH aug AS (SELECT doc_id, coalesce(text,'') || CASE WHEN doc_id % 4 = 0 "
+            "THEN chr(10) || 'for (i = 0; i < n; i++) {' || chr(10) || "
+            "'  total += i;' || chr(10) || '}' || chr(10) || 'return total;' "
+            "|| chr(10) || 'def f():' ELSE '' END AS t FROM documents) "
+            "SELECT doc_id, "
+            "CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines, "
+            "CAST(len(regexp_extract_all(t, "
+            "'(?m)^(?:[ \\t]*(?:def |class |import |from |return |function |var |const |let |#include)[^\\n]*|[^\\n]*[{};][ \\t]*)$'"
+            ")) AS BIGINT) AS n_code_lines, "
+            "CAST(length(t) - length(replace(t, ';', '')) AS BIGINT) AS n_semicolons, "
+            "CAST(len(regexp_extract_all(t, '[{}]')) AS BIGINT) AS n_braces, "
+            "round(len(regexp_extract_all(t, "
+            "'(?m)^(?:[ \\t]*(?:def |class |import |from |return |function |var |const |let |#include)[^\\n]*|[^\\n]*[{};][ \\t]*)$'"
+            ")) / CAST(len(string_split(t, chr(10))) AS DOUBLE), 4) AS code_frac "
+            "FROM aug ORDER BY doc_id"
         ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (fake codec) are non-SQL-expressible

@@ -769,3 +769,57 @@ def readability(ds, id_col: str = "doc_id", text_col: str = "text"):
         lambda b: readability_batch(b, id_col, text_col),
         batch_format="pyarrow",
     )
+
+
+# --- code detection -----------------------------------------------------------
+
+# One RE2 pattern, anchored per line via (?m): a "code line" either starts
+# with a programming keyword or ends with a brace/semicolon. Counted with
+# Arrow count_substring_regex and (in the oracle) DuckDB regexp_extract_all —
+# both RE2, so the two sides are engine-identical (the script_profile
+# guarantee). At most one match per line (both branches are ^…$-anchored).
+_CODE_LINE_PAT = (
+    r"(?m)^(?:[ \t]*(?:def |class |import |from |return |function |var |const"
+    r" |let |#include)[^\n]*|[^\n]*[{};][ \t]*)$"
+)
+
+
+def code_detect_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Per-doc code-likeness signals (the Dolma/RedPajama "code tagger"
+    shape): line counts, code-looking-line counts, brace/semicolon density —
+    the gate that routes prose to the text mix and code to the code mix.
+    Vectorized Arrow RE2 kernels; no Python row loop, no shuffle."""
+    import pyarrow.compute as pc
+
+    texts = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+    n_lines = pc.add(
+        pc.cast(pc.count_substring(texts, "\n"), pa.int64()), 1
+    )
+    n_code = pc.cast(pc.count_substring_regex(texts, _CODE_LINE_PAT), pa.int64())
+    n_semi = pc.cast(pc.count_substring(texts, ";"), pa.int64())
+    n_brace = pc.cast(pc.count_substring_regex(texts, r"[{}]"), pa.int64())
+    nl = n_lines.to_numpy(zero_copy_only=False).astype(np.float64)
+    nc = n_code.to_numpy(zero_copy_only=False).astype(np.float64)
+    from .dedup import round_half_up4_arr
+
+    return pa.table(
+        {
+            "doc_id": batch[id_col].cast(pa.int64()),
+            "n_lines": n_lines,
+            "n_code_lines": n_code,
+            "n_semicolons": n_semi,
+            "n_braces": n_brace,
+            "code_frac": pa.array(round_half_up4_arr(nc / nl)),
+        }
+    )
+
+
+def code_detect(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Streaming per-doc code-likeness: ``(doc_id, n_lines, n_code_lines,
+    n_semicolons, n_braces, code_frac)``."""
+    return ds.map_batches(
+        lambda b: code_detect_batch(b, id_col, text_col),
+        batch_format="pyarrow",
+    )

@@ -2559,3 +2559,26 @@ def test_curate_webtext_model_band_budget(ray_session):
     assert per_doc.sum() <= 2000
     sums = gated.groupby(["bucket", "bin"]).n_tokens.agg(["sum", "count"])
     assert sums[(sums["sum"] > 256) & (sums["count"] > 1)].empty
+
+
+def test_code_detect_signals(ray_session):
+    """Known code/prose docs: exact line/keyword/brace counts and frac;
+    keyword-led and brace-terminated lines counted once each."""
+    import ray.data
+
+    from infidex_ray.ops.textstats import code_detect
+
+    code = "def f():\n    return 1;\nx = {\n}\nplain line"
+    rows = [
+        {"doc_id": 0, "text": code},
+        {"doc_id": 1, "text": "just prose\nmore prose"},
+        {"doc_id": 2, "text": None},
+    ]
+    out = {r["doc_id"]: r for r in code_detect(ray.data.from_items(rows)).take_all()}
+    r0 = out[0]
+    # lines: def f(): | return 1; | x = { | } | plain line → 4 code lines
+    assert r0["n_lines"] == 5 and r0["n_code_lines"] == 4
+    assert r0["n_semicolons"] == 1 and r0["n_braces"] == 2
+    assert r0["code_frac"] == round(4 / 5, 4)
+    assert out[1]["n_code_lines"] == 0 and out[1]["n_lines"] == 2
+    assert out[2]["n_lines"] == 1 and out[2]["code_frac"] == 0.0
