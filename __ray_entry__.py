@@ -1696,6 +1696,24 @@ def _q_code_detect(sf_dir: str):
     return _by(code_detect(ds), "doc_id")
 
 
+def _q_image_meta(sf_dir: str):
+    """SQL-checkable slice of the multimodal image stage: same actor-pool
+    fake-codec run as image_features, with the 16-float histogram dropped —
+    every remaining column (md5 digest, md5-derived fake dims, byte length)
+    is recomputable in DuckDB, graduating the plumbing from rows-only."""
+    from infidex_ray.ops.multimodal import image_features
+
+    def synth(batch: pa.Table) -> pa.Table:
+        blobs = [(t or "").encode("utf-8") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "media": pa.array(blobs, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents").map_batches(synth, batch_format="pyarrow")
+    feats = image_features(ds, fake=True).drop_columns(["feature"])
+    return _by(feats, "doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -1801,6 +1819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "margin_mine": _q_margin_mine,
         "budget_select": _q_budget_select,
         "code_detect": _q_code_detect,
+        "image_meta": _q_image_meta,
     }
 
 
@@ -2795,7 +2814,20 @@ def oracle_sql() -> dict[str, str]:
             ")) / CAST(len(string_split(t, chr(10))) AS DOUBLE), 4) AS code_frac "
             "FROM aug ORDER BY doc_id"
         ),
+        "image_meta": (
+            # fake dims derive from md5 digest bytes [8:16] little-endian ==
+            # md5_number_lower; digest16 = first 16 hex chars of md5; n_bytes
+            # = UTF-8 byte length (strlen). The float histogram column is
+            # excluded — image_features keeps the full rows-only entry.
+            "WITH b AS (SELECT doc_id, coalesce(text, '') AS t FROM documents) "
+            "SELECT doc_id, 'image/fake' AS media_type, "
+            "strlen(t)::BIGINT AS n_bytes, "
+            "substr(md5(t), 1, 16) AS digest16, "
+            "CAST(64 + (md5_number_lower(t) % 256) % 192 AS INTEGER) AS width, "
+            "CAST(64 + ((md5_number_lower(t) // 256) % 256) % 192 AS INTEGER) AS height "
+            "FROM b ORDER BY doc_id"
+        ),
         # search_topk / search_topk_distributed (full coverage+fusion
-        # cascade) and image_features (fake codec) are non-SQL-expressible
-        # → rows-only.
+        # cascade) and image_features (float-histogram fake codec) are
+        # non-SQL-expressible → rows-only.
     }

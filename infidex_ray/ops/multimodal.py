@@ -28,7 +28,7 @@ IMAGE_META_SCHEMA = pa.schema(
         ("doc_id", pa.int64()),
         ("media_type", pa.string()),
         ("n_bytes", pa.int64()),
-        ("sha16", pa.string()),
+        ("digest16", pa.string()),
         ("width", pa.int32()),
         ("height", pa.int32()),
         ("feature", pa.list_(pa.float32())),
@@ -86,9 +86,11 @@ class ImageFeatureActor:
         return w, h, (thumb / s if s > 0 else thumb)
 
     def _decode_fake(self, blob: bytes) -> tuple[int, int]:
-        # deterministic fake decode: pretend dims from the payload hash
-        h = hashlib.blake2b(blob, digest_size=4).digest()
-        return 64 + h[0] % 192, 64 + h[1] % 192
+        # deterministic fake decode: pretend dims from the payload hash.
+        # md5 digest bytes [8:16] little-endian == DuckDB md5_number_lower,
+        # so the contract oracle recomputes width/height bit-for-bit
+        v = int.from_bytes(hashlib.md5(blob).digest()[8:16], "little")
+        return 64 + (v & 0xFF) % 192, 64 + ((v >> 8) & 0xFF) % 192
 
     def _feature_fake(self, blob: bytes) -> np.ndarray:
         # 16-bin byte histogram, L1-normalized — deterministic, codec-free
@@ -101,7 +103,7 @@ class ImageFeatureActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch[self.media_col].to_pylist()
         ids = batch[self.id_col].to_pylist()
-        rows = {k: [] for k in ("doc_id", "media_type", "n_bytes", "sha16", "width", "height", "feature")}
+        rows = {k: [] for k in ("doc_id", "media_type", "n_bytes", "digest16", "width", "height", "feature")}
         for i, blob in zip(ids, blobs):
             blob = blob or b""
             if self.fake:
@@ -119,7 +121,7 @@ class ImageFeatureActor:
             rows["doc_id"].append(i)
             rows["media_type"].append(mt)
             rows["n_bytes"].append(len(blob))
-            rows["sha16"].append(hashlib.blake2b(blob, digest_size=8).hexdigest())
+            rows["digest16"].append(hashlib.md5(blob).hexdigest()[:16])
             rows["width"].append(w)
             rows["height"].append(h)
             rows["feature"].append(np.asarray(feat, dtype=np.float32).tolist())
