@@ -1714,6 +1714,14 @@ def _q_image_meta(sf_dir: str):
     return _by(feats, "doc_id")
 
 
+def _q_keep_earliest(sf_dir: str):
+    """First-wins per-user event (earliest ts, ties to smallest event_id):
+    the recrawl "first crawl wins" rule over the events stream."""
+    from infidex_ray.ops.windows import keep_earliest
+
+    return _by(keep_earliest(_read(sf_dir, "events")), "user_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -1820,6 +1828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_select": _q_budget_select,
         "code_detect": _q_code_detect,
         "image_meta": _q_image_meta,
+        "keep_earliest": _q_keep_earliest,
     }
 
 
@@ -2710,6 +2719,12 @@ def oracle_sql() -> dict[str, str]:
             "value, props FROM events "
             "QUALIFY row_number() OVER (PARTITION BY user_id "
             "ORDER BY ts DESC, event_id DESC) = 1 ORDER BY user_id"
+        ),
+        "keep_earliest": (
+            "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, "
+            "value, props FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts ASC, event_id ASC) = 1 ORDER BY user_id"
         ),
         "corpus_overlap": (
             # distinct word-3-gram shingles per SOURCE (same shingle CTE as

@@ -474,11 +474,15 @@ def keep_latest(
     ts_col: str = "ts",
     id_col: str = "event_id",
     num_slices: int | None = None,
+    latest: bool = True,
 ):
     """Per-key latest-snapshot dedup: keep, for every ``key_col`` value, the
     single row with the greatest ``ts_col`` (ties broken by greatest
     ``id_col``) — the CDC/snapshot-compaction primitive ("current state per
-    user/entity" over an append-only event log).
+    user/entity" over an append-only event log). ``latest=False`` inverts
+    the order (first-wins: min ts, ties to the SMALLEST id) — the
+    "first crawl of each URL wins" recrawl-dedup rule; see
+    :func:`keep_earliest`.
 
     Scale design: every input block first reduces to its own per-key latest
     row (vectorized lexsort + run-boundary take, no Python row loop), so the
@@ -506,8 +510,11 @@ def keep_latest(
             return tbl
         order = np.lexsort((ids, ts, keys))
         k = keys[order]
-        last = np.r_[k[1:] != k[:-1], True]
-        return tbl.take(pa.array(order[last]))
+        if latest:
+            pick = np.r_[k[1:] != k[:-1], True]   # last of each (ts,id)-asc run
+        else:
+            pick = np.r_[True, k[1:] != k[:-1]]   # first of each run
+        return tbl.take(pa.array(order[pick]))
 
     def partial(batch: pa.Table) -> pa.Table:
         if "ts_us" not in batch.column_names:
@@ -528,4 +535,21 @@ def keep_latest(
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("slice")
         .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def keep_earliest(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_slices: int | None = None,
+):
+    """First-wins per-key dedup: the row with the SMALLEST ``ts_col`` (ties
+    to the smallest ``id_col``) per key — "keep the first crawl of each
+    page" / earliest-observation semantics. Same two-phase slice design as
+    :func:`keep_latest` (per-block partials stay valid under min exactly as
+    under max)."""
+    return keep_latest(
+        ds, key_col, ts_col, id_col, num_slices=num_slices, latest=False
     )

@@ -356,3 +356,23 @@ def test_keep_latest_per_key(ray_session):
         assert got[k]["event_id"] == eid
         assert got[k]["ts_us"] == ts_us
         assert got[k]["value"] == val
+
+
+def test_keep_earliest_per_key(ray_session):
+    """First-wins counterpart: min ts per key, exact-tie to SMALLEST id."""
+    import datetime as dt
+
+    import ray.data
+
+    from infidex_ray.ops.windows import keep_earliest
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        {"event_id": 10, "ts": base + dt.timedelta(minutes=5), "user_id": 1},
+        {"event_id": 11, "ts": base + dt.timedelta(minutes=1), "user_id": 1},
+        {"event_id": 12, "ts": base + dt.timedelta(minutes=1), "user_id": 1},  # tie → 11 wins
+        {"event_id": 20, "ts": base, "user_id": 2},
+    ]
+    got = {r["user_id"]: r["event_id"] for r in keep_earliest(
+        ray.data.from_items(rows).repartition(3)).take_all()}
+    assert got == {1: 11, 2: 20}
