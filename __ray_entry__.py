@@ -1722,6 +1722,17 @@ def _q_keep_earliest(sf_dir: str):
     return _by(keep_earliest(_read(sf_dir, "events")), "user_id")
 
 
+def _q_knn_recall(sf_dir: str):
+    """ANN quality evaluation: per-vector recall@5 of the LSH graph vs the
+    exact graph (same params as the knn_graph/knn_graph_lsh entries)."""
+    from infidex_ray.ops.similarity import knn_recall
+
+    return _by(
+        knn_recall(_read(sf_dir, "embeddings"), k=5, n_bits=6, n_tables=3),
+        "vec_id",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -1829,6 +1840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_detect": _q_code_detect,
         "image_meta": _q_image_meta,
         "keep_earliest": _q_keep_earliest,
+        "knn_recall": _q_knn_recall,
     }
 
 
@@ -2828,6 +2840,22 @@ def oracle_sql() -> dict[str, str]:
             "'(?m)^(?:[ \\t]*(?:def |class |import |from |return |function |var |const |let |#include)[^\\n]*|[^\\n]*[{};][ \\t]*)$'"
             ")) / CAST(len(string_split(t, chr(10))) AS DOUBLE), 4) AS code_frac "
             "FROM aug ORDER BY doc_id"
+        ),
+        "knn_recall": (
+            # exact graph (all-pairs window top-k) LEFT JOIN the replayed
+            # LSH graph (inlined hyperplanes) on the edge — recall per vec
+            "SELECT e.vec_id, count(*)::BIGINT AS n_exact, "
+            "count(a.nbr_id)::BIGINT AS n_hit, "
+            "round(count(a.nbr_id) / CAST(count(*) AS DOUBLE), 4) AS recall "
+            "FROM (SELECT vec_id, nbr_id FROM ("
+            "  SELECT x.vec_id AS vec_id, y.vec_id AS nbr_id, "
+            "         row_number() OVER (PARTITION BY x.vec_id ORDER BY "
+            "           list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) DESC, y.vec_id) AS rank "
+            "  FROM embeddings x JOIN embeddings y ON x.vec_id <> y.vec_id"
+            ") t WHERE rank <= 5) e "
+            f"LEFT JOIN ({sqlgen.knn_graph_lsh_sql(64, k=5, n_bits=6, n_tables=3)}) a "
+            "ON a.vec_id = e.vec_id AND a.nbr_id = e.nbr_id "
+            "GROUP BY e.vec_id ORDER BY e.vec_id"
         ),
         "image_meta": (
             # fake dims derive from md5 digest bytes [8:16] little-endian ==

@@ -784,3 +784,107 @@ def margin_mine(
         )
 
     return fwd.map_batches(attach, batch_format="pyarrow")
+
+
+def knn_recall(
+    ds,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    max_bucket_size: int = 4096,
+    num_slices: int | None = None,
+):
+    """ANN quality evaluation: per-vector recall@k of the LSH-bucketed graph
+    (:func:`knn_graph_lsh`) against the exact graph (:func:`knn_graph`) —
+    the measurement a pipeline owner runs before trusting the approximate
+    path at scale. Returns ``(vec_id, n_exact, n_hit, recall)`` per vector
+    (n_exact = min(k, N−1); recall = hits / n_exact, rounded half-away-4).
+
+    Scale design: both graphs stream their (vec, nbr) edges; the tagged
+    union is hash-partitioned by a coarse vec-id SLICE (never a per-vector
+    groupby) and each slice counts matches vectorized (lexsort + adjacent-
+    pair detection). Nothing but 17-byte edge rows ever shuffles."""
+    import ray
+
+    from .dedup import round_half_up4_arr
+
+    if num_slices is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_slices = max(16, cpus * 4)
+    mix = np.uint64(0xBF58476D1CE4E5B9)
+
+    exact = knn_graph(ds, k=k, id_col=id_col, vec_col=vec_col)
+    approx = knn_graph_lsh(
+        ds,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_bits=n_bits,
+        n_tables=n_tables,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
+    )
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            v = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+            n = np.asarray(batch["nbr_id"].to_pylist(), dtype=np.int64)
+            sl = ((v.view(np.uint64) * mix) % np.uint64(num_slices)).astype(np.int32)
+            return pa.table(
+                {
+                    "v": pa.array(v),
+                    "n": pa.array(n),
+                    "side": pa.array(np.full(len(v), side, dtype=np.int8)),
+                    "slice": pa.array(sl),
+                }
+            )
+
+        return fn
+
+    union = exact.map_batches(tag(0), batch_format="pyarrow").union(
+        approx.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def score(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "n_exact": pa.array([], pa.int64()),
+                "n_hit": pa.array([], pa.int64()),
+                "recall": pa.array([], pa.float64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        v = tbl["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = tbl["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = tbl["side"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, n, v))
+        v, n, s = v[order], n[order], s[order]
+        # an exact edge is "hit" when the NEXT row is the same (v, n) pair
+        # from the approx side (per-side edges are distinct by construction)
+        hit = np.zeros(len(v), dtype=bool)
+        if len(v) > 1:
+            hit[:-1] = (v[1:] == v[:-1]) & (n[1:] == n[:-1]) & (s[:-1] == 0) & (s[1:] == 1)
+        is_exact = s == 0
+        uniq, inv = np.unique(v[is_exact], return_inverse=True)
+        if len(uniq) == 0:
+            return empty
+        n_exact = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        n_hit = np.bincount(inv, weights=hit[is_exact].astype(np.float64), minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(uniq),
+                "n_exact": pa.array(n_exact),
+                "n_hit": pa.array(n_hit),
+                "recall": pa.array(round_half_up4_arr(n_hit / n_exact)),
+            }
+        )
+
+    return union.groupby("slice").map_groups(score, batch_format="pyarrow")

@@ -2582,3 +2582,50 @@ def test_code_detect_signals(ray_session):
     assert r0["code_frac"] == round(4 / 5, 4)
     assert out[1]["n_code_lines"] == 0 and out[1]["n_lines"] == 2
     assert out[2]["n_lines"] == 1 and out[2]["code_frac"] == 0.0
+
+
+def test_knn_recall_bruteforce(ray_session):
+    """recall@k vs a numpy oracle: exact/LSH graphs recomputed brute-force,
+    per-vec intersection counts; exact edges always ≤ min(k, N-1)."""
+    import ray.data
+
+    from infidex_ray.ops.similarity import (
+        _hyperplanes,
+        knn_recall,
+    )
+
+    rng = np.random.default_rng(5)
+    nvec, d, k, n_bits, n_tables = 40, 8, 4, 4, 2
+    V = rng.normal(size=(nvec, d))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": V[i].tolist()} for i in range(nvec)]
+    ).repartition(4)
+    got = {r["vec_id"]: r for r in knn_recall(
+        ds, k=k, n_bits=n_bits, n_tables=n_tables).take_all()}
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    np.fill_diagonal(S, -np.inf)
+    def topk(sims, cand):
+        order = sorted(cand, key=lambda j: (-sims[j], j))
+        return set(order[:k])
+    # candidate sets from the same seeded hyperplanes (sign-bit buckets)
+    buckets = {}
+    for t in range(n_tables):
+        pl = _hyperplanes(d, n_bits, 42 + t)
+        bits = (V @ pl.T > 0).astype(int)
+        code = (bits * (1 << np.arange(n_bits))).sum(axis=1)
+        for i in range(nvec):
+            buckets.setdefault((t, code[i]), []).append(i)
+    cands = {i: set() for i in range(nvec)}
+    for members in buckets.values():
+        if 2 <= len(members) <= 4096:
+            for i in members:
+                cands[i].update(m for m in members if m != i)
+    assert len(got) == nvec
+    for i in range(nvec):
+        exact = topk(S[i], range(nvec))
+        approx = topk(S[i], cands[i]) if cands[i] else set()
+        hits = len(exact & approx)
+        assert got[i]["n_exact"] == len(exact)
+        assert got[i]["n_hit"] == hits
+        assert got[i]["recall"] == round(hits / len(exact), 4)
