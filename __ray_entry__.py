@@ -1733,6 +1733,24 @@ def _q_knn_recall(sf_dir: str):
     )
 
 
+def _q_broadcast_join(sf_dir: str):
+    """Broadcast hash join (orders ⨝ customer on custkey): dimension table
+    ray.put once, per-block Arrow hash-join kernel — no big-side shuffle."""
+    from infidex_ray.ops.joins import broadcast_join
+
+    big = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def dim(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": b["c_custkey"], "c_name": b["c_name"]}
+        )
+
+    small = _read(sf_dir, "customer").map_batches(dim, batch_format="pyarrow")
+    return _by(broadcast_join(big, small, on="o_custkey"), "o_orderkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -1841,6 +1859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta": _q_image_meta,
         "keep_earliest": _q_keep_earliest,
         "knn_recall": _q_knn_recall,
+        "broadcast_join": _q_broadcast_join,
     }
 
 
@@ -2840,6 +2859,11 @@ def oracle_sql() -> dict[str, str]:
             "'(?m)^(?:[ \\t]*(?:def |class |import |from |return |function |var |const |let |#include)[^\\n]*|[^\\n]*[{};][ \\t]*)$'"
             ")) / CAST(len(string_split(t, chr(10))) AS DOUBLE), 4) AS code_frac "
             "FROM aug ORDER BY doc_id"
+        ),
+        "broadcast_join": (
+            "SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, "
+            "c.c_name FROM orders o JOIN customer c "
+            "ON c.c_custkey = o.o_custkey ORDER BY o.o_orderkey"
         ),
         "knn_recall": (
             # exact graph (all-pairs window top-k) LEFT JOIN the replayed

@@ -262,3 +262,61 @@ def range_join(
         return pa.table(out)
 
     return tagged.groupby("__bucket").map_groups(match, batch_format="pyarrow")
+
+
+def broadcast_join(
+    ds,
+    small_ds,
+    on,
+    how: str = "inner",
+    max_small_rows: int = 5_000_000,
+):
+    """Broadcast hash join — the join strategy Ray Data's native
+    ``Dataset.join`` lacks: when one side fits in memory (a dimension
+    table, a blocklist, a key set), ship it ONCE via ``ray.put`` and join
+    every block of the big side locally with Arrow's hash-join kernel.
+    No shuffle of the big side, no join aggregator actors, and none of the
+    Ray 2.49 hash-join quirks (schema-less empty partitions, chained-join
+    deadlock) apply.
+
+    ``how`` ∈ inner / left outer / left semi / left anti (pyarrow join_type
+    names; 'left'/'semi'/'anti' accepted as aliases). The small side is
+    materialized and must stay under ``max_small_rows`` (raise → use
+    ``Dataset.join`` with the ``_join_partitions`` guard instead). Output
+    column order: big-side columns, then non-key small-side columns."""
+    import ray
+
+    aliases = {
+        "left": "left outer",
+        "semi": "left semi",
+        "anti": "left anti",
+    }
+    join_type = aliases.get(how, how)
+    if join_type not in ("inner", "left outer", "left semi", "left anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+
+    parts = [
+        t
+        for t in (
+            ray.get(r) for r in small_ds.materialize().to_arrow_refs()
+        )
+        if t.num_rows > 0
+    ]
+    if not parts:
+        raise ValueError("broadcast_join: empty small side")
+    small_tbl = pa.concat_tables(
+        [t.select(parts[0].column_names) for t in parts]
+    ).combine_chunks()
+    if small_tbl.num_rows > max_small_rows:
+        raise ValueError(
+            f"broadcast_join: small side has {small_tbl.num_rows} rows > "
+            f"max_small_rows={max_small_rows}; use Dataset.join"
+        )
+    sref = ray.put(small_tbl)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        small = ray.get(sref)
+        return batch.join(small, keys=keys, join_type=join_type)
+
+    return ds.map_batches(join_batch, batch_format="pyarrow")

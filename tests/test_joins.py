@@ -253,3 +253,32 @@ def test_asof_and_sessionize_string_keys(ray_session):
     s = sessionize(ev, gap_s=1.0, user_col="sess_key").to_pandas()
     assert sorted(s.sess_key) == ["x", "y"]
     assert s[s.sess_key == "x"].iloc[0].n_events == 2
+
+
+def test_broadcast_join_variants(ray_session):
+    """inner / left outer / semi / anti against a python-dict oracle;
+    oversize small side raises; empty small side raises."""
+    import pytest
+    import ray.data
+
+    from infidex_ray.ops.joins import broadcast_join
+
+    big = ray.data.from_items(
+        [{"k": i % 5, "v": i} for i in range(40)]
+    ).repartition(4)
+    small = ray.data.from_items(
+        [{"k": 0, "tag": "a"}, {"k": 1, "tag": "b"}, {"k": 7, "tag": "z"}]
+    )
+    inner = broadcast_join(big, small, on="k").to_pandas()
+    assert set(inner.k) == {0, 1} and len(inner) == 16
+    assert set(inner.columns) == {"k", "v", "tag"}
+    left = broadcast_join(big, small, on="k", how="left").to_pandas()
+    assert len(left) == 40 and left[left.k == 2].tag.isna().all()
+    semi = broadcast_join(big, small, on="k", how="semi").to_pandas()
+    assert set(semi.columns) == {"k", "v"} and len(semi) == 16
+    anti = broadcast_join(big, small, on="k", how="anti").to_pandas()
+    assert set(anti.k) == {2, 3, 4} and len(anti) == 24
+    with pytest.raises(ValueError, match="max_small_rows"):
+        broadcast_join(big, small, on="k", max_small_rows=2)
+    with pytest.raises(ValueError, match="empty small side"):
+        broadcast_join(big, small.filter(lambda r: False), on="k")
