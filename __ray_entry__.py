@@ -1751,6 +1751,29 @@ def _q_broadcast_join(sf_dir: str):
     return _by(broadcast_join(big, small, on="o_custkey"), "o_orderkey")
 
 
+def _q_grouped_agg(sf_dir: str):
+    """TPC-H-Q1-shaped combiner aggregation over lineitem: per-block Arrow
+    hash group-by partials, key-hash slice merge. Deterministic aggregates
+    only (integral-valued sums, count, min/max, exact mean)."""
+    from infidex_ray.ops.agg import grouped_agg
+
+    return _by(
+        grouped_agg(
+            _read(sf_dir, "lineitem"),
+            ["l_returnflag", "l_linestatus"],
+            {
+                "sum_qty": ("sum", "l_quantity"),
+                "n_rows": ("count", "l_orderkey"),
+                "min_price": ("min", "l_extendedprice"),
+                "max_price": ("max", "l_extendedprice"),
+                "avg_qty": ("mean", "l_quantity"),
+            },
+        ),
+        "l_returnflag",
+        "l_linestatus",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -1860,6 +1883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keep_earliest": _q_keep_earliest,
         "knn_recall": _q_knn_recall,
         "broadcast_join": _q_broadcast_join,
+        "grouped_agg": _q_grouped_agg,
     }
 
 
@@ -2864,6 +2888,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, "
             "c.c_name FROM orders o JOIN customer c "
             "ON c.c_custkey = o.o_custkey ORDER BY o.o_orderkey"
+        ),
+        "grouped_agg": (
+            # integral-valued l_quantity → order-independent exact sums/means
+            "SELECT l_returnflag, l_linestatus, "
+            "sum(l_quantity) AS sum_qty, "
+            "count(l_orderkey)::BIGINT AS n_rows, "
+            "min(l_extendedprice) AS min_price, "
+            "max(l_extendedprice) AS max_price, "
+            "avg(l_quantity) AS avg_qty "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"
         ),
         "knn_recall": (
             # exact graph (all-pairs window top-k) LEFT JOIN the replayed

@@ -1,0 +1,118 @@
+"""Generic grouped aggregation with combiner partials.
+
+Ray Data's native ``groupby().aggregate()`` hash-partitions EVERY input row
+to the aggregator actors. For the usual analytical shape (few output groups,
+many rows) the scale-right plan is the classic combiner: each block first
+collapses to ≤|groups| partial rows with Arrow's own hash group-by (zero
+Python loops), and only those partials shuffle — by a coarse slice of the
+key hash, never one Ray group per output key. The same pattern the index
+build uses for df stats (build.py) and tumbling_window uses for events,
+exposed as a reusable operator.
+
+Supported aggregates: sum / count / min / max / mean (mean decomposes into
+sum+count partials and divides at the end). Count semantics = SQL
+``count(col)`` (non-null); use ``count(key)`` on a key column for
+``count(*)`` over non-null keys.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_MIX = np.uint64(0xBF58476D1CE4E5B9)
+
+# how a partial kernel's outputs merge across blocks
+_MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def grouped_agg(ds, keys, aggs: dict, num_slices: int | None = None):
+    """``aggs``: ``{out_col: (func, in_col)}`` with func ∈ sum / count /
+    min / max / mean. Returns one row per distinct key combination with the
+    key columns plus every requested aggregate.
+
+    Float-sum caveat (same as any distributed sum): addition order differs
+    from a single-threaded engine, so float64 sums/means carry ~ulp-scale
+    nondeterminism; integer-valued columns are exact. min/max/count are
+    always exact.
+    """
+    import ray
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if num_slices is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_slices = max(16, cpus * 4)
+
+    # canonical partials, deduped per (col, kernel): two aggs over the same
+    # column (e.g. sum + mean) share one partial column
+    partials: dict[tuple, str] = {}  # (col, kernel) -> canonical name
+    finals = []  # (out_col, kind, canonical partial names)
+    for out, (fn, col) in aggs.items():
+        if fn == "mean":
+            needed = (("sum", col), ("count", col))
+            finals.append((out, "mean", needed))
+        elif fn in _MERGE:
+            needed = ((fn, col),)
+            finals.append((out, "direct", needed))
+        else:
+            raise ValueError(f"unsupported aggregate {fn!r}")
+        for kfn, kcol in needed:
+            partials.setdefault((kcol, kfn), f"__p_{kcol}_{kfn}")
+
+    pairs = list(partials.items())  # [((col, kernel), pname)]
+    in_cols = list(dict.fromkeys([c for (c, _f), _n in pairs]))
+
+    def _rename(res: pa.Table, mapping: dict) -> pa.Table:
+        return res.rename_columns([mapping.get(n, n) for n in res.column_names])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        proj = batch.select(list(dict.fromkeys(keys + in_cols)))
+        res = proj.group_by(keys).aggregate([(c, f) for (c, f), _n in pairs])
+        res = _rename(res, {f"{c}_{f}": n for (c, f), n in pairs})
+        h = np.zeros(len(res), dtype=np.uint64)
+        for kcol in keys:
+            enc = res[kcol].combine_chunks().dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            # per-batch dictionary codes are NOT globally stable — hash the
+            # VALUE bytes so the same key lands in the same slice everywhere
+            vals = enc.dictionary.cast(pa.string()).to_pylist()
+            vh = np.asarray(
+                [
+                    int.from_bytes(
+                        hashlib.md5(str(v).encode()).digest()[8:16], "little"
+                    )
+                    for v in vals
+                ],
+                dtype=np.uint64,
+            )
+            h = (h * _MIX) ^ vh[codes]
+        sl = (h % np.uint64(num_slices)).astype(np.int32)
+        return res.append_column("slice", pa.array(sl))
+
+    def final(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["slice"])
+        merge_pairs = [(n, _MERGE[f]) for (_c, f), n in pairs]
+        res = group.group_by(keys).aggregate(merge_pairs)
+        res = _rename(res, {f"{n}_{m}": n for n, m in merge_pairs})
+        cols = {k: res[k] for k in keys}
+        for out, kind, needed in finals:
+            if kind == "mean":
+                s = res[partials[(needed[0][1], needed[0][0])]]
+                c = res[partials[(needed[1][1], needed[1][0])]]
+                sv = s.to_numpy(zero_copy_only=False).astype(np.float64)
+                cv = c.to_numpy(zero_copy_only=False).astype(np.float64)
+                cols[out] = pa.array(sv / np.maximum(cv, 1.0))
+            else:
+                cols[out] = res[partials[(needed[0][1], needed[0][0])]]
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -2629,3 +2629,56 @@ def test_knn_recall_bruteforce(ray_session):
         assert got[i]["n_exact"] == len(exact)
         assert got[i]["n_hit"] == hits
         assert got[i]["recall"] == round(hits / len(exact), 4)
+
+
+def test_grouped_agg_matches_pandas(ray_session):
+    """Combiner aggregation vs a pandas oracle across multi-key groups and
+    every aggregate kind (shared-column sum+mean dedup included)."""
+    import pandas as pd
+    import ray.data
+
+    from infidex_ray.ops.agg import grouped_agg
+
+    rng = np.random.default_rng(7)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "g1": rng.integers(0, 4, n),
+            "g2": rng.choice(["x", "y"], n),
+            "a": rng.integers(0, 100, n),
+            "b": rng.normal(size=n),
+        }
+    )
+    got = (
+        grouped_agg(
+            ray.data.from_pandas(pdf).repartition(7),
+            ["g1", "g2"],
+            {
+                "sum_a": ("sum", "a"),
+                "n": ("count", "a"),
+                "min_b": ("min", "b"),
+                "max_b": ("max", "b"),
+                "avg_a": ("mean", "a"),
+            },
+        )
+        .to_pandas()
+        .sort_values(["g1", "g2"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pdf.groupby(["g1", "g2"])
+        .agg(
+            sum_a=("a", "sum"),
+            n=("a", "count"),
+            min_b=("b", "min"),
+            max_b=("b", "max"),
+            avg_a=("a", "mean"),
+        )
+        .reset_index()
+        .sort_values(["g1", "g2"])
+        .reset_index(drop=True)
+    )
+    assert (got.g1 == exp.g1).all() and (got.g2 == exp.g2).all()
+    assert (got.sum_a == exp.sum_a).all() and (got.n == exp.n).all()
+    assert np.allclose(got.min_b, exp.min_b) and np.allclose(got.max_b, exp.max_b)
+    assert np.allclose(got.avg_a, exp.avg_a)
