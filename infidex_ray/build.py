@@ -517,6 +517,7 @@ def _build_index_local_impl(
             "stop_term_limit": cfg.stop_term_limit,
             "delimiters": list(cfg.delimiters),
             "synonyms": [list(g) for g in cfg.synonyms],
+            "enable_coverage": cfg.enable_coverage,
         },
         "stats": stats,
         "segments": seg_entries,
@@ -953,6 +954,7 @@ def build_index(
             "stop_term_limit": cfg.stop_term_limit,
             "delimiters": list(cfg.delimiters),
             "synonyms": [list(g) for g in cfg.synonyms],
+            "enable_coverage": cfg.enable_coverage,
         },
         "stats": stats,
         "segments": seg_entries,

@@ -77,6 +77,16 @@ class EngineConfig:
     def min_index_size(self) -> int:
         return min(self.index_sizes)
 
+    @classmethod
+    def minimal(cls) -> "EngineConfig":
+        """SearchEngine.CreateMinimal (SearchEngine.cs:101): gram-3 only,
+        pads (2, 0), coverage rescoring off — the cheap exact-ish profile."""
+        return cls(
+            index_sizes=(3,),
+            start_pad_size=2,
+            stop_pad_size=0,
+            enable_coverage=False,
+        )
 
 def _default_coverage():
     from .query.coverage import CoverageParams

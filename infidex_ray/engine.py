@@ -87,6 +87,15 @@ class SystemStatus:
     index_progress: int = 0  # 0-100 %
 
 
+@dataclass
+class IndexStatistics:
+    """Mirror of SearchEngine.IndexStatistics (SearchEngine.cs:385-399):
+    (document count, vocabulary size) snapshot."""
+
+    document_count: int = 0
+    vocabulary_size: int = 0
+
+
 def analyze_query(search_text: str, cfg: EngineConfig) -> tuple[bool, bool, str]:
     """QueryAnalyzer.Analyze (src/Infidex/Scoring/QueryAnalyzer.cs:10-55)."""
     min_size = cfg.min_index_size
@@ -301,6 +310,7 @@ class Engine:
                 stop_term_limit=c["stop_term_limit"],
                 delimiters=tuple(c["delimiters"]),
                 synonyms=tuple(tuple(g) for g in c.get("synonyms", [])),
+                enable_coverage=c.get("enable_coverage", True),
             )
         seg_root = os.path.join(index_dir, "segments")
         indices = (
@@ -665,6 +675,37 @@ class Engine:
             too_long_search_text=False,
             too_long_client_text=False,
             index_progress=progress,
+        )
+
+    def get_document(self, document_key: int) -> dict | None:
+        """SearchEngine.GetDocument (SearchEngine.cs:363-368): the stored
+        field values for one public document key — ``None`` when the key is
+        unknown (or tombstoned). Includes ``url`` plus every stored column."""
+        if document_key in getattr(self, "deleted", ()):  # tombstoned
+            return None
+        row = self._field_row(int(document_key))
+        return row or None
+
+    def get_documents(self, document_keys) -> list[dict]:
+        """SearchEngine.GetDocuments (SearchEngine.cs:370-375): batch form of
+        :meth:`get_document`; unknown keys are skipped (the reference returns
+        only found documents)."""
+        out = []
+        for k in document_keys:
+            row = self.get_document(k)
+            if row is not None:
+                out.append(row)
+        return out
+
+    def get_statistics(self) -> "IndexStatistics":
+        """SearchEngine.GetStatistics (SearchEngine.cs:378-383):
+        (document count, vocabulary size) — vocabulary = distinct WORD terms
+        across the index (the reference counts its TermCollection)."""
+        return IndexStatistics(
+            document_count=sum(len(seg.doc_keys) for seg in self.segments),
+            vocabulary_size=len(self.word_df.terms)
+            if hasattr(self.word_df, "terms")
+            else 0,
         )
 
     # Match-all + facets walks every stored doc in-process (faithful to the

@@ -287,6 +287,19 @@ class DistributedEngine(Engine):
         # the fused speculative phase_ab round on repeat plans
         self._level_memo: dict = {}
 
+    def shutdown(self) -> None:
+        """Tear down the shard actor pool (SearchEngine.Dispose parity for
+        the distributed engine). Idempotent; the index on disk is untouched
+        — ``connect`` again to resume serving."""
+        import ray
+
+        for a in self.actors:
+            try:
+                ray.kill(a)
+            except Exception:
+                pass
+        self.actors = []
+
     @classmethod
     def connect(
         cls,
@@ -308,6 +321,7 @@ class DistributedEngine(Engine):
                 stop_pad_size=c["stop_pad_size"],
                 stop_term_limit=c["stop_term_limit"],
                 delimiters=tuple(c["delimiters"]),
+                enable_coverage=c.get("enable_coverage", True),
             )
         n_segments = len(manifest["segments"])
         if num_shards is None:

@@ -217,3 +217,30 @@ def test_distributed_query_api_parity(ray_session, tmp_path_factory):
     # match-all facets are refused with a pointer at the offline path
     with pytest.raises(ValueError):
         deng.query(Query("", max_results=10, enable_facets=True))
+
+
+def test_minimal_profile_rank_identity_distributed(ray_session, tmp_path):
+    """enable_coverage persists in the manifest: a CreateMinimal-profile
+    index (coverage off) serves rank-identically from the actor pool."""
+    import dataclasses
+
+    import ray.data
+
+    from infidex_ray import EngineConfig
+    from infidex_ray.engine import Engine
+    from infidex_ray.query.executor import DistributedEngine
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = dataclasses.replace(
+        EngineConfig.minimal(), target_docs_per_segment=200
+    )
+    idx = str(tmp_path / "minidx")
+    eng = Engine.build(ds, idx, cfg, text_column="text", key_column="doc_id")
+    deng = DistributedEngine.connect(idx, num_shards=2)
+    try:
+        for q in ("fast column table", "fsat colunm", "merge"):
+            a = [(h.doc_key, h.score, h.tiebreaker) for h in eng.search(q, top_k=10)]
+            b = [(h.doc_key, h.score, h.tiebreaker) for h in deng.search(q, top_k=10)]
+            assert a == b
+    finally:
+        deng.shutdown()

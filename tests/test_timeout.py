@@ -211,3 +211,36 @@ def test_matchall_facet_cap(ray_session, tmp_path):
     eng.matchall_facet_cap = 1_000_000
     res = eng.query(Query("", max_results=1 << 30, enable_facets=True))
     assert res.facets and res.facets["lang"][0] == ("en", 20)
+
+
+def test_get_document_and_statistics(ray_session, tmp_path):
+    """GetDocument/GetDocuments/GetStatistics parity: stored fields by key,
+    unknown keys skipped, tombstoned keys hidden, vocab = distinct words."""
+    import ray.data
+
+    from infidex_ray import EngineConfig
+    from infidex_ray.engine import Engine
+
+    rows = [
+        {"doc_id": 1, "text": "alpha beta gamma", "lang": "en"},
+        {"doc_id": 2, "text": "beta delta", "lang": "de"},
+        {"doc_id": 3, "text": "gamma gamma", "lang": "en"},
+    ]
+    eng = Engine.build(
+        ray.data.from_items(rows),
+        str(tmp_path / "idx"),
+        EngineConfig(target_docs_per_segment=2),
+        text_column="text",
+        key_column="doc_id",
+        store_columns=("lang",),
+    )
+    d = eng.get_document(2)
+    assert d is not None and d["lang"] == "de"
+    assert eng.get_document(99) is None
+    assert [r["lang"] for r in eng.get_documents([1, 99, 3])] == ["en", "en"]
+    st = eng.get_statistics()
+    assert st.document_count == 3
+    assert st.vocabulary_size == 4  # alpha beta gamma delta
+    eng.delete_documents([2])
+    assert eng.get_document(2) is None
+    assert len(eng.get_documents([1, 2, 3])) == 2
