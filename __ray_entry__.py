@@ -43,7 +43,24 @@ def _by(ds, *cols):
     order, which is nondeterministic — the round-1 token_stats hash fail)."""
     if isinstance(ds, pa.Table):
         return ds.sort_by([(c, "ascending") for c in cols])
-    return ds.sort(list(cols))
+    # materialize first: Ray 2.49's sort returns a schema-LESS dataset when
+    # the input is empty, and even a schema-bearing empty Dataset loses its
+    # columns in to_pandas() — so legitimately empty results (a pair miner
+    # finding nothing on a given corpus) go back as a typed empty pa.Table
+    m = ds.materialize()
+    if m.count() == 0:
+        sch = m.schema()
+        base = getattr(sch, "base_schema", None) if sch is not None else None
+        if base is not None:
+            return base.empty_table()
+        for ref in m.to_arrow_refs():
+            import ray as _ray
+
+            t = _ray.get(ref)
+            if t is not None:
+                return t.schema.empty_table()
+        return m  # no schema recoverable; driver sees rows=0 either way
+    return m.sort(list(cols))
 
 
 _ENGINE_CACHE: dict[str, Engine] = {}

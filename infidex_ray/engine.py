@@ -131,6 +131,9 @@ class DfLookup:
             return int(self.dfs[i])
         return 0
 
+    def vocab_size(self) -> int:
+        return len(self.terms)
+
 
 class ShardedDfLookup:
     """Vocab df lookup over a DIRECTORY of sorted parquet parts — the layout
@@ -197,6 +200,23 @@ class ShardedDfLookup:
                 if i < len(terms) and terms[i] == term:
                     total += int(dfs[i])
         return total
+
+    def vocab_size(self) -> int:
+        """Distinct-term count. When part key ranges are pairwise disjoint
+        (the base distributed build always writes range-partitioned parts),
+        this is the SUM of parquet-footer row counts — zero data read. Only
+        overlapping parts (delta appends) fall back to the merged view."""
+        import pyarrow.parquet as pq
+
+        disjoint = all(
+            self.parts[i][1] < self.parts[i + 1][0]
+            for i in range(len(self.parts) - 1)
+        )
+        if disjoint:
+            return sum(
+                pq.ParquetFile(p).metadata.num_rows for _, _, p in self.parts
+            )
+        return len(self._merge_all()[0])
 
     def _merge_all(self) -> tuple[np.ndarray, np.ndarray]:
         """Full materialized view (duplicate keys summed, sorted) — only for
@@ -701,11 +721,11 @@ class Engine:
         """SearchEngine.GetStatistics (SearchEngine.cs:378-383):
         (document count, vocabulary size) — vocabulary = distinct WORD terms
         across the index (the reference counts its TermCollection)."""
+        wd = self.word_df
+        vocab = wd.vocab_size() if hasattr(wd, "vocab_size") else len(wd.terms)
         return IndexStatistics(
             document_count=sum(len(seg.doc_keys) for seg in self.segments),
-            vocabulary_size=len(self.word_df.terms)
-            if hasattr(self.word_df, "terms")
-            else 0,
+            vocabulary_size=int(vocab),
         )
 
     # Match-all + facets walks every stored doc in-process (faithful to the

@@ -17,10 +17,10 @@ sum+count partials and divides at the end). Count semantics = SQL
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
+
+from .dedup import _default_num_slices, _md5_u64
 
 _MIX = np.uint64(0xBF58476D1CE4E5B9)
 
@@ -38,15 +38,9 @@ def grouped_agg(ds, keys, aggs: dict, num_slices: int | None = None):
     nondeterminism; integer-valued columns are exact. min/max/count are
     always exact.
     """
-    import ray
-
     keys = [keys] if isinstance(keys, str) else list(keys)
     if num_slices is None:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        num_slices = max(16, cpus * 4)
+        num_slices = _default_num_slices()
 
     # canonical partials, deduped per (col, kernel): two aggs over the same
     # column (e.g. sum + mean) share one partial column
@@ -77,20 +71,17 @@ def grouped_agg(ds, keys, aggs: dict, num_slices: int | None = None):
         h = np.zeros(len(res), dtype=np.uint64)
         for kcol in keys:
             enc = res[kcol].combine_chunks().dictionary_encode()
-            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = enc.indices
+            codes = idx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
             # per-batch dictionary codes are NOT globally stable — hash the
-            # VALUE bytes so the same key lands in the same slice everywhere
+            # VALUE bytes so the same key lands in the same slice everywhere;
+            # null is a valid SQL group → it gets its own reserved hash
             vals = enc.dictionary.cast(pa.string()).to_pylist()
             vh = np.asarray(
-                [
-                    int.from_bytes(
-                        hashlib.md5(str(v).encode()).digest()[8:16], "little"
-                    )
-                    for v in vals
-                ],
+                [_md5_u64(str(v)) for v in vals] + [_md5_u64("\x00<NULL>")],
                 dtype=np.uint64,
             )
-            h = (h * _MIX) ^ vh[codes]
+            h = (h * _MIX) ^ vh[codes]  # codes==-1 (null) → last slot
         sl = (h % np.uint64(num_slices)).astype(np.int32)
         return res.append_column("slice", pa.array(sl))
 
@@ -106,7 +97,10 @@ def grouped_agg(ds, keys, aggs: dict, num_slices: int | None = None):
                 c = res[partials[(needed[1][1], needed[1][0])]]
                 sv = s.to_numpy(zero_copy_only=False).astype(np.float64)
                 cv = c.to_numpy(zero_copy_only=False).astype(np.float64)
-                cols[out] = pa.array(sv / np.maximum(cv, 1.0))
+                # count==0 (all-null group) → NaN ≡ SQL avg(...)=NULL
+                cols[out] = pa.array(
+                    np.where(cv > 0, sv / np.maximum(cv, 1.0), np.nan)
+                )
             else:
                 cols[out] = res[partials[(needed[0][1], needed[0][0])]]
         return pa.table(cols)

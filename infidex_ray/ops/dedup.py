@@ -117,6 +117,19 @@ def _hash64(s: str) -> int:
     )
 
 
+def _default_num_slices(mult: int = 4, floor: int = 16) -> int:
+    """Coarse slice count for hash-slice groupbys, scaled to cluster CPUs —
+    the ONE place the slicing policy lives (duplicate_spans rationale:
+    never a per-key Ray group; a slice is a pure function of the key)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(floor, cpus * mult)
+
+
 def _ray_chained_join_deadlock() -> bool:
     """True while the running Ray has the chained-``Dataset.join`` deadlock
     (probed empirically on 2.49: chained joins hang when num_partitions
@@ -2122,14 +2135,9 @@ def corpus_overlap(
     past stage one. Short-doc shingle contract as in :func:`word_shingles`.
     """
     import pandas as pd
-    import ray
 
     if num_slices is None:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        num_slices = max(64, cpus * 8)
+        num_slices = _default_num_slices(mult=8, floor=64)
 
     def emit(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
@@ -2171,12 +2179,13 @@ def corpus_overlap(
             keep[1:] = (gi[1:] != gi[:-1]) | (hh[1:] != hh[:-1])
             gi, hh = gi[keep], hh[keep]
         sizes = np.bincount(gi, minlength=ng)
-        out_a, out_b, out_n = [], [], []
+        out_a, out_b, out_n, out_k = [], [], [], []
         for i, nm in enumerate(names):
             if sizes[i]:
                 out_a.append(nm)
-                out_b.append("")
+                out_b.append(nm)
                 out_n.append(int(sizes[i]))
+                out_k.append(0)  # kind 0 = per-group size row
         # runs of equal hash: members are distinct groups, gi ascending in-run
         if len(hh):
             starts = np.flatnonzero(np.r_[True, hh[1:] != hh[:-1]])
@@ -2198,11 +2207,13 @@ def corpus_overlap(
                     out_a.append(names[code // ng])
                     out_b.append(names[code % ng])
                     out_n.append(int(cnt[code]))
+                    out_k.append(1)  # kind 1 = pair intersection row
         return pa.table(
             {
                 "a": pa.array(out_a, pa.string()),
                 "b": pa.array(out_b, pa.string()),
                 "cnt": pa.array(out_n, pa.int64()),
+                "kind": pa.array(out_k, pa.int8()),
             }
         )
 
@@ -2212,11 +2223,16 @@ def corpus_overlap(
         .map_groups(slice_counts, batch_format="pyarrow")
     )
     # O(groups²) rows per slice — a tiny driver-side aggregate by design.
+    # kind column (not a name sentinel) separates size rows from pair rows,
+    # so any group value — including "" — is a valid source name.
     agg: dict[tuple[str, str], int] = {}
+    sizes: dict[str, int] = {}
     for row in parts.iter_rows():
-        k = (row["a"], row["b"])
-        agg[k] = agg.get(k, 0) + int(row["cnt"])
-    sizes = {a: v for (a, b), v in agg.items() if b == ""}
+        if int(row["kind"]) == 0:
+            sizes[row["a"]] = sizes.get(row["a"], 0) + int(row["cnt"])
+        else:
+            k = (row["a"], row["b"])
+            agg[k] = agg.get(k, 0) + int(row["cnt"])
     srcs = sorted(sizes)
     rows = []
     for i, sa in enumerate(srcs):
@@ -2267,15 +2283,9 @@ def snapshot_diff(
     (never a per-key groupby) and each slice detects adds/removes/changes
     vectorized (lexsort + run boundaries). One all-to-all of ~24-byte rows
     total."""
-    import ray
-
     if num_slices is None:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        num_slices = max(16, cpus * 4)
-    mix = np.uint64(0xBF58476D1CE4E5B9)
+        num_slices = _default_num_slices()
+    mix = _MIX1
 
     def digest_side(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -2305,7 +2315,7 @@ def snapshot_diff(
             return pa.table(
                 {"doc_id": pa.array([], pa.int64()), "status": pa.array([], pa.string())}
             )
-        order = np.lexsort((side, k))
+        order = np.lexsort((hi, lo, side, k))
         k, lo, hi, side = k[order], lo[order], hi[order], side[order]
         starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
         lens = np.diff(np.r_[starts, len(k)])
@@ -2316,13 +2326,41 @@ def snapshot_diff(
             added = side[s1] == 1
             out_id.append(k[s1])
             out_st.append(np.where(added, "added", "removed"))
-        two = lens == 2
+        # clean pair runs: exactly one row per side (side-sorted, so
+        # position s2 is old and s2+1 is new by construction)
+        two = (lens == 2)
         if two.any():
             s2 = starts[two]
-            diff = (lo[s2] != lo[s2 + 1]) | (hi[s2] != hi[s2 + 1])
-            if diff.any():
-                out_id.append(k[s2][diff])
-                out_st.append(np.full(int(diff.sum()), "changed", dtype=object))
+            clean = (side[s2] == 0) & (side[s2 + 1] == 1)
+            sc = s2[clean]
+            if len(sc):
+                diff = (lo[sc] != lo[sc + 1]) | (hi[sc] != hi[sc + 1])
+                if diff.any():
+                    out_id.append(k[sc][diff])
+                    out_st.append(np.full(int(diff.sum()), "changed", dtype=object))
+            s2 = s2[~clean]  # same-side pairs fall through to the slow path
+        else:
+            s2 = np.empty(0, dtype=np.int64)
+        # irregular runs (a key appearing >1 time within one snapshot —
+        # rare, so a Python loop over just these is fine): compare per-side
+        # digest MULTISETS; sorted within run already, so slices align
+        irregular = np.concatenate([starts[lens > 2], s2]) if (lens > 2).any() or len(s2) else s2
+        for st in irregular:
+            ln = int(lens[np.searchsorted(starts, st)])
+            sl = slice(st, st + ln)
+            is_new = side[sl] == 1
+            o_lo, o_hi = lo[sl][~is_new], hi[sl][~is_new]
+            n_lo, n_hi = lo[sl][is_new], hi[sl][is_new]
+            if len(o_lo) == 0:
+                status = "added"
+            elif len(n_lo) == 0:
+                status = "removed"
+            elif len(o_lo) != len(n_lo) or (o_lo != n_lo).any() or (o_hi != n_hi).any():
+                status = "changed"
+            else:
+                continue
+            out_id.append(np.asarray([k[st]], dtype=np.int64))
+            out_st.append(np.asarray([status], dtype=object))
         if not out_id:
             return pa.table(
                 {"doc_id": pa.array([], pa.int64()), "status": pa.array([], pa.string())}

@@ -809,15 +809,11 @@ def knn_recall(
     pair detection). Nothing but 17-byte edge rows ever shuffles."""
     import ray
 
-    from .dedup import round_half_up4_arr
+    from .dedup import _MIX1 as mix
+    from .dedup import _default_num_slices, round_half_up4_arr
 
     if num_slices is None:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        num_slices = max(16, cpus * 4)
-    mix = np.uint64(0xBF58476D1CE4E5B9)
+        num_slices = _default_num_slices()
 
     exact = knn_graph(ds, k=k, id_col=id_col, vec_col=vec_col)
     approx = knn_graph_lsh(

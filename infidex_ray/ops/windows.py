@@ -492,22 +492,35 @@ def keep_latest(
     duplicate_spans) and each slice repeats the same vectorized reduction.
     ``ts_col`` is normalized to epoch-us int64 (``ts_us``) at the edge, like
     every windows op."""
-    import ray
+    from .dedup import _default_num_slices, _md5_u64
 
     if num_slices is None:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        num_slices = max(16, cpus * 4)
+        num_slices = _default_num_slices()
     mix = np.uint64(0xBF58476D1CE4E5B9)
 
+    def _key_ranks(col) -> np.ndarray:
+        """Total order on key values WITHIN one table: integers compare
+        directly; any other type (string URLs — the first-crawl-wins case)
+        goes through a sorted-dictionary rank. Rank is table-local, which is
+        all the run-boundary reduction needs."""
+        col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            return col.to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = col.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(np.asarray(enc.dictionary.to_pylist(), dtype=object))
+        rank_of = np.empty(len(order), dtype=np.int64)
+        rank_of[order] = np.arange(len(order))
+        return rank_of[codes]
+
     def _latest(tbl: pa.Table) -> pa.Table:
-        keys = tbl[key_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        if len(tbl) == 0:
+            return tbl
+        keys = _key_ranks(tbl[key_col])
         ts = _ts_us(tbl["ts_us"] if "ts_us" in tbl.column_names else tbl[ts_col])
         ids = tbl[id_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
-        if len(keys) == 0:
-            return tbl
         order = np.lexsort((ids, ts, keys))
         k = keys[order]
         if latest:
@@ -524,8 +537,15 @@ def keep_latest(
                 pa.array(_ts_us(batch[ts_col]), pa.int64()),
             )
         red = _latest(batch)
-        keys = red[key_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
-        sl = ((keys.astype(np.int64).view(np.uint64) * mix) % np.uint64(num_slices)).astype(np.int32)
+        kc = red[key_col].combine_chunks()
+        if pa.types.is_integer(kc.type):
+            keys = kc.to_numpy(zero_copy_only=False).astype(np.int64)
+            sl = ((keys.view(np.uint64) * mix) % np.uint64(num_slices)).astype(np.int32)
+        else:
+            sl = np.asarray(
+                [_md5_u64(str(v)) % num_slices for v in kc.to_pylist()],
+                dtype=np.int32,
+            )
         return red.append_column("slice", pa.array(sl))
 
     def final(group: pa.Table) -> pa.Table:

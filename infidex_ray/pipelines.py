@@ -354,13 +354,21 @@ def curate_webtext(
                 }
             )
 
-        kept = budget_select(
-            docs.map_batches(score_and_cost, batch_format="pyarrow"),
-            token_budget,
-            score_col="__bsel_score",
-            cost_col="__bsel_cost",
-            id_col=id_col,
-        ).select_columns([id_col])
+        kept = (
+            budget_select(
+                docs.map_batches(score_and_cost, batch_format="pyarrow"),
+                token_budget,
+                score_col="__bsel_score",
+                cost_col="__bsel_cost",
+                id_col=id_col,
+            )
+            .select_columns([id_col])
+            .materialize()  # id-only, budget-bounded — the small side
+        )
+        if kept.count() == 0:
+            # budget below the smallest doc: joining an empty side trips the
+            # Ray 2.49 schema-less-empty-partition crash — short-circuit
+            return _empty_packed()
         docs = docs.join(
             kept, "left_semi", _join_partitions(chained=False), on=(id_col,)
         )

@@ -802,6 +802,39 @@ class DistributedEngine(Engine):
     def _field_row(self, key: int) -> dict:
         return getattr(self, "_row_cache", {}).get(int(key), {})
 
+    def get_document(self, document_key: int) -> dict | None:
+        """GetDocument parity on the distributed engine: one shard fan-out
+        for the single key (the inherited implementation reads only the
+        last query's prefetch cache, which would be stale/empty here)."""
+        rows = self.get_documents([document_key])
+        return rows[0] if rows else None
+
+    def get_documents(self, document_keys) -> list[dict]:
+        """Batched GetDocuments: ONE fan-out; each shard returns only the
+        keys it owns; input order preserved, unknown/tombstoned skipped."""
+        keys = [int(k) for k in document_keys]
+        merged: dict[int, dict] = {}
+        if keys:
+            for part in ray.get([a.field_rows.remote(keys) for a in self.actors]):
+                merged.update(part)
+        deleted = getattr(self, "deleted", set())
+        return [merged[k] for k in keys if k in merged and k not in deleted]
+
+    def get_statistics(self):
+        """GetStatistics parity: the driver-side engine holds no segments —
+        document count comes from the manifest stats, vocabulary size from
+        the word-df lookup (cheap range-metadata path when sharded)."""
+        from ..engine import IndexStatistics
+
+        wd = self.word_df
+        if hasattr(wd, "vocab_size"):
+            vocab = wd.vocab_size()
+        else:
+            vocab = len(getattr(wd, "terms", ()))
+        return IndexStatistics(
+            document_count=int(self.total_docs), vocabulary_size=int(vocab)
+        )
+
     def _empty_query_with_facets(self, q):
         raise ValueError(
             "match-all facets are an in-process serving feature "

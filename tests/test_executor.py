@@ -244,3 +244,33 @@ def test_minimal_profile_rank_identity_distributed(ray_session, tmp_path):
             assert a == b
     finally:
         deng.shutdown()
+
+
+def test_distributed_get_document_and_statistics(ray_session, tmp_path):
+    """GetDocument/GetDocuments/GetStatistics work on the distributed engine
+    (not just after a query's prefetch) and match the in-process engine."""
+    import ray.data
+
+    from infidex_ray import EngineConfig
+    from infidex_ray.engine import Engine
+    from infidex_ray.query.executor import DistributedEngine
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "gdidx")
+    eng = Engine.build(
+        ds, idx, EngineConfig(target_docs_per_segment=100),
+        text_column="text", key_column="doc_id", store_columns=("lang",),
+    )
+    deng = DistributedEngine.connect(idx, num_shards=3)
+    try:
+        assert deng.get_document(7) == eng.get_document(7)
+        assert deng.get_document(10**9) is None
+        assert len(deng.get_documents([1, 2, 10**9])) == 2
+        a, b = eng.get_statistics(), deng.get_statistics()
+        assert (a.document_count, a.vocabulary_size) == (
+            b.document_count,
+            b.vocabulary_size,
+        )
+        assert a.document_count == 500
+    finally:
+        deng.shutdown()

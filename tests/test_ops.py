@@ -2682,3 +2682,65 @@ def test_grouped_agg_matches_pandas(ray_session):
     assert (got.sum_a == exp.sum_a).all() and (got.n == exp.n).all()
     assert np.allclose(got.min_b, exp.min_b) and np.allclose(got.max_b, exp.max_b)
     assert np.allclose(got.avg_a, exp.avg_a)
+
+
+def test_review_fixes_batch(ray_session):
+    """Regression lock for the round-4 review findings: empty-string source
+    in corpus_overlap, duplicate keys in snapshot_diff, null keys and
+    all-null means in grouped_agg, string keys in keep_earliest."""
+    import datetime as dt
+
+    import ray.data
+
+    from infidex_ray.ops.agg import grouped_agg
+    from infidex_ray.ops.dedup import corpus_overlap, snapshot_diff
+    from infidex_ray.ops.windows import keep_earliest
+
+    # "" is a valid source name, not a sentinel
+    ov = corpus_overlap(
+        ray.data.from_items(
+            [
+                {"doc_id": 0, "source": "", "text": "one two three four"},
+                {"doc_id": 1, "source": "B", "text": "one two three four"},
+            ]
+        )
+    )
+    assert ov.iloc[0].jaccard == 1.0 and ov.iloc[0].intersection == 2
+
+    # duplicate keys within a snapshot: per-side digest multisets
+    old = ray.data.from_items(
+        [{"doc_id": 1, "text": "a"}, {"doc_id": 1, "text": "b"},
+         {"doc_id": 4, "text": "m"}, {"doc_id": 4, "text": "n"}]
+    )
+    new = ray.data.from_items(
+        [{"doc_id": 1, "text": "b"}, {"doc_id": 1, "text": "a"},
+         {"doc_id": 3, "text": "y"}, {"doc_id": 3, "text": "z"},
+         {"doc_id": 4, "text": "m"}]
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).take_all()}
+    assert got == {3: "added", 4: "changed"}
+
+    # null key = its own group; all-null mean = NaN (SQL NULL)
+    ag = grouped_agg(
+        ray.data.from_items(
+            [{"g": "x", "v": 1.0}, {"g": None, "v": 2.0}, {"g": "y", "v": None}]
+        ).repartition(2),
+        ["g"],
+        {"n": ("count", "v"), "m": ("mean", "v")},
+    ).to_pandas()
+    by = {("<null>" if g is None else g): (n, m) for g, n, m in ag.itertuples(index=False)}
+    assert by["<null>"][0] == 1 and by["<null>"][1] == 2.0
+    assert by["y"][0] == 0 and np.isnan(by["y"][1])
+
+    # string keys (first crawl of each URL wins)
+    base = dt.datetime(2024, 1, 1)
+    ke = keep_earliest(
+        ray.data.from_items(
+            [
+                {"event_id": 1, "ts": base + dt.timedelta(minutes=1), "user_id": "u/a"},
+                {"event_id": 2, "ts": base, "user_id": "u/a"},
+                {"event_id": 3, "ts": base, "user_id": "u/b"},
+            ]
+        ).repartition(2)
+    )
+    assert {r["user_id"]: r["event_id"] for r in ke.take_all()} == {"u/a": 2, "u/b": 3}
