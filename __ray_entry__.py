@@ -1095,7 +1095,7 @@ def _q_frame_sample(sf_dir: str):
         .select_columns(["doc_id", "text"])
         .map_batches(plant, batch_format="pyarrow")
     )
-    return _by(frame_sample(ds, stride=30), "doc_id", "frame_idx")
+    return _by(frame_sample(ds, stride=30, fake=True), "doc_id", "frame_idx")
 
 
 def _q_audio_features(sf_dir: str):
@@ -1115,7 +1115,7 @@ def _q_audio_features(sf_dir: str):
         .select_columns(["doc_id", "text"])
         .map_batches(plant, batch_format="pyarrow")
     )
-    return _by(audio_features(ds), "doc_id")
+    return _by(audio_features(ds, fake=True), "doc_id")
 
 
 def _q_canonical_url(sf_dir: str):

@@ -1,10 +1,22 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode/resize/feature kernels need codec libraries that are NOT in this
-container, so the kernels are STUBBED behind ``DecodeUnavailable`` /
-deterministic fakes — the Ray-side plumbing (schema, actor-pool stage,
-batch sizing, output layout) is real and tested.
+Codec tiers (probed ONCE per actor in ``__init__``):
+
+* third-party (PIL / cv2 / soundfile) when importable — decodes any format
+  the library supports;
+* builtin pure-stdlib codecs (``ops/codecs.py``: PNG via zlib + numpy
+  unfiltering, WAV via stdlib ``wave``) — always available, REAL decode of
+  the formats they recognize by magic bytes;
+* deterministic fakes for everything else — honest, hash-checkable stand-ins
+  so the Ray-side plumbing (schema, actor-pool stage, batch sizing, output
+  layout) is exercised end-to-end even on undecodable payloads.
+
+``fake=True`` forces tier 3 (what the SQL-oracle contract entries pin);
+``fake=None`` (auto) dispatches per payload: real decode when a codec
+recognizes it, fake otherwise; ``fake=False`` is strict-real — undecodable
+payloads become zeroed ``*/error`` rows, never fakes.  Video has no builtin
+codec, so its real path still requires cv2 (``DecodeUnavailable``).
 
 Scale notes: decode stages are actor pools (model/codec loaded once per actor
 in ``__init__``), small ``batch_size`` because payloads are large, and
@@ -17,6 +29,8 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+from infidex_ray.ops import codecs as _codecs
 
 
 class DecodeUnavailable(NotImplementedError):
@@ -43,16 +57,19 @@ class ImageFeatureActor:
     num_cpus=1)``. The codec probe runs ONCE per actor in ``__init__``
     (the stateful-stage pattern):
 
-    * ``fake=None`` (default) — auto: use PIL when importable, else the
-      deterministic fake.
+    * ``fake=None`` (default) — auto: PIL when importable decodes every
+      payload; otherwise PNG-magic payloads go through the builtin stdlib
+      PNG decoder (``ops/codecs.py``) and everything else gets the
+      deterministic fake (``media_type`` tells them apart per row).
     * ``fake=True`` — force the codec-free path: 16-dim byte-histogram
-      feature + payload-hash pseudo-dimensions (this container has no
-      image libraries, so this is what CI exercises).
-    * ``fake=False`` — require a real codec; raises DecodeUnavailable from
-      ``__init__`` when none is importable (no silent fake shipping).
+      feature + payload-hash pseudo-dimensions (what the SQL-oracle
+      contract entries pin, so they hash identically in any environment).
+    * ``fake=False`` — strict real: PIL if importable, else builtin PNG
+      only; undecodable payloads become zeroed ``image/error`` rows,
+      never fakes.
 
-    Real path (when PIL exists): decode → RGB → true (width, height) →
-    4×4 grayscale thumbnail, L1-normalized, as the 16-dim feature."""
+    Real path: decode → true (width, height) → 4×4 grayscale box
+    thumbnail, L1-normalized, as the 16-dim feature (ITU-R 601 luma)."""
 
     def __init__(
         self,
@@ -70,20 +87,30 @@ class ImageFeatureActor:
 
                 self._pil = Image
             except ImportError:
-                if fake is False:
-                    raise DecodeUnavailable(
-                        "image codec (PIL) not available in this environment"
-                    )
-        self.fake = self._pil is None
+                pass  # builtin PNG decoder still provides a real path
+        # tri-state per-payload dispatch mode (see class docstring)
+        self.mode = "fake" if fake is True else ("strict" if fake is False else "auto")
+        self.fake = fake is True  # back-compat attribute
 
-    def _decode_real(self, blob: bytes) -> tuple[int, int, np.ndarray]:
-        import io
+    def _decode_real(self, blob: bytes) -> tuple[int, int, np.ndarray, str]:
+        """True decode: PIL when present, else the builtin stdlib PNG codec.
+        Raises on undecodable payloads (callers map that to error/fake rows
+        per the mode)."""
+        if self._pil is not None:
+            import io
 
-        img = self._pil.open(io.BytesIO(blob)).convert("L")
-        w, h = img.size
-        thumb = np.asarray(img.resize((4, 4)), dtype=np.float32).reshape(-1)
+            img = self._pil.open(io.BytesIO(blob)).convert("L")
+            w, h = img.size
+            thumb = np.asarray(img.resize((4, 4)), dtype=np.float32).reshape(-1)
+            mt = "image/decoded"
+        else:
+            px = _codecs.decode_png(blob)  # raises CodecError on non-PNG
+            h, w = px.shape[:2]
+            gray = _codecs.png_luma(px)
+            thumb = _codecs.box_thumbnail(gray, 4, 4).reshape(-1)
+            mt = "image/png"
         s = thumb.sum()
-        return w, h, (thumb / s if s > 0 else thumb)
+        return w, h, (thumb / s if s > 0 else thumb), mt
 
     def _decode_fake(self, blob: bytes) -> tuple[int, int]:
         # deterministic fake decode: pretend dims from the payload hash.
@@ -106,18 +133,26 @@ class ImageFeatureActor:
         rows = {k: [] for k in ("doc_id", "media_type", "n_bytes", "digest16", "width", "height", "feature")}
         for i, blob in zip(ids, blobs):
             blob = blob or b""
-            if self.fake:
+            # per-payload dispatch: auto tries a real decode when a codec
+            # claims the payload (PIL: always; builtin: PNG magic), else fake
+            try_real = self.mode == "strict" or (
+                self.mode == "auto"
+                and (self._pil is not None or blob.startswith(_codecs.PNG_MAGIC))
+            )
+            if try_real:
+                try:
+                    w, h, feat, mt = self._decode_real(blob)
+                except Exception:
+                    if self.mode == "strict":
+                        # undecodable on the strict path → null-ish row
+                        w, h, feat = 0, 0, np.zeros(16, dtype=np.float32)
+                        mt = "image/error"
+                    else:
+                        try_real = False
+            if not try_real:
                 w, h = self._decode_fake(blob)
                 feat = self._feature_fake(blob)
                 mt = "image/fake"
-            else:
-                try:
-                    w, h, feat = self._decode_real(blob)
-                    mt = "image/decoded"
-                except Exception:
-                    # undecodable payload on the real path → null-ish row
-                    w, h, feat = 0, 0, np.zeros(16, dtype=np.float32)
-                    mt = "image/error"
             rows["doc_id"].append(i)
             rows["media_type"].append(mt)
             rows["n_bytes"].append(len(blob))
@@ -271,12 +306,16 @@ class AudioFeatureActor:
     """Actor-pool ``map_batches`` stage: audio payload → duration + analysis
     window count (the framing step ahead of an audio encoder).
 
-    Honesty contract as in :class:`ImageFeatureActor`: auto-probes
-    ``soundfile`` in ``__init__`` (``fake=False`` raises
-    :class:`DecodeUnavailable` when absent); the codec-free fake treats the
-    payload as 16 kHz mono 8-bit PCM — ``duration_ms = n_bytes * 1000 //
-    16000``, 25 ms windows at 10 ms hop — plain arithmetic on the payload
-    length, so the plumbing is SQL-checkable end-to-end."""
+    Codec tiers as in :class:`ImageFeatureActor`: ``soundfile`` when
+    importable, else the builtin stdlib WAV parser (``ops/codecs.py``) for
+    RIFF/WAVE-magic payloads — a REAL decode (true frame count / sample
+    rate). ``fake=True`` pins the codec-free fake the SQL-oracle contract
+    uses: payload treated as 16 kHz mono 8-bit PCM — ``duration_ms =
+    n_bytes * 1000 // 16000``, 25 ms windows at 10 ms hop — plain
+    arithmetic on the payload length, so the plumbing is SQL-checkable
+    end-to-end. ``fake=None`` dispatches per payload (real when a codec
+    claims it, fake otherwise); ``fake=False`` is strict-real (undecodable
+    payloads → zeroed rows)."""
 
     def __init__(
         self, media_col: str = "media", id_col: str = "doc_id", fake: bool | None = None
@@ -286,15 +325,23 @@ class AudioFeatureActor:
         self._sf = None
         if fake is not True:
             try:
-                import soundfile  # noqa: F401
+                import soundfile
 
                 self._sf = soundfile
             except ImportError:
-                if fake is False:
-                    raise DecodeUnavailable(
-                        "audio codec (soundfile) not available in this environment"
-                    )
-        self.fake = self._sf is None
+                pass  # builtin WAV parser still provides a real path
+        self.mode = "fake" if fake is True else ("strict" if fake is False else "auto")
+        self.fake = fake is True  # back-compat attribute
+
+    def _decode_real(self, blob: bytes) -> int:
+        """True duration_ms via soundfile (any format) or the builtin WAV
+        parser; raises on payloads neither codec claims."""
+        if self._sf is not None:
+            import io
+
+            info = self._sf.info(io.BytesIO(blob))
+            return int(info.frames * 1000 // max(int(info.samplerate), 1))
+        return _codecs.decode_wav(blob)["duration_ms"]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch[self.media_col]
@@ -308,15 +355,19 @@ class AudioFeatureActor:
                 },
                 schema=AUDIO_SCHEMA,
             )
-        if not self.fake:
-            raise DecodeUnavailable(
-                "real soundfile decode not wired in this environment"
-            )
-        n_bytes = np.asarray(
-            [len(b) if b is not None else 0 for b in col.to_pylist()],
-            dtype=np.int64,
-        )
-        duration_ms = n_bytes * 1000 // 16000
+        blobs = [b if b is not None else b"" for b in col.to_pylist()]
+        n_bytes = np.asarray([len(b) for b in blobs], dtype=np.int64)
+        duration_ms = n_bytes * 1000 // 16000  # fake: 16 kHz mono 8-bit PCM
+        if self.mode != "fake":
+            for i, b in enumerate(blobs):
+                claimed = self._sf is not None or _codecs.sniff(b) == "wav"
+                if self.mode == "strict" or claimed:
+                    try:
+                        duration_ms[i] = self._decode_real(b)
+                    except Exception:
+                        if self.mode == "strict":
+                            duration_ms[i] = 0  # undecodable, strict → zeroed
+                        # auto: keep the fake duration for unclaimed payloads
         # 25 ms windows at 10 ms hop; 0 when shorter than one window
         n_windows = np.where(
             duration_ms >= 25, (duration_ms - 25) // 10 + 1, 0
