@@ -1791,6 +1791,92 @@ def _q_grouped_agg(sf_dir: str):
     )
 
 
+def _q_dedup_lines(sf_dir: str):
+    """CCNet-style line-level boilerplate removal: newlines planted after
+    every 3rd word by the SAME RE2 GlobalReplace on both engines, then
+    lines occurring more than once corpus-wide are stripped and documents
+    re-joined in order (ops/lines.py two-pass: slice-grouped frequent-line
+    mining + broadcast strip, corpus never shuffled)."""
+    import pyarrow.compute as pc
+
+    from infidex_ray.ops.lines import dedup_lines
+
+    def plant(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(pc.cast(b["text"], pa.string()), "")
+        aug = pc.replace_substring_regex(
+            texts, pattern=r"((\S+ ){2}\S+) ", replacement="\\1\n"
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": aug})
+
+    ds = _read(sf_dir, "documents").map_batches(plant, batch_format="pyarrow")
+    return _by(dedup_lines(ds, max_freq=1), "doc_id")
+
+
+def _q_rrf_fuse(sf_dir: str):
+    """Reciprocal-rank fusion of two per-customer order rankings (price vs
+    recency) — the hybrid-retrieval merge shape. Exactly two addends per
+    (query, doc) so the fused double is order-free and bit-identical to the
+    SQL row_number oracle."""
+    from infidex_ray.ops.ranking import rrf_fuse
+
+    orders = _read(sf_dir, "orders")
+
+    def by_price(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": b["o_custkey"],
+                "doc_id": b["o_orderkey"],
+                "score": b["o_totalprice"].cast(pa.float64()),
+            }
+        )
+
+    def by_recency(b: pa.Table) -> pa.Table:
+        us = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        return pa.table(
+            {
+                "query_id": b["o_custkey"],
+                "doc_id": b["o_orderkey"],
+                "score": pa.array(us / 1000000.0),
+            }
+        )
+
+    a = orders.map_batches(by_price, batch_format="pyarrow")
+    b = orders.map_batches(by_recency, batch_format="pyarrow")
+    return _by(rrf_fuse(a, b, k0=60, k=5), "query_id", "rank")
+
+
+def _q_collocations(sf_dir: str):
+    """PMI-scored bigram collocations (combined unigram+bigram combiner
+    partials, slice-grouped sums, chained unigram joins). Output keeps the
+    op's own (rounded-PMI desc, w1, w2) ordering == the oracle ORDER BY."""
+    from infidex_ray.ops.collocations import collocations
+
+    return collocations(_read(sf_dir, "documents"), min_count=5, top_n=100)
+
+
+def _q_grouped_corr(sf_dir: str):
+    """Per-group Pearson correlation from sufficient-statistic partials;
+    integer-valued inputs make the distributed sums exact, so the closed
+    form is bit-identical to the same expression over SQL sum()s."""
+    from infidex_ray.ops.agg import grouped_corr
+
+    return _by(
+        grouped_corr(
+            _read(sf_dir, "lineitem"),
+            ["l_returnflag", "l_linestatus"],
+            "l_quantity",
+            "l_linenumber",
+        ),
+        "l_returnflag",
+        "l_linestatus",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -1901,6 +1987,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_recall": _q_knn_recall,
         "broadcast_join": _q_broadcast_join,
         "grouped_agg": _q_grouped_agg,
+        "dedup_lines": _q_dedup_lines,
+        "rrf_fuse": _q_rrf_fuse,
+        "collocations": _q_collocations,
+        "grouped_corr": _q_grouped_corr,
     }
 
 
@@ -2945,6 +3035,79 @@ def oracle_sql() -> dict[str, str]:
             "CAST(64 + (md5_number_lower(t) % 256) % 192 AS INTEGER) AS width, "
             "CAST(64 + ((md5_number_lower(t) // 256) % 256) % 192 AS INTEGER) AS height "
             "FROM b ORDER BY doc_id"
+        ),
+        "dedup_lines": (
+            # same RE2 newline plant as the Ray side; frequent = total line
+            # count (within-doc repeats included) > 1; docs re-joined in
+            # original line order, all-boilerplate docs become ''
+            "WITH aug AS (SELECT doc_id, regexp_replace(coalesce(text, ''), "
+            r"'((\S+ ){2}\S+) ', '\1' || chr(10), 'g') AS t FROM documents), "
+            "lines AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line, "
+            "generate_subscripts(string_split(t, chr(10)), 1) AS ord FROM aug), "
+            "freq AS (SELECT line FROM lines GROUP BY line HAVING count(*) > 1) "
+            "SELECT l.doc_id, coalesce(string_agg(CASE WHEN f.line IS NULL "
+            "THEN l.line END, chr(10) ORDER BY l.ord), '') AS text, "
+            "count(f.line)::BIGINT AS n_removed "
+            "FROM lines l LEFT JOIN freq f ON l.line = f.line "
+            "GROUP BY l.doc_id ORDER BY l.doc_id"
+        ),
+        "rrf_fuse": (
+            # two ranked lists (price / recency per customer) → RRF top-5;
+            # epoch_us/1000000.0 mirrors the Ray side's us/1e6 double exactly
+            "WITH a AS (SELECT o_custkey AS query_id, o_orderkey AS doc_id, "
+            "o_totalprice AS score FROM orders), "
+            "b AS (SELECT o_custkey AS query_id, o_orderkey AS doc_id, "
+            "CAST(epoch_us(o_orderdate) AS DOUBLE)/1000000.0 AS score FROM orders), "
+            "ra AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY "
+            "query_id ORDER BY score DESC, doc_id) AS r FROM a), "
+            "rb AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY "
+            "query_id ORDER BY score DESC, doc_id) AS r FROM b), "
+            "u AS (SELECT query_id, doc_id, r FROM ra UNION ALL "
+            "SELECT query_id, doc_id, r FROM rb), "
+            "s AS (SELECT query_id, doc_id, sum(1.0/(60+r)) AS rrf_score "
+            "FROM u GROUP BY 1, 2), "
+            "t AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY "
+            "rrf_score DESC, doc_id) AS rnk FROM s) "
+            "SELECT query_id, doc_id, rrf_score, CAST(rnk AS BIGINT) AS rank "
+            "FROM t WHERE rnk <= 5 ORDER BY query_id, rank"
+        ),
+        "collocations": (
+            # PMI with one fixed double expression (c_ab*N)/(c_a*c_b) then
+            # ln, ROUND(...,4) on both engines; ordering uses the ROUNDED
+            # value so ulp-level libm differences cannot reorder rows
+            "WITH toks AS (SELECT doc_id, "
+            r"unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'), x -> x <> '')) AS tok, "
+            r"generate_subscripts(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'), x -> x <> ''), 1) AS ord "
+            "FROM documents), "
+            "big AS (SELECT tok AS w1, lead(tok) OVER (PARTITION BY doc_id "
+            "ORDER BY ord) AS w2 FROM toks), "
+            "bc AS (SELECT w1, w2, count(*) AS n_ab FROM big WHERE w2 IS NOT "
+            "NULL GROUP BY 1, 2 HAVING count(*) >= 5), "
+            "uc AS (SELECT tok AS word, count(*) AS c FROM toks GROUP BY 1), "
+            "tot AS (SELECT count(*) AS n FROM toks) "
+            "SELECT bc.w1, bc.w2, bc.n_ab, u1.c AS n_a, u2.c AS n_b, "
+            "ROUND(ln((CAST(bc.n_ab AS DOUBLE) * CAST(tot.n AS DOUBLE)) / "
+            "(CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 4) AS pmi "
+            "FROM bc, tot "
+            "JOIN uc u1 ON bc.w1 = u1.word JOIN uc u2 ON bc.w2 = u2.word "
+            "ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 100"
+        ),
+        "grouped_corr": (
+            # the SAME closed form over sum()s the op evaluates — exact for
+            # integer-valued columns, so bitwise equal (NULL ≡ NaN when a
+            # group has zero variance)
+            "WITH m AS (SELECT l_returnflag, l_linestatus, "
+            "CASE WHEN l_quantity IS NOT NULL AND l_linenumber IS NOT NULL "
+            "THEN CAST(l_quantity AS DOUBLE) END AS x, "
+            "CASE WHEN l_quantity IS NOT NULL AND l_linenumber IS NOT NULL "
+            "THEN CAST(l_linenumber AS DOUBLE) END AS y FROM lineitem), "
+            "s AS (SELECT l_returnflag, l_linestatus, count(x) AS n, "
+            "sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(y*y) AS syy, "
+            "sum(x*y) AS sxy FROM m GROUP BY 1, 2) "
+            "SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n, "
+            "CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0 THEN "
+            "(n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) END AS corr "
+            "FROM s ORDER BY l_returnflag, l_linestatus"
         ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (float-histogram fake codec) are

@@ -1,0 +1,215 @@
+"""PMI-scored bigram collocations over a text corpus.
+
+The classic phrase-mining signal (Church & Hanks 1990): score a bigram
+``(a, b)`` by pointwise mutual information ``ln(c_ab · N / (c_a · c_b))``
+where the counts come from one corpus pass. Training-data pipelines use it
+to find multiword units worth protecting from tokenizer splits and to
+build phrase blocklists.
+
+Scale design: one ``map_batches`` pass emits COMBINED partial counts —
+per-batch distinct unigrams via ``value_counts`` and distinct bigrams via a
+dictionary-encode + packed-code ``np.unique`` (no Python loop over tokens)
+— tagged by kind and keyed by a coarse md5 SLICE of the key (never one Ray
+group per n-gram; a ~unique-key groupby pays per group — the
+duplicate_spans lesson). Slices sum vectorized; the bigram table is then
+thresholded by ``min_count`` BEFORE the two unigram-count joins (chained
+``Dataset.join`` with the repartition+materialize normalization the Ray
+2.49 quirks require, partition count via ``_join_partitions``). The final
+PMI ranking sorts the thresholded bigram table only.
+
+Determinism: counts are exact integers; PMI is computed with one fixed
+float64 expression ``(c_ab·N)/(c_a·c_b)`` then ``log``, rounded half-up to
+4 decimals on BOTH engines (``round_half_up4`` ≡ DuckDB ``ROUND``), and
+the output ordering uses the ROUNDED value so ulp-level libm differences
+cannot reorder rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import (
+    _default_num_slices,
+    _join_partitions,
+    _md5_u64,
+    round_half_up4_arr,
+)
+
+__all__ = ["collocations"]
+
+_ASCII_WS = r"[\t\n\x0b\x0c\r ]+"
+
+
+def _partial_counts(batch: pa.Table, text_col: str, num_slices: int) -> pa.Table:
+    texts = pc.utf8_lower(
+        pc.fill_null(pc.cast(batch[text_col], pa.large_string()), "")
+    )
+    toks = pc.split_pattern_regex(texts, pattern=_ASCII_WS)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    doc_of = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nonempty = pc.greater(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(nonempty))
+    doc_of = doc_of[nonempty]
+    empty = pa.table(
+        {
+            "kind": pa.array([], pa.int8()),
+            "w1": pa.array([], pa.large_string()),
+            "w2": pa.array([], pa.large_string()),
+            "n": pa.array([], pa.int64()),
+            "slice": pa.array([], pa.int32()),
+        }
+    )
+    if len(doc_of) == 0:
+        return empty
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary
+
+    # unigram partials
+    ucodes, ucounts = np.unique(codes, return_counts=True)
+    uni_w = vocab.take(pa.array(ucodes))
+
+    # bigram partials: adjacent pairs within a document
+    valid = doc_of[:-1] == doc_of[1:] if len(codes) > 1 else np.array([], bool)
+    v = int(len(vocab))
+    pair = codes[:-1][valid] * v + codes[1:][valid]
+    pcodes, pcounts = np.unique(pair, return_counts=True)
+    b1 = vocab.take(pa.array(pcodes // v))
+    b2 = vocab.take(pa.array(pcodes % v))
+
+    kind = np.concatenate(
+        [np.zeros(len(ucodes), np.int8), np.ones(len(pcodes), np.int8)]
+    )
+    w1 = pa.concat_arrays([uni_w.cast(pa.large_string()), b1.cast(pa.large_string())])
+    w2 = pa.concat_arrays(
+        [
+            pa.array([""] * len(ucodes), pa.large_string()),
+            b2.cast(pa.large_string()),
+        ]
+    )
+    n = np.concatenate([ucounts, pcounts]).astype(np.int64)
+    sl = np.asarray(
+        [
+            _md5_u64(f"{k}\x1f{a}\x1f{b}") % num_slices
+            for k, a, b in zip(kind, w1.to_pylist(), w2.to_pylist())
+        ],
+        dtype=np.int32,
+    )
+    return pa.table(
+        {
+            "kind": pa.array(kind),
+            "w1": w1,
+            "w2": w2,
+            "n": pa.array(n),
+            "slice": pa.array(sl),
+        }
+    )
+
+
+def collocations(
+    ds,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 100,
+    num_slices: int | None = None,
+    num_partitions: int | None = None,
+):
+    """Top-``top_n`` bigram collocations by PMI among bigrams occurring at
+    least ``min_count`` times. Returns ``(w1, w2, n_ab, n_a, n_b, pmi)``
+    ordered by (rounded) PMI desc, then w1, w2."""
+    if num_slices is None:
+        num_slices = _default_num_slices()
+
+    def sum_group(group: pa.Table) -> pa.Table:
+        agg = (
+            group.drop_columns(["slice"])
+            .group_by(["kind", "w1", "w2"])
+            .aggregate([("n", "sum")])
+        )
+        return agg.rename_columns(["kind", "w1", "w2", "n"])
+
+    counts = (
+        ds.select_columns([text_col])
+        .map_batches(
+            lambda b: _partial_counts(b, text_col, num_slices),
+            batch_format="pyarrow",
+        )
+        .groupby("slice")
+        .map_groups(sum_group, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def pick_uni(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["kind"], 0))
+        return pa.table(
+            {"word": t["w1"].cast(pa.large_string()), "c": t["n"].cast(pa.int64())}
+        )
+
+    def pick_bi(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.and_(
+                pc.equal(batch["kind"], 1), pc.greater_equal(batch["n"], min_count)
+            )
+        )
+        return pa.table(
+            {
+                "w1": t["w1"].cast(pa.large_string()),
+                "w2": t["w2"].cast(pa.large_string()),
+                "n_ab": t["n"].cast(pa.int64()),
+            }
+        )
+
+    uni = counts.map_batches(pick_uni, batch_format="pyarrow")
+    bi = counts.map_batches(pick_bi, batch_format="pyarrow")
+    total = int(uni.sum("c") or 0)
+
+    nparts = _join_partitions(num_partitions, chained=True)
+    # Ray 2.49 join quirks: normalize block schemas (repartition+materialize)
+    # before EACH join — see ops/dedup._attach_sketches
+    bi = bi.repartition(nparts).materialize()
+    if bi.count() == 0 or total == 0:
+        return pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n_ab": pa.array([], pa.int64()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+                "pmi": pa.array([], pa.float64()),
+            }
+        )
+    uni_a = uni.map_batches(
+        lambda b: b.rename_columns(["w1", "n_a"]), batch_format="pyarrow"
+    )
+    j1 = bi.join(uni_a, "inner", nparts, on=("w1",))
+    j1 = j1.repartition(nparts).materialize()
+    uni_b = uni.map_batches(
+        lambda b: b.rename_columns(["w2", "n_b"]), batch_format="pyarrow"
+    )
+    j2 = j1.join(uni_b, "inner", nparts, on=("w2",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        c_ab = batch["n_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_a = batch["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_b = batch["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = round_half_up4_arr(np.log((c_ab * float(total)) / (c_a * c_b)))
+        return pa.table(
+            {
+                "w1": batch["w1"].cast(pa.string()),
+                "w2": batch["w2"].cast(pa.string()),
+                "n_ab": batch["n_ab"].cast(pa.int64()),
+                "n_a": batch["n_a"].cast(pa.int64()),
+                "n_b": batch["n_b"].cast(pa.int64()),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    return (
+        j2.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+        .limit(top_n)
+    )

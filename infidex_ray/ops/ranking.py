@@ -1,0 +1,119 @@
+"""Reciprocal-rank fusion of two per-query ranked lists.
+
+Hybrid retrieval (BM25 + dense kNN) merges candidate lists per query; RRF
+(Cormack et al., SIGIR 2009) is the standard score-free fusion:
+``rrf(d) = Σ_lists 1/(k0 + rank_list(d))`` with ``k0 ≈ 60``, then take the
+top-k per query by the fused score.
+
+Scale design: both lists union into one stream tagged by source, keyed by a
+coarse md5 SLICE of the query id — every row of a query lands in one group,
+so each group computes ranks, fused scores and the per-query top-k fully
+vectorized (one lexsort; no per-query Ray group, no window shuffle). The
+shuffle moves candidate rows once; output is queries × k.
+
+Determinism: ranks break ties by (score desc, doc asc); the fused sum has
+exactly two addends so IEEE addition is order-free; final top-k breaks rrf
+ties by doc asc — bit-identical to a ``row_number()`` SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import _default_num_slices, _md5_u64
+
+__all__ = ["rrf_fuse"]
+
+
+def rrf_fuse(
+    ds_a,
+    ds_b,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    k0: int = 60,
+    k: int = 10,
+    num_slices: int | None = None,
+):
+    """Fuse two ``(query_col, doc_col, score_col)`` ranked-candidate
+    datasets into the per-query RRF top-k: ``(query_col, doc_col,
+    rrf_score, rank)`` with ``rank`` 1-based within each query."""
+    if num_slices is None:
+        num_slices = _default_num_slices()
+
+    def tag(src: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            q = batch[query_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            sl = np.asarray(
+                [_md5_u64(str(v)) % num_slices for v in q], dtype=np.int32
+            )
+            return pa.table(
+                {
+                    "q": pa.array(q),
+                    "d": batch[doc_col].cast(pa.int64()),
+                    "s": batch[score_col].cast(pa.float64()),
+                    "src": pa.array(np.full(len(q), src, dtype=np.int8)),
+                    "slice": pa.array(sl),
+                }
+            )
+
+        return fn
+
+    def fuse(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                query_col: pa.array([], pa.int64()),
+                doc_col: pa.array([], pa.int64()),
+                "rrf_score": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        q = group["q"].to_numpy(zero_copy_only=False)
+        d = group["d"].to_numpy(zero_copy_only=False)
+        s = group["s"].to_numpy(zero_copy_only=False)
+        src = group["src"].to_numpy(zero_copy_only=False)
+        # ranks within (src, q): order by score desc, doc asc
+        order = np.lexsort((d, -s, q, src))
+        qs, ds_, ss = q[order], d[order], src[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = (ss[1:] != ss[:-1]) | (qs[1:] != qs[:-1])
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(order), dtype=np.int64) - starts[seg] + 1
+        contrib = 1.0 / (k0 + rank)
+        # sum contributions per (q, doc)
+        o2 = np.lexsort((ds_, qs))
+        q2, d2, c2 = qs[o2], ds_[o2], contrib[o2]
+        new2 = np.empty(len(o2), dtype=bool)
+        new2[0] = True
+        new2[1:] = (q2[1:] != q2[:-1]) | (d2[1:] != d2[:-1])
+        starts2 = np.flatnonzero(new2)
+        rrf = np.add.reduceat(c2, starts2)
+        qk, dk = q2[starts2], d2[starts2]
+        # per-query top-k by rrf desc, doc asc
+        o3 = np.lexsort((dk, -rrf, qk))
+        q3, d3, r3 = qk[o3], dk[o3], rrf[o3]
+        newq = np.empty(len(o3), dtype=bool)
+        newq[0] = True
+        newq[1:] = q3[1:] != q3[:-1]
+        segq = np.cumsum(newq) - 1
+        startsq = np.flatnonzero(newq)
+        pos = np.arange(len(o3), dtype=np.int64) - startsq[segq] + 1
+        keep = pos <= k
+        return pa.table(
+            {
+                query_col: pa.array(q3[keep]),
+                doc_col: pa.array(d3[keep]),
+                "rrf_score": pa.array(r3[keep]),
+                "rank": pa.array(pos[keep]),
+            }
+        )
+
+    tagged = ds_a.map_batches(tag(0), batch_format="pyarrow").union(
+        ds_b.map_batches(tag(1), batch_format="pyarrow")
+    )
+    return tagged.groupby("slice").map_groups(fuse, batch_format="pyarrow")

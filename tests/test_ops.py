@@ -2744,3 +2744,111 @@ def test_review_fixes_batch(ray_session):
         ).repartition(2)
     )
     assert {r["user_id"]: r["event_id"] for r in ke.take_all()} == {"u/a": 2, "u/b": 3}
+
+
+def test_dedup_lines(ray_session):
+    """Line-level boilerplate removal: corpus-frequent lines stripped, doc
+    line order preserved, all-boilerplate docs become ''."""
+    import ray.data
+
+    from infidex_ray.ops.lines import dedup_lines, frequent_lines
+
+    docs = [
+        {"doc_id": 0, "text": "keep me\nCOOKIE\nunique zero"},
+        {"doc_id": 1, "text": "COOKIE\nunique one\nFOOT\nFOOT"},
+        {"doc_id": 2, "text": "unique two\nFOOT"},
+        {"doc_id": 3, "text": "COOKIE"},
+        {"doc_id": 4, "text": ""},
+        {"doc_id": 5, "text": None},
+    ]
+    ds = ray.data.from_items(docs)
+    fl = frequent_lines(ds, max_freq=2).to_pandas()
+    assert sorted(fl.line) == ["COOKIE", "FOOT"]
+    assert sorted(fl.n) == [3, 3]
+    out = dedup_lines(ds, max_freq=2).to_pandas().sort_values("doc_id")
+    assert list(out.text) == [
+        "keep me\nunique zero", "unique one", "unique two", "", "", ""
+    ]
+    assert list(out.n_removed) == [1, 3, 1, 1, 0, 0]
+
+
+def test_rrf_fuse_matches_sql(ray_session):
+    """RRF fusion bit-identical to the row_number SQL oracle."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from infidex_ray.ops.ranking import rrf_fuse
+
+    rng = np.random.default_rng(11)
+    mk = lambda: [
+        {"query_id": int(q), "doc_id": int(d), "score": float(rng.integers(0, 40))}
+        for q in range(4)
+        for d in rng.choice(60, size=15, replace=False)
+    ]
+    rows_a, rows_b = mk(), mk()
+    out = (
+        rrf_fuse(ray.data.from_items(rows_a), ray.data.from_items(rows_b), k0=60, k=4)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("a", pd.DataFrame(rows_a))
+    con.register("b", pd.DataFrame(rows_b))
+    exp = con.execute(
+        """
+        WITH ra AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS r FROM a),
+        rb AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS r FROM b),
+        u AS (SELECT * FROM ra UNION ALL SELECT * FROM rb),
+        s AS (SELECT query_id, doc_id, sum(1.0/(60+r)) AS rrf_score FROM u GROUP BY 1,2),
+        t AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank FROM s)
+        SELECT query_id, doc_id, rrf_score, CAST(rank AS BIGINT) AS rank
+        FROM t WHERE rank <= 4 ORDER BY query_id, rank
+        """
+    ).df()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_collocations_small(ray_session):
+    """PMI favors the always-adjacent pair over frequent-but-independent
+    words; counts are exact."""
+    import ray.data
+
+    from infidex_ray.ops.collocations import collocations
+
+    docs = [{"doc_id": i, "text": "new york " + ("the cat " * (i % 3 + 1)).strip()}
+            for i in range(12)]
+    out = collocations(ray.data.from_items(docs), min_count=3, top_n=10)
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out.to_pandas()
+    top = df.iloc[0]
+    assert (top.w1, top.w2) == ("new", "york")
+    assert df.set_index(["w1", "w2"]).loc[("new", "york"), "n_ab"] == 12
+    # 'the cat' occurs more often but 'the'/'cat' are higher-frequency words
+    assert df.iloc[0].pmi >= df.set_index(["w1", "w2"]).loc[("the", "cat"), "pmi"]
+
+
+def test_grouped_corr(ray_session):
+    """Sufficient-statistic Pearson: exact on integer-valued columns,
+    NaN on zero-variance and all-null groups; nulls excluded pairwise."""
+    import numpy as np
+    import ray.data
+
+    from infidex_ray.ops.agg import grouped_corr
+
+    rows = []
+    for i in range(40):  # perfectly correlated group
+        rows.append({"g": "lin", "x": float(i), "y": float(2 * i + 1)})
+    for i in range(40):  # anti-correlated
+        rows.append({"g": "anti", "x": float(i), "y": float(-3 * i)})
+    rows.append({"g": "flat", "x": 1.0, "y": 5.0})
+    rows.append({"g": "flat", "x": 1.0, "y": 7.0})  # zero x-variance
+    rows.append({"g": "nul", "x": None, "y": 1.0})  # no valid pair
+    rows.append({"g": "lin", "x": None, "y": 9.0})  # dropped pairwise
+    out = grouped_corr(ray.data.from_items(rows).repartition(3), "g", "x", "y").to_pandas()
+    by = dict(zip(out.g, out["corr"]))
+    ns = dict(zip(out.g, out.n))
+    assert ns == {"lin": 40, "anti": 40, "flat": 2, "nul": 0}
+    assert abs(by["lin"] - 1.0) < 1e-12 and abs(by["anti"] + 1.0) < 1e-12
+    assert np.isnan(by["flat"]) and np.isnan(by["nul"])
