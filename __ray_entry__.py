@@ -1850,10 +1850,12 @@ def _q_rrf_fuse(sf_dir: str):
     return _by(rrf_fuse(a, b, k0=60, k=5), "query_id", "rank")
 
 
-def _q_collocations(sf_dir: str):
-    """PMI-scored bigram collocations (combined unigram+bigram combiner
-    partials, slice-grouped sums, chained unigram joins). Output keeps the
-    op's own (rounded-PMI desc, w1, w2) ordering == the oracle ORDER BY."""
+def _q_collocations_unigram(sf_dir: str):
+    """Church-Hanks PMI with UNIGRAM marginals (lowercased) — the sibling
+    estimator to the pair-marginal `collocations` entry, both served by the
+    ops/collocations.py engine (combined unigram+bigram combiner partials,
+    slice-grouped sums, chained marginal joins). Output keeps the op's own
+    (rounded-PMI desc, w1, w2) ordering == the oracle ORDER BY."""
     from infidex_ray.ops.collocations import collocations
 
     return collocations(_read(sf_dir, "documents"), min_count=5, top_n=100)
@@ -1989,7 +1991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_agg": _q_grouped_agg,
         "dedup_lines": _q_dedup_lines,
         "rrf_fuse": _q_rrf_fuse,
-        "collocations": _q_collocations,
+        "collocations_unigram": _q_collocations_unigram,
         "grouped_corr": _q_grouped_corr,
     }
 
@@ -3071,7 +3073,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, doc_id, rrf_score, CAST(rnk AS BIGINT) AS rank "
             "FROM t WHERE rnk <= 5 ORDER BY query_id, rank"
         ),
-        "collocations": (
+        "collocations_unigram": (
             # PMI with one fixed double expression (c_ab*N)/(c_a*c_b) then
             # ln, ROUND(...,4) on both engines; ordering uses the ROUNDED
             # value so ulp-level libm differences cannot reorder rows

@@ -1,27 +1,36 @@
-"""PMI-scored bigram collocations over a text corpus.
+"""PMI-scored bigram collocations over a text corpus — one engine, two
+published estimators.
 
 The classic phrase-mining signal (Church & Hanks 1990): score a bigram
-``(a, b)`` by pointwise mutual information ``ln(c_ab · N / (c_a · c_b))``
-where the counts come from one corpus pass. Training-data pipelines use it
-to find multiword units worth protecting from tokenizer splits and to
-build phrase blocklists.
+``(a, b)`` by pointwise mutual information. Two marginal conventions are in
+common use, and both are served by the same vectorized pipeline:
+
+* ``marginals="unigrams"`` — ``ln(c_ab · N_tok / (c_a · c_b))`` with
+  unigram counts and total token count (the Church-Hanks form; lowercased
+  by default). Output ``(w1, w2, n_ab, n_a, n_b, pmi)``.
+* ``marginals="pairs"`` — ``ln(c · N_pair / (c(x,·) · c(·,y)))`` with
+  left/right marginals and total derived from the ONE bigram table (the
+  Mikolov-style phrase-joining form; case kept by default). Output
+  ``(w1, w2, c, pmi)`` — the shape ``textstats.collocations`` has always
+  returned (it now delegates here).
 
 Scale design: one ``map_batches`` pass emits COMBINED partial counts —
 per-batch distinct unigrams via ``value_counts`` and distinct bigrams via a
 dictionary-encode + packed-code ``np.unique`` (no Python loop over tokens)
 — tagged by kind and keyed by a coarse md5 SLICE of the key (never one Ray
 group per n-gram; a ~unique-key groupby pays per group — the
-duplicate_spans lesson). Slices sum vectorized; the bigram table is then
-thresholded by ``min_count`` BEFORE the two unigram-count joins (chained
-``Dataset.join`` with the repartition+materialize normalization the Ray
-2.49 quirks require, partition count via ``_join_partitions``). The final
-PMI ranking sorts the thresholded bigram table only.
+duplicate_spans lesson). Slices sum vectorized; pair-mode marginals are two
+more slice-grouped sums OVER THE BIGRAM TABLE (vocab-sized, not corpus-
+sized). The bigram table is thresholded by ``min_count`` BEFORE the two
+marginal joins (chained ``Dataset.join`` with the repartition+materialize
+normalization the Ray 2.49 quirks require, partition count via
+``_join_partitions``). The final PMI ranking sorts the thresholded table
+only.
 
 Determinism: counts are exact integers; PMI is computed with one fixed
-float64 expression ``(c_ab·N)/(c_a·c_b)`` then ``log``, rounded half-up to
-4 decimals on BOTH engines (``round_half_up4`` ≡ DuckDB ``ROUND``), and
-the output ordering uses the ROUNDED value so ulp-level libm differences
-cannot reorder rows.
+float64 expression then ``log``, rounded half-up to 4 decimals on BOTH
+engines (``round_half_up4`` ≡ DuckDB ``ROUND``), and the output ordering
+uses the ROUNDED value so ulp-level libm differences cannot reorder rows.
 """
 
 from __future__ import annotations
@@ -42,10 +51,16 @@ __all__ = ["collocations"]
 _ASCII_WS = r"[\t\n\x0b\x0c\r ]+"
 
 
-def _partial_counts(batch: pa.Table, text_col: str, num_slices: int) -> pa.Table:
-    texts = pc.utf8_lower(
-        pc.fill_null(pc.cast(batch[text_col], pa.large_string()), "")
-    )
+def _partial_counts(
+    batch: pa.Table,
+    text_col: str,
+    num_slices: int,
+    lowercase: bool,
+    with_unigrams: bool,
+) -> pa.Table:
+    texts = pc.fill_null(pc.cast(batch[text_col], pa.large_string()), "")
+    if lowercase:
+        texts = pc.utf8_lower(texts)
     toks = pc.split_pattern_regex(texts, pattern=_ASCII_WS)
     flat = pc.list_flatten(toks)
     if isinstance(flat, pa.ChunkedArray):
@@ -69,10 +84,6 @@ def _partial_counts(batch: pa.Table, text_col: str, num_slices: int) -> pa.Table
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     vocab = enc.dictionary
 
-    # unigram partials
-    ucodes, ucounts = np.unique(codes, return_counts=True)
-    uni_w = vocab.take(pa.array(ucodes))
-
     # bigram partials: adjacent pairs within a document
     valid = doc_of[:-1] == doc_of[1:] if len(codes) > 1 else np.array([], bool)
     v = int(len(vocab))
@@ -81,17 +92,27 @@ def _partial_counts(batch: pa.Table, text_col: str, num_slices: int) -> pa.Table
     b1 = vocab.take(pa.array(pcodes // v))
     b2 = vocab.take(pa.array(pcodes % v))
 
-    kind = np.concatenate(
-        [np.zeros(len(ucodes), np.int8), np.ones(len(pcodes), np.int8)]
-    )
-    w1 = pa.concat_arrays([uni_w.cast(pa.large_string()), b1.cast(pa.large_string())])
-    w2 = pa.concat_arrays(
-        [
-            pa.array([""] * len(ucodes), pa.large_string()),
-            b2.cast(pa.large_string()),
-        ]
-    )
-    n = np.concatenate([ucounts, pcounts]).astype(np.int64)
+    if with_unigrams:
+        ucodes, ucounts = np.unique(codes, return_counts=True)
+        uni_w = vocab.take(pa.array(ucodes))
+        kind = np.concatenate(
+            [np.zeros(len(ucodes), np.int8), np.ones(len(pcodes), np.int8)]
+        )
+        w1 = pa.concat_arrays(
+            [uni_w.cast(pa.large_string()), b1.cast(pa.large_string())]
+        )
+        w2 = pa.concat_arrays(
+            [
+                pa.array([""] * len(ucodes), pa.large_string()),
+                b2.cast(pa.large_string()),
+            ]
+        )
+        n = np.concatenate([ucounts, pcounts]).astype(np.int64)
+    else:
+        kind = np.ones(len(pcodes), np.int8)
+        w1 = b1.cast(pa.large_string())
+        w2 = b2.cast(pa.large_string())
+        n = pcounts.astype(np.int64)
     sl = np.asarray(
         [
             _md5_u64(f"{k}\x1f{a}\x1f{b}") % num_slices
@@ -110,19 +131,57 @@ def _partial_counts(batch: pa.Table, text_col: str, num_slices: int) -> pa.Table
     )
 
 
+def _slice_sum(ds, key_col: str, out_val: str, num_slices: int):
+    """Vocab-keyed distributed sum: per-block group_by partials keyed by a
+    coarse md5 slice of the key, then one vectorized per-slice sum."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select([key_col, "n"]).group_by([key_col]).aggregate(
+            [("n", "sum")]
+        )
+        agg = agg.rename_columns([key_col, "n"])
+        sl = np.asarray(
+            [_md5_u64(s) % num_slices for s in agg[key_col].to_pylist()],
+            dtype=np.int32,
+        )
+        return agg.append_column("slice", pa.array(sl))
+
+    def final(group: pa.Table) -> pa.Table:
+        agg = (
+            group.drop_columns(["slice"])
+            .group_by([key_col])
+            .aggregate([("n", "sum")])
+        )
+        return agg.rename_columns([key_col, out_val])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def collocations(
     ds,
     text_col: str = "text",
     min_count: int = 5,
     top_n: int = 100,
+    marginals: str = "unigrams",
+    lowercase: bool | None = None,
     num_slices: int | None = None,
     num_partitions: int | None = None,
 ):
     """Top-``top_n`` bigram collocations by PMI among bigrams occurring at
-    least ``min_count`` times. Returns ``(w1, w2, n_ab, n_a, n_b, pmi)``
-    ordered by (rounded) PMI desc, then w1, w2."""
+    least ``min_count`` times, ordered by (rounded) PMI desc, then w1, w2.
+    See the module docstring for the two ``marginals`` conventions and
+    their output schemas."""
+    if marginals not in ("unigrams", "pairs"):
+        raise ValueError(f"marginals must be 'unigrams' or 'pairs', got {marginals!r}")
+    if lowercase is None:
+        lowercase = marginals == "unigrams"
     if num_slices is None:
         num_slices = _default_num_slices()
+    with_unigrams = marginals == "unigrams"
 
     def sum_group(group: pa.Table) -> pa.Table:
         agg = (
@@ -135,7 +194,9 @@ def collocations(
     counts = (
         ds.select_columns([text_col])
         .map_batches(
-            lambda b: _partial_counts(b, text_col, num_slices),
+            lambda b: _partial_counts(
+                b, text_col, num_slices, lowercase, with_unigrams
+            ),
             batch_format="pyarrow",
         )
         .groupby("slice")
@@ -143,70 +204,90 @@ def collocations(
         .materialize()
     )
 
-    def pick_uni(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.equal(batch["kind"], 0))
-        return pa.table(
-            {"word": t["w1"].cast(pa.large_string()), "c": t["n"].cast(pa.int64())}
-        )
-
     def pick_bi(batch: pa.Table) -> pa.Table:
-        t = batch.filter(
-            pc.and_(
-                pc.equal(batch["kind"], 1), pc.greater_equal(batch["n"], min_count)
-            )
-        )
+        t = batch.filter(pc.equal(batch["kind"], 1))
         return pa.table(
             {
                 "w1": t["w1"].cast(pa.large_string()),
                 "w2": t["w2"].cast(pa.large_string()),
-                "n_ab": t["n"].cast(pa.int64()),
+                "n": t["n"].cast(pa.int64()),
             }
         )
 
-    uni = counts.map_batches(pick_uni, batch_format="pyarrow")
-    bi = counts.map_batches(pick_bi, batch_format="pyarrow")
-    total = int(uni.sum("c") or 0)
+    bi_full = counts.map_batches(pick_bi, batch_format="pyarrow")
+
+    if with_unigrams:
+
+        def pick_uni(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["kind"], 0))
+            return pa.table(
+                {
+                    "word": t["w1"].cast(pa.large_string()),
+                    "c": t["n"].cast(pa.int64()),
+                }
+            )
+
+        uni = counts.map_batches(pick_uni, batch_format="pyarrow")
+        total = int(uni.sum("c") or 0)
+        left = uni.map_batches(
+            lambda b: b.rename_columns(["w1", "n_a"]), batch_format="pyarrow"
+        )
+        right = uni.map_batches(
+            lambda b: b.rename_columns(["w2", "n_b"]), batch_format="pyarrow"
+        )
+    else:
+        bi_full = bi_full.materialize()
+        total = int(bi_full.sum("n") or 0)
+        left = _slice_sum(bi_full, "w1", "n_a", num_slices)
+        right = _slice_sum(bi_full, "w2", "n_b", num_slices)
+
+    count_col = "n_ab" if with_unigrams else "c"
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch["n"], min_count))
+        return pa.table(
+            {
+                "w1": t["w1"],
+                "w2": t["w2"],
+                count_col: t["n"].cast(pa.int64()),
+            }
+        )
 
     nparts = _join_partitions(num_partitions, chained=True)
+    bi = bi_full.map_batches(threshold, batch_format="pyarrow")
     # Ray 2.49 join quirks: normalize block schemas (repartition+materialize)
     # before EACH join — see ops/dedup._attach_sketches
     bi = bi.repartition(nparts).materialize()
     if bi.count() == 0 or total == 0:
-        return pa.table(
-            {
-                "w1": pa.array([], pa.string()),
-                "w2": pa.array([], pa.string()),
-                "n_ab": pa.array([], pa.int64()),
-                "n_a": pa.array([], pa.int64()),
-                "n_b": pa.array([], pa.int64()),
-                "pmi": pa.array([], pa.float64()),
-            }
-        )
-    uni_a = uni.map_batches(
-        lambda b: b.rename_columns(["w1", "n_a"]), batch_format="pyarrow"
-    )
-    j1 = bi.join(uni_a, "inner", nparts, on=("w1",))
+        cols = {
+            "w1": pa.array([], pa.string()),
+            "w2": pa.array([], pa.string()),
+            count_col: pa.array([], pa.int64()),
+        }
+        if with_unigrams:
+            cols["n_a"] = pa.array([], pa.int64())
+            cols["n_b"] = pa.array([], pa.int64())
+        cols["pmi"] = pa.array([], pa.float64())
+        return pa.table(cols)
+    j1 = bi.join(left, "inner", nparts, on=("w1",))
     j1 = j1.repartition(nparts).materialize()
-    uni_b = uni.map_batches(
-        lambda b: b.rename_columns(["w2", "n_b"]), batch_format="pyarrow"
-    )
-    j2 = j1.join(uni_b, "inner", nparts, on=("w2",))
+    j2 = j1.join(right, "inner", nparts, on=("w2",))
 
     def score(batch: pa.Table) -> pa.Table:
-        c_ab = batch["n_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_ab = batch[count_col].to_numpy(zero_copy_only=False).astype(np.float64)
         c_a = batch["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
         c_b = batch["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
         pmi = round_half_up4_arr(np.log((c_ab * float(total)) / (c_a * c_b)))
-        return pa.table(
-            {
-                "w1": batch["w1"].cast(pa.string()),
-                "w2": batch["w2"].cast(pa.string()),
-                "n_ab": batch["n_ab"].cast(pa.int64()),
-                "n_a": batch["n_a"].cast(pa.int64()),
-                "n_b": batch["n_b"].cast(pa.int64()),
-                "pmi": pa.array(pmi, pa.float64()),
-            }
-        )
+        cols = {
+            "w1": batch["w1"].cast(pa.string()),
+            "w2": batch["w2"].cast(pa.string()),
+            count_col: batch[count_col].cast(pa.int64()),
+        }
+        if with_unigrams:
+            cols["n_a"] = batch["n_a"].cast(pa.int64())
+            cols["n_b"] = batch["n_b"].cast(pa.int64())
+        cols["pmi"] = pa.array(pmi, pa.float64())
+        return pa.table(cols)
 
     return (
         j2.map_batches(score, batch_format="pyarrow")

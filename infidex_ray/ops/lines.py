@@ -38,19 +38,54 @@ from .dedup import _default_num_slices, _md5_u64
 
 __all__ = ["frequent_lines", "dedup_lines"]
 
+# "blank line" = only chars from this explicit set (space, tab, CR, VT, FF —
+# '\n' cannot occur inside a split line). Python's bare str.strip() also eats
+# unicode spaces that DuckDB's trim() does not, so SQL oracles and this
+# module must share this exact set (ops/asciiws.py lesson).
+BLANK_CHARS = " \t\r\x0b\x0c"
 
-def _line_partials(batch: pa.Table, text_col: str, num_slices: int) -> pa.Table:
+
+def _line_partials(
+    batch: pa.Table,
+    text_col: str,
+    num_slices: int,
+    distinct_docs: bool,
+    skip_blank: bool,
+) -> pa.Table:
     texts = pc.fill_null(pc.cast(batch[text_col], pa.large_string()), "")
-    flat = pc.list_flatten(pc.split_pattern(texts, "\n"))
-    vc = pc.value_counts(flat)
-    lines = vc.field("values")
-    ns = vc.field("counts").cast(pa.int64())
+    lists = pc.split_pattern(texts, "\n")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if distinct_docs:
+        doc_of = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    if skip_blank:
+        keep = pc.not_equal(
+            pc.utf8_trim(flat, BLANK_CHARS), ""
+        ).to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        if distinct_docs:
+            doc_of = doc_of[keep]
+    if distinct_docs:
+        # one row per distinct (doc, line): a doc's rows are whole within a
+        # batch (a row IS a doc), so per-batch distinct == globally distinct
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = max(int(len(enc.dictionary)), 1)
+        uniq = np.unique(doc_of.astype(np.int64) * v + codes)
+        ucodes, ns = np.unique(uniq % v, return_counts=True)
+        lines = enc.dictionary.take(pa.array(ucodes)).cast(pa.large_string())
+        ns = ns.astype(np.int64)
+    else:
+        vc = pc.value_counts(flat)
+        lines = vc.field("values").cast(pa.large_string())
+        ns = vc.field("counts").cast(pa.int64())
     sl = np.asarray(
         [_md5_u64(s) % num_slices for s in lines.to_pylist()], dtype=np.int32
     )
-    return pa.table(
-        {"line": lines.cast(pa.large_string()), "n": ns, "slice": pa.array(sl)}
-    )
+    return pa.table({"line": lines, "n": ns, "slice": pa.array(sl)})
 
 
 def frequent_lines(
@@ -58,15 +93,31 @@ def frequent_lines(
     text_col: str = "text",
     max_freq: int = 1,
     num_slices: int | None = None,
+    distinct_docs: bool = False,
+    min_count: int | None = None,
+    skip_blank: bool = False,
 ):
-    """Dataset of ``(line, n)`` for every line whose total occurrence count
-    across the corpus (within-doc repeats included) exceeds ``max_freq``."""
+    """Dataset of ``(line, n)`` for every corpus-frequent line.
+
+    Two counting conventions, one engine:
+
+    * default — ``n`` = total occurrence count (within-doc repeats
+      included); frequent means ``n > max_freq``.
+    * ``distinct_docs=True`` — ``n`` = number of DISTINCT documents
+      containing the line (the CCNet boilerplate convention); pass
+      ``min_count`` for an inclusive ``n >= min_count`` threshold.
+
+    ``skip_blank=True`` exempts whitespace-only lines (:data:`BLANK_CHARS`,
+    matching DuckDB ``trim(line, ...)``) from counting entirely."""
     if num_slices is None:
         num_slices = _default_num_slices()
 
     def mine(group: pa.Table) -> pa.Table:
         agg = group.group_by(["line"]).aggregate([("n", "sum")])
-        keep = pc.greater(agg["n_sum"], max_freq)
+        if min_count is not None:
+            keep = pc.greater_equal(agg["n_sum"], min_count)
+        else:
+            keep = pc.greater(agg["n_sum"], max_freq)
         agg = agg.filter(keep)
         return pa.table(
             {"line": agg["line"], "n": agg["n_sum"].cast(pa.int64())}
@@ -75,7 +126,9 @@ def frequent_lines(
     return (
         ds.select_columns([text_col])
         .map_batches(
-            lambda b: _line_partials(b, text_col, num_slices),
+            lambda b: _line_partials(
+                b, text_col, num_slices, distinct_docs, skip_blank
+            ),
             batch_format="pyarrow",
         )
         .groupby("slice")
@@ -90,24 +143,37 @@ def dedup_lines(
     max_freq: int = 1,
     num_slices: int | None = None,
     max_frequent_lines: int = 10_000_000,
+    distinct_docs: bool = False,
+    min_count: int | None = None,
+    skip_blank: bool = False,
 ):
     """Strip corpus-frequent lines from every document.
 
-    Returns ``(id_col, text, n_removed)``: the document with every line
-    occurring more than ``max_freq`` times corpus-wide removed (order of
-    the surviving lines preserved, re-joined with ``\\n``; a document whose
-    every line is boilerplate becomes the empty string), plus the count of
-    removed lines.
+    Returns ``(id_col, text, n_removed)``: the document with every
+    corpus-frequent line removed (order of the surviving lines preserved,
+    re-joined with ``\\n``; a document whose every line is boilerplate
+    becomes the empty string), plus the count of removed lines. "Frequent"
+    defaults to total occurrences > ``max_freq``; the
+    ``distinct_docs`` / ``min_count`` / ``skip_blank`` knobs select the
+    CCNet distinct-document convention instead (see
+    :func:`frequent_lines`) — ``textstats.remove_boilerplate_lines`` is
+    that preset.
 
     ``max_frequent_lines`` bounds the broadcast set: if more distinct lines
-    than this exceed ``max_freq``, the threshold is too low for the corpus
+    than this cross the threshold, the threshold is too low for the corpus
     and the op raises rather than silently shipping a corpus-sized
     broadcast (same honesty rule as facet_counts' match-all guard).
     """
     import ray
 
     freq_ds = frequent_lines(
-        ds, text_col=text_col, max_freq=max_freq, num_slices=num_slices
+        ds,
+        text_col=text_col,
+        max_freq=max_freq,
+        num_slices=num_slices,
+        distinct_docs=distinct_docs,
+        min_count=min_count,
+        skip_blank=skip_blank,
     ).materialize()
     n_freq = freq_ds.count()
     if n_freq > max_frequent_lines:

@@ -261,77 +261,39 @@ def remove_boilerplate_lines(
     text_col: str = "text",
 ):
     """CCNet-style corpus-level line dedup (public recipe): a non-empty line
-    appearing in ≥ ``min_docs`` distinct documents is boilerplate (nav bars,
-    cookie banners, footers) and is dropped from every document; remaining
-    lines keep their original order.
+    appearing in >= ``min_docs`` DISTINCT documents is boilerplate (nav
+    bars, cookie banners, footers) and is dropped from every document;
+    remaining lines keep their original order ("blank" = only chars from
+    ``ops/lines.BLANK_CHARS``, the exact set DuckDB ``trim(line, ...)``
+    strips — bare str.strip() would also eat unicode spaces and diverge
+    from the SQL oracle). Returns a Dataset of (doc_id, text).
 
-    Scale: lines are hashed inside ``map_batches``; the groupby shuffles
-    (hash, doc_id) rows only; the boilerplate set (bounded: only lines
-    frequent enough to cross the threshold) is broadcast for the filter
-    pass — the corpus itself streams twice and never materializes.
-    Returns a Dataset of (doc_id, text) with cleaned text."""
-    import hashlib as _hashlib
+    Delegates to the vectorized ``ops/lines.py`` engine (Arrow split +
+    dictionary-encode distinct-(doc, line) partials, md5-slice-grouped
+    counts — never a per-line Ray group — then one broadcast strip pass
+    with ``is_in`` + ``binary_join`` reassembly; the corpus itself streams
+    twice and never shuffles). The occurrence-count variant with the
+    removal tally is ``ops.lines.dedup_lines``."""
+    from .lines import dedup_lines
 
-    import ray
+    cleaned = dedup_lines(
+        ds,
+        id_col=id_col,
+        text_col=text_col,
+        distinct_docs=True,
+        min_count=min_docs,
+        skip_blank=True,
+    )
 
-    # "blank line" = only chars from this explicit set (space, tab, CR, VT,
-    # FF — '\n' cannot occur inside a split line). Python's bare str.strip()
-    # also eats unicode spaces that DuckDB's trim() does not, so the SQL
-    # oracle and the pipeline must share this exact set.
-    _BLANK = " \t\r\x0b\x0c"
-
-    def line_hashes(batch: pa.Table) -> pa.Table:
-        hs, ids = [], []
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            for line in set((t or "").split("\n")):
-                if line.strip(_BLANK):
-                    hs.append(
-                        _hashlib.blake2b(line.encode("utf-8"), digest_size=8).hexdigest()
-                    )
-                    ids.append(i)
+    def project(batch: pa.Table) -> pa.Table:
         return pa.table(
-            {"h": pa.array(hs, pa.string()), "doc_id": pa.array(ids, pa.int64())}
+            {
+                "doc_id": batch[id_col],
+                "text": batch["text"].cast(pa.large_string()),
+            }
         )
 
-    counts = (
-        ds.map_batches(line_hashes, batch_format="pyarrow").groupby("h").count()
-    )
-
-    def frequent(batch: pa.Table) -> pa.Table:
-        col = "count()" if "count()" in batch.column_names else "count"
-        import pyarrow.compute as pc
-
-        t = batch.filter(pc.greater_equal(batch[col], min_docs))
-        return pa.table({"h": t["h"]})
-
-    boil_parts = list(
-        counts.map_batches(frequent, batch_format="pyarrow").iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        )
-    )
-    boil = (
-        set(pa.concat_tables(boil_parts)["h"].to_pylist()) if boil_parts else set()
-    )
-    boil_ref = ray.put(boil)
-
-    def clean(batch: pa.Table) -> pa.Table:
-        bset = ray.get(boil_ref)
-        out = []
-        for t in batch[text_col].to_pylist():
-            lines = (t or "").split("\n")
-            kept = [
-                line
-                for line in lines
-                if not line.strip(_BLANK)
-                or _hashlib.blake2b(line.encode("utf-8"), digest_size=8).hexdigest()
-                not in bset
-            ]
-            out.append("\n".join(kept))
-        return pa.table(
-            {"doc_id": batch[id_col], "text": pa.array(out, pa.large_string())}
-        )
-
-    return ds.map_batches(clean, batch_format="pyarrow")
+    return cleaned.map_batches(project, batch_format="pyarrow")
 
 
 # --- Heavy hitters -----------------------------------------------------------
@@ -543,119 +505,29 @@ def collocations(
     text_col: str = "text",
 ):
     """Corpus-level PMI collocations: the ``top_k`` adjacent word bigrams by
-    pointwise mutual information (the classic phrase-mining signal —
-    Mikolov-style phrase joining / stopword-free boilerplate discovery).
+    pointwise mutual information with PAIR-TABLE marginals (the
+    Mikolov-style phrase-joining form): with pair count c(x,y), left/right
+    marginals c(x,.)/c(.,y) and total pair count N — all derived from the
+    ONE bigram table — ``pmi = ln(c(x,y) * N / (c(x,.) * c(.,y)))``. Tokens
+    are case-kept ASCII-whitespace words (the RE2-``\\s`` oracle contract,
+    ops/asciiws.py). Output (w1, w2, c, pmi) for pairs with
+    ``c >= min_count``, ordered by (pmi DESC, w1, w2), limited to
+    ``top_k``; pmi rounded half-away-from-zero to 4 decimals.
 
-    Tokens are ASCII-whitespace words (the RE2-``\\s`` oracle contract,
-    ops/asciiws.py). With pair count c(x,y), left/right marginals
-    c(x,·)/c(·,y) and total pair count N — all derived from the ONE bigram
-    table — ``pmi = ln(c(x,y) · N / (c(x,·) · c(·,y)))``. Output
-    (w1, w2, c, pmi) for pairs with ``c ≥ min_count``, ordered by
-    (pmi DESC, w1, w2), limited to ``top_k``; pmi rounded
-    half-away-from-zero to 4 decimals.
+    Delegates to the vectorized ``ops/collocations.py`` engine
+    (dictionary-encode + packed-code partial counts, md5-slice-grouped sums
+    — never a per-bigram Ray group), ``marginals="pairs"``. The unigram-
+    marginal Church-Hanks variant is ``collocations(marginals="unigrams")``
+    there."""
+    from .collocations import collocations as _pmi_engine
 
-    Scale: per-batch bigram Counters emit ≤ |batch bigram vocab| partial
-    rows (the combiner pattern); ONE (w1, w2) groupby sums them; marginals
-    and N are vocab-sized aggregates of that table computed driver-side
-    from the already-small filtered result? No — marginals must be over ALL
-    pairs (pre-filter), so they come from two more vocab-keyed groupbys;
-    only the final ≥min_count + top-k table is collected."""
-    from collections import Counter
-
-    import pyarrow.compute as pc  # noqa: F401  (kept for parity with peers)
-
-    from .dedup import round_half_up4_arr
-
-    def bigram_partials(batch: pa.Table) -> pa.Table:
-        cnt: Counter = Counter()
-        for t in batch[text_col].to_pylist():
-            ws = split_ascii_ws(t or "")
-            cnt.update(zip(ws, ws[1:]))
-        if not cnt:
-            return pa.table(
-                {
-                    "w1": pa.array([], pa.large_string()),
-                    "w2": pa.array([], pa.large_string()),
-                    "c": pa.array([], pa.int64()),
-                }
-            )
-        w1, w2 = zip(*cnt.keys())
-        return pa.table(
-            {
-                "w1": pa.array(list(w1), pa.large_string()),
-                "w2": pa.array(list(w2), pa.large_string()),
-                "c": pa.array(list(cnt.values()), pa.int64()),
-            }
-        )
-
-    def rename(col):
-        def fn(t: pa.Table) -> pa.Table:
-            c = f"sum(c)" if "sum(c)" in t.column_names else "c"
-            names = [n for n in t.column_names if n != c]
-            return t.select(names).append_column(col, t[c].cast(pa.int64()))
-
-        return fn
-
-    pairs = (
-        ds.select_columns([text_col])
-        .map_batches(bigram_partials, batch_format="pyarrow")
-        .groupby(["w1", "w2"])
-        .sum("c")
-        .map_batches(rename("c"), batch_format="pyarrow")
-        .materialize()
-    )
-    # vocab-sized marginals + scalar N from the pair table
-    left = pairs.groupby("w1").sum("c").map_batches(rename("cx"), batch_format="pyarrow")
-    right = pairs.groupby("w2").sum("c").map_batches(rename("cy"), batch_format="pyarrow")
-    n_pairs = int(pairs.sum("c") or 0)
-    if n_pairs == 0:
-        import ray.data
-
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "w1": pa.array([], pa.large_string()),
-                    "w2": pa.array([], pa.large_string()),
-                    "c": pa.array([], pa.int64()),
-                    "pmi": pa.array([], pa.float64()),
-                }
-            )
-        )
-    from .dedup import _join_partitions
-
-    k = _join_partitions(chained=False)
-    cand = pairs.filter(expr=f"c >= {int(min_count)}")
-    scored = cand.join(left, "inner", k, on=("w1",)).join(
-        right.materialize(), "inner", k, on=("w2",)
-    )
-
-    def score(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return pa.table(
-                {
-                    "w1": pa.array([], pa.large_string()),
-                    "w2": pa.array([], pa.large_string()),
-                    "c": pa.array([], pa.int64()),
-                    "pmi": pa.array([], pa.float64()),
-                }
-            )
-        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
-        cx = batch["cx"].to_numpy(zero_copy_only=False).astype(np.float64)
-        cy = batch["cy"].to_numpy(zero_copy_only=False).astype(np.float64)
-        pmi = np.log(c * float(n_pairs) / (cx * cy))
-        return pa.table(
-            {
-                "w1": batch["w1"],
-                "w2": batch["w2"],
-                "c": batch["c"].cast(pa.int64()),
-                "pmi": pa.array(round_half_up4_arr(pmi)),
-            }
-        )
-
-    return (
-        scored.map_batches(score, batch_format="pyarrow")
-        .sort(["pmi", "w1", "w2"], descending=[True, False, False])
-        .limit(top_k)
+    return _pmi_engine(
+        ds,
+        text_col=text_col,
+        min_count=min_count,
+        top_n=top_k,
+        marginals="pairs",
+        lowercase=False,
     )
 
 
