@@ -1861,6 +1861,27 @@ def _q_collocations_unigram(sf_dir: str):
     return collocations(_read(sf_dir, "documents"), min_count=5, top_n=100)
 
 
+def _q_embedding_covariance(sf_dir: str):
+    """Embedding second-moment hygiene (whitening/OPQ/PCA input): per-block
+    XᵀX/Σx/n partials shuffled long-form (d²+d+1 rows per block), final
+    d×d assembly driver-side. Fixed expression sxy/n − (sx_i/n)(sx_j/n),
+    round4 both engines (distributed sums differ by ulps)."""
+    from infidex_ray.ops.pca import embedding_covariance
+
+    return _by(embedding_covariance(_read(sf_dir, "embeddings")), "i", "j")
+
+
+def _q_deterministic_shuffle(sf_dir: str):
+    """Reproducible global shuffle: rows ordered by md5('seed:id') — a pure
+    function of (seed, ids), so the example order survives reruns, resumes
+    and cluster-shape changes (random_shuffle cannot promise that). One
+    range-partitioned Dataset.sort; key kept for downstream re-ordering."""
+    from infidex_ray.ops.shuffle import deterministic_shuffle
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
+    return _by(deterministic_shuffle(ds, seed=7), "shuffle_key", "doc_id")
+
+
 def _q_grouped_corr(sf_dir: str):
     """Per-group Pearson correlation from sufficient-statistic partials;
     integer-valued inputs make the distributed sums exact, so the closed
@@ -1993,6 +2014,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fuse": _q_rrf_fuse,
         "collocations_unigram": _q_collocations_unigram,
         "grouped_corr": _q_grouped_corr,
+        "deterministic_shuffle": _q_deterministic_shuffle,
+        "embedding_covariance": _q_embedding_covariance,
     }
 
 
@@ -3110,6 +3133,28 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0 THEN "
             "(n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) END AS corr "
             "FROM s ORDER BY l_returnflag, l_linestatus"
+        ),
+        "deterministic_shuffle": (
+            # md5_number_lower('seed:id') % 2^62 == ops.dedup._md5_u64 —
+            # the repo-wide cross-engine hash; ties broken by doc_id
+            "SELECT doc_id, n_chars, "
+            "CAST(md5_number_lower('7:' || CAST(doc_id AS VARCHAR)) "
+            "% 4611686018427387904 AS BIGINT) AS shuffle_key "
+            "FROM documents ORDER BY shuffle_key, doc_id"
+        ),
+        "embedding_covariance": (
+            # population covariance, SAME fixed expression as the op:
+            # sxy/n − (sx_i/n)·(sx_j/n), rounded to 4 on both engines
+            "WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, "
+            "generate_subscripts(embedding, 1) AS i FROM embeddings), "
+            "p AS (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxy "
+            "FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2), "
+            "m AS (SELECT i, sum(v) AS sx FROM e GROUP BY 1), "
+            "n AS (SELECT count(*)::DOUBLE AS n FROM embeddings) "
+            "SELECT CAST(p.i - 1 AS BIGINT) AS i, CAST(p.j - 1 AS BIGINT) AS j, "
+            "round(p.sxy / n.n - (ma.sx / n.n) * (mb.sx / n.n), 4) AS cov "
+            "FROM p, n JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j "
+            "ORDER BY i, j"
         ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (float-histogram fake codec) are

@@ -2852,3 +2852,52 @@ def test_grouped_corr(ray_session):
     assert ns == {"lin": 40, "anti": 40, "flat": 2, "nul": 0}
     assert abs(by["lin"] - 1.0) < 1e-12 and abs(by["anti"] + 1.0) < 1e-12
     assert np.isnan(by["flat"]) and np.isnan(by["nul"])
+
+
+def test_deterministic_shuffle(ray_session):
+    """Same (seed, ids) → same order regardless of partitioning; different
+    seed → different order; all rows survive with columns intact."""
+    import ray.data
+
+    from infidex_ray.ops.shuffle import deterministic_shuffle
+
+    rows = [{"doc_id": i, "v": i * 10} for i in range(200)]
+    a = deterministic_shuffle(ray.data.from_items(rows), seed=1).to_pandas()
+    b = deterministic_shuffle(
+        ray.data.from_items(rows).repartition(7), seed=1
+    ).to_pandas()
+    c = deterministic_shuffle(ray.data.from_items(rows), seed=2).to_pandas()
+    assert list(a.doc_id) == list(b.doc_id)  # partitioning-independent
+    assert list(a.doc_id) != list(c.doc_id)  # seed changes the order
+    assert list(a.doc_id) != sorted(a.doc_id)  # actually shuffled
+    assert sorted(a.doc_id) == list(range(200)) and list(a.v) == [d * 10 for d in a.doc_id]
+
+
+def test_pca_ops(ray_session):
+    """Covariance matches numpy on a planted anisotropic cloud; pca_basis
+    recovers the dominant axis; projection is centered and variance-ordered."""
+    import numpy as np
+    import ray.data
+
+    from infidex_ray.ops.pca import embedding_covariance, pca_basis, pca_project
+
+    rng = np.random.default_rng(3)
+    d = 6
+    direction = np.zeros(d); direction[2] = 1.0
+    x = rng.normal(scale=0.1, size=(300, d)) + np.outer(rng.normal(scale=3.0, size=300), direction)
+    rows = [{"vec_id": i, "embedding": list(map(float, x[i]))} for i in range(300)]
+    ds = ray.data.from_items(rows).repartition(4)
+    cov = embedding_covariance(ds)
+    got = np.zeros((d, d))
+    for i, j, c in zip(cov["i"].to_pylist(), cov["j"].to_pylist(), cov["cov"].to_pylist()):
+        got[i, j] = c
+    want = np.cov(x, rowvar=False, bias=True)
+    assert np.allclose(got, want, atol=1e-3)
+    mean, basis = pca_basis(ds, k=2)
+    assert abs(basis[2, 0]) > 0.99  # dominant axis recovered, sign-fixed +
+    assert basis[np.argmax(np.abs(basis[:, 0])), 0] > 0
+    proj = pca_project(ds, mean, basis).to_pandas()
+    assert len(proj) == 600
+    p0 = proj[proj.comp == 0].value.to_numpy()
+    p1 = proj[proj.comp == 1].value.to_numpy()
+    assert abs(p0.mean()) < 1e-2 and p0.var() > p1.var()
