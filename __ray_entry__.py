@@ -1791,7 +1791,7 @@ def _q_grouped_agg(sf_dir: str):
     )
 
 
-def _q_dedup_lines(sf_dir: str):
+def _q_drop_frequent_lines(sf_dir: str):
     """CCNet-style line-level boilerplate removal: newlines planted after
     every 3rd word by the SAME RE2 GlobalReplace on both engines, then
     lines occurring more than once corpus-wide are stripped and documents
@@ -1799,7 +1799,7 @@ def _q_dedup_lines(sf_dir: str):
     mining + broadcast strip, corpus never shuffled)."""
     import pyarrow.compute as pc
 
-    from infidex_ray.ops.lines import dedup_lines
+    from infidex_ray.ops.lines import drop_frequent_lines
 
     def plant(b: pa.Table) -> pa.Table:
         texts = pc.fill_null(pc.cast(b["text"], pa.string()), "")
@@ -1809,7 +1809,7 @@ def _q_dedup_lines(sf_dir: str):
         return pa.table({"doc_id": b["doc_id"], "text": aug})
 
     ds = _read(sf_dir, "documents").map_batches(plant, batch_format="pyarrow")
-    return _by(dedup_lines(ds, max_freq=1), "doc_id")
+    return _by(drop_frequent_lines(ds, max_freq=1), "doc_id")
 
 
 def _q_rrf_fuse(sf_dir: str):
@@ -2010,7 +2010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_recall": _q_knn_recall,
         "broadcast_join": _q_broadcast_join,
         "grouped_agg": _q_grouped_agg,
-        "dedup_lines": _q_dedup_lines,
+        "drop_frequent_lines": _q_drop_frequent_lines,
         "rrf_fuse": _q_rrf_fuse,
         "collocations_unigram": _q_collocations_unigram,
         "grouped_corr": _q_grouped_corr,
@@ -3061,7 +3061,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(64 + ((md5_number_lower(t) // 256) % 256) % 192 AS INTEGER) AS height "
             "FROM b ORDER BY doc_id"
         ),
-        "dedup_lines": (
+        "drop_frequent_lines": (
             # same RE2 newline plant as the Ray side; frequent = total line
             # count (within-doc repeats included) > 1; docs re-joined in
             # original line order, all-boilerplate docs become ''

@@ -36,7 +36,7 @@ import pyarrow.compute as pc
 
 from .dedup import _default_num_slices, _md5_u64
 
-__all__ = ["frequent_lines", "dedup_lines"]
+__all__ = ["frequent_lines", "drop_frequent_lines"]
 
 # "blank line" = only chars from this explicit set (space, tab, CR, VT, FF —
 # '\n' cannot occur inside a split line). Python's bare str.strip() also eats
@@ -136,7 +136,7 @@ def frequent_lines(
     )
 
 
-def dedup_lines(
+def drop_frequent_lines(
     ds,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -157,7 +157,8 @@ def dedup_lines(
     ``distinct_docs`` / ``min_count`` / ``skip_blank`` knobs select the
     CCNet distinct-document convention instead (see
     :func:`frequent_lines`) — ``textstats.remove_boilerplate_lines`` is
-    that preset.
+    that preset; the first-occurrence-wins exact variant lives at
+    ``ops.dedup.dedup_lines``.
 
     ``max_frequent_lines`` bounds the broadcast set: if more distinct lines
     than this cross the threshold, the threshold is too low for the corpus

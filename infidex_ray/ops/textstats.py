@@ -273,10 +273,10 @@ def remove_boilerplate_lines(
     counts — never a per-line Ray group — then one broadcast strip pass
     with ``is_in`` + ``binary_join`` reassembly; the corpus itself streams
     twice and never shuffles). The occurrence-count variant with the
-    removal tally is ``ops.lines.dedup_lines``."""
-    from .lines import dedup_lines
+    removal tally is ``ops.lines.drop_frequent_lines``."""
+    from .lines import drop_frequent_lines
 
-    cleaned = dedup_lines(
+    cleaned = drop_frequent_lines(
         ds,
         id_col=id_col,
         text_col=text_col,

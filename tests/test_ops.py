@@ -2746,12 +2746,12 @@ def test_review_fixes_batch(ray_session):
     assert {r["user_id"]: r["event_id"] for r in ke.take_all()} == {"u/a": 2, "u/b": 3}
 
 
-def test_dedup_lines(ray_session):
+def test_drop_frequent_lines(ray_session):
     """Line-level boilerplate removal: corpus-frequent lines stripped, doc
     line order preserved, all-boilerplate docs become ''."""
     import ray.data
 
-    from infidex_ray.ops.lines import dedup_lines, frequent_lines
+    from infidex_ray.ops.lines import drop_frequent_lines, frequent_lines
 
     docs = [
         {"doc_id": 0, "text": "keep me\nCOOKIE\nunique zero"},
@@ -2765,7 +2765,7 @@ def test_dedup_lines(ray_session):
     fl = frequent_lines(ds, max_freq=2).to_pandas()
     assert sorted(fl.line) == ["COOKIE", "FOOT"]
     assert sorted(fl.n) == [3, 3]
-    out = dedup_lines(ds, max_freq=2).to_pandas().sort_values("doc_id")
+    out = drop_frequent_lines(ds, max_freq=2).to_pandas().sort_values("doc_id")
     assert list(out.text) == [
         "keep me\nunique zero", "unique one", "unique two", "", "", ""
     ]
