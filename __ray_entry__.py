@@ -1861,6 +1861,21 @@ def _q_collocations_unigram(sf_dir: str):
     return collocations(_read(sf_dir, "documents"), min_count=5, top_n=100)
 
 
+def _q_percentile_rank(sf_dir: str):
+    """Global cume_dist rank normalization ("keep the top-q% by score"):
+    one global sort + O(blocks) driver scalars; boundary-spanning tie runs
+    resolved from per-block metadata; exact integer ratio == the SQL
+    window bit-for-bit."""
+    from infidex_ray.ops.ranking import percentile_rank
+
+    ds = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_totalprice"])
+    return _by(
+        percentile_rank(ds, "o_totalprice", id_col="o_orderkey"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+
+
 def _q_embedding_covariance(sf_dir: str):
     """Embedding second-moment hygiene (whitening/OPQ/PCA input): per-block
     XᵀX/Σx/n partials shuffled long-form (d²+d+1 rows per block), final
@@ -2016,6 +2031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_corr": _q_grouped_corr,
         "deterministic_shuffle": _q_deterministic_shuffle,
         "embedding_covariance": _q_embedding_covariance,
+        "percentile_rank": _q_percentile_rank,
     }
 
 
@@ -3141,6 +3157,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(md5_number_lower('7:' || CAST(doc_id AS VARCHAR)) "
             "% 4611686018427387904 AS BIGINT) AS shuffle_key "
             "FROM documents ORDER BY shuffle_key, doc_id"
+        ),
+        "percentile_rank": (
+            # cume_dist = exact integer ratio → bit-identical across engines
+            "SELECT o_orderkey, o_totalprice, "
+            "cume_dist() OVER (ORDER BY o_totalprice) AS cume_dist "
+            "FROM orders ORDER BY o_totalprice, o_orderkey"
         ),
         "embedding_covariance": (
             # population covariance, SAME fixed expression as the op:

@@ -23,7 +23,97 @@ import pyarrow as pa
 
 from .dedup import _default_num_slices, _md5_u64
 
-__all__ = ["rrf_fuse"]
+__all__ = ["rrf_fuse", "percentile_rank"]
+
+
+def percentile_rank(ds, value_col: str, id_col: str = "doc_id"):
+    """Global cumulative-distribution rank of every row: ``cume_dist`` =
+    (# rows with value ≤ this row's value) / N — SQL ``cume_dist() OVER
+    (ORDER BY value)``. The normalization behind "keep the top-q% by
+    quality score" filters, where raw score scales are meaningless but
+    ranks are comparable across corpora.
+
+    Scale design (the ``budget_select`` distributed-prefix pattern): ONE
+    global sort (the unavoidable all-to-all), then each sorted block
+    reports only (n, first/last value, boundary run lengths) — O(blocks)
+    driver scalars. The driver prefix-sums block offsets and resolves runs
+    that SPAN block boundaries (the only cross-block coupling ties create),
+    then every block finalizes itself independently with one vectorized
+    ``searchsorted``. No block ever sees another block's rows.
+
+    Returns ``(id_col, value_col, cume_dist)`` ordered by (value, id);
+    ``cume_dist`` is an exact integer ratio, so it is bit-identical to the
+    SQL window function."""
+    import ray
+    import ray.data
+
+    sorted_ds = (
+        ds.select_columns(list(dict.fromkeys([id_col, value_col])))
+        .sort([value_col, id_col])
+        .materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def block_meta(t: pa.Table) -> tuple:
+        # Ray 2.49 sort can emit schema-LESS empty blocks — report n=0
+        if len(t) == 0:
+            return (0, None, 0, None, 0)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        n_first = int(np.searchsorted(v, v[0], side="right"))
+        n_last = len(v) - int(np.searchsorted(v, v[-1], side="left"))
+        return (len(v), v[0], n_first, v[-1], n_last)
+
+    metas = ray.get([block_meta.remote(r) for r in refs])
+    keep = [(r, m) for r, m in zip(refs, metas) if m[0] > 0]
+    if not keep:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    value_col: pa.array([], pa.float64()),
+                    "cume_dist": pa.array([], pa.float64()),
+                }
+            )
+        )
+    refs = [r for r, _m in keep]
+    metas = [m for _r, m in keep]
+    ns = np.asarray([m[0] for m in metas], dtype=np.int64)
+    total = int(ns.sum())
+    offsets = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    # tail extension per block: rows in FOLLOWING blocks continuing the
+    # last value's run (range-partitioned sort ⇒ runs are consecutive)
+    ext = np.zeros(len(metas), dtype=np.int64)
+    for i, m in enumerate(metas):
+        last_v = m[3]
+        for j in range(i + 1, len(metas)):
+            nj, fv, n_first, lv, _nl = metas[j]
+            if not (fv == last_v):
+                break
+            single = n_first == nj  # whole block is one value
+            ext[i] += nj if single else n_first
+            if not single:
+                break
+
+    @ray.remote
+    def finalize(t: pa.Table, offset: int, tail_ext: int) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        # local index of the LAST row sharing each row's value (sorted)
+        last_idx = np.searchsorted(v, v, side="right") - 1
+        k = offset + last_idx + 1
+        k = k + np.where(v == v[-1], tail_ext, 0)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                value_col: t[value_col],
+                "cume_dist": pa.array(k.astype(np.float64) / total),
+            }
+        )
+
+    futures = [
+        finalize.remote(r, int(o), int(e)) for r, o, e in zip(refs, offsets, ext)
+    ]
+    return ray.data.from_arrow_refs(futures)
 
 
 def rrf_fuse(

@@ -2901,3 +2901,36 @@ def test_pca_ops(ray_session):
     p0 = proj[proj.comp == 0].value.to_numpy()
     p1 = proj[proj.comp == 1].value.to_numpy()
     assert abs(p0.mean()) < 1e-2 and p0.var() > p1.var()
+
+
+def test_percentile_rank(ray_session):
+    """cume_dist bit-identical to the SQL window, including tie runs that
+    span sorted-block boundaries and all-equal corpora."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from infidex_ray.ops.ranking import percentile_rank
+
+    rows = [{"doc_id": i, "v": float((i * 7) % 5)} for i in range(500)]
+    out = (
+        percentile_rank(ray.data.from_items(rows).repartition(9), "v")
+        .to_pandas()
+        .sort_values(["v", "doc_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows))
+    exp = con.execute(
+        "SELECT doc_id, v, cume_dist() OVER (ORDER BY v) AS cume_dist "
+        "FROM t ORDER BY v, doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    assert all(np.float64(a) == np.float64(b) for a, b in zip(out.cume_dist, exp.cume_dist))
+    # degenerate: every row identical → every cume_dist is exactly 1.0
+    one = percentile_rank(
+        ray.data.from_items([{"doc_id": i, "v": 3.0} for i in range(40)]).repartition(5),
+        "v",
+    ).to_pandas()
+    assert set(one.cume_dist) == {1.0}
