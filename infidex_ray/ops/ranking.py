@@ -128,7 +128,12 @@ def rrf_fuse(
 ):
     """Fuse two ``(query_col, doc_col, score_col)`` ranked-candidate
     datasets into the per-query RRF top-k: ``(query_col, doc_col,
-    rrf_score, rank)`` with ``rank`` 1-based within each query."""
+    rrf_score, rank)`` with ``rank`` 1-based within each query.
+
+    Assumes finite scores and (query, doc) unique within each list — the
+    shape retriever outputs have. (NaN scores would rank differently here
+    (lexsort) than in SQL, and intra-list duplicates would make the fused
+    sum 3+ addends, where IEEE addition order starts to matter.)"""
     if num_slices is None:
         num_slices = _default_num_slices()
 

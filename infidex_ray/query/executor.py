@@ -351,7 +351,28 @@ class DistributedEngine(Engine):
             stats["avg_doc_len"], actors, shard_of_seg,
         )
         if warm:
-            ray.get([a.warm.remote() for a in actors])
+            # a bounded wait turns "actors can never schedule" (cluster has
+            # fewer free CPUs than num_shards × num_cpus_per_actor — e.g. a
+            # leaked engine still holding its pool) into a diagnosable error
+            # instead of a silent driver hang
+            timeout_s = float(os.environ.get("INFIDEX_WARM_TIMEOUT_S", "600"))
+            try:
+                ray.get([a.warm.remote() for a in actors], timeout=timeout_s)
+            except ray.exceptions.GetTimeoutError:
+                for a in actors:
+                    try:
+                        ray.kill(a)
+                    except Exception:
+                        pass
+                avail = ray.available_resources().get("CPU", 0)
+                raise RuntimeError(
+                    f"DistributedEngine.connect: {len(actors)} shard actors "
+                    f"did not warm within {timeout_s:.0f}s — the cluster has "
+                    f"{avail} free CPUs for {len(actors)} × "
+                    f"{num_cpus_per_actor} CPU actors. Lower num_shards / "
+                    "num_cpus_per_actor, shut down other engines, or raise "
+                    "INFIDEX_WARM_TIMEOUT_S."
+                ) from None
         return eng
 
     # ---- overridden primitives ---------------------------------------

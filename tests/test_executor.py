@@ -25,7 +25,10 @@ def dist_pair(ray_session, minicorpus, tmp_path_factory):
     build_index_local(minicorpus, str(out), n_segments=4)
     eng = Engine.load(str(out))
     deng = DistributedEngine.connect(str(out), num_shards=2)
-    return eng, deng
+    yield eng, deng
+    # release the 2 actor-CPUs: the 4-CPU test session deadlocks later
+    # connects if pools leak (the full-suite hang this teardown fixes)
+    deng.shutdown()
 
 
 def test_distributed_rank_identity(dist_pair):
@@ -119,10 +122,13 @@ def test_short_query_no_fuzzy_branch_identity(ray_session, tmp_path_factory):
     build_index_local(docs, str(out), n_segments=4)
     eng = Engine.load(str(out))
     deng = DistributedEngine.connect(str(out), num_shards=2)
-    for q in ("th", "the", "zeb", "x", "qz"):
-        a = [(h.doc_key, round(h.score, 6), h.tiebreaker) for h in eng.search(q, top_k=10)]
-        b = [(h.doc_key, round(h.score, 6), h.tiebreaker) for h in deng.search(q, top_k=10)]
-        assert a == b, q
+    try:
+        for q in ("th", "the", "zeb", "x", "qz"):
+            a = [(h.doc_key, round(h.score, 6), h.tiebreaker) for h in eng.search(q, top_k=10)]
+            b = [(h.doc_key, round(h.score, 6), h.tiebreaker) for h in deng.search(q, top_k=10)]
+            assert a == b, q
+    finally:
+        deng.shutdown()
 
 
 def test_fused_coverage_under_speculation_identity(dist_pair, monkeypatch):
@@ -206,17 +212,20 @@ def test_distributed_query_api_parity(ray_session, tmp_path_factory):
         Query("matrix", max_results=10, enable_facets=True),
         Query("matrix", max_results=2, filter="year >= 2000", enable_facets=True),
     ]
-    for q in panels:
-        a, b = eng.query(q), deng.query(q)
-        assert [(h.doc_key, round(h.score, 6)) for h in a.records] == [
-            (h.doc_key, round(h.score, 6)) for h in b.records
-        ], q
-        assert a.facets == b.facets, q
-        assert a.total_candidates == b.total_candidates, q
+    try:
+        for q in panels:
+            a, b = eng.query(q), deng.query(q)
+            assert [(h.doc_key, round(h.score, 6)) for h in a.records] == [
+                (h.doc_key, round(h.score, 6)) for h in b.records
+            ], q
+            assert a.facets == b.facets, q
+            assert a.total_candidates == b.total_candidates, q
 
-    # match-all facets are refused with a pointer at the offline path
-    with pytest.raises(ValueError):
-        deng.query(Query("", max_results=10, enable_facets=True))
+        # match-all facets are refused with a pointer at the offline path
+        with pytest.raises(ValueError):
+            deng.query(Query("", max_results=10, enable_facets=True))
+    finally:
+        deng.shutdown()
 
 
 def test_minimal_profile_rank_identity_distributed(ray_session, tmp_path):
@@ -261,7 +270,9 @@ def test_distributed_get_document_and_statistics(ray_session, tmp_path):
         ds, idx, EngineConfig(target_docs_per_segment=100),
         text_column="text", key_column="doc_id", store_columns=("lang",),
     )
-    deng = DistributedEngine.connect(idx, num_shards=3)
+    # 0.5-CPU actors: 3 shards must fit the 4-CPU test session even while
+    # the module-scoped dist_pair fixture holds its 2 actor-CPUs
+    deng = DistributedEngine.connect(idx, num_shards=3, num_cpus_per_actor=0.5)
     try:
         assert deng.get_document(7) == eng.get_document(7)
         assert deng.get_document(10**9) is None

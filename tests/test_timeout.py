@@ -66,10 +66,13 @@ def test_distributed_timeout(ray_session, minicorpus, tmp_path_factory):
     Engine.build(ray.data.from_items(rows), out, cfg, text_column="text",
                  key_column="doc_key")
     deng = DistributedEngine.connect(out, num_shards=2, warm=False)
-    hits, timed_out = deng.search_ex("quick brown fox", top_k=5, timeout_ms=0)
-    assert timed_out and hits
-    hits2, ok = deng.search_ex("quick brown fox", top_k=5, timeout_ms=10000)
-    assert not ok and hits2
+    try:
+        hits, timed_out = deng.search_ex("quick brown fox", top_k=5, timeout_ms=0)
+        assert timed_out and hits
+        hits2, ok = deng.search_ex("quick brown fox", top_k=5, timeout_ms=10000)
+        assert not ok and hits2
+    finally:
+        deng.shutdown()
 
 
 # ---------------------------------------------------------------------------
