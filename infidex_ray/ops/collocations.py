@@ -259,6 +259,8 @@ def collocations(
     # before EACH join — see ops/dedup._attach_sketches
     bi = bi.repartition(nparts).materialize()
     if bi.count() == 0 or total == 0:
+        import ray.data
+
         cols = {
             "w1": pa.array([], pa.string()),
             "w2": pa.array([], pa.string()),
@@ -268,7 +270,9 @@ def collocations(
             cols["n_a"] = pa.array([], pa.int64())
             cols["n_b"] = pa.array([], pa.int64())
         cols["pmi"] = pa.array([], pa.float64())
-        return pa.table(cols)
+        # typed empty DATASET (same API as the normal path; joins against
+        # empty sides would crash in Ray 2.49 anyway — see CLAUDE.md)
+        return ray.data.from_arrow(pa.table(cols))
     j1 = bi.join(left, "inner", nparts, on=("w1",))
     j1 = j1.repartition(nparts).materialize()
     j2 = j1.join(right, "inner", nparts, on=("w2",))
