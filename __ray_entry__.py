@@ -1861,6 +1861,20 @@ def _q_collocations_unigram(sf_dir: str):
     return collocations(_read(sf_dir, "documents"), min_count=5, top_n=100)
 
 
+def _q_corpus_drift(sf_dir: str):
+    """Pairwise KL drift between per-source hashed-feature distributions
+    (DSIR buckets, add-1 smoothing) — corpus-mixture monitoring. Per-batch
+    per-source dense bincount partials into the fixed bucket space, one
+    bucket-keyed groupby, sources×buckets driver matrix."""
+    from infidex_ray.ops.dsir import corpus_drift
+
+    return _by(
+        corpus_drift(_read(sf_dir, "documents"), n_buckets=512),
+        "source_a",
+        "source_b",
+    )
+
+
 def _q_percentile_rank(sf_dir: str):
     """Global cume_dist rank normalization ("keep the top-q% by score"):
     one global sort + O(blocks) driver scalars; boundary-spanning tie runs
@@ -2032,6 +2046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_shuffle": _q_deterministic_shuffle,
         "embedding_covariance": _q_embedding_covariance,
         "percentile_rank": _q_percentile_rank,
+        "corpus_drift": _q_corpus_drift,
     }
 
 
@@ -3157,6 +3172,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(md5_number_lower('7:' || CAST(doc_id AS VARCHAR)) "
             "% 4611686018427387904 AS BIGINT) AS shuffle_key "
             "FROM documents ORDER BY shuffle_key, doc_id"
+        ),
+        "corpus_drift": (
+            # DSIR features (unigram+bigram md5 buckets, '[ \t\n\r]+' split
+            # per ops/dsir._SPLIT), add-1 smoothing with the SAME fixed
+            # expression (c+1)/(n+B); 512-bucket KL sums round4 both sides
+            "WITH t AS (SELECT doc_id, source, list_filter("
+            "string_split_regex(lower(coalesce(text, '')), '[ \t\n\r]+'), "
+            "x -> x != '') AS ws FROM documents), "
+            "tok AS (SELECT doc_id, source, unnest(ws) AS w, "
+            "generate_subscripts(ws, 1) AS i FROM t), "
+            "uni AS (SELECT source, CAST(md5_number_lower(w) % 512 AS BIGINT) "
+            "AS bk FROM tok), "
+            "big AS (SELECT a.source, "
+            "CAST(md5_number_lower(a.w || ' ' || c.w) % 512 AS BIGINT) AS bk "
+            "FROM tok a JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 1), "
+            "feat AS (SELECT * FROM uni UNION ALL SELECT * FROM big), "
+            "srcs AS (SELECT DISTINCT source FROM documents), "
+            "bks AS (SELECT unnest(generate_series(0, 511)) AS bk), "
+            "tot AS (SELECT source, count(*) AS n FROM feat GROUP BY source), "
+            "cnt AS (SELECT source, bk, count(*) AS c FROM feat GROUP BY 1, 2), "
+            "p AS (SELECT s.source, b.bk, "
+            "(CAST(coalesce(c.c, 0) AS DOUBLE) + 1.0) / "
+            "(CAST(coalesce(t.n, 0) AS DOUBLE) + 512) AS p "
+            "FROM srcs s CROSS JOIN bks b "
+            "LEFT JOIN cnt c ON c.source = s.source AND c.bk = b.bk "
+            "LEFT JOIN tot t ON t.source = s.source) "
+            "SELECT a.source AS source_a, b.source AS source_b, "
+            "ROUND(sum(a.p * ln(a.p / b.p)), 4) AS kl "
+            "FROM p a JOIN p b ON a.bk = b.bk AND a.source <> b.source "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "percentile_rank": (
             # cume_dist = exact integer ratio → bit-identical across engines

@@ -187,3 +187,106 @@ def dsir_logweights(
     return raw_ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+def corpus_drift(
+    ds,
+    source_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+):
+    """Pairwise KL divergence between per-source hashed-feature
+    distributions — the mixture-drift monitor for multi-source corpora
+    (is src A's token distribution moving away from src B's between
+    crawls?). Features and smoothing are exactly DSIR's: unigram+bigram
+    md5 buckets (``_bucket_features``), add-1-smoothed ``p = (c+1)/(N+B)``.
+
+    Scale design: per-batch per-source dense bincount partials (≤ |sources
+    in batch| × n_buckets rows leave each block, keyed into the FIXED
+    bucket space — never the vocabulary), one bucket-keyed groupby, then a
+    sources × n_buckets driver matrix (the O(sources²)-output tier, same
+    as corpus_overlap). Returns a pyarrow Table ``(source_a, source_b,
+    kl)`` for every ordered pair a ≠ b, KL rounded half-up to 4 (the
+    4096-term sum differs from a serial engine by ulps)."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        srcs = pa.array(
+            ["" if s is None else str(s) for s in batch[source_col].to_pylist()],
+            pa.large_string(),
+        )
+        enc = srcs.dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        names = enc.dictionary.to_pylist()
+        b, doc_of = _bucket_features(batch[text_col].to_pylist(), n_buckets)
+        out_s, out_b, out_n = [], [], []
+        for ci, name in enumerate(names):
+            mask = codes[doc_of] == ci
+            c = np.bincount(b[mask], minlength=n_buckets)
+            nz = np.flatnonzero(c)
+            out_s.append(np.full(len(nz), ci, dtype=np.int64))
+            out_b.append(nz.astype(np.int64))
+            out_n.append(c[nz])
+        if not out_s:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.large_string()),
+                    "bucket": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        cat = np.concatenate(out_s)
+        return pa.table(
+            {
+                "source": pa.array([names[i] for i in cat], pa.large_string()),
+                "bucket": pa.array(np.concatenate(out_b)),
+                "n": pa.array(np.concatenate(out_n).astype(np.int64)),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        agg = group.group_by(["source", "bucket"]).aggregate([("n", "sum")])
+        return agg.rename_columns(["source", "bucket", "n"])
+
+    rows = (
+        ds.select_columns([source_col, text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column(
+                "slice",
+                pa.array(
+                    (t["bucket"].to_numpy(zero_copy_only=False) % 64).astype(
+                        np.int32
+                    )
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("slice")
+        .map_groups(
+            lambda g: merge(g.drop_columns(["slice"])), batch_format="pyarrow"
+        )
+        .take_all()  # sources × n_buckets rows — the driver-aggregate tier
+    )
+    sources = sorted({r["source"] for r in rows})
+    sidx = {s: i for i, s in enumerate(sources)}
+    counts = np.zeros((len(sources), n_buckets), dtype=np.int64)
+    for r in rows:
+        counts[sidx[r["source"]], r["bucket"]] = r["n"]
+    totals = counts.sum(axis=1).astype(np.float64)
+    p = (counts.astype(np.float64) + 1.0) / (totals[:, None] + float(n_buckets))
+    out_a, out_b, out_kl = [], [], []
+    for i, sa in enumerate(sources):
+        for j, sb in enumerate(sources):
+            if i == j:
+                continue
+            out_a.append(sa)
+            out_b.append(sb)
+            out_kl.append(float(np.sum(p[i] * np.log(p[i] / p[j]))))
+    return pa.table(
+        {
+            "source_a": pa.array(out_a, pa.string()),
+            "source_b": pa.array(out_b, pa.string()),
+            "kl": pa.array(round_half_up4_arr(np.asarray(out_kl)), pa.float64()),
+        }
+    )

@@ -2934,3 +2934,24 @@ def test_percentile_rank(ray_session):
         "v",
     ).to_pandas()
     assert set(one.cume_dist) == {1.0}
+
+
+def test_corpus_drift(ray_session):
+    """KL drift: identical sources → symmetric near-zero; a divergent
+    source shows strictly larger drift against both."""
+    import ray.data
+
+    from infidex_ray.ops.dsir import corpus_drift
+
+    rows = []
+    for i in range(60):
+        rows.append({"doc_id": i, "source": "a", "text": "the quick brown fox " * 4})
+        rows.append({"doc_id": 100 + i, "source": "b", "text": "the quick brown fox " * 4})
+        rows.append({"doc_id": 200 + i, "source": "c", "text": "zebra xylophone quartz vortex " * 4})
+    out = corpus_drift(
+        ray.data.from_items(rows).repartition(4), n_buckets=256
+    ).to_pandas()
+    kl = {(r.source_a, r.source_b): r.kl for r in out.itertuples()}
+    assert len(kl) == 6
+    assert kl[("a", "b")] == 0.0 and kl[("b", "a")] == 0.0  # identical dists
+    assert kl[("a", "c")] > 1.0 and kl[("c", "a")] > 1.0  # divergent source
