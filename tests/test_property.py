@@ -399,3 +399,65 @@ def test_blockmax_pruning_rank_identity_long_postings(ray_session, tmp_path):
     assert [(round(e[0], 4), e[1]) for e in top] == [
         (round(e[0], 4), e[1]) for e in ref_top
     ]
+
+
+@given(
+    st.integers(1, 20),
+    st.integers(1, 20),
+    st.sampled_from([1, 3, 4]),
+    st.sampled_from([0, 1, 2, 3, 4]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_codec_roundtrip_property(w, h, ch, filter_type, seed):
+    """Every (dims, channels, filter) combination decodes back to the exact
+    pixel array — the builtin codec's unfilter branches are total."""
+    from infidex_ray.ops.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(arr, filter_type=filter_type)), arr)
+
+
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=300),
+    st.integers(1, 7),
+)
+@settings(max_examples=30, deadline=None)
+def test_percentile_rank_math_property(vals, nblocks):
+    """The distributed tie-run resolution equals the serial cume_dist on
+    arbitrary (skewed, duplicated) value multisets and any block split —
+    exercised here against a pure-numpy serial oracle (no Ray: the split
+    math is what the property checks)."""
+    v = np.sort(np.asarray(vals, dtype=np.float64))
+    n = len(v)
+    # serial oracle: cume = (last index of equal run + 1)/n
+    serial = (np.searchsorted(v, v, side="right")) / n
+    # replicate the block algorithm from ops.ranking.percentile_rank
+    bounds = np.linspace(0, n, min(nblocks, n) + 1).astype(int)
+    blocks = [v[a:b] for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+    metas = []
+    for blk in blocks:
+        n_first = int(np.searchsorted(blk, blk[0], side="right"))
+        n_last = len(blk) - int(np.searchsorted(blk, blk[-1], side="left"))
+        metas.append((len(blk), blk[0], n_first, blk[-1], n_last))
+    ns = np.asarray([m[0] for m in metas])
+    offsets = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    ext = np.zeros(len(metas), dtype=np.int64)
+    for i, m in enumerate(metas):
+        last_v = m[3]
+        for j in range(i + 1, len(metas)):
+            nj, fv, n_first, _lv, _nl = metas[j]
+            if not (fv == last_v):
+                break
+            single = n_first == nj
+            ext[i] += nj if single else n_first
+            if not single:
+                break
+    got = []
+    for blk, off, e in zip(blocks, offsets, ext):
+        last_idx = np.searchsorted(blk, blk, side="right") - 1
+        k = off + last_idx + 1 + np.where(blk == blk[-1], e, 0)
+        got.append(k.astype(np.float64) / n)
+    got = np.concatenate(got)
+    assert np.array_equal(got, serial)
