@@ -114,21 +114,27 @@ def decode_png(blob: bytes) -> np.ndarray:
     palette = None
     idat = []
     n = len(blob)
-    while pos + 8 <= n:
-        (length,) = struct.unpack(">I", blob[pos : pos + 4])
-        ctype = blob[pos + 4 : pos + 8]
-        data = blob[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # skip CRC
-        if ctype == b"IHDR":
-            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-        elif ctype == b"PLTE":
-            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
+    try:
+        while pos + 8 <= n:
+            (length,) = struct.unpack(">I", blob[pos : pos + 4])
+            ctype = blob[pos + 4 : pos + 8]
+            data = blob[pos + 8 : pos + 8 + length]
+            pos += 12 + length  # skip CRC
+            if ctype == b"IHDR":
+                width, height, bit_depth, color_type, _, _, interlace = (
+                    struct.unpack(">IIBBBBB", data)
+                )
+            elif ctype == b"PLTE":
+                palette = np.frombuffer(data, dtype=np.uint8)
+                palette = palette[: len(palette) - len(palette) % 3].reshape(-1, 3)
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+    except (struct.error, ValueError) as e:
+        # documented contract: malformed payloads raise CodecError, never
+        # leak struct/numpy internals to sniff-then-decode callers
+        raise CodecError(f"PNG: malformed chunk stream: {e}") from e
     if width is None or not idat:
         raise CodecError("PNG: missing IHDR/IDAT")
     if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
@@ -145,7 +151,10 @@ def decode_png(blob: bytes) -> np.ndarray:
     if color_type == 3:
         if palette is None:
             raise CodecError("PNG: palette image without PLTE")
-        px = palette[px.reshape(height, width)]
+        idx = px.reshape(height, width)
+        if len(palette) == 0 or int(idx.max(initial=0)) >= len(palette):
+            raise CodecError("PNG: palette index out of range")
+        px = palette[idx]
     return px
 
 
@@ -221,9 +230,6 @@ def box_thumbnail(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     g = gray.astype(np.float64)
     ye = (np.arange(out_h + 1) * h) // out_h
     xe = (np.arange(out_w + 1) * w) // out_w
-    # guard degenerate bins when out dim > in dim
-    ye = np.maximum(ye, np.arange(out_h + 1))
-    xe = np.maximum(xe, np.arange(out_w + 1))
     if h < out_h or w < out_w:
         # upsample tiny images by nearest first
         yi = (np.arange(max(out_h, h)) * h) // max(out_h, h)

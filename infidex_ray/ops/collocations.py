@@ -131,36 +131,6 @@ def _partial_counts(
     )
 
 
-def _slice_sum(ds, key_col: str, out_val: str, num_slices: int):
-    """Vocab-keyed distributed sum: per-block group_by partials keyed by a
-    coarse md5 slice of the key, then one vectorized per-slice sum."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        agg = batch.select([key_col, "n"]).group_by([key_col]).aggregate(
-            [("n", "sum")]
-        )
-        agg = agg.rename_columns([key_col, "n"])
-        sl = np.asarray(
-            [_md5_u64(s) % num_slices for s in agg[key_col].to_pylist()],
-            dtype=np.int32,
-        )
-        return agg.append_column("slice", pa.array(sl))
-
-    def final(group: pa.Table) -> pa.Table:
-        agg = (
-            group.drop_columns(["slice"])
-            .group_by([key_col])
-            .aggregate([("n", "sum")])
-        )
-        return agg.rename_columns([key_col, out_val])
-
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("slice")
-        .map_groups(final, batch_format="pyarrow")
-    )
-
-
 def collocations(
     ds,
     text_col: str = "text",
@@ -189,7 +159,9 @@ def collocations(
             .group_by(["kind", "w1", "w2"])
             .aggregate([("n", "sum")])
         )
-        return agg.rename_columns(["kind", "w1", "w2", "n"])
+        return agg.rename_columns(
+            ["n" if c == "n_sum" else c for c in agg.column_names]
+        )
 
     counts = (
         ds.select_columns([text_col])
@@ -236,10 +208,13 @@ def collocations(
             lambda b: b.rename_columns(["w2", "n_b"]), batch_format="pyarrow"
         )
     else:
+        from .agg import grouped_agg
+
         bi_full = bi_full.materialize()
         total = int(bi_full.sum("n") or 0)
-        left = _slice_sum(bi_full, "w1", "n_a", num_slices)
-        right = _slice_sum(bi_full, "w2", "n_b", num_slices)
+        # pair-table marginals via the reusable slice-grouped combiner
+        left = grouped_agg(bi_full, "w1", {"n_a": ("sum", "n")}, num_slices)
+        right = grouped_agg(bi_full, "w2", {"n_b": ("sum", "n")}, num_slices)
 
     count_col = "n_ab" if with_unigrams else "c"
 

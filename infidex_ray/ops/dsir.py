@@ -207,18 +207,28 @@ def corpus_drift(
     sources × n_buckets driver matrix (the O(sources²)-output tier, same
     as corpus_overlap). Returns a pyarrow Table ``(source_a, source_b,
     kl)`` for every ordered pair a ≠ b, KL rounded half-up to 4 (the
-    4096-term sum differs from a serial engine by ulps)."""
-    import pyarrow.compute as pc
+    4096-term sum differs from a serial engine by ulps).
+
+    Source-universe semantics match the SQL oracle exactly: every distinct
+    NON-NULL source in the dataset appears — a source whose documents have
+    no tokens still pairs with everyone via the uniform smoothed
+    distribution; NULL sources are dropped (SQL ``a.source <> b.source``
+    never matches NULL)."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        raw = batch[source_col].to_pylist()
         srcs = pa.array(
-            ["" if s is None else str(s) for s in batch[source_col].to_pylist()],
-            pa.large_string(),
+            ["" if s is None else str(s) for s in raw], pa.large_string()
         )
         enc = srcs.dictionary_encode()
         codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
         names = enc.dictionary.to_pylist()
         b, doc_of = _bucket_features(batch[text_col].to_pylist(), n_buckets)
+        # NULL sources are excluded end-to-end (oracle semantics)
+        null_mask = np.asarray([s is None for s in raw], bool)
+        if null_mask.any():
+            keep = ~null_mask[doc_of]
+            b, doc_of = b[keep], doc_of[keep]
         out_s, out_b, out_n = [], [], []
         for ci, name in enumerate(names):
             mask = codes[doc_of] == ci
@@ -246,7 +256,9 @@ def corpus_drift(
 
     def merge(group: pa.Table) -> pa.Table:
         agg = group.group_by(["source", "bucket"]).aggregate([("n", "sum")])
-        return agg.rename_columns(["source", "bucket", "n"])
+        return agg.rename_columns(
+            ["n" if c == "n_sum" else c for c in agg.column_names]
+        )
 
     rows = (
         ds.select_columns([source_col, text_col])
@@ -268,11 +280,19 @@ def corpus_drift(
         )
         .take_all()  # sources × n_buckets rows — the driver-aggregate tier
     )
-    sources = sorted({r["source"] for r in rows})
+    # universe from the DATASET, not the feature rows: an all-empty source
+    # still participates (uniform smoothed distribution), NULLs drop
+    sources = sorted(
+        str(s)
+        for s in ds.select_columns([source_col]).unique(source_col)
+        if s is not None
+    )
     sidx = {s: i for i, s in enumerate(sources)}
     counts = np.zeros((len(sources), n_buckets), dtype=np.int64)
     for r in rows:
-        counts[sidx[r["source"]], r["bucket"]] = r["n"]
+        i = sidx.get(r["source"])
+        if i is not None:  # defensively skip rows outside the universe
+            counts[i, r["bucket"]] = r["n"]
     totals = counts.sum(axis=1).astype(np.float64)
     p = (counts.astype(np.float64) + 1.0) / (totals[:, None] + float(n_buckets))
     out_a, out_b, out_kl = [], [], []

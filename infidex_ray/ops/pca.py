@@ -33,12 +33,11 @@ from .similarity import _to_matrix
 __all__ = ["embedding_covariance", "pca_basis", "pca_project"]
 
 
-def embedding_covariance(
-    ds, vec_col: str = "embedding", id_col: str = "vec_id"
-):
+def embedding_covariance(ds, vec_col: str = "embedding"):
     """Long-form population covariance of the embedding coordinates:
     one row per ``(i, j)`` (0-indexed, full d×d) with ``cov`` rounded
-    half-up to 4 decimals. Returns a pyarrow Table (d² rows)."""
+    half-up to 4 decimals. Returns a pyarrow Table (d² rows; typed empty
+    on an empty corpus)."""
     _n, mean, cov = _moments(ds, vec_col)
     d = len(mean)
     ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
@@ -78,8 +77,12 @@ def _moments(ds, vec_col: str):
         .groupby("k")
         .sum("v")
         .to_pandas()
-        .sort_values("k")
     )
+    # Ray 2.49: to_pandas() on a 0-row dataset drops even typed columns —
+    # guard before touching them (empty corpus → 0-dim moments)
+    if len(sums) == 0 or "k" not in sums.columns:
+        return 0.0, np.empty(0, np.float64), np.empty((0, 0), np.float64)
+    sums = sums.sort_values("k")
     vcol = "sum(v)" if "sum(v)" in sums.columns else "v"
     vals = sums[vcol].to_numpy()
     d = int(round((np.sqrt(4 * len(vals) - 3) - 1) / 2))
@@ -99,6 +102,8 @@ def pca_basis(ds, vec_col: str = "embedding", k: int = 8):
     symmetric covariance, each column sign-fixed so its
     largest-magnitude coordinate is positive."""
     _n, mean, cov = _moments(ds, vec_col)
+    if cov.size == 0:
+        raise ValueError("pca_basis: empty embedding corpus")
     w, v = np.linalg.eigh((cov + cov.T) / 2.0)
     order = np.argsort(w)[::-1][:k]
     basis = v[:, order]

@@ -2821,7 +2821,7 @@ def test_collocations_small(ray_session):
     docs = [{"doc_id": i, "text": "new york " + ("the cat " * (i % 3 + 1)).strip()}
             for i in range(12)]
     out = collocations(ray.data.from_items(docs), min_count=3, top_n=10)
-    df = out.to_pandas() if hasattr(out, "to_pandas") else out.to_pandas()
+    df = out.to_pandas()
     top = df.iloc[0]
     assert (top.w1, top.w2) == ("new", "york")
     assert df.set_index(["w1", "w2"]).loc[("new", "york"), "n_ab"] == 12
@@ -2955,3 +2955,60 @@ def test_corpus_drift(ray_session):
     assert len(kl) == 6
     assert kl[("a", "b")] == 0.0 and kl[("b", "a")] == 0.0  # identical dists
     assert kl[("a", "c")] > 1.0 and kl[("c", "a")] > 1.0  # divergent source
+
+
+def test_review_fixes_fourth_day(ray_session):
+    """Locks the round-4 fourth-day review findings: corpus_drift keeps
+    token-less sources (uniform smoothing) and drops NULL sources like the
+    SQL oracle; PCA moments guard empty corpora; decode_png raises
+    CodecError (not struct/numpy internals) on malformed payloads."""
+    import pytest
+    import ray.data
+
+    from infidex_ray.ops.codecs import CodecError, PNG_MAGIC, decode_png, encode_png
+    from infidex_ray.ops.dsir import corpus_drift
+    from infidex_ray.ops.pca import embedding_covariance, pca_basis
+
+    # corpus_drift: all-empty source participates; NULL source dropped
+    rows = [
+        {"doc_id": 0, "source": "a", "text": "hello world tokens here"},
+        {"doc_id": 1, "source": "b", "text": ""},
+        {"doc_id": 2, "source": None, "text": "should not appear anywhere"},
+    ]
+    out = corpus_drift(ray.data.from_items(rows), n_buckets=64).to_pandas()
+    pairs = set(zip(out.source_a, out.source_b))
+    assert pairs == {("a", "b"), ("b", "a")}
+    assert (out.kl > 0).all()  # uniform vs real dist diverge
+
+    # PCA: empty corpus → typed empty covariance, clear basis error
+    import pyarrow as pa
+
+    empty = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array([], pa.int64()),
+                  "embedding": pa.array([], pa.list_(pa.float64()))})
+    )
+    cov = embedding_covariance(empty)
+    assert len(cov) == 0 and cov.column_names == ["i", "j", "cov"]
+    with pytest.raises(ValueError, match="empty"):
+        pca_basis(empty)
+
+    # codec: malformed payloads raise CodecError, not struct.error
+    with pytest.raises(CodecError):
+        decode_png(PNG_MAGIC + b"\x00\x00\x00\x0dIHDR\x01")  # truncated IHDR
+    # palette image with out-of-range index
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    raw = zlib.compress(b"\x00\x05")  # filter 0, palette index 5 > size 1
+    bad = (PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"PLTE", b"\x10\x20\x30")
+           + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+    with pytest.raises(CodecError):
+        decode_png(bad)
+    # valid palette decode still works
+    ok = (PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"PLTE", b"\x10\x20\x30")
+          + chunk(b"IDAT", zlib.compress(b"\x00\x00")) + chunk(b"IEND", b""))
+    assert decode_png(ok).tolist() == [[[0x10, 0x20, 0x30]]]
