@@ -1861,6 +1861,53 @@ def _q_collocations_unigram(sf_dir: str):
     return collocations(_read(sf_dir, "documents"), min_count=5, top_n=100)
 
 
+def _q_grouped_distinct(sf_dir: str):
+    """count(DISTINCT col) per group: per-block distinct (keys, value)
+    pairs → value-hash slice re-distinct (disjoint partial counts by
+    construction) → keys-slice sum. Null values uncounted, all-null groups
+    kept at 0, null keys group — SQL semantics end-to-end."""
+    from infidex_ray.ops.agg import grouped_count_distinct
+
+    return _by(
+        grouped_count_distinct(
+            _read(sf_dir, "lineitem"),
+            ["l_returnflag", "l_linestatus"],
+            {"n_parts": "l_partkey", "n_supps": "l_suppkey"},
+        ),
+        "l_returnflag",
+        "l_linestatus",
+    )
+
+
+def _q_grouped_rollup(sf_dir: str):
+    """GROUP BY ROLLUP as a union of per-prefix-level combiner passes with
+    a level (GROUPING_ID) column; rolled-up keys coalesce to '(all)' on
+    both engines so the order-sensitive hash never compares NULL sort
+    semantics."""
+    import pyarrow.compute as pc
+
+    from infidex_ray.ops.agg import grouped_rollup
+
+    out = grouped_rollup(
+        _read(sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("sum", "l_quantity"), "n_rows": ("count", "l_orderkey")},
+    )
+
+    def coal(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in t.column_names}
+        for k in ("l_returnflag", "l_linestatus"):
+            cols[k] = pc.coalesce(t[k], pa.scalar("(all)", pa.string()))
+        return pa.table(cols)
+
+    return _by(
+        out.map_batches(coal, batch_format="pyarrow"),
+        "level",
+        "l_returnflag",
+        "l_linestatus",
+    )
+
+
 def _q_corpus_drift(sf_dir: str):
     """Pairwise KL drift between per-source hashed-feature distributions
     (DSIR buckets, add-1 smoothing) — corpus-mixture monitoring. Per-batch
@@ -2047,6 +2094,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": _q_embedding_covariance,
         "percentile_rank": _q_percentile_rank,
         "corpus_drift": _q_corpus_drift,
+        "grouped_distinct": _q_grouped_distinct,
+        "grouped_rollup": _q_grouped_rollup,
     }
 
 
@@ -3172,6 +3221,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(md5_number_lower('7:' || CAST(doc_id AS VARCHAR)) "
             "% 4611686018427387904 AS BIGINT) AS shuffle_key "
             "FROM documents ORDER BY shuffle_key, doc_id"
+        ),
+        "grouped_distinct": (
+            "SELECT l_returnflag, l_linestatus, "
+            "count(DISTINCT l_partkey)::BIGINT AS n_parts, "
+            "count(DISTINCT l_suppkey)::BIGINT AS n_supps "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"
+        ),
+        "grouped_rollup": (
+            # integral-valued l_quantity → exact sums at every level;
+            # '(all)' coalesce on both engines sidesteps NULL ordering
+            "SELECT coalesce(l_returnflag, '(all)') AS l_returnflag, "
+            "coalesce(l_linestatus, '(all)') AS l_linestatus, "
+            "sum(l_quantity) AS sum_qty, "
+            "count(l_orderkey)::BIGINT AS n_rows, "
+            "CAST(GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) "
+            "AS level "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) "
+            "ORDER BY level, 1, 2"
         ),
         "corpus_drift": (
             # DSIR features (unigram+bigram md5 buckets, '[ \t\n\r]+' split

@@ -207,3 +207,194 @@ def grouped_corr(
         .groupby("slice")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def grouped_count_distinct(ds, keys, aggs: dict, num_slices: int | None = None):
+    """SQL ``count(DISTINCT col)`` per group — the aggregate
+    :func:`grouped_agg` can't do with scalar partials. ``aggs``:
+    ``{out_col: in_col}``.
+
+    Scale design (two coarse shuffles, both over bounded streams): each
+    block first collapses to its DISTINCT (keys, col) pairs per aggregate
+    (Arrow hash group-by, ≤ block distinct pairs leave), keyed by a slice
+    of the (keys, value) hash so every copy of a pair lands in ONE slice;
+    each slice re-distincts and emits per-key PARTIAL counts (disjoint
+    across slices by construction — a pair lives in exactly one slice), and
+    a final keys-slice groupby sums the partials. Null values are not
+    counted (SQL semantics); null KEYS form their own group, exactly like
+    grouped_agg.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if num_slices is None:
+        num_slices = _default_num_slices()
+    import pyarrow.compute as pc
+
+    items = list(aggs.items())  # [(out_col, in_col)]
+
+    def _key_hash(table: pa.Table, extra_col: str | None) -> np.ndarray:
+        h = np.zeros(len(table), dtype=np.uint64)
+        for kcol in keys + ([extra_col] if extra_col else []):
+            enc = table[kcol].combine_chunks().dictionary_encode()
+            codes = (
+                enc.indices.fill_null(-1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            vals = enc.dictionary.cast(pa.string()).to_pylist()
+            vh = np.asarray(
+                [_md5_u64(str(v)) for v in vals] + [_md5_u64("\x00<NULL>")],
+                dtype=np.uint64,
+            )
+            h = (h * _MIX) ^ vh[codes]
+        return h
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        parts = []
+        # keys-presence rows (__agg = -1): a group whose every value is
+        # null still EXISTS with count 0, matching SQL — sliced by the
+        # keys hash alone so every copy lands in one slice
+        if keys:
+            pres = batch.select(keys).group_by(keys).aggregate([])
+            slp = (_key_hash(pres, None) % np.uint64(num_slices)).astype(
+                np.int32
+            )
+            parts.append(
+                pa.table(
+                    {
+                        **{k: pres[k] for k in keys},
+                        "__v": pa.array([""] * len(pres), pa.string()),
+                        "__agg": pa.array(np.full(len(pres), -1, np.int8)),
+                        "slice": pa.array(slp),
+                    }
+                )
+            )
+        for ai, (out, col) in enumerate(items):
+            t = batch.select(list(dict.fromkeys(keys + [col])))
+            t = t.filter(pc.is_valid(t[col]))
+            dt = t.group_by(keys + [col]).aggregate([])
+            sl = (_key_hash(dt, col) % np.uint64(num_slices)).astype(np.int32)
+            parts.append(
+                pa.table(
+                    {
+                        **{k: dt[k] for k in keys},
+                        "__v": dt[col].cast(pa.string()),
+                        "__agg": pa.array(
+                            np.full(len(dt), ai, dtype=np.int8)
+                        ),
+                        "slice": pa.array(sl),
+                    }
+                )
+            )
+        return pa.concat_tables(parts, promote_options="default")
+
+    def slice_counts(group: pa.Table) -> pa.Table:
+        # global distinct within the slice, then per-(agg, keys) counts
+        dt = group.drop_columns(["slice"]).group_by(
+            ["__agg"] + keys + ["__v"]
+        ).aggregate([])
+        cnt = dt.group_by(["__agg"] + keys).aggregate([("__v", "count")])
+        ren = {"__v_count": "__n"}
+        cnt = cnt.rename_columns([ren.get(c, c) for c in cnt.column_names])
+        h = np.zeros(len(cnt), dtype=np.uint64)
+        for kcol in keys:
+            enc = cnt[kcol].combine_chunks().dictionary_encode()
+            codes = (
+                enc.indices.fill_null(-1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            vals = enc.dictionary.cast(pa.string()).to_pylist()
+            vh = np.asarray(
+                [_md5_u64(str(v)) for v in vals] + [_md5_u64("\x00<NULL>")],
+                dtype=np.uint64,
+            )
+            h = (h * _MIX) ^ vh[codes]
+        sl2 = (h % np.uint64(num_slices)).astype(np.int32)
+        return cnt.append_column("slice2", pa.array(sl2))
+
+    def final(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        agg = group.drop_columns(["slice2"]).group_by(["__agg"] + keys).aggregate(
+            [("__n", "sum")]
+        )
+        ren = {"__n_sum": "__n"}
+        agg = agg.rename_columns([ren.get(c, c) for c in agg.column_names])
+        # pivot per-agg rows into one row per key combo, null-key-safe
+        # (pandas merge won't match NaN keys, so key by normalized tuples)
+        base = (
+            agg.group_by(keys).aggregate([])
+            if keys
+            else pa.table({"__one": pa.array([1])})
+        )
+        cols = {k: base[k] for k in keys} if keys else {}
+        adf = agg.to_pandas()
+
+        def norm(v):
+            return None if pd.isna(v) else v
+
+        bkeys = (
+            [tuple(norm(v) for v in row) for row in
+             zip(*[base[k].to_pylist() for k in keys])]
+            if keys
+            else [()]
+        )
+        for ai, (out, _col) in enumerate(items):
+            sub = adf[adf["__agg"] == ai]
+            lut = {
+                tuple(norm(r[k]) for k in keys): int(r["__n"])
+                for _i, r in sub.iterrows()
+            }
+            cols[out] = pa.array(
+                [lut.get(bk, 0) for bk in bkeys], pa.int64()
+            )
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(slice_counts, batch_format="pyarrow")
+        .groupby("slice2")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def grouped_rollup(ds, keys, aggs: dict, num_slices: int | None = None):
+    """SQL ``GROUP BY ROLLUP(keys...)``: one :func:`grouped_agg` pass per
+    prefix level (full detail → subtotals → grand total), unioned with a
+    ``level`` column (= number of rolled-up keys, SQL ``GROUPING_ID``) and
+    NULL-filled rolled-up key columns. Each level's exchange moves only
+    that level's group-count partials — the classic rollup-as-union plan.
+    """
+    import ray.data
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    # key column types from the schema (NULL subtotal columns must be typed)
+    schema = ds.schema()
+    ktype = {k: schema.base_schema.field(k).type for k in keys}
+
+    levels = []
+    for L in range(len(keys), -1, -1):
+        part = grouped_agg(ds, keys[:L], aggs, num_slices)
+        rolled = keys[L:]
+        lvl = len(keys) - L
+
+        def pad(t: pa.Table, rolled=tuple(rolled), lvl=lvl) -> pa.Table:
+            cols = {}
+            for k in keys:
+                if k in t.column_names:
+                    cols[k] = t[k]
+                else:
+                    cols[k] = pa.nulls(len(t), ktype[k])
+            for c in t.column_names:
+                if c not in keys:
+                    cols[c] = t[c]
+            cols["level"] = pa.array(np.full(len(t), lvl, dtype=np.int64))
+            return pa.table(cols)
+
+        levels.append(part.map_batches(pad, batch_format="pyarrow"))
+    out = levels[0]
+    for more in levels[1:]:
+        out = out.union(more)
+    return out

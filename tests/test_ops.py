@@ -3012,3 +3012,49 @@ def test_review_fixes_fourth_day(ray_session):
     ok = (PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"PLTE", b"\x10\x20\x30")
           + chunk(b"IDAT", zlib.compress(b"\x00\x00")) + chunk(b"IEND", b""))
     assert decode_png(ok).tolist() == [[[0x10, 0x20, 0x30]]]
+
+
+def test_grouped_count_distinct(ray_session):
+    """SQL count(DISTINCT) semantics: null values uncounted, all-null
+    groups kept at 0, null keys form their own group."""
+    import ray.data
+
+    from infidex_ray.ops.agg import grouped_count_distinct
+
+    rows = [
+        {"g": "a", "x": 1}, {"g": "a", "x": 1}, {"g": "a", "x": 2},
+        {"g": "b", "x": None}, {"g": "b", "x": None},  # all-null group
+        {"g": None, "x": 7}, {"g": None, "x": 8},      # null key group
+    ]
+    out = grouped_count_distinct(
+        ray.data.from_items(rows).repartition(3), "g", {"nx": "x"}
+    ).to_pandas()
+    by = {("<null>" if g is None else g): n for g, n in zip(out.g, out.nx)}
+    assert by == {"a": 2, "b": 0, "<null>": 2}
+    # global (no keys) variant
+    tot = grouped_count_distinct(
+        ray.data.from_items(rows).repartition(3), [], {"nx": "x"}
+    ).to_pandas()
+    assert list(tot.nx) == [4]
+
+
+def test_grouped_rollup(ray_session):
+    """Rollup = detail + subtotals + grand total with a GROUPING_ID-style
+    level column; exact on integer-valued measures."""
+    import ray.data
+
+    from infidex_ray.ops.agg import grouped_rollup
+
+    rows = [
+        {"a": "x", "b": "p", "v": 1},
+        {"a": "x", "b": "q", "v": 2},
+        {"a": "y", "b": "p", "v": 4},
+    ]
+    out = grouped_rollup(
+        ray.data.from_items(rows).repartition(2), ["a", "b"], {"s": ("sum", "v")}
+    ).to_pandas()
+    lut = {(r.a, r.b, r.level): r.s for r in out.itertuples()}
+    assert lut[("x", "p", 0)] == 1 and lut[("x", "q", 0)] == 2
+    assert lut[("x", None, 1)] == 3 and lut[("y", None, 1)] == 4
+    assert lut[(None, None, 2)] == 7
+    assert len(out) == 6
