@@ -1861,6 +1861,47 @@ def _q_collocations_unigram(sf_dir: str):
     return collocations(_read(sf_dir, "documents"), min_count=5, top_n=100)
 
 
+def _q_rolling_window(sf_dir: str):
+    """Per-supplier rolling 5-row quantity window over lineitem: one coarse
+    md5-slice shuffle, per-slice lexsort + cumsum with run-boundary resets
+    (no per-key group); integral quantities ⇒ bit-identical to the SQL
+    ROWS window."""
+    from infidex_ray.ops.windows import rolling_window
+
+    return _by(
+        rolling_window(
+            _read(sf_dir, "lineitem"),
+            "l_suppkey",
+            "l_shipdate",
+            "l_quantity",
+            window=5,
+            id_cols=("l_orderkey", "l_linenumber"),
+        ),
+        "l_suppkey",
+        "ts_us",
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
+def _q_dedup_lines_within(sf_dir: str):
+    """Within-document repeated-line removal (first occurrence kept):
+    lines planted by replacing spaces with newlines via the same plain
+    substring replace on both engines; entirely row-local — no shuffle."""
+    import pyarrow.compute as pc
+
+    from infidex_ray.ops.lines import dedup_lines_within
+
+    def plant(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(pc.cast(b["text"], pa.string()), "")
+        return pa.table(
+            {"doc_id": b["doc_id"], "text": pc.replace_substring(texts, " ", "\n")}
+        )
+
+    ds = _read(sf_dir, "documents").map_batches(plant, batch_format="pyarrow")
+    return _by(dedup_lines_within(ds), "doc_id")
+
+
 def _q_grouped_distinct(sf_dir: str):
     """count(DISTINCT col) per group: per-block distinct (keys, value)
     pairs → value-hash slice re-distinct (disjoint partial counts by
@@ -2096,6 +2137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_drift": _q_corpus_drift,
         "grouped_distinct": _q_grouped_distinct,
         "grouped_rollup": _q_grouped_rollup,
+        "rolling_window": _q_rolling_window,
+        "dedup_lines_within": _q_dedup_lines_within,
     }
 
 
@@ -3221,6 +3264,35 @@ def oracle_sql() -> dict[str, str]:
             "CAST(md5_number_lower('7:' || CAST(doc_id AS VARCHAR)) "
             "% 4611686018427387904 AS BIGINT) AS shuffle_key "
             "FROM documents ORDER BY shuffle_key, doc_id"
+        ),
+        "rolling_window": (
+            # integral l_quantity ⇒ cumsum-difference == windowed sum
+            # bit-for-bit; roll_mean = same sum / same count division
+            "SELECT l_suppkey, epoch_us(l_shipdate) AS ts_us, l_orderkey, "
+            "l_linenumber, l_quantity, "
+            "sum(l_quantity) OVER w AS roll_sum, "
+            "CAST(count(*) OVER w AS BIGINT) AS roll_n, "
+            "sum(l_quantity) OVER w / count(*) OVER w AS roll_mean "
+            "FROM lineitem "
+            "WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, "
+            "l_orderkey, l_linenumber ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) "
+            "ORDER BY l_suppkey, ts_us, l_orderkey, l_linenumber"
+        ),
+        "dedup_lines_within": (
+            # same plain space→newline replace on both engines; keep each
+            # line's first occurrence per doc, re-join in order
+            "WITH aug AS (SELECT doc_id, replace(coalesce(text, ''), ' ', "
+            "chr(10)) AS t FROM documents), "
+            "lines AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line, "
+            "generate_subscripts(string_split(t, chr(10)), 1) AS ord FROM aug), "
+            "firsts AS (SELECT doc_id, line, min(ord) AS ord FROM lines "
+            "GROUP BY 1, 2), "
+            "tot AS (SELECT doc_id, count(*) AS nt FROM lines GROUP BY 1), "
+            "ded AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) "
+            "AS text, count(*) AS nd FROM firsts GROUP BY 1) "
+            "SELECT t.doc_id, coalesce(d.text, '') AS text, "
+            "CAST(t.nt - d.nd AS BIGINT) AS n_removed "
+            "FROM tot t JOIN ded d ON d.doc_id = t.doc_id ORDER BY t.doc_id"
         ),
         "grouped_distinct": (
             "SELECT l_returnflag, l_linestatus, "

@@ -225,3 +225,61 @@ def drop_frequent_lines(
     return ds.select_columns([id_col, text_col]).map_batches(
         strip, batch_format="pyarrow"
     )
+
+
+def dedup_lines_within(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Remove REPEATED lines within each document, keeping each line's
+    FIRST occurrence in order — the row-local cousin of
+    :func:`drop_frequent_lines` (templated pages repeat their own nav/CTA
+    blocks; this strips the repeats without any corpus statistics).
+
+    Scale design: entirely row-local — one stateless ``map_batches``, no
+    shuffle, no broadcast; first-occurrence detection is one
+    dictionary-encode + ``np.unique`` over packed (doc, line) codes and
+    reassembly is the same offsets + ``binary_join`` as the sibling ops.
+    Returns ``(id_col, text, n_removed)``."""
+
+    def strip(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(pc.cast(batch[text_col], pa.large_string()), "")
+        lists = pc.split_pattern(texts, "\n")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_of = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        lens = (
+            pc.list_value_length(lists)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        if len(flat):
+            enc = flat.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            v = max(int(len(enc.dictionary)), 1)
+            packed = doc_of.astype(np.int64) * v + codes
+            _uniq, first_idx = np.unique(packed, return_index=True)
+            keep = np.zeros(len(packed), dtype=bool)
+            keep[first_idx] = True
+            kept_per_doc = np.bincount(doc_of[keep], minlength=len(lens)).astype(
+                np.int64
+            )
+        else:
+            keep = np.zeros(0, dtype=bool)
+            kept_per_doc = np.zeros(len(lens), dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(kept_per_doc)]).astype(np.int64)
+        new_lists = pa.LargeListArray.from_arrays(
+            offsets, flat.filter(pa.array(keep))
+        )
+        joined = pc.binary_join(new_lists, pa.scalar("\n", pa.large_string()))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "text": joined.cast(pa.string()),
+                "n_removed": pa.array((lens - kept_per_doc).astype(np.int64)),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        strip, batch_format="pyarrow"
+    )

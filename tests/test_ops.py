@@ -3058,3 +3058,50 @@ def test_grouped_rollup(ray_session):
     assert lut[("x", None, 1)] == 3 and lut[("y", None, 1)] == 4
     assert lut[(None, None, 2)] == 7
     assert len(out) == 6
+
+
+def test_rolling_window(ray_session):
+    """Rolling ROWS window: run-boundary resets, window clamping at run
+    starts, exact sums on integer-valued measures."""
+    import ray.data
+
+    from infidex_ray.ops.windows import rolling_window
+
+    import datetime
+
+    def ts(i):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i)
+
+    rows = [
+        {"k": "a", "t": ts(i), "id": i, "v": float(i + 1)} for i in range(6)
+    ] + [{"k": "b", "t": ts(i), "id": 100 + i, "v": 10.0} for i in range(3)]
+    out = (
+        rolling_window(
+            ray.data.from_items(rows).repartition(3), "k", "t", "v",
+            window=3, id_cols=("id",),
+        )
+        .to_pandas()
+        .sort_values(["k", "ts_us"])
+        .reset_index(drop=True)
+    )
+    a = out[out.k == "a"]
+    assert list(a.roll_sum) == [1, 3, 6, 9, 12, 15]  # 1,1+2,1+2+3,2+3+4,...
+    assert list(a.roll_n) == [1, 2, 3, 3, 3, 3]
+    b = out[out.k == "b"]
+    assert list(b.roll_sum) == [10, 20, 30] and list(b.roll_mean) == [10, 10, 10]
+
+
+def test_dedup_lines_within(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.lines import dedup_lines_within
+
+    rows = [
+        {"doc_id": 0, "text": "a\nb\na\nc\nb\na"},
+        {"doc_id": 1, "text": "x"},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": None},
+    ]
+    out = dedup_lines_within(ray.data.from_items(rows)).to_pandas().sort_values("doc_id")
+    assert list(out.text) == ["a\nb\nc", "x", "", ""]
+    assert list(out.n_removed) == [3, 0, 0, 0]
