@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["curate_webtext"]
+__all__ = ["curate_webtext", "hybrid_search"]
 
 
 def _checkpoint(docs, ckpt_dir: str, id_col: str, n_parts: int):
@@ -380,3 +380,50 @@ def curate_webtext(
     return pack_sequences(
         chunks, token_col="n_tokens", id_col=id_col, capacity=pack_capacity
     )
+
+
+def hybrid_search(
+    engine,
+    emb_ds,
+    query_text: str,
+    query_vec,
+    top_k: int = 10,
+    k0: int = 60,
+    fetch_k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Hybrid retrieval: lexical BM25+coverage candidates from the search
+    engine fused with dense-embedding kNN candidates by reciprocal-rank
+    fusion (``1/(k0+rank)`` summed per doc — Cormack et al., the same rule
+    ``ops.ranking.rrf_fuse`` applies corpus-wide). Returns
+    ``[(doc_key, rrf_score, lex_rank | None, sem_rank | None)]``.
+
+    Scale design: the lexical leg runs the (distributed) engine's own
+    top-``fetch_k``; the semantic leg is one ``ops.similarity.knn_cosine``
+    pass (per-block partial top-k, block-pair streamed); the fusion itself
+    touches only 2·fetch_k candidate rows, so it stays driver-side — the
+    corpus-scale work is entirely inside the two retrievers."""
+    import numpy as np
+
+    from infidex_ray.ops.similarity import knn_cosine
+
+    lex_hits = engine.search(query_text, top_k=fetch_k)
+    lex_rank = {h.doc_key: r + 1 for r, h in enumerate(lex_hits)}
+    sem = knn_cosine(
+        emb_ds, np.atleast_2d(np.asarray(query_vec, dtype=np.float64)),
+        k=fetch_k, id_col=id_col, vec_col=vec_col,
+    )
+    sem_rank = {
+        int(i): int(r)
+        for i, r in zip(sem[id_col].to_pylist(), sem["rank"].to_pylist())
+    }
+    fused = {}
+    for d, r in lex_rank.items():
+        fused[d] = fused.get(d, 0.0) + 1.0 / (k0 + r)
+    for d, r in sem_rank.items():
+        fused[d] = fused.get(d, 0.0) + 1.0 / (k0 + r)
+    out = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    return [
+        (d, s, lex_rank.get(d), sem_rank.get(d)) for d, s in out
+    ]

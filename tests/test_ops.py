@@ -3105,3 +3105,33 @@ def test_dedup_lines_within(ray_session):
     out = dedup_lines_within(ray.data.from_items(rows)).to_pandas().sort_values("doc_id")
     assert list(out.text) == ["a\nb\nc", "x", "", ""]
     assert list(out.n_removed) == [3, 0, 0, 0]
+
+
+def test_hybrid_search(ray_session, tmp_path):
+    """BM25 + dense kNN fused by RRF: a doc ranked well by both legs beats
+    docs strong in only one; rank provenance columns are populated."""
+    import numpy as np
+    import ray.data
+
+    from infidex_ray import EngineConfig
+    from infidex_ray.engine import Engine
+    from infidex_ray.pipelines import hybrid_search
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    eng = Engine.build(
+        docs, str(tmp_path / "hidx"), EngineConfig(target_docs_per_segment=200),
+        text_column="text", key_column="doc_id",
+    )
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = np.asarray([float(np.sin(i * 0.7)) for i in range(64)])
+    out = hybrid_search(eng, emb, "hash join merge", q, top_k=10, fetch_k=30)
+    assert len(out) == 10
+    scores = [s for _d, s, _l, _s2 in out]
+    assert scores == sorted(scores, reverse=True)
+    assert any(l is not None for _d, _s, l, _r in out)
+    assert any(r is not None for _d, _s, _l, r in out)
+    # a doc present in BOTH legs must outscore one present in only one leg
+    both = [s for _d, s, l, r in out if l is not None and r is not None]
+    single = [s for _d, s, l, r in out if (l is None) != (r is None)]
+    if both and single:
+        assert max(both) > min(single)
