@@ -46,6 +46,39 @@ def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False)
 
 
+def _sorted_key_ranks(col) -> np.ndarray:
+    """Per-row int64 ranks equal iff keys are equal, ordered by the key's
+    string form — makes ANY key type lexsortable inside a slice group."""
+    enc = col.combine_chunks().dictionary_encode()
+    order_d = np.argsort(
+        np.asarray(enc.dictionary.cast(pa.string()).to_pylist(), dtype=object),
+        kind="stable",
+    )
+    rank_of = np.empty(len(order_d), dtype=np.int64)
+    rank_of[order_d] = np.arange(len(order_d))
+    return rank_of[
+        enc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+    ]
+
+
+def _add_key_slice(key_col: str, num_slices: int | None = None):
+    """map_batches fn appending a coarse md5 slice of ``key_col`` — the
+    shuffle key that keeps a key's rows together without a per-key group."""
+    from .dedup import _default_num_slices, _md5_u64
+
+    if num_slices is None:
+        num_slices = _default_num_slices()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sl = np.asarray(
+            [_md5_u64(str(v)) % num_slices for v in batch[key_col].to_pylist()],
+            dtype=np.int32,
+        )
+        return batch.append_column("slice", pa.array(sl))
+
+    return fn
+
+
 def sessionize(
     events,
     gap_s: float = 1800.0,
@@ -61,34 +94,55 @@ def sessionize(
     sum_value) with session_id numbered 1.. per user in time order.
     ``sum_value`` is rounded half-away-from-zero to 4 decimals (DuckDB
     ``ROUND`` parity for the oracle).
+
+    Scale design: one coarse md5-slice shuffle (a user's events land wholly
+    in one slice — never one Ray group per user; Ray 2.49's aggregate pays
+    per GROUP, the duplicate_spans lesson), then each slice splits ALL its
+    users with one lexsort — session boundaries are (key-change OR gap)
+    masks, per-user numbering is index arithmetic.
     """
     gap_us = int(round(gap_s * 1_000_000))
     cols = [user_col, ts_col, id_col, value_col]
 
-    def split_user(group: pa.Table) -> pa.Table:
+    def split_slice(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["slice"])
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], group.schema.field(user_col).type),
+                    "session_id": pa.array([], pa.int64()),
+                    "session_start_us": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "duration_us": pa.array([], pa.int64()),
+                    "sum_value": pa.array([], pa.float64()),
+                }
+            )
+        kr = _sorted_key_ranks(group[user_col])
         ts = _ts_us(group[ts_col])
         ev = group[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         val = group[value_col].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((ev, ts))
-        ts, val = ts[order], val[order]
-        # session boundary where the gap to the previous event exceeds gap_us
-        new = np.empty(len(ts), dtype=bool)
-        new[0] = True
-        np.greater(np.diff(ts), gap_us, out=new[1:])
+        order = np.lexsort((ev, ts, kr))
+        kr, ts, val = kr[order], ts[order], val[order]
+        n = len(ts)
+        # session boundary: user change OR inactivity gap
+        keych = np.empty(n, dtype=bool)
+        keych[0] = True
+        keych[1:] = kr[1:] != kr[:-1]
+        new = keych | np.r_[True, np.diff(ts) > gap_us]
         starts = np.flatnonzero(new)
-        ends = np.r_[starts[1:], len(ts)]
+        ends = np.r_[starts[1:], n]
         sums = np.add.reduceat(val, starts)
-        # replicate the group's key via take so ANY key type (string domain,
-        # int user id) flows through with its original Arrow type
-        user = group[user_col].combine_chunks().take(
-            pa.array(np.zeros(len(starts), dtype=np.int64))
+        # per-user session numbering: ordinal within the user's run
+        firsts = np.flatnonzero(keych[starts])  # session idx where user starts
+        sess_user = np.cumsum(keych[starts]) - 1
+        session_id = (
+            np.arange(len(starts), dtype=np.int64) - firsts[sess_user] + 1
         )
+        user = group[user_col].combine_chunks().take(pa.array(order[starts]))
         return pa.table(
             {
                 user_col: user,
-                "session_id": pa.array(
-                    np.arange(1, len(starts) + 1, dtype=np.int64)
-                ),
+                "session_id": pa.array(session_id),
                 "session_start_us": pa.array(ts[starts], type=pa.int64()),
                 "n_events": pa.array(ends - starts, type=pa.int64()),
                 "duration_us": pa.array(ts[ends - 1] - ts[starts], type=pa.int64()),
@@ -100,8 +154,9 @@ def sessionize(
 
     return (
         events.select_columns(cols)
-        .groupby(user_col)
-        .map_groups(split_user, batch_format="pyarrow")
+        .map_batches(_add_key_slice(user_col), batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(split_slice, batch_format="pyarrow")
     )
 
 
@@ -269,36 +324,57 @@ def event_order(
     step ahead of sequence models / sessionization tuning. All-integer
     outputs, so the DuckDB window oracle (row_number + lag) matches exactly.
 
-    One user-key shuffle; ordering inside each group is one lexsort
-    (tie-break = event id, mirroring the oracle's ORDER BY ts, event_id)."""
+    One coarse md5-slice shuffle (never a per-user Ray group); each slice
+    orders ALL its users with one lexsort (tie-break = event id, mirroring
+    the oracle's ORDER BY ts, event_id) — rank and gap are run-boundary
+    index arithmetic."""
     import numpy as np
     import pyarrow as pa
 
-    def order_user(group: pa.Table) -> pa.Table:
+    def order_slice(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["slice"])
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], group.schema.field(user_col).type),
+                    id_col: pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+        kr = _sorted_key_ranks(group[user_col])
         ts = _ts_us(group[ts_col])
         ev = group[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        o = np.lexsort((ev, ts))
-        ts, ev = ts[o], ev[o]
-        gap = np.empty(len(ts), dtype=np.int64)
+        o = np.lexsort((ev, ts, kr))
+        kr, ts, ev = kr[o], ts[o], ev[o]
+        n = len(ts)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = kr[1:] != kr[:-1]
+        seg = np.cumsum(new) - 1
+        run_start = np.flatnonzero(new)[seg]
+        rank = np.arange(n, dtype=np.int64) - run_start + 1
+        gap = np.empty(n, dtype=np.int64)
         gap[0] = -1
         gap[1:] = ts[1:] - ts[:-1]
-        user = group[user_col].combine_chunks().take(
-            pa.array(np.zeros(len(ts), dtype=np.int64))
-        )
+        gap[new] = -1  # first event of each user
+        user = group[user_col].combine_chunks().take(pa.array(o))
         return pa.table(
             {
                 user_col: user,
                 id_col: pa.array(ev),
                 "ts_us": pa.array(ts, pa.int64()),
-                "rank": pa.array(np.arange(1, len(ts) + 1, dtype=np.int64)),
+                "rank": pa.array(rank),
                 "gap_us": pa.array(gap, pa.int64()),
             }
         )
 
     return (
         events.select_columns([user_col, ts_col, id_col])
-        .groupby(user_col)
-        .map_groups(order_user, batch_format="pyarrow")
+        .map_batches(_add_key_slice(user_col), batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(order_slice, batch_format="pyarrow")
     )
 
 
@@ -603,21 +679,11 @@ def rolling_window(
     import numpy as np
     import pyarrow as pa
 
-    from .dedup import _default_num_slices, _md5_u64
-
-    if num_slices is None:
-        num_slices = _default_num_slices()
     proj = list(dict.fromkeys([key_col, ts_col, *id_cols, value_col]))
+    _slicer = _add_key_slice(key_col, num_slices)
 
     def add_slice(batch: pa.Table) -> pa.Table:
-        sl = np.asarray(
-            [
-                _md5_u64(str(v)) % num_slices
-                for v in batch[key_col].to_pylist()
-            ],
-            dtype=np.int32,
-        )
-        return batch.select(proj).append_column("slice", pa.array(sl))
+        return _slicer(batch.select(proj))
 
     def roll_slice(group: pa.Table) -> pa.Table:
         group = group.drop_columns(["slice"])
@@ -635,17 +701,7 @@ def rolling_window(
         )
         if n == 0:
             return empty
-        # sorted-dictionary ranks make string/any-type keys lexsortable
-        enc = group[key_col].combine_chunks().dictionary_encode()
-        order_d = np.argsort(
-            np.asarray(enc.dictionary.cast(pa.string()).to_pylist(), dtype=object),
-            kind="stable",
-        )
-        rank_of = np.empty(len(order_d), dtype=np.int64)
-        rank_of[order_d] = np.arange(len(order_d))
-        kr = rank_of[
-            enc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
-        ]
+        kr = _sorted_key_ranks(group[key_col])
         ts = _ts_us(group[ts_col])
         tie = [
             group[c].combine_chunks().to_numpy(zero_copy_only=False)
