@@ -28,60 +28,98 @@ from ..analyzer import normalize
 # --- exact dedup -------------------------------------------------------------
 
 
+def _hash_slice_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """(h, doc_id, slice) rows — slice is a coarse md5 bucket of the content
+    hash, so every copy of a text lands in ONE slice without a per-hash Ray
+    group (content hashes are ~unique; Ray's aggregate pays per GROUP — the
+    29M-key groupby cliff)."""
+    num_slices = _default_num_slices(mult=8, floor=64)
+    hashes = [
+        hashlib.blake2b((t or "").encode("utf-8"), digest_size=16).hexdigest()
+        for t in batch[text_col].to_pylist()
+    ]
+    sl = np.asarray([_md5_u64(h) % num_slices for h in hashes], dtype=np.int32)
+    return pa.table(
+        {
+            "h": pa.array(hashes, pa.string()),
+            "doc_id": batch[id_col],
+            "slice": pa.array(sl),
+        }
+    )
+
+
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Groups of byte-identical ``text``; keeps min(doc_id) per group.
-    Returns (keep_id, n_dupes) — one row per distinct text."""
+    Returns (keep_id, n_dupes) — one row per distinct text.
 
-    def hash_batch(batch: pa.Table) -> pa.Table:
-        hashes = [
-            hashlib.blake2b((t or "").encode("utf-8"), digest_size=16).hexdigest()
-            for t in batch[text_col].to_pylist()
-        ]
-        return pa.table({"h": pa.array(hashes, pa.string()), "doc_id": batch[id_col]})
+    Scale design: (hash, id) rows shuffle ONCE by a coarse hash slice;
+    each slice collapses its hashes with one vectorized Arrow group-by —
+    no per-hash Ray group (hashes are ~unique, the worst groupby key)."""
+    import functools
 
-    from ray.data.aggregate import Count, Min
-
-    hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
-    agg = hashed.groupby("h").aggregate(Min("doc_id"), Count())
-
-    def rename(batch: pa.Table) -> pa.Table:
-        cols = {c: batch[c] for c in batch.column_names}
-        return pa.table(
-            {
-                "keep_id": cols.get("min(doc_id)"),
-                "n_dupes": cols.get("count()"),
-            }
+    def slice_agg(group: pa.Table) -> pa.Table:
+        agg = group.drop_columns(["slice"]).group_by(["h"]).aggregate(
+            [("doc_id", "min"), ("doc_id", "count")]
+        )
+        ren = {"doc_id_min": "keep_id", "doc_id_count": "n_dupes"}
+        agg = agg.rename_columns([ren.get(c, c) for c in agg.column_names])
+        return agg.select(["keep_id", "n_dupes"]).set_column(
+            1, "n_dupes", agg["n_dupes"].cast(pa.int64())
         )
 
-    return agg.map_batches(rename, batch_format="pyarrow")
+    return (
+        ds.map_batches(
+            functools.partial(_hash_slice_batch, id_col=id_col, text_col=text_col),
+            batch_format="pyarrow",
+        )
+        .groupby("slice")
+        .map_groups(slice_agg, batch_format="pyarrow")
+    )
 
 
 def exact_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
     """(id_a, id_b) pairs linking each duplicate doc to its group's min-id
     representative (id_a = min of the byte-identical-text group). Feeds
     ``dedup_corpus`` for the exact-dedup pipeline; the shuffle moves only
-    (hash, doc_id) rows, never the text."""
+    (hash, doc_id) rows — once, by coarse hash slice — never the text, and
+    never a per-hash Ray group (see :func:`exact_dedup`)."""
+    import functools
 
-    def hash_batch(batch: pa.Table) -> pa.Table:
-        hashes = [
-            hashlib.blake2b((t or "").encode("utf-8"), digest_size=16).hexdigest()
-            for t in batch[text_col].to_pylist()
-        ]
-        return pa.table({"h": pa.array(hashes, pa.string()), "doc_id": batch[id_col]})
-
-    def pairs_group(group: pa.Table) -> pa.Table:
-        ids = sorted(group["doc_id"].to_pylist())
+    def pairs_slice(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0:
+            return empty
+        enc = group["h"].combine_chunks().dictionary_encode()
+        hc = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = (
+            group["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((ids, hc))
+        hc, ids = hc[order], ids[order]
+        new = np.empty(len(hc), dtype=bool)
+        new[0] = True
+        new[1:] = hc[1:] != hc[:-1]
+        seg = np.cumsum(new) - 1
+        rep = ids[np.flatnonzero(new)][seg]  # group min id per row
+        keep = ~new
+        if not keep.any():
+            return empty
         return pa.table(
             {
-                "id_a": pa.array([ids[0]] * (len(ids) - 1), pa.int64()),
-                "id_b": pa.array(ids[1:], pa.int64()),
+                "id_a": pa.array(rep[keep].astype(np.int64)),
+                "id_b": pa.array(ids[keep].astype(np.int64)),
             }
         )
 
     return (
-        ds.map_batches(hash_batch, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(pairs_group, batch_format="pyarrow")
+        ds.map_batches(
+            functools.partial(_hash_slice_batch, id_col=id_col, text_col=text_col),
+            batch_format="pyarrow",
+        )
+        .groupby("slice")
+        .map_groups(pairs_slice, batch_format="pyarrow")
     )
 
 
@@ -399,13 +437,43 @@ def _verify_pairs(cand, sketches, num_partitions: int | None = None, sketches_b=
             {"id_a": pa.array(ia[keep], pa.int64()), "id_b": pa.array(ib[keep], pa.int64())}
         )
         return _attach_sketches_broadcast(pairs_tbl, sketches, sketches_b)
-    uniq = (
-        cand.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
-        .materialize()
-    )
+    uniq = _pair_slice_agg(cand).materialize()
     if uniq.count() == 0:  # pragma: no cover — cand non-empty implies pairs
         return None
     return _attach_sketches(uniq, sketches, num_partitions, sketches_b)
+
+
+def _pair_slice_agg(cand, aggs=None):
+    """Collapse a candidate ``(id_a, id_b[, value…])`` pair stream to one
+    row per distinct pair — by a coarse mixed-hash SLICE of the pair, never
+    one Ray group per pair (candidate pairs are ~unique keys; Ray's
+    aggregate pays per GROUP — the duplicate_spans lesson). ``aggs`` is a
+    pyarrow aggregate list like ``[("hamming", "min")]`` (None = distinct
+    pairs only); aggregated columns keep their original names."""
+    num_slices = _default_num_slices(mult=8, floor=64)
+
+    def add_slice(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (a * _MIX1) ^ (b * _MIX2)
+        return batch.append_column(
+            "slice", pa.array((h % np.uint64(num_slices)).astype(np.int32))
+        )
+
+    def agg_slice(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["slice"])
+        if aggs is None:
+            return t.group_by(["id_a", "id_b"]).aggregate([])
+        res = t.group_by(["id_a", "id_b"]).aggregate(list(aggs))
+        ren = {f"{c}_{f}": c for c, f in aggs}
+        return res.rename_columns([ren.get(c, c) for c in res.column_names])
+
+    return (
+        cand.map_batches(add_slice, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(agg_slice, batch_format="pyarrow")
+    )
 
 
 def _pack3_shingles(t: str) -> np.ndarray:
@@ -1100,16 +1168,13 @@ def simhash_dup_pairs(
         )
 
     cand = blocks.groupby(["block", "key"]).map_groups(pairs, batch_format="pyarrow")
-    return cand.groupby(["id_a", "id_b"]).min("hamming").map_batches(
+    return _pair_slice_agg(cand, [("hamming", "min")]).map_batches(
         lambda t: pa.table(
             {
                 "id_a": t["id_a"],
                 "id_b": t["id_b"],
-                # groupby min promotes to int64; restore the op's int32
-                # contract (matches the SQL oracle's ::INT)
-                "hamming": t[
-                    "min(hamming)" if "min(hamming)" in t.column_names else "hamming"
-                ].cast(pa.int32()),
+                # keep the op's int32 contract (matches the oracle's ::INT)
+                "hamming": t["hamming"].cast(pa.int32()),
             }
         ),
         batch_format="pyarrow",
@@ -1273,12 +1338,12 @@ def embedding_dup_pairs_lsh(
     cand = bucketed.groupby(["table_id", "bucket"]).map_groups(
         verify_group, batch_format="pyarrow"
     )
-    # distinct pairs across tables (same pair can collide in several tables)
-    uniq = cand.groupby(["id_a", "id_b"]).min("cosine")
+    # distinct pairs across tables (same pair can collide in several
+    # tables); pair-slice grouped — never a per-pair Ray group
+    uniq = _pair_slice_agg(cand, [("cosine", "min")])
 
     def rename(t: pa.Table) -> pa.Table:
-        c = "min(cosine)" if "min(cosine)" in t.column_names else "cosine"
-        return pa.table({"id_a": t["id_a"], "id_b": t["id_b"], "cosine": t[c]})
+        return pa.table({"id_a": t["id_a"], "id_b": t["id_b"], "cosine": t["cosine"]})
 
     return uniq.map_batches(rename, batch_format="pyarrow")
 
@@ -1668,42 +1733,91 @@ def dedup_lines(
     structure). Returns (id, text) with lines rebuilt in original order.
 
     Scale: the corpus streams; only (line_hash, packed_pos) 16-byte rows
-    shuffle into the min-groupby, losers shuffle back via one id-keyed
-    groupby, and the rebuild pass joins docs ⋈ loser-line-lists with one
-    hash join — no driver state (the md5 line hash is 64-bit; a collision
-    merges two distinct lines with probability ~2⁻⁶⁴ per pair — the SQL
-    oracle groups by the line text itself, which is the semantic spec).
-    Requires integer ids and line counts < 2^pos_bits per doc."""
-    import ray
+    shuffle — by a coarse slice of the hash, never one Ray group per line
+    hash (line hashes are ~unique; Ray's aggregate pays per GROUP) — each
+    slice takes its per-hash minima with one vectorized Arrow group-by;
+    losers shuffle back via one id-slice groupby, and the rebuild pass
+    joins docs ⋈ loser-line-lists with one hash join — no driver state
+    (the md5 line hash is 64-bit; a collision merges two distinct lines
+    with probability ~2⁻⁶⁴ per pair — the SQL oracle groups by the line
+    text itself, which is the semantic spec). Requires integer ids and
+    line counts < 2^pos_bits per doc."""
+    import pyarrow.compute as pc
 
     B = np.int64(1 << pos_bits)
     _BLANK = " \t\r\x0b\x0c"
+    num_slices = _default_num_slices(mult=8, floor=64)
 
     def line_rows(batch: pa.Table) -> pa.Table:
-        hs: list[int] = []
-        pos: list[int] = []
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            base = int(i) << pos_bits
-            for ln, line in enumerate((t or "").split("\n")):
-                if line.strip(_BLANK):
-                    hs.append(_md5_u64(line) & 0x7FFFFFFFFFFFFFFF)
-                    pos.append(base + ln)
+        # one Arrow split for the batch; md5 once per DISTINCT line via
+        # dictionary_encode (the per-line Python loop this replaces walked
+        # every line of every doc)
+        texts = pc.fill_null(pc.cast(batch[text_col], pa.large_string()), "")
+        lists = pc.split_pattern(texts, "\n")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_of = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        n = len(doc_of)
+        empty = pa.table(
+            {
+                "h": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "slice": pa.array([], pa.int32()),
+            }
+        )
+        if n == 0:
+            return empty
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = doc_of[1:] != doc_of[:-1]
+        seg = np.cumsum(new) - 1
+        line_no = np.arange(n, dtype=np.int64) - np.flatnonzero(new)[seg]
+        keep = pc.not_equal(
+            pc.utf8_trim(flat, _BLANK), ""
+        ).to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        doc_of, line_no = doc_of[keep], line_no[keep]
+        if len(line_no) == 0:
+            return empty
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dh = np.asarray(
+            [_md5_u64(s) & 0x7FFFFFFFFFFFFFFF for s in enc.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        h = dh[codes]
+        ids = (
+            batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        pos = (ids[doc_of] << pos_bits) + line_no
         return pa.table(
-            {"h": pa.array(hs, pa.int64()), "pos": pa.array(pos, pa.int64())}
+            {
+                "h": pa.array(h),
+                "pos": pa.array(pos),
+                "slice": pa.array((h % num_slices).astype(np.int32)),
+            }
         )
 
     lines = ds.select_columns([id_col, text_col]).map_batches(
         line_rows, batch_format="pyarrow"
     )
-    winners = lines.groupby("h").min("pos")
 
-    def rename_min(t: pa.Table) -> pa.Table:
-        c = "min(pos)" if "min(pos)" in t.column_names else "pos"
-        return pa.table({"h": t["h"], "keep_pos": t[c].cast(pa.int64())})
+    def slice_min(group: pa.Table) -> pa.Table:
+        agg = group.drop_columns(["slice"]).group_by(["h"]).aggregate(
+            [("pos", "min")]
+        )
+        ren = {"pos_min": "keep_pos"}
+        agg = agg.rename_columns([ren.get(c, c) for c in agg.column_names])
+        return pa.table(
+            {"h": agg["h"], "keep_pos": agg["keep_pos"].cast(pa.int64())}
+        )
 
-    winners = winners.map_batches(rename_min, batch_format="pyarrow")
+    winners = lines.groupby("slice").map_groups(slice_min, batch_format="pyarrow")
     k = _join_partitions(num_partitions, chained=False)
-    joined = lines.join(winners, "inner", k, on=("h",))
+    joined = lines.drop_columns(["slice"]).join(winners, "inner", k, on=("h",))
 
     def losers(batch: pa.Table) -> pa.Table:
         p = batch["pos"].to_numpy(zero_copy_only=False)
@@ -1717,23 +1831,54 @@ def dedup_lines(
             }
         )
 
-    def collect_doc(group: pa.Table) -> pa.Table:
-        ln = np.sort(group["line_no"].to_numpy(zero_copy_only=False))
-        # comma-joined string: Ray 2.49 hash joins reject list<> payload
-        # columns ("not supported in join non-key field")
+    def add_doc_slice(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "slice", pa.array((ids % num_slices).astype(np.int32))
+        )
+
+    def collect_slice(group: pa.Table) -> pa.Table:
+        # all docs of the slice in one pass: sort (id, line_no), then one
+        # comma-join per doc run (strings because Ray 2.49 hash joins
+        # reject list<> payload columns: "not supported in join non-key
+        # field")
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "drop_lines": pa.array([], pa.large_string()),
+                }
+            )
+        ids = group[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        ln = group["line_no"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ln, ids))
+        ids, ln = ids[order], ln[order]
+        new = np.empty(len(ids), dtype=bool)
+        new[0] = True
+        new[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(ids)]
         return pa.table(
             {
-                id_col: group[id_col].slice(0, 1),
+                id_col: pa.array(ids[starts].astype(np.int64)),
                 "drop_lines": pa.array(
-                    [",".join(map(str, ln.tolist()))], pa.large_string()
+                    [
+                        ",".join(map(str, ln[a:b].tolist()))
+                        for a, b in zip(starts, ends)
+                    ],
+                    pa.large_string(),
                 ),
             }
         )
 
     loser_lists = (
         joined.map_batches(losers, batch_format="pyarrow")
-        .groupby(id_col)
-        .map_groups(collect_doc, batch_format="pyarrow")
+        .map_batches(add_doc_slice, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(
+            lambda g: collect_slice(g.drop_columns(["slice"])),
+            batch_format="pyarrow",
+        )
         .materialize()
     )
 

@@ -305,17 +305,25 @@ def heavy_hitters(ds, k: int = 100, text_col: str = "text"):
     The combiner pattern end-to-end: each batch collapses to its distinct
     (token, n) partial counts via Arrow kernels (``utf8_lower`` ->
     ``split_pattern_regex`` -> ``value_counts``; no Python loop over rows or
-    tokens), so the global ``groupby("token")`` shuffles vocabulary-sized
-    partials, not corpus-sized token streams. At 100 TB the shuffle volume is
-    |vocab| x |blocks| — the standard word-count answer to the "the"-key
-    skew, since the hot token contributes one row per block, not one per
-    occurrence. The final sort+limit runs on the vocabulary-sized aggregate.
+    tokens), and the global sum groups by a coarse md5 SLICE of the token —
+    never one Ray group per vocabulary entry (Ray's aggregate pays per
+    GROUP; a web-scale vocab would hit the 29M-key groupby cliff the
+    duplicate_spans rework measured) — with each slice summing its tokens
+    vectorized. Shuffle volume is |vocab| × |blocks| partial rows — the
+    standard word-count answer to the "the"-key skew, since the hot token
+    contributes one row per block, not one per occurrence. Each slice then
+    keeps only its own top-k, so the final sort+limit runs over
+    ≤ k × num_slices rows, not the vocabulary.
 
     Token order ties break lexicographically; output order (n desc, token
     asc) matches the SQL oracle's ORDER BY so the driver's order-sensitive
     hash agrees.
     """
     import pyarrow.compute as pc
+
+    from .dedup import _default_num_slices, _md5_u64
+
+    num_slices = _default_num_slices()
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(
@@ -324,30 +332,46 @@ def heavy_hitters(ds, k: int = 100, text_col: str = "text"):
         flat = pc.list_flatten(toks)
         flat = flat.filter(pc.not_equal(flat, ""))
         vc = pc.value_counts(flat)
+        tokens = vc.field("values").cast(pa.string())
+        sl = np.asarray(
+            [_md5_u64(t) % num_slices for t in tokens.to_pylist()],
+            dtype=np.int32,
+        )
         return pa.table(
             {
-                "token": vc.field("values").cast(pa.string()),
+                "token": tokens,
                 "n": vc.field("counts").cast(pa.int64()),
+                "slice": pa.array(sl),
             }
         )
 
-    agg = (
+    def slice_topk(group: pa.Table) -> pa.Table:
+        agg = group.drop_columns(["slice"]).group_by(["token"]).aggregate(
+            [("n", "sum")]
+        )
+        agg = agg.rename_columns(
+            ["n" if c == "n_sum" else c for c in agg.column_names]
+        )
+        # per-slice top-k (same (n desc, token asc) order as the final cut —
+        # a token outside its slice's top-k cannot be in the global top-k)
+        toks = np.asarray(agg["token"].to_pylist(), dtype=object)
+        ns = agg["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((toks, -ns))[:k]
+        return pa.table(
+            {
+                "token": pa.array(toks[order], pa.string()),
+                "n": pa.array(ns[order].astype(np.int64)),
+            }
+        )
+
+    return (
         ds.select_columns([text_col])
         .map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("token")
-        .sum("n")
-    )
-
-    def rename(t: pa.Table) -> pa.Table:
-        c = "sum(n)" if "sum(n)" in t.column_names else "n"
-        return pa.table({"token": t["token"], "n": t[c].cast(pa.int64())})
-
-    top = (
-        agg.map_batches(rename, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(slice_topk, batch_format="pyarrow")
         .sort(["n", "token"], descending=[True, False])
         .limit(k)
     )
-    return top
 
 
 def group_quantiles(
