@@ -97,31 +97,55 @@ def top_k_per_group(
 
     Two-phase: every input block first reduces to its own per-group top-k
     (the union of per-block top-k under a total order contains the global
-    top-k), so the ``groupby`` shuffle carries at most k rows per group per
-    block instead of the whole corpus; the final in-group step re-ranks the
-    partials. A group's k rows must fit in one worker — true by
-    construction since k is small.
+    top-k), so the shuffle carries at most k rows per group per block
+    instead of the whole corpus — keyed by a coarse md5 SLICE of the group
+    (a group's partials land in one slice; never one Ray group per group
+    key, which pays per group on high-cardinality domains). Each slice
+    re-ranks ALL its groups with one lexsort. A group's k rows must fit in
+    one worker — true by construction since k is small.
     """
 
     def partial(batch: pa.Table) -> pa.Table:
-        return _group_topk_table(batch, group_col, score_col, id_col, k)
+        from .dedup import _default_num_slices, _md5_u64
+
+        import numpy as np
+
+        t = _group_topk_table(batch, group_col, score_col, id_col, k)
+        num_slices = _default_num_slices()
+        sl = np.asarray(
+            [_md5_u64(str(v)) % num_slices for v in t[group_col].to_pylist()],
+            dtype=np.int32,
+        )
+        return t.append_column("slice", pa.array(sl))
 
     def final(group: pa.Table) -> pa.Table:
         import numpy as np
 
+        from .windows import _sorted_key_ranks
+
+        group = group.drop_columns(["slice"])
         top = _group_topk_table(group, group_col, score_col, id_col, k)
+        if top.num_rows == 0:
+            return top.append_column("rank", pa.array([], pa.int64()))
+        kr = _sorted_key_ranks(top[group_col])
         score = top[score_col].combine_chunks().to_numpy(zero_copy_only=False)
         ids = top[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -score))
+        order = np.lexsort((ids, -score, kr))
+        kr = kr[order]
         top = top.take(pa.array(order))
-        return top.append_column(
-            "rank", pa.array(np.arange(1, len(top) + 1, dtype=np.int64))
+        new = np.empty(len(kr), dtype=bool)
+        new[0] = True
+        new[1:] = kr[1:] != kr[:-1]
+        seg = np.cumsum(new) - 1
+        rank = (
+            np.arange(len(kr), dtype=np.int64) - np.flatnonzero(new)[seg] + 1
         )
+        return top.append_column("rank", pa.array(rank))
 
     return (
         ds.select_columns(list(dict.fromkeys([group_col, score_col, id_col])))
         .map_batches(partial, batch_format="pyarrow")
-        .groupby(group_col)
+        .groupby("slice")
         .map_groups(final, batch_format="pyarrow")
     )
 
