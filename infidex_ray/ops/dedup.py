@@ -2524,3 +2524,46 @@ def snapshot_diff(
         ds_new.map_batches(digest_side(1), batch_format="pyarrow")
     )
     return tagged.groupby("slice").map_groups(detect, batch_format="pyarrow")
+
+
+def minhash_plan(
+    threshold: float,
+    num_perm: int = 128,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+):
+    """Choose (bands, rows_per_band) for :func:`minhash_lsh_pairs` given a
+    target Jaccard ``threshold`` — the MMDS S-curve planner (Leskovec,
+    Rajaraman & Ullman ch. 3, the same criterion datasketch uses): the
+    candidate probability of a pair with similarity s is
+    ``1 − (1 − s^r)^b``; pick the factorization of ``num_perm`` minimizing
+    the weighted false-positive + false-negative probability mass
+    (integrals of the S-curve below/above the threshold, 1000-point
+    midpoint rule).
+
+    Returns ``{"bands": b, "rows_per_band": r, "threshold_50": t50, "fp":
+    …, "fn": …}`` where ``threshold_50 = (1/b)^(1/r)`` is the similarity
+    at which candidacy crosses 50%. Pure driver-side arithmetic — call it
+    once, pass ``bands`` to the op."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    xs = (np.arange(1000) + 0.5) / 1000.0
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        p = 1.0 - (1.0 - xs**r) ** b
+        fp = float(p[xs < threshold].sum() / 1000.0)
+        fn = float((1.0 - p)[xs >= threshold].sum() / 1000.0)
+        err = fp_weight * fp + fn_weight * fn
+        if best is None or err < best[0]:
+            best = (err, b, r, fp, fn)
+    _err, b, r, fp, fn = best
+    return {
+        "bands": b,
+        "rows_per_band": r,
+        "threshold_50": float((1.0 / b) ** (1.0 / r)),
+        "fp": fp,
+        "fn": fn,
+    }

@@ -3135,3 +3135,20 @@ def test_hybrid_search(ray_session, tmp_path):
     single = [s for _d, s, l, r in out if (l is None) != (r is None)]
     if both and single:
         assert max(both) > min(single)
+
+
+def test_minhash_plan():
+    """MMDS S-curve planner: the 50%-candidacy point lands near the target
+    threshold, and higher thresholds yield fewer, longer bands."""
+    from infidex_ray.ops.dedup import minhash_plan
+
+    lo = minhash_plan(0.3, num_perm=128)
+    hi = minhash_plan(0.85, num_perm=128)
+    assert lo["bands"] * (128 // lo["bands"]) == 128
+    assert abs(lo["threshold_50"] - 0.3) < 0.15
+    assert abs(hi["threshold_50"] - 0.85) < 0.1
+    assert hi["bands"] < lo["bands"]  # high threshold → fewer bands
+    import pytest
+
+    with pytest.raises(ValueError):
+        minhash_plan(1.5)
