@@ -1902,6 +1902,29 @@ def _q_dedup_lines_within(sf_dir: str):
     return _by(dedup_lines_within(ds), "doc_id")
 
 
+def _q_fuzzy_pairs(sf_dir: str):
+    """Corpus-level fuzzy key linkage (SymSpell deletion blocking): every
+    unordered pair of distinct customer names within byte-level Levenshtein
+    distance 1.  Keys subset by md5 bucket (cross-engine md5_number_lower
+    parity) so the oracle's banded self-join stays cheap; the fixed-width
+    'Customer#NNNNNNNNN' names give a dense distance-1 neighborhood."""
+    import pyarrow.compute as pc
+
+    from infidex_ray.ops.dedup import _md5_u64
+    from infidex_ray.ops.fuzzy import fuzzy_pairs
+
+    def subset(b: pa.Table) -> pa.Table:
+        names = b["c_name"].to_pylist()
+        keep = pa.array(
+            [i for i, w in enumerate(names) if w is not None and _md5_u64(w) % 4 == 0],
+            pa.int64(),
+        )
+        return pa.table({"w": b["c_name"].take(keep)})
+
+    ds = _read(sf_dir, "customer").map_batches(subset, batch_format="pyarrow")
+    return _by(fuzzy_pairs(ds, "w", max_dist=1), "word_a", "word_b")
+
+
 def _q_grouped_distinct(sf_dir: str):
     """count(DISTINCT col) per group: per-block distinct (keys, value)
     pairs → value-hash slice re-distinct (disjoint partial counts by
@@ -2139,6 +2162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_rollup": _q_grouped_rollup,
         "rolling_window": _q_rolling_window,
         "dedup_lines_within": _q_dedup_lines_within,
+        "fuzzy_pairs": _q_fuzzy_pairs,
     }
 
 
@@ -3293,6 +3317,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, coalesce(d.text, '') AS text, "
             "CAST(t.nt - d.nd AS BIGINT) AS n_removed "
             "FROM tot t JOIN ded d ON d.doc_id = t.doc_id ORDER BY t.doc_id"
+        ),
+        "fuzzy_pairs": (
+            # byte-level levenshtein (probe: levenshtein('é','e') = 2) over
+            # an md5-bucketed subset of distinct names; strlen band prunes
+            # the self-join, = the op's lossless deletion blocking superset
+            "WITH keys AS (SELECT DISTINCT c_name AS w FROM customer "
+            "WHERE c_name IS NOT NULL AND c_name <> '' "
+            "AND md5_number_lower(c_name) % 4 = 0) "
+            "SELECT word_a, word_b, dist FROM ("
+            "SELECT a.w AS word_a, b.w AS word_b, "
+            "CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist "
+            "FROM keys a JOIN keys b ON a.w < b.w "
+            "AND abs(strlen(a.w) - strlen(b.w)) <= 1) "
+            "WHERE dist <= 1 ORDER BY word_a, word_b"
         ),
         "grouped_distinct": (
             "SELECT l_returnflag, l_linestatus, "

@@ -1,0 +1,252 @@
+"""Fuzzy key matching (record linkage) over a string column.
+
+``fuzzy_pairs`` finds every unordered pair of DISTINCT keys within
+Levenshtein distance ``max_dist`` (1 or 2) — the classic vocabulary /
+entity-linkage primitive (typo clusters, near-identical titles, product
+codes). The reference engine solves the per-QUERY version of this with its
+word matcher / LD1 deletion index (``src/Infidex/WordIndexing/
+WordMatcher.cs``, mirrored in ``infidex_ray/query/wordmatch.py``); this op
+is the corpus-level all-pairs variant a training-data pipeline needs.
+
+Scale design (Ray-Data-first, no all-pairs):
+
+1. distinct keys via content-hash SLICE groupby (keys are ~unique — never
+   one Ray group per key, the duplicate_spans lesson);
+2. SymSpell symmetric-deletion blocking: each key emits itself plus every
+   1-deletion (and 2-deletions for ``max_dist=2``) of its UTF-8 bytes,
+   hashed to u64. Two keys within distance k ALWAYS share a variant
+   (identity covers substitution/insertion via the other side's deletion)
+   — the blocking is lossless, unlike prefix/length banding;
+3. candidate pairs per shared variant, grouped by a coarse hash slice of
+   the variant (vectorized run expansion, one lexsort per slice);
+4. pair-level dedup + EXACT verify in one slice groupby: a vectorized
+   byte-level Levenshtein DP over the whole pair batch (numpy rows ==
+   pairs; O(len_a x len_b) small vector ops, no per-pair Python DP).
+
+Distance is over UTF-8 BYTES — exactly what DuckDB ``levenshtein()``
+computes (probe: levenshtein('e-acute','e') = 2), so the SQL oracle is
+engine-identical. For ASCII keys bytes == characters.
+
+At 100 TB the only shuffles are the two coarse slice groupbys; variant
+fan-out is O(total key bytes) rows for k=1. A stop-word-like key shared by
+everything is impossible (keys are distinct before blocking); the skew
+risk is a variant bucket shared by many keys (e.g. 1-char keys) — cap with
+``max_bucket_size`` (lossy, logged) if a real corpus needs it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import _default_num_slices, _hash64, _md5_u64
+
+_PAIR_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_PAIR_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def _distinct_keys(ds, col: str):
+    """Distinct non-empty values of ``col`` — local per-batch distinct
+    first, then one coarse md5-slice groupby (values are ~unique keys)."""
+    num_slices = _default_num_slices(mult=8, floor=64)
+
+    def local(batch: pa.Table) -> pa.Table:
+        t = batch.select([col]).rename_columns(["w"])
+        t = t.filter(t["w"].is_valid())
+        t = t.group_by(["w"]).aggregate([])
+        ws = t["w"].to_pylist()
+        keep = pa.array([i for i, w in enumerate(ws) if w], pa.int64())
+        t = t.take(keep)
+        sl = np.asarray(
+            [_md5_u64(w) % num_slices for w in t["w"].to_pylist()], dtype=np.int32
+        )
+        return t.append_column("slice", pa.array(sl))
+
+    def per_slice(group: pa.Table) -> pa.Table:
+        return group.drop_columns(["slice"]).group_by(["w"]).aggregate([])
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(per_slice, batch_format="pyarrow")
+    )
+
+
+def _deletion_hashes(wb: bytes, max_dist: int) -> list[int]:
+    """u64 hashes of the identity + all <=max_dist byte-deletion variants."""
+    out = [_hash64_bytes(wb)]
+    n = len(wb)
+    for i in range(n):
+        d1 = wb[:i] + wb[i + 1 :]
+        out.append(_hash64_bytes(d1))
+        if max_dist >= 2:
+            for j in range(len(d1)):
+                out.append(_hash64_bytes(d1[:j] + d1[j + 1 :]))
+    return out
+
+
+def _hash64_bytes(b: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "little")
+
+
+def lev_bytes(a_words: list[str], b_words: list[str]) -> np.ndarray:
+    """Vectorized byte-level Levenshtein over parallel word lists — one DP
+    where the pair axis is a numpy vector (rows = pairs), matching DuckDB
+    ``levenshtein()`` byte semantics exactly."""
+    n = len(a_words)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    ab = [w.encode("utf-8") for w in a_words]
+    bb = [w.encode("utf-8") for w in b_words]
+    la = np.asarray([len(x) for x in ab], dtype=np.int64)
+    lb = np.asarray([len(x) for x in bb], dtype=np.int64)
+    ma, mb = int(la.max()), int(lb.max())
+    A = np.frombuffer(b"".join(x.ljust(ma, b"\0") for x in ab), dtype=np.uint8)
+    A = A.reshape(n, ma) if ma else A.reshape(n, 0)
+    B = np.frombuffer(b"".join(x.ljust(mb, b"\0") for x in bb), dtype=np.uint8)
+    B = B.reshape(n, mb) if mb else B.reshape(n, 0)
+    ans = np.empty(n, dtype=np.int64)
+    sel0 = la == 0
+    ans[sel0] = lb[sel0]
+    prev = np.broadcast_to(np.arange(mb + 1, dtype=np.int64), (n, mb + 1)).copy()
+    for i in range(1, ma + 1):
+        cur = np.empty((n, mb + 1), dtype=np.int64)
+        cur[:, 0] = i
+        ai = A[:, i - 1]
+        for j in range(1, mb + 1):
+            cost = (ai != B[:, j - 1]).astype(np.int64)
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1), prev[:, j - 1] + cost
+            )
+        sel = la == i
+        if sel.any():
+            ans[sel] = cur[sel, lb[sel]]
+        prev = cur
+    return ans
+
+
+def fuzzy_pairs(
+    ds,
+    col: str = "w",
+    max_dist: int = 1,
+    max_bucket_size: int | None = None,
+):
+    """All unordered pairs of distinct ``col`` values within byte-level
+    Levenshtein distance ``max_dist`` (1 or 2).
+
+    Output: (word_a, word_b, dist) with ``word_a < word_b`` (binary string
+    order, = DuckDB's default collation) and ``dist`` in 1..max_dist.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError("fuzzy_pairs supports max_dist 1 or 2")
+    num_slices = _default_num_slices(mult=8, floor=64)
+
+    keys = _distinct_keys(ds, col)
+
+    def emit_variants(batch: pa.Table) -> pa.Table:
+        hs, ws = [], []
+        for w in batch["w"].to_pylist():
+            vh = _deletion_hashes(w.encode("utf-8"), max_dist)
+            hs.extend(vh)
+            ws.extend([w] * len(vh))
+        h = np.asarray(hs, dtype=np.uint64)
+        return pa.table(
+            {
+                "h": pa.array(h.view(np.int64)),
+                "w": pa.array(ws, pa.string()),
+                "slice": pa.array((h % np.uint64(num_slices)).view(np.int64).astype(np.int32)),
+            }
+        )
+
+    def pairs_in_slice(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"word_a": pa.array([], pa.string()), "word_b": pa.array([], pa.string())}
+        )
+        if group.num_rows < 2:
+            return empty
+        h = group["h"].to_numpy(zero_copy_only=False)
+        ws = np.asarray(group["w"].to_pylist(), dtype=object)
+        # one (variant, word) row per distinct combination: a word emits the
+        # same variant hash more than once when two deletions coincide
+        order = np.lexsort((ws.astype(str), h))
+        h, ws = h[order], ws[order]
+        dup = np.zeros(len(h), dtype=bool)
+        dup[1:] = (h[1:] == h[:-1]) & (ws[1:] == ws[:-1])
+        h, ws = h[~dup], ws[~dup]
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        lens = np.diff(np.r_[starts, len(h)])
+        if max_bucket_size is not None:
+            keep_run = lens <= max_bucket_size
+        else:
+            keep_run = np.ones(len(lens), dtype=bool)
+        keep_run &= lens >= 2
+        if not keep_run.any():
+            return empty
+        a_idx, b_idx = [], []
+        for s, ln in zip(starts[keep_run], lens[keep_run]):
+            ii, jj = np.triu_indices(int(ln), k=1)
+            a_idx.append(s + ii)
+            b_idx.append(s + jj)
+        a_idx = np.concatenate(a_idx)
+        b_idx = np.concatenate(b_idx)
+        wa, wb = ws[a_idx], ws[b_idx]
+        swap = wa > wb
+        wa[swap], wb[swap] = wb[swap], wa[swap]
+        return pa.table(
+            {
+                "word_a": pa.array(list(wa), pa.string()),
+                "word_b": pa.array(list(wb), pa.string()),
+            }
+        )
+
+    cand = (
+        keys.map_batches(emit_variants, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(pairs_in_slice, batch_format="pyarrow")
+    )
+
+    def add_pair_slice(batch: pa.Table) -> pa.Table:
+        a = np.asarray(
+            [_hash64(w) for w in batch["word_a"].to_pylist()], dtype=np.uint64
+        )
+        b = np.asarray(
+            [_hash64(w) for w in batch["word_b"].to_pylist()], dtype=np.uint64
+        )
+        with np.errstate(over="ignore"):
+            h = (a * _PAIR_MIX1) ^ (b * _PAIR_MIX2)
+        return batch.append_column(
+            "slice", pa.array((h % np.uint64(num_slices)).astype(np.int32))
+        )
+
+    def verify_slice(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "word_a": pa.array([], pa.string()),
+                "word_b": pa.array([], pa.string()),
+                "dist": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        t = group.drop_columns(["slice"]).group_by(["word_a", "word_b"]).aggregate([])
+        wa, wb = t["word_a"].to_pylist(), t["word_b"].to_pylist()
+        d = lev_bytes(wa, wb)
+        keep = np.flatnonzero((d >= 1) & (d <= max_dist))
+        if len(keep) == 0:
+            return empty
+        kept = t.take(keep)
+        return pa.table(
+            {
+                "word_a": kept["word_a"],
+                "word_b": kept["word_b"],
+                "dist": pa.array(d[keep], pa.int64()),
+            }
+        )
+
+    return (
+        cand.map_batches(add_pair_slice, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(verify_slice, batch_format="pyarrow")
+    )

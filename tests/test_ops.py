@@ -3152,3 +3152,56 @@ def test_minhash_plan():
 
     with pytest.raises(ValueError):
         minhash_plan(1.5)
+
+
+def test_fuzzy_pairs(ray_session):
+    """SymSpell deletion-blocked all-pairs fuzzy linkage vs a brute-force
+    byte-level Levenshtein reference, at both supported distances; 'é'/'e'
+    is distance 2 (UTF-8 bytes == DuckDB levenshtein), and duplicate input
+    rows collapse to one distinct key."""
+    import itertools
+
+    import ray
+
+    from infidex_ray.ops.fuzzy import fuzzy_pairs, lev_bytes
+
+    words = [
+        "hash", "hashs", "hach", "cash", "dash", "dasher", "stream",
+        "streem", "stream", "merge", "merg", "mergee", "é", "e", "ee",
+        "a", "b", "ab", "", "join", "jion",
+    ]
+    ds = ray.data.from_items([{"w": w} for w in words])
+
+    def brute(k):
+        keys = sorted({w for w in words if w})
+        out = set()
+        for a, b in itertools.combinations(keys, 2):
+            d = int(lev_bytes([a], [b])[0])
+            if 1 <= d <= k:
+                out.add((a, b, d))
+        return out
+
+    # lev_bytes itself vs a tiny scalar DP first
+    def scalar_lev(a, b):
+        a, b = a.encode(), b.encode()
+        prev = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            cur = [i] + [0] * len(b)
+            for j in range(1, len(b) + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[len(b)]
+
+    pairs_ab = [("hash", "cash"), ("é", "e"), ("stream", "streem"),
+                ("a", "ab"), ("merge", "mergee"), ("dash", "dasher")]
+    got = lev_bytes([p[0] for p in pairs_ab], [p[1] for p in pairs_ab])
+    assert list(got) == [scalar_lev(a, b) for a, b in pairs_ab]
+    assert scalar_lev("é", "e") == 2  # byte-level semantics
+
+    for k in (1, 2):
+        res = fuzzy_pairs(ds, "w", max_dist=k).take_all()
+        got = {(r["word_a"], r["word_b"], r["dist"]) for r in res}
+        assert len(res) == len(got)  # no duplicate pairs emitted
+        assert got == brute(k), f"max_dist={k}"
+        assert all(a < b for a, b, _d in got)
