@@ -1925,6 +1925,82 @@ def _q_fuzzy_pairs(sf_dir: str):
     return _by(fuzzy_pairs(ds, "w", max_dist=1), "word_a", "word_b")
 
 
+def _q_kmv_distinct(sf_dir: str):
+    """Per-group approximate count-distinct (K-minimum-values, k=256) of
+    parts per return flag — the bounded-shuffle stand-in for
+    count(DISTINCT) at vocab scale. The estimate (k-1)·2^64/h_(k) uses one
+    IEEE-exact multiply+divide over md5-parity hashes, so the oracle
+    reproduces the approximation error bit-for-bit."""
+    from infidex_ray.ops.sketches import kmv_distinct
+
+    return _by(
+        kmv_distinct(_read(sf_dir, "lineitem"), ["l_returnflag"], "l_partkey", k=256),
+        "l_returnflag",
+    )
+
+
+def _q_bloom_membership(sf_dir: str):
+    """Bloom-filter membership probe (m=512, k=3 over md5-parity bit
+    positions): every customer name probed against a filter built from the
+    custkey%10==0 subset. Deliberately small m so deterministic false
+    positives appear — the oracle recomputes exactly those."""
+    import pyarrow.compute as pc
+
+    from infidex_ray.ops.sketches import bloom_against
+
+    cust = _read(sf_dir, "customer")
+
+    def subset(b: pa.Table) -> pa.Table:
+        import numpy as np  # noqa: F811
+
+        keep = (
+            b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64) % 10 == 0
+        )
+        return b.filter(pa.array(keep)).select(["c_name"])
+
+    bench = cust.map_batches(subset, batch_format="pyarrow")
+    return _by(
+        bloom_against(
+            cust.select_columns(["c_custkey", "c_name"]),
+            bench,
+            "c_name",
+            m_bits=512,
+            n_hashes=3,
+            id_col="c_custkey",
+        ),
+        "c_custkey",
+    )
+
+
+def _q_cm_counts(sf_dir: str):
+    """Count-min point estimates (width=64, depth=4) for the corpus's exact
+    top-10 tokens; width is deliberately small so bucket collisions
+    overestimate some counts — the oracle rebuilds the identical sketch
+    from grouped exact counts and takes the same min-over-rows."""
+    from infidex_ray.ops.sketches import cm_counts
+    from infidex_ray.ops.textstats import heavy_hitters
+
+    docs = _read(sf_dir, "documents")
+    top = heavy_hitters(docs, k=10, pattern=r"\s+").take_all()
+    keys = [r["token"] for r in top]
+    return cm_counts(docs, keys, width=64, depth=4)
+
+
+def _q_priority_sample(sf_dir: str):
+    """Weighted-without-replacement priority sample (Duffield-Lund-Thorup):
+    top-200 orders by q = w/u with u from the md5 parity hash — one
+    IEEE-exact divide, so the SQL ORDER BY q DESC LIMIT 200 selects the
+    identical set with bit-identical q."""
+    from infidex_ray.ops.sketches import priority_sample
+
+    return _by(
+        priority_sample(
+            _read(sf_dir, "orders"), 200, "o_totalprice", "o_orderkey", salt="ps"
+        ),
+        "o_orderkey",
+    )
+
+
 def _q_grouped_distinct(sf_dir: str):
     """count(DISTINCT col) per group: per-block distinct (keys, value)
     pairs → value-hash slice re-distinct (disjoint partial counts by
@@ -2163,6 +2239,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_window": _q_rolling_window,
         "dedup_lines_within": _q_dedup_lines_within,
         "fuzzy_pairs": _q_fuzzy_pairs,
+        "kmv_distinct": _q_kmv_distinct,
+        "bloom_membership": _q_bloom_membership,
+        "cm_counts": _q_cm_counts,
+        "priority_sample": _q_priority_sample,
     }
 
 
@@ -3331,6 +3411,66 @@ def oracle_sql() -> dict[str, str]:
             "FROM keys a JOIN keys b ON a.w < b.w "
             "AND abs(strlen(a.w) - strlen(b.w)) <= 1) "
             "WHERE dist <= 1 ORDER BY word_a, word_b"
+        ),
+        "kmv_distinct": (
+            # same KMV rule: distinct md5 hashes per group, kth-smallest →
+            # (k-1)*2^64/h_k (both factors/divides IEEE-exact); exact count
+            # below k. 2^64 literal is a power of two → exact DOUBLE.
+            "WITH h AS (SELECT DISTINCT l_returnflag AS g, "
+            "md5_number_lower('kmv:' || CAST(l_partkey AS VARCHAR)) AS h "
+            "FROM lineitem WHERE l_partkey IS NOT NULL), "
+            "r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) "
+            "AS rnk, count(*) OVER (PARTITION BY g) AS cnt FROM h) "
+            "SELECT g AS l_returnflag, "
+            "CASE WHEN cnt < 256 THEN CAST(cnt AS DOUBLE) "
+            "ELSE ROUND(255.0 * 18446744073709551616.0 / CAST(h AS DOUBLE), 4) "
+            "END AS est_distinct, "
+            "CAST(LEAST(cnt, 256) AS BIGINT) AS n_hashes "
+            "FROM r WHERE rnk = 256 OR (cnt < 256 AND rnk = 1) "
+            "ORDER BY l_returnflag"
+        ),
+        "bloom_membership": (
+            # rebuild the identical bit set (md5-parity positions) from the
+            # custkey%10 subset, probe all names: hit ⇔ all 3 positions set
+            "WITH bench AS (SELECT DISTINCT c_name FROM customer "
+            "WHERE c_custkey % 10 = 0 AND c_name IS NOT NULL), "
+            "bits AS (SELECT DISTINCT md5_number_lower('bloom:' || "
+            "CAST(gs.i AS VARCHAR) || ':' || c_name) % 512 AS p "
+            "FROM bench, generate_series(0, 2) gs(i)), "
+            "probe AS (SELECT c_custkey, c_name, md5_number_lower('bloom:' || "
+            "CAST(gs.i AS VARCHAR) || ':' || c_name) % 512 AS p "
+            "FROM customer, generate_series(0, 2) gs(i)) "
+            "SELECT pr.c_custkey, pr.c_name, "
+            "bool_and(b.p IS NOT NULL) AS bloom_hit "
+            "FROM probe pr LEFT JOIN bits b ON b.p = pr.p "
+            "GROUP BY pr.c_custkey, pr.c_name ORDER BY pr.c_custkey"
+        ),
+        "cm_counts": (
+            # identical sketch from grouped exact counts: bucket sums per
+            # (depth row, md5 bucket), then min over rows per queried token;
+            # keys = the exact top-10 tokens under the same \s+ split
+            "WITH toks AS (SELECT unnest(list_filter(string_split_regex("
+            r"lower(coalesce(text, '')), '\s+'), x -> x <> '')) AS tok "
+            "FROM documents), "
+            "exact AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1), "
+            "keys AS (SELECT tok FROM exact ORDER BY n DESC, tok LIMIT 10), "
+            "cnt AS (SELECT gs.d, md5_number_lower('cm:' || "
+            "CAST(gs.d AS VARCHAR) || ':' || tok) % 64 AS b, sum(n) AS c "
+            "FROM exact, generate_series(0, 3) gs(d) GROUP BY 1, 2) "
+            "SELECT k.tok AS token, CAST(min(cnt.c) AS BIGINT) AS cm_count "
+            "FROM keys k JOIN cnt ON cnt.b = md5_number_lower('cm:' || "
+            "CAST(cnt.d AS VARCHAR) || ':' || k.tok) % 64 "
+            "GROUP BY k.tok ORDER BY token"
+        ),
+        "priority_sample": (
+            # q = w / ((CAST(h AS DOUBLE)+1)/2^64): same association order
+            # as the numpy side, every step IEEE-exact → bit-identical q
+            "WITH q AS (SELECT o_orderkey, o_totalprice, "
+            "CAST(o_totalprice AS DOUBLE) / "
+            "((CAST(md5_number_lower('ps:' || CAST(o_orderkey AS VARCHAR)) "
+            "AS DOUBLE) + 1.0) / 18446744073709551616.0) AS q FROM orders), "
+            "top AS (SELECT * FROM q ORDER BY q DESC, o_orderkey LIMIT 200) "
+            "SELECT o_orderkey, o_totalprice, q FROM top ORDER BY o_orderkey"
         ),
         "grouped_distinct": (
             "SELECT l_returnflag, l_linestatus, "

@@ -1,232 +1,357 @@
-"""Distributed cardinality sketches (HyperLogLog, Flajolet et al. 2007 —
-public algorithm; bias constants per the original paper).
+"""Distributed sketch primitives: KMV distinct-count, Bloom membership,
+count-min point counts, and priority sampling.
 
-At 100 TB, ``count(DISTINCT x)`` per group is a full shuffle of every
-distinct value; an HLL register vector is a few KB, merges with an
-element-wise MAX, and answers within ~1.04/√m. The sketch here is fully
-deterministic — the hash is ``md5_number_lower`` (DuckDB parity, same as
-simhash/fingerprints), register index = low ``p`` bits, rank = leading-zero
-count of the top ``64−p`` bits — so the DuckDB oracle recomputes the EXACT
-same estimate, not just a close one: the estimator is a pure function of
-the data.
+At 100 TB the exact answers behind these (count DISTINCT, anti-join
+membership, full token counts, weighted reservoir) each cost an all-to-all
+shuffle of the raw key stream; the sketches below bound the shuffle to
+O(sketch size × blocks) partial rows while staying *deterministic*: every
+hash is the cross-engine ``md5_number_lower`` parity hash
+(:func:`infidex_ray.ops.dedup._md5_u64`) and every float rule is a single
+IEEE-exact multiply/divide, so a DuckDB oracle recomputes the sketch —
+including its approximation error — bit-for-bit. (The reference engine has
+no sketch layer; these are beyond-reference ops for the curation suite,
+same charter as ``ops/dedup.py``.)
 
-* :func:`approx_distinct` — global cardinality of one column: per-batch
-  register partials (≤ m rows per block) → ``groupby(register).max`` over a
-  fixed m-key space → driver estimate from m rows.
-* :func:`approx_distinct_by` — per-group cardinality (e.g. distinct users
-  per event type, distinct docs per domain): partials keyed by
-  ``(group, register)``, per-group estimate vectorized inside
-  ``map_groups``. The shuffle moves ≤ m rows per group per block instead of
-  every distinct value.
+Scale shapes:
 
-Estimator: ``E = α_m · m² / Σ 2^−M[j]`` with the standard small-range
-linear-counting correction (``E ≤ 2.5·m`` and empty registers present →
-``m·ln(m/V)``); the 64-bit-hash variant needs no large-range correction.
+- ``kmv_distinct``: per-block per-group bottom-k distinct hashes → one
+  group-slice shuffle of ≤ groups × k × blocks rows. Estimate
+  ``(k-1) * 2^64 / h_(k)`` (Bar-Yossef et al. 2002), exact below k.
+- ``bloom_against``: the filter side collapses to ≤ m distinct bit
+  positions per block; the probe side streams. The merged position set
+  (≤ m ints) is broadcast once via ``ray.put`` — shard the filter for
+  m beyond object-store comfort.
+- ``cm_counts``: Cormode-Muthukrishnan point queries; only the
+  depth × |keys| buckets of interest survive the partial stage, so the
+  shuffle is O(depth × keys × blocks), not O(vocab).
+- ``priority_sample``: Duffield-Lund-Thorup priority sampling. The
+  priority ``w / u`` uses one IEEE division over integer-derived doubles —
+  bit-identical in numpy and DuckDB — so the selected set is reproducible
+  across engines, reruns, and cluster sizes (same property the
+  deterministic_shuffle / sample_hash family relies on).
 """
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from .dedup import _md5_u64
+from .dedup import _default_num_slices, _md5_u64
 
-__all__ = ["approx_distinct", "approx_distinct_by"]
-
-
-def _alpha(m: int) -> float:
-    if m >= 128:
-        return 0.7213 / (1 + 1.079 / m)
-    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+_TWO64 = 18446744073709551616.0  # 2^64, exact in float64
 
 
-def _bit_length_u64(w: np.ndarray) -> np.ndarray:
-    """Vectorized ``int.bit_length`` over uint64 (exact — no float log2)."""
-    out = np.zeros(len(w), dtype=np.int64)
-    v = w.copy()
-    for shift in (32, 16, 8, 4, 2, 1):
-        big = v >= (np.uint64(1) << np.uint64(shift))
-        out[big] += shift
-        v[big] >>= np.uint64(shift)
-    out[w > 0] += 1
-    return out
-
-
-def _ranks(values: list, p: int) -> tuple[np.ndarray, np.ndarray]:
-    """(register index, rank) per value: idx = low p hash bits, rank =
-    1 + leading zeros of the top 64−p bits (q+1 when they are all zero)."""
-    q = 64 - p
-    h = np.fromiter(
-        (_md5_u64("" if v is None else str(v)) for v in values),
-        dtype=np.uint64,
-        count=len(values),
+def _md5_arr(values, salt: str) -> np.ndarray:
+    """u64 parity hashes of ``f"{salt}:{v}"`` for a Python value list."""
+    return np.asarray(
+        [_md5_u64(f"{salt}:{v}") for v in values], dtype=np.uint64
     )
-    idx = (h & np.uint64((1 << p) - 1)).astype(np.int64)
-    w = h >> np.uint64(p)
-    rank = q + 1 - _bit_length_u64(w)
-    return idx, rank
 
 
-def _estimate(regs: np.ndarray) -> float:
-    """HLL estimate from the full m-length register vector."""
-    m = len(regs)
-    ssum = float(np.power(2.0, -regs.astype(np.float64)).sum())
-    e = _alpha(m) * m * m / ssum
-    zeros = int((regs == 0).sum())
-    if e <= 2.5 * m and zeros > 0:
-        return m * math.log(m / zeros)
-    return e
+# --- KMV distinct ------------------------------------------------------------
 
 
-def approx_distinct(ds, col: str, p: int = 12) -> pa.Table:
-    """Approximate ``count(DISTINCT col)`` via a 2^p-register HLL. Returns a
-    one-row table ``(approx_distinct,)`` — deterministically identical to
-    the oracle's SQL replay of the same registers."""
-    m = 1 << p
+def kmv_distinct(ds, keys, col: str, k: int = 1024, salt: str = "kmv"):
+    """Per-group approximate count-distinct of ``col`` via the k-minimum-
+    values sketch. Output: (*keys, est_distinct DOUBLE rounded 4dp,
+    n_hashes BIGINT = min(k, true distinct)). Exact when a group has
+    fewer than k distinct values; otherwise ``(k-1) * 2^64 / h_(k)``.
+    """
+    from .dedup import round_half_up4
+
+    keys = list(keys)
+    num_slices = _default_num_slices()
 
     def partial(batch: pa.Table) -> pa.Table:
-        idx, rank = _ranks(batch[col].to_pylist(), p)
-        regs = np.zeros(m, dtype=np.int64)
-        np.maximum.at(regs, idx, rank)
-        nz = np.flatnonzero(regs)
-        return pa.table(
-            {
-                "register": pa.array(nz.astype(np.int64), pa.int64()),
-                "r": pa.array(regs[nz], pa.int64()),
-            }
-        )
-
-    rows = (
-        ds.select_columns([col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("register")
-        .max("r")
-        .take_all()
-    )
-    regs = np.zeros(m, dtype=np.int64)
-    for row in rows:
-        regs[row["register"]] = row.get("max(r)", row.get("r"))
-    est = _estimate(regs)
-    return pa.table(
-        {"approx_distinct": pa.array([int(math.floor(est + 0.5))], pa.int64())}
-    )
-
-
-def approx_distinct_by(
-    ds, key_col: str, col: str, p: int = 12
-):
-    """Per-group approximate distinct counts: one HLL per ``key_col`` value.
-    Returns a Dataset of ``(key_col, approx_distinct)``. Partials move
-    ≤ 2^p rows per (group, block) — never the distinct values themselves."""
-    m = 1 << p
-
-    def partial(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col]
-        idx, rank = _ranks(batch[col].to_pylist(), p)
-        # per-(key, register) max within the batch via lexsort + run ends
-        enc = keys.combine_chunks().dictionary_encode() if isinstance(
-            keys, pa.ChunkedArray
-        ) else keys.dictionary_encode()
-        kid = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
-        order = np.lexsort((rank, idx, kid))
-        k2, i2, r2 = kid[order], idx[order], rank[order]
-        last = np.ones(len(k2), dtype=bool)
-        last[:-1] = (k2[1:] != k2[:-1]) | (i2[1:] != i2[:-1])
-        sel = np.flatnonzero(last)
-        return pa.table(
-            {
-                key_col: enc.dictionary.take(pa.array(k2[sel], pa.int64())),
-                "register": pa.array(i2[sel], pa.int64()),
-                "r": pa.array(r2[sel], pa.int64()),
-            }
-        )
-
-    merged = (
-        ds.select_columns([key_col, col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby([key_col, "register"])
-        .max("r")
-    )
+        t = batch.select(keys + [col])
+        t = t.filter(t[col].is_valid())
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    **{kc: batch[kc].slice(0, 0) for kc in keys},
+                    "h": pa.array([], pa.int64()),
+                    "slice": pa.array([], pa.int32()),
+                }
+            )
+        t = t.group_by(keys + [col]).aggregate([])
+        h = _md5_arr(t[col].to_pylist(), salt)
+        # bottom-k per group: lexsort by (group code, hash), cut each run
+        codes = _group_codes(t.select(keys))
+        order = np.lexsort((h, codes))
+        codes_s = codes[order]
+        starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+        lens = np.diff(np.r_[starts, len(codes_s)])
+        pos = np.arange(len(codes_s)) - np.repeat(starts, lens)
+        keep = order[pos < k]
+        kept = t.take(pa.array(keep, pa.int64()))
+        hk = h[keep]
+        # route by GROUP, not hash: all of a group's partials must meet
+        gsl = np.asarray(
+            [
+                _md5_u64("gs:" + "\x1f".join(map(str, row))) % num_slices
+                for row in zip(*(kept[kc].to_pylist() for kc in keys))
+            ],
+            dtype=np.int32,
+        ) if keys else np.zeros(len(keep), dtype=np.int32)
+        out = {kc: kept[kc] for kc in keys}
+        out["h"] = pa.array(hk.view(np.int64))
+        out["slice"] = pa.array(gsl)
+        return pa.table(out)
 
     def finish(group: pa.Table) -> pa.Table:
-        rcol = "max(r)" if "max(r)" in group.column_names else "r"
-        regs = np.zeros(m, dtype=np.int64)
-        regs[group["register"].to_numpy(zero_copy_only=False)] = group[
-            rcol
-        ].to_numpy(zero_copy_only=False)
-        est = _estimate(regs)
-        return pa.table(
-            {
-                key_col: group[key_col].slice(0, 1),
-                "approx_distinct": pa.array(
-                    [int(math.floor(est + 0.5))], pa.int64()
-                ),
-            }
-        )
+        t = group.drop_columns(["slice"])
+        t = t.group_by(keys + ["h"]).aggregate([])  # re-distinct across blocks
+        h = t["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        codes = _group_codes(t.select(keys))
+        order = np.lexsort((h, codes))
+        codes_s, h_s = codes[order], h[order]
+        starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+        lens = np.diff(np.r_[starts, len(codes_s)])
+        reps = t.take(pa.array(order[starts], pa.int64()))
+        n_hashes = np.minimum(lens, k)
+        est = np.empty(len(starts), dtype=np.float64)
+        small = lens < k
+        est[small] = lens[small].astype(np.float64)
+        if (~small).any():
+            kth = h_s[starts[~small] + (k - 1)].astype(np.float64)
+            est[~small] = (float(k - 1) * _TWO64) / kth
+        out = {kc: reps[kc] for kc in keys}
+        out["est_distinct"] = pa.array([round_half_up4(x) for x in est])
+        out["n_hashes"] = pa.array(n_hashes.astype(np.int64))
+        return pa.table(out)
 
-    return merged.groupby(key_col).map_groups(finish, batch_format="pyarrow")
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(finish, batch_format="pyarrow")
+    )
 
 
-# --- count-min sketch ---------------------------------------------------------
+def _group_codes(gt: pa.Table) -> np.ndarray:
+    """Dense int codes for the row tuples of a (small) key table."""
+    n = gt.num_rows
+    if gt.num_columns == 0:
+        return np.zeros(n, dtype=np.int64)
+    combo = np.asarray(
+        [
+            "\x1f".join(map(str, row))
+            for row in zip(*(gt[c].to_pylist() for c in gt.column_names))
+        ],
+        dtype=object,
+    )
+    _, codes = np.unique(combo.astype(str), return_inverse=True)
+    return codes.astype(np.int64)
 
 
-def cms_counts(
-    ds,
+# --- Bloom membership --------------------------------------------------------
+
+
+def bloom_against(
+    corpus,
+    bench,
     col: str,
-    keys: list,
-    width: int = 8192,
-    depth: int = 4,
+    m_bits: int = 4096,
+    n_hashes: int = 3,
+    salt: str = "bloom",
+    id_col: str | None = None,
 ):
-    """Count-min sketch frequency estimates (Cormode & Muthukrishnan 2005 —
-    public algorithm) for a set of query keys: each of ``depth`` rows hashes
-    every value into ``width`` buckets (double hashing over the two md5
-    halves, same family as the Bloom filter); a key's estimate is the MIN of
-    its ``depth`` bucket counts — an upper bound on the true count that
-    tightens as width grows.
+    """Probe every corpus row against a Bloom filter built from the bench
+    side's ``col`` values. Output: (id?, col, bloom_hit BOOL). Hits include
+    the filter's deterministic false positives — the point of the op is
+    that the oracle reproduces exactly those.
 
-    The sketch is ``depth × width`` int64 — per-batch dense bincount
-    partials into a fixed-key groupby, so the shuffle never moves values.
-    Deterministic (pure hash function), so the oracle replays the estimates
-    exactly, collisions included. Returns a one-block table
-    ``(key, est_count)`` in the order given."""
-    from .dedup import _md5_pair_mod
+    Filter build: each block emits its distinct bit positions (≤ m_bits
+    rows), the union (≤ m_bits ints) is broadcast once via ``ray.put``;
+    the probe side streams. For m beyond object-store comfort, shard by
+    ``position // shard_bits`` and run one pass per shard.
+    """
+    import ray
 
-    def positions(values: list) -> np.ndarray:
-        h1, h2 = _md5_pair_mod(values, width)
-        d = np.arange(depth, dtype=np.uint64)
-        return (
-            (h1[:, None] + d[None, :] * h2[:, None]) % np.uint64(width)
-        ).astype(np.int64)
+    def bench_positions(batch: pa.Table) -> pa.Table:
+        vals = pc.drop_null(batch[col]).unique().to_pylist()
+        pos = set()
+        for v in vals:
+            for i in range(n_hashes):
+                pos.add(_md5_u64(f"{salt}:{i}:{v}") % m_bits)
+        return pa.table({"p": pa.array(sorted(pos), pa.int64())})
+
+    parts = bench.map_batches(bench_positions, batch_format="pyarrow")
+    positions = np.unique(
+        np.asarray(
+            [r["p"] for r in parts.take_all()],  # ≤ m_bits × blocks tiny rows
+            dtype=np.int64,
+        )
+    )
+    bits = np.zeros(m_bits, dtype=bool)
+    if len(positions):
+        bits[positions] = True
+    bits_ref = ray.put(bits)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        b = ray.get(bits_ref)
+        vals = batch[col].to_pylist()
+        hit = np.zeros(len(vals), dtype=bool)
+        for r, v in enumerate(vals):
+            if v is None:
+                continue
+            hit[r] = all(
+                b[_md5_u64(f"{salt}:{i}:{v}") % m_bits] for i in range(n_hashes)
+            )
+        out = {}
+        if id_col is not None:
+            out[id_col] = batch[id_col]
+        out[col] = batch[col]
+        out["bloom_hit"] = pa.array(hit)
+        return pa.table(out)
+
+    return corpus.map_batches(probe, batch_format="pyarrow")
+
+
+# --- Count-min point counts --------------------------------------------------
+
+
+def cm_counts(
+    ds,
+    keys: list[str],
+    text_col: str = "text",
+    width: int = 64,
+    depth: int = 4,
+    salt: str = "cm",
+):
+    """Count-min estimates for the given tokens over the lowercased
+    RE2-``\\s``-split token stream. Output: (token, cm_count BIGINT),
+    cm_count = min over depth rows of the (token-colliding) bucket sums —
+    ≥ the exact count by construction, deterministic given (width, depth).
+
+    Only the depth × |keys| buckets of interest leave the partial stage:
+    each block contributes ≤ depth × width rows, summed under a coarse
+    bucket-slice groupby, and the final min-over-rows runs on the driver
+    over depth × |keys| scalars.
+    """
+    num_slices = _default_num_slices()
+    key_buckets = {
+        (d, _md5_u64(f"{salt}:{d}:{t}") % width) for d in range(depth) for t in keys
+    }
 
     def partial(batch: pa.Table) -> pa.Table:
-        pos = positions(batch[col].to_pylist())  # (n, depth)
-        flat = pos + (np.arange(depth, dtype=np.int64) * width)[None, :]
-        c = np.bincount(flat.reshape(-1), minlength=depth * width)
-        nz = np.flatnonzero(c)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.cast(batch[text_col], pa.string())), pattern=r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        tokens = vc.field("values").to_pylist()
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        dd, bb, cc = [], [], []
+        for d in range(depth):
+            bk = np.asarray(
+                [_md5_u64(f"{salt}:{d}:{t}") % width for t in tokens],
+                dtype=np.int64,
+            )
+            # keep only buckets some queried key maps to
+            keep = np.asarray(
+                [(d, int(b)) in key_buckets for b in bk], dtype=bool
+            )
+            if not keep.any():
+                continue
+            bu, inv = np.unique(bk[keep], return_inverse=True)
+            cs = np.bincount(inv, weights=counts[keep]).astype(np.int64)
+            dd.append(np.full(len(bu), d, dtype=np.int64))
+            bb.append(bu)
+            cc.append(cs)
+        if not dd:
+            return pa.table(
+                {
+                    "d": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                    "slice": pa.array([], pa.int32()),
+                }
+            )
+        d_arr = np.concatenate(dd)
+        b_arr = np.concatenate(bb)
+        c_arr = np.concatenate(cc)
+        sl = ((d_arr * width + b_arr) % num_slices).astype(np.int32)
         return pa.table(
             {
-                "cell": pa.array(nz.astype(np.int64), pa.int64()),
-                "n": pa.array(c[nz], pa.int64()),
+                "d": pa.array(d_arr),
+                "b": pa.array(b_arr),
+                "c": pa.array(c_arr),
+                "slice": pa.array(sl),
             }
         )
 
-    rows = (
-        ds.select_columns([col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("cell")
-        .sum("n")
-        .take_all()
+    def slice_sum(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["slice"]).group_by(["d", "b"]).aggregate(
+            [("c", "sum")]
+        )
+        return t.rename_columns(
+            ["c" if c == "c_sum" else c for c in t.column_names]
+        )
+
+    sketch = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(slice_sum, batch_format="pyarrow")
     )
-    sketch = np.zeros(depth * width, dtype=np.int64)
-    for r in rows:
-        sketch[r["cell"]] = r.get("sum(n)", r.get("n"))
-    qpos = positions(keys) + (np.arange(depth, dtype=np.int64) * width)[None, :]
-    est = sketch[qpos].min(axis=1)
+    # depth × |keys| scalars — driver-side min is the point-query step
+    rows = sketch.take_all()
+    table = {(r["d"], r["b"]): r["c"] for r in rows}
+    out_t, out_c = [], []
+    for t in keys:
+        est = min(
+            table.get((d, _md5_u64(f"{salt}:{d}:{t}") % width), 0)
+            for d in range(depth)
+        )
+        out_t.append(t)
+        out_c.append(est)
+    order = np.argsort(np.asarray(out_t, dtype=object).astype(str), kind="stable")
     return pa.table(
         {
-            "key": pa.array([str(k) for k in keys], pa.string()),
-            "est_count": pa.array(est, pa.int64()),
+            "token": pa.array([out_t[i] for i in order], pa.string()),
+            "cm_count": pa.array([int(out_c[i]) for i in order], pa.int64()),
         }
+    )
+
+
+# --- Priority sampling -------------------------------------------------------
+
+
+def priority_sample(
+    ds, k: int, weight_col: str, key_col: str, salt: str = "ps"
+):
+    """Duffield-Lund-Thorup priority sample of k rows: priority
+    ``q = w / u`` with ``u = (CAST(h AS DOUBLE) + 1) / 2^64`` from the md5
+    parity hash of ``salt:key`` — one IEEE-exact divide, so DuckDB's
+    ``ORDER BY q DESC LIMIT k`` selects the identical set. Per-block
+    partial top-k, then a global sort over ≤ k × blocks rows. Output:
+    (key, weight, q) — order the caller's concern (the contract sorts by
+    key).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        w = (
+            pc.cast(batch[weight_col], pa.float64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        h = _md5_arr(keys, salt).astype(np.float64)
+        u = (h + 1.0) / _TWO64
+        q = w / u
+        top = np.argsort(-q, kind="stable")[:k]
+        t = batch.take(pa.array(top, pa.int64()))
+        return pa.table(
+            {
+                key_col: t[key_col],
+                weight_col: t[weight_col],
+                "q": pa.array(q[top]),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sort(["q", key_col], descending=[True, False])
+        .limit(k)
     )

@@ -299,7 +299,9 @@ def remove_boilerplate_lines(
 # --- Heavy hitters -----------------------------------------------------------
 
 
-def heavy_hitters(ds, k: int = 100, text_col: str = "text"):
+def heavy_hitters(
+    ds, k: int = 100, text_col: str = "text", pattern: str = "[ \t\n\r]+"
+):
     """Top-k most frequent whitespace tokens across the corpus.
 
     The combiner pattern end-to-end: each batch collapses to its distinct
@@ -327,7 +329,7 @@ def heavy_hitters(ds, k: int = 100, text_col: str = "text"):
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(
-            pc.utf8_lower(batch[text_col]), pattern="[ \t\n\r]+"
+            pc.utf8_lower(batch[text_col]), pattern=pattern
         )
         flat = pc.list_flatten(toks)
         flat = flat.filter(pc.not_equal(flat, ""))

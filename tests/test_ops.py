@@ -3205,3 +3205,79 @@ def test_fuzzy_pairs(ray_session):
         assert len(res) == len(got)  # no duplicate pairs emitted
         assert got == brute(k), f"max_dist={k}"
         assert all(a < b for a, b, _d in got)
+
+
+def test_sketches(ray_session):
+    """KMV / Bloom / count-min / priority-sample vs brute-force recomputation
+    of the same deterministic md5-parity hash rules."""
+    import ray
+
+    from infidex_ray.ops.dedup import _md5_u64, round_half_up4
+    from infidex_ray.ops.sketches import (
+        _TWO64,
+        bloom_against,
+        cm_counts,
+        kmv_distinct,
+        priority_sample,
+    )
+
+    # --- KMV: group 'a' has 300 distinct (> k=16 → formula), 'b' has 5 (exact)
+    rows = [{"g": "a", "v": i} for i in range(300) for _ in (0, 1)] + [
+        {"g": "b", "v": i} for i in (7, 8, 9, 10, 11)
+    ]
+    ds = ray.data.from_items(rows)
+    out = {r["g"]: r for r in kmv_distinct(ds, ["g"], "v", k=16).take_all()}
+    assert out["b"]["n_hashes"] == 5 and out["b"]["est_distinct"] == 5.0
+    hs = sorted(_md5_u64(f"kmv:{i}") for i in range(300))
+    want = round_half_up4(15.0 * _TWO64 / float(hs[15]))
+    assert out["a"]["n_hashes"] == 16 and out["a"]["est_distinct"] == want
+    # estimate in a sane band
+    assert 100 < out["a"]["est_distinct"] < 900
+
+    # --- Bloom: tiny m forces false positives; recompute every verdict
+    bench = ray.data.from_items([{"w": f"k{i}"} for i in range(0, 50, 5)])
+    corpus = ray.data.from_items(
+        [{"id": i, "w": f"k{i}"} for i in range(50)] + [{"id": 99, "w": None}]
+    )
+    res = bloom_against(corpus, bench, "w", m_bits=64, n_hashes=2, id_col="id")
+    got = {r["id"]: r["bloom_hit"] for r in res.take_all()}
+    bits = set()
+    for i in range(0, 50, 5):
+        for j in range(2):
+            bits.add(_md5_u64(f"bloom:{j}:k{i}") % 64)
+    for i in range(50):
+        want_hit = all(_md5_u64(f"bloom:{j}:k{i}") % 64 in bits for j in range(2))
+        assert got[i] == want_hit, i
+    assert got[99] is False or got[99] == False  # noqa: E712
+    assert all(got[i] for i in range(0, 50, 5))  # no false negatives, ever
+    assert any(got[i] for i in range(50) if i % 5 != 0)  # m=64 → some FPs
+
+    # --- count-min: estimates ≥ exact, equal to the brute sketch
+    docs = ray.data.from_items(
+        [{"text": "red blue red green"}, {"text": "blue red\tred"}]
+    )
+    keys = ["red", "blue", "green", "absent"]
+    t = cm_counts(docs, keys, width=4, depth=2)
+    got = dict(zip(t["token"].to_pylist(), t["cm_count"].to_pylist()))
+    exact = {"red": 4, "blue": 2, "green": 1, "absent": 0}
+    sketch = {}
+    for tok, n in [("red", 4), ("blue", 2), ("green", 1)]:
+        for d in range(2):
+            b = _md5_u64(f"cm:{d}:{tok}") % 4
+            sketch[(d, b)] = sketch.get((d, b), 0) + n
+    for tok in keys:
+        want = min(sketch.get((d, _md5_u64(f"cm:{d}:{tok}") % 4), 0) for d in range(2))
+        assert got[tok] == want and got[tok] >= exact[tok], tok
+
+    # --- priority sample: identical set to the brute top-k by q = w/u
+    items = [{"key": i, "w": float(1 + (i * 7) % 13)} for i in range(100)]
+    sel = priority_sample(
+        ray.data.from_items(items), 10, "w", "key", salt="ps"
+    ).take_all()
+    qs = {
+        it["key"]: it["w"] / ((float(_md5_u64(f"ps:{it['key']}")) + 1.0) / _TWO64)
+        for it in items
+    }
+    want_keys = set(sorted(qs, key=lambda k2: -qs[k2])[:10])
+    assert {r["key"] for r in sel} == want_keys
+    assert all(abs(r["q"] - qs[r["key"]]) == 0.0 for r in sel)  # bit-exact
