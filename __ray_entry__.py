@@ -1972,20 +1972,6 @@ def _q_bloom_membership(sf_dir: str):
     )
 
 
-def _q_cm_counts(sf_dir: str):
-    """Count-min point estimates (width=64, depth=4) for the corpus's exact
-    top-10 tokens; width is deliberately small so bucket collisions
-    overestimate some counts — the oracle rebuilds the identical sketch
-    from grouped exact counts and takes the same min-over-rows."""
-    from infidex_ray.ops.sketches import cm_counts
-    from infidex_ray.ops.textstats import heavy_hitters
-
-    docs = _read(sf_dir, "documents")
-    top = heavy_hitters(docs, k=10, pattern=r"\s+").take_all()
-    keys = [r["token"] for r in top]
-    return cm_counts(docs, keys, width=64, depth=4)
-
-
 def _q_priority_sample(sf_dir: str):
     """Weighted-without-replacement priority sample (Duffield-Lund-Thorup):
     top-200 orders by q = w/u with u from the md5 parity hash — one
@@ -2241,7 +2227,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_pairs": _q_fuzzy_pairs,
         "kmv_distinct": _q_kmv_distinct,
         "bloom_membership": _q_bloom_membership,
-        "cm_counts": _q_cm_counts,
         "priority_sample": _q_priority_sample,
     }
 
@@ -3430,37 +3415,24 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY l_returnflag"
         ),
         "bloom_membership": (
-            # rebuild the identical bit set (md5-parity positions) from the
-            # custkey%10 subset, probe all names: hit ⇔ all 3 positions set
+            # same Kirsch-Mitzenmacher double hashing as the op's engine
+            # (ops/dedup._bloom_positions): pos_i = (h1 + i*h2) % m over the
+            # two md5 halves reduced mod m; hit ⇔ all 3 positions set
             "WITH bench AS (SELECT DISTINCT c_name FROM customer "
             "WHERE c_custkey % 10 = 0 AND c_name IS NOT NULL), "
-            "bits AS (SELECT DISTINCT md5_number_lower('bloom:' || "
-            "CAST(gs.i AS VARCHAR) || ':' || c_name) % 512 AS p "
-            "FROM bench, generate_series(0, 2) gs(i)), "
-            "probe AS (SELECT c_custkey, c_name, md5_number_lower('bloom:' || "
-            "CAST(gs.i AS VARCHAR) || ':' || c_name) % 512 AS p "
-            "FROM customer, generate_series(0, 2) gs(i)) "
-            "SELECT pr.c_custkey, pr.c_name, "
-            "bool_and(b.p IS NOT NULL) AS bloom_hit "
-            "FROM probe pr LEFT JOIN bits b ON b.p = pr.p "
-            "GROUP BY pr.c_custkey, pr.c_name ORDER BY pr.c_custkey"
-        ),
-        "cm_counts": (
-            # identical sketch from grouped exact counts: bucket sums per
-            # (depth row, md5 bucket), then min over rows per queried token;
-            # keys = the exact top-10 tokens under the same \s+ split
-            "WITH toks AS (SELECT unnest(list_filter(string_split_regex("
-            r"lower(coalesce(text, '')), '\s+'), x -> x <> '')) AS tok "
-            "FROM documents), "
-            "exact AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1), "
-            "keys AS (SELECT tok FROM exact ORDER BY n DESC, tok LIMIT 10), "
-            "cnt AS (SELECT gs.d, md5_number_lower('cm:' || "
-            "CAST(gs.d AS VARCHAR) || ':' || tok) % 64 AS b, sum(n) AS c "
-            "FROM exact, generate_series(0, 3) gs(d) GROUP BY 1, 2) "
-            "SELECT k.tok AS token, CAST(min(cnt.c) AS BIGINT) AS cm_count "
-            "FROM keys k JOIN cnt ON cnt.b = md5_number_lower('cm:' || "
-            "CAST(cnt.d AS VARCHAR) || ':' || k.tok) % 64 "
-            "GROUP BY k.tok ORDER BY token"
+            "bh AS (SELECT CAST(md5_number_lower(c_name) % 512 AS BIGINT) AS h1, "
+            "CAST(md5_number_upper(c_name) % 512 AS BIGINT) AS h2 FROM bench), "
+            "ser AS (SELECT unnest(generate_series(0, 2)) AS i), "
+            "bits AS (SELECT DISTINCT (h1 + i * h2) % 512 AS p FROM bh, ser), "
+            "ph AS (SELECT c_custkey, c_name, "
+            "CAST(md5_number_lower(c_name) % 512 AS BIGINT) AS h1, "
+            "CAST(md5_number_upper(c_name) % 512 AS BIGINT) AS h2 FROM customer), "
+            "cp AS (SELECT c_custkey, (h1 + i * h2) % 512 AS p FROM ph, ser), "
+            "hits AS (SELECT c_custkey, count(*) AS c FROM cp "
+            "JOIN bits USING (p) GROUP BY c_custkey) "
+            "SELECT cu.c_custkey, cu.c_name, coalesce(h.c, 0) = 3 AS bloom_hit "
+            "FROM customer cu LEFT JOIN hits h ON h.c_custkey = cu.c_custkey "
+            "ORDER BY cu.c_custkey"
         ),
         "priority_sample": (
             # q = w / ((CAST(h AS DOUBLE)+1)/2^64): same association order

@@ -1,64 +1,266 @@
-"""Distributed sketch primitives: KMV distinct-count, Bloom membership,
-count-min point counts, and priority sampling.
+"""Distributed cardinality sketches (HyperLogLog, Flajolet et al. 2007 —
+public algorithm; bias constants per the original paper).
 
-At 100 TB the exact answers behind these (count DISTINCT, anti-join
-membership, full token counts, weighted reservoir) each cost an all-to-all
-shuffle of the raw key stream; the sketches below bound the shuffle to
-O(sketch size × blocks) partial rows while staying *deterministic*: every
-hash is the cross-engine ``md5_number_lower`` parity hash
-(:func:`infidex_ray.ops.dedup._md5_u64`) and every float rule is a single
-IEEE-exact multiply/divide, so a DuckDB oracle recomputes the sketch —
-including its approximation error — bit-for-bit. (The reference engine has
-no sketch layer; these are beyond-reference ops for the curation suite,
-same charter as ``ops/dedup.py``.)
+At 100 TB, ``count(DISTINCT x)`` per group is a full shuffle of every
+distinct value; an HLL register vector is a few KB, merges with an
+element-wise MAX, and answers within ~1.04/√m. The sketch here is fully
+deterministic — the hash is ``md5_number_lower`` (DuckDB parity, same as
+simhash/fingerprints), register index = low ``p`` bits, rank = leading-zero
+count of the top ``64−p`` bits — so the DuckDB oracle recomputes the EXACT
+same estimate, not just a close one: the estimator is a pure function of
+the data.
 
-Scale shapes:
+* :func:`approx_distinct` — global cardinality of one column: per-batch
+  register partials (≤ m rows per block) → ``groupby(register).max`` over a
+  fixed m-key space → driver estimate from m rows.
+* :func:`approx_distinct_by` — per-group cardinality (e.g. distinct users
+  per event type, distinct docs per domain): partials keyed by
+  ``(group, register)``, per-group estimate vectorized inside
+  ``map_groups``. The shuffle moves ≤ m rows per group per block instead of
+  every distinct value.
 
-- ``kmv_distinct``: per-block per-group bottom-k distinct hashes → one
-  group-slice shuffle of ≤ groups × k × blocks rows. Estimate
-  ``(k-1) * 2^64 / h_(k)`` (Bar-Yossef et al. 2002), exact below k.
-- ``bloom_against``: the filter side collapses to ≤ m distinct bit
-  positions per block; the probe side streams. The merged position set
-  (≤ m ints) is broadcast once via ``ray.put`` — shard the filter for
-  m beyond object-store comfort.
-- ``cm_counts``: Cormode-Muthukrishnan point queries; only the
-  depth × |keys| buckets of interest survive the partial stage, so the
-  shuffle is O(depth × keys × blocks), not O(vocab).
-- ``priority_sample``: Duffield-Lund-Thorup priority sampling. The
-  priority ``w / u`` uses one IEEE division over integer-derived doubles —
-  bit-identical in numpy and DuckDB — so the selected set is reproducible
-  across engines, reruns, and cluster sizes (same property the
-  deterministic_shuffle / sample_hash family relies on).
+Estimator: ``E = α_m · m² / Σ 2^−M[j]`` with the standard small-range
+linear-counting correction (``E ≤ 2.5·m`` and empty registers present →
+``m·ln(m/V)``); the 64-bit-hash variant needs no large-range correction.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .dedup import _default_num_slices, _md5_u64
+from .dedup import _md5_u64
+
+__all__ = [
+    "approx_distinct",
+    "approx_distinct_by",
+    "cms_counts",
+    "kmv_distinct",
+    "bloom_against",
+    "priority_sample",
+]
 
 _TWO64 = 18446744073709551616.0  # 2^64, exact in float64
 
 
-def _md5_arr(values, salt: str) -> np.ndarray:
-    """u64 parity hashes of ``f"{salt}:{v}"`` for a Python value list."""
-    return np.asarray(
-        [_md5_u64(f"{salt}:{v}") for v in values], dtype=np.uint64
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Vectorized ``int.bit_length`` over uint64 (exact — no float log2)."""
+    out = np.zeros(len(w), dtype=np.int64)
+    v = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(shift))
+        out[big] += shift
+        v[big] >>= np.uint64(shift)
+    out[w > 0] += 1
+    return out
+
+
+def _ranks(values: list, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per value: idx = low p hash bits, rank =
+    1 + leading zeros of the top 64−p bits (q+1 when they are all zero)."""
+    q = 64 - p
+    h = np.fromiter(
+        (_md5_u64("" if v is None else str(v)) for v in values),
+        dtype=np.uint64,
+        count=len(values),
+    )
+    idx = (h & np.uint64((1 << p) - 1)).astype(np.int64)
+    w = h >> np.uint64(p)
+    rank = q + 1 - _bit_length_u64(w)
+    return idx, rank
+
+
+def _estimate(regs: np.ndarray) -> float:
+    """HLL estimate from the full m-length register vector."""
+    m = len(regs)
+    ssum = float(np.power(2.0, -regs.astype(np.float64)).sum())
+    e = _alpha(m) * m * m / ssum
+    zeros = int((regs == 0).sum())
+    if e <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return e
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> pa.Table:
+    """Approximate ``count(DISTINCT col)`` via a 2^p-register HLL. Returns a
+    one-row table ``(approx_distinct,)`` — deterministically identical to
+    the oracle's SQL replay of the same registers."""
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        idx, rank = _ranks(batch[col].to_pylist(), p)
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, idx, rank)
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {
+                "register": pa.array(nz.astype(np.int64), pa.int64()),
+                "r": pa.array(regs[nz], pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("register")
+        .max("r")
+        .take_all()
+    )
+    regs = np.zeros(m, dtype=np.int64)
+    for row in rows:
+        regs[row["register"]] = row.get("max(r)", row.get("r"))
+    est = _estimate(regs)
+    return pa.table(
+        {"approx_distinct": pa.array([int(math.floor(est + 0.5))], pa.int64())}
     )
 
 
-# --- KMV distinct ------------------------------------------------------------
+def approx_distinct_by(
+    ds, key_col: str, col: str, p: int = 12
+):
+    """Per-group approximate distinct counts: one HLL per ``key_col`` value.
+    Returns a Dataset of ``(key_col, approx_distinct)``. Partials move
+    ≤ 2^p rows per (group, block) — never the distinct values themselves."""
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        idx, rank = _ranks(batch[col].to_pylist(), p)
+        # per-(key, register) max within the batch via lexsort + run ends
+        enc = keys.combine_chunks().dictionary_encode() if isinstance(
+            keys, pa.ChunkedArray
+        ) else keys.dictionary_encode()
+        kid = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        order = np.lexsort((rank, idx, kid))
+        k2, i2, r2 = kid[order], idx[order], rank[order]
+        last = np.ones(len(k2), dtype=bool)
+        last[:-1] = (k2[1:] != k2[:-1]) | (i2[1:] != i2[:-1])
+        sel = np.flatnonzero(last)
+        return pa.table(
+            {
+                key_col: enc.dictionary.take(pa.array(k2[sel], pa.int64())),
+                "register": pa.array(i2[sel], pa.int64()),
+                "r": pa.array(r2[sel], pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.select_columns([key_col, col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "register"])
+        .max("r")
+    )
+
+    def finish(group: pa.Table) -> pa.Table:
+        rcol = "max(r)" if "max(r)" in group.column_names else "r"
+        regs = np.zeros(m, dtype=np.int64)
+        regs[group["register"].to_numpy(zero_copy_only=False)] = group[
+            rcol
+        ].to_numpy(zero_copy_only=False)
+        est = _estimate(regs)
+        return pa.table(
+            {
+                key_col: group[key_col].slice(0, 1),
+                "approx_distinct": pa.array(
+                    [int(math.floor(est + 0.5))], pa.int64()
+                ),
+            }
+        )
+
+    return merged.groupby(key_col).map_groups(finish, batch_format="pyarrow")
+
+
+# --- count-min sketch ---------------------------------------------------------
+
+
+def cms_counts(
+    ds,
+    col: str,
+    keys: list,
+    width: int = 8192,
+    depth: int = 4,
+):
+    """Count-min sketch frequency estimates (Cormode & Muthukrishnan 2005 —
+    public algorithm) for a set of query keys: each of ``depth`` rows hashes
+    every value into ``width`` buckets (double hashing over the two md5
+    halves, same family as the Bloom filter); a key's estimate is the MIN of
+    its ``depth`` bucket counts — an upper bound on the true count that
+    tightens as width grows.
+
+    The sketch is ``depth × width`` int64 — per-batch dense bincount
+    partials into a fixed-key groupby, so the shuffle never moves values.
+    Deterministic (pure hash function), so the oracle replays the estimates
+    exactly, collisions included. Returns a one-block table
+    ``(key, est_count)`` in the order given."""
+    from .dedup import _md5_pair_mod
+
+    def positions(values: list) -> np.ndarray:
+        h1, h2 = _md5_pair_mod(values, width)
+        d = np.arange(depth, dtype=np.uint64)
+        return (
+            (h1[:, None] + d[None, :] * h2[:, None]) % np.uint64(width)
+        ).astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pos = positions(batch[col].to_pylist())  # (n, depth)
+        flat = pos + (np.arange(depth, dtype=np.int64) * width)[None, :]
+        c = np.bincount(flat.reshape(-1), minlength=depth * width)
+        nz = np.flatnonzero(c)
+        return pa.table(
+            {
+                "cell": pa.array(nz.astype(np.int64), pa.int64()),
+                "n": pa.array(c[nz], pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .sum("n")
+        .take_all()
+    )
+    sketch = np.zeros(depth * width, dtype=np.int64)
+    for r in rows:
+        sketch[r["cell"]] = r.get("sum(n)", r.get("n"))
+    qpos = positions(keys) + (np.arange(depth, dtype=np.int64) * width)[None, :]
+    est = sketch[qpos].min(axis=1)
+    return pa.table(
+        {
+            "key": pa.array([str(k) for k in keys], pa.string()),
+            "est_count": pa.array(est, pa.int64()),
+        }
+    )
+
+
+# --- K-minimum-values distinct ------------------------------------------------
 
 
 def kmv_distinct(ds, keys, col: str, k: int = 1024, salt: str = "kmv"):
-    """Per-group approximate count-distinct of ``col`` via the k-minimum-
-    values sketch. Output: (*keys, est_distinct DOUBLE rounded 4dp,
-    n_hashes BIGINT = min(k, true distinct)). Exact when a group has
-    fewer than k distinct values; otherwise ``(k-1) * 2^64 / h_(k)``.
+    """Per-group approximate count-distinct via the k-minimum-values sketch
+    (Bar-Yossef et al. 2002) — the order-statistics sibling of
+    :func:`approx_distinct_by`: a KMV sketch is larger per group (k hashes
+    vs 2^p 6-bit registers) but is EXACT below k distinct values and its
+    bottom-k hash sets support set-operation estimates (union/intersection
+    cardinality) that HLL registers cannot express. Output: (*keys,
+    est_distinct DOUBLE rounded 4dp, n_hashes BIGINT = min(k, distinct)).
+
+    Shuffle: per-block per-group bottom-k distinct hashes → one group-slice
+    groupby of ≤ groups × k × blocks partial rows (never the values).
+    Estimate ``(k-1) * 2^64 / h_(k)`` — one IEEE-exact multiply+divide over
+    the md5 parity hash, so the DuckDB oracle reproduces the approximation
+    error bit-for-bit.
     """
-    from .dedup import round_half_up4
+    from .dedup import _default_num_slices, round_half_up4
 
     keys = list(keys)
     num_slices = _default_num_slices()
@@ -75,7 +277,9 @@ def kmv_distinct(ds, keys, col: str, k: int = 1024, salt: str = "kmv"):
                 }
             )
         t = t.group_by(keys + [col]).aggregate([])
-        h = _md5_arr(t[col].to_pylist(), salt)
+        h = np.asarray(
+            [_md5_u64(f"{salt}:{v}") for v in t[col].to_pylist()], dtype=np.uint64
+        )
         # bottom-k per group: lexsort by (group code, hash), cut each run
         codes = _group_codes(t.select(keys))
         order = np.lexsort((h, codes))
@@ -144,7 +348,7 @@ def _group_codes(gt: pa.Table) -> np.ndarray:
     return codes.astype(np.int64)
 
 
-# --- Bloom membership --------------------------------------------------------
+# --- Bloom membership flags ---------------------------------------------------
 
 
 def bloom_against(
@@ -153,51 +357,49 @@ def bloom_against(
     col: str,
     m_bits: int = 4096,
     n_hashes: int = 3,
-    salt: str = "bloom",
     id_col: str | None = None,
 ):
-    """Probe every corpus row against a Bloom filter built from the bench
-    side's ``col`` values. Output: (id?, col, bloom_hit BOOL). Hits include
-    the filter's deterministic false positives — the point of the op is
-    that the oracle reproduces exactly those.
+    """Tag every corpus row with a Bloom membership verdict against the
+    bench side's ``col`` values — the flag-surface sibling of
+    :func:`infidex_ray.ops.dedup.dedup_against_bloom` (which DROPS probable
+    members of a text column); same engine: Kirsch-Mitzenmacher double
+    hashing over the two md5 halves (``ops.dedup._bloom_positions``), so
+    the deterministic false positives replay in SQL. Output: (id?, col,
+    bloom_hit BOOL; hit ⇔ all ``n_hashes`` positions set, null → False).
 
     Filter build: each block emits its distinct bit positions (≤ m_bits
-    rows), the union (≤ m_bits ints) is broadcast once via ``ray.put``;
-    the probe side streams. For m beyond object-store comfort, shard by
-    ``position // shard_bits`` and run one pass per shard.
+    rows), the union (≤ m_bits ints, sorted) is broadcast once via
+    ``ray.put``; the probe side streams through one vectorized
+    searchsorted. For m beyond object-store comfort, shard by position
+    range and run one pass per shard.
     """
     import ray
 
+    from .dedup import _bloom_positions
+
     def bench_positions(batch: pa.Table) -> pa.Table:
         vals = pc.drop_null(batch[col]).unique().to_pylist()
-        pos = set()
-        for v in vals:
-            for i in range(n_hashes):
-                pos.add(_md5_u64(f"{salt}:{i}:{v}") % m_bits)
-        return pa.table({"p": pa.array(sorted(pos), pa.int64())})
+        pos = _bloom_positions(vals, m_bits, n_hashes)
+        return pa.table(
+            {"p": pa.array(np.unique(pos.reshape(-1)), pa.int64())}
+        )
 
     parts = bench.map_batches(bench_positions, batch_format="pyarrow")
     positions = np.unique(
-        np.asarray(
-            [r["p"] for r in parts.take_all()],  # ≤ m_bits × blocks tiny rows
-            dtype=np.int64,
-        )
+        np.asarray([r["p"] for r in parts.take_all()], dtype=np.int64)
     )
-    bits = np.zeros(m_bits, dtype=bool)
-    if len(positions):
-        bits[positions] = True
-    bits_ref = ray.put(bits)
+    bits_ref = ray.put(positions)
 
     def probe(batch: pa.Table) -> pa.Table:
-        b = ray.get(bits_ref)
+        bits = ray.get(bits_ref)
         vals = batch[col].to_pylist()
+        valid = np.asarray([v is not None for v in vals], dtype=bool)
         hit = np.zeros(len(vals), dtype=bool)
-        for r, v in enumerate(vals):
-            if v is None:
-                continue
-            hit[r] = all(
-                b[_md5_u64(f"{salt}:{i}:{v}") % m_bits] for i in range(n_hashes)
-            )
+        if len(bits) and valid.any():
+            pos = _bloom_positions(vals, m_bits, n_hashes)
+            loc = np.searchsorted(bits, pos)
+            loc[loc >= len(bits)] = len(bits) - 1
+            hit = (bits[loc] == pos).all(axis=1) & valid
         out = {}
         if id_col is not None:
             out[id_col] = batch[id_col]
@@ -208,114 +410,7 @@ def bloom_against(
     return corpus.map_batches(probe, batch_format="pyarrow")
 
 
-# --- Count-min point counts --------------------------------------------------
-
-
-def cm_counts(
-    ds,
-    keys: list[str],
-    text_col: str = "text",
-    width: int = 64,
-    depth: int = 4,
-    salt: str = "cm",
-):
-    """Count-min estimates for the given tokens over the lowercased
-    RE2-``\\s``-split token stream. Output: (token, cm_count BIGINT),
-    cm_count = min over depth rows of the (token-colliding) bucket sums —
-    ≥ the exact count by construction, deterministic given (width, depth).
-
-    Only the depth × |keys| buckets of interest leave the partial stage:
-    each block contributes ≤ depth × width rows, summed under a coarse
-    bucket-slice groupby, and the final min-over-rows runs on the driver
-    over depth × |keys| scalars.
-    """
-    num_slices = _default_num_slices()
-    key_buckets = {
-        (d, _md5_u64(f"{salt}:{d}:{t}") % width) for d in range(depth) for t in keys
-    }
-
-    def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(pc.cast(batch[text_col], pa.string())), pattern=r"\s+"
-        )
-        flat = pc.list_flatten(toks)
-        flat = flat.filter(pc.not_equal(flat, ""))
-        vc = pc.value_counts(flat)
-        tokens = vc.field("values").to_pylist()
-        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
-        dd, bb, cc = [], [], []
-        for d in range(depth):
-            bk = np.asarray(
-                [_md5_u64(f"{salt}:{d}:{t}") % width for t in tokens],
-                dtype=np.int64,
-            )
-            # keep only buckets some queried key maps to
-            keep = np.asarray(
-                [(d, int(b)) in key_buckets for b in bk], dtype=bool
-            )
-            if not keep.any():
-                continue
-            bu, inv = np.unique(bk[keep], return_inverse=True)
-            cs = np.bincount(inv, weights=counts[keep]).astype(np.int64)
-            dd.append(np.full(len(bu), d, dtype=np.int64))
-            bb.append(bu)
-            cc.append(cs)
-        if not dd:
-            return pa.table(
-                {
-                    "d": pa.array([], pa.int64()),
-                    "b": pa.array([], pa.int64()),
-                    "c": pa.array([], pa.int64()),
-                    "slice": pa.array([], pa.int32()),
-                }
-            )
-        d_arr = np.concatenate(dd)
-        b_arr = np.concatenate(bb)
-        c_arr = np.concatenate(cc)
-        sl = ((d_arr * width + b_arr) % num_slices).astype(np.int32)
-        return pa.table(
-            {
-                "d": pa.array(d_arr),
-                "b": pa.array(b_arr),
-                "c": pa.array(c_arr),
-                "slice": pa.array(sl),
-            }
-        )
-
-    def slice_sum(group: pa.Table) -> pa.Table:
-        t = group.drop_columns(["slice"]).group_by(["d", "b"]).aggregate(
-            [("c", "sum")]
-        )
-        return t.rename_columns(
-            ["c" if c == "c_sum" else c for c in t.column_names]
-        )
-
-    sketch = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("slice")
-        .map_groups(slice_sum, batch_format="pyarrow")
-    )
-    # depth × |keys| scalars — driver-side min is the point-query step
-    rows = sketch.take_all()
-    table = {(r["d"], r["b"]): r["c"] for r in rows}
-    out_t, out_c = [], []
-    for t in keys:
-        est = min(
-            table.get((d, _md5_u64(f"{salt}:{d}:{t}") % width), 0)
-            for d in range(depth)
-        )
-        out_t.append(t)
-        out_c.append(est)
-    order = np.argsort(np.asarray(out_t, dtype=object).astype(str), kind="stable")
-    return pa.table(
-        {
-            "token": pa.array([out_t[i] for i in order], pa.string()),
-            "cm_count": pa.array([int(out_c[i]) for i in order], pa.int64()),
-        }
-    )
-
-
-# --- Priority sampling -------------------------------------------------------
+# --- Priority sampling --------------------------------------------------------
 
 
 def priority_sample(
@@ -324,10 +419,11 @@ def priority_sample(
     """Duffield-Lund-Thorup priority sample of k rows: priority
     ``q = w / u`` with ``u = (CAST(h AS DOUBLE) + 1) / 2^64`` from the md5
     parity hash of ``salt:key`` — one IEEE-exact divide, so DuckDB's
-    ``ORDER BY q DESC LIMIT k`` selects the identical set. Per-block
-    partial top-k, then a global sort over ≤ k × blocks rows. Output:
-    (key, weight, q) — order the caller's concern (the contract sorts by
-    key).
+    ``ORDER BY q DESC LIMIT k`` selects the identical set (reproducible
+    across engines, reruns, and cluster sizes, like the sample_hash /
+    deterministic_shuffle family). Per-block partial top-k, then a global
+    sort over ≤ k × blocks rows. Output: (key, weight, q) — final order is
+    the caller's concern (the contract sorts by key).
     """
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -337,7 +433,9 @@ def priority_sample(
             .to_numpy(zero_copy_only=False)
             .astype(np.float64)
         )
-        h = _md5_arr(keys, salt).astype(np.float64)
+        h = np.asarray(
+            [_md5_u64(f"{salt}:{v}") for v in keys], dtype=np.uint64
+        ).astype(np.float64)
         u = (h + 1.0) / _TWO64
         q = w / u
         top = np.argsort(-q, kind="stable")[:k]

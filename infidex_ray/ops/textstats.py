@@ -299,9 +299,7 @@ def remove_boilerplate_lines(
 # --- Heavy hitters -----------------------------------------------------------
 
 
-def heavy_hitters(
-    ds, k: int = 100, text_col: str = "text", pattern: str = "[ \t\n\r]+"
-):
+def heavy_hitters(ds, k: int = 100, text_col: str = "text"):
     """Top-k most frequent whitespace tokens across the corpus.
 
     The combiner pattern end-to-end: each batch collapses to its distinct
@@ -329,7 +327,7 @@ def heavy_hitters(
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(
-            pc.utf8_lower(batch[text_col]), pattern=pattern
+            pc.utf8_lower(batch[text_col]), pattern="[ \t\n\r]+"
         )
         flat = pc.list_flatten(toks)
         flat = flat.filter(pc.not_equal(flat, ""))

@@ -3212,11 +3212,10 @@ def test_sketches(ray_session):
     of the same deterministic md5-parity hash rules."""
     import ray
 
-    from infidex_ray.ops.dedup import _md5_u64, round_half_up4
+    from infidex_ray.ops.dedup import _bloom_positions, _md5_u64, round_half_up4
     from infidex_ray.ops.sketches import (
         _TWO64,
         bloom_against,
-        cm_counts,
         kmv_distinct,
         priority_sample,
     )
@@ -3241,33 +3240,15 @@ def test_sketches(ray_session):
     )
     res = bloom_against(corpus, bench, "w", m_bits=64, n_hashes=2, id_col="id")
     got = {r["id"]: r["bloom_hit"] for r in res.take_all()}
-    bits = set()
-    for i in range(0, 50, 5):
-        for j in range(2):
-            bits.add(_md5_u64(f"bloom:{j}:k{i}") % 64)
+    bits = set(
+        _bloom_positions([f"k{i}" for i in range(0, 50, 5)], 64, 2).reshape(-1)
+    )
     for i in range(50):
-        want_hit = all(_md5_u64(f"bloom:{j}:k{i}") % 64 in bits for j in range(2))
+        want_hit = all(p in bits for p in _bloom_positions([f"k{i}"], 64, 2)[0])
         assert got[i] == want_hit, i
     assert got[99] is False or got[99] == False  # noqa: E712
     assert all(got[i] for i in range(0, 50, 5))  # no false negatives, ever
     assert any(got[i] for i in range(50) if i % 5 != 0)  # m=64 → some FPs
-
-    # --- count-min: estimates ≥ exact, equal to the brute sketch
-    docs = ray.data.from_items(
-        [{"text": "red blue red green"}, {"text": "blue red\tred"}]
-    )
-    keys = ["red", "blue", "green", "absent"]
-    t = cm_counts(docs, keys, width=4, depth=2)
-    got = dict(zip(t["token"].to_pylist(), t["cm_count"].to_pylist()))
-    exact = {"red": 4, "blue": 2, "green": 1, "absent": 0}
-    sketch = {}
-    for tok, n in [("red", 4), ("blue", 2), ("green", 1)]:
-        for d in range(2):
-            b = _md5_u64(f"cm:{d}:{tok}") % 4
-            sketch[(d, b)] = sketch.get((d, b), 0) + n
-    for tok in keys:
-        want = min(sketch.get((d, _md5_u64(f"cm:{d}:{tok}") % 4), 0) for d in range(2))
-        assert got[tok] == want and got[tok] >= exact[tok], tok
 
     # --- priority sample: identical set to the brute top-k by q = w/u
     items = [{"key": i, "w": float(1 + (i * 7) % 13)} for i in range(100)]
