@@ -304,6 +304,11 @@ def kmv_distinct(ds, keys, col: str, k: int = 1024, salt: str = "kmv"):
         return pa.table(out)
 
     def finish(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:  # Ray 2.49 can emit schema-less empty groups
+            out = {kc: pa.array([], pa.string()) for kc in keys}
+            out["est_distinct"] = pa.array([], pa.float64())
+            out["n_hashes"] = pa.array([], pa.int64())
+            return pa.table(out)
         t = group.drop_columns(["slice"])
         t = t.group_by(keys + ["h"]).aggregate([])  # re-distinct across blocks
         h = t["h"].to_numpy(zero_copy_only=False).view(np.uint64)
