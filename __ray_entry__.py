@@ -1972,6 +1972,31 @@ def _q_bloom_membership(sf_dir: str):
     )
 
 
+def _q_contamination_report(sf_dir: str):
+    """Per-benchmark-item leak audit (inverse view of `decontaminate`, same
+    %97 split and word-3-gram convention): for each benchmark doc, distinct
+    contaminating corpus docs + distinct (doc, gram) hit pairs. Broadcast
+    CSR gram→owners index, streaming corpus, disjoint per-batch partials →
+    one code-slice groupby; benchmark-sized driver result."""
+    import pyarrow.compute as pc
+
+    from infidex_ray.ops.decontam import contamination_report
+
+    docs = _read(sf_dir, "documents")
+
+    def split(rem_eq):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = (ids % 97 == 0) if rem_eq else (ids % 97 != 0)
+            return b.filter(pa.array(keep)).select(["doc_id", "text"])
+
+        return fn
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    corpus = docs.map_batches(split(False), batch_format="pyarrow")
+    return contamination_report(corpus, bench, n=3)
+
+
 def _q_priority_sample(sf_dir: str):
     """Weighted-without-replacement priority sample (Duffield-Lund-Thorup):
     top-200 orders by q = w/u with u from the md5 parity hash — one
@@ -2228,6 +2253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct": _q_kmv_distinct,
         "bloom_membership": _q_bloom_membership,
         "priority_sample": _q_priority_sample,
+        "contamination_report": _q_contamination_report,
     }
 
 
@@ -3433,6 +3459,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT cu.c_custkey, cu.c_name, coalesce(h.c, 0) = 3 AS bloom_hit "
             "FROM customer cu LEFT JOIN hits h ON h.c_custkey = cu.c_custkey "
             "ORDER BY cu.c_custkey"
+        ),
+        "contamination_report": (
+            # same gram convention as `decontaminate` (space-joined token
+            # strings ≡ the uint64 polynomial hash modulo collisions), pivoted
+            # to the benchmark side: distinct docs / (doc, gram) pairs per item
+            "WITH ws AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w "
+            "FROM documents), "
+            "pos AS (SELECT doc_id, w, "
+            "unnest(generate_series(1, len(w) - 2)) AS i FROM ws), "
+            "grams AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g "
+            "FROM pos), "
+            "bg AS (SELECT DISTINCT doc_id AS bench_id, g FROM grams "
+            "WHERE doc_id % 97 = 0), "
+            "cg AS (SELECT DISTINCT doc_id, g FROM grams "
+            "WHERE doc_id % 97 <> 0), "
+            "j AS (SELECT bg.bench_id, cg.doc_id FROM bg JOIN cg USING (g)), "
+            "agg AS (SELECT bench_id, count(DISTINCT doc_id) AS n_docs, "
+            "count(*) AS n_gram_hits FROM j GROUP BY bench_id) "
+            "SELECT d.doc_id AS bench_id, "
+            "CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs, "
+            "CAST(coalesce(a.n_gram_hits, 0) AS BIGINT) AS n_gram_hits "
+            "FROM documents d LEFT JOIN agg a ON a.bench_id = d.doc_id "
+            "WHERE d.doc_id % 97 = 0 ORDER BY bench_id"
         ),
         "priority_sample": (
             # q = w / ((CAST(h AS DOUBLE)+1)/2^64): same association order

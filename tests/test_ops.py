@@ -3262,3 +3262,52 @@ def test_sketches(ray_session):
     want_keys = set(sorted(qs, key=lambda k2: -qs[k2])[:10])
     assert {r["key"] for r in sel} == want_keys
     assert all(abs(r["q"] - qs[r["key"]]) == 0.0 for r in sel)  # bit-exact
+
+
+def test_contamination_report(ray_session):
+    """Per-benchmark-item leak audit vs a brute-force recomputation: n_docs
+    = distinct corpus docs sharing >=1 word n-gram, n_gram_hits = distinct
+    (doc, gram) pairs; gram-less and unhit bench items appear with zeros."""
+    import ray
+
+    from infidex_ray.ops.decontam import contamination_report
+
+    bench_rows = [
+        {"doc_id": 1, "text": "alpha beta gamma delta"},
+        {"doc_id": 2, "text": "beta gamma delta epsilon"},
+        {"doc_id": 3, "text": "zeta eta theta"},
+        {"doc_id": 4, "text": "xx"},  # < n words -> no grams, zero row
+    ]
+    corpus_rows = [
+        {"doc_id": 10, "text": "x alpha beta gamma y"},        # hits 1
+        {"doc_id": 11, "text": "beta gamma delta z"},           # hits 1 and 2
+        {"doc_id": 12, "text": "nothing shared here at all"},
+        {"doc_id": 13, "text": "beta gamma delta epsilon tail"},  # hits 1+2
+    ]
+    t = contamination_report(
+        ray.data.from_items(corpus_rows),
+        ray.data.from_items(bench_rows),
+        n=3,
+    )
+    got = {
+        r["bench_id"]: (r["n_docs"], r["n_gram_hits"])
+        for r in t.to_pylist()
+    }
+
+    def grams(s, n=3):
+        w = s.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    want = {}
+    for b in bench_rows:
+        bg = grams(b["text"])
+        nd, nh = 0, 0
+        for c in corpus_rows:
+            inter = grams(c["text"]) & bg
+            if inter:
+                nd += 1
+                nh += len(inter)
+        want[b["doc_id"]] = (nd, nh)
+    assert got == want
+    assert got[3] == (0, 0) and got[4] == (0, 0)
+    assert got[1][0] >= 2  # sanity: the planted overlaps registered
