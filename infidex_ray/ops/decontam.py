@@ -278,7 +278,12 @@ def contamination_report(
     streams through an actor pool, and partials meet in one coarse
     code-slice groupby (vectorized in-slice bincount — never one Ray group
     per benchmark item). The result is benchmark-sized → returned as a
-    driver pa.Table sorted by bench id, zero rows included."""
+    driver pa.Table sorted by bench id, zero rows included.
+
+    Corpus rows are assumed to be distinct documents (the usual one-row-
+    per-doc corpus layout): counts are per ROW, so a corpus where the same
+    document id spans several rows overcounts — exact-dedup upstream first
+    if ids can repeat. ``id_col`` names the BENCHMARK id column."""
     import ray
 
     from .dedup import _default_num_slices

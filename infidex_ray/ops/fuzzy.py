@@ -31,7 +31,9 @@ At 100 TB the only shuffles are the two coarse slice groupbys; variant
 fan-out is O(total key bytes) rows for k=1. A stop-word-like key shared by
 everything is impossible (keys are distinct before blocking); the skew
 risk is a variant bucket shared by many keys (e.g. 1-char keys) — cap with
-``max_bucket_size`` (lossy, logged) if a real corpus needs it.
+``max_bucket_size`` (lossy: oversize runs are dropped silently, the same
+skew-guard contract as minhash LSH's ``max_bucket_size``) if a real corpus
+needs it.
 """
 
 from __future__ import annotations
@@ -41,10 +43,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from .dedup import _default_num_slices, _hash64, _md5_u64
-
-_PAIR_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
-_PAIR_MIX2 = np.uint64(0x94D049BB133111EB)
+from .dedup import _MIX1, _MIX2, _default_num_slices, _hash64, _md5_u64
 
 
 def _distinct_keys(ds, col: str):
@@ -65,6 +64,8 @@ def _distinct_keys(ds, col: str):
         return t.append_column("slice", pa.array(sl))
 
     def per_slice(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:  # Ray 2.49 can emit schema-less empty groups
+            return pa.table({"w": pa.array([], pa.string())})
         return group.drop_columns(["slice"]).group_by(["w"]).aggregate([])
 
     return (
@@ -91,10 +92,18 @@ def _hash64_bytes(b: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "little")
 
 
-def lev_bytes(a_words: list[str], b_words: list[str]) -> np.ndarray:
+def lev_bytes(
+    a_words: list[str], b_words: list[str], band: int | None = None
+) -> np.ndarray:
     """Vectorized byte-level Levenshtein over parallel word lists — one DP
     where the pair axis is a numpy vector (rows = pairs), matching DuckDB
-    ``levenshtein()`` byte semantics exactly."""
+    ``levenshtein()`` byte semantics exactly.
+
+    With ``band=k`` only cells with ``|i-j| <= k`` are computed (O(len·(2k+1))
+    instead of O(len²)): exact for every distance ≤ k, and any pair whose
+    true distance exceeds k reports a value > k (a distance cannot undercut
+    the |i-j| skew of the DP path it needs). The verify stage passes
+    ``band=max_dist``, so long keys cost linear, not quadratic, time."""
     n = len(a_words)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
@@ -107,22 +116,28 @@ def lev_bytes(a_words: list[str], b_words: list[str]) -> np.ndarray:
     A = A.reshape(n, ma) if ma else A.reshape(n, 0)
     B = np.frombuffer(b"".join(x.ljust(mb, b"\0") for x in bb), dtype=np.uint8)
     B = B.reshape(n, mb) if mb else B.reshape(n, 0)
+    BIG = np.int64(1 << 40)
     ans = np.empty(n, dtype=np.int64)
     sel0 = la == 0
     ans[sel0] = lb[sel0]
     prev = np.broadcast_to(np.arange(mb + 1, dtype=np.int64), (n, mb + 1)).copy()
+    if band is not None and mb > band:
+        prev[:, band + 1 :] = BIG
     for i in range(1, ma + 1):
-        cur = np.empty((n, mb + 1), dtype=np.int64)
-        cur[:, 0] = i
+        cur = np.full((n, mb + 1), BIG, dtype=np.int64)
+        lo = 1 if band is None else max(1, i - band)
+        hi = mb if band is None else min(mb, i + band)
+        if band is None or i <= band:
+            cur[:, 0] = i
         ai = A[:, i - 1]
-        for j in range(1, mb + 1):
+        for j in range(lo, hi + 1):
             cost = (ai != B[:, j - 1]).astype(np.int64)
             cur[:, j] = np.minimum(
                 np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1), prev[:, j - 1] + cost
             )
         sel = la == i
         if sel.any():
-            ans[sel] = cur[sel, lb[sel]]
+            ans[sel] = np.minimum(cur[sel, lb[sel]], BIG)
         prev = cur
     return ans
 
@@ -215,7 +230,7 @@ def fuzzy_pairs(
             [_hash64(w) for w in batch["word_b"].to_pylist()], dtype=np.uint64
         )
         with np.errstate(over="ignore"):
-            h = (a * _PAIR_MIX1) ^ (b * _PAIR_MIX2)
+            h = (a * _MIX1) ^ (b * _MIX2)
         return batch.append_column(
             "slice", pa.array((h % np.uint64(num_slices)).astype(np.int32))
         )
@@ -232,7 +247,7 @@ def fuzzy_pairs(
             return empty
         t = group.drop_columns(["slice"]).group_by(["word_a", "word_b"]).aggregate([])
         wa, wb = t["word_a"].to_pylist(), t["word_b"].to_pylist()
-        d = lev_bytes(wa, wb)
+        d = lev_bytes(wa, wb, band=max_dist)
         keep = np.flatnonzero((d >= 1) & (d <= max_dist))
         if len(keep) == 0:
             return empty

@@ -264,6 +264,14 @@ def kmv_distinct(ds, keys, col: str, k: int = 1024, salt: str = "kmv"):
 
     keys = list(keys)
     num_slices = _default_num_slices()
+    # key field types for the empty-group guard (Ray 2.49 emits schema-less
+    # empty groups; the guard must still type its columns like real groups)
+    try:
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", sch)
+        key_types = {kc: base.field(kc).type for kc in keys}
+    except Exception:
+        key_types = {kc: pa.string() for kc in keys}
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select(keys + [col])
@@ -305,7 +313,7 @@ def kmv_distinct(ds, keys, col: str, k: int = 1024, salt: str = "kmv"):
 
     def finish(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:  # Ray 2.49 can emit schema-less empty groups
-            out = {kc: pa.array([], pa.string()) for kc in keys}
+            out = {kc: pa.array([], key_types[kc]) for kc in keys}
             out["est_distinct"] = pa.array([], pa.float64())
             out["n_hashes"] = pa.array([], pa.int64())
             return pa.table(out)
@@ -338,19 +346,27 @@ def kmv_distinct(ds, keys, col: str, k: int = 1024, salt: str = "kmv"):
 
 
 def _group_codes(gt: pa.Table) -> np.ndarray:
-    """Dense int codes for the row tuples of a (small) key table."""
+    """Dense int codes for the row tuples of a (small) key table — exact:
+    per-column Arrow dictionary codes (null-aware, no string serialization
+    that could collide e.g. None with 'None') combined via a row-wise
+    np.unique."""
     n = gt.num_rows
-    if gt.num_columns == 0:
+    if gt.num_columns == 0 or n == 0:
         return np.zeros(n, dtype=np.int64)
-    combo = np.asarray(
-        [
-            "\x1f".join(map(str, row))
-            for row in zip(*(gt[c].to_pylist() for c in gt.column_names))
-        ],
-        dtype=object,
-    )
-    _, codes = np.unique(combo.astype(str), return_inverse=True)
-    return codes.astype(np.int64)
+    cols = []
+    for c in gt.column_names:
+        arr = gt[c]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+            if isinstance(arr, pa.ChunkedArray):  # older pyarrow: 1-chunk CA
+                arr = arr.chunk(0) if arr.num_chunks else pa.array([], arr.type)
+        enc = arr.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.where(np.isnan(idx), -1, idx).astype(np.int64)
+        cols.append(idx)
+    mat = np.stack(cols, axis=1)
+    _, codes = np.unique(mat, axis=0, return_inverse=True)
+    return codes.astype(np.int64).reshape(-1)
 
 
 # --- Bloom membership flags ---------------------------------------------------
@@ -443,13 +459,20 @@ def priority_sample(
         ).astype(np.float64)
         u = (h + 1.0) / _TWO64
         q = w / u
-        top = np.argsort(-q, kind="stable")[:k]
-        t = batch.take(pa.array(top, pa.int64()))
+        # tie-break on the key with its NATIVE ordering (ties reach the cut
+        # when many rows share a q, e.g. all-zero weights) — same rule as
+        # the global sort and the oracle's ORDER BY q DESC, key
+        scored = pa.table({key_col: batch[key_col], "q": pa.array(q)})
+        order = pc.sort_indices(
+            scored,
+            sort_keys=[("q", "descending"), (key_col, "ascending")],
+        )[:k]
+        t = batch.take(order)
         return pa.table(
             {
                 key_col: t[key_col],
                 weight_col: t[weight_col],
-                "q": pa.array(q[top]),
+                "q": pa.array(q[order.to_numpy(zero_copy_only=False)]),
             }
         )
 

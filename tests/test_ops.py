@@ -3311,3 +3311,64 @@ def test_contamination_report(ray_session):
     assert got == want
     assert got[3] == (0, 0) and got[4] == (0, 0)
     assert got[1][0] >= 2  # sanity: the planted overlaps registered
+
+
+def test_review_fixes_fifth_day(ray_session):
+    """Review-pass fixes: banded Levenshtein parity, priority-sample
+    native-type tie-break across the cut, kmv group codes on tricky keys."""
+    import random
+
+    import ray
+
+    from infidex_ray.ops.fuzzy import lev_bytes
+    from infidex_ray.ops.sketches import _group_codes, kmv_distinct, priority_sample
+
+    # banded DP: exact below band, >band reported as >band, vs the full DP
+    rng = random.Random(7)
+    alph = "abcx"
+    pairs = [
+        (
+            "".join(rng.choice(alph) for _ in range(rng.randint(0, 12))),
+            "".join(rng.choice(alph) for _ in range(rng.randint(0, 12))),
+        )
+        for _ in range(300)
+    ] + [("", "abc"), ("abc", ""), ("é", "e"), ("aaaa", "aaaa")]
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    full = lev_bytes(a, b)
+    for band in (1, 2):
+        banded = lev_bytes(a, b, band=band)
+        for f, bd in zip(full, banded):
+            if f <= band:
+                assert bd == f
+            else:
+                assert bd > band
+
+    # priority_sample: all-equal weights force q ties when hashes repeat —
+    # plant EXACT q duplicates via duplicate keys? keys must be unique, so
+    # instead force a near-degenerate case: weight 0 rows all have q = 0.
+    items = [{"key": i, "w": 0.0} for i in range(40)] + [
+        {"key": 100 + i, "w": 1.0} for i in range(3)
+    ]
+    sel = priority_sample(ray.data.from_items(items), 10, "w", "key").take_all()
+    got_keys = sorted(r["key"] for r in sel)
+    # the 3 positive-q rows plus the 7 SMALLEST zero-q keys (ORDER BY q
+    # DESC, key) — numeric key order, not string order
+    assert got_keys == [0, 1, 2, 3, 4, 5, 6, 100, 101, 102]
+
+    # kmv over integer group keys (the empty-guard typing + exact codes)
+    rows = [{"g": 1, "v": i} for i in range(30)] + [
+        {"g": 2, "v": i} for i in range(7)
+    ]
+    out = {
+        r["g"]: r["n_hashes"]
+        for r in kmv_distinct(ray.data.from_items(rows), ["g"], "v", k=64).take_all()
+    }
+    assert out == {1: 30, 2: 7}
+
+    # _group_codes: None key vs the string 'None' must be distinct tuples
+    import pyarrow as pa
+
+    t = pa.table({"k": pa.array([None, "None", None, "x"], pa.string())})
+    codes = _group_codes(t)
+    assert codes[0] == codes[2] and codes[0] != codes[1] != codes[3]
