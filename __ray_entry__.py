@@ -1925,6 +1925,31 @@ def _q_fuzzy_pairs(sf_dir: str):
     return _by(fuzzy_pairs(ds, "w", max_dist=1), "word_a", "word_b")
 
 
+def _q_fuzzy_key_clusters(sf_dir: str):
+    """Record linkage: transitive fuzzy components over the md5%16 customer
+    name subset (sparse enough for varied components: 22 canonicals at
+    sf0.01, 153 at sf0.1), canonical = binary-min reachable key. Engine =
+    deletion-blocked pairs → distributed min-label propagation → per-label
+    min-word slice groupby; oracle = recursive-CTE transitive closure."""
+    from infidex_ray.ops.dedup import _md5_u64
+    from infidex_ray.ops.fuzzy import fuzzy_key_clusters
+
+    def subset(b: pa.Table) -> pa.Table:
+        names = b["c_name"].to_pylist()
+        keep = pa.array(
+            [
+                i
+                for i, w in enumerate(names)
+                if w is not None and _md5_u64(w) % 16 == 0
+            ],
+            pa.int64(),
+        )
+        return pa.table({"w": b["c_name"].take(keep)})
+
+    ds = _read(sf_dir, "customer").map_batches(subset, batch_format="pyarrow")
+    return _by(fuzzy_key_clusters(ds, "w", max_dist=1), "word")
+
+
 def _q_kmv_distinct(sf_dir: str):
     """Per-group approximate count-distinct (K-minimum-values, k=256) of
     parts per return flag — the bounded-shuffle stand-in for
@@ -2254,6 +2279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_membership": _q_bloom_membership,
         "priority_sample": _q_priority_sample,
         "contamination_report": _q_contamination_report,
+        "fuzzy_key_clusters": _q_fuzzy_key_clusters,
     }
 
 
@@ -3422,6 +3448,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM keys a JOIN keys b ON a.w < b.w "
             "AND abs(strlen(a.w) - strlen(b.w)) <= 1) "
             "WHERE dist <= 1 ORDER BY word_a, word_b"
+        ),
+        "fuzzy_key_clusters": (
+            # recursive transitive closure over the same banded levenshtein
+            # pair set; canonical = LEAST(self, min reachable)
+            "WITH RECURSIVE keys AS (SELECT DISTINCT c_name AS w FROM customer "
+            "WHERE c_name IS NOT NULL AND c_name <> '' "
+            "AND md5_number_lower(c_name) % 16 = 0), "
+            "p AS (SELECT a.w AS wa, b.w AS wb FROM keys a JOIN keys b "
+            "ON a.w < b.w AND abs(strlen(a.w) - strlen(b.w)) <= 1 "
+            "AND levenshtein(a.w, b.w) <= 1), "
+            "edges AS (SELECT wa AS src, wb AS dst FROM p "
+            "UNION SELECT wb, wa FROM p), "
+            "reach(src, dst) AS (SELECT src, dst FROM edges UNION "
+            "SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), "
+            "rep AS (SELECT src AS word, min(dst) AS mn FROM reach "
+            "GROUP BY src) "
+            "SELECT k.w AS word, LEAST(k.w, coalesce(rep.mn, k.w)) AS canonical "
+            "FROM keys k LEFT JOIN rep ON rep.word = k.w ORDER BY word"
         ),
         "kmv_distinct": (
             # same KMV rule: distinct md5 hashes per group, kth-smallest →

@@ -265,3 +265,132 @@ def fuzzy_pairs(
         .groupby("slice")
         .map_groups(verify_slice, batch_format="pyarrow")
     )
+
+
+def fuzzy_key_clusters(
+    ds,
+    col: str = "w",
+    max_dist: int = 1,
+    max_bucket_size: int | None = None,
+    num_partitions: int | None = None,
+):
+    """Record-linkage composition over :func:`fuzzy_pairs`: every distinct
+    key labeled with the canonical spelling of its fuzzy component —
+    ``canonical`` = the binary-min key reachable through pairs within
+    ``max_dist`` (transitive closure, so 'hash'~'hashs'~'hash5s' cluster
+    even when the endpoints are 2 apart at max_dist=1). Output:
+    (word, canonical), one row per distinct key; singletons map to
+    themselves.
+
+    Scale shape: pairs from the deletion-blocked miner; components via the
+    distributed min-label propagation of
+    :func:`infidex_ray.ops.dedup.dedup_clusters_ds` over md5 node ids
+    (internal only — canonical selection never depends on hash order);
+    canonical = per-label min word via one label-slice groupby; two
+    key-scale hash joins map words → labels → canonicals.
+    """
+    import ray
+
+    from .dedup import dedup_clusters_ds
+
+    keys = _distinct_keys(ds, col)
+
+    def add_node(batch: pa.Table) -> pa.Table:
+        h = np.asarray(
+            [_hash64(w) for w in batch["w"].to_pylist()], dtype=np.uint64
+        )
+        return pa.table(
+            {"w": batch["w"], "node": pa.array(h.view(np.int64))}
+        )
+
+    words = keys.map_batches(add_node, batch_format="pyarrow")
+
+    pairs = fuzzy_pairs(ds, col, max_dist=max_dist, max_bucket_size=max_bucket_size)
+
+    def pair_ids(batch: pa.Table) -> pa.Table:
+        a = np.asarray(
+            [_hash64(w) for w in batch["word_a"].to_pylist()], dtype=np.uint64
+        )
+        b = np.asarray(
+            [_hash64(w) for w in batch["word_b"].to_pylist()], dtype=np.uint64
+        )
+        return pa.table(
+            {
+                "id_a": pa.array(a.view(np.int64)),
+                "id_b": pa.array(b.view(np.int64)),
+            }
+        )
+
+    id_pairs = pairs.map_batches(pair_ids, batch_format="pyarrow")
+    id_pairs = id_pairs.repartition(4).materialize()  # normalize empty blocks
+    words = words.repartition(4).materialize()
+    if id_pairs.count() == 0:
+        # no fuzzy neighbors anywhere: every key is its own canonical
+        def identity(batch: pa.Table) -> pa.Table:
+            return pa.table({"word": batch["w"], "canonical": batch["w"]})
+
+        return words.map_batches(identity, batch_format="pyarrow")
+
+    labels = dedup_clusters_ds(id_pairs, num_partitions=num_partitions)
+    labels = labels.repartition(4).materialize()
+
+    # words ⟕ labels: keys absent from every pair keep their own node label
+    joined = words.join(
+        labels, "left_outer", _num_join_partitions(num_partitions), on=("node",)
+    )
+
+    def fill_label(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        lab = np.asarray(
+            [n if v is None else v for v, n in zip(batch["label"].to_pylist(), node)],
+            dtype=np.int64,
+        )
+        num_slices = _default_num_slices()
+        return pa.table(
+            {
+                "word": batch["w"],
+                "label": pa.array(lab.astype(np.int64)),
+                "slice": pa.array(
+                    (lab.view(np.uint64) % np.uint64(num_slices)).astype(np.int32)
+                ),
+            }
+        )
+
+    wl = joined.map_batches(fill_label, batch_format="pyarrow")
+
+    def canon_in_slice(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {"label": pa.array([], pa.int64()), "canonical": pa.array([], pa.string())}
+            )
+        lab = group["label"].to_numpy(zero_copy_only=False)
+        ws = np.asarray(group["word"].to_pylist(), dtype=object)
+        order = np.lexsort((ws.astype(str), lab))
+        lab_s, ws_s = lab[order], ws[order]
+        firsts = np.flatnonzero(np.r_[True, lab_s[1:] != lab_s[:-1]])
+        return pa.table(
+            {
+                "label": pa.array(lab_s[firsts].astype(np.int64)),
+                "canonical": pa.array(list(ws_s[firsts]), pa.string()),
+            }
+        )
+
+    canon = (
+        wl.groupby("slice")
+        .map_groups(canon_in_slice, batch_format="pyarrow")
+        .repartition(4)
+        .materialize()
+    )
+    wl2 = wl.drop_columns(["slice"]).repartition(4).materialize()
+    out = wl2.join(canon, "inner", _num_join_partitions(num_partitions), on=("label",))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"word": batch["word"], "canonical": batch["canonical"]})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def _num_join_partitions(requested: int | None) -> int:
+    from .dedup import _join_partitions
+
+    return _join_partitions(requested)

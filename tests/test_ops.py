@@ -3372,3 +3372,51 @@ def test_review_fixes_fifth_day(ray_session):
     t = pa.table({"k": pa.array([None, "None", None, "x"], pa.string())})
     codes = _group_codes(t)
     assert codes[0] == codes[2] and codes[0] != codes[1] != codes[3]
+
+
+def test_fuzzy_key_clusters(ray_session):
+    """Transitive fuzzy components vs a brute-force union-find over the
+    exact pair set: canonical = binary-min key per component, singletons
+    map to themselves, chains link endpoints farther apart than max_dist."""
+    import itertools
+
+    import ray
+
+    from infidex_ray.ops.fuzzy import fuzzy_key_clusters, lev_bytes
+
+    words = [
+        "hash", "hashs", "hashss",  # chain: endpoints at distance 2
+        "cash", "dash",             # both neighbors of hash
+        "merge", "merg",
+        "stream",                    # singleton
+        "a", "b", "ab",
+    ]
+    ds = ray.data.from_items([{"w": w} for w in words])
+    out = {r["word"]: r["canonical"] for r in
+           fuzzy_key_clusters(ds, "w", max_dist=1).take_all()}
+
+    # brute force: union-find over exact distance-1 pairs
+    parent = {w: w for w in words}
+
+    def find(w):
+        while parent[w] != w:
+            parent[w] = parent[parent[w]]
+            w = parent[w]
+        return w
+
+    for x, y in itertools.combinations(sorted(set(words)), 2):
+        if int(lev_bytes([x], [y])[0]) == 1:
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+    want = {}
+    comps = {}
+    for w in set(words):
+        comps.setdefault(find(w), []).append(w)
+    for members in comps.values():
+        c = min(members)
+        for w in members:
+            want[w] = c
+    assert out == want
+    assert out["stream"] == "stream"          # singleton
+    assert out["hashss"] == out["hash"]       # chained past max_dist
