@@ -2113,6 +2113,80 @@ def _q_percentile_rank(sf_dir: str):
     )
 
 
+def _q_ntile_bucket(sf_dir: str):
+    """Equal-frequency bucketing (perplexity/quality bands): ONE global
+    sort on a unique (value, id) key, then each block buckets itself from
+    block-offset scalars with the exact integer NTILE formula — bitwise
+    identical to the SQL window."""
+    from infidex_ray.ops.normalize import ntile_bucket
+
+    ds = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_totalprice"])
+    return _by(
+        ntile_bucket(ds, "o_totalprice", id_col="o_orderkey", n=7),
+        "o_totalprice",
+        "o_orderkey",
+    )
+
+
+def _q_winsorize(sf_dir: str):
+    """Outlier clamping at exact global [5%, 95%] quantiles: one sort
+    computes both thresholds via two single-row fetches (numpy 'linear'
+    interpolation == quantile_cont), then the original stream clamps
+    statelessly — least(greatest(v, lo), hi) on identical float64
+    thresholds."""
+    from infidex_ray.ops.normalize import winsorize
+
+    ds = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_totalprice"])
+    return _by(
+        winsorize(ds, "o_totalprice", id_col="o_orderkey", lo=0.05, hi=0.95),
+        "o_orderkey",
+    )
+
+
+def _q_zscore_features(sf_dir: str):
+    """Per-column population z-scores from sufficient-statistic partials
+    (n, Σx, Σx²) — O(blocks × cols) driver scalars, no shuffle; the fixed
+    (x − sx/n)/sqrt(sxx/n − (sx/n)²) expression is spelled identically in
+    the oracle, exact on the integer-valued inputs; round4 both engines."""
+    import pyarrow as _pa
+
+    from infidex_ray.ops.normalize import zscore_cols
+
+    def derive(b: _pa.Table) -> _pa.Table:
+        import numpy as _np
+
+        n = b["n_chars"].to_numpy(zero_copy_only=False)
+        return _pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars": b["n_chars"],
+                "chm": _pa.array((n % 97).astype(_np.int64)),
+            }
+        )
+
+    ds = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "n_chars"])
+        .map_batches(derive, batch_format="pyarrow")
+    )
+    return _by(zscore_cols(ds, ["n_chars", "chm"], id_col="doc_id"), "doc_id")
+
+
+def _q_vocab_coverage(sf_dir: str):
+    """Per-doc OOV rate vs a min_count-pruned reference vocabulary (built
+    from the English subset with the heavy-hitters combiner, broadcast once
+    via ray.put, probed with vectorized searchsorted). oov_rate is an exact
+    integer ratio — bitwise identical to the SQL."""
+    from infidex_ray.ops.lm import vocab_coverage
+
+    docs = _read(sf_dir, "documents")
+    ref = docs.filter(lambda row: row["lang"] == "en")
+    return _by(
+        vocab_coverage(docs, ref_ds=ref, min_count=2, vocab_size=1_000_000),
+        "doc_id",
+    )
+
+
 def _q_embedding_covariance(sf_dir: str):
     """Embedding second-moment hygiene (whitening/OPQ/PCA input): per-block
     XᵀX/Σx/n partials shuffled long-form (d²+d+1 rows per block), final
@@ -2269,6 +2343,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_shuffle": _q_deterministic_shuffle,
         "embedding_covariance": _q_embedding_covariance,
         "percentile_rank": _q_percentile_rank,
+        "ntile_bucket": _q_ntile_bucket,
+        "winsorize": _q_winsorize,
+        "zscore_features": _q_zscore_features,
+        "vocab_coverage": _q_vocab_coverage,
         "corpus_drift": _q_corpus_drift,
         "grouped_distinct": _q_grouped_distinct,
         "grouped_rollup": _q_grouped_rollup,
@@ -3592,6 +3670,52 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_totalprice, "
             "cume_dist() OVER (ORDER BY o_totalprice) AS cume_dist "
             "FROM orders ORDER BY o_totalprice, o_orderkey"
+        ),
+        "ntile_bucket": (
+            # unique (value, id) order key ⇒ exact integer buckets
+            "SELECT o_orderkey, o_totalprice, "
+            "ntile(7) OVER (ORDER BY o_totalprice, o_orderkey)::BIGINT AS bucket "
+            "FROM orders ORDER BY o_totalprice, o_orderkey"
+        ),
+        "winsorize": (
+            # quantile_cont == numpy 'linear' interpolation on the same
+            # sorted float64 values ⇒ identical thresholds; clamp is exact
+            "WITH q AS (SELECT quantile_cont(o_totalprice, 0.05) AS lo, "
+            "quantile_cont(o_totalprice, 0.95) AS hi FROM orders) "
+            "SELECT o_orderkey, o_totalprice, "
+            "round(least(greatest(o_totalprice, q.lo), q.hi), 4) AS winsorized "
+            "FROM orders, q ORDER BY o_orderkey"
+        ),
+        "zscore_features": (
+            # SAME fixed expression as the op: (x − sx/n)/sqrt(sxx/n −
+            # (sx/n)²); sums exact on integer-valued cols; round4 both sides
+            "WITH s AS (SELECT doc_id, n_chars::DOUBLE AS x, "
+            "(n_chars % 97)::DOUBLE AS y FROM documents), "
+            "st AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, "
+            "sum(x*x) AS sxx, sum(y) AS sy, sum(y*y) AS syy FROM s) "
+            "SELECT doc_id, "
+            "round((x - sx/n) / sqrt(sxx/n - (sx/n)*(sx/n)), 4) AS n_chars_z, "
+            "round((y - sy/n) / sqrt(syy/n - (sy/n)*(sy/n)), 4) AS chm_z "
+            "FROM s, st ORDER BY doc_id"
+        ),
+        "vocab_coverage": (
+            # vocab = tokens with count ≥ 2 in the English subset;
+            # oov_rate = exact integer ratio ⇒ bitwise identical
+            "WITH toks AS (SELECT doc_id, lang, unnest(regexp_split_to_array("
+            "lower(text), '[ \\t\\n\\r]+')) AS tok FROM documents), "
+            "toks2 AS (SELECT doc_id, lang, tok FROM toks WHERE tok <> ''), "
+            "vocab AS (SELECT tok FROM toks2 WHERE lang = 'en' "
+            "GROUP BY tok HAVING count(*) >= 2), "
+            "scored AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens, "
+            "count(*) FILTER (v.tok IS NULL)::BIGINT AS n_oov "
+            "FROM toks2 t LEFT JOIN vocab v ON t.tok = v.tok "
+            "GROUP BY t.doc_id) "
+            "SELECT d.doc_id, coalesce(s.n_tokens, 0)::BIGINT AS n_tokens, "
+            "coalesce(s.n_oov, 0)::BIGINT AS n_oov, "
+            "CASE WHEN coalesce(s.n_tokens, 0) > 0 THEN "
+            "s.n_oov::DOUBLE / s.n_tokens::DOUBLE ELSE 0.0 END AS oov_rate "
+            "FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id "
+            "ORDER BY d.doc_id"
         ),
         "embedding_covariance": (
             # population covariance, SAME fixed expression as the op:

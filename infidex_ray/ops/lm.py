@@ -32,7 +32,7 @@ import pyarrow as pa
 
 from .dedup import round_half_up4_arr
 
-__all__ = ["unigram_model", "unigram_logprob", "bigram_logprob"]
+__all__ = ["unigram_model", "unigram_logprob", "bigram_logprob", "vocab_coverage"]
 
 _SPLIT = "[ \t\n\r]+"
 
@@ -325,6 +325,94 @@ def bigram_logprob(
                 id_col: batch[id_col],
                 "n_tokens": pa.array(n_tokens),
                 "nll": pa.array(round_half_up4_arr(nll), pa.float64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def vocab_coverage(
+    ds,
+    ref_ds=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    vocab_size: int | None = 1_000_000,
+):
+    """Per-document out-of-vocabulary rate against a reference vocabulary —
+    the tokenizer-fit / language-match signal ("what fraction of this doc's
+    tokens does my vocab cover?") used to gate crawl shards before training.
+
+    Vocabulary = tokens appearing ≥ ``min_count`` times in ``ref_ds``
+    (default: the corpus itself), pruned to the top ``vocab_size`` by
+    (count DESC, token ASC) like :func:`unigram_model`; built with the
+    heavy-hitters combiner (per-batch ``value_counts`` partials → one
+    vocabulary-sized groupby), broadcast ONCE via ``ray.put``, probed per
+    batch with a vectorized ``searchsorted`` — no shuffle of the big side.
+
+    Returns ``(id_col, n_tokens, n_oov, oov_rate)`` with ``oov_rate`` the
+    exact integer ratio n_oov/n_tokens (0.0 for token-less docs) — bitwise
+    identical to the SQL oracle. Tokenization: lowercase + ASCII-whitespace
+    split, bijective with ``regexp_split_to_array(lower(text),
+    '[ \\t\\n\\r]+')``.
+    """
+    import ray
+
+    agg = _token_count_partials(ref_ds if ref_ds is not None else ds, text_col)
+
+    def kept_tokens(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = "sum(n)" if "sum(n)" in t.column_names else "n"
+        n = t[c].cast(pa.int64())
+        keep = pc.greater_equal(n, min_count)
+        return pa.table({"token": t["token"].filter(keep), "n": n.filter(keep)})
+
+    counts = agg.map_batches(kept_tokens, batch_format="pyarrow")
+    if vocab_size is not None:
+        counts = counts.sort(["n", "token"], descending=[True, False]).limit(
+            vocab_size
+        )
+    kept = counts.to_pandas()
+    vocab = (
+        np.sort(kept["token"].to_numpy())
+        if "token" in kept.columns and len(kept)
+        else np.empty(0, dtype=object)
+    )
+    vocab_ref = ray.put(vocab)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        voc = ray.get(vocab_ref)
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), pattern=_SPLIT)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(batch)), lens)
+        keep = flat != ""
+        flat, doc_of = flat[keep], doc_of[keep]
+        if len(flat) and len(voc):
+            idx = np.searchsorted(voc, flat)
+            idx[idx == len(voc)] = 0
+            oov = voc[idx] != flat
+        else:
+            oov = np.ones(len(flat), dtype=bool)
+        n_tokens = np.bincount(doc_of, minlength=len(batch)).astype(np.int64)
+        n_oov = np.bincount(
+            doc_of[oov], minlength=len(batch)
+        ).astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rate = np.where(
+                n_tokens > 0, n_oov / np.maximum(n_tokens, 1), 0.0
+            )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n_tokens),
+                "n_oov": pa.array(n_oov),
+                "oov_rate": pa.array(rate, pa.float64()),
             }
         )
 
