@@ -2226,6 +2226,104 @@ def _q_grouped_corr(sf_dir: str):
     )
 
 
+def _q_hash_join_full(sf_dir: str):
+    """Big-big FULL OUTER shuffle join (orders ⟗ customer on custkey, both
+    sides filtered so unmatched rows exist on BOTH sides): schema-aligned
+    union → ONE md5-slice shuffle of the key → per-slice Arrow full-outer
+    hash join. The result is collected to one Arrow table for ordering
+    because Ray 2.49's distributed sort crashes on the NULL sort keys an
+    outer join produces (numpy searchsorted vs None) — Arrow sort_by
+    orders nulls at_end, matching DuckDB's ASC NULLS LAST."""
+    import ray
+
+    from infidex_ray.ops.joins import hash_join
+
+    def fl(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False) % 3 == 0
+        return b.filter(pa.array(ok))
+
+    def fr(b: pa.Table) -> pa.Table:
+        ok = b["c_custkey"].to_numpy(zero_copy_only=False) % 4 != 0
+        return b.filter(pa.array(ok))
+
+    left = (
+        _read(sf_dir, "orders")
+        .select_columns(["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(fl, batch_format="pyarrow")
+    )
+    right = (
+        _read(sf_dir, "customer")
+        .select_columns(["c_custkey", "c_name"])
+        .map_batches(fr, batch_format="pyarrow")
+    )
+    out = hash_join(
+        left,
+        right,
+        on="o_custkey",
+        right_on="c_custkey",
+        left_cols=["o_orderkey", "o_totalprice"],
+        right_cols=["c_name"],
+        how="full",
+    )
+    cols = ["o_custkey", "o_orderkey", "o_totalprice", "c_name"]
+    parts = [
+        t
+        for t in (ray.get(r) for r in out.materialize().to_arrow_refs())
+        if t is not None and t.num_rows > 0
+    ]
+    if not parts:
+        return pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("o_orderkey", pa.int64()),
+                ("o_totalprice", pa.float64()),
+                ("c_name", pa.string()),
+            ]
+        ).empty_table()
+    tbl = pa.concat_tables([t.select(cols) for t in parts])
+    return tbl.sort_by(
+        [("o_custkey", "ascending"), ("o_orderkey", "ascending")]
+    )
+
+
+def _q_pivot(sf_dir: str):
+    """Long→wide pivot of lineitem: per-supplier quantity by return flag,
+    SUM(CASE WHEN ...) semantics incl. NULL cells. Integral-valued
+    l_quantity ⇒ float64 partial sums are order-free exact."""
+    from infidex_ray.ops.agg import pivot
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_suppkey", "l_returnflag", "l_quantity"]
+    )
+    return _by(
+        pivot(li, "l_suppkey", "l_returnflag", "l_quantity", ["A", "N", "R"]),
+        "l_suppkey",
+    )
+
+
+def _q_unpivot(sf_dir: str):
+    """Wide→long melt of three lineitem measures (UNION ALL semantics,
+    float64 common type). Stateless map_batches — no shuffle."""
+    from infidex_ray.ops.agg import unpivot
+
+    up = unpivot(
+        _read(sf_dir, "lineitem"),
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return _by(up, "l_orderkey", "l_linenumber", "name")
+
+
+def _q_quota_sample(sf_dir: str):
+    """Per-group quota cap (≤3 events per user) by deterministic md5
+    priority — reproducible crawl-style per-domain capping on the events
+    table. Reuses top_k_per_group's partial/slice machinery."""
+    from infidex_ray.ops.sampling import quota_sample
+
+    ev = _read(sf_dir, "events").select_columns(["user_id", "event_id"])
+    return _by(quota_sample(ev, "user_id", "event_id", n=3, seed=11), "user_id", "rank")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -2358,6 +2456,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_sample": _q_priority_sample,
         "contamination_report": _q_contamination_report,
         "fuzzy_key_clusters": _q_fuzzy_key_clusters,
+        "hash_join_full": _q_hash_join_full,
+        "pivot_table": _q_pivot,
+        "unpivot_long": _q_unpivot,
+        "quota_sample": _q_quota_sample,
     }
 
 
@@ -3544,6 +3646,51 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY src) "
             "SELECT k.w AS word, LEAST(k.w, coalesce(rep.mn, k.w)) AS canonical "
             "FROM keys k LEFT JOIN rep ON rep.word = k.w ORDER BY word"
+        ),
+        "hash_join_full": (
+            # both sides filtered so unmatched rows exist on BOTH sides;
+            # engine returns the coalesced key and sorts NULLS LAST (Arrow
+            # sort_by at_end == DuckDB ASC default)
+            "SELECT COALESCE(o.o_custkey, c.c_custkey) AS o_custkey, "
+            "o.o_orderkey, o.o_totalprice, c.c_name "
+            "FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_orderkey % 3 = 0) o "
+            "FULL OUTER JOIN (SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey % 4 <> 0) c ON o.o_custkey = c.c_custkey "
+            "ORDER BY o_custkey, o_orderkey"
+        ),
+        "pivot_table": (
+            # SUM(CASE WHEN) null semantics: empty (key, cat) cells are
+            # NULL; integral l_quantity ⇒ order-free exact float sums
+            "SELECT l_suppkey, "
+            "SUM(CASE WHEN l_returnflag='A' THEN l_quantity END) "
+            'AS "l_quantity_A", '
+            "SUM(CASE WHEN l_returnflag='N' THEN l_quantity END) "
+            'AS "l_quantity_N", '
+            "SUM(CASE WHEN l_returnflag='R' THEN l_quantity END) "
+            'AS "l_quantity_R" '
+            "FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"
+        ),
+        "unpivot_long": (
+            "SELECT * FROM ("
+            "SELECT l_orderkey, l_linenumber, 'l_quantity' AS name, "
+            "CAST(l_quantity AS DOUBLE) AS value FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', "
+            "l_extendedprice FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', "
+            "l_discount FROM lineitem) "
+            "ORDER BY l_orderkey, l_linenumber, name"
+        ),
+        "quota_sample": (
+            # qkey = md5_number_lower('seed:id') % 2^62 == ops.dedup._md5_u64
+            # convention; top-3 per user by qkey DESC, event_id tiebreak
+            "SELECT user_id, qkey, event_id, rank FROM ("
+            "SELECT user_id, event_id, "
+            "CAST(md5_number_lower('11:' || CAST(event_id AS VARCHAR)) "
+            "% 4611686018427387904 AS BIGINT) AS qkey, "
+            "CAST(row_number() OVER (PARTITION BY user_id "
+            "ORDER BY qkey DESC, event_id) AS BIGINT) AS rank FROM events"
+            ") WHERE rank <= 3 ORDER BY user_id, rank"
         ),
         "kmv_distinct": (
             # same KMV rule: distinct md5 hashes per group, kth-smallest →

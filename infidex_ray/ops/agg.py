@@ -398,3 +398,72 @@ def grouped_rollup(ds, keys, aggs: dict, num_slices: int | None = None):
     for more in levels[1:]:
         out = out.union(more)
     return out
+
+
+def pivot(ds, key_col: str, cat_col: str, val_col: str, categories, agg: str = "sum"):
+    """Long → wide reshape with aggregation: one row per ``key_col``, one
+    column ``{val_col}_{cat}`` per entry of ``categories`` holding
+    ``agg(val_col)`` over that key's rows with ``cat_col == cat`` — exactly
+    SQL ``agg(CASE WHEN cat = c THEN val END)`` including its NULL
+    semantics (a (key, cat) cell with no rows is NULL, not 0, because the
+    masked column is all-null there and Arrow's min_count=1 default makes
+    the aggregate null).
+
+    ``categories`` is explicit — a deterministic output schema with no
+    discovery pass; run a distinct/heavy-hitters op first if unknown. Thin
+    composition over :func:`grouped_agg`, so the shuffle carries at most
+    one partial row per (key, block): combiner-style, scale-safe for the
+    usual many-rows/few-keys shape. ``agg`` ∈ sum/count/min/max/mean.
+    Rows whose ``cat_col`` is NULL or not in ``categories`` are ignored
+    (no CASE branch matches)."""
+    import pyarrow.compute as pc
+
+    cats = list(categories)
+
+    def mask(batch: pa.Table) -> pa.Table:
+        cols = {key_col: batch[key_col]}
+        cat = batch[cat_col]
+        val = batch[val_col]
+        for i, c in enumerate(cats):
+            cols[f"__m_{i}"] = pc.if_else(pc.equal(cat, c), val, None)
+        return pa.table(cols)
+
+    aggs = {f"{val_col}_{c}": (agg, f"__m_{i}") for i, c in enumerate(cats)}
+    return grouped_agg(
+        ds.select_columns(
+            list(dict.fromkeys([key_col, cat_col, val_col]))
+        ).map_batches(mask, batch_format="pyarrow"),
+        key_col,
+        aggs,
+    )
+
+
+def unpivot(
+    ds,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "name",
+    value_name: str = "value",
+    value_type=None,
+):
+    """Wide → long reshape: each input row emits one ``(id_cols…, name,
+    value)`` row per entry of ``value_cols`` — SQL ``UNION ALL`` of one
+    SELECT per measure column. Stateless vectorized ``map_batches`` (no
+    shuffle); all measures are cast to ``value_type`` (default float64,
+    the UNION-ALL common supertype rule)."""
+    import pyarrow.compute as pc
+
+    vt = value_type or pa.float64()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        parts = []
+        for vc in value_cols:
+            cols = {c: batch[c] for c in id_cols}
+            cols[var_name] = pa.array([vc] * batch.num_rows, pa.string())
+            cols[value_name] = pc.cast(batch[vc], vt)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.select_columns(
+        list(dict.fromkeys(id_cols + value_cols))
+    ).map_batches(explode, batch_format="pyarrow")

@@ -320,3 +320,101 @@ def broadcast_join(
         return batch.join(small, keys=keys, join_type=join_type)
 
     return ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+def hash_join(
+    left,
+    right,
+    on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    how: str = "inner",
+    right_on: str | None = None,
+    num_slices: int | None = None,
+):
+    """General big-big distributed equi-join with FULL OUTER support — the
+    shuffle join for two large sides (``broadcast_join`` needs a small side;
+    Ray 2.49's native ``Dataset.join`` has the chained-join deadlock and
+    schema-less-empty-partition bugs and no full-outer type).
+
+    Both sides are aligned onto one tagged schema (other side's payload
+    columns null), unioned, and shuffled ONCE by a coarse md5 SLICE of the
+    join key — a key's rows from both sides land in the same slice, and each
+    slice resolves ALL its keys with one local Arrow hash-join kernel
+    (never one Ray group per key). SQL join semantics hold exactly: NULL
+    keys never match (they survive as unmatched rows under outer types),
+    and the output key column is the coalesced key for outer joins.
+
+    ``how`` ∈ inner / left / right / full. Output columns: ``on`` (left
+    name), then ``left_cols``, then ``right_cols`` (sets must be disjoint).
+    Partitioning assumption: one slice's rows (both sides) fit in a worker's
+    heap — raise ``num_slices`` for very large inputs; salt hot keys
+    upstream if a single key alone exceeds a worker.
+    """
+    from .windows import _add_key_slice
+
+    jt = {
+        "inner": "inner",
+        "left": "left outer",
+        "right": "right outer",
+        "full": "full outer",
+    }.get(how)
+    if jt is None:
+        raise ValueError(f"unsupported how={how!r}")
+    right_on = right_on or on
+    lcols = [c for c in left_cols if c != on]
+    rcols = [c for c in right_cols if c != right_on]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"overlapping payload columns: {sorted(overlap)}")
+
+    left_schema = left.schema().base_schema
+    right_schema = right.schema().base_schema
+    key_type = left_schema.field(on).type
+    l_fields = [(c, left_schema.field(c).type) for c in lcols]
+    r_fields = [(c, right_schema.field(c).type) for c in rcols]
+    out_cols = [on] + lcols + rcols
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {on: batch[on]}
+        for c, _ in l_fields:
+            cols[c] = batch[c]
+        for c, t in r_fields:
+            cols[c] = pa.nulls(n, t)
+        cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        cols = {on: pc.cast(batch[right_on], key_type)}
+        for c, t in l_fields:
+            cols[c] = pa.nulls(n, t)
+        for c, _ in r_fields:
+            cols[c] = batch[c]
+        cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table(cols)
+
+    tagged = (
+        left.select_columns([on] + lcols)
+        .map_batches(tag_left, batch_format="pyarrow")
+        .union(
+            right.select_columns(
+                list(dict.fromkeys([right_on] + rcols))
+            ).map_batches(tag_right, batch_format="pyarrow")
+        )
+        .map_batches(_add_key_slice(on, num_slices), batch_format="pyarrow")
+    )
+
+    def join_group(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = group["__side"]
+        lt = group.filter(pc.equal(side, 0)).select([on] + lcols)
+        rt = group.filter(pc.equal(side, 1)).select([on] + rcols)
+        out = lt.join(rt, keys=[on], join_type=jt)
+        return out.select(out_cols)
+
+    return tagged.groupby("slice").map_groups(join_group, batch_format="pyarrow")

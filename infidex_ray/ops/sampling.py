@@ -430,3 +430,32 @@ def budget_select(
 
     futures = [cut.remote(r, int(o)) for r, o in zip(refs, offsets)]
     return ray.data.from_arrow_refs(futures)
+
+
+def quota_sample(ds, group_col: str, id_col: str, n: int, seed: int = 0):
+    """Cap rows per group at ``n``, selected by deterministic md5 priority —
+    the "at most N pages per domain" quota of crawl curation, reproducible
+    on any cluster (same seed + ids → same survivors, like
+    ``deterministic_shuffle``). Each row gets ``qkey =
+    md5(f"{seed}:{id}") % 2**62`` and the ``n`` HIGHEST qkeys per group
+    survive (ties impossible in practice; broken by ``id_col`` ascending
+    like :func:`top_k_per_group`, whose per-block-partial + group-slice
+    machinery this reuses — the shuffle carries ≤ n rows per group per
+    block, never the whole corpus).
+
+    Output: ``(group_col, qkey, id_col, rank)`` with rank 1..n per group."""
+
+    def key(batch: pa.Table) -> pa.Table:
+        qk = np.asarray(
+            [
+                _md5_u64(f"{seed}:{v}") % (1 << 62)
+                for v in batch[id_col].to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        return batch.append_column("qkey", pa.array(qk))
+
+    keyed = ds.select_columns(
+        list(dict.fromkeys([group_col, id_col]))
+    ).map_batches(key, batch_format="pyarrow")
+    return top_k_per_group(keyed, group_col, "qkey", id_col, n)

@@ -282,3 +282,67 @@ def test_broadcast_join_variants(ray_session):
         broadcast_join(big, small, on="k", max_small_rows=2)
     with pytest.raises(ValueError, match="empty small side"):
         broadcast_join(big, small.filter(lambda r: False), on="k")
+
+
+def test_hash_join_all_types_vs_arrow(ray_session):
+    """hash_join must equal a single-node pa.Table.join for every how,
+    including NULL-key rows (never match; survive under outer types)."""
+    from infidex_ray.ops.joins import hash_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, None, 4, 2], pa.int64()),
+            "lv": pa.array(["a", "b", "c", "d", "e"]),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([2, None, 5, 2], pa.int64()),
+            "rv": pa.array([20, 30, 50, 21], pa.int64()),
+        }
+    )
+    arrow_jt = {
+        "inner": "inner",
+        "left": "left outer",
+        "right": "right outer",
+        "full": "full outer",
+    }
+    for how, jt in arrow_jt.items():
+        out = (
+            hash_join(
+                _ds(left),
+                _ds(right),
+                on="k",
+                right_on="rk",
+                left_cols=["lv"],
+                right_cols=["rv"],
+                how=how,
+                num_slices=4,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        ref = (
+            left.join(
+                right.rename_columns(["k", "rv"]), keys=["k"], join_type=jt
+            )
+            .select(["k", "lv", "rv"])
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_hash_join_rejects_bad_args(ray_session):
+    from infidex_ray.ops.joins import hash_join
+
+    l = _ds(pa.table({"k": pa.array([1], pa.int64()), "v": ["x"]}))
+    r = _ds(pa.table({"k": pa.array([1], pa.int64()), "v": ["y"]}))
+    with pytest.raises(ValueError, match="unsupported how"):
+        hash_join(l, r, on="k", left_cols=["v"], right_cols=["v"], how="cross")
+    with pytest.raises(ValueError, match="overlapping"):
+        hash_join(l, r, on="k", left_cols=["v"], right_cols=["v"], how="inner")

@@ -3420,3 +3420,88 @@ def test_fuzzy_key_clusters(ray_session):
     assert out == want
     assert out["stream"] == "stream"          # singleton
     assert out["hashss"] == out["hash"]       # chained past max_dist
+
+
+def test_pivot_null_cells_and_unknown_cats(ray_session):
+    """pivot == SUM(CASE WHEN): empty (key,cat) cells NULL, rows with
+    unlisted/NULL categories ignored."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.agg import pivot
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+            "c": pa.array(["A", "B", "A", None, "Z", "B"]),
+            "v": pa.array([10.0, 5.0, 7.0, 99.0, 99.0, 2.0]),
+        }
+    )
+    out = (
+        pivot(ray.data.from_arrow(t), "k", "c", "v", ["A", "B"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["v_A"].tolist()[:2] == [10.0, 7.0] and math.isnan(out["v_A"][2])
+    assert out["v_B"].tolist()[0] == 5.0 and math.isnan(out["v_B"][1])
+    assert out["v_B"].tolist()[2] == 2.0
+    # key 3's 'Z' row contributed nothing, key 2's NULL-cat row ignored
+    assert len(out) == 3
+
+
+def test_unpivot_roundtrip_counts(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.agg import unpivot
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "x": pa.array([1.5, None], pa.float64()),
+            "y": pa.array([3, 4], pa.int64()),
+        }
+    )
+    out = (
+        unpivot(ray.data.from_arrow(t), ["id"], ["x", "y"])
+        .to_pandas()
+        .sort_values(["id", "name"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4
+    assert out["value"].tolist()[0] == 1.5 and out["value"].tolist()[1] == 3.0
+    import math
+
+    assert math.isnan(out["value"][2]) and out["value"][3] == 4.0
+
+
+def test_quota_sample_caps_and_determinism(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.dedup import _md5_u64
+    from infidex_ray.ops.sampling import quota_sample
+
+    t = pa.table(
+        {
+            "g": pa.array([1] * 10 + [2] * 2, pa.int64()),
+            "id": pa.array(list(range(12)), pa.int64()),
+        }
+    )
+    out = (
+        quota_sample(ray.data.from_arrow(t), "g", "id", n=3, seed=5)
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    assert out.groupby("g")["id"].count().tolist() == [3, 2]
+    # survivors = top-3 md5 priorities, reproducible
+    pri = sorted(
+        ((_md5_u64(f"5:{i}") % (1 << 62), i) for i in range(10)), reverse=True
+    )
+    assert sorted(out[out.g == 1]["id"].tolist()) == sorted(
+        i for _, i in pri[:3]
+    )
