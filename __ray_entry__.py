@@ -2324,6 +2324,18 @@ def _q_quota_sample(sf_dir: str):
     return _by(quota_sample(ev, "user_id", "event_id", n=3, seed=11), "user_id", "rank")
 
 
+def _q_pq_knn(sf_dir: str):
+    """Product-quantization ANN (2 subspaces × 8 codes, 2 Lloyd's
+    iterations, ADC top-10 for the 3 lowest-id query vectors) — the
+    memory-compressed ANN tier past IVF. Oracle = per-subspace namespaced
+    unrolled-kmeans CTEs + LUT distance sum (sqlgen.pq_knn_sql)."""
+    from infidex_ray.ops.similarity import pq_knn
+
+    return pq_knn(
+        _read(sf_dir, "embeddings"), n_queries=3, m=2, k_codes=8, iters=2, top_k=10
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -2460,6 +2472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_table": _q_pivot,
         "unpivot_long": _q_unpivot,
         "quota_sample": _q_quota_sample,
+        "pq_knn": _q_pq_knn,
     }
 
 
@@ -3691,6 +3704,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER (PARTITION BY user_id "
             "ORDER BY qkey DESC, event_id) AS BIGINT) AS rank FROM events"
             ") WHERE rank <= 3 ORDER BY user_id, rank"
+        ),
+        "pq_knn": sqlgen.pq_knn_sql(
+            2, 8, 2, 3, 10, 64
         ),
         "kmv_distinct": (
             # same KMV rule: distinct md5 hashes per group, kth-smallest →

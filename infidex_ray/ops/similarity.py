@@ -884,3 +884,146 @@ def knn_recall(
         )
 
     return union.groupby("slice").map_groups(score, batch_format="pyarrow")
+
+
+def pq_knn(
+    ds,
+    n_queries: int = 3,
+    m: int = 2,
+    k_codes: int = 8,
+    iters: int = 2,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Product-quantization ANN (Jégou et al., PQ with asymmetric distance
+    computation): the memory-compressed scale path past IVF — each vector
+    stores only ``m`` sub-codebook codes (m bytes at k_codes ≤ 256), and a
+    query scans codes with an (m × k_codes) lookup table instead of raw
+    floats. ~dim·4/m bytes saved per vector; at 100 TB the code table is
+    what fits in RAM when the float matrix cannot.
+
+    Training: one deterministic Lloyd's k-means per subspace over the
+    sliced embedding column (reuses ops.clustering.kmeans — ≤ k partial
+    rows per block per iteration reach the driver). Encoding + search are
+    ONE streaming pass: codes assigned per batch (d2 asc, code asc
+    tie-break — identical to kmeans assignment), ADC distance summed from
+    broadcast per-query LUTs, per-batch partial top-k, tiny driver merge
+    (the knn_cosine pattern). Queries are the ``vec_id < n_queries`` rows.
+
+    Returns (query_id, rank, vec_id, adist2) with adist2 the 4-rounded ADC
+    squared distance; ranking uses the unrounded value (ties → vec_id)."""
+    import ray
+
+    from .clustering import kmeans
+
+    first = ds.take(1)[0][vec_col]
+    dim = len(first)
+    if dim % m:
+        raise ValueError(f"dim {dim} must divide into m={m} subspaces")
+    dsub = dim // m
+
+    sub_cents = []
+    for s in range(m):
+        lo, hi = s * dsub, (s + 1) * dsub
+
+        def slc(batch: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            sub = _to_matrix(batch, vec_col)[:, lo:hi]
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    vec_col: pa.array(sub.tolist()),
+                }
+            )
+
+        sub_ds = ds.select_columns([id_col, vec_col]).map_batches(
+            slc, batch_format="pyarrow"
+        )
+        cents, _ = kmeans(
+            sub_ds, k=k_codes, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        sub_cents.append(np.asarray(cents, dtype=np.float64))
+
+    # query vectors: the n_queries smallest ids (tiny, collected once)
+    def qfilter(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids < n_queries))
+
+    qrows = sorted(
+        ds.select_columns([id_col, vec_col])
+        .map_batches(qfilter, batch_format="pyarrow")
+        .take_all(),
+        key=lambda r: r[id_col],
+    )
+    qids = np.asarray([r[id_col] for r in qrows], dtype=np.int64)
+    qm = np.asarray([r[vec_col] for r in qrows], dtype=np.float64)
+
+    # per-subspace LUTs: (Q, k_codes) squared distances, direct (e-c)²
+    luts = np.stack(
+        [
+            (
+                (qm[:, s * dsub : (s + 1) * dsub, None] - sub_cents[s].T[None])
+                ** 2
+            ).sum(axis=1)
+            for s in range(m)
+        ]
+    )  # (m, Q, k)
+    cents_ref = ray.put(np.stack(sub_cents))  # (m, k, dsub)
+    lut_ref = ray.put(luts)
+    qids_ref = ray.put(qids)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        lut = ray.get(lut_ref)
+        qv = ray.get(qids_ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        mat = _to_matrix(batch, vec_col)
+        n = len(ids)
+        d2 = np.zeros((len(qv), n), dtype=np.float64)
+        for s in range(m):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            dists = ((sub[:, :, None] - cents[s].T[None]) ** 2).sum(axis=1)
+            code = np.argmin(dists, axis=1)  # ties → lowest code, like SQL
+            d2 += lut[s][:, code]
+        out_q, out_id, out_d = [], [], []
+        kk = min(top_k, n)
+        for qi in range(len(qv)):
+            idx = np.lexsort((ids, d2[qi]))[:kk]
+            out_q.extend([int(qv[qi])] * len(idx))
+            out_id.extend(ids[idx])
+            out_d.extend(d2[qi][idx])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "d2": pa.array(out_d, pa.float64()),
+            }
+        )
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    per_query: dict[int, list] = {}
+    for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for qi, vid, d in zip(
+            b["query_id"].to_pylist(),
+            b["vec_id"].to_pylist(),
+            b["d2"].to_pylist(),
+        ):
+            per_query.setdefault(qi, []).append((d, vid))
+    rows_q, rows_r, rows_id, rows_d = [], [], [], []
+    for qi in sorted(per_query):
+        top = heapq.nsmallest(top_k, per_query[qi])
+        for r, (d, vid) in enumerate(top):
+            rows_q.append(qi)
+            rows_r.append(r + 1)
+            rows_id.append(vid)
+            rows_d.append(round_half_up4(d))
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "rank": pa.array(rows_r, pa.int64()),
+            "vec_id": pa.array(rows_id, pa.int64()),
+            "adist2": pa.array(rows_d, pa.float64()),
+        }
+    )

@@ -533,51 +533,57 @@ SELECT doc_id, round(score, 4) AS score FROM scored WHERE score > 0 ORDER BY doc
 """
 
 
-def _kmeans_assign_ctes(k: int, iters: int, table: str) -> tuple[list, str]:
+def _kmeans_assign_ctes(
+    k: int, iters: int, table: str, prefix: str = ""
+) -> tuple[list, str]:
     """Shared unrolled-CTE Lloyd's construction: returns (cte list, name of
     the final per-(vec_id, cluster) distance relation). Callers append their
     own final selection (kmeans_sql keeps dist2; semantic_dedup_sql keeps
-    only the winning cluster per vec)."""
+    only the winning cluster per vec). ``prefix`` namespaces every CTE so
+    several independent trainings can share one WITH clause (pq_knn_sql
+    trains one k-means per PQ subspace)."""
+    p = prefix
     ctes = [
-        f"dims AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e, "
+        f"{p}dims AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e, "
         f"generate_subscripts(embedding, 1) AS i FROM {table})",
-        f"init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 "
+        f"{p}init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 "
         f"AS cluster FROM (SELECT vec_id FROM {table} ORDER BY vec_id "
         f"LIMIT {k}))",
-        "c0 AS (SELECT init.cluster, d.i, d.e AS c "
-        "FROM init JOIN dims d USING (vec_id))",
+        f"{p}c0 AS (SELECT {p}init.cluster, d.i, d.e AS c "
+        f"FROM {p}init JOIN {p}dims d USING (vec_id))",
     ]
-    prev = "c0"
+    prev = f"{p}c0"
     for t in range(1, iters + 1):
         ctes.append(
-            f"d{t} AS (SELECT dims.vec_id, {prev}.cluster, "
-            f"sum((dims.e - {prev}.c) * (dims.e - {prev}.c)) AS d2 "
-            f"FROM dims JOIN {prev} ON dims.i = {prev}.i "
-            f"GROUP BY dims.vec_id, {prev}.cluster)"
+            f"{p}d{t} AS (SELECT {p}dims.vec_id, {prev}.cluster, "
+            f"sum(({p}dims.e - {prev}.c) * ({p}dims.e - {prev}.c)) AS d2 "
+            f"FROM {p}dims JOIN {prev} ON {p}dims.i = {prev}.i "
+            f"GROUP BY {p}dims.vec_id, {prev}.cluster)"
         )
         ctes.append(
-            f"a{t} AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster, "
+            f"{p}a{t} AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster, "
             f"row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) "
-            f"AS rn FROM d{t}) WHERE rn = 1)"
+            f"AS rn FROM {p}d{t}) WHERE rn = 1)"
         )
         ctes.append(
-            f"u{t} AS (SELECT a{t}.cluster, dims.i, avg(dims.e) AS c "
-            f"FROM a{t} JOIN dims USING (vec_id) GROUP BY a{t}.cluster, dims.i)"
+            f"{p}u{t} AS (SELECT {p}a{t}.cluster, {p}dims.i, avg({p}dims.e) AS c "
+            f"FROM {p}a{t} JOIN {p}dims USING (vec_id) "
+            f"GROUP BY {p}a{t}.cluster, {p}dims.i)"
         )
         ctes.append(
-            f"c{t} AS (SELECT p.cluster, p.i, coalesce(u.c, p.c) AS c "
-            f"FROM {prev} p LEFT JOIN u{t} u "
+            f"{p}c{t} AS (SELECT p.cluster, p.i, coalesce(u.c, p.c) AS c "
+            f"FROM {prev} p LEFT JOIN {p}u{t} u "
             f"ON p.cluster = u.cluster AND p.i = u.i)"
         )
-        prev = f"c{t}"
+        prev = f"{p}c{t}"
     fin = iters + 1
     ctes.append(
-        f"d{fin} AS (SELECT dims.vec_id, {prev}.cluster, "
-        f"sum((dims.e - {prev}.c) * (dims.e - {prev}.c)) AS d2 "
-        f"FROM dims JOIN {prev} ON dims.i = {prev}.i "
-        f"GROUP BY dims.vec_id, {prev}.cluster)"
+        f"{p}d{fin} AS (SELECT {p}dims.vec_id, {prev}.cluster, "
+        f"sum(({p}dims.e - {prev}.c) * ({p}dims.e - {prev}.c)) AS d2 "
+        f"FROM {p}dims JOIN {prev} ON {p}dims.i = {prev}.i "
+        f"GROUP BY {p}dims.vec_id, {prev}.cluster)"
     )
-    return ctes, f"d{fin}"
+    return ctes, f"{p}d{fin}"
 
 
 def kmeans_sql(k: int, iters: int, table: str = "embeddings") -> str:
@@ -989,3 +995,65 @@ SELECT d.doc_id, coalesce(w.n_tokens, 0) AS n_tokens,
 FROM {table} d LEFT JOIN w ON d.doc_id = w.doc_id
 ORDER BY d.doc_id
 """
+
+
+def pq_knn_sql(
+    m: int,
+    k_codes: int,
+    iters: int,
+    n_queries: int,
+    top_k: int,
+    dim: int,
+    table: str = "embeddings",
+) -> str:
+    """Ground truth for ops.similarity.pq_knn: one namespaced unrolled
+    k-means per PQ subspace (DuckDB list slice ``embedding[lo:hi]``,
+    1-based inclusive), codes = final assignment (d2 asc, cluster asc
+    tie-break), query LUT d2 summed per (query, centroid) over subspace
+    dims, ADC distance = sum of per-subspace LUT entries, top-k per query
+    by (d2, vec_id). Queries are the ``vec_id < n_queries`` rows of the
+    same table — no literals, any scale."""
+    if dim % m:
+        raise ValueError("dim must divide evenly into m subspaces")
+    dsub = dim // m
+    ctes: list[str] = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        sub = (
+            f"(SELECT vec_id, embedding[{lo}:{hi}] AS embedding FROM {table})"
+        )
+        sub_ctes, dfin = _kmeans_assign_ctes(
+            k_codes, iters, sub, prefix=f"s{s}_"
+        )
+        ctes.extend(sub_ctes)
+        ctes.append(
+            f"s{s}_a AS (SELECT vec_id, cluster FROM (SELECT vec_id, "
+            f"cluster, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY d2, cluster) AS rn FROM {dfin}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"s{s}_lut AS (SELECT d.vec_id AS qid, c.cluster, "
+            f"sum((d.e - c.c) * (d.e - c.c)) AS d2 "
+            f"FROM s{s}_dims d JOIN s{s}_c{iters} c ON d.i = c.i "
+            f"WHERE d.vec_id < {n_queries} GROUP BY d.vec_id, c.cluster)"
+        )
+    adc = " + ".join(f"l{s}.d2" for s in range(m))
+    joins = " ".join(
+        f"JOIN s{s}_a a{s} ON a{s}.vec_id = a0.vec_id "
+        f"JOIN s{s}_lut l{s} ON l{s}.cluster = a{s}.cluster "
+        f"AND l{s}.qid = l0.qid"
+        for s in range(1, m)
+    )
+    ctes.append(
+        "dist AS (SELECT l0.qid AS query_id, a0.vec_id, "
+        f"{adc} AS d2 FROM s0_a a0 "
+        f"JOIN s0_lut l0 ON l0.cluster = a0.cluster {joins})"
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + " SELECT query_id, rank, vec_id, round(d2, 4) AS adist2 FROM "
+        + "(SELECT query_id, vec_id, d2, CAST(row_number() OVER "
+        + "(PARTITION BY query_id ORDER BY d2, vec_id) AS BIGINT) AS rank "
+        + f"FROM dist) WHERE rank <= {top_k} ORDER BY query_id, rank"
+    )
