@@ -2336,6 +2336,37 @@ def _q_pq_knn(sf_dir: str):
     )
 
 
+def _q_dedup_paragraphs(sf_dir: str):
+    """Paragraph-granularity corpus dedup (RefinedWeb-style span removal):
+    the dedup_lines engine with sep='\\n\\n' — a shared promo paragraph is
+    planted on every 4th doc (identically in SQL) so winner/loser/rebuild
+    is exercised at paragraph granularity."""
+    import pyarrow as pa
+
+    from infidex_ray.ops.dedup import dedup_lines
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = [
+            (t or "") + "\n\nSubscribe to our newsletter today"
+            if i % 4 == 0
+            else (t or "")
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pa.array(out, pa.large_string()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    return _by(dedup_lines(ds, sep="\n\n"), "doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -2473,6 +2504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_long": _q_unpivot,
         "quota_sample": _q_quota_sample,
         "pq_knn": _q_pq_knn,
+        "dedup_paragraphs": _q_dedup_paragraphs,
     }
 
 
@@ -3704,6 +3736,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER (PARTITION BY user_id "
             "ORDER BY qkey DESC, event_id) AS BIGINT) AS rank FROM events"
             ") WHERE rank <= 3 ORDER BY user_id, rank"
+        ),
+        "dedup_paragraphs": (
+            # paragraph-granularity first-occurrence dedup: split on
+            # chr(10)||chr(10), winner = min packed pos, blanks survive
+            "WITH docs2 AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN "
+            "coalesce(text, '') || chr(10) || chr(10) || "
+            "'Subscribe to our newsletter today' "
+            "ELSE coalesce(text, '') END AS text FROM documents), "
+            "d AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ls FROM docs2), "
+            "idx AS (SELECT unnest(generate_series(1, (SELECT coalesce(max(len(ls)), 1) FROM d))) AS i), "
+            "lines AS (SELECT d.doc_id, i.i, d.ls[i.i] AS line FROM d, idx i WHERE i.i <= len(d.ls)), "
+            "nb AS (SELECT doc_id, i, line, doc_id * 4194304 + (i - 1) AS pos FROM lines "
+            "WHERE trim(line, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) <> ''), "
+            "w AS (SELECT line, min(pos) AS keep_pos FROM nb GROUP BY line), "
+            "kept AS (SELECT l.doc_id, l.i, l.line FROM lines l LEFT JOIN w ON w.line = l.line "
+            "WHERE trim(l.line, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) = '' "
+            "OR l.doc_id * 4194304 + (l.i - 1) = w.keep_pos), "
+            "agg AS (SELECT doc_id, string_agg(line, chr(10) || chr(10) ORDER BY i) AS text "
+            "FROM kept GROUP BY doc_id) "
+            "SELECT d2.doc_id, coalesce(a.text, '') AS text "
+            "FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id "
+            "ORDER BY d2.doc_id"
         ),
         "pq_knn": sqlgen.pq_knn_sql(
             2, 8, 2, 3, 10, 64

@@ -257,6 +257,55 @@ def _membw_probe() -> dict:
     }
 
 
+class _InflightSampler:
+    """IN-FLIGHT host-backing sampler: the bracketing probes can both read
+    healthy while the sustained 32-way phase between them runs throttled
+    (burst-credit hosts refill between brief probes — exactly the regime
+    the round-3 driver bench hit: probe 29.8 Mops "healthy", build 3.5×
+    slow). A daemon thread takes a 0.2 s single-thread ALU burst every 5 s
+    DURING the build and stamps the series' median/min — on a healthy
+    32-core host a 33rd runnable thread still sees ≳90% of a core, so a
+    collapsed in-flight median is direct evidence of the sustained-window
+    throttle, and a healthy one makes a slow build a real code regression.
+    Cost: ≤4% of one core."""
+
+    def __init__(self, period_s: float = 5.0, burst_s: float = 0.2):
+        import threading
+
+        self.period_s = period_s
+        self.burst_s = burst_s
+        self.samples: list[float] = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    def _burst(self) -> float:
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < self.burst_s:
+            for _ in range(10000):
+                n += 1
+        return n / (time.perf_counter() - t0) / 1e6  # Mops/s, 1-way scale
+
+    def _loop(self):
+        while not self._stop.wait(self.period_s):
+            self.samples.append(self._burst())
+
+    def start(self):
+        self._thread.start()
+
+    def stop(self) -> dict:
+        self._stop.set()
+        self._thread.join(timeout=2)
+        if not self.samples:
+            return {"probe_mops_inflight_n": 0}
+        s = sorted(self.samples)
+        return {
+            "probe_mops_inflight_med": round(s[len(s) // 2], 1),
+            "probe_mops_inflight_min": round(s[0], 1),
+            "probe_mops_inflight_n": len(s),
+        }
+
+
 def run_full() -> dict:
     import ray
 
@@ -264,7 +313,12 @@ def run_full() -> dict:
     idx_dir = "/tmp/infidex_bench/idx_main"
 
     probe = _host_probe()
-    build = _build_index(NUM_CPUS, idx_dir)
+    sampler = _InflightSampler()
+    sampler.start()
+    try:
+        build = _build_index(NUM_CPUS, idx_dir)
+    finally:
+        inflight = sampler.stop()
     queries["index_build"] = round(build["seconds"], 3)
     # the sandbox host runs on CPU credits: a probe at process start can read
     # healthy while the SUSTAINED build phase runs throttled (r4: start probe
@@ -297,6 +351,7 @@ def run_full() -> dict:
             "query_p99_ms": round(ql["p99_ms"], 2),
             **probe,
             **probe_after,
+            **inflight,
         },
     }
     ray.shutdown()

@@ -1723,6 +1723,7 @@ def dedup_lines(
     text_col: str = "text",
     pos_bits: int = 22,
     num_partitions: int | None = None,
+    sep: str = "\n",
 ):
     """C4-style corpus-level line dedup, first occurrence wins (Raffel et
     al. 2020 used three-sentence spans; the line is the web-text unit here,
@@ -1753,7 +1754,7 @@ def dedup_lines(
         # dictionary_encode (the per-line Python loop this replaces walked
         # every line of every doc)
         texts = pc.fill_null(pc.cast(batch[text_col], pa.large_string()), "")
-        lists = pc.split_pattern(texts, "\n")
+        lists = pc.split_pattern(texts, sep)
         if isinstance(lists, pa.ChunkedArray):
             lists = lists.combine_chunks()
         flat = pc.list_flatten(lists)
@@ -1879,6 +1880,11 @@ def dedup_lines(
             lambda g: collect_slice(g.drop_columns(["slice"])),
             batch_format="pyarrow",
         )
+        # sparse groupby → schema-less empty blocks → pyarrow FieldRef crash
+        # in the rebuild join's aggregators (Ray 2.49; surfaced on tiny
+        # corpora) — normalize like _attach_sketches / dedup_clusters_ds.
+        # Loser lists are duplicate-sized, so the extra pass is noise.
+        .repartition(k)
         .materialize()
     )
 
@@ -1908,9 +1914,9 @@ def dedup_lines(
                 out.append(t or "")
                 continue
             dset = {int(x) for x in d.split(",")}
-            lines_ = (t or "").split("\n")
+            lines_ = (t or "").split(sep)
             out.append(
-                "\n".join(l for j, l in enumerate(lines_) if j not in dset)
+                sep.join(l for j, l in enumerate(lines_) if j not in dset)
             )
         return pa.table(
             {

@@ -3558,3 +3558,33 @@ def test_pq_knn_rejects_indivisible_dim(ray_session):
     )
     with pytest.raises(ValueError, match="divide"):
         pq_knn(ray.data.from_arrow(t), m=2, k_codes=2)
+
+
+def test_dedup_paragraphs_sep(ray_session):
+    """dedup_lines(sep='\\n\\n'): paragraph granularity — a repeated
+    paragraph drops from the later doc, single newlines inside a
+    paragraph survive intact."""
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.dedup import dedup_lines
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "intro line\nsecond line\n\nshared promo",
+                    "shared promo\n\nunique tail",
+                ]
+            ),
+        }
+    )
+    out = (
+        dedup_lines(ray.data.from_arrow(t), sep="\n\n")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "text"] == "intro line\nsecond line\n\nshared promo"
+    assert out.loc[1, "text"] == "unique tail"
