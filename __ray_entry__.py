@@ -2367,6 +2367,30 @@ def _q_dedup_paragraphs(sf_dir: str):
     return _by(dedup_lines(ds, sep="\n\n"), "doc_id")
 
 
+def _q_grouped_mode(sf_dir: str):
+    """MODE aggregate (dominant event_type per user, ties → smallest
+    value): per-block (key,value) count partials → key-slice argmax —
+    the aggregate sum/min/max can't express."""
+    from infidex_ray.ops.agg import grouped_mode
+
+    return _by(
+        grouped_mode(_read(sf_dir, "events"), "user_id", "event_type"),
+        "user_id",
+    )
+
+
+def _q_lag_values(sf_dir: str):
+    """Per-key LAG over the event value (prev value + delta, SQL NULL
+    semantics for each key's first event): one md5 key-slice shuffle,
+    lexsort + run-boundary masks in-slice. Deltas subtract identical
+    float64 operands on both engines — bitwise equal."""
+    from infidex_ray.ops.windows import lag_values
+
+    return _by(
+        lag_values(_read(sf_dir, "events")), "user_id", "ts_us", "event_id"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -2505,6 +2529,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quota_sample": _q_quota_sample,
         "pq_knn": _q_pq_knn,
         "dedup_paragraphs": _q_dedup_paragraphs,
+        "grouped_mode": _q_grouped_mode,
+        "lag_values": _q_lag_values,
     }
 
 
@@ -3758,6 +3784,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d2.doc_id, coalesce(a.text, '') AS text "
             "FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id "
             "ORDER BY d2.doc_id"
+        ),
+        "grouped_mode": (
+            # mode = most frequent non-null value per key, ties -> smallest
+            "SELECT user_id, mode_value, mode_count FROM ("
+            "SELECT user_id, event_type AS mode_value, "
+            "CAST(count(*) AS BIGINT) AS mode_count, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY count(*) DESC, event_type) AS rn "
+            "FROM events WHERE event_type IS NOT NULL "
+            "GROUP BY user_id, event_type) WHERE rn = 1 ORDER BY user_id"
+        ),
+        "lag_values": (
+            # LAG with SQL null semantics; delta = value - lag(value) over
+            # identical float64 operands => bitwise-equal across engines
+            "SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, "
+            "lag(value) OVER w AS prev_value, "
+            "value - lag(value) OVER w AS delta "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id) ORDER BY user_id, ts_us, event_id"
         ),
         "pq_knn": sqlgen.pq_knn_sql(
             2, 8, 2, 3, 10, 64

@@ -467,3 +467,94 @@ def unpivot(
     return ds.select_columns(
         list(dict.fromkeys(id_cols + value_cols))
     ).map_batches(explode, batch_format="pyarrow")
+
+
+def grouped_mode(ds, key_col: str, value_col: str, num_slices: int | None = None):
+    """Most-frequent value per key (the MODE aggregate sum/min/max can't
+    express), ties → smallest value — "dominant event type per user",
+    "majority language per domain". NULL values are ignored (SQL
+    ``count(value)`` semantics); NULL keys form their own group.
+
+    Combiner shape: each block collapses to its distinct (key, value)
+    partial counts with Arrow's hash group-by, partials shuffle by a
+    coarse md5 KEY slice (a key's candidate values must co-locate for the
+    argmax — never one Ray group per key), each slice re-sums and takes
+    one lexsort argmax over ALL its keys. Shuffle volume = distinct
+    (key, value) pairs per block, not rows."""
+    import pyarrow.compute as pc
+
+    if num_slices is None:
+        num_slices = _default_num_slices()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, value_col]).filter(
+            pc.is_valid(batch[value_col])
+        )
+        agg = t.group_by([key_col, value_col]).aggregate([(value_col, "count")])
+        cnt = agg[f"{value_col}_count"].cast(pa.int64())
+        keys = agg[key_col]
+        sl = np.asarray(
+            [
+                _md5_u64(str(v)) % num_slices
+                for v in keys.to_pylist()
+            ],
+            dtype=np.int32,
+        )
+        return pa.table(
+            {
+                key_col: keys,
+                value_col: agg[value_col],
+                "n": cnt,
+                "slice": pa.array(sl),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["slice"])
+        agg = group.group_by([key_col, value_col]).aggregate([("n", "sum")])
+        if agg.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], group.schema.field(key_col).type),
+                    "mode_value": pa.array(
+                        [], group.schema.field(value_col).type
+                    ),
+                    "mode_count": pa.array([], pa.int64()),
+                }
+            )
+        from .windows import _sorted_key_ranks
+
+        # key ids only need equal-iff-equal (group runs), and raw dictionary
+        # indices give that even for NULL keys (fill with a fresh id —
+        # _sorted_key_ranks would alias NULL onto the last real key's rank);
+        # value ranks DO need ascending order for the tie-break
+        kenc = agg[key_col].combine_chunks().dictionary_encode()
+        kr = (
+            kenc.indices.fill_null(len(kenc.dictionary))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        vr = _sorted_key_ranks(agg[value_col])
+        n = agg["n_sum"].cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((vr, -n, kr))
+        kr_o = kr[order]
+        first = np.empty(len(kr_o), dtype=bool)
+        first[0] = True
+        first[1:] = kr_o[1:] != kr_o[:-1]
+        win = pa.array(order[first].astype(np.int64))
+        return pa.table(
+            {
+                key_col: agg[key_col].combine_chunks().take(win),
+                "mode_value": agg[value_col].combine_chunks().take(win),
+                "mode_count": pa.array(n[order[first]], pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns(list(dict.fromkeys([key_col, value_col])))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(final, batch_format="pyarrow")
+    )

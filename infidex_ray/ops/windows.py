@@ -742,3 +742,75 @@ def rolling_window(
         .groupby("slice")
         .map_groups(roll_slice, batch_format="pyarrow")
     )
+
+
+def lag_values(
+    events,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+):
+    """Per-key LAG over a measure column: each event's previous value (in
+    (ts, id) order within the key) and the delta — the feature-prep step
+    for rate-of-change signals. SQL ``lag(value)`` NULL semantics exactly:
+    the first event of a key gets NULL prev/delta (not a sentinel); deltas
+    subtract the identical float64 operands on both engines, so they are
+    bitwise-reproducible.
+
+    Same scale shape as :func:`event_order`: ONE coarse md5 slice of the
+    key (never a per-key Ray group), one lexsort per slice, run-boundary
+    masking for the NULLs."""
+    import numpy as np
+    import pyarrow as pa
+
+    def order_slice(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["slice"])
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], group.schema.field(user_col).type),
+                    id_col: pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "value": pa.array([], pa.float64()),
+                    "prev_value": pa.array([], pa.float64()),
+                    "delta": pa.array([], pa.float64()),
+                }
+            )
+        kr = _sorted_key_ranks(group[user_col])
+        ts = _ts_us(group[ts_col])
+        ev = group[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        val = (
+            group[value_col]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        o = np.lexsort((ev, ts, kr))
+        kr, ts, ev, val = kr[o], ts[o], ev[o], val[o]
+        n = len(ts)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = kr[1:] != kr[:-1]
+        prev = np.empty(n, dtype=np.float64)
+        prev[0] = np.nan
+        prev[1:] = val[:-1]
+        prev[first] = np.nan
+        user = group[user_col].combine_chunks().take(pa.array(o))
+        return pa.table(
+            {
+                user_col: user,
+                id_col: pa.array(ev),
+                "ts_us": pa.array(ts, pa.int64()),
+                "value": pa.array(val, pa.float64()),
+                "prev_value": pa.array(prev, pa.float64(), mask=first),
+                "delta": pa.array(val - prev, pa.float64(), mask=first),
+            }
+        )
+
+    return (
+        events.select_columns([user_col, ts_col, id_col, value_col])
+        .map_batches(_add_key_slice(user_col), batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(order_slice, batch_format="pyarrow")
+    )

@@ -3588,3 +3588,67 @@ def test_dedup_paragraphs_sep(ray_session):
     )
     assert out.loc[0, "text"] == "intro line\nsecond line\n\nshared promo"
     assert out.loc[1, "text"] == "unique tail"
+
+
+def test_grouped_mode_ties_and_nulls(ray_session):
+    """Ties → smallest value; NULL values ignored; NULL keys form their
+    own group."""
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.agg import grouped_mode
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "a", "b", "b", None, None], pa.string()),
+            "v": pa.array(["y", "x", "y", "z", None, "q", "q"], pa.string()),
+        }
+    )
+    out = (
+        grouped_mode(ray.data.from_arrow(t), "k", "v")
+        .to_pandas()
+        .sort_values("k", na_position="last")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "k"] == "a" and out.loc[0, "mode_value"] == "y"
+    assert out.loc[0, "mode_count"] == 2
+    # b: only one non-null value
+    assert out.loc[1, "mode_value"] == "z" and out.loc[1, "mode_count"] == 1
+    # null key group
+    assert out.loc[2, "mode_value"] == "q" and out.loc[2, "mode_count"] == 2
+    # tie case: equal counts -> smallest value
+    t2 = pa.table(
+        {
+            "k": pa.array(["a", "a"], pa.string()),
+            "v": pa.array(["m", "c"], pa.string()),
+        }
+    )
+    out2 = grouped_mode(ray.data.from_arrow(t2), "k", "v").to_pandas()
+    assert out2.loc[0, "mode_value"] == "c"
+
+
+def test_lag_values_null_first_rows(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.windows import lag_values
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "ts": pa.array([100, 200, 50], pa.timestamp("us")),
+            "event_id": pa.array([7, 8, 9], pa.int64()),
+            "value": pa.array([1.5, 4.0, 2.0], pa.float64()),
+        }
+    )
+    out = (
+        lag_values(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values(["user_id", "ts_us"])
+        .reset_index(drop=True)
+    )
+    assert math.isnan(out.loc[0, "prev_value"]) and math.isnan(out.loc[0, "delta"])
+    assert out.loc[1, "prev_value"] == 1.5 and out.loc[1, "delta"] == 2.5
+    assert math.isnan(out.loc[2, "prev_value"])
