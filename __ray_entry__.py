@@ -2391,6 +2391,26 @@ def _q_lag_values(sf_dir: str):
     )
 
 
+def _q_ivf_pq_knn(sf_dir: str):
+    """IVF-PQ ANN (coarse kmeans quantizer, nprobe=2 of nlist=4 lists,
+    PQ-ADC within probed lists, by_residual=False). Unlike the ivf_knn
+    entries, the coarse PRUNING itself is oracle-checked
+    (sqlgen.ivf_pq_knn_sql) — the approximation is reproduced, not
+    dodged."""
+    from infidex_ray.ops.similarity import ivf_pq_knn
+
+    return ivf_pq_knn(
+        _read(sf_dir, "embeddings"),
+        n_queries=3,
+        nlist=4,
+        nprobe=2,
+        m=2,
+        k_codes=8,
+        iters=2,
+        top_k=10,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -2531,6 +2551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_paragraphs": _q_dedup_paragraphs,
         "grouped_mode": _q_grouped_mode,
         "lag_values": _q_lag_values,
+        "ivf_pq_knn": _q_ivf_pq_knn,
     }
 
 
@@ -3803,6 +3824,9 @@ def oracle_sql() -> dict[str, str]:
             "value - lag(value) OVER w AS delta "
             "FROM events WINDOW w AS (PARTITION BY user_id "
             "ORDER BY ts, event_id) ORDER BY user_id, ts_us, event_id"
+        ),
+        "ivf_pq_knn": sqlgen.ivf_pq_knn_sql(
+            4, 2, 2, 8, 2, 3, 10, 64
         ),
         "pq_knn": sqlgen.pq_knn_sql(
             2, 8, 2, 3, 10, 64

@@ -1027,3 +1027,164 @@ def pq_knn(
             "adist2": pa.array(rows_d, pa.float64()),
         }
     )
+
+
+def ivf_pq_knn(
+    ds,
+    n_queries: int = 3,
+    nlist: int = 4,
+    nprobe: int = 2,
+    m: int = 2,
+    k_codes: int = 8,
+    iters: int = 2,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """IVF-PQ (the FAISS billion-scale workhorse): a coarse k-means
+    quantizer prunes the corpus to each query's ``nprobe`` nearest lists,
+    and only those lists are ADC-ranked against the PQ codes
+    (by_residual=False — codes quantize raw vectors, keeping the oracle
+    join-expressible; residual encoding is a recall refinement, not a
+    scale property). On a real deployment the lists are partitioned
+    parquet (ivf_write) and probing reads ONLY matching partitions
+    (ivf_knn_pruned's partition-pruned read); here the pruning is a
+    per-batch mask so the whole path stays one streaming pass.
+
+    Returns (query_id, rank, vec_id, adist2) like :func:`pq_knn`; vectors
+    outside every probed list of a query never enter its ranking — the
+    approximation the oracle reproduces exactly."""
+    import ray
+
+    from .clustering import kmeans
+
+    first = ds.take(1)[0][vec_col]
+    dim = len(first)
+    if dim % m:
+        raise ValueError(f"dim {dim} must divide into m={m} subspaces")
+    dsub = dim // m
+
+    # coarse quantizer: full-dim kmeans, nlist centroids
+    coarse_cents, _ = kmeans(
+        ds, k=nlist, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    coarse_cents = np.asarray(coarse_cents, dtype=np.float64)
+
+    # PQ codebooks: one kmeans per subspace (identical to pq_knn)
+    sub_cents = []
+    for s in range(m):
+        lo, hi = s * dsub, (s + 1) * dsub
+
+        def slc(batch: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            sub = _to_matrix(batch, vec_col)[:, lo:hi]
+            return pa.table(
+                {id_col: batch[id_col], vec_col: pa.array(sub.tolist())}
+            )
+
+        sub_ds = ds.select_columns([id_col, vec_col]).map_batches(
+            slc, batch_format="pyarrow"
+        )
+        cents, _ = kmeans(
+            sub_ds, k=k_codes, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        sub_cents.append(np.asarray(cents, dtype=np.float64))
+
+    def qfilter(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids < n_queries))
+
+    qrows = sorted(
+        ds.select_columns([id_col, vec_col])
+        .map_batches(qfilter, batch_format="pyarrow")
+        .take_all(),
+        key=lambda r: r[id_col],
+    )
+    qids = np.asarray([r[id_col] for r in qrows], dtype=np.int64)
+    qm = np.asarray([r[vec_col] for r in qrows], dtype=np.float64)
+
+    # each query's probed coarse lists: nprobe smallest d2, ties → lower id
+    qc = ((qm[:, :, None] - coarse_cents.T[None]) ** 2).sum(axis=1)  # (Q, nlist)
+    order = np.lexsort(
+        (np.broadcast_to(np.arange(nlist), qc.shape), qc), axis=1
+    )
+    probed = np.zeros((len(qids), nlist), dtype=bool)
+    for qi in range(len(qids)):
+        probed[qi, order[qi, :nprobe]] = True
+
+    luts = np.stack(
+        [
+            (
+                (qm[:, s * dsub : (s + 1) * dsub, None] - sub_cents[s].T[None])
+                ** 2
+            ).sum(axis=1)
+            for s in range(m)
+        ]
+    )
+    cents_ref = ray.put(np.stack(sub_cents))
+    coarse_ref = ray.put(coarse_cents)
+    lut_ref = ray.put(luts)
+    qids_ref = ray.put(qids)
+    probed_ref = ray.put(probed)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        coarse = ray.get(coarse_ref)
+        lut = ray.get(lut_ref)
+        qv = ray.get(qids_ref)
+        pr = ray.get(probed_ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        mat = _to_matrix(batch, vec_col)
+        n = len(ids)
+        cd = ((mat[:, :, None] - coarse.T[None]) ** 2).sum(axis=1)
+        clist = np.argmin(cd, axis=1)  # ties → lowest list, like SQL
+        d2 = np.zeros((len(qv), n), dtype=np.float64)
+        for s in range(m):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            dists = ((sub[:, :, None] - cents[s].T[None]) ** 2).sum(axis=1)
+            code = np.argmin(dists, axis=1)
+            d2 += lut[s][:, code]
+        out_q, out_id, out_d = [], [], []
+        for qi in range(len(qv)):
+            mask = pr[qi][clist]
+            if not mask.any():
+                continue
+            mids, mds = ids[mask], d2[qi][mask]
+            idx = np.lexsort((mids, mds))[: min(top_k, len(mids))]
+            out_q.extend([int(qv[qi])] * len(idx))
+            out_id.extend(mids[idx])
+            out_d.extend(mds[idx])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "d2": pa.array(out_d, pa.float64()),
+            }
+        )
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    per_query: dict[int, list] = {}
+    for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for qi, vid, d in zip(
+            b["query_id"].to_pylist(),
+            b["vec_id"].to_pylist(),
+            b["d2"].to_pylist(),
+        ):
+            per_query.setdefault(qi, []).append((d, vid))
+    rows_q, rows_r, rows_id, rows_d = [], [], [], []
+    for qi in sorted(per_query):
+        top = heapq.nsmallest(top_k, per_query[qi])
+        for r, (d, vid) in enumerate(top):
+            rows_q.append(qi)
+            rows_r.append(r + 1)
+            rows_id.append(vid)
+            rows_d.append(round_half_up4(d))
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "rank": pa.array(rows_r, pa.int64()),
+            "vec_id": pa.array(rows_id, pa.int64()),
+            "adist2": pa.array(rows_d, pa.float64()),
+        }
+    )

@@ -997,22 +997,20 @@ ORDER BY d.doc_id
 """
 
 
-def pq_knn_sql(
+def _pq_subspace_ctes(
     m: int,
     k_codes: int,
     iters: int,
     n_queries: int,
-    top_k: int,
     dim: int,
-    table: str = "embeddings",
-) -> str:
-    """Ground truth for ops.similarity.pq_knn: one namespaced unrolled
-    k-means per PQ subspace (DuckDB list slice ``embedding[lo:hi]``,
-    1-based inclusive), codes = final assignment (d2 asc, cluster asc
-    tie-break), query LUT d2 summed per (query, centroid) over subspace
-    dims, ADC distance = sum of per-subspace LUT entries, top-k per query
-    by (d2, vec_id). Queries are the ``vec_id < n_queries`` rows of the
-    same table — no literals, any scale."""
+    table: str,
+) -> tuple[list, str, str]:
+    """Shared PQ construction: per-subspace namespaced kmeans trainings,
+    code assignments ``s{i}_a`` and query LUTs ``s{i}_lut``. Returns
+    (ctes, adc_distance_expr, join_clauses) for a ``dist`` relation built
+    as ``FROM s0_a a0 JOIN s0_lut l0 ON l0.cluster = a0.cluster {joins}``
+    — pq_knn_sql uses it bare; ivf_pq_knn_sql adds the coarse-list
+    pruning join."""
     if dim % m:
         raise ValueError("dim must divide evenly into m subspaces")
     dsub = dim // m
@@ -1044,10 +1042,90 @@ def pq_knn_sql(
         f"AND l{s}.qid = l0.qid"
         for s in range(1, m)
     )
+    return ctes, adc, joins
+
+
+def pq_knn_sql(
+    m: int,
+    k_codes: int,
+    iters: int,
+    n_queries: int,
+    top_k: int,
+    dim: int,
+    table: str = "embeddings",
+) -> str:
+    """Ground truth for ops.similarity.pq_knn: one namespaced unrolled
+    k-means per PQ subspace (DuckDB list slice ``embedding[lo:hi]``,
+    1-based inclusive), codes = final assignment (d2 asc, cluster asc
+    tie-break), query LUT d2 summed per (query, centroid) over subspace
+    dims, ADC distance = sum of per-subspace LUT entries, top-k per query
+    by (d2, vec_id). Queries are the ``vec_id < n_queries`` rows of the
+    same table — no literals, any scale."""
+    ctes, adc, joins = _pq_subspace_ctes(
+        m, k_codes, iters, n_queries, dim, table
+    )
     ctes.append(
         "dist AS (SELECT l0.qid AS query_id, a0.vec_id, "
         f"{adc} AS d2 FROM s0_a a0 "
         f"JOIN s0_lut l0 ON l0.cluster = a0.cluster {joins})"
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + " SELECT query_id, rank, vec_id, round(d2, 4) AS adist2 FROM "
+        + "(SELECT query_id, vec_id, d2, CAST(row_number() OVER "
+        + "(PARTITION BY query_id ORDER BY d2, vec_id) AS BIGINT) AS rank "
+        + f"FROM dist) WHERE rank <= {top_k} ORDER BY query_id, rank"
+    )
+
+
+def ivf_pq_knn_sql(
+    nlist: int,
+    nprobe: int,
+    m: int,
+    k_codes: int,
+    iters: int,
+    n_queries: int,
+    top_k: int,
+    dim: int,
+    table: str = "embeddings",
+) -> str:
+    """Ground truth for ops.similarity.ivf_pq_knn — and unlike the ivf_knn
+    entries (which probe ALL lists so brute-force ranking is the oracle),
+    this one oracles the COARSE PRUNING itself: a namespaced full-dim
+    kmeans (``c_``) is the coarse quantizer, each query probes its
+    ``nprobe`` nearest coarse lists (d2 asc, list asc), and only vectors
+    assigned to a probed list are ADC-ranked with the shared PQ
+    construction (by_residual=False: codes quantize raw vectors, the
+    FAISS IVFPQ option that keeps the algebra join-expressible)."""
+    ctes, cfin = _kmeans_assign_ctes(nlist, iters, table, prefix="c_")
+    ctes.append(
+        "c_a AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) "
+        f"AS rn FROM {cfin}) WHERE rn = 1)"
+    )
+    ctes.append(
+        "c_q2l AS (SELECT d.vec_id AS qid, c.cluster, "
+        "sum((d.e - c.c) * (d.e - c.c)) AS d2 "
+        f"FROM c_dims d JOIN c_c{iters} c ON d.i = c.i "
+        f"WHERE d.vec_id < {n_queries} GROUP BY d.vec_id, c.cluster)"
+    )
+    ctes.append(
+        "probed AS (SELECT qid, cluster FROM (SELECT qid, cluster, "
+        "row_number() OVER (PARTITION BY qid ORDER BY d2, cluster) AS rn "
+        f"FROM c_q2l) WHERE rn <= {nprobe})"
+    )
+    pq_ctes, adc, joins = _pq_subspace_ctes(
+        m, k_codes, iters, n_queries, dim, table
+    )
+    ctes.extend(pq_ctes)
+    ctes.append(
+        "dist AS (SELECT l0.qid AS query_id, a0.vec_id, "
+        f"{adc} AS d2 FROM s0_a a0 "
+        f"JOIN s0_lut l0 ON l0.cluster = a0.cluster {joins} "
+        "JOIN c_a ON c_a.vec_id = a0.vec_id "
+        "JOIN probed ON probed.qid = l0.qid "
+        "AND probed.cluster = c_a.cluster)"
     )
     return (
         "WITH "

@@ -3652,3 +3652,43 @@ def test_lag_values_null_first_rows(ray_session):
     assert math.isnan(out.loc[0, "prev_value"]) and math.isnan(out.loc[0, "delta"])
     assert out.loc[1, "prev_value"] == 1.5 and out.loc[1, "delta"] == 2.5
     assert math.isnan(out.loc[2, "prev_value"])
+
+
+def test_ivf_pq_prunes_to_probed_lists(ray_session):
+    """Every vector an IVF-PQ query ranks must belong to one of that
+    query's nprobe nearest coarse lists — recompute the coarse structure
+    with ops.clustering.kmeans and verify membership; ranking values come
+    from the PQ LUTs (already covered by pq_knn tests)."""
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.clustering import kmeans
+    from infidex_ray.ops.similarity import ivf_pq_knn
+
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(size=(40, 4)).astype(np.float64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array(vecs.tolist()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = ivf_pq_knn(
+        ds, n_queries=2, nlist=4, nprobe=2, m=2, k_codes=4, iters=2, top_k=40
+    ).to_pandas()
+    cents, labeled = kmeans(ds, k=4, iters=2)
+    lab = labeled.to_pandas().set_index("vec_id")["cluster"]
+    cents = np.asarray(cents)
+    for qid in [0, 1]:
+        q = vecs[qid]
+        d = ((q[None] - cents) ** 2).sum(axis=1)
+        probed = set(np.lexsort((np.arange(4), d))[:2].tolist())
+        ranked = out[out.query_id == qid]["vec_id"].tolist()
+        assert ranked, "query ranked nothing"
+        for vid in ranked:
+            assert int(lab.loc[vid]) in probed
+        # and nothing outside the probed lists sneaked in: every member of
+        # the probed lists appears (top_k covers the whole corpus here)
+        members = {int(v) for v in lab.index if int(lab.loc[v]) in probed}
+        assert set(ranked) == members
