@@ -2411,6 +2411,15 @@ def _q_ivf_pq_knn(sf_dir: str):
     )
 
 
+def _q_ngram_freq(sf_dir: str):
+    """Corpus word-3-gram frequency table (count ≥ 5): per-batch distinct
+    packed-code partials → md5 gram-slice sums — the generic-n sibling of
+    the collocations bigram engine."""
+    from infidex_ray.ops.collocations import ngram_freq
+
+    return _by(ngram_freq(_read(sf_dir, "documents"), n=3, min_count=5), "gram")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -2552,6 +2561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_mode": _q_grouped_mode,
         "lag_values": _q_lag_values,
         "ivf_pq_knn": _q_ivf_pq_knn,
+        "ngram_freq": _q_ngram_freq,
     }
 
 
@@ -3824,6 +3834,17 @@ def oracle_sql() -> dict[str, str]:
             "value - lag(value) OVER w AS delta "
             "FROM events WINDOW w AS (PARTITION BY user_id "
             "ORDER BY ts, event_id) ORDER BY user_id, ts_us, event_id"
+        ),
+        "ngram_freq": (
+            # RE2 \s+ split (ASCII whitespace — ops/asciiws parity rule)
+            "WITH ws AS (SELECT list_filter(string_split_regex(lower(text), "
+            "'\\s+'), x -> x <> '') AS w FROM documents), "
+            "pos AS (SELECT w, unnest(generate_series(1, len(w) - 2)) AS i "
+            "FROM ws WHERE len(w) >= 3), "
+            "g AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram "
+            "FROM pos) "
+            "SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g "
+            "GROUP BY gram HAVING count(*) >= 5 ORDER BY gram"
         ),
         "ivf_pq_knn": sqlgen.ivf_pq_knn_sql(
             4, 2, 2, 8, 2, 3, 10, 64

@@ -273,3 +273,116 @@ def collocations(
         .sort(["pmi", "w1", "w2"], descending=[True, False, False])
         .limit(top_n)
     )
+
+
+def ngram_freq(
+    ds,
+    n: int = 3,
+    min_count: int = 5,
+    text_col: str = "text",
+    lowercase: bool = True,
+    num_slices: int | None = None,
+):
+    """Corpus word-``n``-gram frequency table (grams with ≥ ``min_count``
+    occurrences) — the raw phrase/contamination/memorization statistic the
+    bigram-only collocations engine can't produce for n ≥ 3. Tokens =
+    ASCII-whitespace split (RE2 ``\\s+`` parity — see ops/asciiws).
+
+    Same combiner shape as :func:`collocations`: each batch collapses to
+    its DISTINCT gram partial counts (dictionary-encode + one packed-code
+    ``np.unique``; gram STRINGS are built only for the per-batch distinct
+    survivors via one element-wise join), partials shuffle by a coarse md5
+    gram slice — never one Ray group per gram (the duplicate_spans
+    lesson) — and each slice re-sums vectorized and applies ``min_count``.
+    The shuffle carries the per-batch distinct-gram space; that is the
+    op's semantics (exact counts). For a bounded-memory approximation use
+    ``ops/sketches.cms_counts`` / ``heavy_hitters`` instead.
+
+    Returns ``(gram, n)`` rows."""
+    if n < 2:
+        raise ValueError("n must be >= 2 (use token counts for unigrams)")
+    if num_slices is None:
+        num_slices = _default_num_slices()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(pc.cast(batch[text_col], pa.large_string()), "")
+        if lowercase:
+            texts = pc.utf8_lower(texts)
+        toks = pc.split_pattern_regex(texts, pattern=_ASCII_WS)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_of = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.greater(pc.binary_length(flat), 0).to_numpy(
+            zero_copy_only=False
+        )
+        flat = flat.filter(pa.array(nonempty))
+        doc_of = doc_of[nonempty]
+        empty = pa.table(
+            {
+                "gram": pa.array([], pa.large_string()),
+                "n": pa.array([], pa.int64()),
+                "slice": pa.array([], pa.int32()),
+            }
+        )
+        F = len(doc_of)
+        if F < n:
+            return empty
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        v = max(int(len(vocab)), 1)
+        valid = doc_of[: F - n + 1] == doc_of[n - 1 :]
+        if not valid.any():
+            return empty
+        windows = np.flatnonzero(valid)
+        if v ** n < (1 << 62):
+            packed = np.zeros(len(windows), dtype=np.int64)
+            for k in range(n):
+                packed = packed * v + codes[windows + k]
+            pcodes, pcounts = np.unique(packed, return_counts=True)
+            parts = []
+            rem = pcodes.copy()
+            for k in range(n - 1, -1, -1):
+                parts.append(rem % v)
+                rem //= v
+            cols = [
+                vocab.take(pa.array(p)).cast(pa.large_string())
+                for p in reversed(parts)
+            ]
+        else:  # wide-vocab fallback: row-wise unique on the code matrix
+            mat = np.stack([codes[windows + k] for k in range(n)], axis=1)
+            uniq, pcounts = np.unique(mat, axis=0, return_counts=True)
+            cols = [
+                vocab.take(pa.array(uniq[:, k])).cast(pa.large_string())
+                for k in range(n)
+            ]
+        sep = pa.scalar(" ", pa.large_string())
+        grams = pc.binary_join_element_wise(*cols, sep)
+        sl = np.asarray(
+            [_md5_u64(g) % num_slices for g in grams.to_pylist()],
+            dtype=np.int32,
+        )
+        return pa.table(
+            {
+                "gram": grams,
+                "n": pa.array(pcounts.astype(np.int64)),
+                "slice": pa.array(sl),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["slice"])
+        agg = group.group_by(["gram"]).aggregate([("n", "sum")])
+        cnt = agg["n_sum"].cast(pa.int64())
+        keep = pc.greater_equal(cnt, min_count)
+        return pa.table(
+            {"gram": agg["gram"], "n": cnt}
+        ).filter(keep)
+
+    return (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -3692,3 +3692,37 @@ def test_ivf_pq_prunes_to_probed_lists(ray_session):
         # the probed lists appears (top_k covers the whole corpus here)
         members = {int(v) for v in lab.index if int(lab.loc[v]) in probed}
         assert set(ranked) == members
+
+
+def test_ngram_freq_short_docs_and_fallback(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.collocations import ngram_freq
+
+    t = pa.table(
+        {
+            "text": pa.array(
+                ["a b c a b c", "a b", "", None, "a b c d"], pa.string()
+            )
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = (
+        ngram_freq(ds, n=3, min_count=2)
+        .to_pandas()
+        .sort_values("gram")
+        .reset_index(drop=True)
+    )
+    # "a b c" appears 2x in doc0 + 1x in doc4 = 3; "b c a"/"c a b"/"b c d" once
+    assert out["gram"].tolist() == ["a b c"] and out["n"].tolist() == [3]
+    # n=2 path and min_count=1
+    out2 = (
+        ngram_freq(ds, n=2, min_count=1)
+        .to_pandas()
+        .sort_values("gram")
+        .reset_index(drop=True)
+    )
+    assert dict(zip(out2["gram"], out2["n"]))["a b"] == 4
+    with pytest.raises(ValueError, match=">= 2"):
+        ngram_freq(ds, n=1)
