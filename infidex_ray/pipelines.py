@@ -80,6 +80,9 @@ def curate_webtext(
     quality_model_min_prob: float = 0.5,
     readability_band: tuple | None = None,
     token_budget: int | None = None,
+    max_per_domain: int | None = None,
+    domain_col: str = "url",
+    paragraph_dedup: bool = False,
 ):
     """The standard webtext curation recipe (CCNet/Gopher/RefinedWeb shape):
 
@@ -103,6 +106,14 @@ def curate_webtext(
        Flesch reading-ease band (``readability_band``)
     8. chunk into ``chunk_words``-word training samples and greedily pack
        into ``pack_capacity``-token sequences (bucket, bin)
+
+    Two more opt-in stages: ``max_per_domain`` caps docs per registered
+    domain of ``domain_col`` right after the gate (deterministic md5
+    priorities via ``quota_sample`` — bounds megasite skew BEFORE the
+    dedup all-to-alls), and ``paragraph_dedup=True`` runs RefinedWeb-style
+    corpus-wide paragraph span removal (``dedup_lines(sep='\\n\\n')``)
+    after near-dedup and before decontamination (only ``id``/``text``
+    survive that stage — it rewrites the text column).
 
     Returns the packed-chunk Dataset. Each stage is individually
     oracle-verified in the driver contract; the composition adds no new
@@ -245,6 +256,30 @@ def curate_webtext(
     if docs is None:
         return _empty_packed()
 
+    # --- optional per-domain quota ("≤ N pages per site") ---------------------
+    # BEFORE the dedup all-to-alls so a megasite's pages never reach the
+    # pair miners; survivors come back via a distributed left_semi join
+    # (both sides corpus-scale — no driver collect)
+    if max_per_domain is not None:
+        from .ops.sampling import quota_sample
+        from .ops.urls import url_parse_batch
+
+        def dom(batch: pa.Table) -> pa.Table:
+            t = url_parse_batch(
+                batch.select([id_col, domain_col]), url_col=domain_col
+            )
+            return pa.table({id_col: t[id_col], "domain": t["domain"]})
+
+        kept_ids = quota_sample(
+            docs.map_batches(dom, batch_format="pyarrow"),
+            "domain",
+            id_col,
+            n=max_per_domain,
+        ).select_columns([id_col])
+        docs = docs.join(
+            kept_ids, "left_semi", _join_partitions(chained=False), on=(id_col,)
+        )
+
     # --- exact then near dedup (the two all-to-alls) ----------------------
     docs = dedup_corpus_ds(docs, exact_dup_pairs(docs, id_col, text_col), id_col)
     pairs = minhash_lsh_pairs(
@@ -258,6 +293,14 @@ def curate_webtext(
     )
     if docs is None:
         return _empty_packed()
+
+    # --- optional paragraph span removal (RefinedWeb) -------------------------
+    # after near-dedup (doc-level survivors fixed) and before decontam
+    # (grams must reflect the final text); rewrites text → only id/text flow on
+    if paragraph_dedup:
+        from .ops.dedup import dedup_lines
+
+        docs = dedup_lines(docs, id_col=id_col, text_col=text_col, sep="\n\n")
 
     # --- decontamination: distributed left_anti join on contaminated ids ----
     if bench is not None:

@@ -3726,3 +3726,47 @@ def test_ngram_freq_short_docs_and_fallback(ray_session):
     assert dict(zip(out2["gram"], out2["n"]))["a b"] == 4
     with pytest.raises(ValueError, match=">= 2"):
         ngram_freq(ds, n=1)
+
+
+def test_curate_webtext_quota_and_paragraph_stages(ray_session):
+    """Opt-in per-domain quota + paragraph dedup: quota shrinks the doc set
+    per domain; the planted shared paragraph survives in exactly one doc."""
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.pipelines import curate_webtext
+
+    base = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def add_cols(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        urls = [f"https://site{int(i) % 3}.com/p/{i}" for i in ids]
+        texts = [
+            (t or "") + "\n\nFollow us on social media"
+            for t in b["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text": pa.array(texts, pa.string()),
+                "url": pa.array(urls, pa.string()),
+            }
+        )
+
+    docs = base.map_batches(add_cols, batch_format="pyarrow")
+    out = curate_webtext(
+        docs,
+        langs=("en",),
+        min_quality=0.2,
+        max_per_domain=20,
+        paragraph_dedup=True,
+    )
+    df = out.to_pandas()
+    assert len(df) > 0
+    # quota: ≤ 20 docs per site → ≤ 60 distinct docs total
+    assert df["doc_id"].nunique() <= 60
+    # paragraph dedup: the planted promo survives in at most one doc's chunks
+    promo_docs = df[df["chunk"].str.contains("Follow us on social")][
+        "doc_id"
+    ].nunique()
+    assert promo_docs <= 1
