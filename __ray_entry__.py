@@ -2420,6 +2420,29 @@ def _q_ngram_freq(sf_dir: str):
     return _by(ngram_freq(_read(sf_dir, "documents"), n=3, min_count=5), "gram")
 
 
+def _q_html_density(sf_dir: str):
+    """Markup-density quality signals (tag count, stripped-text length,
+    text ratio) over the same deterministic synthetic html column the
+    html_extract entry wraps — three Arrow RE2 kernels, byte-length
+    semantics (strlen parity)."""
+    from infidex_ray.ops.html import html_density
+
+    def synth(batch: pa.Table) -> pa.Table:
+        html = [
+            (
+                "<html><head><title>t</title><script>var x=1;</script></head>"
+                f"<body><h1>Doc {i}</h1><p>{t or ''}</p><!-- c --></body></html>"
+            ).encode("utf-8")
+            for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist())
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "html": pa.array(html, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents").map_batches(synth, batch_format="pyarrow")
+    return _by(html_density(ds), "doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -2562,6 +2585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_values": _q_lag_values,
         "ivf_pq_knn": _q_ivf_pq_knn,
         "ngram_freq": _q_ngram_freq,
+        "html_density": _q_html_density,
     }
 
 
@@ -3845,6 +3869,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM pos) "
             "SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g "
             "GROUP BY gram HAVING count(*) >= 5 ORDER BY gram"
+        ),
+        "html_density": (
+            # byte-length semantics on both engines (strlen == Arrow
+            # binary_length on strings); same synthetic html as html_extract
+            "WITH h AS (SELECT doc_id, "
+            "'<html><head><title>t</title><script>var x=1;</script></head>"
+            "<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || "
+            "coalesce(text,'') || '</p><!-- c --></body></html>' AS html "
+            "FROM documents) "
+            "SELECT doc_id, CAST(strlen(html) AS BIGINT) AS html_len, "
+            "CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) "
+            "AS n_tags, "
+            "CAST(strlen(regexp_replace(html, '<[^>]*>', '', 'g')) AS BIGINT) "
+            "AS text_len, "
+            "ROUND(CASE WHEN strlen(html) > 0 THEN "
+            "strlen(regexp_replace(html, '<[^>]*>', '', 'g'))::DOUBLE "
+            "/ strlen(html) ELSE 0 END, 4) AS text_ratio "
+            "FROM h ORDER BY doc_id"
         ),
         "ivf_pq_knn": sqlgen.ivf_pq_knn_sql(
             4, 2, 2, 8, 2, 3, 10, 64

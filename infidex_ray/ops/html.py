@@ -314,3 +314,53 @@ def link_in_degrees(links_ds, href_col: str = "href"):
         return pa.table({href_col: t[href_col], "in_degree": t[c].cast(pa.int64())})
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def html_density_batch(
+    batch: pa.Table, html_col: str = "html", id_col: str = "doc_id"
+) -> pa.Table:
+    """Per-page markup-density quality signals — the boilerplate-page
+    detector crawl pipelines gate on BEFORE extraction (a page that is
+    mostly tags is nav/chrome, not content): ``(doc_id, html_len, n_tags,
+    text_len, text_ratio)`` with text = html minus ``<...>`` tag spans and
+    text_ratio = round(text_len / html_len, 4) (0 for empty pages).
+
+    Three Arrow RE2 kernels per batch, no Python loop; the DuckDB oracle
+    recomputes every column with the same regex engine semantics."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    col = batch[html_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+        col = col.cast(pa.string())
+    html = pc.coalesce(col, pa.scalar("", pa.string()))
+    html_len = pc.binary_length(html).cast(pa.int64())
+    n_tags = pc.count_substring_regex(html, r"<[^>]*>").cast(pa.int64())
+    stripped = pc.replace_substring_regex(html, r"<[^>]*>", "")
+    text_len = pc.binary_length(stripped).cast(pa.int64())
+    hl = html_len.to_numpy(zero_copy_only=False).astype(np.float64)
+    tl = text_len.to_numpy(zero_copy_only=False).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(hl > 0, tl / np.maximum(hl, 1.0), 0.0)
+    ratio = np.copysign(np.floor(np.abs(ratio) * 1e4 + 0.5) / 1e4, ratio)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "html_len": html_len,
+            "n_tags": n_tags,
+            "text_len": text_len,
+            "text_ratio": pa.array(ratio, pa.float64()),
+        }
+    )
+
+
+def html_density(ds, html_col: str = "html", id_col: str = "doc_id"):
+    """Dataset wrapper for :func:`html_density_batch` — stateless
+    vectorized ``map_batches``, no shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return html_density_batch(batch, html_col, id_col)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

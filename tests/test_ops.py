@@ -3770,3 +3770,29 @@ def test_curate_webtext_quota_and_paragraph_stages(ray_session):
         "doc_id"
     ].nunique()
     assert promo_docs <= 1
+
+
+def test_html_density_edge_cases(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.html import html_density
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "html": pa.array(
+                [b"<p>hi</p>", b"plain text only", b"", None], pa.binary()
+            ),
+        }
+    )
+    out = (
+        html_density(ray.data.from_arrow(t))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1].tolist() == [9, 2, 2, 0.2222]
+    assert out.loc[2].tolist() == [15, 0, 15, 1.0]
+    assert out.loc[3].tolist() == [0, 0, 0, 0.0]
+    assert out.loc[4].tolist() == [0, 0, 0, 0.0]
