@@ -2443,6 +2443,15 @@ def _q_html_density(sf_dir: str):
     return _by(html_density(ds), "doc_id")
 
 
+def _q_knn_label_precision(sf_dir: str):
+    """Labeled ANN quality eval (precision@10 of same-label neighbors per
+    query, self excluded) — the kNN-classifier score over the embeddings
+    table's label column."""
+    from infidex_ray.ops.similarity import knn_label_precision
+
+    return knn_label_precision(_read(sf_dir, "embeddings"), n_queries=5, k=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -2586,6 +2595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_pq_knn": _q_ivf_pq_knn,
         "ngram_freq": _q_ngram_freq,
         "html_density": _q_html_density,
+        "knn_label_precision": _q_knn_label_precision,
     }
 
 
@@ -3887,6 +3897,22 @@ def oracle_sql() -> dict[str, str]:
             "strlen(regexp_replace(html, '<[^>]*>', '', 'g'))::DOUBLE "
             "/ strlen(html) ELSE 0 END, 4) AS text_ratio "
             "FROM h ORDER BY doc_id"
+        ),
+        "knn_label_precision": (
+            # same list_cosine_similarity ranking convention as knn_cosine
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS "
+            "qlabel FROM embeddings WHERE vec_id < 5), "
+            "r AS (SELECT q.qid, q.qlabel, b.vec_id, b.label, "
+            "row_number() OVER (PARTITION BY q.qid ORDER BY "
+            "list_cosine_similarity(b.embedding::DOUBLE[], q.qe::DOUBLE[]) "
+            "DESC, b.vec_id) AS rnk "
+            "FROM q JOIN embeddings b ON b.vec_id <> q.qid) "
+            "SELECT qid AS query_id, CAST(count(*) AS BIGINT) AS k_eff, "
+            "CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_match, "
+            "ROUND(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)::DOUBLE "
+            "/ count(*), 4) AS precision "
+            "FROM r WHERE rnk <= 10 GROUP BY qid ORDER BY qid"
         ),
         "ivf_pq_knn": sqlgen.ivf_pq_knn_sql(
             4, 2, 2, 8, 2, 3, 10, 64

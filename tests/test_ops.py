@@ -3796,3 +3796,38 @@ def test_html_density_edge_cases(ray_session):
     assert out.loc[2].tolist() == [15, 0, 15, 1.0]
     assert out.loc[3].tolist() == [0, 0, 0, 0.0]
     assert out.loc[4].tolist() == [0, 0, 0, 0.0]
+
+
+def test_knn_label_precision_bruteforce(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.similarity import knn_label_precision
+
+    rng = np.random.RandomState(5)
+    vecs = rng.normal(size=(20, 4))
+    labels = (np.arange(20) % 2).astype(np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(20), pa.int64()),
+            "embedding": pa.array(vecs.tolist()),
+            "label": pa.array(labels),
+        }
+    )
+    out = (
+        knn_label_precision(ray.data.from_arrow(t), n_queries=2, k=5)
+        .to_pandas()
+        .set_index("query_id")
+    )
+
+    def norm(m):
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    nv = norm(vecs)
+    for qid in [0, 1]:
+        sims = nv @ nv[qid]
+        others = [i for i in range(20) if i != qid]
+        top = sorted(others, key=lambda i: (-sims[i], i))[:5]
+        expect = sum(1 for i in top if labels[i] == labels[qid])
+        assert out.loc[qid, "n_match"] == expect
+        assert out.loc[qid, "k_eff"] == 5
