@@ -2452,6 +2452,115 @@ def _q_knn_label_precision(sf_dir: str):
     return knn_label_precision(_read(sf_dir, "embeddings"), n_queries=5, k=10)
 
 
+def _synth_edges(sf_dir: str):
+    """The shared synthetic web-graph fixture (same arithmetic as pagerank /
+    connected_components): doc_id → (doc_id·7 + j·13) mod 500 for j in
+    1..(doc_id mod 4)."""
+
+    def synth(batch: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for d in batch["doc_id"].to_pylist():
+            for j in range(1, d % 4 + 1):
+                src.append(d)
+                dst.append((d * 7 + j * 13) % 500)
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    return (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id"])
+        .map_batches(synth, batch_format="pyarrow")
+    )
+
+
+def _q_triangle_count(sf_dir: str):
+    """Per-node triangle counts over the synthetic edge fixture
+    (ops/graph.py::triangle_count — degree-ordered wedge enumeration, each
+    triangle found exactly once at its min-(deg,id) vertex). Oracle = the
+    canonical three-way self-join over the distinct a<b edge set."""
+    from infidex_ray.ops.graph import triangle_count
+
+    return _by(triangle_count(_synth_edges(sf_dir)), "node")
+
+
+def _q_grouped_ols(sf_dir: str):
+    """Per-returnflag OLS slope/intercept of extendedprice on quantity via
+    exact integer sufficient statistics (ops/agg.py::grouped_ols) — the
+    five int64 sums are order-free, the float64 finish expression is
+    operation-identical to the oracle's, so the match is bitwise."""
+    from infidex_ray.ops.agg import grouped_ols
+
+    return _by(
+        grouped_ols(
+            _read(sf_dir, "lineitem"),
+            "l_returnflag",
+            "l_quantity",
+            "l_extendedprice",
+            x_scale=1,
+            y_scale=100,
+        ),
+        "l_returnflag",
+    )
+
+
+def _q_activity_streaks(sf_dir: str):
+    """Per-user consecutive-active-day streaks over events
+    (ops/windows.py::activity_streaks — distinct-day partials + one md5
+    user-slice shuffle). Oracle = the gaps-and-islands row_number idiom."""
+    from infidex_ray.ops.windows import activity_streaks
+
+    return _by(activity_streaks(_read(sf_dir, "events")), "user_id")
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-flavor revenue per customer nation
+    (ops/relational.py::revenue_by_nation): one big-big hash_join
+    (lineitem ⨝ orders), two broadcast dimension joins, one combiner
+    group-by. Revenue accumulates as exact int64 1e-4 units."""
+    from infidex_ray.ops.relational import revenue_by_nation
+
+    return _by(
+        revenue_by_nation(
+            _read(sf_dir, "lineitem"),
+            _read(sf_dir, "orders"),
+            _read(sf_dir, "customer"),
+            _read(sf_dir, "nation"),
+        ),
+        "n_name",
+    )
+
+
+def _q_order_priority_counts(sf_dir: str):
+    """TPC-H Q4-flavor EXISTS semi-join: orders with ≥1 returned lineitem,
+    counted by priority (ops/relational.py::order_priority_counts —
+    unique-key partials + broadcast LEFT SEMI join, fact side never
+    shuffles)."""
+    from infidex_ray.ops.relational import order_priority_counts
+
+    return _by(
+        order_priority_counts(_read(sf_dir, "lineitem"), _read(sf_dir, "orders")),
+        "o_orderpriority",
+    )
+
+
+def _q_top_customer_revenue(sf_dir: str):
+    """Top-10 customers by exact integer revenue with names
+    (ops/relational.py::top_customer_revenue — per-block partial top-k on
+    the combiner output, k-row driver merge, broadcast name lookup)."""
+    from infidex_ray.ops.relational import top_customer_revenue
+
+    return _by(
+        top_customer_revenue(
+            _read(sf_dir, "lineitem"),
+            _read(sf_dir, "orders"),
+            _read(sf_dir, "customer"),
+            k=10,
+        ),
+        "c_custkey",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -2596,6 +2705,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_freq": _q_ngram_freq,
         "html_density": _q_html_density,
         "knn_label_precision": _q_knn_label_precision,
+        "triangle_count": _q_triangle_count,
+        "grouped_ols": _q_grouped_ols,
+        "activity_streaks": _q_activity_streaks,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "order_priority_counts": _q_order_priority_counts,
+        "top_customer_revenue": _q_top_customer_revenue,
     }
 
 
@@ -4105,6 +4220,82 @@ def oracle_sql() -> dict[str, str]:
             "round(p.sxy / n.n - (ma.sx / n.n) * (mb.sx / n.n), 4) AS cov "
             "FROM p, n JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j "
             "ORDER BY i, j"
+        ),
+        "triangle_count": (
+            "WITH raw AS (SELECT doc_id AS src, (doc_id*7 + j*13) % 500 AS dst "
+            "FROM (SELECT doc_id, unnest(generate_series(1, "
+            "CAST(doc_id % 4 AS INT))) AS j FROM documents)), "
+            "e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+            "FROM raw WHERE src <> dst), "
+            "t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 "
+            "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+            "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), "
+            "nodes AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t "
+            "UNION ALL SELECT z FROM t) "
+            "SELECT node, count(*)::BIGINT AS triangles FROM nodes "
+            "GROUP BY node ORDER BY node"
+        ),
+        "grouped_ols": (
+            # exact int64 sufficient stats; finish expression operation-
+            # identical to ops/agg.py::grouped_ols -> bitwise before ROUND
+            "WITH b AS (SELECT l_returnflag, "
+            "CAST(round(l_quantity * 1) AS BIGINT) AS xi, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS yi FROM lineitem "
+            "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL), "
+            "s AS (SELECT l_returnflag, count(*)::BIGINT AS n, "
+            "sum(xi)::BIGINT AS sx, sum(yi)::BIGINT AS sy, "
+            "sum(xi*xi)::BIGINT AS sxx, sum(xi*yi)::BIGINT AS sxy "
+            "FROM b GROUP BY l_returnflag), "
+            "sl AS (SELECT *, (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) "
+            "/ NULLIF(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE, 0.0) "
+            "AS slope_s FROM s) "
+            "SELECT l_returnflag, n, "
+            "round(slope_s * (CAST(1 AS DOUBLE) / CAST(100 AS DOUBLE)), 6) AS slope, "
+            "round(((sy::DOUBLE - slope_s * sx::DOUBLE) / n::DOUBLE) "
+            "/ CAST(100 AS DOUBLE), 6) AS intercept "
+            "FROM sl ORDER BY l_returnflag"
+        ),
+        "activity_streaks": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day FROM events), "
+            "g AS (SELECT user_id, day, day - row_number() OVER "
+            "(PARTITION BY user_id ORDER BY day) AS grp FROM d), "
+            "runs AS (SELECT user_id, grp, count(*)::BIGINT AS len "
+            "FROM g GROUP BY 1, 2) "
+            "SELECT user_id, sum(len)::BIGINT AS active_days, "
+            "max(len)::BIGINT AS longest_streak, count(*)::BIGINT AS n_streaks "
+            "FROM runs GROUP BY user_id ORDER BY user_id"
+        ),
+        "revenue_by_nation": (
+            "WITH f AS (SELECT l_orderkey, "
+            "CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_e4 "
+            "FROM lineitem) "
+            "SELECT n_name, sum(rev_e4)::BIGINT / 10000.0 AS revenue, "
+            "count(*)::BIGINT AS n_items "
+            "FROM f JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n_name"
+        ),
+        "order_priority_counts": (
+            "SELECT o_orderpriority, count(o_orderkey)::BIGINT AS n_orders "
+            "FROM orders WHERE o_orderkey IN "
+            "(SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R') "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "top_customer_revenue": (
+            "WITH f AS (SELECT l_orderkey, "
+            "CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_e4 "
+            "FROM lineitem), "
+            "s AS (SELECT o_custkey, sum(rev_e4)::BIGINT AS rev_e4 FROM f "
+            "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_custkey), "
+            "t AS (SELECT o_custkey, rev_e4 FROM s "
+            "ORDER BY rev_e4 DESC, o_custkey LIMIT 10) "
+            "SELECT t.o_custkey AS c_custkey, c_name, "
+            "rev_e4::DOUBLE / 10000.0 AS revenue "
+            "FROM t JOIN customer ON t.o_custkey = c_custkey ORDER BY c_custkey"
         ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (float-histogram fake codec) are

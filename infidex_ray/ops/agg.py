@@ -558,3 +558,92 @@ def grouped_mode(ds, key_col: str, value_col: str, num_slices: int | None = None
         .groupby("slice")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def grouped_ols(
+    ds,
+    keys,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 1,
+    y_scale: int = 1,
+    num_slices: int | None = None,
+):
+    """Per-group simple linear regression (OLS slope + intercept + n) via
+    EXACT integer sufficient statistics — the distributed equivalent of SQL
+    ``regr_slope`` / ``regr_intercept`` but bit-reproducible: ``x``/``y``
+    are snapped to integers (``round(v * scale)``, half-away-from-zero), the
+    five sufficient sums (n, Σx, Σy, Σx², Σxy) accumulate as int64 through
+    :func:`grouped_agg`'s combiner partials (order-free), and the final
+    slope/intercept expression runs once per group in float64 in a fixed
+    operation order — so a DuckDB oracle writing the SAME expression over
+    SQL integer sums matches bitwise before the final ROUND.
+
+    Output: key columns + (n, slope, intercept), slope/intercept rounded
+    half-away-from-zero to 6 decimals, NULL when the group's x-variance is
+    zero. Rows where either column is NULL are excluded (SQL regr_*
+    semantics). Caller owns the int64 budget: |Σ x²·scale²| and
+    |Σ x·y·scale²| must stay under 2^63.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def enrich(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = pc.and_(
+            pc.is_valid(t[x_col]), pc.is_valid(t[y_col])
+        )
+        t = t.filter(ok)
+        x = t[x_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        y = t[y_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        xi = np.copysign(np.floor(np.abs(x * x_scale) + 0.5), x).astype(np.int64)
+        yi = np.copysign(np.floor(np.abs(y * y_scale) + 0.5), y).astype(np.int64)
+        cols = {k: t[k] for k in keys}
+        cols["xi"] = pa.array(xi)
+        cols["yi"] = pa.array(yi)
+        cols["xx"] = pa.array(xi * xi)
+        cols["xy"] = pa.array(xi * yi)
+        return pa.table(cols)
+
+    sums = grouped_agg(
+        ds.map_batches(enrich, batch_format="pyarrow"),
+        keys,
+        {
+            "n": ("count", "xi"),
+            "sx": ("sum", "xi"),
+            "sy": ("sum", "yi"),
+            "sxx": ("sum", "xx"),
+            "sxy": ("sum", "xy"),
+        },
+        num_slices=num_slices,
+    )
+    unscale = float(x_scale) / float(y_scale)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = t["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        denom = n * sxx - sx * sx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope_s = (n * sxy - sx * sy) / denom
+            slope = slope_s * unscale
+            intercept = ((sy - slope_s * sx) / n) / float(y_scale)
+        slope = np.copysign(np.floor(np.abs(slope) * 1e6 + 0.5) / 1e6, slope)
+        intercept = np.copysign(
+            np.floor(np.abs(intercept) * 1e6 + 0.5) / 1e6, intercept
+        )
+        valid = denom != 0.0
+        cols = {k: t[k] for k in keys}
+        cols["n"] = t["n"]
+        cols["slope"] = pa.array(
+            [float(s) if v else None for s, v in zip(slope, valid)], pa.float64()
+        )
+        cols["intercept"] = pa.array(
+            [float(i) if v else None for i, v in zip(intercept, valid)],
+            pa.float64(),
+        )
+        return pa.table(cols)
+
+    return sums.map_batches(finish, batch_format="pyarrow")

@@ -814,3 +814,86 @@ def lag_values(
         .groupby("slice")
         .map_groups(order_slice, batch_format="pyarrow")
     )
+
+
+def activity_streaks(
+    events,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    day_us: int = 86_400_000_000,
+):
+    """Per-user consecutive-active-day streaks (the gaps-and-islands
+    classic): returns one row per user with ``(user_id, active_days,
+    longest_streak, n_streaks)`` over the user's DISTINCT active days
+    (``floor(epoch_us / day_us)``).
+
+    Scale design mirrors :func:`sessionize`: per-batch distinct
+    ``(user, day)`` partials shrink the shuffle to at most one row per
+    user-day per block, one coarse md5 user-slice shuffle co-locates each
+    user, and every slice resolves ALL its users with one lexsort —
+    streak boundaries are ``(user change OR day gap > 1)`` masks, run
+    lengths come from ``reduceat``. Integer outputs — exact vs the SQL
+    gaps-and-islands oracle (``day - row_number()`` grouping).
+    """
+    from .dedup import _default_num_slices, _md5_u64
+
+    num_slices = _default_num_slices()
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t[user_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = _ts_us(t[ts_col]) // day_us
+        pairs = np.unique(np.stack([u, day], axis=1), axis=0)
+        sl = np.asarray(
+            [_md5_u64(str(v)) % num_slices for v in pairs[:, 0]], dtype=np.int32
+        )
+        return pa.table(
+            {
+                "u": pa.array(pairs[:, 0], pa.int64()),
+                "day": pa.array(pairs[:, 1], pa.int64()),
+                "slice": pa.array(sl),
+            }
+        )
+
+    def per_slice(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                user_col: pa.array([], pa.int64()),
+                "active_days": pa.array([], pa.int64()),
+                "longest_streak": pa.array([], pa.int64()),
+                "n_streaks": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        u = g["u"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([u, day], axis=1), axis=0)  # sorted (u, day)
+        u, day = pairs[:, 0], pairs[:, 1]
+        n = len(u)
+        user_change = np.empty(n, dtype=bool)
+        user_change[0] = True
+        user_change[1:] = u[1:] != u[:-1]
+        run_start = user_change | np.r_[True, np.diff(day) != 1]
+        starts = np.flatnonzero(run_start)
+        run_len = np.diff(np.r_[starts, n])
+        run_user_start = np.flatnonzero(user_change[starts])
+        # per-user reduction over this user's runs
+        u_starts = starts[run_user_start]
+        active = np.add.reduceat(run_len, run_user_start)
+        longest = np.maximum.reduceat(run_len, run_user_start)
+        n_streaks = np.diff(np.r_[run_user_start, len(starts)])
+        return pa.table(
+            {
+                user_col: pa.array(u[u_starts], pa.int64()),
+                "active_days": pa.array(active, pa.int64()),
+                "longest_streak": pa.array(longest, pa.int64()),
+                "n_streaks": pa.array(n_streaks, pa.int64()),
+            }
+        )
+
+    return (
+        events.select_columns([user_col, ts_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(per_slice, batch_format="pyarrow")
+    )
