@@ -2561,6 +2561,57 @@ def _q_top_customer_revenue(sf_dir: str):
     )
 
 
+def _q_token_label_chi2(sf_dir: str):
+    """Per-token χ² association with the 'en' label
+    (ops/vectorize.py::token_label_chi2 — distinct (doc, token) combiner
+    partials + one md5 token-slice merge; fixed-order float64 χ²
+    expression, bitwise vs the oracle before ROUND)."""
+    from infidex_ray.ops.vectorize import token_label_chi2
+
+    return _by(token_label_chi2(_read(sf_dir, "documents"), min_df=5), "token")
+
+
+def _q_warc_extract(sf_dir: str):
+    """WARC ingest round-trip (ops/warc.py): documents are serialized into
+    REAL multi-record WARC/1.0 blobs (HTTP response blocks, Content-Length
+    byte walking, multi-byte UTF-8 bodies) and parsed back — the oracle
+    reconstructs the expected rows straight from the table, so any parser
+    or length-arithmetic bug breaks the hash."""
+    from infidex_ray.ops.warc import build_warc_record, warc_extract
+
+    def make(batch: pa.Table) -> pa.Table:
+        payloads = []
+        cur = b""
+        for i, (did, text, src) in enumerate(
+            zip(
+                batch["doc_id"].to_pylist(),
+                batch["text"].to_pylist(),
+                batch["source"].to_pylist(),
+            )
+        ):
+            cur += build_warc_record(
+                f"http://{src}.example/{did}",
+                "2024-01-01T00:00:00Z",
+                (text or "").encode("utf-8"),
+            )
+            if i % 2 == 1:  # two records per blob: exercises record walking
+                payloads.append(cur)
+                cur = b""
+        if cur:
+            payloads.append(cur)
+        return pa.table({"payload": pa.array(payloads, pa.binary())})
+
+    blobs = _read(sf_dir, "documents").map_batches(make, batch_format="pyarrow")
+    out = warc_extract(blobs)
+
+    def select(t: pa.Table) -> pa.Table:
+        return t.select(
+            ["uri", "status", "content_type", "n_body_bytes", "body_text"]
+        )
+
+    return _by(out.map_batches(select, batch_format="pyarrow"), "uri")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -2711,6 +2762,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "order_priority_counts": _q_order_priority_counts,
         "top_customer_revenue": _q_top_customer_revenue,
+        "token_label_chi2": _q_token_label_chi2,
+        "warc_extract": _q_warc_extract,
     }
 
 
@@ -4296,6 +4349,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.o_custkey AS c_custkey, c_name, "
             "rev_e4::DOUBLE / 10000.0 AS revenue "
             "FROM t JOIN customer ON t.o_custkey = c_custkey ORDER BY c_custkey"
+        ),
+        "token_label_chi2": (
+            "WITH toks AS (SELECT doc_id, lang, unnest(regexp_split_to_array("
+            "lower(text), '[ \\t\\n\\r]+')) AS tok FROM documents), "
+            "d AS (SELECT DISTINCT doc_id, lang, tok FROM toks WHERE tok <> ''), "
+            "agg AS (SELECT tok AS token, "
+            "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS a, "
+            "count(*)::BIGINT AS df FROM d GROUP BY tok), "
+            "n AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT "
+            "AS nt, sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS no "
+            "FROM documents), "
+            "x AS (SELECT token, a, df, a::DOUBLE AS fa, (df - a)::DOUBLE AS fb, "
+            "((SELECT nt FROM n) - a)::DOUBLE AS fc, "
+            "((SELECT no FROM n) - (df - a))::DOUBLE AS fd FROM agg "
+            "WHERE df >= 5) "
+            "SELECT token, a, df, "
+            "round(((SELECT nt FROM n) + (SELECT no FROM n))::DOUBLE "
+            "* ((fa*fd - fb*fc) * (fa*fd - fb*fc)) "
+            "/ NULLIF(((fa+fb)*(fc+fd)) * ((fa+fc)*(fb+fd)), 0.0), 6) AS chi2 "
+            "FROM x ORDER BY token"
+        ),
+        "warc_extract": (
+            "SELECT 'http://' || source || '.example/' || "
+            "CAST(doc_id AS VARCHAR) AS uri, 200::BIGINT AS status, "
+            "'text/plain; charset=utf-8' AS content_type, "
+            "strlen(text)::BIGINT AS n_body_bytes, text AS body_text "
+            "FROM documents ORDER BY uri"
         ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (float-histogram fake codec) are

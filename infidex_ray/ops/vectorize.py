@@ -425,3 +425,140 @@ def linear_score(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def token_label_chi2(
+    ds,
+    text_col: str = "text",
+    label_col: str = "lang",
+    target: str = "en",
+    min_df: int = 2,
+    num_slices: int | None = None,
+):
+    """Per-token χ² association with a binary label (fastText/feature-
+    selection classic): for every lowercase whitespace token, the 2×2
+    contingency of (document contains token) × (label == target), scored
+    ``χ² = N·(AD−BC)² / ((A+B)(C+D)(A+C)(B+D))``.
+
+    Scale shape = the word-df combiner (``token_df``): each block collapses
+    to distinct (doc, token) rows with one Arrow group_by, contributes
+    ≤|vocab| partial rows of (df, target-df), and only those shuffle — one
+    coarse md5 token-slice groupby merges them. Label totals are one tiny
+    combiner aggregate. All counts int64-exact; the χ² finish expression is
+    operation-identical to the SQL oracle ⇒ bitwise before ROUND(…, 6).
+    NULL labels count as non-target (SQL CASE WHEN parity); tokens in every
+    document (zero other-column) yield NULL χ².
+
+    Output: (token, a, df, chi2) for tokens with df ≥ ``min_df``, where
+    ``a`` = target-labeled documents containing the token.
+    """
+    import pyarrow.compute as pc
+
+    from .dedup import _default_num_slices
+
+    if num_slices is None:
+        num_slices = _default_num_slices()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), pattern="[ \t\n\r]+"
+        )
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).fill_null(0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        doc_of = doc_of[keep.to_numpy(zero_copy_only=False)]
+        is_t = (
+            pc.equal(batch[label_col], target)
+            .fill_null(False)
+            .to_numpy(zero_copy_only=False)
+        )
+        per_doc = (
+            pa.table({"i": pa.array(doc_of), "token": flat})
+            .group_by(["i", "token"])
+            .aggregate([])
+        )
+        tflag = is_t[per_doc["i"].to_numpy(zero_copy_only=False)].astype(np.int64)
+        agg = (
+            per_doc.append_column("t", pa.array(tflag))
+            .group_by(["token"])
+            .aggregate([("t", "sum"), ("t", "count")])
+        )
+        token = agg["token"].cast(pa.string())
+        sl = np.asarray(
+            [_md5_u64(s) % num_slices for s in token.to_pylist()], dtype=np.int32
+        )
+        return pa.table(
+            {
+                "token": token,
+                "a": agg["t_sum"].cast(pa.int64()),
+                "df": agg["t_count"].cast(pa.int64()),
+                "slice": pa.array(sl),
+            }
+        )
+
+    def labels_partial(batch: pa.Table) -> pa.Table:
+        is_t = (
+            pc.equal(batch[label_col], target)
+            .fill_null(False)
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "nt": pa.array([int(is_t.sum())], pa.int64()),
+                "no": pa.array([int((~is_t).sum())], pa.int64()),
+            }
+        )
+
+    import ray
+
+    totals = [
+        t
+        for t in ray.get(
+            ds.select_columns([label_col])
+            .map_batches(labels_partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    tt = pa.concat_tables([t.select(["nt", "no"]) for t in totals])
+    nt = float(pc.sum(tt["nt"]).as_py() or 0)
+    no = float(pc.sum(tt["no"]).as_py() or 0)
+
+    def merge_slice(g: pa.Table) -> pa.Table:
+        m = g.group_by(["token"]).aggregate([("a", "sum"), ("df", "sum")])
+        a = m["a_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = m["df_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = df >= min_df
+        a, df = a[keep], df[keep]
+        token = m["token"].combine_chunks().filter(pa.array(keep))
+        b = df - a
+        c = nt - a
+        d = no - b
+        num = a * d - b * c
+        den = ((a + b) * (c + d)) * ((a + c) * (b + d))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            chi2 = (nt + no) * (num * num) / den
+        chi2 = np.copysign(np.floor(np.abs(chi2) * 1e6 + 0.5) / 1e6, chi2)
+        ok = den != 0.0
+        return pa.table(
+            {
+                "token": token,
+                "a": pa.array(a.astype(np.int64)),
+                "df": pa.array(df.astype(np.int64)),
+                "chi2": pa.array(
+                    [float(x) if v else None for x, v in zip(chi2, ok)],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        ds.select_columns([text_col, label_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(merge_slice, batch_format="pyarrow")
+    )
