@@ -2612,6 +2612,117 @@ def _q_warc_extract(sf_dir: str):
     return _by(out.map_batches(select, batch_format="pyarrow"), "uri")
 
 
+def _q_robots_gate(sf_dir: str):
+    """robots.txt longest-match gating (ops/robots.py): synthetic per-doc
+    crawl paths evaluated against a parsed rule set with an exact-length
+    Allow/Disallow tie planted — rules broadcast once, one vectorized
+    starts_with pass per rule, no shuffle. Oracle = row_number over
+    (prefix length DESC, allow DESC) per URL."""
+    from infidex_ray.ops.robots import parse_robots_txt, robots_allowed
+
+    robots = (
+        "User-agent: evilbot\nDisallow: /\n\n"
+        "User-agent: *\n"
+        "Disallow: /cat1\n"
+        "Disallow: /cat3/\n"
+        "Allow: /cat3/page3\n"
+        "Disallow: /cat5/page\n"
+        "Allow: /cat5/page5\n"
+        "Allow: /cat2\n"
+        "Disallow: /cat2\n"  # exact tie with the Allow above -> Allow wins
+    )
+    rules = parse_robots_txt(robots)
+
+    def paths(t: pa.Table) -> pa.Table:
+        dids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "path": pa.array(
+                    [f"/cat{d % 7}/page{d}" for d in dids], pa.string()
+                ),
+            }
+        )
+
+    ds = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id"])
+        .map_batches(paths, batch_format="pyarrow")
+    )
+    return _by(robots_allowed(ds, rules), "doc_id")
+
+
+def _q_grouped_cube(sf_dir: str):
+    """GROUP BY CUBE over (lang, source) with count+sum aggregates
+    (ops/agg.py::grouped_cube — one combiner pass per key subset, unioned
+    with the SQL GROUPING_ID bitmask). Subtotal NULL keys coalesce to
+    '(all)' on both engines (NULL-ordering parity, the rollup precedent)."""
+    from infidex_ray.ops.agg import grouped_cube
+
+    cube = grouped_cube(
+        _read(sf_dir, "documents"),
+        ["lang", "source"],
+        {"n_docs": ("count", "doc_id"), "total_chars": ("sum", "n_chars")},
+    )
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "lang": pc.coalesce(t["lang"], pa.scalar("(all)")),
+                "source": pc.coalesce(t["source"], pa.scalar("(all)")),
+                "grouping_id": t["grouping_id"],
+                "n_docs": t["n_docs"],
+                "total_chars": t["total_chars"],
+            }
+        )
+
+    return _by(
+        cube.map_batches(coalesce, batch_format="pyarrow"),
+        "grouping_id",
+        "lang",
+        "source",
+    )
+
+
+def _q_unicode_nfc(sf_dir: str):
+    """NFC normalization parity (ops/textstats.py::unicode_normalize_text
+    vs DuckDB nfc_normalize): decomposed combining marks are PLANTED via
+    the same replace rewrite on both sides (script_profile precedent), so
+    the normalization itself — recomposition, char counts — is what the
+    hash checks."""
+    import pyarrow.compute as pc
+
+    from infidex_ray.ops.textstats import unicode_normalize_text
+
+    comb = "a" + chr(769)  # 'a' + COMBINING ACUTE -> NFC 'á'
+
+    def plant(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pc.replace_substring(t["text"], pattern="a", replacement=comb),
+            }
+        )
+
+    planted = _read(sf_dir, "documents").map_batches(plant, batch_format="pyarrow")
+    out = unicode_normalize_text(planted)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm": t["norm"],
+                "changed": t["changed"],
+                "len_before": pc.utf8_length(t["text"]).cast(pa.int64()),
+                "len_after": pc.utf8_length(t["norm"]).cast(pa.int64()),
+            }
+        )
+
+    return _by(out.map_batches(finish, batch_format="pyarrow"), "doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -2764,6 +2875,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customer_revenue": _q_top_customer_revenue,
         "token_label_chi2": _q_token_label_chi2,
         "warc_extract": _q_warc_extract,
+        "robots_gate": _q_robots_gate,
+        "grouped_cube": _q_grouped_cube,
+        "unicode_nfc": _q_unicode_nfc,
     }
 
 
@@ -4376,6 +4490,38 @@ def oracle_sql() -> dict[str, str]:
             "'text/plain; charset=utf-8' AS content_type, "
             "strlen(text)::BIGINT AS n_body_bytes, text AS body_text "
             "FROM documents ORDER BY uri"
+        ),
+        "robots_gate": (
+            "WITH u AS (SELECT doc_id, '/cat' || CAST(doc_id % 7 AS VARCHAR) "
+            "|| '/page' || CAST(doc_id AS VARCHAR) AS path FROM documents), "
+            "r(allow, prefix) AS (VALUES (0, '/cat1'), (0, '/cat3/'), "
+            "(1, '/cat3/page3'), (0, '/cat5/page'), (1, '/cat5/page5'), "
+            "(1, '/cat2'), (0, '/cat2')), "
+            "m AS (SELECT u.doc_id, r.allow, row_number() OVER "
+            "(PARTITION BY u.doc_id ORDER BY strlen(r.prefix) DESC, "
+            "r.allow DESC) AS rn FROM u JOIN r ON starts_with(u.path, r.prefix)) "
+            "SELECT u.doc_id, u.path, "
+            "coalesce((SELECT m.allow = 1 FROM m WHERE m.doc_id = u.doc_id "
+            "AND m.rn = 1), TRUE) AS allowed "
+            "FROM u ORDER BY u.doc_id"
+        ),
+        "grouped_cube": (
+            "SELECT coalesce(lang, '(all)') AS lang, "
+            "coalesce(source, '(all)') AS source, "
+            "GROUPING_ID(lang, source)::BIGINT AS grouping_id, "
+            "count(doc_id)::BIGINT AS n_docs, "
+            "sum(n_chars)::BIGINT AS total_chars "
+            "FROM documents GROUP BY CUBE(lang, source) "
+            "ORDER BY grouping_id, 1, 2"
+        ),
+        "unicode_nfc": (
+            "WITH p AS (SELECT doc_id, replace(text, 'a', 'a' || chr(769)) "
+            "AS text FROM documents) "
+            "SELECT doc_id, nfc_normalize(text) AS norm, "
+            "nfc_normalize(text) <> text AS changed, "
+            "length(text)::BIGINT AS len_before, "
+            "length(nfc_normalize(text))::BIGINT AS len_after "
+            "FROM p ORDER BY doc_id"
         ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (float-histogram fake codec) are

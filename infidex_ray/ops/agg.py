@@ -647,3 +647,37 @@ def grouped_ols(
         return pa.table(cols)
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_cube(ds, keys, aggs: dict, num_slices: int | None = None):
+    """SQL ``GROUP BY CUBE(keys...)``: one :func:`grouped_agg` pass per key
+    SUBSET (2^k unions), each tagged with the SQL ``GROUPING_ID`` bitmask
+    (bit i set = keys[i] rolled up, first key = most significant bit) and
+    NULL-filled rolled-up key columns — the rollup-as-union plan extended
+    to the full lattice. Each subset's exchange moves only that subset's
+    group-count partials."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    k = len(keys)
+    schema = ds.schema()
+    ktype = {c: schema.base_schema.field(c).type for c in keys}
+
+    levels = []
+    for mask in range(2**k):
+        kept = [keys[i] for i in range(k) if not (mask >> (k - 1 - i)) & 1]
+        part = grouped_agg(ds, kept, aggs, num_slices)
+
+        def pad(t: pa.Table, kept=tuple(kept), mask=mask) -> pa.Table:
+            cols = {}
+            for c in keys:
+                cols[c] = t[c] if c in kept else pa.nulls(len(t), ktype[c])
+            for c in t.column_names:
+                if c not in keys:
+                    cols[c] = t[c]
+            cols["grouping_id"] = pa.array(np.full(len(t), mask, dtype=np.int64))
+            return pa.table(cols)
+
+        levels.append(part.map_batches(pad, batch_format="pyarrow"))
+    out = levels[0]
+    for more in levels[1:]:
+        out = out.union(more)
+    return out

@@ -719,3 +719,55 @@ def code_detect(ds, id_col: str = "doc_id", text_col: str = "text"):
         lambda b: code_detect_batch(b, id_col, text_col),
         batch_format="pyarrow",
     )
+
+
+def unicode_normalize_text(ds, text_col: str = "text", form: str = "NFC"):
+    """Unicode-normalize a text column; appends ``norm`` (the normalized
+    string) and ``changed`` (did normalization alter the string). ``NFC``
+    matches DuckDB's ``nfc_normalize`` exactly (both defer to the Unicode
+    normalization spec), which is what the oracle checks. Stateless
+    per-batch map — normalization is inherently per-string (no Arrow
+    kernel in this build), but the loop body is a single C-level
+    ``unicodedata.normalize`` call per row."""
+    import unicodedata
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = batch[text_col].to_pylist()
+        norm = [
+            unicodedata.normalize(form, v) if v is not None else None
+            for v in vals
+        ]
+        changed = [
+            (n != v) if v is not None else None for v, n in zip(vals, norm)
+        ]
+        return batch.append_column(
+            "norm", pa.array(norm, pa.string())
+        ).append_column("changed", pa.array(changed, pa.bool_()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def compression_ratio(ds, text_col: str = "text", level: int = 6):
+    """zlib compression ratio per document — the RefinedWeb/Gopher-style
+    redundancy signal (highly repetitive machine-generated pages compress
+    far below natural text). Appends ``n_bytes`` (UTF-8 length),
+    ``n_compressed`` and ``ratio`` (= compressed/raw, 1.0 for empty).
+    Deterministic for a fixed zlib level, but zlib is not expressible in
+    SQL — pytest-locked rather than oracle-checked."""
+    import zlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        raw_n, comp_n, ratio = [], [], []
+        for v in batch[text_col].to_pylist():
+            b = (v or "").encode("utf-8")
+            c = len(zlib.compress(b, level))
+            raw_n.append(len(b))
+            comp_n.append(c)
+            ratio.append(c / len(b) if b else 1.0)
+        return (
+            batch.append_column("n_bytes", pa.array(raw_n, pa.int64()))
+            .append_column("n_compressed", pa.array(comp_n, pa.int64()))
+            .append_column("ratio", pa.array(ratio, pa.float64()))
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
