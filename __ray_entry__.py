@@ -2723,6 +2723,16 @@ def _q_unicode_nfc(sf_dir: str):
     return _by(out.map_batches(finish, batch_format="pyarrow"), "doc_id")
 
 
+def _q_grouped_mad(sf_dir: str):
+    """Per-language robust length stats: exact median + MAD
+    (ops/textstats.py::grouped_mad — numpy linear interpolation ==
+    DuckDB median/quantile_cont, |x−med| subtracts identical float64
+    operands ⇒ bitwise before ROUND)."""
+    from infidex_ray.ops.textstats import grouped_mad
+
+    return _by(grouped_mad(_read(sf_dir, "documents"), "lang", "n_chars"), "lang")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -2878,6 +2888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_gate": _q_robots_gate,
         "grouped_cube": _q_grouped_cube,
         "unicode_nfc": _q_unicode_nfc,
+        "grouped_mad": _q_grouped_mad,
     }
 
 
@@ -4522,6 +4533,14 @@ def oracle_sql() -> dict[str, str]:
             "length(text)::BIGINT AS len_before, "
             "length(nfc_normalize(text))::BIGINT AS len_after "
             "FROM p ORDER BY doc_id"
+        ),
+        "grouped_mad": (
+            "WITH m AS (SELECT lang, median(n_chars) AS med "
+            "FROM documents GROUP BY lang) "
+            "SELECT d.lang, count(*)::BIGINT AS n, round(m.med, 4) AS median, "
+            "round(median(abs(d.n_chars - m.med)), 4) AS mad "
+            "FROM documents d JOIN m USING (lang) "
+            "GROUP BY d.lang, m.med ORDER BY d.lang"
         ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (float-histogram fake codec) are

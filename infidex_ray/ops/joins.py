@@ -418,3 +418,24 @@ def hash_join(
         return out.select(out_cols)
 
     return tagged.groupby("slice").map_groups(join_group, batch_format="pyarrow")
+
+
+def star_join(fact, dims, how: str = "inner"):
+    """Star-schema sugar: chain :func:`broadcast_join` over a list of
+    dimension tables — ``dims`` is ``[(dim_ds, fact_key, dim_key), ...]``
+    applied left-to-right. Each dimension ships once via ``ray.put`` and
+    its key is renamed onto the fact-side probe column, so the fact table
+    streams through every stage unshuffled (the plan
+    ``ops.relational.revenue_by_nation`` hand-writes, generalized)."""
+
+    out = fact
+    for dim_ds, fact_key, dim_key in dims:
+        if dim_key != fact_key:
+            def ren(t: pa.Table, fk=fact_key, dk=dim_key) -> pa.Table:
+                return t.rename_columns(
+                    [fk if c == dk else c for c in t.column_names]
+                )
+
+            dim_ds = dim_ds.map_batches(ren, batch_format="pyarrow")
+        out = broadcast_join(out, dim_ds, on=fact_key, how=how)
+    return out

@@ -771,3 +771,45 @@ def compression_ratio(ds, text_col: str = "text", level: int = 6):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def grouped_mad(ds, group_col: str, value_col: str):
+    """Per-group robust center/spread: exact median and MAD (median of
+    absolute deviations from the group median) — the outlier-resistant
+    sibling of the z-score gates, e.g. per-language length cut-offs that a
+    few giant pages can't drag. Same exact shape as
+    :func:`group_quantiles` (one (group, value) shuffle, numpy 'linear'
+    interpolation == DuckDB ``quantile_cont``/``median``); the MAD's
+    ``|x − med|`` subtracts identical float64 operands on both engines, so
+    the oracle matches bitwise before ROUND. Output: (group, n, median,
+    mad), rounded half-away-from-zero to 4.
+    """
+
+    def agg(group: pa.Table) -> pa.Table:
+        v = (
+            group[value_col]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        g = group[group_col].combine_chunks().slice(0, 1)
+        med = np.quantile(v, 0.5, method="linear")
+        mad = np.quantile(np.abs(v - med), 0.5, method="linear")
+        return pa.table(
+            {
+                group_col: g,
+                "n": pa.array([len(v)], pa.int64()),
+                "median": pa.array(
+                    [_round4_half_up(np.asarray([med]))[0]], pa.float64()
+                ),
+                "mad": pa.array(
+                    [_round4_half_up(np.asarray([mad]))[0]], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .groupby(group_col)
+        .map_groups(agg, batch_format="pyarrow")
+    )

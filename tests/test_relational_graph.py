@@ -226,3 +226,42 @@ def test_top_customer_revenue_matches_sql(tpch):
     assert out["c_custkey"].tolist() == exp["c_custkey"].tolist()
     assert out["c_name"].tolist() == exp["c_name"].tolist()
     assert out["revenue"].tolist() == exp["revenue"].tolist()
+
+
+def test_grouped_mad_exact(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.textstats import grouped_mad
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["a"] * 5 + ["b"] * 2),
+            "v": pa.array([1, 2, 3, 4, 100, 10, 20], pa.int64()),
+        }
+    )
+    out = (
+        grouped_mad(ray.data.from_arrow(tbl).repartition(2), "g", "v")
+        .to_pandas()
+        .set_index("g")
+    )
+    # group a: median 3, deviations [2,1,0,1,97] -> MAD 1; the 100 outlier
+    # moves the mean wildly but not the MAD
+    assert out.loc["a", "median"] == 3.0 and out.loc["a", "mad"] == 1.0
+    assert out.loc["b", "median"] == 15.0 and out.loc["b", "mad"] == 5.0
+
+
+def test_star_join_chains_dimensions(tpch):
+    from infidex_ray.ops.joins import star_join
+
+    fact = tpch["orders"]
+    out = star_join(
+        fact,
+        [
+            (tpch["customer"], "o_custkey", "c_custkey"),
+            (tpch["nation"], "c_nationkey", "n_nationkey"),
+        ],
+    )
+    df = out.to_pandas()
+    assert len(df) == tpch["orders"].count()
+    assert {"o_orderkey", "c_name", "n_name"} <= set(df.columns)
+    assert df["n_name"].notna().all()
