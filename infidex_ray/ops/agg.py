@@ -359,12 +359,32 @@ def grouped_count_distinct(ds, keys, aggs: dict, num_slices: int | None = None):
     )
 
 
+# how a finished aggregate re-aggregates to a coarser grouping: subtotals
+# of sums are sums, of counts are sums, of mins are mins, of maxes maxes.
+# mean does NOT re-aggregate from finished means -> those fall back to
+# full-input rescans.
+_REAGG = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def _reagg_plan(aggs: dict):
+    """(re-aggregable?, coarser-level aggs over the detail output)."""
+    if any(fn not in _REAGG for fn, _ in aggs.values()):
+        return False, None
+    return True, {out: (_REAGG[fn], out) for out, (fn, _) in aggs.items()}
+
+
 def grouped_rollup(ds, keys, aggs: dict, num_slices: int | None = None):
-    """SQL ``GROUP BY ROLLUP(keys...)``: one :func:`grouped_agg` pass per
-    prefix level (full detail → subtotals → grand total), unioned with a
-    ``level`` column (= number of rolled-up keys, SQL ``GROUPING_ID``) and
-    NULL-filled rolled-up key columns. Each level's exchange moves only
-    that level's group-count partials — the classic rollup-as-union plan.
+    """SQL ``GROUP BY ROLLUP(keys...)``: the full-detail :func:`grouped_agg`
+    pass plus one pass per subtotal level, unioned with a ``level`` column
+    (= number of rolled-up keys, SQL ``GROUPING_ID``) and NULL-filled
+    rolled-up key columns.
+
+    Scale plan: for sum/count/min/max the input is scanned ONCE — subtotal
+    levels re-aggregate the materialized detail table (group-count-sized,
+    tiny next to the input); only ``mean`` forces per-level rescans (a
+    finished mean can't be re-aggregated). Float-sum caveat: re-aggregation
+    changes addition order, the same ulp-scale caveat grouped_agg already
+    carries; integer-valued columns are exact either way.
     """
     import ray.data
 
@@ -374,9 +394,19 @@ def grouped_rollup(ds, keys, aggs: dict, num_slices: int | None = None):
     schema = ds.schema()
     ktype = {k: schema.base_schema.field(k).type for k in keys}
 
+    reagg, sub_aggs = _reagg_plan(aggs)
+    detail = grouped_agg(ds, keys, aggs, num_slices)
+    if reagg and keys:
+        detail = detail.materialize()
+
     levels = []
     for L in range(len(keys), -1, -1):
-        part = grouped_agg(ds, keys[:L], aggs, num_slices)
+        if L == len(keys):
+            part = detail
+        elif reagg:
+            part = grouped_agg(detail, keys[:L], sub_aggs, num_slices)
+        else:
+            part = grouped_agg(ds, keys[:L], aggs, num_slices)
         rolled = keys[L:]
         lvl = len(keys) - L
 
@@ -654,17 +684,31 @@ def grouped_cube(ds, keys, aggs: dict, num_slices: int | None = None):
     SUBSET (2^k unions), each tagged with the SQL ``GROUPING_ID`` bitmask
     (bit i set = keys[i] rolled up, first key = most significant bit) and
     NULL-filled rolled-up key columns — the rollup-as-union plan extended
-    to the full lattice. Each subset's exchange moves only that subset's
-    group-count partials."""
+    to the full lattice.
+
+    Scale plan mirrors :func:`grouped_rollup`: for sum/count/min/max the
+    input is scanned ONCE and all 2^k−1 coarser subsets re-aggregate the
+    materialized full-detail table; ``mean`` falls back to per-subset
+    rescans."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     k = len(keys)
     schema = ds.schema()
     ktype = {c: schema.base_schema.field(c).type for c in keys}
 
+    reagg, sub_aggs = _reagg_plan(aggs)
+    detail = grouped_agg(ds, keys, aggs, num_slices)
+    if reagg and keys:
+        detail = detail.materialize()
+
     levels = []
     for mask in range(2**k):
         kept = [keys[i] for i in range(k) if not (mask >> (k - 1 - i)) & 1]
-        part = grouped_agg(ds, kept, aggs, num_slices)
+        if mask == 0:
+            part = detail
+        elif reagg:
+            part = grouped_agg(detail, kept, sub_aggs, num_slices)
+        else:
+            part = grouped_agg(ds, kept, aggs, num_slices)
 
         def pad(t: pa.Table, kept=tuple(kept), mask=mask) -> pa.Table:
             cols = {}
