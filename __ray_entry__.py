@@ -2733,6 +2733,138 @@ def _q_grouped_mad(sf_dir: str):
     return _by(grouped_mad(_read(sf_dir, "documents"), "lang", "n_chars"), "lang")
 
 
+def _synth_edges(sf_dir: str):
+    """The planted doc→doc edge list shared by the graph entries (same
+    arithmetic fixture as pagerank/connected_components)."""
+
+    def synth(batch: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for d in batch["doc_id"].to_pylist():
+            for j in range(1, d % 4 + 1):
+                src.append(d)
+                dst.append((d * 7 + j * 13) % 500)
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    return (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id"])
+        .map_batches(synth, batch_format="pyarrow")
+    )
+
+
+# shared planted-edge CTE for the graph oracles (same arithmetic as
+# _synth_edges / the pagerank oracle)
+_EDGES_CTE = (
+    "e AS (SELECT doc_id AS src, (doc_id*7 + j*13) % 500 AS dst "
+    "FROM (SELECT doc_id, unnest(generate_series(1, "
+    "CAST(doc_id % 4 AS INT))) AS j FROM documents)), "
+    "nodes AS (SELECT DISTINCT node FROM "
+    "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))"
+)
+
+
+def _hits_half_sql(prev: str, out: str, key: str, other: str) -> str:
+    """One unrolled HITS half-step: int sum across edges onto ``key``'s
+    endpoint, then ``· 1e6 // max`` — mirrors ops/graph.py::_half_step."""
+    return (
+        f"{out}r AS (SELECT e.{key} AS node, CAST(sum(p.v) AS BIGINT) AS v "
+        f"FROM e JOIN {prev} p ON p.node = e.{other} GROUP BY e.{key}), "
+        f"{out}m AS (SELECT max(v) AS m FROM {out}r), "
+        f"{out} AS (SELECT nodes.node, CASE WHEN (SELECT m FROM {out}m) IS NULL "
+        f"OR (SELECT m FROM {out}m) = 0 THEN 0 ELSE (coalesce(r.v, 0) * 1000000) "
+        f"// (SELECT m FROM {out}m) END AS v FROM nodes LEFT JOIN {out}r r USING (node))"
+    )
+
+
+def _zspread_sql(col: str) -> str:
+    """16-bit Morton bit spread as BIGINT ops — mirrors
+    ops/shuffle.py::zorder_key's mask-shift ladder (every intermediate
+    < 2³², so BIGINT never overflows)."""
+    s = f"(({col} | ({col} << 8)) & 16711935)"
+    s = f"(({s} | ({s} << 4)) & 252645135)"
+    s = f"(({s} | ({s} << 2)) & 858993459)"
+    s = f"(({s} | ({s} << 1)) & 1431655765)"
+    return s
+
+
+def _q_hits_scores(sf_dir: str):
+    """2-iteration HITS hubs/authorities over the planted edge list in
+    INTEGER fixed-point (ops/graph.py::hits_scores): every half-step is an
+    order-free int64 join+groupby-sum then ``·scale // max`` — no float in
+    the loop, so the unrolled DuckDB oracle matches bit-for-bit."""
+    from infidex_ray.ops.graph import hits_scores
+
+    return _by(hits_scores(_synth_edges(sf_dir), num_iters=2), "node")
+
+
+def _q_bfs_levels(sf_dir: str):
+    """Multi-source BFS levels (ops/graph.py::bfs_levels): frontier ⨝ edges
+    + left_anti against visited per round, all Dataset-resident; seeds =
+    every 50th node. Oracle = recursive-CTE closure with min(level)."""
+    from infidex_ray.ops.graph import bfs_levels, graph_nodes
+
+    edges = _synth_edges(sf_dir)
+    seeds = graph_nodes(edges).filter(lambda r: r["node"] % 50 == 0)
+    return _by(bfs_levels(edges, seeds, max_depth=4), "node")
+
+
+def _q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over per-user event streams
+    (ops/windows.py::event_transitions) — one md5 user-slice shuffle, runs
+    read with lexsort masking, per-slice partial counts. Exact integers ==
+    the lead() window oracle."""
+    from infidex_ray.ops.windows import event_transitions
+
+    return _by(
+        event_transitions(_read(sf_dir, "events")), "prev_type", "next_type"
+    )
+
+
+def _q_grouped_variance(sf_dir: str):
+    """Per-(returnflag, linestatus) variance/stddev of l_quantity via exact
+    int64 sufficient stats (ops/agg.py::grouped_variance); the fixed float64
+    finish expression is mirrored operation-for-operation in the oracle ⇒
+    bitwise before ROUND(…, 6)."""
+    from infidex_ray.ops.agg import grouped_variance
+
+    return _by(
+        grouped_variance(
+            _read(sf_dir, "lineitem"), ["l_returnflag", "l_linestatus"], "l_quantity"
+        ),
+        "l_returnflag",
+        "l_linestatus",
+    )
+
+
+def _q_zorder_key(sf_dir: str):
+    """Morton (Z-order) layout keys over (l_partkey, l_suppkey)
+    (ops/shuffle.py::zorder_key): 16-bit integer quantize + mask-shift bit
+    spread, every intermediate < 2³² so the DuckDB BIGINT bit-op oracle is
+    exact. The stage ahead of the clustered-layout sort/write."""
+    from infidex_ray.ops.shuffle import zorder_key
+
+    ds = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    )
+    return _by(zorder_key(ds, ["l_partkey", "l_suppkey"]), "l_orderkey", "l_linenumber")
+
+
+def _q_jaccard_prefix(sf_dir: str):
+    """Exact Jaccard similarity self-join via AllPairs prefix filtering
+    (ops/dedup.py::jaccard_prefix_pairs) — 100 % recall by construction, so
+    the oracle is the full all-pairs word-shingle ground truth at the same
+    threshold (the candidate scheme is invisible to the output)."""
+    from infidex_ray.ops.dedup import jaccard_prefix_pairs
+
+    return _by(
+        jaccard_prefix_pairs(_read(sf_dir, "documents"), threshold=0.4),
+        "id_a",
+        "id_b",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -2889,6 +3021,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_cube": _q_grouped_cube,
         "unicode_nfc": _q_unicode_nfc,
         "grouped_mad": _q_grouped_mad,
+        "hits_scores": _q_hits_scores,
+        "bfs_levels": _q_bfs_levels,
+        "event_transitions": _q_event_transitions,
+        "grouped_variance": _q_grouped_variance,
+        "zorder_key": _q_zorder_key,
+        "jaccard_prefix_pairs": _q_jaccard_prefix,
     }
 
 
@@ -4542,6 +4680,66 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d JOIN m USING (lang) "
             "GROUP BY d.lang, m.med ORDER BY d.lang"
         ),
+        "hits_scores": (
+            "WITH " + _EDGES_CTE + ", "
+            "h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS v FROM nodes), "
+            + _hits_half_sql("h0", "a1", "dst", "src") + ", "
+            + _hits_half_sql("a1", "h1", "src", "dst") + ", "
+            + _hits_half_sql("h1", "a2", "dst", "src") + ", "
+            + _hits_half_sql("a2", "h2", "src", "dst") + " "
+            "SELECT h2.node, CAST(h2.v AS BIGINT) AS hub, "
+            "CAST(a2.v AS BIGINT) AS authority "
+            "FROM h2 JOIN a2 USING (node) ORDER BY node"
+        ),
+        "bfs_levels": (
+            "WITH RECURSIVE " + _EDGES_CTE + ", "
+            "seeds AS (SELECT node FROM nodes WHERE node % 50 = 0), "
+            "bfs(node, level) AS (SELECT node, 0 FROM seeds UNION "
+            "SELECT e.dst, b.level + 1 FROM bfs b JOIN e ON e.src = b.node "
+            "WHERE b.level < 4) "
+            "SELECT node, CAST(min(level) AS BIGINT) AS level "
+            "FROM bfs GROUP BY node ORDER BY node"
+        ),
+        "event_transitions": (
+            "WITH o AS (SELECT user_id, event_type, lead(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events) "
+            "SELECT event_type AS prev_type, nxt AS next_type, "
+            "count(*)::BIGINT AS n FROM o WHERE nxt IS NOT NULL "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "grouped_variance": (
+            # engine finish expression mirrored operation-for-operation
+            # (x_scale = 1 ⇒ the engine's /scale² is an IEEE identity)
+            "WITH s AS (SELECT l_returnflag, l_linestatus, "
+            "count(xi)::BIGINT AS n, CAST(sum(xi) AS BIGINT) AS sx, "
+            "CAST(sum(xi*xi) AS BIGINT) AS sxx FROM (SELECT l_returnflag, "
+            "l_linestatus, CAST(floor(abs(l_quantity * 1) + 0.5) * "
+            "sign(l_quantity) AS BIGINT) AS xi FROM lineitem) "
+            "GROUP BY l_returnflag, l_linestatus) "
+            "SELECT l_returnflag, l_linestatus, n, "
+            "round(sx::DOUBLE / n::DOUBLE, 6) AS mean, "
+            "round((sxx::DOUBLE - (sx::DOUBLE * sx::DOUBLE) / n::DOUBLE) "
+            "/ n::DOUBLE, 6) AS var_pop, "
+            "CASE WHEN n >= 2 THEN round((sxx::DOUBLE - (sx::DOUBLE * "
+            "sx::DOUBLE) / n::DOUBLE) / (n::DOUBLE - 1.0), 6) END AS var_samp, "
+            "round(sqrt(greatest((sxx::DOUBLE - (sx::DOUBLE * sx::DOUBLE) "
+            "/ n::DOUBLE) / n::DOUBLE, 0.0)), 6) AS stddev_pop, "
+            "CASE WHEN n >= 2 THEN round(sqrt(greatest((sxx::DOUBLE - "
+            "(sx::DOUBLE * sx::DOUBLE) / n::DOUBLE) / (n::DOUBLE - 1.0), "
+            "0.0)), 6) END AS stddev_samp "
+            "FROM s ORDER BY l_returnflag, l_linestatus"
+        ),
+        "zorder_key": (
+            "WITH q AS (SELECT l_orderkey, l_linenumber, l_partkey, "
+            "l_suppkey, least(greatest(((l_partkey - 0) * 65536) // 65536, "
+            "0), 65535) AS x, least(greatest(((l_suppkey - 0) * 65536) "
+            "// 65536, 0), 65535) AS y FROM lineitem) "
+            "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+            "CAST(" + _zspread_sql("x") + " | (" + _zspread_sql("y")
+            + " << 1) AS BIGINT) AS zkey "
+            "FROM q ORDER BY l_orderkey, l_linenumber"
+        ),
+        "jaccard_prefix_pairs": sqlgen.minhash_pairs_sql("documents", 0.4),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (float-histogram fake codec) are
         # non-SQL-expressible → rows-only.

@@ -725,3 +725,90 @@ def grouped_cube(ds, keys, aggs: dict, num_slices: int | None = None):
     for more in levels[1:]:
         out = out.union(more)
     return out
+
+
+def grouped_variance(
+    ds,
+    keys,
+    x_col: str,
+    x_scale: int = 1,
+    num_slices: int | None = None,
+):
+    """Per-group variance / standard deviation via EXACT integer sufficient
+    statistics — the distributed, bit-reproducible equivalent of SQL
+    ``var_pop`` / ``var_samp`` / ``stddev``: ``x`` is snapped to integers
+    (``round(v * x_scale)``, half-away-from-zero), the three sufficient
+    sums (n, Σx, Σx²) accumulate as int64 through :func:`grouped_agg`'s
+    combiner partials (order-free), and each group's finish runs ONE fixed
+    float64 expression::
+
+        var_pop  = ((sxx - (sx * sx) / n) / n) / scale²
+        var_samp = ((sxx - (sx * sx) / n) / (n - 1)) / scale²   (n ≥ 2)
+        stddev_* = sqrt(greatest(var_*, 0))
+
+    so a DuckDB oracle spelling the same expression over integer ``sum()``
+    columns matches bitwise before the final ROUND(…, 6). NULL rows are
+    excluded (SQL aggregate semantics); groups whose every row is NULL
+    still appear with n = 0 and NULL stats; ``var_samp``/``stddev_samp``
+    are NULL for n < 2. Caller owns the int64 budget: Σx²·scale² < 2⁶³
+    and |Σx|·scale < 2^26.5 (so (sx·sx) stays exact in float64).
+
+    Output: keys + (n, mean, var_pop, var_samp, stddev_pop, stddev_samp),
+    floats rounded half-away-from-zero to 6 decimals.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def enrich(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = {k: t[k] for k in keys}
+        x = t[x_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        xi = np.copysign(np.floor(np.abs(x * x_scale) + 0.5), x)
+        valid = ~np.isnan(xi)
+        xi_i = np.where(valid, xi, 0).astype(np.int64)
+        cols["xi"] = pa.array(xi_i, pa.int64(), mask=~valid)
+        cols["xx"] = pa.array(xi_i * xi_i, pa.int64(), mask=~valid)
+        return pa.table(cols)
+
+    sums = grouped_agg(
+        ds.map_batches(enrich, batch_format="pyarrow"),
+        keys,
+        {"n": ("count", "xi"), "sx": ("sum", "xi"), "sxx": ("sum", "xx")},
+        num_slices=num_slices,
+    )
+    s2 = float(x_scale) * float(x_scale)
+
+    def _r6(arr):
+        return np.copysign(np.floor(np.abs(arr) * 1e6 + 0.5) / 1e6, arr)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # all-null groups come back with NULL sums — treat as 0-count
+        sx = t["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = (sx / n) / float(x_scale)
+            ss = sxx - (sx * sx) / n
+            var_pop = (ss / n) / s2
+            var_samp = (ss / (n - 1.0)) / s2
+            sd_pop = np.sqrt(np.maximum(var_pop, 0.0))
+            sd_samp = np.sqrt(np.maximum(var_samp, 0.0))
+        ok = n > 0
+        ok2 = n > 1
+        cols = {k: t[k] for k in keys}
+        cols["n"] = t["n"].cast(pa.int64())
+
+        def col(vals, mask):
+            return pa.array(
+                [float(v) if m else None for v, m in zip(_r6(vals), mask)],
+                pa.float64(),
+            )
+
+        cols["mean"] = col(mean, ok)
+        cols["var_pop"] = col(var_pop, ok)
+        cols["var_samp"] = col(var_samp, ok2)
+        cols["stddev_pop"] = col(sd_pop, ok)
+        cols["stddev_samp"] = col(sd_samp, ok2)
+        return pa.table(cols)
+
+    return sums.map_batches(finish, batch_format="pyarrow")

@@ -2573,3 +2573,275 @@ def minhash_plan(
         "fp": fp,
         "fn": fn,
     }
+
+
+# --- prefix-filtered exact similarity join (AllPairs / PPJoin family) --------
+
+
+def jaccard_prefix_pairs(
+    ds,
+    threshold: float = 0.4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+):
+    """EXACT word-``n``-gram Jaccard similarity self-join via prefix
+    filtering (the AllPairs/PPJoin candidate scheme) — the deterministic
+    complement to :func:`minhash_lsh_pairs`: 100 % recall at ANY threshold
+    by construction, no probabilistic band tuning. Returns
+    ``(id_a, id_b, jaccard)`` with ``id_a < id_b``, exact
+    ``jaccard ≥ threshold`` — same ground truth as the all-pairs SQL
+    oracle, reached without ever forming all pairs.
+
+    Why it's lossless: order all shingles by (global df asc, hash asc);
+    if ``J(A,B) ≥ t`` the smallest shared shingle must sit within the
+    first ``|S| − ⌈t·|S|⌉ + 1`` shingles of BOTH sets (pigeonhole on the
+    suffix), so emitting only each doc's prefix shingles still surfaces
+    every qualifying pair. Only df ≥ 2 shingles can be shared, and every
+    df = 1 shingle sorts ahead of them — so a doc's prefix contributes a
+    candidate row only for its first
+    ``n_shared − ⌈t·sz⌉ + 2`` shared shingles (one slack token guards
+    float-boundary ⌈⌉); docs whose shared count can't reach ``t·sz``
+    emit nothing.
+
+    Scale plan (the classic distributed AllPairs): ① one sketch pass
+    (:func:`_batch_doc_shingles`, vectorized) materializes
+    ``(doc_id, sh, sz)``; ② shingle df via a coarse hash-slice groupby
+    (never one Ray group per ~unique shingle), keeping only df ≥ 2 rows;
+    ③ one hash join attaches df to the flat shingle stream; ④ a doc-slice
+    groupby sorts each doc's shared shingles by (df, hash) and keeps the
+    prefix; ⑤ a shingle-slice groupby expands per-bucket candidate pairs
+    (with the conservative length filter ``min_sz ≥ t·max_sz − 1``);
+    ⑥ :func:`_verify_pairs` attaches both sketches and scores exact
+    Jaccard. Rare-first ordering keeps buckets small on natural corpora;
+    unlike the LSH path there is no bucket cap — losslessness is the
+    contract."""
+    import ray.data
+
+    flat_parts = _join_partitions(num_partitions, chained=False)
+    num_slices = _default_num_slices(mult=8, floor=64)
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        doc_idx, hashes = _batch_doc_shingles(texts, n)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        counts = np.bincount(doc_idx, minlength=len(texts)) if len(texts) else np.zeros(0, np.int64)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        sh_bin = [
+            hashes[s:e].tobytes() for s, e in zip(starts.tolist(), ends.tolist())
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sh": pa.array(sh_bin, pa.binary()),
+                "sz": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    sketches = ds.map_batches(sketch, batch_format="pyarrow").materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        szs = batch["sz"].to_numpy(zero_copy_only=False)
+        shl = batch["sh"].to_pylist()
+        if not shl:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "shingle": pa.array([], pa.int64()),
+                    "sz": pa.array([], pa.int64()),
+                }
+            )
+        hashes = (
+            np.frombuffer(b"".join(shl), dtype=np.uint64)
+            if shl
+            else np.empty(0, np.uint64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, szs), pa.int64()),
+                "shingle": pa.array(hashes.view(np.int64), pa.int64()),
+                "sz": pa.array(np.repeat(szs, szs), pa.int64()),
+            }
+        )
+
+    flat = sketches.map_batches(explode, batch_format="pyarrow")
+
+    # ② shared-shingle df (df ≥ 2 only) via coarse hash slices
+    def sh_slice(batch: pa.Table) -> pa.Table:
+        h = batch["shingle"].to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            sl = ((h * _MIX1) % np.uint64(num_slices)).astype(np.int32)
+        return pa.table(
+            {"shingle": batch["shingle"], "slice": pa.array(sl)}
+        )
+
+    def df_slice(g: pa.Table) -> pa.Table:
+        h = g["shingle"].to_numpy(zero_copy_only=False)
+        vals, counts = np.unique(h, return_counts=True)
+        keep = counts >= 2
+        return pa.table(
+            {
+                "shingle": pa.array(vals[keep], pa.int64()),
+                "df": pa.array(counts[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    shared_df = (
+        flat.map_batches(sh_slice, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(df_slice, batch_format="pyarrow")
+        .materialize()
+    )
+    if shared_df.count() == 0:
+        return ray.data.from_arrow(_empty_jaccard_pairs())
+
+    # ③ attach df to the flat stream (inner join drops unshareable rows)
+    shared_flat = flat.join(
+        shared_df, "inner", flat_parts, on=("shingle",)
+    )
+
+    # ④ per-doc prefix selection (doc-slice groupby, one lexsort per slice)
+    def doc_slice(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            sl = ((d * _MIX2) % np.uint64(num_slices)).astype(np.int32)
+        return batch.append_column("slice", pa.array(sl))
+
+    def prefix_slice(g: pa.Table) -> pa.Table:
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        sh = g["shingle"].to_numpy(zero_copy_only=False)
+        df = g["df"].to_numpy(zero_copy_only=False)
+        sz = g["sz"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((sh, df, d))
+        d, sh, df, sz = d[o], sh[o], df[o], sz[o]
+        new = np.empty(len(d), dtype=bool)
+        if len(d) == 0:
+            return pa.table(
+                {
+                    "shingle": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "sz": pa.array([], pa.int64()),
+                }
+            )
+        new[0] = True
+        new[1:] = d[1:] != d[:-1]
+        seg_start = np.flatnonzero(new)
+        seg_id = np.cumsum(new) - 1
+        i_within = np.arange(len(d), dtype=np.int64) - seg_start[seg_id]
+        n_shared = np.diff(np.r_[seg_start, len(d)])[seg_id]
+        k = n_shared - np.ceil(threshold * sz).astype(np.int64) + 2
+        keep = i_within < np.minimum(k, n_shared)
+        return pa.table(
+            {
+                "shingle": pa.array(sh[keep], pa.int64()),
+                "doc_id": pa.array(d[keep], pa.int64()),
+                "sz": pa.array(sz[keep], pa.int64()),
+            }
+        )
+
+    prefixes = (
+        shared_flat.map_batches(doc_slice, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(prefix_slice, batch_format="pyarrow")
+    )
+
+    # ⑤ candidate pairs per shingle bucket (shingle-slice groupby)
+    def cand_slice(g: pa.Table) -> pa.Table:
+        sh = g["shingle"].to_numpy(zero_copy_only=False)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        sz = g["sz"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((d, sh))
+        sh, d, sz = sh[o], d[o], sz[o]
+        if len(sh) == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        new = np.empty(len(sh), dtype=bool)
+        new[0] = True
+        new[1:] = sh[1:] != sh[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(sh)]
+        out_a, out_b = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            m = e - s
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, k=1)
+            da, db = d[s + iu], d[s + ju]
+            za, zb = sz[s + iu], sz[s + ju]
+            ok = (da != db) & (
+                np.minimum(za, zb) >= threshold * np.maximum(za, zb) - 1.0
+            )
+            out_a.append(np.minimum(da, db)[ok])
+            out_b.append(np.maximum(da, db)[ok])
+        if not out_a:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    cand = (
+        prefixes.map_batches(sh_slice_keyed, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(cand_slice, batch_format="pyarrow")
+    )
+
+    # ⑥ exact verify
+    joined = _verify_pairs(cand, sketches, num_partitions)
+    if joined is None:
+        return ray.data.from_arrow(_empty_jaccard_pairs())
+
+    def score(batch: pa.Table) -> pa.Table:
+        oa, ob, oj = [], [], []
+        for x, y, sha, shb in zip(
+            batch["id_a"].to_pylist(),
+            batch["id_b"].to_pylist(),
+            batch["sh_a"].to_pylist(),
+            batch["sh_b"].to_pylist(),
+        ):
+            sa = np.frombuffer(sha, dtype=np.uint64)
+            sb = np.frombuffer(shb, dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac = inter / union if union else 0.0
+            if jac >= threshold:
+                oa.append(x)
+                ob.append(y)
+                oj.append(round_half_up4(jac))
+        return pa.table(
+            {
+                "id_a": pa.array(oa, pa.int64()),
+                "id_b": pa.array(ob, pa.int64()),
+                "jaccard": pa.array(oj, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
+def _empty_jaccard_pairs() -> pa.Table:
+    return pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+
+def sh_slice_keyed(batch: pa.Table) -> pa.Table:
+    """Append a coarse shingle-hash slice, keeping the other columns (the
+    prefix-candidate stage needs doc_id/sz to ride along)."""
+    num_slices = _default_num_slices(mult=8, floor=64)
+    h = batch["shingle"].to_numpy(zero_copy_only=False).view(np.uint64)
+    with np.errstate(over="ignore"):
+        sl = ((h * _MIX1) % np.uint64(num_slices)).astype(np.int32)
+    return batch.append_column("slice", pa.array(sl))

@@ -15,9 +15,16 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .dedup import _join_partitions, round_half_up4_arr
+from .dedup import _MIX1, _MIX2, _join_partitions, round_half_up4_arr
 
-__all__ = ["graph_nodes", "pagerank", "connected_components", "triangle_count"]
+__all__ = [
+    "graph_nodes",
+    "pagerank",
+    "connected_components",
+    "triangle_count",
+    "hits_scores",
+    "bfs_levels",
+]
 
 
 def graph_nodes(edges_ds, src_col: str = "src", dst_col: str = "dst"):
@@ -459,3 +466,228 @@ def triangle_count(
     return grouped_agg(
         tri_nodes, "node", {"triangles": ("count", "node")}, num_slices=num_slices
     )
+
+
+# --- HITS (hubs & authorities) ----------------------------------------------
+
+
+def _nodes_with_value(nodes, value: int, col: str):
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                col: pa.array(np.full(len(t), value, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return nodes.map_batches(init, batch_format="pyarrow")
+
+
+def _half_step(edges_ds, scores, nodes, key_col, other_col, out_col, scale, num_partitions):
+    """One HITS half-step: gather ``scores`` across edges onto ``key_col``'s
+    endpoints (sum of the OTHER endpoint's score), then max-normalize back
+    to ``[0, scale]`` in pure int64 arithmetic."""
+    joined = edges_ds.join(
+        scores, "inner", num_partitions, on=(other_col,), right_on=("node",)
+    )
+    val_col = [c for c in scores.schema().names if c != "node"][0]
+
+    def gather(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t[key_col], "v": t[val_col]})
+
+    def sum_rename(t: pa.Table) -> pa.Table:
+        c = "sum(v)" if "sum(v)" in t.column_names else "v"
+        return pa.table({"node": t["node"], "v": t[c]})
+
+    raw = (
+        joined.map_batches(gather, batch_format="pyarrow")
+        .groupby("node")
+        .sum("v")
+        .map_batches(sum_rename, batch_format="pyarrow")
+        .materialize()
+    )
+    mx = raw.max("v") if raw.count() else 0
+    if not mx:
+        return _nodes_with_value(nodes, 0, out_col).materialize()
+
+    merged = nodes.join(
+        raw,
+        "left_outer",
+        num_partitions,
+        on=("node",),
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.where(np.isnan(v), 0.0, v).astype(np.int64)
+        return pa.table(
+            {"node": t["node"], out_col: pa.array((v * scale) // mx, pa.int64())}
+        )
+
+    return merged.map_batches(norm, batch_format="pyarrow").materialize()
+
+
+def hits_scores(
+    edges_ds,
+    num_iters: int = 2,
+    scale: int = 1_000_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+):
+    """Kleinberg HITS hubs/authorities over a directed edge Dataset, in
+    INTEGER fixed-point so every engine (and the unrolled DuckDB oracle)
+    agrees bit-for-bit: scores live in ``[0, scale]`` as int64, each
+    half-step is ``x ← Σ (int sum, order-free) → x·scale // max(x)`` —
+    no float ever enters the iteration, so summation order cannot perturb
+    the result the way float power iterations can.
+
+    Per iteration: authority ``a(v) = Σ_{(u,v)∈E} h(u)`` then max-norm,
+    hub ``h(u) = Σ_{(u,v)∈E} a(v)`` then max-norm (multigraph semantics:
+    duplicate edges count twice — the oracle scans the same edge list).
+    Physical plan mirrors :func:`pagerank`: score state is a materialized
+    Dataset, each half-step is one hash join + one int groupby-sum + one
+    left join back onto the node set; the driver sees only the scalar max.
+
+    Overflow bound: ``Σ ≤ degree·scale`` and the normalize multiplies by
+    ``scale`` again, so ``max_degree·scale² < 2^63`` — at the default
+    ``scale=1e6`` that is max in/out-degree < 9.2e6; lower ``scale`` for
+    hub pages beyond that. Returns ``(node, hub, authority)`` int64.
+    """
+    import ray.data
+
+    num_partitions = _join_partitions(num_partitions)
+    nodes = graph_nodes(edges_ds, src_col, dst_col).materialize()
+    if nodes.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "hub": pa.array([], pa.int64()),
+                    "authority": pa.array([], pa.int64()),
+                }
+            )
+        )
+    hub = _nodes_with_value(nodes, scale, "h").materialize()
+    auth = None
+    for _ in range(num_iters):
+        # a(v) = sum of h over in-edges (u,v); gather keyed by dst
+        auth = _half_step(
+            edges_ds, hub, nodes, dst_col, src_col, "a", scale, num_partitions
+        )
+        # h(u) = sum of a over out-edges (u,v); gather keyed by src
+        hub = _half_step(
+            edges_ds, auth, nodes, src_col, dst_col, "h", scale, num_partitions
+        )
+
+    out = hub.join(auth, "inner", num_partitions, on=("node",))
+    return out.map_batches(
+        lambda t: pa.table(
+            {"node": t["node"], "hub": t["h"], "authority": t["a"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# --- multi-source BFS ---------------------------------------------------------
+
+
+def _distinct_nodes(ds, num_slices: int | None = None):
+    """Distinct ``node`` values via per-batch unique partials + a coarse
+    mixed-hash slice groupby (node ids are ~unique keys — never one Ray
+    group per node)."""
+    from .dedup import _default_num_slices
+
+    num_slices = num_slices or _default_num_slices()
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = np.unique(t["node"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        with np.errstate(over="ignore"):
+            sl = ((u.view(np.uint64) * _MIX1) % np.uint64(num_slices)).astype(np.int32)
+        return pa.table({"node": pa.array(u, pa.int64()), "slice": pa.array(sl)})
+
+    def dedup_slice(g: pa.Table) -> pa.Table:
+        u = np.unique(g["node"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(dedup_slice, batch_format="pyarrow")
+    )
+
+
+def bfs_levels(
+    edges_ds,
+    seeds_ds,
+    max_depth: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+):
+    """Multi-source BFS over a directed edge Dataset: returns
+    ``(node, level)`` where level = length of the shortest edge path from
+    any seed (0 for seeds themselves), levels ≤ ``max_depth``.
+
+    Classic frontier expansion, every structure Dataset-resident: per
+    round, one hash join (edges ⨝ frontier on src) discovers the next
+    ring, a slice-grouped distinct collapses it, and one ``left_anti``
+    join against the visited set drops already-levelled nodes — O(depth)
+    rounds, the driver holds only the round counter and the emptiness
+    scalar. The oracle is the recursive-CTE reachability closure with
+    ``min(level)``.
+    """
+    import ray.data
+
+    num_partitions = _join_partitions(num_partitions)
+
+    def with_level(ds, lvl: int):
+        return ds.map_batches(
+            lambda t, L=lvl: pa.table(
+                {
+                    "node": t["node"].cast(pa.int64()),
+                    "level": pa.array(np.full(len(t), L, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    # slice-groupby outputs carry schema-less empty blocks that crash the
+    # Ray 2.49 hash-join aggregators (the _attach_sketches lesson) —
+    # normalize every join input with repartition+materialize
+    frontier = (
+        _distinct_nodes(seeds_ds, num_partitions)
+        .repartition(num_partitions)
+        .materialize()
+    )
+    visited = with_level(frontier, 0).materialize()
+    if frontier.count() == 0:
+        return visited
+    for lvl in range(1, max_depth + 1):
+        nxt = edges_ds.join(
+            frontier, "inner", num_partitions, on=(src_col,), right_on=("node",)
+        )
+        ring = (
+            _distinct_nodes(
+                nxt.map_batches(
+                    lambda t: pa.table({"node": t[dst_col].cast(pa.int64())}),
+                    batch_format="pyarrow",
+                ),
+                num_partitions,
+            )
+            .repartition(num_partitions)
+            .materialize()
+        )
+        if ring.count() == 0:
+            break
+        new = (
+            ring.join(visited.repartition(num_partitions).materialize(),
+                      "left_anti", num_partitions, on=("node",))
+            .repartition(num_partitions)
+            .materialize()
+        )
+        if new.count() == 0:
+            break
+        visited = visited.union(with_level(new, lvl)).materialize()
+        frontier = new
+    return visited

@@ -23,7 +23,7 @@ import pyarrow as pa
 
 from .dedup import _md5_u64
 
-__all__ = ["deterministic_shuffle"]
+__all__ = ["deterministic_shuffle", "zorder_key", "zorder_sort"]
 
 # fit the key in signed int64 for clean Arrow/SQL BIGINT parity
 _KEY_MOD = 1 << 62
@@ -43,3 +43,64 @@ def deterministic_shuffle(ds, id_col: str = "doc_id", seed: int = 0, key_col: st
         return batch.append_column(key_col, pa.array(k))
 
     return ds.map_batches(key, batch_format="pyarrow").sort([key_col, id_col])
+
+
+def zorder_key(
+    ds,
+    cols,
+    bounds: dict | None = None,
+    out_col: str = "zkey",
+):
+    """Append a Morton (Z-order) interleave key of two integer columns —
+    the data-layout primitive behind multi-dimensional clustering: sorting
+    (or range-partitioning) by ``zkey`` co-locates rows that are close in
+    BOTH dimensions, so per-file min/max stats prune scans on either
+    column (the Delta/Iceberg ``OPTIMIZE ZORDER BY`` trick, here as a
+    plain Dataset stage feeding ``Dataset.sort``/``write_parquet``).
+
+    Each column is first quantized to 16 bits with pure integer
+    arithmetic — ``q = clip((v - lo) * 65536 // (hi - lo + 1), 0, 65535)``
+    over the caller-supplied ``bounds[col] = (lo, hi)`` (defaults to the
+    identity range ``(0, 65535)``) — then bit-spread with the classic
+    mask-shift ladder and interleaved (first column = even bits). Every
+    intermediate stays below 2³², so a DuckDB oracle writing the same
+    shifts over BIGINT reproduces the key bit-for-bit; the whole op is a
+    stateless ``map_batches`` (zero shuffle — the one all-to-all is the
+    ``sort`` the caller chains on).
+    """
+    if len(cols) != 2:
+        raise ValueError("zorder_key interleaves exactly 2 columns")
+    bounds = bounds or {}
+
+    def quantize(v: np.ndarray, lo: int, hi: int) -> np.ndarray:
+        span = hi - lo + 1
+        q = ((v.astype(np.int64) - lo) * 65536) // span
+        return np.clip(q, 0, 65535).astype(np.uint64)
+
+    def spread16(x: np.ndarray) -> np.ndarray:
+        x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+        x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+        return x
+
+    c0, c1 = cols
+    lo0, hi0 = bounds.get(c0, (0, 65535))
+    lo1, hi1 = bounds.get(c1, (0, 65535))
+
+    def key(batch: pa.Table) -> pa.Table:
+        x = batch[c0].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        y = batch[c1].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        z = spread16(quantize(x, lo0, hi0)) | (
+            spread16(quantize(y, lo1, hi1)) << np.uint64(1)
+        )
+        return batch.append_column(out_col, pa.array(z.astype(np.int64), pa.int64()))
+
+    return ds.map_batches(key, batch_format="pyarrow")
+
+
+def zorder_sort(ds, cols, bounds: dict | None = None, out_col: str = "zkey"):
+    """:func:`zorder_key` + the global range sort on the key — the actual
+    layout-rewrite pipeline stage (chain ``.write_parquet`` on the result
+    for a clustered table)."""
+    return zorder_key(ds, cols, bounds, out_col).sort(out_col)

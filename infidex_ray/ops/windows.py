@@ -897,3 +897,87 @@ def activity_streaks(
         .groupby("slice")
         .map_groups(per_slice, batch_format="pyarrow")
     )
+
+
+def event_transitions(
+    events,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+):
+    """First-order Markov transition counts over per-user event streams:
+    for every consecutive event pair within a user (time order, event-id
+    tie-break — the oracle's ``lead() OVER (ORDER BY ts, event_id)``),
+    count the global ``(prev_type, next_type)`` frequency. The standard
+    input to funnel discovery / next-action models.
+
+    Plan: one coarse md5 user-slice shuffle (the :func:`event_order`
+    machinery — never a per-user Ray group); each slice lexsorts ALL its
+    users at once and reads consecutive-pair types with run-boundary
+    masking, emitting per-slice PARTIAL counts; the final groupby touches
+    only ``slices × |type|²`` partial rows, so the wide exchange is a few
+    kilobytes regardless of corpus size. All-integer counts — exact.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def pairs_slice(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["slice"])
+        empty = pa.table(
+            {
+                "prev_type": pa.array([], pa.string()),
+                "next_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows < 2:
+            return empty
+        kr = _sorted_key_ranks(group[user_col])
+        ts = _ts_us(group[ts_col])
+        ev = group[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        o = np.lexsort((ev, ts, kr))
+        kr = kr[o]
+        ty = group[type_col].combine_chunks().dictionary_encode()
+        codes = ty.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[o]
+        same = kr[1:] == kr[:-1]
+        if not same.any():
+            return empty
+        prev_c = codes[:-1][same]
+        next_c = codes[1:][same]
+        ncat = len(ty.dictionary)
+        pair_code = prev_c * ncat + next_c
+        counts = np.bincount(pair_code, minlength=ncat * ncat)
+        nz = np.flatnonzero(counts)
+        if len(nz) == 0:
+            return empty
+        cats = ty.dictionary
+        return pa.table(
+            {
+                "prev_type": cats.take(pa.array(nz // ncat)),
+                "next_type": cats.take(pa.array(nz % ncat)),
+                "n": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    partials = (
+        events.select_columns([user_col, ts_col, id_col, type_col])
+        .map_batches(_add_key_slice(user_col), batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(pairs_slice, batch_format="pyarrow")
+    )
+    merged = partials.groupby(["prev_type", "next_type"]).sum("n")
+
+    def rename(t: pa.Table) -> pa.Table:
+        c = "sum(n)" if "sum(n)" in t.column_names else "n"
+        return pa.table(
+            {
+                "prev_type": t["prev_type"],
+                "next_type": t["next_type"],
+                "n": t[c].cast(pa.int64()),
+            }
+        )
+
+    return merged.map_batches(rename, batch_format="pyarrow")
