@@ -2733,27 +2733,6 @@ def _q_grouped_mad(sf_dir: str):
     return _by(grouped_mad(_read(sf_dir, "documents"), "lang", "n_chars"), "lang")
 
 
-def _synth_edges(sf_dir: str):
-    """The planted doc→doc edge list shared by the graph entries (same
-    arithmetic fixture as pagerank/connected_components)."""
-
-    def synth(batch: pa.Table) -> pa.Table:
-        src, dst = [], []
-        for d in batch["doc_id"].to_pylist():
-            for j in range(1, d % 4 + 1):
-                src.append(d)
-                dst.append((d * 7 + j * 13) % 500)
-        return pa.table(
-            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
-        )
-
-    return (
-        _read(sf_dir, "documents")
-        .select_columns(["doc_id"])
-        .map_batches(synth, batch_format="pyarrow")
-    )
-
-
 # shared planted-edge CTE for the graph oracles (same arithmetic as
 # _synth_edges / the pagerank oracle)
 _EDGES_CTE = (
@@ -2863,6 +2842,62 @@ def _q_jaccard_prefix(sf_dir: str):
         "id_a",
         "id_b",
     )
+
+
+def _q_coalesce_latest(sf_dir: str):
+    """Golden-record survivorship (ops/windows.py::coalesce_latest): per
+    user, each column's latest NON-NULL value by (ts, event_id) —
+    independently per column. Nulls are PLANTED with the same modular rule
+    on both engines (event_id % 7 / % 5) so the survivorship logic is what
+    the hash checks. Oracle = one row_number()-DESC subquery per column."""
+    import pyarrow.compute as pc
+
+    from infidex_ray.ops.windows import coalesce_latest
+
+    def plant(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = pc.if_else(
+            pa.array((eid % 7) != 0),
+            t["event_type"].combine_chunks(),
+            pa.scalar(None, pa.string()),
+        )
+        val = pc.if_else(
+            pa.array((eid % 5) != 0),
+            t["value"].combine_chunks(),
+            pa.scalar(None, pa.float64()),
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_type": et,
+                "value": val,
+            }
+        )
+
+    ev = _read(sf_dir, "events").map_batches(plant, batch_format="pyarrow")
+    return _by(coalesce_latest(ev), "user_id")
+
+
+def _q_k_core(sf_dir: str):
+    """3-round k-core peeling (k = 3) over the planted web graph
+    (ops/graph.py::k_core): degree via grouped_agg partials, two left_semi
+    joins per round. Early convergence is output-invisible (a converged
+    round is a no-op), so the fixed 3-round SQL unroll matches exactly."""
+    from infidex_ray.ops.graph import k_core
+
+    return _by(k_core(_synth_edges(sf_dir), k=3, max_rounds=3), "node")
+
+
+def _q_ndcg_eval(sf_dir: str):
+    """NDCG@10 of labeled retrieval (ops/similarity.py::ndcg_label_eval):
+    binary gains, DCG/IDCG accumulated strictly left-to-right — mirrored by
+    recursive CTEs stepping rank-by-rank (numpy and DuckDB log2 agree
+    bitwise on the small-integer discount arguments)."""
+    from infidex_ray.ops.similarity import ndcg_label_eval
+
+    return ndcg_label_eval(_read(sf_dir, "embeddings"), n_queries=5, k=10)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -3027,6 +3062,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_variance": _q_grouped_variance,
         "zorder_key": _q_zorder_key,
         "jaccard_prefix_pairs": _q_jaccard_prefix,
+        "coalesce_latest": _q_coalesce_latest,
+        "k_core": _q_k_core,
+        "ndcg_eval": _q_ndcg_eval,
     }
 
 
@@ -4740,6 +4778,77 @@ def oracle_sql() -> dict[str, str]:
             "FROM q ORDER BY l_orderkey, l_linenumber"
         ),
         "jaccard_prefix_pairs": sqlgen.minhash_pairs_sql("documents", 0.4),
+        "coalesce_latest": (
+            "WITH e2 AS (SELECT event_id, user_id, ts, "
+            "CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS "
+            "event_type, CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END "
+            "AS value FROM events), "
+            "u AS (SELECT DISTINCT user_id FROM e2), "
+            "t1 AS (SELECT user_id, event_type, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM e2 WHERE event_type IS NOT NULL), "
+            "t2 AS (SELECT user_id, value, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM e2 WHERE value IS NOT NULL) "
+            "SELECT u.user_id, t1.event_type AS latest_event_type, "
+            "t2.value AS latest_value "
+            "FROM u LEFT JOIN (SELECT * FROM t1 WHERE rn = 1) t1 USING (user_id) "
+            "LEFT JOIN (SELECT * FROM t2 WHERE rn = 1) t2 USING (user_id) "
+            "ORDER BY u.user_id"
+        ),
+        "k_core": (
+            "WITH e0 AS (SELECT DISTINCT least(src, dst) AS a, "
+            "greatest(src, dst) AS b FROM (SELECT doc_id AS src, "
+            "(doc_id*7 + j*13) % 500 AS dst FROM (SELECT doc_id, "
+            "unnest(generate_series(1, CAST(doc_id % 4 AS INT))) AS j "
+            "FROM documents)) WHERE src <> dst), "
+            + ", ".join(
+                f"d{i} AS (SELECT node, count(*)::BIGINT AS degree FROM "
+                f"(SELECT a AS node FROM e{i-1} UNION ALL SELECT b FROM e{i-1}) "
+                f"GROUP BY node), "
+                f"s{i} AS (SELECT node FROM d{i} WHERE degree >= 3), "
+                f"e{i} AS (SELECT e.a, e.b FROM e{i-1} e "
+                f"JOIN s{i} x ON e.a = x.node JOIN s{i} y ON e.b = y.node)"
+                for i in (1, 2, 3)
+            )
+            + " SELECT node, count(*)::BIGINT AS degree FROM "
+            "(SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) "
+            "GROUP BY node ORDER BY node"
+        ),
+        "ndcg_eval": (
+            # rank order = knn_label_precision's convention; DCG/IDCG via
+            # recursive CTEs stepping rank-by-rank (same operand sequence
+            # as the engine's left-to-right loop)
+            "WITH RECURSIVE q AS (SELECT vec_id AS qid, embedding AS qe, "
+            "label AS qlabel FROM embeddings WHERE vec_id < 5), "
+            "r AS (SELECT q.qid, CASE WHEN b.label = q.qlabel THEN 1 ELSE 0 "
+            "END AS rel, row_number() OVER (PARTITION BY q.qid ORDER BY "
+            "list_cosine_similarity(b.embedding::DOUBLE[], q.qe::DOUBLE[]) "
+            "DESC, b.vec_id) AS rnk FROM q JOIN embeddings b ON b.vec_id <> q.qid), "
+            "rk AS (SELECT qid, rel, rnk FROM r WHERE rnk <= 10), "
+            "agg AS (SELECT qid, count(*)::BIGINT AS k_eff, "
+            "sum(rel)::BIGINT AS n_match FROM rk GROUP BY qid), "
+            "dsteps(qid, rnk, acc) AS (SELECT qid, 0, 0.0::DOUBLE FROM q "
+            "UNION ALL SELECT s.qid, s.rnk + 1, s.acc + (rk.rel::DOUBLE / "
+            "log2((s.rnk + 2)::DOUBLE)) FROM dsteps s "
+            "JOIN rk ON rk.qid = s.qid AND rk.rnk = s.rnk + 1), "
+            "dcg AS (SELECT qid, acc AS dcg FROM (SELECT qid, acc, "
+            "row_number() OVER (PARTITION BY qid ORDER BY rnk DESC) AS rr "
+            "FROM dsteps) WHERE rr = 1), "
+            "isteps(qid, i, acc) AS (SELECT qid, 0, 0.0::DOUBLE FROM q "
+            "UNION ALL SELECT s.qid, s.i + 1, s.acc + (1.0 / "
+            "log2((s.i + 2)::DOUBLE)) FROM isteps s "
+            "JOIN agg ON agg.qid = s.qid WHERE s.i < agg.n_match), "
+            "idcg AS (SELECT qid, acc AS idcg FROM (SELECT qid, acc, "
+            "row_number() OVER (PARTITION BY qid ORDER BY i DESC) AS rr "
+            "FROM isteps) WHERE rr = 1) "
+            "SELECT agg.qid AS query_id, agg.k_eff, agg.n_match, "
+            "round(dcg.dcg, 4) AS dcg, round(idcg.idcg, 4) AS idcg, "
+            "CASE WHEN agg.n_match > 0 THEN round(dcg.dcg / idcg.idcg, 4) "
+            "ELSE 0.0 END AS ndcg FROM agg "
+            "JOIN dcg ON dcg.qid = agg.qid JOIN idcg ON idcg.qid = agg.qid "
+            "ORDER BY agg.qid"
+        ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (float-histogram fake codec) are
         # non-SQL-expressible → rows-only.

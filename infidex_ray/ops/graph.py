@@ -24,6 +24,7 @@ __all__ = [
     "triangle_count",
     "hits_scores",
     "bfs_levels",
+    "k_core",
 ]
 
 
@@ -691,3 +692,99 @@ def bfs_levels(
         visited = visited.union(with_level(new, lvl)).materialize()
         frontier = new
     return visited
+
+
+# --- k-core peeling -----------------------------------------------------------
+
+
+def k_core(
+    edges_ds,
+    k: int = 2,
+    max_rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+):
+    """Bounded k-core peeling over the undirected distinct-edge graph:
+    each round computes every node's degree, drops nodes with degree < k,
+    and restricts the edge set to surviving endpoints — after
+    ``max_rounds`` rounds (or earlier convergence, which is invisible in
+    the output: a converged round is a no-op, so stopping early equals the
+    oracle's fixed unroll) returns ``(node, degree)`` over the surviving
+    edges. The classic community-density / spam-farm filter on web graphs.
+
+    Plan per round: degree via :func:`infidex_ray.ops.agg.grouped_agg`
+    (per-block Arrow count partials — never one Ray group per ~unique
+    node), survivors filtered row-locally, then two ``left_semi`` joins
+    restrict the edge list (normalized with repartition+materialize around
+    the Ray 2.49 empty-block join quirk). Edges and survivor sets stay
+    Dataset-resident; the driver sees only per-round counts."""
+    import ray.data
+
+    from .agg import grouped_agg
+    from .dedup import _default_num_slices
+
+    num_partitions = _join_partitions(num_partitions)
+    edges = (
+        _canonical_edges(edges_ds, src_col, dst_col, _default_num_slices())
+        .repartition(num_partitions)
+        .materialize()
+    )
+
+    def empty_out():
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "degree": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": pa.array(np.concatenate([a, b]).astype(np.int64), pa.int64())}
+        )
+
+    def degrees(e):
+        return grouped_agg(
+            e.map_batches(endpoints, batch_format="pyarrow"),
+            "node",
+            {"degree": ("count", "node")},
+        )
+
+    n_edges = edges.count()
+    if n_edges == 0:
+        return empty_out()
+    for _ in range(max_rounds):
+        deg = degrees(edges)
+        surv = (
+            deg.filter(lambda r, kk=k: r["degree"] >= kk)
+            .select_columns(["node"])
+            .repartition(num_partitions)
+            .materialize()
+        )
+        if surv.count() == 0:
+            return empty_out()
+        e2 = (
+            edges.join(surv, "left_semi", num_partitions, on=("a",), right_on=("node",))
+            .repartition(num_partitions)
+            .materialize()
+        )
+        if e2.count() == 0:
+            return empty_out()
+        e2 = (
+            e2.join(surv, "left_semi", num_partitions, on=("b",), right_on=("node",))
+            .repartition(num_partitions)
+            .materialize()
+        )
+        n2 = e2.count()
+        if n2 == 0:
+            return empty_out()
+        converged = n2 == n_edges
+        edges, n_edges = e2, n2
+        if converged:
+            break
+    return degrees(edges)

@@ -1282,3 +1282,107 @@ def knn_label_precision(
             "precision": pa.array(rows["precision"], pa.float64()),
         }
     )
+
+
+def ndcg_label_eval(
+    ds,
+    n_queries: int = 5,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> pa.Table:
+    """NDCG@k of labeled retrieval (binary gains: neighbor shares the
+    query's label) — the position-sensitive companion to
+    :func:`knn_label_precision`: a ranking that front-loads its matches
+    scores higher than one that buries them, even at equal precision.
+
+    ``DCG = Σᵢ relᵢ / log₂(i+1)`` accumulated STRICTLY left-to-right (a
+    Python loop here, a recursive CTE in the oracle — identical operand
+    sequence, and numpy/DuckDB ``log2`` agree bitwise on the small-integer
+    arguments), ``IDCG`` the same over the ideal all-matches-first ranking;
+    ``ndcg = round(DCG/IDCG, 4)``, 0 when there are no matches. Physical
+    plan = knn_label_precision's: per-batch partial top-k with labels
+    riding along, driver merges only queries × k rows."""
+    import ray
+
+    def qfilter(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids < n_queries))
+
+    qrows = sorted(
+        ds.select_columns([id_col, vec_col, label_col])
+        .map_batches(qfilter, batch_format="pyarrow")
+        .take_all(),
+        key=lambda r: r[id_col],
+    )
+    qids = np.asarray([r[id_col] for r in qrows], dtype=np.int64)
+    qlabels = np.asarray([r[label_col] for r in qrows], dtype=np.int64)
+    qm = _normalize_rows(np.asarray([r[vec_col] for r in qrows], dtype=np.float64))
+    q_ref = ray.put((qids, qm))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qv, qmat = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        labels = np.asarray(batch[label_col].to_pylist(), dtype=np.int64)
+        m = _normalize_rows(_to_matrix(batch, vec_col))
+        sims = qmat @ m.T
+        out_q, out_id, out_s, out_l = [], [], [], []
+        for qi in range(len(qv)):
+            row = sims[qi]
+            mask = ids != qv[qi]
+            mids, mrow, mlab = ids[mask], row[mask], labels[mask]
+            idx = np.lexsort((mids, -mrow))[: min(k, len(mids))]
+            out_q.extend([int(qv[qi])] * len(idx))
+            out_id.extend(mids[idx])
+            out_s.extend(mrow[idx])
+            out_l.extend(mlab[idx])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+                "nbr_label": pa.array(out_l, pa.int64()),
+            }
+        )
+
+    partials = ds.select_columns([id_col, vec_col, label_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    per_query: dict[int, list] = {}
+    for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for qi, vid, s, lb in zip(
+            b["query_id"].to_pylist(),
+            b["vec_id"].to_pylist(),
+            b["cosine"].to_pylist(),
+            b["nbr_label"].to_pylist(),
+        ):
+            per_query.setdefault(qi, []).append((-s, vid, lb))
+    lab_of = dict(zip(qids.tolist(), qlabels.tolist()))
+    rows = {"query_id": [], "k_eff": [], "n_match": [], "dcg": [], "idcg": [], "ndcg": []}
+    for qi in sorted(per_query):
+        top = heapq.nsmallest(k, per_query[qi])
+        gains = [1 if lb == lab_of[qi] else 0 for _, _, lb in top]
+        dcg = 0.0
+        for i, g in enumerate(gains):  # strict left-to-right accumulation
+            dcg = dcg + (float(g) / np.log2(float(i + 2)))
+        n_match = sum(gains)
+        idcg = 0.0
+        for i in range(n_match):
+            idcg = idcg + (1.0 / np.log2(float(i + 2)))
+        rows["query_id"].append(qi)
+        rows["k_eff"].append(len(top))
+        rows["n_match"].append(n_match)
+        rows["dcg"].append(round_half_up4(dcg))
+        rows["idcg"].append(round_half_up4(idcg))
+        rows["ndcg"].append(round_half_up4(dcg / idcg) if n_match else 0.0)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "k_eff": pa.array(rows["k_eff"], pa.int64()),
+            "n_match": pa.array(rows["n_match"], pa.int64()),
+            "dcg": pa.array(rows["dcg"], pa.float64()),
+            "idcg": pa.array(rows["idcg"], pa.float64()),
+            "ndcg": pa.array(rows["ndcg"], pa.float64()),
+        }
+    )

@@ -981,3 +981,125 @@ def event_transitions(
         )
 
     return merged.map_batches(rename, batch_format="pyarrow")
+
+
+def coalesce_latest(
+    events,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_cols: tuple = ("event_type", "value"),
+):
+    """Golden-record survivorship: one row per key whose every value column
+    holds that column's most recent NON-NULL value (latest by ``(ts, id)``,
+    independently per column — the classic CRM/master-data merge where each
+    field keeps its own freshest observation). Keys whose column never has
+    a value get NULL.
+
+    Plan: each block collapses to ≤ |keys| partial rows carrying, per value
+    column, the block-local winner plus ITS OWN ``(ts, id)`` stamp; one
+    coarse md5 key-slice groupby re-runs the same argmax over partials
+    (winner-of-winners — associative, so block boundaries are invisible).
+    The exchange moves per-key partials, never event rows. Oracle = one
+    ``row_number() OVER (ORDER BY ts DESC, id DESC) = 1`` subquery per
+    column over the non-null rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    value_cols = list(value_cols)
+
+    def _reduce(tbl: pa.Table, ts_of, id_of) -> pa.Table:
+        """Per-key latest non-null per column; ts_of/id_of map a column name
+        to its stamp columns (the raw pass uses the shared event stamp, the
+        merge pass each column's own)."""
+        kr = _sorted_key_ranks(tbl[key_col])
+        n = len(kr)
+        out_cols = {}
+        # stable representative row per key (order of first appearance)
+        base_order = np.lexsort((np.arange(n), kr))
+        kb = kr[base_order]
+        first = np.empty(len(kb), dtype=bool)
+        first[0] = True
+        first[1:] = kb[1:] != kb[:-1]
+        rep_rows = base_order[first]
+        rep_rank = kb[first]
+        out_cols[key_col] = tbl[key_col].combine_chunks().take(
+            pa.array(rep_rows, pa.int64())
+        )
+        for c in value_cols:
+            ts = _ts_us(tbl[ts_of(c)])
+            ev = tbl[id_of(c)].combine_chunks()
+            evn = ev.fill_null(np.iinfo(np.int64).min).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            col = tbl[c].combine_chunks()
+            valid = pa.compute.is_valid(col).to_numpy(zero_copy_only=False)
+            # sort (key, valid, ts, id): the last row of each key run is the
+            # best valid row whenever the run has any valid row
+            o = np.lexsort((evn, ts, valid.astype(np.int8), kr))
+            ko = kr[o]
+            last = np.empty(len(ko), dtype=bool)
+            if n:
+                last[:-1] = ko[:-1] != ko[1:]
+                last[-1] = True
+            win = o[last]  # one per key, ordered by key rank
+            win_rank = ko[last]
+            # align winners to rep_rank order (both sorted by key rank)
+            assert np.array_equal(win_rank, rep_rank)
+            win_valid = valid[win]
+            idx = pa.array(
+                np.where(win_valid, win, -1),
+                pa.int64(),
+                mask=~win_valid,
+            )
+            out_cols[f"latest_{c}"] = col.take(idx)
+            out_cols[f"__ts_{c}"] = pa.array(
+                np.where(win_valid, _ts_us(tbl[ts_of(c)])[win], 0),
+                pa.int64(),
+                mask=~win_valid,
+            )
+            out_cols[f"__id_{c}"] = pa.array(
+                np.where(win_valid, evn[win], 0), pa.int64(), mask=~win_valid
+            )
+        return pa.table(out_cols)
+
+    def _empty_partial(batch: pa.Table) -> pa.Table:
+        cols = {key_col: batch[key_col].slice(0, 0)}
+        for c in value_cols:
+            cols[f"latest_{c}"] = batch[c].slice(0, 0)
+            cols[f"__ts_{c}"] = pa.array([], pa.int64())
+            cols[f"__id_{c}"] = pa.array([], pa.int64())
+        return pa.table(cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_partial(batch)
+        return _reduce(batch, lambda c: ts_col, lambda c: id_col)
+
+    def merge(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["slice"])
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: group[key_col].slice(0, 0),
+                    **{
+                        f"latest_{c}": group[f"latest_{c}"].slice(0, 0)
+                        for c in value_cols
+                    },
+                }
+            )
+        ren = {f"latest_{c}": c for c in value_cols}
+        group = group.rename_columns(
+            [ren.get(c, c) for c in group.column_names]
+        )
+        out = _reduce(group, lambda c: f"__ts_{c}", lambda c: f"__id_{c}")
+        keep = [key_col] + [f"latest_{c}" for c in value_cols]
+        return out.select(keep)
+
+    return (
+        events.select_columns([key_col, ts_col, id_col] + value_cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(_add_key_slice(key_col), batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -256,3 +256,92 @@ def test_jaccard_prefix_pairs_is_lossless(ray_session):
     assert got_pairs == want
     assert (0, 1) in got_pairs and got_pairs[(0, 1)] == 1.0
     assert (5, 6) in got_pairs  # short-doc whole-text shingle contract
+
+
+def test_coalesce_latest_per_column_survivorship(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.windows import coalesce_latest
+
+    ts = pa.array(np.array([10, 20, 30, 5, 6], dtype="datetime64[us]"))
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 7, 8], pa.int64()),
+                "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "ts": ts,
+                # latest event_type is NULL → survivor = earlier 'b'
+                "event_type": pa.array(["a", "b", None, None, None], pa.string()),
+                # user 2 never has a value → NULL
+                "value": pa.array([1.5, None, 9.0, None, None], pa.float64()),
+            }
+        )
+    )
+    got = (
+        coalesce_latest(events)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got.loc[0, "latest_event_type"] == "b"
+    assert got.loc[0, "latest_value"] == 9.0
+    assert pd.isna(got.loc[1, "latest_event_type"])
+    assert pd.isna(got.loc[1, "latest_value"])
+
+
+def test_k_core_peels_tail(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.graph import k_core
+
+    # triangle 1-2-3 (2-core) with a pendant chain 3-4-5
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([1, 2, 3, 3, 4], pa.int64()),
+                "dst": pa.array([2, 3, 1, 4, 5], pa.int64()),
+            }
+        )
+    )
+    got = (
+        k_core(edges, k=2, max_rounds=3)
+        .to_pandas()
+        .set_index("node")["degree"]
+        .to_dict()
+    )
+    assert got == {1: 2, 2: 2, 3: 2}  # chain peeled in two rounds
+
+
+def test_ndcg_front_loaded_beats_buried(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.similarity import ndcg_label_eval
+
+    # query 0 (label 0): nearest neighbors alternate labels so that the
+    # match sits at rank 1; query 1 (label 1): its only match is buried.
+    def vec(x):
+        return [float(x), 1.0] + [0.0] * 6
+
+    rows = [
+        {"vec_id": 0, "embedding": vec(100), "label": 0},
+        {"vec_id": 1, "embedding": vec(-100), "label": 1},
+        # close to q0, label 0 (match at rank 1)
+        {"vec_id": 2, "embedding": vec(99), "label": 0},
+        {"vec_id": 3, "embedding": vec(98), "label": 1},
+        # close to q1, wrong label first
+        {"vec_id": 4, "embedding": vec(-99), "label": 0},
+        {"vec_id": 5, "embedding": vec(-98), "label": 0},
+        {"vec_id": 6, "embedding": vec(-97), "label": 1},
+    ]
+    got = (
+        ndcg_label_eval(ray.data.from_items(rows), n_queries=2, k=3)
+        .to_pandas()
+        .set_index("query_id")
+    )
+    assert got.loc[0, "n_match"] == got.loc[1, "n_match"] == 1
+    assert got.loc[0, "ndcg"] == 1.0  # match at rank 1
+    assert got.loc[1, "ndcg"] < 1.0  # same precision, buried match
