@@ -2900,6 +2900,46 @@ def _q_ndcg_eval(sf_dir: str):
     return ndcg_label_eval(_read(sf_dir, "embeddings"), n_queries=5, k=10)
 
 
+def _q_grouped_hhi(sf_dir: str):
+    """Per-language Herfindahl concentration of sources
+    (ops/agg.py::grouped_hhi): Σc² and n are exact int64 through two
+    grouped_agg combiner passes; the single float division of exact
+    integers is bitwise across engines."""
+    from infidex_ray.ops.agg import grouped_hhi
+
+    return _by(grouped_hhi(_read(sf_dir, "documents"), "lang", "source"), "lang")
+
+
+def _q_apply_changes(sf_dir: str):
+    """CDC upsert/delete compaction (ops/windows.py::apply_changes): the
+    events stream becomes a change stream (op = D on 'error', else U);
+    per user the last (ts, id) change wins, delete removes the key —
+    keep_latest's block+slice reduction plus a row-local filter."""
+    import pyarrow.compute as pc
+
+    from infidex_ray.ops.windows import apply_changes
+
+    def add_op(t: pa.Table) -> pa.Table:
+        op = pc.if_else(
+            pc.equal(t["event_type"], pa.scalar("error")),
+            pa.scalar("D"),
+            pa.scalar("U"),
+        )
+        return t.append_column("op", op)
+
+    stream = _read(sf_dir, "events").map_batches(add_op, batch_format="pyarrow")
+    out = apply_changes(stream)
+    return _by(
+        out.map_batches(
+            lambda t: t.select(
+                ["user_id", "ts_us", "event_id", "event_type", "value", "op"]
+            ),
+            batch_format="pyarrow",
+        ),
+        "user_id",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -3065,6 +3105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coalesce_latest": _q_coalesce_latest,
         "k_core": _q_k_core,
         "ndcg_eval": _q_ndcg_eval,
+        "grouped_hhi": _q_grouped_hhi,
+        "apply_changes": _q_apply_changes,
     }
 
 
@@ -4848,6 +4890,25 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0.0 END AS ndcg FROM agg "
             "JOIN dcg ON dcg.qid = agg.qid JOIN idcg ON idcg.qid = agg.qid "
             "ORDER BY agg.qid"
+        ),
+        "grouped_hhi": (
+            "WITH c AS (SELECT lang, source, count(*)::BIGINT AS c "
+            "FROM documents GROUP BY lang, source), "
+            "s AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n, "
+            "CAST(sum(c*c) AS BIGINT) AS sq, count(*)::BIGINT AS n_cats "
+            "FROM c GROUP BY lang) "
+            "SELECT lang, n, n_cats, "
+            "round(sq::DOUBLE / (n::DOUBLE * n::DOUBLE), 6) AS hhi "
+            "FROM s ORDER BY lang"
+        ),
+        "apply_changes": (
+            "WITH s AS (SELECT *, CASE WHEN event_type = 'error' THEN 'D' "
+            "ELSE 'U' END AS op FROM events), "
+            "r AS (SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, event_id, "
+            "event_type, value, op, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM s) "
+            "SELECT user_id, ts_us, event_id, event_type, value, op FROM r "
+            "WHERE rn = 1 AND op <> 'D' ORDER BY user_id"
         ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (float-histogram fake codec) are

@@ -812,3 +812,64 @@ def grouped_variance(
         return pa.table(cols)
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_hhi(ds, group_col: str, cat_col: str, num_slices: int | None = None):
+    """Per-group Herfindahl–Hirschman concentration index over a category
+    column — the standard "is this language dominated by one source / one
+    domain?" diversity diagnostic: ``HHI = Σᵢ (cᵢ/n)² = (Σ cᵢ²) / n²``
+    where cᵢ are the category counts within the group (1/n_cats = perfectly
+    even, 1 = single category).
+
+    Exactness: both Σ cᵢ² and n are int64 (order-free), the finish is ONE
+    float division of exact integers — bitwise equal to the SQL mirror, no
+    rounding games needed (still rounded to 6 for display parity). Plan:
+    two :func:`grouped_agg` passes — (group, cat) counts, then per-group
+    sums of c and c² — both combiner-partial shuffles.
+
+    Returns ``(group, n, n_cats, hhi)``.
+    """
+    counts = grouped_agg(
+        ds, [group_col, cat_col], {"c": ("count", cat_col)}, num_slices=num_slices
+    )
+
+    def enrich(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                group_col: t[group_col],
+                "c": pa.array(c, pa.int64()),
+                "cc": pa.array(c * c, pa.int64()),
+            }
+        )
+
+    sums = grouped_agg(
+        counts.map_batches(enrich, batch_format="pyarrow"),
+        [group_col],
+        {
+            "n": ("sum", "c"),
+            "sq": ("sum", "cc"),
+            "n_cats": ("count", "c"),
+        },
+        num_slices=num_slices,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sq = t["sq"].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            hhi = sq / (n * n)
+        hhi = np.copysign(np.floor(np.abs(hhi) * 1e6 + 0.5) / 1e6, hhi)
+        return pa.table(
+            {
+                group_col: t[group_col],
+                "n": t["n"].cast(pa.int64()),
+                "n_cats": t["n_cats"].cast(pa.int64()),
+                "hhi": pa.array(
+                    [float(v) if nn > 0 else None for v, nn in zip(hhi, n)],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow")

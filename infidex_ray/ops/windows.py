@@ -1103,3 +1103,35 @@ def coalesce_latest(
         .groupby("slice")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def apply_changes(
+    stream,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    op_col: str = "op",
+    delete_op: str = "D",
+):
+    """CDC upsert/delete compaction: reduce an ordered change stream
+    (each row an upsert or delete stamped ``(ts, id)``) to the final table
+    state — per key the LAST change wins, and a last-change delete removes
+    the key entirely (the Debezium/Delta ``MERGE`` snapshot rule).
+
+    Plan: :func:`keep_latest`'s per-block + key-slice reduction (one row
+    per key ever crosses the wire), then a row-local filter drops keys
+    whose surviving change is the delete. Oracle =
+    ``row_number() OVER (PARTITION BY key ORDER BY ts DESC, id DESC) = 1
+    AND op <> delete``."""
+    import pyarrow.compute as pc
+
+    latest = keep_latest(stream, key_col, ts_col, id_col)
+
+    def alive(batch: pa.Table) -> pa.Table:
+        keep = pc.or_kleene(
+            pc.is_null(batch[op_col]),
+            pc.not_equal(batch[op_col], pa.scalar(delete_op)),
+        )
+        return batch.filter(pc.fill_null(keep, True))
+
+    return latest.map_batches(alive, batch_format="pyarrow")

@@ -345,3 +345,49 @@ def test_ndcg_front_loaded_beats_buried(ray_session):
     assert got.loc[0, "n_match"] == got.loc[1, "n_match"] == 1
     assert got.loc[0, "ndcg"] == 1.0  # match at rank 1
     assert got.loc[1, "ndcg"] < 1.0  # same precision, buried match
+
+
+def test_grouped_hhi_bounds(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.agg import grouped_hhi
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["mono", "mono", "even", "even", "even", "even"]),
+            "c": pa.array(["x", "x", "a", "b", "c", "d"]),
+        }
+    )
+    got = (
+        grouped_hhi(ray.data.from_arrow(tbl), "g", "c")
+        .to_pandas()
+        .set_index("g")
+    )
+    assert got.loc["mono", "hhi"] == 1.0 and got.loc["mono", "n_cats"] == 1
+    assert got.loc["even", "hhi"] == 0.25 and got.loc["even", "n_cats"] == 4
+
+
+def test_apply_changes_delete_wins_and_loses(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.windows import apply_changes
+
+    ts = pa.array(np.array([1, 2, 3, 4, 9, 8], dtype="datetime64[us]"))
+    stream = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "user_id": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+                "ts": ts,
+                "op": pa.array(["U", "D", "D", "U", "D", "U"], pa.string()),
+                "v": pa.array([10.0, 20.0, 30.0, 40.0, 50.0, 60.0]),
+            }
+        )
+    )
+    got = apply_changes(stream).to_pandas().set_index("user_id")
+    # user 1: last change is a delete → gone; user 2: delete then upsert →
+    # survives with v=40; user 3: delete is LATEST by ts → gone
+    assert sorted(got.index) == [2]
+    assert got.loc[2, "v"] == 40.0
