@@ -2940,6 +2940,68 @@ def _q_apply_changes(sf_dir: str):
     )
 
 
+def _q_merge_intervals(sf_dir: str):
+    """Gaps-and-islands interval merge (ops/windows.py::merge_intervals):
+    spans [ts, ts + (event_id%1000) minutes] per user coalesce into maximal
+    islands — md5 key-slice shuffle + C-speed grouped cummax/shift, exact
+    int64 arithmetic. Oracle = the classic running-max window island SQL."""
+    from infidex_ray.ops.windows import merge_intervals
+
+    def mk_spans(t: pa.Table) -> pa.Table:
+        s = t["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        e = s.to_numpy(zero_copy_only=False) + (eid % 1000) * 60_000_000
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "s": s,
+                "e": pa.array(e, pa.int64()),
+            }
+        )
+
+    spans = _read(sf_dir, "events").map_batches(mk_spans, batch_format="pyarrow")
+    return _by(merge_intervals(spans), "user_id", "island")
+
+
+def _q_grouped_string_agg(sf_dir: str):
+    """Per-language sorted-distinct source list
+    (ops/agg.py::grouped_string_agg == string_agg(DISTINCT … ORDER BY)):
+    per-block distinct pairs, one key-slice shuffle, lexsort + join."""
+    from infidex_ray.ops.agg import grouped_string_agg
+
+    return _by(
+        grouped_string_agg(_read(sf_dir, "documents"), "lang", "source"), "lang"
+    )
+
+
+def _q_sitemap_urls(sf_dir: str):
+    """Sitemap <loc> extraction (ops/robots.py::sitemap_urls) over
+    arithmetically planted sitemap XML — vectorized split_pattern explode,
+    regexp_extract_all parity incl. the no-'<'-in-capture rule."""
+    from infidex_ray.ops.robots import sitemap_urls
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        xml = [
+            "".join(
+                f"<url><loc>http://site{d % 37}.example.com/p{d}/{j}</loc></url>"
+                for j in range(1, d % 5 + 1)
+            )
+            for d in ids
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "xml": pa.array(xml, pa.string())}
+        )
+
+    sm = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id"])
+        .map_batches(plant, batch_format="pyarrow")
+    )
+    return _by(sitemap_urls(sm), "doc_id", "url")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -3107,6 +3169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ndcg_eval": _q_ndcg_eval,
         "grouped_hhi": _q_grouped_hhi,
         "apply_changes": _q_apply_changes,
+        "merge_intervals": _q_merge_intervals,
+        "grouped_string_agg": _q_grouped_string_agg,
+        "sitemap_urls": _q_sitemap_urls,
     }
 
 
@@ -4909,6 +4974,37 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts DESC, event_id DESC) AS rn FROM s) "
             "SELECT user_id, ts_us, event_id, event_type, value, op FROM r "
             "WHERE rn = 1 AND op <> 'D' ORDER BY user_id"
+        ),
+        "merge_intervals": (
+            "WITH t AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS s, "
+            "epoch_us(ts)::BIGINT + (event_id % 1000) * 60000000 AS e "
+            "FROM events), "
+            "x AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e, "
+            "event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm "
+            "FROM t), "
+            "y AS (SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END "
+            "AS isl FROM x), "
+            "z AS (SELECT *, sum(isl) OVER (PARTITION BY user_id ORDER BY s, "
+            "e, event_id) AS island FROM y) "
+            "SELECT user_id, CAST(island AS BIGINT) AS island, min(s) AS start, "
+            "max(e) AS \"end\", count(*)::BIGINT AS n_spans "
+            "FROM z GROUP BY user_id, island ORDER BY user_id, island"
+        ),
+        "grouped_string_agg": (
+            "SELECT lang, count(DISTINCT source)::BIGINT AS n_values, "
+            "string_agg(DISTINCT source, ',' ORDER BY source) AS values "
+            "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "sitemap_urls": (
+            "WITH jt AS (SELECT doc_id, unnest(generate_series(1, "
+            "CAST(doc_id % 5 AS INT))) AS j FROM documents), "
+            "x AS (SELECT doc_id, string_agg('<url><loc>http://site' || "
+            "CAST(doc_id % 37 AS VARCHAR) || '.example.com/p' || "
+            "CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR) || "
+            "'</loc></url>', '' ORDER BY j) AS xml FROM jt GROUP BY doc_id), "
+            "u AS (SELECT doc_id, unnest(regexp_extract_all(xml, "
+            "'<loc>([^<]*)</loc>', 1)) AS url FROM x) "
+            "SELECT DISTINCT doc_id, url FROM u ORDER BY doc_id, url"
         ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (float-histogram fake codec) are

@@ -873,3 +873,88 @@ def grouped_hhi(ds, group_col: str, cat_col: str, num_slices: int | None = None)
         )
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_string_agg(
+    ds,
+    key_col: str,
+    val_col: str,
+    sep: str = ",",
+    max_values: int | None = 1000,
+    num_slices: int | None = None,
+):
+    """Per-group sorted-DISTINCT string concatenation — SQL
+    ``string_agg(DISTINCT v, sep ORDER BY v)``: the label-list / alias-list
+    builder (all sources of a language, all mirrors of a URL). Sorted +
+    distinct makes the result order-free and engine-portable.
+
+    Plan: each block collapses to its distinct (key, value) pairs (Arrow
+    group-by), one coarse key-slice shuffle co-locates a key's pairs, and
+    each slice re-distincts + joins with one lexsort — never one Ray group
+    per key. ``max_values`` caps the per-key list (ascending order keeps
+    the cap deterministic; None = unbounded, caller owns the memory).
+
+    Returns ``(key, n_values, values)``.
+    """
+    if num_slices is None:
+        num_slices = _default_num_slices()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        proj = pa.table({key_col: batch[key_col], val_col: batch[val_col]})
+        return proj.group_by([key_col, val_col]).aggregate([])
+
+    def final(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["slice"])
+        empty = pa.table(
+            {
+                key_col: group[key_col].slice(0, 0),
+                "n_values": pa.array([], pa.int64()),
+                "values": pa.array([], pa.string()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        dist = group.group_by([key_col, val_col]).aggregate([])
+        from .windows import _sorted_key_ranks
+
+        kr = _sorted_key_ranks(dist[key_col])
+        vals = dist[val_col].combine_chunks().cast(pa.string())
+        vnull = pa.compute.is_null(vals).to_numpy(zero_copy_only=False)
+        # fill nulls for SORTABILITY only (lexsort compares every key);
+        # the vnull mask drops them after the sort
+        varr = np.asarray(vals.fill_null("").to_pylist(), dtype=object)
+        o = np.lexsort((varr, vnull, kr))  # nulls last per key, dropped below
+        kr, varr, vnull = kr[o], varr[o], vnull[o]
+        keep = ~vnull  # SQL string_agg skips NULL values
+        out_k, out_n, out_v = [], [], []
+        new = np.empty(len(kr), dtype=bool)
+        new[0] = True
+        new[1:] = kr[1:] != kr[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(kr)]
+        key_arr = dist[key_col].combine_chunks().take(
+            pa.array(o[starts], pa.int64())
+        )
+        for i, (st, en) in enumerate(zip(starts.tolist(), ends.tolist())):
+            vs = [v for v, k in zip(varr[st:en], keep[st:en]) if k]
+            if max_values is not None:
+                vs = vs[:max_values]
+            out_n.append(len(vs))
+            out_v.append(sep.join(vs) if vs else None)
+        return pa.table(
+            {
+                key_col: key_arr,
+                "n_values": pa.array(out_n, pa.int64()),
+                "values": pa.array(out_v, pa.string()),
+            }
+        )
+
+    from .windows import _add_key_slice
+
+    return (
+        ds.select_columns([key_col, val_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(_add_key_slice(key_col), batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(final, batch_format="pyarrow")
+    )

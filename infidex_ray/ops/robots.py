@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["parse_robots_txt", "robots_allowed"]
+__all__ = ["parse_robots_txt", "robots_allowed", "sitemap_urls"]
 
 
 def parse_robots_txt(text: str) -> list[tuple[bool, str]]:
@@ -79,3 +79,62 @@ def robots_allowed(
         return batch.append_column(out_col, pa.array(verdict))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sitemap_urls(ds, xml_col: str = "xml", id_col: str = "doc_id"):
+    """Extract ``<loc>`` URL entries from sitemap-XML blobs — the crawl
+    frontier's seed expansion step (robots.txt's Sitemap: pointers lead
+    here). Returns distinct ``(doc_id, url)`` pairs.
+
+    Fully vectorized, the ``extract_links`` pattern (ops/html.py): Arrow
+    ``split_pattern`` on ``<loc>`` explodes each sitemap, numpy offset
+    arithmetic masks the pre-first fragment, and the URL is each remaining
+    fragment's prefix up to ``</loc>`` (unclosed tags are dropped —
+    matching the regex-oracle semantics of ``<loc>([^<]*)</loc>``).
+    Distinct per batch via Arrow group-by (a sitemap lives in one batch,
+    so per-batch distinct ≡ global distinct — zero shuffle)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[xml_col]
+        if len(batch) == 0 or pa.types.is_null(col.type):
+            return pa.table(
+                {
+                    id_col: pa.array([], batch[id_col].type if len(batch.schema.names) else pa.int64()),
+                    "url": pa.array([], pa.string()),
+                }
+            )
+        if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            col = col.cast(pa.string())
+        parts = pc.split_pattern(col, pattern="<loc>")
+        ln = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        ln = np.nan_to_num(ln.astype(np.float64)).astype(np.int64)
+        flat = pc.list_flatten(parts)
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), ln)
+        first = np.zeros(len(flat), dtype=bool)
+        offs = np.cumsum(ln) - ln
+        first[offs[ln > 0]] = True
+        keep = ~first
+        frag = flat.filter(pa.array(keep))
+        doc_idx = doc_idx[keep]
+        cut = pc.split_pattern(frag, pattern="</loc>", max_splits=1)
+        closed = pc.greater(pc.list_value_length(cut), 1).to_numpy(
+            zero_copy_only=False
+        )
+        url = pc.list_element(cut, 0).filter(pa.array(closed))
+        doc_idx = doc_idx[closed]
+        # regex-oracle parity: <loc>([^<]*)</loc> rejects captures holding
+        # a '<' (nested tag before the close) — drop them here too
+        no_lt = pc.equal(pc.find_substring(url, "<"), -1).to_numpy(
+            zero_copy_only=False
+        )
+        url = url.filter(pa.array(no_lt))
+        doc_idx = doc_idx[no_lt]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_idx]
+        pairs = pa.table({id_col: pa.array(ids), "url": url})
+        return pairs.group_by([id_col, "url"]).aggregate([])
+
+    return ds.select_columns([id_col, xml_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )

@@ -1135,3 +1135,89 @@ def apply_changes(
         return batch.filter(pc.fill_null(keep, True))
 
     return latest.map_batches(alive, batch_format="pyarrow")
+
+
+def merge_intervals(
+    spans,
+    key_col: str = "user_id",
+    start_col: str = "s",
+    end_col: str = "e",
+    id_col: str = "event_id",
+):
+    """Coalesce overlapping/touching ``[start, end]`` spans per key into
+    maximal islands (the gaps-and-islands interval merge: ad sessions,
+    crawl visit windows, duplicate-span consolidation). A new island starts
+    when a span's start exceeds the running max end of every earlier span
+    of the same key (order: start, end, id — the oracle's window frame).
+    Touching spans (``start == prev_max``) merge.
+
+    Output: ``(key, island, start, end, n_spans)`` with islands numbered
+    1.. per key. All-integer arithmetic — exact. Plan: one md5 key-slice
+    shuffle; each slice lexsorts all its keys at once and computes the
+    per-key running max with a C-speed grouped cummax+shift (pandas
+    groupby kernels — no Python per-key loop)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def merge_slice(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["slice"])
+        empty = pa.table(
+            {
+                key_col: group[key_col].slice(0, 0),
+                "island": pa.array([], pa.int64()),
+                "start": pa.array([], pa.int64()),
+                "end": pa.array([], pa.int64()),
+                "n_spans": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        kr = _sorted_key_ranks(group[key_col])
+        s = group[start_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        e = group[end_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ev = group[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        o = np.lexsort((ev, e, s, kr))
+        kr, s, e = kr[o], s[o], e[o]
+        cm = pd.Series(e).groupby(kr).cummax()
+        prev_max = cm.groupby(kr).shift(1).to_numpy()  # NaN at key starts
+        new = np.isnan(prev_max) | (s > np.nan_to_num(prev_max, nan=-(2**62)))
+        island_seq = np.cumsum(new)  # global island ordinal
+        isl_of_row = island_seq - 1
+        starts = np.flatnonzero(new)
+        ends_idx = np.r_[starts[1:], len(s)]
+        # per-key island numbering
+        keych = np.empty(len(kr), dtype=bool)
+        keych[0] = True
+        keych[1:] = kr[1:] != kr[:-1]
+        key_first_island = np.cumsum(keych[starts]) - 1
+        firsts = np.flatnonzero(keych[starts])
+        island_no = (
+            np.arange(len(starts), dtype=np.int64)
+            - firsts[key_first_island]
+            + 1
+        )
+        iend = np.maximum.reduceat(e, starts)
+        key_rep = group[key_col].combine_chunks().take(
+            pa.array(o[starts], pa.int64())
+        )
+        return pa.table(
+            {
+                key_col: key_rep,
+                "island": pa.array(island_no, pa.int64()),
+                "start": pa.array(s[starts], pa.int64()),
+                "end": pa.array(iend, pa.int64()),
+                "n_spans": pa.array(ends_idx - starts, pa.int64()),
+            }
+        )
+
+    return (
+        spans.select_columns([key_col, start_col, end_col, id_col])
+        .map_batches(_add_key_slice(key_col), batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(merge_slice, batch_format="pyarrow")
+    )

@@ -391,3 +391,75 @@ def test_apply_changes_delete_wins_and_loses(ray_session):
     # survives with v=40; user 3: delete is LATEST by ts → gone
     assert sorted(got.index) == [2]
     assert got.loc[2, "v"] == 40.0
+
+
+def test_merge_intervals_touching_and_nested(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.windows import merge_intervals
+
+    spans = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                # [0,10] ⊃ [2,5]; [10,15] touches; [20,25] separate
+                "s": pa.array([0, 2, 10, 20, 7], pa.int64()),
+                "e": pa.array([10, 5, 15, 25, 9], pa.int64()),
+            }
+        )
+    )
+    got = (
+        merge_intervals(spans)
+        .to_pandas()
+        .sort_values(["user_id", "island"])
+        .reset_index(drop=True)
+    )
+    rows = got.to_dict("records")
+    assert rows[0] == {"user_id": 1, "island": 1, "start": 0, "end": 15, "n_spans": 3}
+    assert rows[1] == {"user_id": 1, "island": 2, "start": 20, "end": 25, "n_spans": 1}
+    assert rows[2] == {"user_id": 2, "island": 1, "start": 7, "end": 9, "n_spans": 1}
+
+
+def test_grouped_string_agg_sorted_distinct_nulls(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.agg import grouped_string_agg
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["x", "x", "x", "x", "y"]),
+            "v": pa.array(["b", "a", "b", None, None]),
+        }
+    )
+    got = (
+        grouped_string_agg(ray.data.from_arrow(tbl), "g", "v")
+        .to_pandas()
+        .set_index("g")
+    )
+    assert got.loc["x", "values"] == "a,b" and got.loc["x", "n_values"] == 2
+    assert got.loc["y", "n_values"] == 0  # all-null group → empty list
+
+
+def test_sitemap_urls_unclosed_and_nested(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.robots import sitemap_urls
+
+    xml = [
+        "<url><loc>http://a/1</loc></url><url><loc>http://a/2</loc></url>",
+        "<url><loc>http://b/unclosed",  # no </loc> → dropped
+        "<url><loc>bad<tag></loc></url>",  # '<' inside capture → dropped
+        "",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+             "xml": pa.array(xml, pa.string())}
+        )
+    )
+    got = sitemap_urls(ds).to_pandas().sort_values(["doc_id", "url"])
+    assert list(got.url) == ["http://a/1", "http://a/2"]
