@@ -3002,6 +3002,16 @@ def _q_sitemap_urls(sf_dir: str):
     return _by(sitemap_urls(sm), "doc_id", "url")
 
 
+def _q_bpe_train(sf_dir: str):
+    """BPE tokenizer-vocabulary training (ops/bpe.py::bpe_train): 3 merges
+    over the corpus word counts; sentinel-wrapped sequences make the merge
+    a plain string replace on both engines (greedy left-to-right BPE
+    semantics included), ties by (count DESC, left, right)."""
+    from infidex_ray.ops.bpe import bpe_train
+
+    return bpe_train(_read(sf_dir, "documents"), num_merges=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -3172,6 +3182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_intervals": _q_merge_intervals,
         "grouped_string_agg": _q_grouped_string_agg,
         "sitemap_urls": _q_sitemap_urls,
+        "bpe_train": _q_bpe_train,
     }
 
 
@@ -5006,6 +5017,7 @@ def oracle_sql() -> dict[str, str]:
             "'<loc>([^<]*)</loc>', 1)) AS url FROM x) "
             "SELECT DISTINCT doc_id, url FROM u ORDER BY doc_id, url"
         ),
+        "bpe_train": sqlgen.bpe_train_sql("documents", 3),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (float-histogram fake codec) are
         # non-SQL-expressible → rows-only.

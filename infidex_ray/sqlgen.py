@@ -1135,3 +1135,48 @@ def ivf_pq_knn_sql(
         + "(PARTITION BY query_id ORDER BY d2, vec_id) AS BIGINT) AS rank "
         + f"FROM dist) WHERE rank <= {top_k} ORDER BY query_id, rank"
     )
+
+
+def bpe_train_sql(table: str = "documents", num_merges: int = 3) -> str:
+    """Unrolled BPE merge-table oracle (ops/bpe.py::bpe_train): word counts
+    → sentinel-wrapped char sequences → per-iteration pair counts, argmax
+    (count DESC, a, b) and sentinel replace — the same greedy left-to-right
+    merge the engine applies (see ops/bpe.py module docstring)."""
+    sep = "chr(1)"
+    ctes = [
+        f"toks AS (SELECT unnest(regexp_split_to_array(lower(text), "
+        f"'[ \\t\\n\\r]+')) AS w FROM {table})",
+        f"wc AS (SELECT w, count(*)::BIGINT AS cnt FROM toks "
+        f"WHERE w <> '' AND w NOT LIKE '%' || {sep} || '%' GROUP BY w)",
+        f"s0 AS (SELECT w, cnt, array_to_string(list_transform("
+        f"regexp_split_to_array(w, ''), c -> {sep} || c || {sep}), '') "
+        f"AS seq FROM wc)",
+    ]
+    for i in range(1, num_merges + 1):
+        p = i - 1
+        ctes.append(
+            f"l{i} AS (SELECT cnt, string_split(trim(seq, {sep}), "
+            f"{sep} || {sep}) AS l FROM s{p})"
+        )
+        ctes.append(
+            f"p{i} AS (SELECT l[j] AS a, l[j+1] AS b, CAST(sum(cnt) AS BIGINT) "
+            f"AS c FROM l{i}, (SELECT unnest(generate_series(1, "
+            f"(SELECT max(len(l)) FROM l{i}))) AS j) ser "
+            f"WHERE j <= len(l) - 1 GROUP BY a, b)"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT w, cnt, replace(seq, "
+            f"{sep} || (SELECT a FROM m{i}) || {sep} || {sep} || "
+            f"(SELECT b FROM m{i}) || {sep}, "
+            f"{sep} || (SELECT a FROM m{i}) || (SELECT b FROM m{i}) || {sep}) "
+            f"AS seq FROM s{p})"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS rank, a AS left, b AS right, a || b AS merged, "
+        f"c AS pair_count FROM m{i}"
+        for i in range(1, num_merges + 1)
+    )
+    return "WITH " + ", ".join(ctes) + " SELECT * FROM (" + unions + ") ORDER BY rank"

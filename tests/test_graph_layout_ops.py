@@ -463,3 +463,17 @@ def test_sitemap_urls_unclosed_and_nested(ray_session):
     )
     got = sitemap_urls(ds).to_pandas().sort_values(["doc_id", "url"])
     assert list(got.url) == ["http://a/1", "http://a/2"]
+
+
+def test_bpe_train_greedy_merge_semantics(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.bpe import bpe_train
+
+    # 'aaa' repeated: pair (a,a) dominates; greedy left-to-right merge of
+    # [a,a,a] gives [aa, a] (not [a, aa]) — then round 2 merges (aa, a)
+    rows = [{"text": "aaa aaa aaa bc bc"}] * 4
+    got = bpe_train(ray.data.from_items(rows), num_merges=2).to_pandas()
+    assert list(got["merged"]) == ["aa", "aaa"]
+    assert got.loc[0, "pair_count"] == 24  # 2 adjacent (a,a) pairs × 12 words
+    assert got.loc[1, "pair_count"] == 12  # (aa, a) once per word
