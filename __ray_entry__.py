@@ -3012,6 +3012,35 @@ def _q_bpe_train(sf_dir: str):
     return bpe_train(_read(sf_dir, "documents"), num_merges=3)
 
 
+def _q_bpe_encode(sf_dir: str):
+    """Tokenizer-aware corpus token counts: train 3 BPE merges, then apply
+    them per doc (ops/bpe.py::bpe_encode_counts — merge table in the
+    closure, per-batch word memo, zero shuffle). Oracle re-derives the same
+    merges and replays the sentinel replaces per word."""
+    from infidex_ray.ops.bpe import bpe_encode_counts, bpe_train
+
+    docs = _read(sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=3).to_pylist()
+    return _by(bpe_encode_counts(docs, merges), "doc_id")
+
+
+def _q_spearman_corr(sf_dir: str):
+    """Per-returnflag Spearman rank correlation of quantity vs price
+    (ops/agg.py::spearman_corr): SQL rank()-style min-rank ties keep every
+    statistic exact int64; fixed-order finish mirrored ⇒ bitwise."""
+    from infidex_ray.ops.agg import spearman_corr
+
+    return _by(
+        spearman_corr(
+            _read(sf_dir, "lineitem"),
+            "l_returnflag",
+            "l_quantity",
+            "l_extendedprice",
+        ),
+        "l_returnflag",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -3183,6 +3212,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_string_agg": _q_grouped_string_agg,
         "sitemap_urls": _q_sitemap_urls,
         "bpe_train": _q_bpe_train,
+        "bpe_encode": _q_bpe_encode,
+        "spearman_corr": _q_spearman_corr,
     }
 
 
@@ -5018,6 +5049,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT doc_id, url FROM u ORDER BY doc_id, url"
         ),
         "bpe_train": sqlgen.bpe_train_sql("documents", 3),
+        "bpe_encode": sqlgen.bpe_encode_sql("documents", 3),
+        "spearman_corr": (
+            "WITH f AS (SELECT l_returnflag AS g, l_quantity AS x, "
+            "l_extendedprice AS y FROM lineitem WHERE l_quantity IS NOT NULL "
+            "AND l_extendedprice IS NOT NULL), "
+            "r AS (SELECT g, rank() OVER (PARTITION BY g ORDER BY x) AS rx, "
+            "rank() OVER (PARTITION BY g ORDER BY y) AS ry FROM f), "
+            "s AS (SELECT g, count(*)::BIGINT AS n, "
+            "CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy, "
+            "CAST(sum(rx*rx) AS BIGINT) AS sxx, "
+            "CAST(sum(ry*ry) AS BIGINT) AS syy, "
+            "CAST(sum(rx*ry) AS BIGINT) AS sxy FROM r GROUP BY g) "
+            "SELECT g AS l_returnflag, n, CASE WHEN "
+            "sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * "
+            "(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) > 0 THEN "
+            "round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) / "
+            "sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * "
+            "(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) END "
+            "AS spearman FROM s ORDER BY l_returnflag"
+        ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (float-histogram fake codec) are
         # non-SQL-expressible → rows-only.

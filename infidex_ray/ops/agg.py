@@ -958,3 +958,113 @@ def grouped_string_agg(
         .groupby("slice")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def spearman_corr(ds, keys, x_col: str, y_col: str, num_slices: int | None = None):
+    """Per-group Spearman rank correlation — the scale-free monotonic
+    association eval (score calibration drift, feature redundancy): Pearson
+    over SQL ``rank()``-style min-ranks (ties share the smallest position;
+    the standard average-tie variant differs only in the tie constant, and
+    min-ranks keep every statistic in exact int64).
+
+    Plan: one md5 key-slice shuffle co-locates whole groups; each slice
+    ranks ALL its groups with two lexsorts (tie runs = boundary masks) and
+    collapses to exact integer sufficient statistics; the finish is the
+    fixed-order corr expression mirrored in SQL ⇒ bitwise before
+    ROUND(…, 6). Rows with a NULL in either column are excluded (SQL corr
+    semantics). Caller owns the int64 budget: n³ < 2⁶³ per group
+    (n < 2.09M rows; rank products reach n·n²).
+
+    Returns ``(keys…, n, spearman)``; NULL when rank variance is zero.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    from .windows import _add_key_slice, _sorted_key_ranks
+
+    def _min_ranks(kr: np.ndarray, v: np.ndarray) -> np.ndarray:
+        """SQL rank() of v within each kr group (1-based, ties → min)."""
+        o = np.lexsort((v, kr))
+        ks, vs = kr[o], v[o]
+        n = len(ks)
+        gstart = np.empty(n, dtype=bool)
+        gstart[0] = True
+        gstart[1:] = ks[1:] != ks[:-1]
+        run_new = gstart.copy()
+        run_new[1:] |= vs[1:] != vs[:-1]
+        gs_idx = np.flatnonzero(gstart)
+        gseg = np.cumsum(gstart) - 1
+        run_first = np.flatnonzero(run_new)
+        rseg = np.cumsum(run_new) - 1
+        pos = np.arange(n, dtype=np.int64)
+        rank_sorted = run_first[rseg] - gs_idx[gseg] + 1
+        out = np.empty(n, dtype=np.int64)
+        out[o] = rank_sorted
+        return out
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = pc.and_(pc.is_valid(batch[x_col]), pc.is_valid(batch[y_col]))
+        t = batch.filter(ok)
+        proj = {k: t[k] for k in keys}
+        proj["__x"] = t[x_col].cast(pa.float64())
+        proj["__y"] = t[y_col].cast(pa.float64())
+        # composite slice key (string-joined) so one md5 slice helper works
+        if len(keys) == 1:
+            kc = t[keys[0]].cast(pa.string())
+        else:
+            import pyarrow.compute as pc2
+
+            kc = pc2.binary_join_element_wise(
+                *[t[k].cast(pa.string()) for k in keys], "\x1f"
+            )
+        proj["__k"] = kc
+        return pa.table(proj)
+
+    def corr_slice(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["slice"])
+        empty = pa.table(
+            {
+                **{k: group[k].slice(0, 0) for k in keys},
+                "n": pa.array([], pa.int64()),
+                "spearman": pa.array([], pa.float64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        kr = _sorted_key_ranks(group["__k"])
+        x = group["__x"].to_numpy(zero_copy_only=False)
+        y = group["__y"].to_numpy(zero_copy_only=False)
+        rx = _min_ranks(kr, x)
+        ry = _min_ranks(kr, y)
+        o = np.argsort(kr, kind="stable")
+        ks = kr[o]
+        new = np.empty(len(ks), dtype=bool)
+        new[0] = True
+        new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        rx_s, ry_s = rx[o], ry[o]
+        n_g = np.diff(np.r_[starts, len(ks)]).astype(np.float64)
+        sx = np.add.reduceat(rx_s, starts).astype(np.float64)
+        sy = np.add.reduceat(ry_s, starts).astype(np.float64)
+        sxx = np.add.reduceat(rx_s * rx_s, starts).astype(np.float64)
+        syy = np.add.reduceat(ry_s * ry_s, starts).astype(np.float64)
+        sxy = np.add.reduceat(rx_s * ry_s, starts).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            denom = np.sqrt((n_g * sxx - sx * sx) * (n_g * syy - sy * sy))
+            corr = (n_g * sxy - sx * sy) / denom
+        corr = np.copysign(np.floor(np.abs(corr) * 1e6 + 0.5) / 1e6, corr)
+        valid = denom > 0
+        rep = pa.array(o[starts], pa.int64())
+        cols = {k: group[k].combine_chunks().take(rep) for k in keys}
+        cols["n"] = pa.array(n_g.astype(np.int64), pa.int64())
+        cols["spearman"] = pa.array(
+            [float(c) if v else None for c, v in zip(corr, valid)], pa.float64()
+        )
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .map_batches(_add_key_slice("__k"), batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(corr_slice, batch_format="pyarrow")
+    )

@@ -32,7 +32,7 @@ import pyarrow as pa
 
 from .dedup import _default_num_slices, _md5_u64
 
-__all__ = ["bpe_train"]
+__all__ = ["bpe_train", "bpe_encode_counts"]
 
 SEP = "\x01"
 
@@ -235,4 +235,67 @@ def bpe_train(
             "merged": pa.array(list(mg), pa.string()),
             "pair_count": pa.array(list(pc_), pa.int64()),
         }
+    )
+
+
+def bpe_encode_counts(
+    ds,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Apply a learned BPE merge table (rank-ordered ``(left, right)``
+    pairs — :func:`bpe_train`'s output) and count each document's tokens:
+    the budget/packing input of a tokenizer-aware pipeline. Returns
+    ``(doc_id, n_words, n_tokens)`` for documents with ≥ 1 word.
+
+    Stateless ``map_batches``: the merge table rides in the closure (it is
+    ``num_merges`` rows), each batch tokenizes with the same lower +
+    ASCII-ws split as training, encodes each DISTINCT word once (per-batch
+    memo — web text repeats words heavily) with the same sentinel-replace
+    greedy merges, and sums symbol counts per document. Zero shuffle."""
+    import pyarrow.compute as pc
+
+    merge_list = [
+        (m["left"], m["right"]) if isinstance(m, dict) else (m[0], m[1])
+        for m in merges
+    ]
+    pats = [
+        (SEP + a + SEP + SEP + b + SEP, SEP + a + b + SEP) for a, b in merge_list
+    ]
+
+    def encode(batch: pa.Table) -> pa.Table:
+        col = pc.utf8_lower(batch[text_col].combine_chunks())
+        parts = pc.split_pattern_regex(col, pattern="[ \t\n\r]+")
+        ln = pc.list_value_length(parts).fill_null(0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(parts).to_pylist()
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), ln)
+        memo: dict[str, int] = {}
+        n_words = np.zeros(len(batch), dtype=np.int64)
+        n_tokens = np.zeros(len(batch), dtype=np.int64)
+        for d, w in zip(doc_of.tolist(), flat):
+            if not w or SEP in w:
+                continue
+            t = memo.get(w)
+            if t is None:
+                seq = _wrap(list(w))
+                for pat, rep in pats:
+                    seq = seq.replace(pat, rep)
+                t = memo[w] = seq.count(SEP) // 2
+            n_words[d] += 1
+            n_tokens[d] += t
+        keep = n_words > 0
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_words": pa.array(n_words[keep], pa.int64()),
+                "n_tokens": pa.array(n_tokens[keep], pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        encode, batch_format="pyarrow"
     )

@@ -1180,3 +1180,32 @@ def bpe_train_sql(table: str = "documents", num_merges: int = 3) -> str:
         for i in range(1, num_merges + 1)
     )
     return "WITH " + ", ".join(ctes) + " SELECT * FROM (" + unions + ") ORDER BY rank"
+
+
+def bpe_encode_sql(table: str = "documents", num_merges: int = 3) -> str:
+    """Oracle for bpe_train → bpe_encode_counts composed: re-derives the
+    same merge table (bpe_train_sql CTE chain), then tokenizes every doc's
+    words with the same sentinel replaces and sums symbol counts per doc."""
+    sep = "chr(1)"
+    train = bpe_train_sql(table, num_merges)
+    ctes = train[len("WITH ") : train.index(" SELECT * FROM (")]
+    reps = "array_to_string(list_transform(regexp_split_to_array(w, ''), " \
+        f"c -> {sep} || c || {sep}), '')"
+    for i in range(1, num_merges + 1):
+        reps = (
+            f"replace({reps}, {sep} || (SELECT a FROM m{i}) || {sep} || {sep} "
+            f"|| (SELECT b FROM m{i}) || {sep}, "
+            f"{sep} || (SELECT a FROM m{i}) || (SELECT b FROM m{i}) || {sep})"
+        )
+    return (
+        "WITH " + ctes + ", "
+        f"dw AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), "
+        f"'[ \\t\\n\\r]+')) AS w FROM {table}), "
+        f"dw2 AS (SELECT doc_id, w FROM dw WHERE w <> '' AND "
+        f"w NOT LIKE '%' || {sep} || '%'), "
+        f"enc AS (SELECT doc_id, len(string_split(trim({reps}, {sep}), "
+        f"{sep} || {sep})) AS toks FROM dw2) "
+        "SELECT doc_id, count(*)::BIGINT AS n_words, "
+        "CAST(sum(toks) AS BIGINT) AS n_tokens "
+        "FROM enc GROUP BY doc_id ORDER BY doc_id"
+    )

@@ -477,3 +477,49 @@ def test_bpe_train_greedy_merge_semantics(ray_session):
     assert list(got["merged"]) == ["aa", "aaa"]
     assert got.loc[0, "pair_count"] == 24  # 2 adjacent (a,a) pairs × 12 words
     assert got.loc[1, "pair_count"] == 12  # (aa, a) once per word
+
+
+def test_bpe_encode_counts_applies_merges(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.bpe import bpe_encode_counts
+
+    rows = [
+        {"doc_id": 1, "text": "aaa bc"},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": "aaaa"},
+    ]
+    merges = [{"left": "a", "right": "a"}, {"left": "aa", "right": "a"}]
+    got = (
+        bpe_encode_counts(ray.data.from_items(rows), merges)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # 'aaa' → [aa,a] → [aaa] = 1 token; 'bc' stays 2 chars = 2 tokens
+    assert got.loc[1, "n_tokens"] == 3 and got.loc[1, "n_words"] == 2
+    # 'aaaa' → [aa,aa] → merge2 (aa,a) doesn't match [aa,aa] = 2 tokens
+    assert got.loc[3, "n_tokens"] == 2
+    assert 2 not in got.index  # empty doc has no words
+
+
+def test_spearman_perfect_and_inverse(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.agg import spearman_corr
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["up"] * 4 + ["down"] * 4),
+            "x": pa.array([1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0]),
+            # monotone-increasing (nonlinear) vs strictly decreasing
+            "y": pa.array([1.0, 10.0, 100.0, 1000.0, 9.0, 7.0, 5.0, 3.0]),
+        }
+    )
+    got = (
+        spearman_corr(ray.data.from_arrow(tbl), "g", "x", "y")
+        .to_pandas()
+        .set_index("g")
+    )
+    assert got.loc["up", "spearman"] == 1.0
+    assert got.loc["down", "spearman"] == -1.0
