@@ -3041,6 +3041,53 @@ def _q_spearman_corr(sf_dir: str):
     )
 
 
+def _q_grouped_skewness(sf_dir: str):
+    """Per-returnflag skewness + excess kurtosis of quantity
+    (ops/agg.py::grouped_skewness): five exact int64 sufficient sums
+    through combiner partials; the float64 finish expression is mirrored
+    operation-for-operation in SQL ⇒ bitwise before ROUND(…, 6)."""
+    from infidex_ray.ops.agg import grouped_skewness
+
+    return _by(
+        grouped_skewness(_read(sf_dir, "lineitem"), "l_returnflag", "l_quantity"),
+        "l_returnflag",
+    )
+
+
+def _q_group_checksum(sf_dir: str):
+    """Order-free per-lang content checksum over documents
+    (ops/profile.py::group_checksum): per-row md5_number_lower of the
+    '|'-joined rendered columns mod 2^62, XOR-folded per group — XOR
+    partials merge exactly in any order, so the result is independent of
+    row order / partitioning (the snapshot-integrity primitive)."""
+    from infidex_ray.ops.profile import group_checksum
+
+    return _by(
+        group_checksum(
+            _read(sf_dir, "documents"), "lang", ["doc_id", "source", "n_chars"]
+        ),
+        "lang",
+    )
+
+
+def _q_pareto_frontier(sf_dir: str):
+    """Per-returnflag 2-D skyline of (quantity, price) maximized
+    (ops/pareto.py::pareto_frontier): per-block partial skylines (perfect
+    combiner) → one coarse key-slice shuffle; kept rows are ORIGINAL input
+    rows, so no float arithmetic can diverge from the run-decomposition
+    SQL oracle."""
+    from infidex_ray.ops.pareto import pareto_frontier
+
+    ds = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    return _by(
+        pareto_frontier(ds, "l_returnflag", "l_quantity", "l_extendedprice"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -3214,6 +3261,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": _q_bpe_train,
         "bpe_encode": _q_bpe_encode,
         "spearman_corr": _q_spearman_corr,
+        "grouped_skewness": _q_grouped_skewness,
+        "group_checksum": _q_group_checksum,
+        "pareto_frontier": _q_pareto_frontier,
     }
 
 
@@ -5068,6 +5118,53 @@ def oracle_sql() -> dict[str, str]:
             "sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * "
             "(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) END "
             "AS spearman FROM s ORDER BY l_returnflag"
+        ),
+        "grouped_skewness": (
+            "WITH f AS (SELECT l_returnflag AS g, "
+            "CAST(round(l_quantity * 1) AS BIGINT) AS x FROM lineitem "
+            "WHERE l_quantity IS NOT NULL), "
+            "s AS (SELECT g, count(*)::BIGINT AS n, "
+            "CAST(sum(x) AS BIGINT) AS sx, "
+            "CAST(sum(x*x) AS BIGINT) AS sxx, "
+            "CAST(sum((x*x)*x) AS BIGINT) AS sxxx, "
+            "CAST(sum((x*x)*(x*x)) AS BIGINT) AS sxxxx FROM f GROUP BY g), "
+            "m AS (SELECT g, n, sx::DOUBLE / n::DOUBLE AS mean, "
+            "sxx::DOUBLE / n::DOUBLE AS q2, sxxx::DOUBLE / n::DOUBLE AS q3, "
+            "sxxxx::DOUBLE / n::DOUBLE AS q4 FROM s), "
+            "c AS (SELECT g, n, q2 - mean*mean AS m2, "
+            "q3 - 3.0*mean*q2 + 2.0*((mean*mean)*mean) AS m3, "
+            "q4 - 4.0*mean*q3 + 6.0*((mean*mean)*q2) "
+            "- 3.0*(((mean*mean)*mean)*mean) AS m4 FROM m) "
+            "SELECT g AS l_returnflag, n, "
+            "CASE WHEN n > 0 AND m2 > 0 THEN round(m3 / (m2 * sqrt(m2)), 6) "
+            "END AS skew_pop, "
+            "CASE WHEN n > 0 AND m2 > 0 THEN round(m4 / (m2 * m2) - 3.0, 6) "
+            "END AS kurt_excess FROM c ORDER BY l_returnflag"
+        ),
+        "group_checksum": (
+            "SELECT lang, count(*)::BIGINT AS n_rows, "
+            "bit_xor(CAST(md5_number_lower(concat("
+            "coalesce(CAST(doc_id AS VARCHAR), '∅'), '|', "
+            "coalesce(source, '∅'), '|', "
+            "coalesce(CAST(n_chars AS VARCHAR), '∅'))) "
+            "% 4611686018427387904 AS BIGINT)) AS checksum "
+            "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "pareto_frontier": (
+            "WITH f AS (SELECT l_orderkey, l_linenumber, l_returnflag, "
+            "l_quantity, l_extendedprice FROM lineitem "
+            "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL), "
+            "runs AS (SELECT l_returnflag AS g, l_quantity AS x, "
+            "max(l_extendedprice) AS ymax FROM f GROUP BY g, x), "
+            "pm AS (SELECT g, x, ymax, max(ymax) OVER (PARTITION BY g "
+            "ORDER BY x DESC ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING) AS prevmax FROM runs) "
+            "SELECT f.l_orderkey, f.l_linenumber, f.l_returnflag, "
+            "f.l_quantity, f.l_extendedprice FROM f JOIN pm "
+            "ON f.l_returnflag = pm.g AND f.l_quantity = pm.x "
+            "WHERE f.l_extendedprice >= pm.ymax AND "
+            "(pm.prevmax IS NULL OR f.l_extendedprice > pm.prevmax) "
+            "ORDER BY l_orderkey, l_linenumber"
         ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (float-histogram fake codec) are

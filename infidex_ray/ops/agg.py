@@ -1068,3 +1068,104 @@ def spearman_corr(ds, keys, x_col: str, y_col: str, num_slices: int | None = Non
         .groupby("slice")
         .map_groups(corr_slice, batch_format="pyarrow")
     )
+
+
+def grouped_skewness(
+    ds,
+    keys,
+    x_col: str,
+    x_scale: int = 1,
+    num_slices: int | None = None,
+):
+    """Per-group skewness + excess kurtosis via EXACT integer sufficient
+    statistics — the higher-moment sibling of :func:`grouped_variance`
+    (distributed third/fourth central moments the way a single-node engine
+    would compute ``skewness()`` from raw moments, but bit-reproducible on
+    any cluster): ``x`` snaps to integers (``round(v * x_scale)``,
+    half-away-from-zero), the five sufficient sums (n, Σx, Σx², Σx³, Σx⁴)
+    accumulate as int64 through :func:`grouped_agg`'s combiner partials
+    (order-free), and the finish is ONE fixed float64 expression per
+    statistic::
+
+        mean = sx/n;  q2 = sxx/n;  q3 = sxxx/n;  q4 = sxxxx/n
+        m2 = q2 - mean*mean
+        m3 = q3 - 3.0*mean*q2 + 2.0*((mean*mean)*mean)
+        m4 = q4 - 4.0*mean*q3 + 6.0*((mean*mean)*q2)
+             - 3.0*(((mean*mean)*mean)*mean)
+        skew_pop = m3 / (m2 * sqrt(m2))          (NULL when m2 <= 0)
+        kurt_excess = m4 / (m2 * m2) - 3.0       (NULL when m2 <= 0)
+
+    so a DuckDB oracle spelling the SAME parenthesization over integer
+    ``sum()`` columns matches bitwise before the final ROUND(…, 6). The
+    ``/x_scale`` rescales cancel in both ratios (skewness and kurtosis are
+    scale-invariant), so the snapped-integer moments ARE the statistics.
+    NULL rows are excluded; all-null groups appear with n = 0 and NULL
+    stats. Caller owns the int64 budget: Σ|x·scale|⁴ < 2⁶³.
+
+    Output: keys + (n, skew_pop, kurt_excess), floats rounded
+    half-away-from-zero to 6 decimals.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def enrich(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in keys}
+        x = t[x_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        xi = np.copysign(np.floor(np.abs(x * x_scale) + 0.5), x)
+        valid = ~np.isnan(xi)
+        xi_i = np.where(valid, xi, 0).astype(np.int64)
+        cols["x1"] = pa.array(xi_i, pa.int64(), mask=~valid)
+        cols["x2"] = pa.array(xi_i * xi_i, pa.int64(), mask=~valid)
+        cols["x3"] = pa.array(xi_i * xi_i * xi_i, pa.int64(), mask=~valid)
+        cols["x4"] = pa.array(
+            (xi_i * xi_i) * (xi_i * xi_i), pa.int64(), mask=~valid
+        )
+        return pa.table(cols)
+
+    sums = grouped_agg(
+        ds.map_batches(enrich, batch_format="pyarrow"),
+        keys,
+        {
+            "n": ("count", "x1"),
+            "sx": ("sum", "x1"),
+            "sxx": ("sum", "x2"),
+            "sxxx": ("sum", "x3"),
+            "sxxxx": ("sum", "x4"),
+        },
+        num_slices=num_slices,
+    )
+
+    def _r6(arr):
+        return np.copysign(np.floor(np.abs(arr) * 1e6 + 0.5) / 1e6, arr)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxxx = t["sxxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxxxx = t["sxxxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = sx / n
+            q2 = sxx / n
+            q3 = sxxx / n
+            q4 = sxxxx / n
+            m2 = q2 - mean * mean
+            m3 = q3 - 3.0 * mean * q2 + 2.0 * ((mean * mean) * mean)
+            m4 = (
+                q4
+                - 4.0 * mean * q3
+                + 6.0 * ((mean * mean) * q2)
+                - 3.0 * (((mean * mean) * mean) * mean)
+            )
+            skew = m3 / (m2 * np.sqrt(m2))
+            kurt = m4 / (m2 * m2) - 3.0
+        ok = (n > 0) & (m2 > 0)
+        cols = {k: t[k] for k in keys}
+        cols["n"] = t["n"].cast(pa.int64())
+        for name, vals in (("skew_pop", skew), ("kurt_excess", kurt)):
+            cols[name] = pa.array(
+                [float(v) if m else None for v, m in zip(_r6(vals), ok)],
+                pa.float64(),
+            )
+        return pa.table(cols)
+
+    return sums.map_batches(finish, batch_format="pyarrow")

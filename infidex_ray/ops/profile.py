@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-__all__ = ["profile_columns"]
+__all__ = ["profile_columns", "group_checksum"]
 
 
 def profile_columns(ds, columns) -> pa.Table:
@@ -59,4 +59,105 @@ def profile_columns(ds, columns) -> pa.Table:
             "n_nulls": pa.array([r[2] for r in rows], pa.int64()),
             "n_distinct": pa.array([r[3] for r in rows], pa.int64()),
         }
+    )
+
+
+def group_checksum(
+    ds,
+    key_col: str,
+    cols,
+    num_slices: int | None = None,
+):
+    """Order-free per-group content checksum — the snapshot-integrity
+    primitive for 100-TB replication/migration checks: two corpora agree
+    per group iff their (n_rows, checksum) tables agree, regardless of row
+    order, partitioning, or cluster shape.
+
+    Each row hashes to ``md5_number_lower(concat(vals, '|'-joined, NULL →
+    '∅')) % 2**62`` (the repo-wide cross-engine hash,
+    ``ops.dedup._md5_u64``), and the group digest is the bitwise XOR of the
+    row hashes — XOR is associative + commutative with NO overflow, so
+    per-block partials merge exactly in any order. Scale shape: one partial
+    row per (block, key) from a vectorized reduceat pass, then a single
+    coarse md5 key-slice shuffle merges partials (never one Ray group per
+    key).
+
+    DuckDB parity: ``bit_xor(md5_number_lower(concat(...)) % 2**62)`` —
+    string rendering is Python ``str()`` vs SQL ``CAST(... AS VARCHAR)``,
+    identical for ints and strings (callers with float/timestamp columns
+    must pre-render them).
+
+    Output: (key, n_rows BIGINT, checksum BIGINT) one row per group.
+    """
+    import numpy as np
+
+    from .dedup import _md5_u64
+    from .windows import _add_key_slice, _sorted_key_ranks
+
+    cols = list(cols)
+    mod = 1 << 62
+
+    def _xor_partials(t: pa.Table, n_col) -> pa.Table:
+        """Collapse (key, h[, n]) rows to one (key, n, checksum) per key."""
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: t[key_col],
+                    "n_rows": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.int64()),
+                }
+            )
+        ranks = _sorted_key_ranks(t[key_col])
+        order = np.argsort(ranks, kind="stable")
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.uint64)[order]
+        n = (
+            t[n_col].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+            if n_col
+            else np.ones(len(order), dtype=np.int64)
+        )
+        rs = ranks[order]
+        starts = np.flatnonzero(np.concatenate(([True], rs[1:] != rs[:-1])))
+        xored = np.bitwise_xor.reduceat(h, starts) if len(h) else h
+        counts = np.add.reduceat(n, starts) if len(n) else n
+        keys = t[key_col].take(pa.array(order[starts], pa.int64()))
+        return pa.table(
+            {
+                key_col: keys,
+                "n_rows": pa.array(counts, pa.int64()),
+                "h": pa.array(xored.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: batch[key_col],
+                    "n_rows": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.int64()),
+                }
+            )
+        rendered = []
+        for c in cols:
+            vals = batch[c].to_pylist()
+            rendered.append(["∅" if v is None else str(v) for v in vals])
+        hs = np.asarray(
+            [
+                _md5_u64("|".join(parts)) % mod
+                for parts in zip(*rendered)
+            ],
+            dtype=np.uint64,
+        )
+        t = pa.table({key_col: batch[key_col], "h": pa.array(hs.astype(np.int64))})
+        return _xor_partials(t, None)
+
+    def final(group: pa.Table) -> pa.Table:
+        out = _xor_partials(group.drop_columns(["slice"]), "n_rows")
+        return out.rename_columns([key_col, "n_rows", "checksum"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(_add_key_slice(key_col, num_slices), batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(final, batch_format="pyarrow")
     )
