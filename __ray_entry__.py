@@ -3088,6 +3088,20 @@ def _q_pareto_frontier(sf_dir: str):
     )
 
 
+def _q_row_number_global(sf_dir: str):
+    """Distributed zipWithIndex (ops/ranking.py::row_number_global): one
+    global sort on a TOTAL order, then O(blocks) driver scalars assign
+    block offsets — exact int64 row numbers, bitwise == row_number()."""
+    from infidex_ray.ops.ranking import row_number_global
+
+    ds = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+    return _by(
+        row_number_global(ds, ["l_orderkey", "l_linenumber"]), "row_number"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -3264,6 +3278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_skewness": _q_grouped_skewness,
         "group_checksum": _q_group_checksum,
         "pareto_frontier": _q_pareto_frontier,
+        "row_number_global": _q_row_number_global,
     }
 
 
@@ -5165,6 +5180,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE f.l_extendedprice >= pm.ymax AND "
             "(pm.prevmax IS NULL OR f.l_extendedprice > pm.prevmax) "
             "ORDER BY l_orderkey, l_linenumber"
+        ),
+        "row_number_global": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, "
+            "row_number() OVER (ORDER BY l_orderkey, l_linenumber) "
+            "AS row_number FROM lineitem ORDER BY row_number"
         ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (float-histogram fake codec) are

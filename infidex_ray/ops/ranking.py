@@ -23,7 +23,73 @@ import pyarrow as pa
 
 from .dedup import _default_num_slices, _md5_u64
 
-__all__ = ["rrf_fuse", "percentile_rank"]
+__all__ = ["rrf_fuse", "percentile_rank", "row_number_global"]
+
+
+def _sorted_block_offsets(ds, order_cols):
+    """Sorted-block prefix machinery for :func:`row_number_global`: ONE
+    global sort (the unavoidable all-to-all), then O(blocks) driver scalars
+    — each block reports only its row count, the driver prefix-sums
+    offsets, and every block finalizes itself independently. Unlike
+    ``ops.normalize._sorted_refs_and_sizes`` (which projects to the two
+    rank columns), this keeps EVERY input column — row numbering decorates
+    the full row. Schema-less empty sort blocks (Ray 2.49) are skipped.
+
+    Returns ``(refs, offsets, total)`` over the non-empty sorted blocks.
+    """
+    import ray
+
+    sorted_ds = ds.sort(list(order_cols)).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def block_len(t: pa.Table) -> int:
+        return len(t)
+
+    ns = ray.get([block_len.remote(r) for r in refs])
+    keep = [(r, n) for r, n in zip(refs, ns) if n > 0]
+    refs = [r for r, _n in keep]
+    ns = np.asarray([n for _r, n in keep], dtype=np.int64)
+    offsets = (
+        np.concatenate([[0], np.cumsum(ns)[:-1]]) if len(ns) else ns
+    )
+    return refs, offsets, int(ns.sum())
+
+
+def row_number_global(ds, order_cols):
+    """Distributed ``row_number() OVER (ORDER BY order_cols)`` — the
+    zipWithIndex primitive behind stable global IDs, resumable shard
+    assignment, and every "first N in corpus order" cut.
+
+    ``order_cols`` must form a TOTAL order (append a unique id as the last
+    key) — otherwise tie order inside a block is Ray's sort order, not
+    SQL's. Output = all original columns + 1-based ``row_number`` (int64),
+    in sorted order. Cost = one sort + O(blocks) driver scalars (the
+    ``percentile_rank`` prefix pattern — no second shuffle)."""
+    import ray
+    import ray.data
+
+    refs, offsets, total = _sorted_block_offsets(ds, order_cols)
+    if not refs:
+        base = ds.schema()
+        sch = getattr(base, "base_schema", None)
+        t = (
+            sch.empty_table()
+            if sch is not None
+            else pa.table({c: pa.array([], pa.int64()) for c in order_cols})
+        )
+        return ray.data.from_arrow(
+            t.append_column("row_number", pa.array([], pa.int64()))
+        )
+
+    @ray.remote
+    def finalize(t: pa.Table, offset: int) -> pa.Table:
+        rn = np.arange(offset + 1, offset + len(t) + 1, dtype=np.int64)
+        return t.append_column("row_number", pa.array(rn))
+
+    return ray.data.from_arrow_refs(
+        [finalize.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    )
 
 
 def percentile_rank(ds, value_col: str, id_col: str = "doc_id"):

@@ -154,6 +154,35 @@ def test_group_checksum_order_free_and_duckdb(ray_session):
     assert diff.tolist() == [False, False, True, False]  # 42 % 4 == 2
 
 
+def test_row_number_global(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.ranking import row_number_global
+
+    t = pa.table(
+        {
+            "id": pa.array([5, 3, 9, 1, 7, 2, 8, 4, 6, 0], pa.int64()),
+            "v": pa.array([1.0, 1.0, 2.0, 1.0, 2.0, 3.0, 1.0, 2.0, 3.0, 1.0]),
+        }
+    )
+    got = (
+        row_number_global(ray.data.from_arrow(t).repartition(4), ["v", "id"])
+        .to_pandas()
+        .sort_values("row_number")
+        .reset_index(drop=True)
+    )
+    # ties on v broken by id: exact SQL row_number() OVER (ORDER BY v, id)
+    want_ids = [0, 1, 3, 5, 8, 4, 7, 9, 2, 6]
+    assert got["id"].tolist() == want_ids
+    assert got["row_number"].tolist() == list(range(1, 11))
+    # all original columns preserved
+    assert sorted(got.columns) == ["id", "row_number", "v"]
+    # empty input: typed empty with the row_number column
+    empty = row_number_global(ray.data.from_arrow(t.slice(0, 0)), ["v", "id"])
+    # Ray 2.49 to_pandas() drops typed-empty columns — assert on the schema
+    assert empty.count() == 0 and "row_number" in empty.schema().names
+
+
 def test_grouped_skewness_edges(ray_session):
     import ray.data
 
