@@ -2311,7 +2311,9 @@ def _q_unpivot(sf_dir: str):
         ["l_orderkey", "l_linenumber"],
         ["l_quantity", "l_extendedprice", "l_discount"],
     )
-    return _by(up, "l_orderkey", "l_linenumber", "name")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
+    # include value so tied rows are identical under the order-sensitive hash
+    return _by(up, "l_orderkey", "l_linenumber", "name", "value")
 
 
 def _q_quota_sample(sf_dir: str):
@@ -2827,7 +2829,15 @@ def _q_zorder_key(sf_dir: str):
     ds = _read(sf_dir, "lineitem").select_columns(
         ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
     )
-    return _by(zorder_key(ds, ["l_partkey", "l_suppkey"]), "l_orderkey", "l_linenumber")
+    # order by the full projection — (l_orderkey, l_linenumber) alone is
+    # not unique and tie order would leak into the order-sensitive hash
+    return _by(
+        zorder_key(ds, ["l_partkey", "l_suppkey"]),
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+    )
 
 
 def _q_jaccard_prefix(sf_dir: str):
@@ -3081,10 +3091,15 @@ def _q_pareto_frontier(sf_dir: str):
     ds = _read(sf_dir, "lineitem").select_columns(
         ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice"]
     )
+    # the 5-tuple is the unique key of the synthetic lineitem — ordering by
+    # all of it keeps the order-sensitive hash blind to tie order
     return _by(
         pareto_frontier(ds, "l_returnflag", "l_quantity", "l_extendedprice"),
         "l_orderkey",
         "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
     )
 
 
@@ -3097,8 +3112,37 @@ def _q_row_number_global(sf_dir: str):
     ds = _read(sf_dir, "lineitem").select_columns(
         ["l_orderkey", "l_linenumber", "l_quantity"]
     )
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
+    # order by all three output columns so tied rows are IDENTICAL rows and
+    # any tie order yields the same table under the order-sensitive hash.
     return _by(
-        row_number_global(ds, ["l_orderkey", "l_linenumber"]), "row_number"
+        row_number_global(ds, ["l_orderkey", "l_linenumber", "l_quantity"]),
+        "row_number",
+    )
+
+
+def _q_grouped_percentile_rank(sf_dir: str):
+    """Per-returnflag cume_dist of quantity
+    (ops/ranking.py::grouped_percentile_rank): one md5 key-slice shuffle,
+    ranks vectorized per slice; exact ≤-count / group-size ratio ⇒ bitwise
+    == the SQL window."""
+    from infidex_ray.ops.ranking import grouped_percentile_rank
+
+    return _by(
+        grouped_percentile_rank(
+            _read(sf_dir, "lineitem"),
+            "l_returnflag",
+            "l_quantity",
+            ["l_orderkey", "l_linenumber"],
+        ),
+        # (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        # lineitem — order by the full tuple so the order-sensitive hash
+        # can't see tie-order differences (cume_dist is a function of
+        # (returnflag, quantity), so equal tuples carry equal ranks).
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
     )
 
 
@@ -3279,6 +3323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_checksum": _q_group_checksum,
         "pareto_frontier": _q_pareto_frontier,
         "row_number_global": _q_row_number_global,
+        "grouped_percentile_rank": _q_grouped_percentile_rank,
     }
 
 
@@ -4498,7 +4543,7 @@ def oracle_sql() -> dict[str, str]:
             "l_extendedprice FROM lineitem "
             "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', "
             "l_discount FROM lineitem) "
-            "ORDER BY l_orderkey, l_linenumber, name"
+            "ORDER BY l_orderkey, l_linenumber, name, value"
         ),
         "quota_sample": (
             # qkey = md5_number_lower('seed:id') % 2^62 == ops.dedup._md5_u64
@@ -4989,7 +5034,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
             "CAST(" + _zspread_sql("x") + " | (" + _zspread_sql("y")
             + " << 1) AS BIGINT) AS zkey "
-            "FROM q ORDER BY l_orderkey, l_linenumber"
+            "FROM q ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"
         ),
         "jaccard_prefix_pairs": sqlgen.minhash_pairs_sql("documents", 0.4),
         "coalesce_latest": (
@@ -5179,12 +5224,20 @@ def oracle_sql() -> dict[str, str]:
             "ON f.l_returnflag = pm.g AND f.l_quantity = pm.x "
             "WHERE f.l_extendedprice >= pm.ymax AND "
             "(pm.prevmax IS NULL OR f.l_extendedprice > pm.prevmax) "
-            "ORDER BY l_orderkey, l_linenumber"
+            "ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity, "
+            "l_extendedprice"
         ),
         "row_number_global": (
             "SELECT l_orderkey, l_linenumber, l_quantity, "
-            "row_number() OVER (ORDER BY l_orderkey, l_linenumber) "
-            "AS row_number FROM lineitem ORDER BY row_number"
+            "row_number() OVER (ORDER BY l_orderkey, l_linenumber, "
+            "l_quantity) AS row_number FROM lineitem ORDER BY row_number"
+        ),
+        "grouped_percentile_rank": (
+            "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, "
+            "cume_dist() OVER (PARTITION BY l_returnflag "
+            "ORDER BY l_quantity) AS cume_dist FROM lineitem "
+            "WHERE l_quantity IS NOT NULL "
+            "ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity"
         ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (float-histogram fake codec) are

@@ -23,7 +23,80 @@ import pyarrow as pa
 
 from .dedup import _default_num_slices, _md5_u64
 
-__all__ = ["rrf_fuse", "percentile_rank", "row_number_global"]
+__all__ = [
+    "rrf_fuse",
+    "percentile_rank",
+    "row_number_global",
+    "grouped_percentile_rank",
+]
+
+
+def grouped_percentile_rank(
+    ds,
+    group_col: str,
+    value_col: str,
+    id_cols,
+    num_slices: int | None = None,
+):
+    """Per-group ``cume_dist() OVER (PARTITION BY group ORDER BY value)`` —
+    the within-stratum rank normalization behind "keep each language's top
+    q% by quality" filters, where raw score scales differ per group so the
+    GLOBAL :func:`percentile_rank` would starve low-scoring strata.
+
+    Scale shape: rows shuffle ONCE by a coarse md5 slice of the group key
+    (never one Ray group per key); each slice ranks all of its groups in
+    one vectorized pass (one lexsort + run-boundary arithmetic — ties share
+    the rank of their run's LAST row, the cume_dist rule). ``cume_dist`` is
+    an exact integer ratio (≤-count / group size), so it is bit-identical
+    to the SQL window function. NULL values are excluded (SQL's PARTITION
+    … ORDER BY would rank them after everything; dropping them keeps the
+    ratio semantics clean on both engines — mirror with ``WHERE value IS
+    NOT NULL``). Output: ``id_cols + (group_col, value_col, cume_dist)``.
+    """
+    from .windows import _add_key_slice, _sorted_key_ranks
+
+    id_cols = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    want = list(dict.fromkeys(id_cols + [group_col, value_col]))
+
+    def final(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["slice"])
+        if t.num_rows == 0:
+            return t.append_column("cume_dist", pa.array([], pa.float64()))
+        v = t[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        r = _sorted_key_ranks(t[group_col])
+        order = np.lexsort((v, r))
+        rs, vs = r[order], v[order]
+        n = len(order)
+        new_g = np.empty(n, dtype=bool)
+        new_g[0] = True
+        new_g[1:] = rs[1:] != rs[:-1]
+        g_starts = np.flatnonzero(new_g)
+        g_sizes = np.diff(np.append(g_starts, n))
+        g_idx = np.cumsum(new_g) - 1
+        new_run = new_g.copy()
+        new_run[1:] |= vs[1:] != vs[:-1]
+        run_starts = np.flatnonzero(new_run)
+        run_ends = np.append(run_starts[1:], n) - 1
+        run_idx = np.cumsum(new_run) - 1
+        k = run_ends[run_idx] - g_starts[g_idx] + 1
+        cume_sorted = k.astype(np.float64) / g_sizes[g_idx].astype(np.float64)
+        cume = np.empty(n, dtype=np.float64)
+        cume[order] = cume_sorted
+        return t.append_column("cume_dist", pa.array(cume))
+
+    add_slice = _add_key_slice(group_col, num_slices)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return add_slice(batch.filter(pc.is_valid(batch[value_col])))
+
+    return (
+        ds.select_columns(want)
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(final, batch_format="pyarrow")
+    )
 
 
 def _sorted_block_offsets(ds, order_cols):

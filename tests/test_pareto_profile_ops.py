@@ -183,6 +183,40 @@ def test_row_number_global(ray_session):
     assert empty.count() == 0 and "row_number" in empty.schema().names
 
 
+def test_grouped_percentile_rank(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from infidex_ray.ops.ranking import grouped_percentile_rank
+
+    n = 400
+    t = pa.table(
+        {
+            "id": pa.array(list(range(n)), pa.int64()),
+            "g": pa.array([f"g{i % 3}" for i in range(n)], pa.string()),
+            "v": pa.array(
+                [None if i % 29 == 0 else float((i * 17) % 50) for i in range(n)],
+                pa.float64(),
+            ),
+        }
+    )
+    got = (
+        grouped_percentile_rank(
+            ray.data.from_arrow(t).repartition(6), "g", "v", "id", num_slices=2
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = _duck()
+    con.register("t", t.to_pandas())
+    want = con.execute(
+        "SELECT id, g, v, cume_dist() OVER (PARTITION BY g ORDER BY v) AS "
+        "cume_dist FROM t WHERE v IS NOT NULL ORDER BY id"
+    ).df()
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
 def test_grouped_skewness_edges(ray_session):
     import ray.data
 
