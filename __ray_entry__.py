@@ -3146,6 +3146,48 @@ def _q_grouped_percentile_rank(sf_dir: str):
     )
 
 
+def _q_ewma(sf_dir: str):
+    """Per-user EWMA of event values over time order
+    (ops/windows.py::ewma): recurrence runs vectorized across keys one
+    time-position per numpy step; literal op sequence mirrored by a
+    rank-stepping recursive CTE ⇒ bitwise float64."""
+    from infidex_ray.ops.windows import ewma
+
+    return _by(
+        ewma(_read(sf_dir, "events"), "user_id", "ts", "value", "event_id"),
+        "user_id",
+        "i",
+    )
+
+
+def _q_rolling_active_users(sf_dir: str):
+    """Trailing 7-day distinct active users per observed day
+    (ops/windows.py::rolling_active_users): distinct (user, day) partials
+    → one user-slice shuffle → per-day count partials → day-slice merge;
+    exact integer counts."""
+    from infidex_ray.ops.windows import rolling_active_users
+
+    return _by(
+        rolling_active_users(_read(sf_dir, "events"), "user_id", "ts", 7),
+        "day",
+    )
+
+
+def _q_grouped_trimmed_mean(sf_dir: str):
+    """Per-returnflag 10%-trimmed mean of quantity
+    (ops/agg.py::grouped_trimmed_mean): integer trim counts
+    (n*ppm // 1e6), exact int64 kept-sum, one mirrored float division ⇒
+    bitwise."""
+    from infidex_ray.ops.agg import grouped_trimmed_mean
+
+    return _by(
+        grouped_trimmed_mean(
+            _read(sf_dir, "lineitem"), "l_returnflag", "l_quantity"
+        ),
+        "l_returnflag",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -3324,6 +3366,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_frontier": _q_pareto_frontier,
         "row_number_global": _q_row_number_global,
         "grouped_percentile_rank": _q_grouped_percentile_rank,
+        "ewma": _q_ewma,
+        "rolling_active_users": _q_rolling_active_users,
+        "grouped_trimmed_mean": _q_grouped_trimmed_mean,
     }
 
 
@@ -5238,6 +5283,42 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY l_quantity) AS cume_dist FROM lineitem "
             "WHERE l_quantity IS NOT NULL "
             "ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity"
+        ),
+        "ewma": (
+            "WITH RECURSIVE base AS (SELECT user_id, event_id, value AS x, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS i FROM events WHERE value IS NOT NULL), "
+            "rec AS (SELECT user_id, event_id, i, x AS ewma FROM base "
+            "WHERE i = 1 "
+            "UNION ALL SELECT b.user_id, b.event_id, b.i, "
+            "(CAST(0.5 AS DOUBLE) * b.x) + "
+            "((CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)) * r.ewma) "
+            "FROM rec r JOIN base b ON b.user_id = r.user_id "
+            "AND b.i = r.i + 1) "
+            "SELECT user_id, event_id, i, ewma FROM rec ORDER BY user_id, i"
+        ),
+        "rolling_active_users": (
+            "WITH p AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS d FROM events), "
+            "e AS (SELECT DISTINCT user_id, d + x AS wd FROM p CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 6)) AS x)), "
+            "days AS (SELECT DISTINCT d FROM p) "
+            "SELECT wd AS day, count(*)::BIGINT AS active_users FROM e "
+            "JOIN days ON days.d = e.wd GROUP BY wd ORDER BY day"
+        ),
+        "grouped_trimmed_mean": (
+            "WITH f AS (SELECT l_returnflag AS g, "
+            "CAST(round(l_quantity * 1) AS BIGINT) AS x FROM lineitem "
+            "WHERE l_quantity IS NOT NULL), "
+            "r AS (SELECT g, x, row_number() OVER (PARTITION BY g "
+            "ORDER BY x) AS rn, count(*) OVER (PARTITION BY g) AS n FROM f), "
+            "s AS (SELECT g, CAST(sum(x) AS BIGINT) AS sx, "
+            "count(*)::BIGINT AS n_used FROM r "
+            "WHERE rn > (n * 100000) // 1000000 "
+            "AND rn <= n - (n * 100000) // 1000000 GROUP BY g) "
+            "SELECT g AS l_returnflag, n_used, "
+            "(sx::DOUBLE / n_used::DOUBLE) / CAST(1 AS DOUBLE) "
+            "AS trimmed_mean FROM s ORDER BY g"
         ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (float-histogram fake codec) are

@@ -1169,3 +1169,102 @@ def grouped_skewness(
         return pa.table(cols)
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_trimmed_mean(
+    ds,
+    keys,
+    x_col: str,
+    trim_ppm: int = 100_000,
+    x_scale: int = 1,
+    num_slices: int | None = None,
+):
+    """Per-group trimmed mean (drop the lowest and highest ``trim_ppm``
+    parts-per-million of rows by value, then average the rest) — the
+    robust-location aggregate for skewed web-scale metrics where a few
+    spam outliers poison a plain mean.
+
+    Exactness contract: the trim count is pure integer arithmetic
+    ``t = n * trim_ppm // 1_000_000`` (mirror with SQL integer division —
+    never ``floor(n * 0.1)`` through a float), values snap to integers
+    (``round(v * x_scale)``, half-away-from-zero) so the kept-rows sum is
+    an exact int64, and the mean is ONE float division
+    ``sum / n_used / x_scale`` mirrored in SQL ⇒ bitwise (no rounding
+    needed). Which PHYSICAL rows are dropped under ties is
+    engine-dependent, but the kept VALUE MULTISET is rank-determined, so
+    the sum is identical. NULLs are excluded; groups with no rows left
+    after trimming report n_used = 0 and a NULL mean.
+
+    Scale shape: one md5 key-slice shuffle of (key, snapped value) pairs;
+    each slice sorts all its groups in one lexsort and trims by run
+    arithmetic. Like :func:`ops.textstats.group_quantiles`, exactness
+    requires a group's values to fit in one worker — sample or bin first
+    when they don't.
+    """
+    from .windows import _add_key_slice, _sorted_key_ranks
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if len(keys) != 1:
+        raise ValueError("grouped_trimmed_mean takes exactly one key column")
+    key_col = keys[0]
+
+    def snap(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.select([key_col, x_col])
+        t = t.filter(pc.is_valid(t[x_col]))
+        x = t[x_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        xi = np.copysign(np.floor(np.abs(x * x_scale) + 0.5), x).astype(
+            np.int64
+        )
+        return pa.table({key_col: t[key_col], "x": pa.array(xi)})
+
+    def final(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["slice"])
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: t[key_col],
+                    "n_used": pa.array([], pa.int64()),
+                    "trimmed_mean": pa.array([], pa.float64()),
+                }
+            )
+        x = t["x"].to_numpy(zero_copy_only=False)
+        r = _sorted_key_ranks(t[key_col])
+        order = np.lexsort((x, r))
+        rs, xs = r[order], x[order]
+        n = len(order)
+        new_k = np.empty(n, dtype=bool)
+        new_k[0] = True
+        new_k[1:] = rs[1:] != rs[:-1]
+        g_starts = np.flatnonzero(new_k)
+        g_ends = np.append(g_starts[1:], n)
+        out_keys, n_useds, means = [], [], []
+        key_rows = t[key_col].take(pa.array(order[g_starts], pa.int64()))
+        for s, e in zip(g_starts, g_ends):
+            gn = e - s
+            tcut = gn * trim_ppm // 1_000_000
+            lo, hi = s + tcut, e - tcut
+            n_used = max(hi - lo, 0)
+            n_useds.append(int(n_used))
+            if n_used > 0:
+                total = int(xs[lo:hi].sum())
+                means.append(
+                    float(total) / float(n_used) / float(x_scale)
+                )
+            else:
+                means.append(None)
+        return pa.table(
+            {
+                key_col: key_rows,
+                "n_used": pa.array(n_useds, pa.int64()),
+                "trimmed_mean": pa.array(means, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(snap, batch_format="pyarrow")
+        .map_batches(_add_key_slice(key_col, num_slices), batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(final, batch_format="pyarrow")
+    )

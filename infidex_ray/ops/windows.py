@@ -1221,3 +1221,214 @@ def merge_intervals(
         .groupby("slice")
         .map_groups(merge_slice, batch_format="pyarrow")
     )
+
+
+def ewma(
+    ds,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    num_slices: int | None = None,
+):
+    """Per-key exponentially-weighted moving average over time order —
+    the streaming smoother behind trend scores / rate limiting / freshness
+    decay: ``s_1 = x_1;  s_i = alpha*x_i + (1.0-alpha)*s_{i-1}`` with rows
+    ordered by ``(ts, id)`` within each key.
+
+    Scale shape: rows shuffle ONCE by a coarse md5 slice of the key; each
+    slice processes ALL its keys together — one lexsort puts every key's
+    rows contiguous in time order, then the recurrence runs vectorized
+    ACROSS keys, one numpy step per time POSITION (max steps = the longest
+    single key's history, not the row count; a key's step-j row always
+    sits at index ``start_k + j``, so step j is one strided fused
+    multiply-free update over all keys at once).
+
+    Bitwise contract: the recurrence is the literal op sequence
+    ``(alpha * x) + ((1.0 - alpha) * s_prev)`` — mirror it in a
+    rank-stepping recursive CTE and both engines execute identical IEEE
+    float64 ops in identical order (numpy doesn't fuse, DuckDB doesn't
+    fuse). ``alpha`` should be a short decimal so both parsers bind the
+    same double. NULL values are excluded before ranking (mirror with
+    ``WHERE value IS NOT NULL``).
+
+    Output: ``(key_col, id_col, i, ewma)`` with ``i`` the 1-based position
+    within the key's (ts, id) order.
+    """
+
+    def final(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["slice"])
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: t[key_col],
+                    id_col: t[id_col],
+                    "i": pa.array([], pa.int64()),
+                    "ewma": pa.array([], pa.float64()),
+                }
+            )
+        x = t[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        r = _sorted_key_ranks(t[key_col])
+        order = np.lexsort((ids, ts, r))
+        rs = r[order]
+        xs = x[order]
+        n = len(order)
+        new_k = np.empty(n, dtype=bool)
+        new_k[0] = True
+        new_k[1:] = rs[1:] != rs[:-1]
+        g_starts = np.flatnonzero(new_k)
+        g_idx = np.cumsum(new_k) - 1
+        pos = np.arange(n, dtype=np.int64) - g_starts[g_idx]  # 0-based
+        s = np.empty(n, dtype=np.float64)
+        beta = 1.0 - alpha
+        max_pos = int(pos.max())
+        step_rows = [np.flatnonzero(pos == j) for j in range(max_pos + 1)]
+        s[step_rows[0]] = xs[step_rows[0]]
+        for j in range(1, max_pos + 1):
+            rows = step_rows[j]
+            s[rows] = (alpha * xs[rows]) + (beta * s[rows - 1])
+        out_key = t[key_col].take(pa.array(order, pa.int64()))
+        return pa.table(
+            {
+                key_col: out_key,
+                id_col: pa.array(ids[order]),
+                "i": pa.array(pos + 1),
+                "ewma": pa.array(s),
+            }
+        )
+
+    add_slice = _add_key_slice(key_col, num_slices)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.select(
+            list(dict.fromkeys([key_col, ts_col, value_col, id_col]))
+        )
+        return add_slice(t.filter(pc.is_valid(t[value_col])))
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def rolling_active_users(
+    ds,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    num_slices: int | None = None,
+):
+    """Trailing-window distinct-user counts ("7-day active users" per day)
+    — the engagement/coverage metric a crawl or event pipeline reports per
+    snapshot day. A user active on day ``d`` counts toward every window
+    ENDING on days ``d .. d+window_days-1``; output days are restricted to
+    days that actually appear in the data.
+
+    Scale shape: each batch first collapses to its distinct (user, day)
+    pairs (day = epoch-us // 86400e6, exact int64), then ONE md5 user-slice
+    shuffle makes each user's days co-located: per user the ×window_days
+    expansion + re-distinct runs vectorized, and each slice emits only its
+    partial per-day counts (≤ |days| rows). A final vocabulary-sized
+    groupby sums day partials — nothing row-sized crosses twice. All
+    counting is exact integers ⇒ bitwise vs the SQL oracle.
+
+    Output: ``(day, active_users)`` with ``day`` the epoch-day int64 of the
+    window END.
+    """
+    us_per_day = 86_400_000_000
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        u = batch[user_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = ts // us_per_day
+        uniq = np.unique(np.stack([u, d], axis=1), axis=0)
+        return pa.table(
+            {
+                user_col: pa.array(uniq[:, 0]),
+                "day": pa.array(uniq[:, 1]),
+            }
+        )
+
+    def slice_counts(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["slice"])
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "day": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.int8()),
+                }
+            )
+        u = t[user_col].to_numpy(zero_copy_only=False)
+        d = t["day"].to_numpy(zero_copy_only=False)
+        # distinct (user, day) across the slice's blocks, then expand each
+        # day to the window_days window-ends it covers and re-distinct
+        pairs_ = np.unique(np.stack([u, d], axis=1), axis=0)
+        reps = np.repeat(pairs_, window_days, axis=0)
+        reps[:, 1] += np.tile(
+            np.arange(window_days, dtype=np.int64), len(pairs_)
+        )
+        cov = np.unique(reps, axis=0)
+        days, counts = np.unique(cov[:, 1], return_counts=True)
+        observed = np.unique(pairs_[:, 1])
+        return pa.table(
+            {
+                "day": pa.array(
+                    np.concatenate([days, observed]).astype(np.int64)
+                ),
+                "n": pa.array(
+                    np.concatenate(
+                        [counts, np.zeros(len(observed))]
+                    ).astype(np.int64)
+                ),
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(days)), np.ones(len(observed))]
+                    ).astype(np.int8)
+                ),
+            }
+        )
+
+    add_slice = _add_key_slice(user_col, num_slices)
+    partials = (
+        ds.select_columns([user_col, ts_col])
+        .map_batches(pairs, batch_format="pyarrow")
+        .map_batches(add_slice, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(slice_counts, batch_format="pyarrow")
+    )
+
+    def finish(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["slice"])
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "day": pa.array([], pa.int64()),
+                    "active_users": pa.array([], pa.int64()),
+                }
+            )
+        d = t["day"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        k = t["kind"].to_numpy(zero_copy_only=False)
+        days, inv = np.unique(d, return_inverse=True)
+        sums = np.bincount(inv, weights=np.where(k == 0, n, 0)).astype(np.int64)
+        seen = np.bincount(inv, weights=(k == 1).astype(np.int64)) > 0
+        keep = seen & (sums > 0)
+        return pa.table(
+            {
+                "day": pa.array(days[keep].astype(np.int64)),
+                "active_users": pa.array(sums[keep]),
+            }
+        )
+
+    return (
+        partials.map_batches(_add_key_slice("day", num_slices), batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(finish, batch_format="pyarrow")
+    )

@@ -1,0 +1,156 @@
+"""EWMA / rolling active users / trimmed mean — DuckDB double-entry on an
+adversarial fixture (nulls, singleton keys, day gaps, tie-heavy groups)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _duck():
+    import duckdb
+
+    return duckdb.connect()
+
+
+@pytest.fixture(scope="module")
+def events(ray_session):
+    import ray.data
+
+    n = 600
+    us_day = 86_400_000_000
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(n)), pa.int64()),
+            "user_id": pa.array([i % 37 for i in range(n)], pa.int64()),
+            # deliberate ts ties within a user (event_id tie-break matters)
+            "ts": pa.array(
+                [((i * 977) % 23) * us_day + (i % 5) * 3_600_000_000 for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "value": pa.array(
+                [None if i % 41 == 0 else float((i * 31) % 97) / 4 for i in range(n)],
+                pa.float64(),
+            ),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(5), t
+
+
+def test_ewma_matches_recursive_sql(events):
+    import pandas as pd
+
+    from infidex_ray.ops.windows import ewma
+
+    ds, t = events
+    got = (
+        ewma(ds, "user_id", "ts", "value", "event_id", alpha=0.5, num_slices=3)
+        .to_pandas()
+        .sort_values(["user_id", "i"])
+        .reset_index(drop=True)
+    )
+    con = _duck()
+    con.register("events", t.to_pandas())
+    want = con.execute(
+        "WITH RECURSIVE base AS (SELECT user_id, event_id, value AS x, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i "
+        "FROM events WHERE value IS NOT NULL), "
+        "rec AS (SELECT user_id, event_id, i, x AS ewma FROM base WHERE i = 1 "
+        "UNION ALL SELECT b.user_id, b.event_id, b.i, "
+        "(CAST(0.5 AS DOUBLE) * b.x) + ((CAST(1.0 AS DOUBLE) - "
+        "CAST(0.5 AS DOUBLE)) * r.ewma) FROM rec r JOIN base b "
+        "ON b.user_id = r.user_id AND b.i = r.i + 1) "
+        "SELECT user_id, event_id, i, ewma FROM rec ORDER BY user_id, i"
+    ).df()
+    # bitwise: identical IEEE op sequence on both engines
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_rolling_active_users(events):
+    from infidex_ray.ops.windows import rolling_active_users
+
+    ds, t = events
+    got = (
+        rolling_active_users(ds, "user_id", "ts", window_days=3, num_slices=4)
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    con = _duck()
+    con.register("events", t.to_pandas())
+    want = con.execute(
+        "WITH p AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d "
+        "FROM events), "
+        "e AS (SELECT DISTINCT user_id, d + x AS wd FROM p CROSS JOIN "
+        "(SELECT unnest(generate_series(0, 2)) AS x)), "
+        "days AS (SELECT DISTINCT d FROM p) "
+        "SELECT wd AS day, count(*)::BIGINT AS active_users FROM e "
+        "JOIN days ON days.d = e.wd GROUP BY wd ORDER BY day"
+    ).df()
+    assert got["day"].tolist() == want["day"].tolist()
+    assert got["active_users"].tolist() == want["active_users"].tolist()
+    # trailing window only counts observed days (no phantom future days)
+    observed = set((t["ts"].cast(pa.int64()).to_numpy() // 86_400_000_000).tolist())
+    assert set(got["day"].tolist()) <= observed
+
+
+def test_grouped_trimmed_mean_edges(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.agg import grouped_trimmed_mean
+
+    t = pa.table(
+        {
+            "g": pa.array(
+                ["a"] * 10 + ["tiny"] * 3 + ["ties"] * 10 + ["nulls"],
+                pa.string(),
+            ),
+            "x": pa.array(
+                [float(v) for v in [100, 1, 2, 3, 4, 5, 6, 7, 8, 9]]
+                + [5.0, 6.0, 7.0]  # n=3: 10% trim drops nothing
+                + [1.0] * 5 + [9.0] * 5  # tie-heavy: value multiset decides
+                + [None],
+                pa.float64(),
+            ),
+        }
+    )
+    got = (
+        grouped_trimmed_mean(
+            ray.data.from_arrow(t).repartition(4), "g", "x", trim_ppm=100_000
+        )
+        .to_pandas()
+        .set_index("g")
+    )
+    # a: drop min(1) and max(100) -> mean of 2..9 = 44/8
+    assert got.loc["a", "trimmed_mean"] == 44.0 / 8.0
+    assert got.loc["a", "n_used"] == 8
+    # tiny: 3 * 100000 // 1000000 == 0 -> plain mean
+    assert got.loc["tiny", "trimmed_mean"] == 6.0
+    # ties: drop one 1 and one 9 -> (4*1 + 4*9)/8 = 5
+    assert got.loc["ties", "trimmed_mean"] == 5.0
+    # all-null group: excluded entirely (no non-null rows reach the slice)
+    assert "nulls" not in got.index
+
+
+def test_ewma_singleton_and_alpha(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.windows import ewma
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([7, 7, 8], pa.int64()),
+            "ts": pa.array([10, 20, 30], pa.timestamp("us")),
+            "value": pa.array([4.0, 8.0, 5.0], pa.float64()),
+        }
+    )
+    got = (
+        ewma(ray.data.from_arrow(t), "user_id", "ts", "value", "event_id",
+             alpha=0.25)
+        .to_pandas()
+        .sort_values(["user_id", "i"])
+        .reset_index(drop=True)
+    )
+    # user 7: s1=4, s2=0.25*8 + 0.75*4 = 5; user 8 singleton: s1=5
+    assert got["ewma"].tolist() == [4.0, 5.0, 5.0]
+    assert got["i"].tolist() == [1, 2, 1]
