@@ -3188,6 +3188,46 @@ def _q_grouped_trimmed_mean(sf_dir: str):
     )
 
 
+def _q_time_weighted_avg(sf_dir: str):
+    """Per-user time-weighted average of the event value signal
+    (ops/windows.py::time_weighted_avg): cent-snapped int64 weighted sums
+    over exact microsecond durations, two mirrored divisions ⇒ bitwise vs
+    the lead()-window oracle."""
+    from infidex_ray.ops.windows import time_weighted_avg
+
+    return _by(
+        time_weighted_avg(
+            _read(sf_dir, "events"), "user_id", "ts", "value", "event_id"
+        ),
+        "user_id",
+    )
+
+
+def _q_grouped_rate_bounds(sf_dir: str):
+    """Per-user purchase-rate Wilson score interval
+    (ops/agg.py::grouped_rate_bounds): exact int64 (n, k) through combiner
+    partials; fixed-order float finish with IEEE-exact sqrt mirrored in
+    layered CTEs ⇒ bitwise."""
+    import pyarrow.compute as pc
+
+    from infidex_ray.ops.agg import grouped_rate_bounds
+
+    def addflag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "flag": pc.equal(b["event_type"], "purchase"),
+            }
+        )
+
+    ev = (
+        _read(sf_dir, "events")
+        .select_columns(["user_id", "event_type"])
+        .map_batches(addflag, batch_format="pyarrow")
+    )
+    return _by(grouped_rate_bounds(ev, "user_id", "flag"), "user_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -3369,6 +3409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma": _q_ewma,
         "rolling_active_users": _q_rolling_active_users,
         "grouped_trimmed_mean": _q_grouped_trimmed_mean,
+        "time_weighted_avg": _q_time_weighted_avg,
+        "grouped_rate_bounds": _q_grouped_rate_bounds,
     }
 
 
@@ -5319,6 +5361,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT g AS l_returnflag, n_used, "
             "(sx::DOUBLE / n_used::DOUBLE) / CAST(1 AS DOUBLE) "
             "AS trimmed_mean FROM s ORDER BY g"
+        ),
+        "time_weighted_avg": (
+            "WITH f AS (SELECT user_id, event_id, epoch_us(ts) AS tu, "
+            "CAST(round(value * 100) AS BIGINT) AS v FROM events "
+            "WHERE value IS NOT NULL), "
+            "w AS (SELECT user_id, v, tu, lead(tu) OVER (PARTITION BY "
+            "user_id ORDER BY tu, event_id) AS nxt FROM f), "
+            "s AS (SELECT user_id, count(*)::BIGINT AS n_readings, "
+            "CAST(sum(v * (coalesce(nxt, tu) - tu)) AS BIGINT) AS s, "
+            "max(tu) - min(tu) AS span FROM w GROUP BY user_id) "
+            "SELECT user_id, n_readings, CASE WHEN span > 0 THEN "
+            "(s::DOUBLE / span::DOUBLE) / CAST(100 AS DOUBLE) END AS twa "
+            "FROM s ORDER BY user_id"
+        ),
+        "grouped_rate_bounds": (
+            "WITH f AS (SELECT user_id, CASE WHEN event_type = 'purchase' "
+            "THEN 1 ELSE 0 END AS flag FROM events "
+            "WHERE event_type IS NOT NULL), "
+            "s AS (SELECT user_id, count(*)::BIGINT AS n, "
+            "CAST(sum(flag) AS BIGINT) AS k FROM f GROUP BY user_id), "
+            "m AS (SELECT user_id, n, k, k::DOUBLE / n::DOUBLE AS p, "
+            "CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS zz FROM s), "
+            "c AS (SELECT user_id, n, k, p, zz, "
+            "1.0 + zz / n::DOUBLE AS denom FROM m), "
+            "d AS (SELECT user_id, n, k, p, denom, "
+            "(p + zz / (2.0 * n::DOUBLE)) / denom AS center, "
+            "(CAST(1.96 AS DOUBLE) * sqrt((p * (1.0 - p)) / n::DOUBLE + "
+            "zz / (4.0 * (n::DOUBLE * n::DOUBLE)))) / denom AS half FROM c) "
+            "SELECT user_id, n, k, p AS rate, center - half AS wilson_lo, "
+            "center + half AS wilson_hi FROM d ORDER BY user_id"
         ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (float-histogram fake codec) are

@@ -1268,3 +1268,76 @@ def grouped_trimmed_mean(
         .groupby("slice")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def grouped_rate_bounds(
+    ds,
+    keys,
+    flag_col: str,
+    z: float = 1.96,
+    num_slices: int | None = None,
+):
+    """Per-group binomial rate with Wilson score interval — the
+    statistically honest "conversion rate" / "defect rate" aggregate for
+    groups of wildly different sizes (a 2/2 group must not outrank a
+    480/500 group; the Wilson bound is the standard fix, and its LOWER
+    bound is the classic ranking score).
+
+    Exactness: n and k are exact int64 through :func:`grouped_agg`'s
+    combiner partials; the finish is ONE fixed float64 expression per
+    bound (IEEE ``sqrt`` is correctly rounded — unlike ``ln``/``log2`` it
+    IS bitwise across engines)::
+
+        p      = k/n;   zz = z*z
+        denom  = 1.0 + zz/n
+        center = (p + zz/(2.0*n)) / denom
+        half   = (z * sqrt((p*(1.0-p))/n + zz/(4.0*(n*n)))) / denom
+
+    mirrored operation-for-operation in SQL (CAST the z literal to DOUBLE
+    in the oracle — a bare ``1.96`` is a DECIMAL and ``1.96*1.96`` would
+    be exact where Python's float product is not). Groups with n = 0 are
+    excluded upstream (NULL flags drop; a group appears iff it has a
+    non-null flag row).
+
+    Output: keys + ``(n, k, rate, wilson_lo, wilson_hi)``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def enrich(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_valid(t[flag_col]))
+        cols = {c: t[c] for c in keys}
+        cols["f"] = t[flag_col].cast(pa.int64())
+        return pa.table(cols)
+
+    sums = grouped_agg(
+        ds.map_batches(enrich, batch_format="pyarrow"),
+        keys,
+        {"n": ("count", "f"), "k": ("sum", "f")},
+        num_slices=num_slices,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = k / n
+            zz = z * z
+            denom = 1.0 + zz / n
+            center = (p + zz / (2.0 * n)) / denom
+            half = (z * np.sqrt((p * (1.0 - p)) / n + zz / (4.0 * (n * n)))) / denom
+            lo = center - half
+            hi = center + half
+        cols = {c: t[c] for c in keys}
+        cols["n"] = t["n"].cast(pa.int64())
+        cols["k"] = t["k"].cast(pa.int64())
+        ok = n > 0
+        for name, vals in (("rate", p), ("wilson_lo", lo), ("wilson_hi", hi)):
+            cols[name] = pa.array(
+                [float(v) if m else None for v, m in zip(vals, ok)],
+                pa.float64(),
+            )
+        return pa.table(cols)
+
+    return sums.map_batches(finish, batch_format="pyarrow")

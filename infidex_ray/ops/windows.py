@@ -1432,3 +1432,101 @@ def rolling_active_users(
         .groupby("slice")
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def time_weighted_avg(
+    ds,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    v_scale: int = 100,
+    num_slices: int | None = None,
+):
+    """Per-key time-weighted average of a step signal — the
+    billing/monitoring aggregate ("average concurrency", "mean gauge
+    value") where a plain mean over samples is wrong because samples are
+    unevenly spaced: each reading holds until the NEXT reading, so
+    ``twa = Σ v_i · (t_{i+1} − t_i) / (t_last − t_first)``.
+
+    Exactness: values snap to ints (``round(v · v_scale)``,
+    half-away-from-zero), durations are exact int64 microseconds, the
+    weighted sum accumulates in int64 (caller owns the budget:
+    Σ |v·scale|·Δt < 2⁶³), and the finish is two mirrored float divisions
+    ``(s / span) / v_scale`` ⇒ bitwise. Ties on ``ts`` are ordered by
+    ``id_col`` (which reading "holds" during a zero-length segment is
+    order-dependent only when the next gap is charged — the id order pins
+    it on both engines). Keys with < 2 readings (or zero span) have no
+    interval to average over → NULL. NULL values are excluded first.
+
+    Scale shape: one md5 key-slice shuffle; per slice ONE lexsort puts
+    every key's readings in time order, segment durations and per-key
+    int64 sums are pure ``diff``/``reduceat`` arithmetic.
+
+    Output: ``(key_col, n_readings, twa)``.
+    """
+
+    def final(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["slice"])
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: t[key_col],
+                    "n_readings": pa.array([], pa.int64()),
+                    "twa": pa.array([], pa.float64()),
+                }
+            )
+        v = t[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        vi = np.copysign(np.floor(np.abs(v * v_scale) + 0.5), v).astype(
+            np.int64
+        )
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        r = _sorted_key_ranks(t[key_col])
+        order = np.lexsort((ids, ts, r))
+        rs, tss, vs = r[order], ts[order], vi[order]
+        n = len(order)
+        new_k = np.empty(n, dtype=bool)
+        new_k[0] = True
+        new_k[1:] = rs[1:] != rs[:-1]
+        g_starts = np.flatnonzero(new_k)
+        g_ends = np.append(g_starts[1:], n)
+        dt = np.zeros(n, dtype=np.int64)
+        dt[:-1] = tss[1:] - tss[:-1]
+        dt[g_ends - 1] = 0  # last reading of each key holds nothing
+        contrib = vs * dt
+        sums = np.add.reduceat(contrib, g_starts)  # int64: exact, order-free
+        spans = tss[g_ends - 1] - tss[g_starts]
+        counts = (g_ends - g_starts).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            twa = (sums.astype(np.float64) / spans.astype(np.float64)) / float(
+                v_scale
+            )
+        ok = spans > 0
+        keys_out = t[key_col].take(pa.array(order[g_starts], pa.int64()))
+        return pa.table(
+            {
+                key_col: keys_out,
+                "n_readings": pa.array(counts),
+                "twa": pa.array(
+                    [float(x) if m else None for x, m in zip(twa, ok)],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    add_slice = _add_key_slice(key_col, num_slices)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.select(
+            list(dict.fromkeys([key_col, ts_col, value_col, id_col]))
+        )
+        return add_slice(t.filter(pc.is_valid(t[value_col])))
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -131,6 +131,92 @@ def test_grouped_trimmed_mean_edges(ray_session):
     assert "nulls" not in got.index
 
 
+def test_time_weighted_avg(events):
+    import pandas as pd
+
+    from infidex_ray.ops.windows import time_weighted_avg
+
+    ds, t = events
+    got = (
+        time_weighted_avg(ds, "user_id", "ts", "value", "event_id",
+                          num_slices=3)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    con = _duck()
+    con.register("events", t.to_pandas())
+    want = con.execute(
+        "WITH f AS (SELECT user_id, event_id, epoch_us(ts) AS tu, "
+        "CAST(round(value * 100) AS BIGINT) AS v FROM events "
+        "WHERE value IS NOT NULL), "
+        "w AS (SELECT user_id, v, tu, lead(tu) OVER (PARTITION BY user_id "
+        "ORDER BY tu, event_id) AS nxt FROM f), "
+        "s AS (SELECT user_id, count(*)::BIGINT AS n_readings, "
+        "CAST(sum(v * (coalesce(nxt, tu) - tu)) AS BIGINT) AS s, "
+        "max(tu) - min(tu) AS span FROM w GROUP BY user_id) "
+        "SELECT user_id, n_readings, CASE WHEN span > 0 THEN "
+        "(s::DOUBLE / span::DOUBLE) / CAST(100 AS DOUBLE) END AS twa "
+        "FROM s ORDER BY user_id"
+    ).df()
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_time_weighted_avg_step_semantics(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.windows import time_weighted_avg
+
+    # v=2 holds for 3us, v=10 holds for 1us, last reading holds nothing
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "ts": pa.array([0, 3, 4], pa.timestamp("us")),
+            "value": pa.array([2.0, 10.0, 99.0], pa.float64()),
+        }
+    )
+    got = time_weighted_avg(
+        ray.data.from_arrow(t), "user_id", "ts", "value", "event_id"
+    ).to_pandas()
+    assert got["twa"].tolist() == [(2.0 * 3 + 10.0 * 1) / 4.0]
+    # singleton key: zero span -> NULL
+    t1 = t.slice(0, 1)
+    got1 = time_weighted_avg(
+        ray.data.from_arrow(t1), "user_id", "ts", "value", "event_id"
+    ).to_pandas()
+    assert got1["n_readings"].tolist() == [1] and got1["twa"].isna().all()
+
+
+def test_grouped_rate_bounds(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.agg import grouped_rate_bounds
+
+    t = pa.table(
+        {
+            "g": pa.array(["small"] * 2 + ["big"] * 500, pa.string()),
+            "flag": pa.array([True, True] + [True] * 480 + [False] * 20),
+        }
+    )
+    got = (
+        grouped_rate_bounds(ray.data.from_arrow(t).repartition(5), "g", "flag")
+        .to_pandas()
+        .set_index("g")
+    )
+    # 2/2 has rate 1.0 but its Wilson lower bound must rank BELOW 480/500
+    assert got.loc["small", "rate"] == 1.0
+    assert got.loc["small", "wilson_lo"] < got.loc["big", "wilson_lo"]
+    assert 0.0 <= got.loc["small", "wilson_lo"] <= 1.0
+    assert got.loc["big", "n"] == 500 and got.loc["big", "k"] == 480
+    # interval actually contains the point estimate
+    assert (
+        got.loc["big", "wilson_lo"]
+        < got.loc["big", "rate"]
+        < got.loc["big", "wilson_hi"]
+    )
+
+
 def test_ewma_singleton_and_alpha(ray_session):
     import ray.data
 
