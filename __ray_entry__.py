@@ -3228,6 +3228,30 @@ def _q_grouped_rate_bounds(sf_dir: str):
     return _by(grouped_rate_bounds(ev, "user_id", "flag"), "user_id")
 
 
+def _q_jaccard_join(sf_dir: str):
+    """Cross-corpus exact Jaccard similarity join (ops/dedup.py::
+    jaccard_join): even doc_ids play the existing corpus, odd the new
+    crawl; side rides the id's low bit through ONE AllPairs prefix-filter
+    pipeline, intra-side candidates dropped pre-verify. Oracle = all-pairs
+    cross-parity ground truth (lossless by the prefix-filter proof)."""
+    import numpy as np
+
+    from infidex_ray.ops.dedup import jaccard_join
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def side(parity: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % 2 == parity))
+
+        return fn
+
+    left = docs.map_batches(side(0), batch_format="pyarrow")
+    right = docs.map_batches(side(1), batch_format="pyarrow")
+    return _by(jaccard_join(left, right, threshold=0.4), "id_left", "id_right")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -3411,6 +3435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_trimmed_mean": _q_grouped_trimmed_mean,
         "time_weighted_avg": _q_time_weighted_avg,
         "grouped_rate_bounds": _q_grouped_rate_bounds,
+        "jaccard_join": _q_jaccard_join,
     }
 
 
@@ -5391,6 +5416,15 @@ def oracle_sql() -> dict[str, str]:
             "zz / (4.0 * (n::DOUBLE * n::DOUBLE)))) / denom AS half FROM c) "
             "SELECT user_id, n, k, p AS rate, center - half AS wilson_lo, "
             "center + half AS wilson_hi FROM d ORDER BY user_id"
+        ),
+        "jaccard_join": (
+            "WITH " + sqlgen.word_jaccard_pairs_core("documents", 0.4)
+            + ", x AS (SELECT CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b "
+            "END AS id_left, CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a "
+            "END AS id_right, jaccard FROM wjp "
+            "WHERE (id_a % 2) <> (id_b % 2)) "
+            "SELECT id_left, id_right, jaccard FROM x "
+            "ORDER BY id_left, id_right"
         ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (float-histogram fake codec) are

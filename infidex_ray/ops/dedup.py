@@ -2585,6 +2585,7 @@ def jaccard_prefix_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int | None = None,
+    _cross_parity_only: bool = False,
 ):
     """EXACT word-``n``-gram Jaccard similarity self-join via prefix
     filtering (the AllPairs/PPJoin candidate scheme) — the deterministic
@@ -2775,6 +2776,10 @@ def jaccard_prefix_pairs(
             ok = (da != db) & (
                 np.minimum(za, zb) >= threshold * np.maximum(za, zb) - 1.0
             )
+            if _cross_parity_only:
+                # jaccard_join encodes the side in the id's low bit —
+                # intra-side candidates never reach the verify stage
+                ok &= ((da ^ db) & 1).astype(bool)
             out_a.append(np.minimum(da, db)[ok])
             out_b.append(np.maximum(da, db)[ok])
         if not out_a:
@@ -2845,3 +2850,74 @@ def sh_slice_keyed(batch: pa.Table) -> pa.Table:
     with np.errstate(over="ignore"):
         sl = ((h * _MIX1) % np.uint64(num_slices)).astype(np.int32)
     return batch.append_column("slice", pa.array(sl))
+
+
+def jaccard_join(
+    left,
+    right,
+    threshold: float = 0.4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+):
+    """Cross-corpus EXACT word-``n``-gram Jaccard similarity JOIN — "which
+    pages of the new crawl near-duplicate something already in the corpus",
+    the R×S sibling of the :func:`jaccard_prefix_pairs` self-join (same
+    100 %-recall AllPairs prefix filtering, same exact verify; no
+    probabilistic band tuning).
+
+    Mechanics: the side is encoded into the id's low bit (``2·id`` left,
+    ``2·id + 1`` right — ids must fit 62 bits), both corpora stream through
+    ONE prefix-filter pipeline (shingle dfs are naturally counted over the
+    union), and the candidate stage drops intra-side pairs before anything
+    reaches the sketch-verify join — cross-side losslessness is inherited
+    from the self-join proof, since cross pairs are a subset of union
+    pairs.
+
+    Returns ``(id_left, id_right, jaccard)`` with exact
+    ``jaccard ≥ threshold`` (round-half-up 4), one row per qualifying
+    cross pair.
+    """
+
+    def enc(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids * 2 + side, pa.int64()),
+                    text_col: batch[text_col],
+                }
+            )
+
+        return fn
+
+    u = left.map_batches(enc(0), batch_format="pyarrow").union(
+        right.map_batches(enc(1), batch_format="pyarrow")
+    )
+    pairs = jaccard_prefix_pairs(
+        u,
+        threshold,
+        n,
+        "doc_id",
+        text_col,
+        num_partitions,
+        _cross_parity_only=True,
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        left_ids = np.where(a % 2 == 0, a, b) // 2
+        right_ids = np.where(a % 2 == 0, b, a) // 2
+        return pa.table(
+            {
+                "id_left": pa.array(left_ids.astype(np.int64)),
+                "id_right": pa.array(right_ids.astype(np.int64)),
+                "jaccard": batch["jaccard"],
+            }
+        )
+
+    return pairs.map_batches(decode, batch_format="pyarrow")

@@ -1,0 +1,72 @@
+"""Cross-corpus Jaccard join: cross-side pairs only, brute-force parity."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _brute_cross_pairs(left_rows, right_rows, n=3, t=0.4):
+    from infidex_ray.ops.dedup import _batch_doc_shingles
+
+    def sets(rows):
+        out = {}
+        for i, txt in rows:
+            idx, hashes = _batch_doc_shingles([txt], n)
+            out[i] = set(hashes.tolist())
+        return out
+
+    ls, rs = sets(left_rows), sets(right_rows)
+    pairs = []
+    for a, sa in ls.items():
+        for b, sb in rs.items():
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= t:
+                pairs.append((a, b))
+    return sorted(pairs)
+
+
+def test_jaccard_join_cross_only(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.dedup import jaccard_join
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tonight"
+    far = "completely different words about distributed query engines"
+    # left 10 and left 11 are near-dups of each other (same side: must NOT
+    # pair); right 20 near-dups left 10 (must pair)
+    left = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12], pa.int64()),
+            "text": pa.array([base, near, far], pa.string()),
+        }
+    )
+    right = pa.table(
+        {
+            "doc_id": pa.array([20, 21], pa.int64()),
+            "text": pa.array([base + " tomorrow", far + " at scale"],
+                             pa.string()),
+        }
+    )
+    got = (
+        jaccard_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            threshold=0.4,
+        )
+        .to_pandas()
+        .sort_values(["id_left", "id_right"])
+        .reset_index(drop=True)
+    )
+    want = _brute_cross_pairs(
+        list(zip(left["doc_id"].to_pylist(), left["text"].to_pylist())),
+        list(zip(right["doc_id"].to_pylist(), right["text"].to_pylist())),
+    )
+    assert list(zip(got["id_left"], got["id_right"])) == want
+    assert (10, 20) in want  # the planted cross near-dup survived
+    # intra-side near-dup (10, 11) is invisible to the join: every output
+    # pair is (left, right) — 11 never appears on the right side
+    assert 11 not in set(got["id_right"])
+    assert (10, 11) not in set(zip(got["id_left"], got["id_right"]))
+    assert (got["jaccard"] >= 0.4).all()
