@@ -3252,6 +3252,44 @@ def _q_jaccard_join(sf_dir: str):
     return _by(jaccard_join(left, right, threshold=0.4), "id_left", "id_right")
 
 
+_ENTITY_NAMES = ["Alice", "Bob", "Carol", "Dave", "Eve", "Frank", "Grace"]
+
+
+def _q_entity_cooccurrence(sf_dir: str):
+    """Entity co-mention graph (ops/entities.py::entity_cooccurrence):
+    capitalized-word mentions → per-doc distinct → in-doc pair expansion →
+    one pair-slice count shuffle. The lowercase synthetic corpus PLANTS
+    three deterministic entity mentions per doc via the same append
+    expression on both engines (the sitemap_urls planting pattern)."""
+    from infidex_ray.ops.entities import entity_cooccurrence
+
+    names = _ENTITY_NAMES
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        txt = batch["text"].to_pylist()
+        planted = [
+            (t or "")
+            + f" {names[d % 7]} {names[(d * 3 + 1) % 7]} {names[(d * 5 + 2) % 7]}"
+            for t, d in zip(txt, ids)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pa.array(planted, pa.string()),
+            }
+        )
+
+    docs = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+    )
+    return _by(
+        entity_cooccurrence(docs, min_count=2), "ent_a", "ent_b"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -3436,6 +3474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_weighted_avg": _q_time_weighted_avg,
         "grouped_rate_bounds": _q_grouped_rate_bounds,
         "jaccard_join": _q_jaccard_join,
+        "entity_cooccurrence": _q_entity_cooccurrence,
     }
 
 
@@ -5425,6 +5464,27 @@ def oracle_sql() -> dict[str, str]:
             "WHERE (id_a % 2) <> (id_b % 2)) "
             "SELECT id_left, id_right, jaccard FROM x "
             "ORDER BY id_left, id_right"
+        ),
+        "entity_cooccurrence": (
+            "WITH nm AS (SELECT ['Alice','Bob','Carol','Dave','Eve',"
+            "'Frank','Grace'] AS names), "
+            "t AS (SELECT doc_id, coalesce(text, '') || ' ' || "
+            "names[(doc_id % 7) + 1] || ' ' || "
+            "names[((doc_id * 3 + 1) % 7) + 1] || ' ' || "
+            "names[((doc_id * 5 + 2) % 7) + 1] AS text "
+            "FROM documents, nm), "
+            "w AS (SELECT doc_id, unnest(regexp_split_to_array(text, "
+            "'[^A-Za-z]+')) AS tok FROM t), "
+            "ents AS (SELECT DISTINCT doc_id, tok AS e FROM w "
+            "WHERE regexp_full_match(tok, '[A-Z][a-z]+')), "
+            "capped AS (SELECT doc_id, e FROM (SELECT doc_id, e, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY e) AS rn "
+            "FROM ents) WHERE rn <= 64), "
+            "p AS (SELECT a.e AS ent_a, b.e AS ent_b, count(*)::BIGINT "
+            "AS n_docs FROM capped a JOIN capped b "
+            "ON a.doc_id = b.doc_id AND a.e < b.e GROUP BY a.e, b.e) "
+            "SELECT ent_a, ent_b, n_docs FROM p WHERE n_docs >= 2 "
+            "ORDER BY ent_a, ent_b"
         ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (float-histogram fake codec) are

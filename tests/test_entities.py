@@ -1,0 +1,75 @@
+"""Entity co-occurrence — DuckDB double-entry + cap/dedup edge cases."""
+
+import pyarrow as pa
+
+
+def test_entity_cooccurrence(ray_session):
+    import duckdb
+    import ray.data
+
+    from infidex_ray.ops.entities import entity_cooccurrence
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "Alice met Bob. Alice met Bob again!",  # dup mentions: 1 doc
+                    "Bob and Alice and Carol went to NYC",  # NYC fails [A-Z][a-z]+
+                    "alice bob carol lowercase only",  # no entities
+                    "Alice Bob",  # second co-mention -> min_count reached
+                    None,  # null text
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    got = (
+        entity_cooccurrence(
+            ray.data.from_arrow(t).repartition(3), min_count=2, num_slices=2
+        )
+        .to_pandas()
+        .sort_values(["ent_a", "ent_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    want = con.execute(
+        "WITH w AS (SELECT doc_id, unnest(regexp_split_to_array("
+        "coalesce(text,''), '[^A-Za-z]+')) AS tok FROM documents), "
+        "ents AS (SELECT DISTINCT doc_id, tok AS e FROM w "
+        "WHERE regexp_full_match(tok, '[A-Z][a-z]+')), "
+        "p AS (SELECT a.e AS ent_a, b.e AS ent_b, count(*)::BIGINT AS "
+        "n_docs FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND "
+        "a.e < b.e GROUP BY a.e, b.e) "
+        "SELECT ent_a, ent_b, n_docs FROM p WHERE n_docs >= 2 "
+        "ORDER BY ent_a, ent_b"
+    ).df()
+    assert got["ent_a"].tolist() == want["ent_a"].tolist()
+    assert got["ent_b"].tolist() == want["ent_b"].tolist()
+    assert got["n_docs"].tolist() == want["n_docs"].tolist()
+    # the only edge reaching min_count=2 is (Alice, Bob): docs 1, 2, 4
+    assert got.iloc[0].tolist() == ["Alice", "Bob", 3]
+
+
+def test_entity_cap(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.entities import entity_cooccurrence
+
+    # 5 entities, cap at 3 -> only the 3 lexicographically smallest pair up
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                ["Eve Dave Carol Bob Alice", "Eve Dave Carol Bob Alice"],
+                pa.string(),
+            ),
+        }
+    )
+    got = entity_cooccurrence(
+        ray.data.from_arrow(t), min_count=2, max_entities_per_doc=3
+    ).to_pandas()
+    pairs = set(zip(got["ent_a"], got["ent_b"]))
+    assert pairs == {("Alice", "Bob"), ("Alice", "Carol"), ("Bob", "Carol")}
+    assert (got["n_docs"] == 2).all()
