@@ -3290,6 +3290,42 @@ def _q_entity_cooccurrence(sf_dir: str):
     )
 
 
+def _q_image_dhash(sf_dir: str):
+    """Perceptual image hashing plumbing (ops/multimodal.py::image_dhash,
+    actor pool): fake=True pins the md5-derived 8×9 pixel grid so DuckDB
+    recomputes every BIT of the 64-bit dHash (the image_meta convention —
+    real decode paths are pytest-locked)."""
+    from infidex_ray.ops.multimodal import image_dhash
+
+    def synth(batch: pa.Table) -> pa.Table:
+        blobs = [(t or "").encode("utf-8") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "media": pa.array(blobs, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents").map_batches(synth, batch_format="pyarrow")
+    return _by(image_dhash(ds, fake=True), "doc_id")
+
+
+def _q_image_dup_pairs(sf_dir: str):
+    """Image near-dup pairs (ops/multimodal.py::image_dup_pairs): dHash →
+    the shared SimHash pigeonhole Hamming engine. Fixture plants exact
+    triples (blob = 'img:' || doc_id // 3); the oracle recomputes hashes
+    bit-for-bit and mirrors the provably-complete 4-block candidate join
+    with bit_count(xor(...)) verification."""
+    from infidex_ray.ops.multimodal import image_dup_pairs
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        blobs = [f"img:{d // 3}".encode("utf-8") for d in ids]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "media": pa.array(blobs, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents").map_batches(synth, batch_format="pyarrow")
+    return _by(image_dup_pairs(ds, max_hamming=3, fake=True), "id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -3475,6 +3511,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_rate_bounds": _q_grouped_rate_bounds,
         "jaccard_join": _q_jaccard_join,
         "entity_cooccurrence": _q_entity_cooccurrence,
+        "image_dhash": _q_image_dhash,
+        "image_dup_pairs": _q_image_dup_pairs,
     }
 
 
@@ -5485,6 +5523,52 @@ def oracle_sql() -> dict[str, str]:
             "ON a.doc_id = b.doc_id AND a.e < b.e GROUP BY a.e, b.e) "
             "SELECT ent_a, ent_b, n_docs FROM p WHERE n_docs >= 2 "
             "ORDER BY ent_a, ent_b"
+        ),
+        "image_dhash": (
+            "WITH b AS (SELECT doc_id, md5(coalesce(text, '')) AS hx "
+            "FROM documents), "
+            "px AS (SELECT doc_id, i, CAST(md5_number_lower(hx || ':' || "
+            "CAST(i AS VARCHAR)) % 256 AS BIGINT) AS p FROM b CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 71)) AS i)), "
+            "bits AS (SELECT a.doc_id, (a.i // 9) * 8 + (a.i % 9) AS bp, "
+            "CASE WHEN nb.p > a.p THEN 1 ELSE 0 END AS bit FROM px a "
+            "JOIN px nb ON nb.doc_id = a.doc_id AND nb.i = a.i + 1 "
+            "WHERE a.i % 9 < 8), "
+            "s AS (SELECT doc_id, sum(CASE WHEN bit = 1 THEN "
+            "CAST(1 AS HUGEINT) << bp ELSE CAST(0 AS HUGEINT) END) AS u "
+            "FROM bits GROUP BY doc_id) "
+            "SELECT doc_id, 'image/fake' AS media_type, CAST(CASE WHEN "
+            "u >= CAST('9223372036854775808' AS HUGEINT) THEN "
+            "u - CAST('18446744073709551616' AS HUGEINT) ELSE u END "
+            "AS BIGINT) AS dhash FROM s ORDER BY doc_id"
+        ),
+        "image_dup_pairs": (
+            "WITH b AS (SELECT doc_id, md5('img:' || "
+            "CAST(doc_id // 3 AS VARCHAR)) AS hx FROM documents), "
+            "px AS (SELECT doc_id, i, CAST(md5_number_lower(hx || ':' || "
+            "CAST(i AS VARCHAR)) % 256 AS BIGINT) AS p FROM b CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 71)) AS i)), "
+            "bits AS (SELECT a.doc_id, (a.i // 9) * 8 + (a.i % 9) AS bp, "
+            "CASE WHEN nb.p > a.p THEN 1 ELSE 0 END AS bit FROM px a "
+            "JOIN px nb ON nb.doc_id = a.doc_id AND nb.i = a.i + 1 "
+            "WHERE a.i % 9 < 8), "
+            "s AS (SELECT doc_id, sum(CASE WHEN bit = 1 THEN "
+            "CAST(1 AS HUGEINT) << bp ELSE CAST(0 AS HUGEINT) END) AS u "
+            "FROM bits GROUP BY doc_id), "
+            "v AS (SELECT doc_id, CAST(CASE WHEN u >= "
+            "CAST('9223372036854775808' AS HUGEINT) THEN u - "
+            "CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) "
+            "AS h FROM s), "
+            "bl AS (SELECT doc_id, h, k, (h >> (16 * k)) & 65535 AS key "
+            "FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)), "
+            "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM bl a JOIN bl b ON a.k = b.k AND a.key = b.key "
+            "AND a.doc_id < b.doc_id), "
+            "hm AS (SELECT c.id_a, c.id_b, bit_count(xor(va.h, vb.h)) AS "
+            "hamming FROM cand c JOIN v va ON va.doc_id = c.id_a "
+            "JOIN v vb ON vb.doc_id = c.id_b) "
+            "SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM hm "
+            "WHERE hamming <= 3 ORDER BY id_a, id_b"
         ),
         # search_topk / search_topk_distributed (full coverage+fusion
         # cascade) and image_features (float-histogram fake codec) are

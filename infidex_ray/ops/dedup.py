@@ -1123,12 +1123,30 @@ def simhash_dup_pairs(
     hashed = ds.map_batches(
         lambda b: simhash_batch(b, id_col, text_col), batch_format="pyarrow"
     )
+    return hash_dup_pairs(
+        hashed, "simhash", max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def hash_dup_pairs(
+    hashed,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int = 512,
+):
+    """Pigeonhole Hamming-pair mining over ANY 64-bit perceptual-hash
+    column (SimHash text hashes, image dHashes, audio fingerprints): a pair
+    within distance ``max_hamming ≤ 3`` shares at least one of 4 16-bit
+    blocks, so 4 bucket rows per row find every such pair. Extracted from
+    the simhash path so multimodal hashes reuse the same engine."""
 
     def emit_blocks(batch: pa.Table) -> pa.Table:
         # 4 rows per doc, fully vectorized: shift the uint64 view of the
-        # simhash by each block offset and mask the 16-bit key
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        h = batch["simhash"].to_numpy(zero_copy_only=False)
+        # hash by each block offset and mask the 16-bit key
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = batch[hash_col].to_numpy(zero_copy_only=False)
         uh = h.view(np.uint64)
         n = len(ids)
         shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
@@ -1147,7 +1165,7 @@ def simhash_dup_pairs(
     blocks = hashed.map_batches(emit_blocks, batch_format="pyarrow")
 
     def pairs(group: pa.Table) -> pa.Table:
-        rows = sorted(set(zip(group["doc_id"].to_pylist(), group["simhash"].to_pylist())))
+        rows = sorted(set(zip(group["doc_id"].to_pylist(), group["simhash"].to_pylist())))  # noqa: E501 — "simhash" is the emit_blocks-internal name for any hash_col
         if len(rows) > max_bucket_size:
             rows = []  # oversize bucket dropped (see docstring)
         a, b, d = [], [], []

@@ -399,3 +399,158 @@ def audio_features(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+DHASH_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("media_type", pa.string()),
+        ("dhash", pa.int64()),
+    ]
+)
+
+
+class ImageDHashActor:
+    """Actor-pool ``map_batches`` stage: image payload → 64-bit difference
+    hash (dHash) — the perceptual fingerprint behind image near-dedup
+    (resize survives recompression/scaling; Hamming ≤ 3 ≈ same picture).
+
+    Same tri-state honesty contract as :class:`ImageFeatureActor`:
+
+    * real path (PIL, else builtin stdlib PNG): decode → grayscale →
+      box-resample to 9×8 → bit (r·8+c) = 1 iff px[r, c+1] > px[r, c].
+    * fake path (what SQL-oracle contract entries pin): the 72 grid
+      pixels come straight from the payload hash —
+      ``px[i] = md5_number_lower(md5_hex(blob) || ':' || i) % 256`` —
+      so DuckDB recomputes every BIT of the hash, making even the fake
+      plumbing value-checked end-to-end (the image_meta convention).
+    """
+
+    def __init__(
+        self,
+        media_col: str = "media",
+        id_col: str = "doc_id",
+        fake: bool | None = None,
+    ):
+        self.media_col = media_col
+        self.id_col = id_col
+        self._pil = None
+        if fake is not True:
+            try:
+                from PIL import Image  # noqa: F401
+
+                self._pil = Image
+            except ImportError:
+                pass
+        self.mode = "fake" if fake is True else ("strict" if fake is False else "auto")
+
+    @staticmethod
+    def _pack_bits(grid: np.ndarray) -> int:
+        """(8, 9) grid → 64-bit dHash as SIGNED int64 (uint64 bit view)."""
+        left = grid[:, :-1]
+        right = grid[:, 1:]
+        bits = (right > left).astype(np.uint64).reshape(-1)  # r*8 + c order
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        return int((bits * weights).sum(dtype=np.uint64).astype(np.int64))
+
+    def _dhash_real(self, blob: bytes) -> tuple[int, str]:
+        if self._pil is not None:
+            import io
+
+            img = self._pil.open(io.BytesIO(blob)).convert("L")
+            grid = np.asarray(img.resize((9, 8)), dtype=np.float64)
+            return self._pack_bits(grid), "image/decoded"
+        px = _codecs.decode_png(blob)
+        grid = _codecs.box_thumbnail(_codecs.png_luma(px), 8, 9)
+        return self._pack_bits(grid.astype(np.float64)), "image/png"
+
+    def _dhash_fake(self, blob: bytes) -> int:
+        hx = hashlib.md5(blob).hexdigest()
+        px = np.asarray(
+            [
+                int.from_bytes(
+                    hashlib.md5(f"{hx}:{i}".encode()).digest()[8:16], "little"
+                )
+                % 256
+                for i in range(72)
+            ],
+            dtype=np.int64,
+        ).reshape(8, 9)
+        return self._pack_bits(px)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch[self.media_col].to_pylist()
+        ids = batch[self.id_col].to_pylist()
+        out_id, out_mt, out_h = [], [], []
+        for i, blob in zip(ids, blobs):
+            blob = blob or b""
+            try_real = self.mode == "strict" or (
+                self.mode == "auto"
+                and (self._pil is not None or blob.startswith(_codecs.PNG_MAGIC))
+            )
+            if try_real:
+                try:
+                    h, mt = self._dhash_real(blob)
+                except Exception:
+                    if self.mode == "strict":
+                        h, mt = 0, "image/error"
+                    else:
+                        try_real = False
+            if not try_real:
+                h, mt = self._dhash_fake(blob), "image/fake"
+            out_id.append(i)
+            out_mt.append(mt)
+            out_h.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "media_type": pa.array(out_mt, pa.string()),
+                "dhash": pa.array(out_h, pa.int64()),
+            },
+            schema=DHASH_SCHEMA,
+        )
+
+
+def image_dhash(
+    ds,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    concurrency: int = 2,
+    fake: bool | None = None,
+):
+    """Actor-pool dHash over a binary media column (see
+    :class:`ImageDHashActor`)."""
+    return ds.map_batches(
+        ImageDHashActor,
+        fn_constructor_kwargs={
+            "media_col": media_col,
+            "id_col": id_col,
+            "fake": fake,
+        },
+        batch_size=32,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def image_dup_pairs(
+    ds,
+    max_hamming: int = 3,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    concurrency: int = 2,
+    fake: bool | None = None,
+    max_bucket_size: int = 512,
+):
+    """Image near-duplicate pairs: dHash per image (actor pool), then the
+    shared pigeonhole Hamming engine (:func:`ops.dedup.hash_dup_pairs` —
+    the SimHash machinery, reused verbatim for perceptual hashes). Returns
+    ``(id_a, id_b, hamming)`` with Hamming ≤ ``max_hamming``."""
+    from .dedup import hash_dup_pairs
+
+    hashed = image_dhash(ds, media_col, id_col, concurrency, fake).drop_columns(
+        ["media_type"]
+    )
+    return hash_dup_pairs(
+        hashed, "dhash", id_col, max_hamming, max_bucket_size
+    )
