@@ -3326,6 +3326,40 @@ def _q_image_dup_pairs(sf_dir: str):
     return _by(image_dup_pairs(ds, max_hamming=3, fake=True), "id_a", "id_b")
 
 
+def _q_audio_fingerprint(sf_dir: str):
+    """Audio energy-contour fingerprints (ops/multimodal.py::
+    audio_fingerprint, actor pool): fake=True pins md5-derived window
+    energies so DuckDB recomputes every bit; the stdlib-wave real path is
+    pytest-locked."""
+    from infidex_ray.ops.multimodal import audio_fingerprint
+
+    def synth(batch: pa.Table) -> pa.Table:
+        blobs = [(t or "").encode("utf-8") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "media": pa.array(blobs, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents").map_batches(synth, batch_format="pyarrow")
+    return _by(audio_fingerprint(ds, fake=True), "doc_id")
+
+
+def _q_audio_dup_pairs(sf_dir: str):
+    """Audio near-dup pairs: fingerprints through the shared pigeonhole
+    Hamming engine; fixture plants exact triples (blob = 'aud:' ||
+    doc_id // 3), oracle mirrors the provably-complete 4-block join."""
+    from infidex_ray.ops.multimodal import audio_dup_pairs
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        blobs = [f"aud:{d // 3}".encode("utf-8") for d in ids]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "media": pa.array(blobs, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents").map_batches(synth, batch_format="pyarrow")
+    return _by(audio_dup_pairs(ds, max_hamming=3, fake=True), "id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -3513,6 +3547,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_cooccurrence": _q_entity_cooccurrence,
         "image_dhash": _q_image_dhash,
         "image_dup_pairs": _q_image_dup_pairs,
+        "audio_fingerprint": _q_audio_fingerprint,
+        "audio_dup_pairs": _q_audio_dup_pairs,
     }
 
 
@@ -5552,6 +5588,50 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN nb.p > a.p THEN 1 ELSE 0 END AS bit FROM px a "
             "JOIN px nb ON nb.doc_id = a.doc_id AND nb.i = a.i + 1 "
             "WHERE a.i % 9 < 8), "
+            "s AS (SELECT doc_id, sum(CASE WHEN bit = 1 THEN "
+            "CAST(1 AS HUGEINT) << bp ELSE CAST(0 AS HUGEINT) END) AS u "
+            "FROM bits GROUP BY doc_id), "
+            "v AS (SELECT doc_id, CAST(CASE WHEN u >= "
+            "CAST('9223372036854775808' AS HUGEINT) THEN u - "
+            "CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) "
+            "AS h FROM s), "
+            "bl AS (SELECT doc_id, h, k, (h >> (16 * k)) & 65535 AS key "
+            "FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)), "
+            "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM bl a JOIN bl b ON a.k = b.k AND a.key = b.key "
+            "AND a.doc_id < b.doc_id), "
+            "hm AS (SELECT c.id_a, c.id_b, bit_count(xor(va.h, vb.h)) AS "
+            "hamming FROM cand c JOIN v va ON va.doc_id = c.id_a "
+            "JOIN v vb ON vb.doc_id = c.id_b) "
+            "SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM hm "
+            "WHERE hamming <= 3 ORDER BY id_a, id_b"
+        ),
+        "audio_fingerprint": (
+            "WITH b AS (SELECT doc_id, md5(coalesce(text, '')) AS hx "
+            "FROM documents), "
+            "e AS (SELECT doc_id, i, CAST(md5_number_lower(hx || ':' || "
+            "CAST(i AS VARCHAR)) % 4294967296 AS BIGINT) AS en FROM b "
+            "CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS i)), "
+            "bits AS (SELECT a.doc_id, a.i AS bp, CASE WHEN nb.en > a.en "
+            "THEN 1 ELSE 0 END AS bit FROM e a JOIN e nb ON "
+            "nb.doc_id = a.doc_id AND nb.i = a.i + 1 WHERE a.i < 64), "
+            "s AS (SELECT doc_id, sum(CASE WHEN bit = 1 THEN "
+            "CAST(1 AS HUGEINT) << bp ELSE CAST(0 AS HUGEINT) END) AS u "
+            "FROM bits GROUP BY doc_id) "
+            "SELECT doc_id, 'audio/fake' AS media_type, CAST(CASE WHEN "
+            "u >= CAST('9223372036854775808' AS HUGEINT) THEN "
+            "u - CAST('18446744073709551616' AS HUGEINT) ELSE u END "
+            "AS BIGINT) AS fingerprint FROM s ORDER BY doc_id"
+        ),
+        "audio_dup_pairs": (
+            "WITH b AS (SELECT doc_id, md5('aud:' || "
+            "CAST(doc_id // 3 AS VARCHAR)) AS hx FROM documents), "
+            "e AS (SELECT doc_id, i, CAST(md5_number_lower(hx || ':' || "
+            "CAST(i AS VARCHAR)) % 4294967296 AS BIGINT) AS en FROM b "
+            "CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS i)), "
+            "bits AS (SELECT a.doc_id, a.i AS bp, CASE WHEN nb.en > a.en "
+            "THEN 1 ELSE 0 END AS bit FROM e a JOIN e nb ON "
+            "nb.doc_id = a.doc_id AND nb.i = a.i + 1 WHERE a.i < 64), "
             "s AS (SELECT doc_id, sum(CASE WHEN bit = 1 THEN "
             "CAST(1 AS HUGEINT) << bp ELSE CAST(0 AS HUGEINT) END) AS u "
             "FROM bits GROUP BY doc_id), "

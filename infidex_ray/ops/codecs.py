@@ -285,3 +285,32 @@ def encode_wav(samples: np.ndarray, framerate: int = 16000) -> bytes:
         w.setframerate(framerate)
         w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
     return buf.getvalue()
+
+
+def wav_samples(blob: bytes) -> tuple[np.ndarray, int]:
+    """PCM sample vector (channel 0, int32) + framerate from a RIFF/WAVE
+    payload — the real-decode input of the audio fingerprint. 8-bit PCM is
+    recentered to signed; widths other than 1/2 bytes raise
+    :class:`CodecError`."""
+    import io
+    import wave
+
+    if sniff(blob) != "wav":
+        raise CodecError("not a RIFF/WAVE payload")
+    try:
+        with wave.open(io.BytesIO(blob)) as w:
+            fr = w.getframerate()
+            ch = w.getnchannels()
+            sw = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except wave.Error as e:
+        raise CodecError(f"WAV: {e}") from e
+    if sw == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    elif sw == 1:
+        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+    else:
+        raise CodecError(f"unsupported sample width {sw}")
+    if ch > 1:
+        arr = arr[::ch]
+    return arr, fr

@@ -554,3 +554,142 @@ def image_dup_pairs(
     return hash_dup_pairs(
         hashed, "dhash", id_col, max_hamming, max_bucket_size
     )
+
+
+FINGERPRINT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("media_type", pa.string()),
+        ("fingerprint", pa.int64()),
+    ]
+)
+
+
+class AudioFingerprintActor:
+    """Actor-pool ``map_batches`` stage: audio payload → 64-bit energy-
+    contour fingerprint (the Shazam-lite shape: a recompression-tolerant
+    hash for audio near-dedup; Hamming ≤ 3 ≈ same recording).
+
+    Real path (stdlib ``wave``): PCM samples → 65 equal bins of integer
+    energy (Σ sample², exact via a cumsum-difference — empty bins are 0)
+    → bit ``i`` = 1 iff ``E[i+1] > E[i]``. Fake path (what the SQL-oracle
+    contract pins): the 65 window energies come straight from the payload
+    hash — ``e[i] = md5_number_lower(md5_hex(blob) || ':' || i) % 2³²`` —
+    so DuckDB recomputes every bit (the :class:`ImageDHashActor`
+    convention). Tri-state ``fake`` dispatch as everywhere in this module.
+    """
+
+    def __init__(
+        self,
+        media_col: str = "media",
+        id_col: str = "doc_id",
+        fake: bool | None = None,
+    ):
+        self.media_col = media_col
+        self.id_col = id_col
+        self.mode = "fake" if fake is True else ("strict" if fake is False else "auto")
+
+    @staticmethod
+    def _pack(e: np.ndarray) -> int:
+        bits = (e[1:] > e[:-1]).astype(np.uint64)
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        return int((bits * weights).sum(dtype=np.uint64).astype(np.int64))
+
+    def _fp_real(self, blob: bytes) -> tuple[int, str]:
+        samples, _fr = _codecs.wav_samples(blob)
+        n = len(samples)
+        if n == 0:
+            return 0, "audio/wav"
+        sq = samples.astype(np.int64) ** 2
+        cs = np.concatenate([[0], np.cumsum(sq)])
+        edges = (np.arange(66, dtype=np.int64) * n) // 65
+        e = cs[edges[1:]] - cs[edges[:-1]]
+        return self._pack(e), "audio/wav"
+
+    def _fp_fake(self, blob: bytes) -> int:
+        hx = hashlib.md5(blob).hexdigest()
+        e = np.asarray(
+            [
+                int.from_bytes(
+                    hashlib.md5(f"{hx}:{i}".encode()).digest()[8:16], "little"
+                )
+                % (1 << 32)
+                for i in range(65)
+            ],
+            dtype=np.int64,
+        )
+        return self._pack(e)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch[self.media_col].to_pylist()
+        ids = batch[self.id_col].to_pylist()
+        out_id, out_mt, out_h = [], [], []
+        for i, blob in zip(ids, blobs):
+            blob = blob or b""
+            try_real = self.mode == "strict" or (
+                self.mode == "auto" and _codecs.sniff(blob) == "wav"
+            )
+            if try_real:
+                try:
+                    h, mt = self._fp_real(blob)
+                except Exception:
+                    if self.mode == "strict":
+                        h, mt = 0, "audio/error"
+                    else:
+                        try_real = False
+            if not try_real:
+                h, mt = self._fp_fake(blob), "audio/fake"
+            out_id.append(i)
+            out_mt.append(mt)
+            out_h.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "media_type": pa.array(out_mt, pa.string()),
+                "fingerprint": pa.array(out_h, pa.int64()),
+            },
+            schema=FINGERPRINT_SCHEMA,
+        )
+
+
+def audio_fingerprint(
+    ds,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    concurrency: int = 2,
+    fake: bool | None = None,
+):
+    """Actor-pool audio fingerprint (see :class:`AudioFingerprintActor`)."""
+    return ds.map_batches(
+        AudioFingerprintActor,
+        fn_constructor_kwargs={
+            "media_col": media_col,
+            "id_col": id_col,
+            "fake": fake,
+        },
+        batch_size=32,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def audio_dup_pairs(
+    ds,
+    max_hamming: int = 3,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    concurrency: int = 2,
+    fake: bool | None = None,
+    max_bucket_size: int = 512,
+):
+    """Audio near-duplicate pairs: fingerprint per payload (actor pool) →
+    the shared pigeonhole Hamming engine (:func:`ops.dedup.hash_dup_pairs`).
+    Returns ``(id_a, id_b, hamming)``."""
+    from .dedup import hash_dup_pairs
+
+    hashed = audio_fingerprint(
+        ds, media_col, id_col, concurrency, fake
+    ).drop_columns(["media_type"])
+    return hash_dup_pairs(
+        hashed, "fingerprint", id_col, max_hamming, max_bucket_size
+    )
