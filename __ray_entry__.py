@@ -3360,6 +3360,20 @@ def _q_audio_dup_pairs(sf_dir: str):
     return _by(audio_dup_pairs(ds, max_hamming=3, fake=True), "id_a", "id_b")
 
 
+def _q_kmv_set_ops(sf_dir: str):
+    """Pairwise distinct-user union/intersection estimates across event
+    types via mergeable KMV sketch algebra (ops/sketches.py::kmv_set_ops,
+    k=64): every estimate is a fixed float expression over integer hashes
+    ⇒ DuckDB reproduces the approximation error bit-for-bit."""
+    from infidex_ray.ops.sketches import kmv_set_ops
+
+    return _by(
+        kmv_set_ops(_read(sf_dir, "events"), "event_type", "user_id", k=64),
+        "src_a",
+        "src_b",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_text": _q_normalize,
@@ -3549,6 +3563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dup_pairs": _q_image_dup_pairs,
         "audio_fingerprint": _q_audio_fingerprint,
         "audio_dup_pairs": _q_audio_dup_pairs,
+        "kmv_set_ops": _q_kmv_set_ops,
     }
 
 
@@ -5622,6 +5637,43 @@ def oracle_sql() -> dict[str, str]:
             "u >= CAST('9223372036854775808' AS HUGEINT) THEN "
             "u - CAST('18446744073709551616' AS HUGEINT) ELSE u END "
             "AS BIGINT) AS fingerprint FROM s ORDER BY doc_id"
+        ),
+        "kmv_set_ops": (
+            # same KMV algebra as the op: per-source bottom-64 distinct
+            # hashes, per-pair merged bottom-64, tau = h_(64); union =
+            # 63*2^64/tau, inter = (nboth/64)*union_raw; exact when the
+            # merged set has < 64 hashes (both sketches exact)
+            "WITH h AS (SELECT DISTINCT event_type AS src, "
+            "md5_number_lower('kmv:' || CAST(user_id AS VARCHAR)) AS h "
+            "FROM events WHERE user_id IS NOT NULL "
+            "AND event_type IS NOT NULL), "
+            "r AS (SELECT src, h, row_number() OVER (PARTITION BY src "
+            "ORDER BY h) AS rnk FROM h), "
+            "sk AS (SELECT src, h FROM r WHERE rnk <= 64), "
+            "srcs AS (SELECT DISTINCT src FROM sk), "
+            "pairs AS (SELECT a.src AS sa, b.src AS sb FROM srcs a "
+            "JOIN srcs b ON a.src < b.src), "
+            "m AS (SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s "
+            "ON s.src = p.sa OR s.src = p.sb GROUP BY p.sa, p.sb, s.h), "
+            "mr AS (SELECT sa, sb, h, row_number() OVER (PARTITION BY "
+            "sa, sb ORDER BY h) AS rnk, count(*) OVER (PARTITION BY sa, sb) "
+            "AS cnt FROM m), "
+            "top AS (SELECT sa, sb, h, rnk, cnt FROM mr WHERE rnk <= 64), "
+            "flags AS (SELECT t.sa, t.sb, t.h, t.rnk, t.cnt, CASE WHEN "
+            "ka.h IS NOT NULL AND kb.h IS NOT NULL THEN 1 ELSE 0 END AS "
+            "boths FROM top t LEFT JOIN sk ka ON ka.src = t.sa AND "
+            "ka.h = t.h LEFT JOIN sk kb ON kb.src = t.sb AND kb.h = t.h), "
+            "agg AS (SELECT sa, sb, max(cnt) AS cnt, CAST(sum(boths) AS "
+            "BIGINT) AS nboth, max(CASE WHEN rnk = 64 THEN h END) AS kth "
+            "FROM flags GROUP BY sa, sb) "
+            "SELECT sa AS src_a, sb AS src_b, "
+            "CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE) ELSE "
+            "ROUND(63.0 * 18446744073709551616.0 / CAST(kth AS DOUBLE), 4) "
+            "END AS union_est, "
+            "CASE WHEN cnt < 64 THEN CAST(nboth AS DOUBLE) ELSE "
+            "ROUND((CAST(nboth AS DOUBLE) / 64.0) * (63.0 * "
+            "18446744073709551616.0 / CAST(kth AS DOUBLE)), 4) "
+            "END AS inter_est FROM agg ORDER BY src_a, src_b"
         ),
         "audio_dup_pairs": (
             "WITH b AS (SELECT doc_id, md5('aud:' || "

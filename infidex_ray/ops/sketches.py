@@ -39,6 +39,7 @@ __all__ = [
     "approx_distinct_by",
     "cms_counts",
     "kmv_distinct",
+    "kmv_set_ops",
     "bloom_against",
     "priority_sample",
 ]
@@ -480,4 +481,130 @@ def priority_sample(
         ds.map_batches(partial, batch_format="pyarrow")
         .sort(["q", key_col], descending=[True, False])
         .limit(k)
+    )
+
+
+def kmv_set_ops(ds, source_col: str, col: str, k: int = 256, salt: str = "kmv"):
+    """Pairwise union / intersection cardinality ESTIMATES between sources
+    from mergeable KMV sketches (Beyer et al., SIGMOD 2007) — the sketch
+    algebra HLL registers cannot express: "how many users do sources A and
+    B share?" without ever co-shuffling their values.
+
+    Per source: bottom-``k`` distinct ``md5(salt:value)`` hashes (exact set
+    when the source has < k distinct values). Per pair (A, B): merge the
+    two sketches, keep the bottom k; with ``τ = h_(k)`` of the merged set,
+    ``union_est = (k−1)·2⁶⁴/τ`` and ``inter_est = (ρ/k)·union_raw`` where
+    ``ρ`` counts merged-top-k hashes present in BOTH sketches. When the
+    merged set has < k hashes both sketches were exact, so both estimates
+    collapse to exact counts. Every quantity is integer-derived with one
+    fixed float expression per estimate ⇒ the DuckDB oracle reproduces the
+    approximation error bit-for-bit (the :func:`kmv_distinct` contract).
+
+    Scale shape: per-block per-source bottom-k partials → one source-slice
+    groupby → ≤ |sources|·k rows to the driver for the O(|sources|²) pair
+    algebra (the ``corpus_overlap`` driver-rows convention; sources are a
+    handful, values never leave their blocks unaggregated).
+
+    Output: ``(src_a, src_b, union_est, inter_est)`` with src_a < src_b,
+    estimates rounded half-away 4dp.
+    """
+    from .dedup import _default_num_slices, round_half_up4
+
+    num_slices = _default_num_slices()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([source_col, col])
+        t = t.filter(pc.and_(t[source_col].is_valid(), t[col].is_valid()))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.string()),
+                    "h": pa.array([], pa.int64()),
+                    "slice": pa.array([], pa.int32()),
+                }
+            )
+        t = t.group_by([source_col, col]).aggregate([])
+        srcs = np.asarray(
+            t[source_col].cast(pa.string()).to_pylist(), dtype=object
+        )
+        h = np.asarray(
+            [_md5_u64(f"{salt}:{v}") for v in t[col].to_pylist()],
+            dtype=np.uint64,
+        )
+        order = np.lexsort((h, srcs))
+        ss, hs = srcs[order], h[order]
+        starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+        lens = np.diff(np.r_[starts, len(ss)])
+        pos = np.arange(len(ss)) - np.repeat(starts, lens)
+        keep = pos < k
+        ss, hs = ss[keep], hs[keep]
+        sl = np.asarray(
+            [_md5_u64("ks:" + s) % num_slices for s in ss], dtype=np.int32
+        )
+        return pa.table(
+            {
+                "src": pa.array(ss, pa.string()),
+                "h": pa.array(hs.view(np.int64)),
+                "slice": pa.array(sl),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["slice"])
+        if t.num_rows == 0:
+            return pa.table(
+                {"src": pa.array([], pa.string()), "h": pa.array([], pa.int64())}
+            )
+        t = t.group_by(["src", "h"]).aggregate([])
+        srcs = np.asarray(t["src"].to_pylist(), dtype=object)
+        h = t["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((h, srcs))
+        ss, hs = srcs[order], h[order]
+        starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+        lens = np.diff(np.r_[starts, len(ss)])
+        pos = np.arange(len(ss)) - np.repeat(starts, lens)
+        keep = pos < k
+        return pa.table(
+            {
+                "src": pa.array(ss[keep], pa.string()),
+                "h": pa.array(hs[keep].view(np.int64)),
+            }
+        )
+
+    sk = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(merge, batch_format="pyarrow")
+        .to_pandas()  # ≤ |sources| × k rows by construction
+    )
+    sketches: dict = {}
+    for s, grp in sk.groupby("src"):
+        sketches[s] = np.sort(grp["h"].to_numpy().view(np.uint64))
+    names = sorted(sketches)
+    rows = {"src_a": [], "src_b": [], "union_est": [], "inter_est": []}
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            ka, kb = sketches[a], sketches[b]
+            merged = np.union1d(ka, kb)
+            top = merged[:k]
+            in_both = np.isin(top, ka) & np.isin(top, kb)
+            nboth = int(in_both.sum())
+            if len(merged) < k:
+                union_est = float(len(merged))
+                inter_est = float(nboth)
+            else:
+                raw = (float(k - 1) * _TWO64) / float(top[k - 1])
+                union_est = raw
+                inter_est = (float(nboth) / float(k)) * raw
+            rows["src_a"].append(a)
+            rows["src_b"].append(b)
+            rows["union_est"].append(round_half_up4(union_est))
+            rows["inter_est"].append(round_half_up4(inter_est))
+    return pa.table(
+        {
+            "src_a": pa.array(rows["src_a"], pa.string()),
+            "src_b": pa.array(rows["src_b"], pa.string()),
+            "union_est": pa.array(rows["union_est"], pa.float64()),
+            "inter_est": pa.array(rows["inter_est"], pa.float64()),
+        }
     )

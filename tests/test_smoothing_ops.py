@@ -240,3 +240,53 @@ def test_ewma_singleton_and_alpha(ray_session):
     # user 7: s1=4, s2=0.25*8 + 0.75*4 = 5; user 8 singleton: s1=5
     assert got["ewma"].tolist() == [4.0, 5.0, 5.0]
     assert got["i"].tolist() == [1, 2, 1]
+
+
+def test_kmv_set_ops(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.sketches import kmv_set_ops
+
+    # sources A/B share users 0..199; B/C disjoint
+    rows_src, rows_val = [], []
+    for u in range(300):
+        rows_src.append("A")
+        rows_val.append(u)
+    for u in range(100, 400):
+        rows_src.append("B")
+        rows_val.append(u)
+    for u in range(1000, 1100):
+        rows_src.append("C")
+        rows_val.append(u)
+    t = pa.table(
+        {
+            "src": pa.array(rows_src, pa.string()),
+            "val": pa.array(rows_val, pa.int64()),
+        }
+    )
+    got = (
+        kmv_set_ops(ray.data.from_arrow(t).repartition(7), "src", "val", k=128)
+        .to_pandas()
+        .set_index(["src_a", "src_b"])
+    )
+    # A∪B = 400, A∩B = 200; k=128 < distinct -> estimates within ~25%
+    assert abs(got.loc[("A", "B"), "union_est"] - 400) < 100
+    assert abs(got.loc[("A", "B"), "inter_est"] - 200) < 60
+    # B∩C disjoint -> intersection estimate exactly 0 hashes in both
+    assert got.loc[("B", "C"), "inter_est"] == 0.0
+    # A vs C: exact path NOT hit (each has >=128 distinct) but union must
+    # exceed either side's sketch size
+    assert got.loc[("A", "C"), "union_est"] > 128
+
+    # exact path: tiny sources -> exact counts
+    t2 = pa.table(
+        {
+            "src": pa.array(["X"] * 10 + ["Y"] * 8, pa.string()),
+            "val": pa.array(list(range(10)) + list(range(5, 13)), pa.int64()),
+        }
+    )
+    got2 = kmv_set_ops(
+        ray.data.from_arrow(t2), "src", "val", k=128
+    ).to_pandas()
+    assert got2["union_est"].tolist() == [13.0]
+    assert got2["inter_est"].tolist() == [5.0]
