@@ -3254,6 +3254,36 @@ def _q_jaccard_join(sf_dir: str):
 
 _ENTITY_NAMES = ["Alice", "Bob", "Carol", "Dave", "Eve", "Frank", "Grace"]
 
+# shared CTE chain for the image-dHash oracles: planted triple blobs
+# ('img:' || doc_id // 3) → md5-derived 8×9 pixel grid → 64-bit dHash →
+# 4-block pigeonhole candidates → exact Hamming (ends with `hm`)
+_IMAGE_DHASH_PAIR_CTES = (
+    "b AS (SELECT doc_id, md5('img:' || "
+    "CAST(doc_id // 3 AS VARCHAR)) AS hx FROM documents), "
+    "px AS (SELECT doc_id, i, CAST(md5_number_lower(hx || ':' || "
+    "CAST(i AS VARCHAR)) % 256 AS BIGINT) AS p FROM b CROSS JOIN "
+    "(SELECT unnest(generate_series(0, 71)) AS i)), "
+    "bits AS (SELECT a.doc_id, (a.i // 9) * 8 + (a.i % 9) AS bp, "
+    "CASE WHEN nb.p > a.p THEN 1 ELSE 0 END AS bit FROM px a "
+    "JOIN px nb ON nb.doc_id = a.doc_id AND nb.i = a.i + 1 "
+    "WHERE a.i % 9 < 8), "
+    "s AS (SELECT doc_id, sum(CASE WHEN bit = 1 THEN "
+    "CAST(1 AS HUGEINT) << bp ELSE CAST(0 AS HUGEINT) END) AS u "
+    "FROM bits GROUP BY doc_id), "
+    "v AS (SELECT doc_id, CAST(CASE WHEN u >= "
+    "CAST('9223372036854775808' AS HUGEINT) THEN u - "
+    "CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) "
+    "AS h FROM s), "
+    "bl AS (SELECT doc_id, h, k, (h >> (16 * k)) & 65535 AS key "
+    "FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)), "
+    "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM bl a JOIN bl b ON a.k = b.k AND a.key = b.key "
+    "AND a.doc_id < b.doc_id), "
+    "hm AS (SELECT c.id_a, c.id_b, bit_count(xor(va.h, vb.h)) AS "
+    "hamming FROM cand c JOIN v va ON va.doc_id = c.id_a "
+    "JOIN v vb ON vb.doc_id = c.id_b)"
+)
+
 
 def _q_entity_cooccurrence(sf_dir: str):
     """Entity co-mention graph (ops/entities.py::entity_cooccurrence):
@@ -3358,6 +3388,25 @@ def _q_audio_dup_pairs(sf_dir: str):
 
     ds = _read(sf_dir, "documents").map_batches(synth, batch_format="pyarrow")
     return _by(audio_dup_pairs(ds, max_hamming=3, fake=True), "id_a", "id_b")
+
+
+def _q_image_dedup_corpus(sf_dir: str):
+    """End-to-end image near-dedup (ops/multimodal.py::image_dedup_corpus):
+    dHash pairs → label-prop components → anti-join keeps one
+    representative per perceptual cluster; oracle = recursive transitive
+    closure over the bit-recomputed pair graph."""
+    from infidex_ray.ops.multimodal import image_dedup_corpus
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        blobs = [f"img:{d // 3}".encode("utf-8") for d in ids]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "media": pa.array(blobs, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents").map_batches(synth, batch_format="pyarrow")
+    kept = image_dedup_corpus(ds, max_hamming=3, fake=True)
+    return _by(kept.select_columns(["doc_id"]), "doc_id")
 
 
 def _q_kmv_set_ops(sf_dir: str):
@@ -3564,6 +3613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_fingerprint": _q_audio_fingerprint,
         "audio_dup_pairs": _q_audio_dup_pairs,
         "kmv_set_ops": _q_kmv_set_ops,
+        "image_dedup_corpus": _q_image_dedup_corpus,
     }
 
 
@@ -5594,32 +5644,21 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS dhash FROM s ORDER BY doc_id"
         ),
         "image_dup_pairs": (
-            "WITH b AS (SELECT doc_id, md5('img:' || "
-            "CAST(doc_id // 3 AS VARCHAR)) AS hx FROM documents), "
-            "px AS (SELECT doc_id, i, CAST(md5_number_lower(hx || ':' || "
-            "CAST(i AS VARCHAR)) % 256 AS BIGINT) AS p FROM b CROSS JOIN "
-            "(SELECT unnest(generate_series(0, 71)) AS i)), "
-            "bits AS (SELECT a.doc_id, (a.i // 9) * 8 + (a.i % 9) AS bp, "
-            "CASE WHEN nb.p > a.p THEN 1 ELSE 0 END AS bit FROM px a "
-            "JOIN px nb ON nb.doc_id = a.doc_id AND nb.i = a.i + 1 "
-            "WHERE a.i % 9 < 8), "
-            "s AS (SELECT doc_id, sum(CASE WHEN bit = 1 THEN "
-            "CAST(1 AS HUGEINT) << bp ELSE CAST(0 AS HUGEINT) END) AS u "
-            "FROM bits GROUP BY doc_id), "
-            "v AS (SELECT doc_id, CAST(CASE WHEN u >= "
-            "CAST('9223372036854775808' AS HUGEINT) THEN u - "
-            "CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) "
-            "AS h FROM s), "
-            "bl AS (SELECT doc_id, h, k, (h >> (16 * k)) & 65535 AS key "
-            "FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)), "
-            "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
-            "FROM bl a JOIN bl b ON a.k = b.k AND a.key = b.key "
-            "AND a.doc_id < b.doc_id), "
-            "hm AS (SELECT c.id_a, c.id_b, bit_count(xor(va.h, vb.h)) AS "
-            "hamming FROM cand c JOIN v va ON va.doc_id = c.id_a "
-            "JOIN v vb ON vb.doc_id = c.id_b) "
-            "SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM hm "
+            "WITH " + _IMAGE_DHASH_PAIR_CTES
+            + " SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM hm "
             "WHERE hamming <= 3 ORDER BY id_a, id_b"
+        ),
+        "image_dedup_corpus": (
+            "WITH RECURSIVE " + _IMAGE_DHASH_PAIR_CTES
+            + ", sel AS (SELECT id_a, id_b FROM hm WHERE hamming <= 3), "
+            "edges AS (SELECT id_a AS src, id_b AS dst FROM sel "
+            "UNION SELECT id_b, id_a FROM sel), "
+            "reach(src, dst) AS (SELECT src, dst FROM edges UNION "
+            "SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), "
+            "rep AS (SELECT src AS node, min(dst) AS mn FROM reach "
+            "GROUP BY src) "
+            "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+            "(SELECT node FROM rep WHERE mn < node) ORDER BY doc_id"
         ),
         "audio_fingerprint": (
             "WITH b AS (SELECT doc_id, md5(coalesce(text, '')) AS hx "

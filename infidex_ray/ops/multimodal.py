@@ -693,3 +693,27 @@ def audio_dup_pairs(
     return hash_dup_pairs(
         hashed, "fingerprint", id_col, max_hamming, max_bucket_size
     )
+
+
+def image_dedup_corpus(
+    ds,
+    max_hamming: int = 3,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    concurrency: int = 2,
+    fake: bool | None = None,
+    num_partitions: int | None = None,
+):
+    """End-to-end image near-dedup: dHash pairs → connected components →
+    anti-join, keeping one representative (the min id) per perceptual
+    cluster — the visual sibling of ``dedup_corpus_ds`` for a crawl's
+    image payloads. Composition of :func:`image_dup_pairs` and
+    ``ops.dedup.dedup_corpus_ds`` (label propagation + anti-join; size-
+    gated to a driver union-find below the broadcast threshold). Returns
+    the surviving rows of ``ds``."""
+    from .dedup import dedup_corpus_ds
+
+    pairs = image_dup_pairs(
+        ds, max_hamming, media_col, id_col, concurrency, fake
+    )
+    return dedup_corpus_ds(ds, pairs, id_col, num_partitions)

@@ -97,3 +97,27 @@ def test_fake_dhash_matches_duckdb(ray_session):
     assert got["dhash"].tolist() == want["dhash"].tolist()
     # identical payloads -> identical hashes
     assert got.loc[0, "dhash"] == got.loc[3, "dhash"]
+
+
+def test_image_dedup_corpus_real_path(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.multimodal import image_dedup_corpus
+
+    rng = np.random.RandomState(11)
+    imgs = []
+    for g in range(4):  # 4 clusters of 2 near-identical images
+        base = (rng.rand(24, 27) * 255).astype(np.uint8)
+        near = np.clip(base.astype(np.int16) + 1, 0, 255).astype(np.uint8)
+        imgs += [base, near]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(8)), pa.int64()),
+            "media": pa.array([_png_of(x) for x in imgs], pa.binary()),
+        }
+    )
+    kept = image_dedup_corpus(
+        ray.data.from_arrow(t), max_hamming=3
+    ).to_pandas()
+    # one representative (the min id) per cluster
+    assert sorted(kept["doc_id"].tolist()) == [0, 2, 4, 6]
