@@ -3409,6 +3409,27 @@ def _q_image_dedup_corpus(sf_dir: str):
     return _by(kept.select_columns(["doc_id"]), "doc_id")
 
 
+def _q_token_spectrum(sf_dir: str):
+    """Corpus frequency spectrum + Good-Turing adjusted counts
+    (ops/textstats.py::token_spectrum): token-slice count merge → per-slice
+    count-of-counts partials → spectrum-sized driver merge; exact ints,
+    one mirrored float expression for r*."""
+    from infidex_ray.ops.textstats import token_spectrum
+
+    return token_spectrum(_read(sf_dir, "documents"))
+
+
+def _q_token_burstiness(sf_dir: str):
+    """Per-token variance-to-mean burstiness (Church-Gale content-word
+    signal; ops/textstats.py::token_burstiness): exact int64 (df, Σc, Σc²)
+    per-batch run partials → token-slice merge; mirrored float finish."""
+    from infidex_ray.ops.textstats import token_burstiness
+
+    return _by(
+        token_burstiness(_read(sf_dir, "documents"), min_df=2), "token"
+    )
+
+
 def _q_kmv_set_ops(sf_dir: str):
     """Pairwise distinct-user union/intersection estimates across event
     types via mergeable KMV sketch algebra (ops/sketches.py::kmv_set_ops,
@@ -3614,6 +3635,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_dup_pairs": _q_audio_dup_pairs,
         "kmv_set_ops": _q_kmv_set_ops,
         "image_dedup_corpus": _q_image_dedup_corpus,
+        "token_spectrum": _q_token_spectrum,
+        "token_burstiness": _q_token_burstiness,
     }
 
 
@@ -5676,6 +5699,33 @@ def oracle_sql() -> dict[str, str]:
             "u >= CAST('9223372036854775808' AS HUGEINT) THEN "
             "u - CAST('18446744073709551616' AS HUGEINT) ELSE u END "
             "AS BIGINT) AS fingerprint FROM s ORDER BY doc_id"
+        ),
+        "token_spectrum": (
+            "WITH tok AS (SELECT unnest(regexp_split_to_array(lower("
+            "coalesce(text, '')), '[ \\t\\n\\r]+')) AS t FROM documents), "
+            "ct AS (SELECT t, count(*)::BIGINT AS n FROM tok "
+            "WHERE t <> '' GROUP BY t), "
+            "sp AS (SELECT n AS freq, count(*)::BIGINT AS n_tokens "
+            "FROM ct GROUP BY n) "
+            "SELECT a.freq, a.n_tokens, round((a.freq + 1)::DOUBLE * "
+            "b.n_tokens::DOUBLE / a.n_tokens::DOUBLE, 6) AS r_star "
+            "FROM sp a LEFT JOIN sp b ON b.freq = a.freq + 1 "
+            "ORDER BY a.freq"
+        ),
+        "token_burstiness": (
+            "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array("
+            "lower(coalesce(text, '')), '[ \\t\\n\\r]+')) AS t "
+            "FROM documents), "
+            "ct AS (SELECT doc_id, t, count(*)::BIGINT AS c FROM tok "
+            "WHERE t <> '' GROUP BY doc_id, t), "
+            "n AS (SELECT count(*)::BIGINT AS nd FROM documents), "
+            "s AS (SELECT t AS token, count(*)::BIGINT AS df, "
+            "CAST(sum(c) AS BIGINT) AS total, CAST(sum(c*c) AS BIGINT) "
+            "AS sq FROM ct GROUP BY t) "
+            "SELECT token, df, total, round(((sq::DOUBLE / nd::DOUBLE) - "
+            "(total::DOUBLE / nd::DOUBLE) * (total::DOUBLE / nd::DOUBLE)) "
+            "/ (total::DOUBLE / nd::DOUBLE), 6) AS burstiness "
+            "FROM s, n WHERE df >= 2 ORDER BY token"
         ),
         "kmv_set_ops": (
             # same KMV algebra as the op: per-source bottom-64 distinct

@@ -813,3 +813,230 @@ def grouped_mad(ds, group_col: str, value_col: str):
         .groupby(group_col)
         .map_groups(agg, batch_format="pyarrow")
     )
+
+
+def _round6(x: float) -> float:
+    """Half-away-from-zero 6-dp rounding (DuckDB ROUND parity)."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
+def token_spectrum(ds, text_col: str = "text") -> pa.Table:
+    """Corpus frequency spectrum (count-of-counts): how many distinct
+    tokens occur exactly ``freq`` times — the Zipf curve LM vocabulary
+    sizing reads, plus the Good-Turing adjusted count
+    ``r* = (r+1)·N_{r+1}/N_r`` (Gale & Sampson 1995; NULL at spectrum
+    holes), the smoothing input for unseen-mass estimation.
+
+    Scale shape: per-batch ``value_counts`` partials → one md5 token-slice
+    groupby summing per token vectorized (never one Ray group per token)
+    → each slice emits its own count-of-counts partial (≤ |distinct
+    freqs| rows) → the driver merges a spectrum-sized table (thousands of
+    rows at any corpus size — frequencies are dense near 1 and sparse
+    above). All counts exact int64; ``r*`` is one mirrored float
+    expression ⇒ bitwise before ROUND(…, 6).
+
+    Returns a pa.Table ``(freq, n_tokens, r_star)`` ordered by freq.
+    """
+    import pyarrow.compute as pc
+
+    from .dedup import _default_num_slices, _md5_u64
+
+    num_slices = _default_num_slices()
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), pattern="[ \t\n\r]+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        tokens = vc.field("values").cast(pa.string())
+        sl = np.asarray(
+            [_md5_u64(t) % num_slices for t in tokens.to_pylist()],
+            dtype=np.int32,
+        )
+        return pa.table(
+            {
+                "token": tokens,
+                "n": vc.field("counts").cast(pa.int64()),
+                "slice": pa.array(sl),
+            }
+        )
+
+    def slice_spectrum(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["slice"])
+        if t.num_rows == 0:
+            return pa.table(
+                {"freq": pa.array([], pa.int64()), "nt": pa.array([], pa.int64())}
+            )
+        toks = np.asarray(t["token"].to_pylist(), dtype=object)
+        ns = t["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(toks, kind="stable")
+        ts, nss = toks[order], ns[order]
+        starts = np.flatnonzero(np.r_[True, ts[1:] != ts[:-1]])
+        totals = np.add.reduceat(nss, starts)
+        freqs, counts = np.unique(totals, return_counts=True)
+        return pa.table(
+            {
+                "freq": pa.array(freqs.astype(np.int64)),
+                "nt": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    sp = (
+        ds.select_columns([text_col])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(slice_spectrum, batch_format="pyarrow")
+        .to_pandas()  # ≤ |slices| × |distinct freqs| rows
+    )
+    if len(sp) == 0:
+        return pa.table(
+            {
+                "freq": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "r_star": pa.array([], pa.float64()),
+            }
+        )
+    agg = sp.groupby("freq", as_index=False)["nt"].sum().sort_values("freq")
+    freqs = agg["freq"].to_numpy()
+    nts = agg["nt"].to_numpy()
+    nxt = {f: n for f, n in zip(freqs, nts)}
+    r_star = [
+        (
+            _round6(float(f + 1) * float(nxt[f + 1]) / float(n))
+            if f + 1 in nxt
+            else None
+        )
+        for f, n in zip(freqs, nts)
+    ]
+    return pa.table(
+        {
+            "freq": pa.array(freqs.astype(np.int64)),
+            "n_tokens": pa.array(nts.astype(np.int64)),
+            "r_star": pa.array(r_star, pa.float64()),
+        }
+    )
+
+
+def token_burstiness(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    num_slices: int | None = None,
+):
+    """Per-token burstiness (variance-to-mean ratio of the per-document
+    count, zeros included): content words are bursty (they recur within
+    the few docs that use them), function words are Poisson-ish — a
+    classic keyword/stopword separator (Church & Gale 1995) that needs no
+    language resources.
+
+    Exactness: per-doc counts, Σc and Σc² are exact int64 (per-batch
+    lexsort-run partials — one row per (batch, token), never per
+    occurrence); ``n_docs`` is the corpus row count; the finish
+    ``((Σc²/N) − (Σc/N)²) / (Σc/N)`` is one mirrored float expression ⇒
+    bitwise before ROUND(…, 6). Output: ``(token, df, total, burstiness)``
+    for tokens with ``df ≥ min_df``, a Dataset.
+    """
+    import pyarrow.compute as pc
+
+    from .dedup import _default_num_slices, _md5_u64
+
+    if num_slices is None:
+        num_slices = _default_num_slices()
+    n_docs = ds.count()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), pattern="[ \t\n\r]+"
+        )
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).fill_null(0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
+        words = np.asarray(flat.to_pylist(), dtype=object)[keep]
+        docs = doc_idx[keep]
+        if len(words) == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "sc": pa.array([], pa.int64()),
+                    "sc2": pa.array([], pa.int64()),
+                    "slice": pa.array([], pa.int32()),
+                }
+            )
+        o = np.lexsort((docs, words))
+        w, d = words[o], docs[o]
+        new = np.r_[True, (w[1:] != w[:-1]) | (d[1:] != d[:-1])]
+        starts = np.flatnonzero(new)
+        c = np.diff(np.r_[starts, len(w)])  # per-(doc, token) count
+        wt = w[starts]
+        new_t = np.r_[True, wt[1:] != wt[:-1]]
+        tstarts = np.flatnonzero(new_t)
+        df = np.diff(np.r_[tstarts, len(wt)])
+        sc = np.add.reduceat(c, tstarts)
+        sc2 = np.add.reduceat(c * c, tstarts)
+        toks_out = wt[tstarts]
+        sl = np.asarray(
+            [_md5_u64(t) % num_slices for t in toks_out], dtype=np.int32
+        )
+        return pa.table(
+            {
+                "token": pa.array(toks_out, pa.string()),
+                "df": pa.array(df.astype(np.int64)),
+                "sc": pa.array(sc.astype(np.int64)),
+                "sc2": pa.array(sc2.astype(np.int64)),
+                "slice": pa.array(sl),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["slice"])
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "total": pa.array([], pa.int64()),
+                    "burstiness": pa.array([], pa.float64()),
+                }
+            )
+        toks = np.asarray(t["token"].to_pylist(), dtype=object)
+        order = np.argsort(toks, kind="stable")
+        ts = toks[order]
+        df = t["df"].to_numpy(zero_copy_only=False)[order]
+        sc = t["sc"].to_numpy(zero_copy_only=False)[order]
+        sc2 = t["sc2"].to_numpy(zero_copy_only=False)[order]
+        starts = np.flatnonzero(np.r_[True, ts[1:] != ts[:-1]])
+        dfm = np.add.reduceat(df, starts)
+        scm = np.add.reduceat(sc, starts)
+        sc2m = np.add.reduceat(sc2, starts)
+        keep = dfm >= min_df
+        nd = float(n_docs)
+        mean = scm[keep].astype(np.float64) / nd
+        exc2 = sc2m[keep].astype(np.float64) / nd
+        b = (exc2 - mean * mean) / mean
+        return pa.table(
+            {
+                "token": pa.array(ts[starts][keep], pa.string()),
+                "df": pa.array(dfm[keep].astype(np.int64)),
+                "total": pa.array(scm[keep].astype(np.int64)),
+                "burstiness": pa.array(
+                    np.copysign(np.floor(np.abs(b) * 1e6 + 0.5) / 1e6, b),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(final, batch_format="pyarrow")
+    )

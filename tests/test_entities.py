@@ -73,3 +73,61 @@ def test_entity_cap(ray_session):
     pairs = set(zip(got["ent_a"], got["ent_b"]))
     assert pairs == {("Alice", "Bob"), ("Alice", "Carol"), ("Bob", "Carol")}
     assert (got["n_docs"] == 2).all()
+
+
+def test_token_spectrum_good_turing(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.textstats import token_spectrum
+
+    # a:3 docs, b:2, c:1, d:1 -> spectrum {1:2, 2:1, 3:1}
+    t = pa.table(
+        {
+            "text": pa.array(
+                ["a b c", "a b", "a d"],
+                pa.string(),
+            ),
+        }
+    )
+    got = token_spectrum(ray.data.from_arrow(t).repartition(2)).to_pandas()
+    assert got["freq"].tolist() == [1, 2, 3]
+    assert got["n_tokens"].tolist() == [2, 1, 1]
+    # r*(1) = 2 * N2/N1 = 2*1/2 = 1.0; r*(2) = 3 * N3/N2 = 3.0; r*(3) NULL
+    assert got["r_star"].tolist()[:2] == [1.0, 3.0]
+    assert got["r_star"].isna().tolist() == [False, False, True]
+
+
+def test_token_burstiness(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.textstats import token_burstiness
+
+    # "the" evenly spread (1 per doc) vs "zebra" bursty (4 in one doc)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat",
+                    "the dog",
+                    "the zebra zebra zebra zebra",
+                    "the zebra",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    got = (
+        token_burstiness(
+            ray.data.from_arrow(t).repartition(3), min_df=2, num_slices=2
+        )
+        .to_pandas()
+        .set_index("token")
+    )
+    # the: c=1 in all 4 docs -> variance 0 -> burstiness 0
+    assert got.loc["the", "burstiness"] == 0.0
+    # zebra: counts (0,0,4,1), N=4: mean=1.25, E[c^2]=17/4 -> b=(4.25-1.5625)/1.25
+    assert got.loc["zebra", "burstiness"] == round((17 / 4 - 1.25**2) / 1.25, 6)
+    assert got.loc["zebra", "df"] == 2 and got.loc["zebra", "total"] == 5
+    # min_df: "cat"/"dog" (df=1) filtered out
+    assert "cat" not in got.index
