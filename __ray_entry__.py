@@ -3409,6 +3409,39 @@ def _q_image_dedup_corpus(sf_dir: str):
     return _by(kept.select_columns(["doc_id"]), "doc_id")
 
 
+def _q_politeness_order(sf_dir: str):
+    """Politeness-interleaved crawl frontier ordering
+    (ops/urls.py::politeness_order): within-domain ranks via one
+    domain-slice pass, global position via row_number_global's
+    sorted-block prefix machinery; exact ints == the nested row_number()
+    oracle. Fixture plants the domain_stats URL scheme."""
+    from infidex_ray.ops.urls import politeness_order
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "domain": pa.array(
+                    [f"site{d % 37}.example.com" for d in ids], pa.string()
+                ),
+                "url": pa.array(
+                    [
+                        f"http://site{d % 37}.example.com/page/{d}"
+                        for d in ids
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    ds = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id"])
+        .map_batches(plant, batch_format="pyarrow")
+    )
+    return _by(politeness_order(ds), "crawl_pos")
+
+
 def _q_token_spectrum(sf_dir: str):
     """Corpus frequency spectrum + Good-Turing adjusted counts
     (ops/textstats.py::token_spectrum): token-slice count merge → per-slice
@@ -3637,6 +3670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup_corpus": _q_image_dedup_corpus,
         "token_spectrum": _q_token_spectrum,
         "token_burstiness": _q_token_burstiness,
+        "politeness_order": _q_politeness_order,
     }
 
 
@@ -5699,6 +5733,16 @@ def oracle_sql() -> dict[str, str]:
             "u >= CAST('9223372036854775808' AS HUGEINT) THEN "
             "u - CAST('18446744073709551616' AS HUGEINT) ELSE u END "
             "AS BIGINT) AS fingerprint FROM s ORDER BY doc_id"
+        ),
+        "politeness_order": (
+            "WITH f AS (SELECT 'site' || CAST(doc_id % 37 AS VARCHAR) || "
+            "'.example.com' AS domain, 'http://site' || "
+            "CAST(doc_id % 37 AS VARCHAR) || '.example.com/page/' || "
+            "CAST(doc_id AS VARCHAR) AS url FROM documents), "
+            "r AS (SELECT domain, url, row_number() OVER (PARTITION BY "
+            "domain ORDER BY url) AS rank FROM f) "
+            "SELECT domain, url, rank, row_number() OVER (ORDER BY rank, "
+            "domain, url) AS crawl_pos FROM r ORDER BY crawl_pos"
         ),
         "token_spectrum": (
             "WITH tok AS (SELECT unnest(regexp_split_to_array(lower("

@@ -131,3 +131,31 @@ def test_token_burstiness(ray_session):
     assert got.loc["zebra", "df"] == 2 and got.loc["zebra", "total"] == 5
     # min_df: "cat"/"dog" (df=1) filtered out
     assert "cat" not in got.index
+
+
+def test_politeness_order_interleaves(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.urls import politeness_order
+
+    # domain a: 3 urls, domain b: 2, domain c: 1
+    t = pa.table(
+        {
+            "domain": pa.array(["a", "a", "a", "b", "b", "c"], pa.string()),
+            "url": pa.array(
+                ["a/1", "a/2", "a/3", "b/1", "b/2", "c/1"], pa.string()
+            ),
+        }
+    )
+    got = (
+        politeness_order(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .sort_values("crawl_pos")
+        .reset_index(drop=True)
+    )
+    # round-robin: all rank-1 urls first (a/1, b/1, c/1), then rank 2, ...
+    assert got["url"].tolist() == ["a/1", "b/1", "c/1", "a/2", "b/2", "a/3"]
+    assert got["crawl_pos"].tolist() == [1, 2, 3, 4, 5, 6]
+    # no two consecutive positions share a domain until a domain runs dry
+    doms = got["domain"].tolist()
+    assert all(doms[i] != doms[i + 1] for i in range(4))
