@@ -3409,6 +3409,21 @@ def _q_image_dedup_corpus(sf_dir: str):
     return _by(kept.select_columns(["doc_id"]), "doc_id")
 
 
+def _q_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood record-linkage blocking (ops/joins.py::
+    sorted_neighborhood_pairs): merge/purge candidate pairs within window
+    2 under the (n_chars, doc_id) blocking key; one sort + O(blocks·w)
+    boundary rows to the driver; exact positions == row_number() join."""
+    from infidex_ray.ops.joins import sorted_neighborhood_pairs
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
+    return _by(
+        sorted_neighborhood_pairs(ds, "n_chars", "doc_id", window=2),
+        "id_a",
+        "id_b",
+    )
+
+
 def _q_politeness_order(sf_dir: str):
     """Politeness-interleaved crawl frontier ordering
     (ops/urls.py::politeness_order): within-domain ranks via one
@@ -3671,6 +3686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_spectrum": _q_token_spectrum,
         "token_burstiness": _q_token_burstiness,
         "politeness_order": _q_politeness_order,
+        "sorted_neighborhood": _q_sorted_neighborhood,
     }
 
 
@@ -5733,6 +5749,13 @@ def oracle_sql() -> dict[str, str]:
             "u >= CAST('9223372036854775808' AS HUGEINT) THEN "
             "u - CAST('18446744073709551616' AS HUGEINT) ELSE u END "
             "AS BIGINT) AS fingerprint FROM s ORDER BY doc_id"
+        ),
+        "sorted_neighborhood": (
+            "WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY "
+            "n_chars, doc_id) AS rn FROM documents) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(b.rn - a.rn AS INT) AS dist FROM r a JOIN r b "
+            "ON b.rn > a.rn AND b.rn <= a.rn + 2 ORDER BY id_a, id_b"
         ),
         "politeness_order": (
             "WITH f AS (SELECT 'site' || CAST(doc_id % 37 AS VARCHAR) || "

@@ -439,3 +439,93 @@ def star_join(fact, dims, how: str = "inner"):
             dim_ds = dim_ds.map_batches(ren, batch_format="pyarrow")
         out = broadcast_join(out, dim_ds, on=fact_key, how=how)
     return out
+
+
+def sorted_neighborhood_pairs(
+    ds,
+    key_col: str,
+    id_col: str = "doc_id",
+    window: int = 2,
+):
+    """Sorted-neighborhood candidate blocking (Hernández & Stolfo's
+    merge/purge, SIGMOD 1995): sort the corpus by a blocking key and emit
+    every pair within ``window`` positions — the classic record-linkage
+    candidate generator when equality blocking is too coarse and all-pairs
+    too big (neighbors under a well-chosen key catch most true matches at
+    O(N·w) pairs).
+
+    Scale shape: ONE global sort on the total order (key, id), then each
+    sorted block pairs itself independently — the only cross-block
+    coupling is the ``window`` rows straddling each boundary, so the
+    driver collects just the last ``window`` rows of every block
+    (O(blocks·w) rows) and ships each block its global predecessors; a
+    task's emitted pairs are exactly those whose LATER row lives in its
+    block, so no pair is emitted twice. Exact integer positions ⇒
+    bitwise vs the ``row_number()`` self-join oracle.
+
+    Output: ``(id_a, id_b, dist)`` with ``id_a`` the earlier row in sort
+    order and ``1 ≤ dist ≤ window``.
+    """
+    import ray
+    import ray.data
+
+    from .ranking import _sorted_block_offsets
+
+    proj = ds.select_columns(list(dict.fromkeys([key_col, id_col])))
+    refs, offsets, total = _sorted_block_offsets(proj, [key_col, id_col])
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.int32()),
+        }
+    )
+    if not refs:
+        return ray.data.from_arrow(empty)
+
+    @ray.remote
+    def tail(t: pa.Table) -> pa.Table:
+        return t.slice(max(0, len(t) - window))
+
+    tails = ray.get([tail.remote(r) for r in refs])
+
+    @ray.remote
+    def pairs(t: pa.Table, prev: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [
+                prev[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                t[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            ]
+        )
+        p = len(prev)
+        out_a, out_b, out_d = [], [], []
+        for d in range(1, window + 1):
+            # later row must be IN this block: j >= p
+            j = np.arange(max(p, d), len(ids), dtype=np.int64)
+            i = j - d
+            ok = i >= 0
+            out_a.append(ids[i[ok]])
+            out_b.append(ids[j[ok]])
+            out_d.append(np.full(int(ok.sum()), d, dtype=np.int32))
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a)),
+                "id_b": pa.array(np.concatenate(out_b)),
+                "dist": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    futures = []
+    for k, r in enumerate(refs):
+        # global predecessors of block k: last `window` rows of the
+        # concatenated tails of blocks 0..k-1 (each tail holds up to
+        # `window` rows, so the concat always covers the needed strip)
+        if k == 0:
+            prev = tails[0].slice(0, 0)
+        else:
+            strip = pa.concat_tables(tails[:k])
+            prev = strip.slice(max(0, len(strip) - window))
+        futures.append(pairs.remote(r, prev))
+    return ray.data.from_arrow_refs(futures)

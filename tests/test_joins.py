@@ -346,3 +346,41 @@ def test_hash_join_rejects_bad_args(ray_session):
         hash_join(l, r, on="k", left_cols=["v"], right_cols=["v"], how="cross")
     with pytest.raises(ValueError, match="overlapping"):
         hash_join(l, r, on="k", left_cols=["v"], right_cols=["v"], how="inner")
+
+
+def test_sorted_neighborhood_pairs(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.joins import sorted_neighborhood_pairs
+
+    rng = np.random.RandomState(2)
+    n = 57
+    ids = np.arange(n, dtype=np.int64)
+    keys = rng.randint(0, 9, n)  # heavy ties: id tie-break matters
+    t = pa.table({"id": pa.array(ids), "k": pa.array(keys)})
+    for w in (1, 3):
+        got = (
+            sorted_neighborhood_pairs(
+                ray.data.from_arrow(t).repartition(6), "k", "id", window=w
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        # brute force over the total order (k, id)
+        order = np.lexsort((ids, keys))
+        want = []
+        for j in range(n):
+            for d in range(1, w + 1):
+                if j - d >= 0:
+                    want.append(
+                        (ids[order[j - d]], ids[order[j]], d)
+                    )
+        want.sort()
+        assert (
+            list(zip(got["id_a"], got["id_b"], got["dist"])) == want
+        ), f"window={w}"
+    # count sanity: N*w - w*(w+1)/2 pairs
+    assert len(want) == n * 3 - 6
