@@ -3409,6 +3409,53 @@ def _q_image_dedup_corpus(sf_dir: str):
     return _by(kept.select_columns(["doc_id"]), "doc_id")
 
 
+def _q_dedup_pair_eval(sf_dir: str):
+    """Candidate-pair evaluation harness (ops/similarity.py::pair_eval):
+    precision/recall/F1 of the image dHash Hamming matcher against the
+    exact same-payload ground truth (planted triples); exact int64
+    confusion counts through one pair-slice groupby, mirrored float
+    metrics ⇒ bitwise."""
+    import ray.data
+
+    from infidex_ray.ops.multimodal import image_dup_pairs
+    from infidex_ray.ops.similarity import pair_eval
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        blobs = [f"img:{d // 3}".encode("utf-8") for d in ids]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "media": pa.array(blobs, pa.binary())}
+        )
+
+    def truth_pairs(batch: pa.Table) -> pa.Table:
+        ids = np.sort(batch["doc_id"].to_numpy(zero_copy_only=False))
+        groups: dict = {}
+        for d in ids:
+            groups.setdefault(int(d) // 3, []).append(int(d))
+        a, b = [], []
+        for members in groups.values():
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    a.append(members[i])
+                    b.append(members[j])
+        return pa.table(
+            {
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
+            }
+        )
+
+    docs = _read(sf_dir, "documents")
+    ds = docs.map_batches(synth, batch_format="pyarrow")
+    pred = image_dup_pairs(ds, max_hamming=3, fake=True)
+    # truth needs all of a triple together: single partition is fine for
+    # the fixture (truth generation is test scaffolding, not the op)
+    truth = docs.select_columns(["doc_id"]).repartition(1).map_batches(
+        truth_pairs, batch_format="pyarrow"
+    )
+    return pair_eval(pred, truth)
+
+
 def _q_sorted_neighborhood(sf_dir: str):
     """Sorted-neighborhood record-linkage blocking (ops/joins.py::
     sorted_neighborhood_pairs): merge/purge candidate pairs within window
@@ -3687,6 +3734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_burstiness": _q_token_burstiness,
         "politeness_order": _q_politeness_order,
         "sorted_neighborhood": _q_sorted_neighborhood,
+        "dedup_pair_eval": _q_dedup_pair_eval,
     }
 
 
@@ -5749,6 +5797,32 @@ def oracle_sql() -> dict[str, str]:
             "u >= CAST('9223372036854775808' AS HUGEINT) THEN "
             "u - CAST('18446744073709551616' AS HUGEINT) ELSE u END "
             "AS BIGINT) AS fingerprint FROM s ORDER BY doc_id"
+        ),
+        "dedup_pair_eval": (
+            "WITH " + _IMAGE_DHASH_PAIR_CTES
+            + ", pred AS (SELECT id_a, id_b FROM hm WHERE hamming <= 3), "
+            "truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM "
+            "documents a JOIN documents b ON a.doc_id // 3 = b.doc_id // 3 "
+            "AND a.doc_id < b.doc_id), "
+            "m AS (SELECT coalesce(p.id_a, t.id_a) AS ia, "
+            "coalesce(p.id_b, t.id_b) AS ib, "
+            "CASE WHEN p.id_a IS NOT NULL THEN 1 ELSE 0 END AS ip, "
+            "CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS it "
+            "FROM pred p FULL OUTER JOIN truth t "
+            "ON p.id_a = t.id_a AND p.id_b = t.id_b), "
+            "c AS (SELECT CAST(sum(CASE WHEN ip = 1 AND it = 1 THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS tp, CAST(sum(CASE WHEN ip = 1 AND "
+            "it = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp, "
+            "CAST(sum(CASE WHEN ip = 0 AND it = 1 THEN 1 ELSE 0 END) AS "
+            "BIGINT) AS fn FROM m), "
+            "d AS (SELECT tp + fp AS n_pred, tp + fn AS n_truth, tp, fp, "
+            "fn, CASE WHEN tp + fp > 0 THEN tp::DOUBLE / "
+            "(tp + fp)::DOUBLE END AS precision, CASE WHEN tp + fn > 0 "
+            "THEN tp::DOUBLE / (tp + fn)::DOUBLE END AS recall FROM c) "
+            "SELECT n_pred, n_truth, tp, fp, fn, precision, recall, "
+            "CASE WHEN precision IS NOT NULL AND recall IS NOT NULL AND "
+            "precision + recall > 0 THEN (2.0 * precision * recall) / "
+            "(precision + recall) END AS f1 FROM d"
         ),
         "sorted_neighborhood": (
             "WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY "

@@ -1386,3 +1386,127 @@ def ndcg_label_eval(
             "ndcg": pa.array(rows["ndcg"], pa.float64()),
         }
     )
+
+
+def pair_eval(pred_ds, truth_ds, id_a: str = "id_a", id_b: str = "id_b"):
+    """Candidate-pair evaluation harness: precision / recall / F1 of a
+    PREDICTED pair set (LSH candidates, SimHash buckets, blocking output,
+    perceptual-hash matches) against a ground-truth pair set — the metric
+    loop every dedup/linkage tuning session runs ("did lowering the band
+    width cost recall?").
+
+    Pairs are unordered: both inputs normalize to (min, max) and
+    deduplicate, so orientation and repeats can't skew counts. Scale
+    shape: both sides tag into one stream, ONE md5 pair-slice groupby
+    computes per-slice (tp, fp, fn) partials vectorized (np.unique row
+    identity — no hash collisions), and only O(slices) scalar rows reach
+    the final merge. Counts are exact int64; precision/recall/F1 are the
+    mirrored fixed float expressions ``tp/np_``, ``tp/nt``,
+    ``(2.0*p*r)/(p+r)`` ⇒ bitwise.
+
+    Returns a one-row pa.Table ``(n_pred, n_truth, tp, fp, fn, precision,
+    recall, f1)`` (NULL metrics when a denominator is 0).
+    """
+    from .dedup import _default_num_slices
+
+    num_slices = _default_num_slices()
+
+    def tag(kind: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "a": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "kind": pa.array([], pa.int8()),
+                        "slice": pa.array([], pa.int32()),
+                    }
+                )
+            x = batch[id_a].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            y = batch[id_b].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            lo, hi = np.minimum(x, y), np.maximum(x, y)
+            with np.errstate(over="ignore"):
+                sl = (
+                    (lo.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                    ^ hi.view(np.uint64)
+                ) % np.uint64(num_slices)
+            return pa.table(
+                {
+                    "a": pa.array(lo),
+                    "b": pa.array(hi),
+                    "kind": pa.array(
+                        np.full(len(lo), kind, dtype=np.int8), pa.int8()
+                    ),
+                    "slice": pa.array(sl.astype(np.int32)),
+                }
+            )
+
+        return fn
+
+    def slice_counts(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "tp": pa.array([], pa.int64()),
+                    "fp": pa.array([], pa.int64()),
+                    "fn": pa.array([], pa.int64()),
+                }
+            )
+        t = group.drop_columns(["slice"])
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        k = t["kind"].to_numpy(zero_copy_only=False)
+        # distinct per side, then presence masks via row identity
+        rows = np.stack([a, b, k.astype(np.int64)], axis=1)
+        rows = np.unique(rows, axis=0)
+        ab = rows[:, :2]
+        kk = rows[:, 2]
+        uniq, inv = np.unique(ab, axis=0, return_inverse=True)
+        in_pred = np.bincount(
+            inv, weights=(kk == 0).astype(np.int64), minlength=len(uniq)
+        ) > 0
+        in_truth = np.bincount(
+            inv, weights=(kk == 1).astype(np.int64), minlength=len(uniq)
+        ) > 0
+        tp = int((in_pred & in_truth).sum())
+        fp = int((in_pred & ~in_truth).sum())
+        fn = int((~in_pred & in_truth).sum())
+        return pa.table(
+            {
+                "tp": pa.array([tp], pa.int64()),
+                "fp": pa.array([fp], pa.int64()),
+                "fn": pa.array([fn], pa.int64()),
+            }
+        )
+
+    unioned = pred_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        truth_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+    parts = (
+        unioned.groupby("slice")
+        .map_groups(slice_counts, batch_format="pyarrow")
+        .to_pandas()  # O(slices) rows
+    )
+    tp = int(parts["tp"].sum()) if len(parts) else 0
+    fp = int(parts["fp"].sum()) if len(parts) else 0
+    fn = int(parts["fn"].sum()) if len(parts) else 0
+    n_pred, n_truth = tp + fp, tp + fn
+    p = float(tp) / float(n_pred) if n_pred > 0 else None
+    r = float(tp) / float(n_truth) if n_truth > 0 else None
+    f1 = (
+        (2.0 * p * r) / (p + r)
+        if p is not None and r is not None and (p + r) > 0
+        else None
+    )
+    return pa.table(
+        {
+            "n_pred": pa.array([n_pred], pa.int64()),
+            "n_truth": pa.array([n_truth], pa.int64()),
+            "tp": pa.array([tp], pa.int64()),
+            "fp": pa.array([fp], pa.int64()),
+            "fn": pa.array([fn], pa.int64()),
+            "precision": pa.array([p], pa.float64()),
+            "recall": pa.array([r], pa.float64()),
+            "f1": pa.array([f1], pa.float64()),
+        }
+    )

@@ -70,3 +70,43 @@ def test_jaccard_join_cross_only(ray_session):
     assert 11 not in set(got["id_right"])
     assert (10, 11) not in set(zip(got["id_left"], got["id_right"]))
     assert (got["jaccard"] >= 0.4).all()
+
+
+def test_pair_eval(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.similarity import pair_eval
+
+    pred = pa.table(
+        {
+            # reversed orientation + duplicate: must normalize/dedup
+            "id_a": pa.array([2, 1, 3, 9, 9], pa.int64()),
+            "id_b": pa.array([1, 2, 4, 8, 8], pa.int64()),
+        }
+    )
+    truth = pa.table(
+        {
+            "id_a": pa.array([1, 3, 5], pa.int64()),
+            "id_b": pa.array([2, 4, 6], pa.int64()),
+        }
+    )
+    got = pair_eval(
+        ray.data.from_arrow(pred).repartition(2),
+        ray.data.from_arrow(truth),
+    ).to_pandas()
+    row = got.iloc[0]
+    # pred distinct = {(1,2),(3,4),(8,9)}; truth = {(1,2),(3,4),(5,6)}
+    assert (row["tp"], row["fp"], row["fn"]) == (2, 1, 1)
+    assert row["precision"] == 2 / 3 and row["recall"] == 2 / 3
+    assert row["f1"] == (2.0 * (2 / 3) * (2 / 3)) / (4 / 3)
+
+    # empty prediction set: precision NULL, recall 0
+    empty = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+    got2 = pair_eval(
+        ray.data.from_arrow(empty), ray.data.from_arrow(truth)
+    ).to_pandas()
+    assert got2.iloc[0]["n_pred"] == 0
+    assert got2["precision"].isna().all()
+    assert got2.iloc[0]["recall"] == 0.0
