@@ -3409,6 +3409,15 @@ def _q_image_dedup_corpus(sf_dir: str):
     return _by(kept.select_columns(["doc_id"]), "doc_id")
 
 
+def _q_retrieval_rank_eval(sf_dir: str):
+    """MRR / precision@k / recall@k of labeled ANN retrieval
+    (ops/similarity.py::retrieval_rank_eval, ndcg's physical plan): exact
+    integer ratios ⇒ bitwise vs the window oracle."""
+    from infidex_ray.ops.similarity import retrieval_rank_eval
+
+    return retrieval_rank_eval(_read(sf_dir, "embeddings"), n_queries=5, k=10)
+
+
 def _q_dedup_pair_eval(sf_dir: str):
     """Candidate-pair evaluation harness (ops/similarity.py::pair_eval):
     precision/recall/F1 of the image dHash Hamming matcher against the
@@ -3735,6 +3744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "politeness_order": _q_politeness_order,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "dedup_pair_eval": _q_dedup_pair_eval,
+        "retrieval_rank_eval": _q_retrieval_rank_eval,
     }
 
 
@@ -5518,6 +5528,32 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0.0 END AS ndcg FROM agg "
             "JOIN dcg ON dcg.qid = agg.qid JOIN idcg ON idcg.qid = agg.qid "
             "ORDER BY agg.qid"
+        ),
+        "retrieval_rank_eval": (
+            # same ranking convention as ndcg_eval's CTE; metrics are
+            # exact integer ratios (no recursion needed)
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe, "
+            "label AS qlabel FROM embeddings WHERE vec_id < 5), "
+            "r AS (SELECT q.qid, CASE WHEN b.label = q.qlabel THEN 1 ELSE 0 "
+            "END AS rel, row_number() OVER (PARTITION BY q.qid ORDER BY "
+            "list_cosine_similarity(b.embedding::DOUBLE[], q.qe::DOUBLE[]) "
+            "DESC, b.vec_id) AS rnk FROM q JOIN embeddings b "
+            "ON b.vec_id <> q.qid), "
+            "rk AS (SELECT qid, rel, rnk FROM r WHERE rnk <= 10), "
+            "agg AS (SELECT qid, count(*)::BIGINT AS k_eff, "
+            "CAST(sum(rel) AS BIGINT) AS n_match, "
+            "CAST(min(CASE WHEN rel = 1 THEN rnk END) AS BIGINT) AS "
+            "first_rank FROM rk GROUP BY qid), "
+            "lc AS (SELECT label, count(*)::BIGINT AS c FROM embeddings "
+            "GROUP BY label) "
+            "SELECT agg.qid AS query_id, agg.k_eff, agg.n_match, "
+            "agg.first_rank, CASE WHEN agg.first_rank IS NOT NULL THEN "
+            "1.0 / agg.first_rank::DOUBLE ELSE 0.0 END AS mrr, "
+            "agg.n_match::DOUBLE / agg.k_eff::DOUBLE AS p_at_k, "
+            "CASE WHEN lc.c - 1 > 0 THEN agg.n_match::DOUBLE / "
+            "(lc.c - 1)::DOUBLE END AS recall_at_k "
+            "FROM agg JOIN q ON q.qid = agg.qid "
+            "JOIN lc ON lc.label = q.qlabel ORDER BY query_id"
         ),
         "grouped_hhi": (
             "WITH c AS (SELECT lang, source, count(*)::BIGINT AS c "

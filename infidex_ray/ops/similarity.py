@@ -1510,3 +1510,119 @@ def pair_eval(pred_ds, truth_ds, id_a: str = "id_a", id_b: str = "id_b"):
             "f1": pa.array([f1], pa.float64()),
         }
     )
+
+
+def retrieval_rank_eval(
+    ds,
+    n_queries: int = 5,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> pa.Table:
+    """MRR / precision@k / recall@k of labeled retrieval — the rank-metric
+    triple next to :func:`ndcg_label_eval` (same physical plan: per-batch
+    partial top-k with labels riding along, driver merges queries × k
+    rows; the corpus streams once). A neighbor is relevant iff it shares
+    the query's label; ``n_relevant`` = label population minus the query
+    itself, from a label-histogram combiner pass.
+
+    Every metric is an EXACT integer ratio (``1/first_rank``,
+    ``n_match/k_eff``, ``n_match/n_relevant``) ⇒ bitwise vs the SQL
+    window oracle; MRR is 0 and first_rank NULL when no relevant neighbor
+    makes the top-k. Returns a pa.Table ordered by query_id."""
+    import ray
+
+    def qfilter(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids < n_queries))
+
+    qrows = sorted(
+        ds.select_columns([id_col, vec_col, label_col])
+        .map_batches(qfilter, batch_format="pyarrow")
+        .take_all(),
+        key=lambda r: r[id_col],
+    )
+    qids = np.asarray([r[id_col] for r in qrows], dtype=np.int64)
+    qlabels = np.asarray([r[label_col] for r in qrows], dtype=np.int64)
+    qm = _normalize_rows(np.asarray([r[vec_col] for r in qrows], dtype=np.float64))
+    q_ref = ray.put((qids, qm))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qv, qmat = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        labels = np.asarray(batch[label_col].to_pylist(), dtype=np.int64)
+        m = _normalize_rows(_to_matrix(batch, vec_col))
+        sims = qmat @ m.T
+        out_q, out_id, out_s, out_l = [], [], [], []
+        for qi in range(len(qv)):
+            row = sims[qi]
+            mask = ids != qv[qi]
+            mids, mrow, mlab = ids[mask], row[mask], labels[mask]
+            idx = np.lexsort((mids, -mrow))[: min(k, len(mids))]
+            out_q.extend([int(qv[qi])] * len(idx))
+            out_id.extend(mids[idx])
+            out_s.extend(mrow[idx])
+            out_l.extend(mlab[idx])
+        # label histogram partial rides along as sentinel rows (query -1)
+        lu, lc = np.unique(labels, return_counts=True)
+        out_q.extend([-1] * len(lu))
+        out_id.extend(lu.tolist())  # label value
+        out_s.extend(lc.astype(np.float64).tolist())  # count
+        out_l.extend([0] * len(lu))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+                "nbr_label": pa.array(out_l, pa.int64()),
+            }
+        )
+
+    partials = ds.select_columns([id_col, vec_col, label_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    per_query: dict[int, list] = {}
+    label_counts: dict[int, int] = {}
+    for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for qi, vid, s, lb in zip(
+            b["query_id"].to_pylist(),
+            b["vec_id"].to_pylist(),
+            b["cosine"].to_pylist(),
+            b["nbr_label"].to_pylist(),
+        ):
+            if qi == -1:
+                label_counts[vid] = label_counts.get(vid, 0) + int(s)
+            else:
+                per_query.setdefault(qi, []).append((-s, vid, lb))
+    lab_of = dict(zip(qids.tolist(), qlabels.tolist()))
+    rows = {
+        "query_id": [], "k_eff": [], "n_match": [], "first_rank": [],
+        "mrr": [], "p_at_k": [], "recall_at_k": [],
+    }
+    for qi in sorted(per_query):
+        top = heapq.nsmallest(k, per_query[qi])
+        gains = [1 if lb == lab_of[qi] else 0 for _, _, lb in top]
+        n_match = sum(gains)
+        first = gains.index(1) + 1 if n_match else None
+        n_rel = label_counts.get(int(lab_of[qi]), 0) - 1
+        rows["query_id"].append(qi)
+        rows["k_eff"].append(len(top))
+        rows["n_match"].append(n_match)
+        rows["first_rank"].append(first)
+        rows["mrr"].append(1.0 / float(first) if first else 0.0)
+        rows["p_at_k"].append(float(n_match) / float(len(top)) if top else None)
+        rows["recall_at_k"].append(
+            float(n_match) / float(n_rel) if n_rel > 0 else None
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "k_eff": pa.array(rows["k_eff"], pa.int64()),
+            "n_match": pa.array(rows["n_match"], pa.int64()),
+            "first_rank": pa.array(rows["first_rank"], pa.int64()),
+            "mrr": pa.array(rows["mrr"], pa.float64()),
+            "p_at_k": pa.array(rows["p_at_k"], pa.float64()),
+            "recall_at_k": pa.array(rows["recall_at_k"], pa.float64()),
+        }
+    )

@@ -110,3 +110,42 @@ def test_pair_eval(ray_session):
     assert got2.iloc[0]["n_pred"] == 0
     assert got2["precision"].isna().all()
     assert got2.iloc[0]["recall"] == 0.0
+
+
+def test_retrieval_rank_eval(ray_session):
+    import numpy as np
+    import ray.data
+
+    from infidex_ray.ops.similarity import retrieval_rank_eval
+
+    # 2 labels; query 0 has label 0; plant neighbors so ranks are known
+    rng = np.random.RandomState(4)
+    n, dim = 40, 8
+    vecs = rng.randn(n, dim)
+    vecs[0] = np.r_[1.0, np.zeros(dim - 1)]
+    vecs[7] = np.r_[0.99, 0.1, np.zeros(dim - 2)]  # closest to q0
+    labels = (np.arange(n) % 2).astype(np.int64)
+    labels[0] = 0
+    labels[7] = 1  # closest neighbor is WRONG label
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([v.tolist() for v in vecs]),
+            "label": pa.array(labels),
+        }
+    )
+    got = retrieval_rank_eval(
+        ray.data.from_arrow(t).repartition(4), n_queries=2, k=5
+    ).to_pandas().set_index("query_id")
+    r0 = got.loc[0]
+    assert r0["k_eff"] == 5
+    # rank-1 neighbor (7) has the wrong label -> first_rank > 1 (or none)
+    assert r0["first_rank"] != 1
+    if r0["n_match"] > 0:
+        assert r0["mrr"] == 1.0 / r0["first_rank"]
+    else:
+        assert r0["mrr"] == 0.0
+    assert r0["p_at_k"] == r0["n_match"] / 5
+    # recall denominator = label population minus the query
+    n_rel = int((labels == 0).sum()) - 1
+    assert r0["recall_at_k"] == r0["n_match"] / n_rel
