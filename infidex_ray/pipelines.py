@@ -83,6 +83,8 @@ def curate_webtext(
     max_per_domain: int | None = None,
     domain_col: str = "url",
     paragraph_dedup: bool = False,
+    image_dedup_hamming: int | None = None,
+    media_col: str = "media",
 ):
     """The standard webtext curation recipe (CCNet/Gopher/RefinedWeb shape):
 
@@ -282,6 +284,23 @@ def curate_webtext(
 
     # --- exact then near dedup (the two all-to-alls) ----------------------
     docs = dedup_corpus_ds(docs, exact_dup_pairs(docs, id_col, text_col), id_col)
+
+    # --- optional perceptual image near-dedup ------------------------------
+    # opt-in (``image_dedup_hamming``): pages whose image payloads dHash
+    # within the Hamming bound collapse to one representative — runs after
+    # exact text dedup (cheap winnow first) and before the text pair
+    # miners so near-identical mirror pages with identical imagery never
+    # reach the MinHash all-to-all
+    if image_dedup_hamming is not None:
+        from .ops.multimodal import image_dup_pairs
+
+        ipairs = image_dup_pairs(
+            docs,
+            max_hamming=image_dedup_hamming,
+            media_col=media_col,
+            id_col=id_col,
+        )
+        docs = dedup_corpus_ds(docs, ipairs, id_col)
     pairs = minhash_lsh_pairs(
         docs, threshold=minhash_threshold, id_col=id_col, text_col=text_col
     )

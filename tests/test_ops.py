@@ -3831,3 +3831,37 @@ def test_knn_label_precision_bruteforce(ray_session):
         expect = sum(1 for i in top if labels[i] == labels[qid])
         assert out.loc[qid, "n_match"] == expect
         assert out.loc[qid, "k_eff"] == 5
+
+
+def test_curate_webtext_image_dedup_stage(ray_session):
+    """The opt-in perceptual image-dedup gate drops pages whose image
+    payloads dHash-match: triples of identical fake images collapse to one
+    representative before chunking."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.pipelines import curate_webtext
+
+    base = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def add_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        blobs = [f"img:{d // 3}".encode("utf-8") for d in ids]
+        return batch.append_column("media", pa.array(blobs, pa.binary()))
+
+    docs = base.map_batches(add_media, batch_format="pyarrow")
+    with_dedup = curate_webtext(
+        docs, langs=("en",), min_quality=0.2, image_dedup_hamming=3
+    ).to_pandas()
+    without = curate_webtext(
+        docs, langs=("en",), min_quality=0.2
+    ).to_pandas()
+    assert len(with_dedup) > 0
+    kept_with = set(with_dedup["doc_id"])
+    kept_without = set(without["doc_id"])
+    # image dedup collapses each gated triple to one doc: strictly fewer
+    assert len(kept_with) < len(kept_without)
+    # survivors never include two members of the same payload triple
+    trip = [d // 3 for d in kept_with]
+    assert len(trip) == len(set(trip))
