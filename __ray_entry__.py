@@ -3409,6 +3409,19 @@ def _q_image_dedup_corpus(sf_dir: str):
     return _by(kept.select_columns(["doc_id"]), "doc_id")
 
 
+def _q_median_streaming(sf_dir: str):
+    """Per-returnflag exact median WITHOUT sort or group materialization
+    (ops/agg.py::median_streaming): iterative bucket-count passes narrow
+    each group's two middle order statistics ×65536 per scan — the
+    100-TB-honest path next to grouped_mad's in-group-sort baseline."""
+    from infidex_ray.ops.agg import median_streaming
+
+    return _by(
+        median_streaming(_read(sf_dir, "lineitem"), "l_returnflag", "l_quantity"),
+        "l_returnflag",
+    )
+
+
 def _q_retrieval_rank_eval(sf_dir: str):
     """MRR / precision@k / recall@k of labeled ANN retrieval
     (ops/similarity.py::retrieval_rank_eval, ndcg's physical plan): exact
@@ -3745,6 +3758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood": _q_sorted_neighborhood,
         "dedup_pair_eval": _q_dedup_pair_eval,
         "retrieval_rank_eval": _q_retrieval_rank_eval,
+        "median_streaming": _q_median_streaming,
     }
 
 
@@ -5528,6 +5542,14 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0.0 END AS ndcg FROM agg "
             "JOIN dcg ON dcg.qid = agg.qid JOIN idcg ON idcg.qid = agg.qid "
             "ORDER BY agg.qid"
+        ),
+        "median_streaming": (
+            "WITH f AS (SELECT l_returnflag AS g, "
+            "CAST(round(l_quantity * 1) AS BIGINT) AS x FROM lineitem "
+            "WHERE l_quantity IS NOT NULL) "
+            "SELECT g AS l_returnflag, count(*)::BIGINT AS n, "
+            "round(quantile_cont(x, 0.5) / CAST(1 AS DOUBLE), 4) AS median "
+            "FROM f GROUP BY g ORDER BY g"
         ),
         "retrieval_rank_eval": (
             # same ranking convention as ndcg_eval's CTE; metrics are

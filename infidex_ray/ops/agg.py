@@ -1341,3 +1341,181 @@ def grouped_rate_bounds(
         return pa.table(cols)
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def median_streaming(
+    ds,
+    keys,
+    x_col: str,
+    x_scale: int = 1,
+    max_buckets: int = 65536,
+):
+    """Per-group EXACT median computed by iterative bucket-counting passes
+    — the 100-TB answer to ``grouped_mad``'s caveat ("exactness requires a
+    group's values to fit in one worker"): NO sort, NO group
+    materialization, and nothing row-sized ever leaves a block. Each pass
+    streams the corpus once emitting per-(group, bucket) count partials
+    (≤ groups × ``max_buckets`` rows), the driver narrows every group's
+    order-statistic search to the bucket containing its target rank, and
+    the value range shrinks ×``max_buckets`` per pass — ⌈log₆₅₅₃₆(range)⌉
+    ≤ 4 passes for any int64 range, each a plain combiner scan.
+
+    Values snap to integers (``round(v·x_scale)``, half-away-from-zero).
+    Both middle order statistics are searched (they can land in different
+    buckets), and the finish mirrors ``quantile_cont(0.5)``'s
+    interpolation ``a + (b − a)·0.5`` over exact ints, rescaled and
+    rounded half-away 4dp (the ``group_quantiles`` convention). NULLs
+    drop; all-null groups are absent (no rank to find).
+
+    Output: one row per group — ``(key, n, median)``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if len(keys) != 1:
+        raise ValueError("median_streaming takes exactly one key column")
+    key_col = keys[0]
+
+    def snap(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.select([key_col, x_col])
+        t = t.filter(pc.is_valid(t[x_col]))
+        x = t[x_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        finite = np.isfinite(x)
+        if not finite.all():  # NaN/inf are VALID floats — drop like NULLs
+            t = t.filter(pa.array(finite))
+            x = x[finite]
+        xi = np.copysign(np.floor(np.abs(x * x_scale) + 0.5), x).astype(
+            np.int64
+        )
+        return pa.table({key_col: t[key_col], "x": pa.array(xi)})
+
+    snapped = ds.map_batches(snap, batch_format="pyarrow").materialize()
+    stats = grouped_agg(
+        snapped,
+        keys,
+        {"n": ("count", "x"), "mn": ("min", "x"), "mx": ("max", "x")},
+    ).to_pandas()  # one row per group
+    if len(stats) == 0:
+        return pa.table(
+            {
+                key_col: pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "median": pa.array([], pa.float64()),
+            }
+        )
+
+    # two independent order-statistic searches per group (the two middle
+    # ranks; equal when n is odd): state = (lo, hi, k_rem 1-based)
+    searches: dict = {}
+    for _i, row in stats.iterrows():
+        g = row[key_col]
+        n = int(row["n"])
+        if n == 0:
+            continue
+        k1 = (n + 1) // 2
+        k2 = n // 2 + 1
+        searches[(g, 0)] = [int(row["mn"]), int(row["mx"]), k1]
+        searches[(g, 1)] = [int(row["mn"]), int(row["mx"]), k2]
+
+    import ray
+
+    while True:
+        active = {
+            sk: tuple(st) for sk, st in searches.items() if st[0] < st[1]
+        }
+        if not active:
+            break
+        act_ref = ray.put(active)
+
+        def bucket_counts(batch: pa.Table) -> pa.Table:
+            acts = ray.get(act_ref)
+            gv = batch[key_col].to_pylist()
+            xv = batch["x"].to_numpy(zero_copy_only=False)
+            out_g, out_s, out_b, out_c = [], [], [], []
+            # group the batch's rows by key once, probe each active search
+            order = np.argsort(np.asarray(gv, dtype=object), kind="stable")
+            gs = np.asarray(gv, dtype=object)[order]
+            xs = xv[order]
+            starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+            ends = np.append(starts[1:], len(gs))
+            for s, e in zip(starts, ends):
+                g = gs[s]
+                seg = xs[s:e]
+                for sid in (0, 1):
+                    st = acts.get((g, sid))
+                    if st is None:
+                        continue
+                    lo, hi, _k = st
+                    width = hi - lo + 1
+                    nb = min(65536, width)
+                    sel = seg[(seg >= lo) & (seg <= hi)]
+                    if len(sel) == 0:
+                        continue
+                    b = ((sel - lo) * nb) // width
+                    ub, cb = np.unique(b, return_counts=True)
+                    out_g.extend([g] * len(ub))
+                    out_s.extend([sid] * len(ub))
+                    out_b.extend(ub.tolist())
+                    out_c.extend(cb.tolist())
+            return pa.table(
+                {
+                    key_col: pa.array(out_g),
+                    "sid": pa.array(out_s, pa.int8()),
+                    "bucket": pa.array(out_b, pa.int64()),
+                    "c": pa.array(out_c, pa.int64()),
+                }
+            )
+
+        parts = (
+            snapped.map_batches(bucket_counts, batch_format="pyarrow")
+            .to_pandas()  # ≤ |groups| × 2 × buckets partial rows
+        )
+        agg = (
+            parts.groupby([key_col, "sid", "bucket"], as_index=False)["c"].sum()
+            if len(parts)
+            else parts
+        )
+        for (g, sid), st in list(searches.items()):
+            lo, hi, k = st
+            if lo >= hi:
+                continue
+            width = hi - lo + 1
+            nb = min(65536, width)
+            sub = agg[(agg[key_col] == g) & (agg["sid"] == sid)].sort_values(
+                "bucket"
+            )
+            cum = 0
+            for _j, r in sub.iterrows():
+                b, c = int(r["bucket"]), int(r["c"])
+                if cum + c >= k:
+                    # bucket b's EXACT value range: v with
+                    # floor((v-lo)·nb/width) == b — ceil bounds, so the
+                    # next pass's in-interval ranks stay consistent
+                    new_lo = lo + (b * width + nb - 1) // nb
+                    new_hi = lo + ((b + 1) * width + nb - 1) // nb - 1
+                    searches[(g, sid)] = [new_lo, new_hi, k - cum]
+                    break
+                cum += c
+
+    rows = {key_col: [], "n": [], "median": []}
+    from .dedup import round_half_up4
+
+    for _i, row in stats.iterrows():
+        g = row[key_col]
+        n = int(row["n"])
+        if n == 0:
+            continue
+        a = float(searches[(g, 0)][0])
+        b = float(searches[(g, 1)][0])
+        med = (a + (b - a) * 0.5) / float(x_scale)
+        rows[key_col].append(g)
+        rows["n"].append(n)
+        rows["median"].append(round_half_up4(med))
+    out = pa.table(
+        {
+            key_col: pa.array(rows[key_col]),
+            "n": pa.array(rows["n"], pa.int64()),
+            "median": pa.array(rows["median"], pa.float64()),
+        }
+    )
+    return out

@@ -290,3 +290,36 @@ def test_kmv_set_ops(ray_session):
     ).to_pandas()
     assert got2["union_est"].tolist() == [13.0]
     assert got2["inter_est"].tolist() == [5.0]
+
+
+def test_median_streaming_multi_pass(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from infidex_ray.ops.agg import median_streaming
+
+    rng = np.random.RandomState(1)
+    n = 3000
+    g = np.array([f"g{i % 5}" for i in range(n)], dtype=object)
+    # wide value range: forces multiple bucket-narrowing passes
+    x = rng.randint(-(10**12), 10**12, n).astype(np.float64)
+    x[rng.rand(n) < 0.03] = np.nan  # valid-NaN rows must drop like NULLs
+    t = pa.table({"k": pa.array(g), "v": pa.array(x)})
+    got = (
+        median_streaming(ray.data.from_arrow(t).repartition(6), "k", "v")
+        .to_pandas()
+        .set_index("k")
+    )
+    df = pd.DataFrame({"k": g, "v": x}).dropna()
+    for key, grp in df.groupby("k"):
+        vals = np.sort(
+            np.copysign(
+                np.floor(np.abs(grp["v"].values) + 0.5), grp["v"].values
+            ).astype(np.int64)
+        )
+        m = len(vals)
+        a, b = float(vals[(m + 1) // 2 - 1]), float(vals[m // 2])
+        med = a + (b - a) * 0.5
+        want = float(np.copysign(np.floor(abs(med) * 1e4 + 0.5) / 1e4, med))
+        assert got.loc[key, "median"] == want
+        assert got.loc[key, "n"] == m
