@@ -3422,6 +3422,19 @@ def _q_median_streaming(sf_dir: str):
     )
 
 
+def _q_quantiles_streaming(sf_dir: str):
+    """Per-language exact quantiles WITHOUT per-group sorts
+    (ops/agg.py::quantiles_streaming): all groups × quantiles × both
+    straddling order statistics resolved in the same ≤4 bucket-count
+    scans; group_quantiles' column/rounding contract."""
+    from infidex_ray.ops.agg import quantiles_streaming
+
+    return _by(
+        quantiles_streaming(_read(sf_dir, "documents"), "lang", "n_chars"),
+        "lang",
+    )
+
+
 def _q_retrieval_rank_eval(sf_dir: str):
     """MRR / precision@k / recall@k of labeled ANN retrieval
     (ops/similarity.py::retrieval_rank_eval, ndcg's physical plan): exact
@@ -3759,6 +3772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_pair_eval": _q_dedup_pair_eval,
         "retrieval_rank_eval": _q_retrieval_rank_eval,
         "median_streaming": _q_median_streaming,
+        "quantiles_streaming": _q_quantiles_streaming,
     }
 
 
@@ -5542,6 +5556,15 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0.0 END AS ndcg FROM agg "
             "JOIN dcg ON dcg.qid = agg.qid JOIN idcg ON idcg.qid = agg.qid "
             "ORDER BY agg.qid"
+        ),
+        "quantiles_streaming": (
+            "SELECT lang, count(*)::BIGINT AS n, "
+            "round(quantile_cont(n_chars, 0.25), 4) AS q25, "
+            "round(quantile_cont(n_chars, 0.50), 4) AS q50, "
+            "round(quantile_cont(n_chars, 0.75), 4) AS q75, "
+            "round(quantile_cont(n_chars, 0.90), 4) AS q90 "
+            "FROM documents WHERE n_chars IS NOT NULL "
+            "GROUP BY lang ORDER BY lang"
         ),
         "median_streaming": (
             "WITH f AS (SELECT l_returnflag AS g, "

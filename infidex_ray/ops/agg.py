@@ -1343,6 +1343,116 @@ def grouped_rate_bounds(
     return sums.map_batches(finish, batch_format="pyarrow")
 
 
+def _snap_int(ds, key_col: str, x_col: str, x_scale: int):
+    """(key, x int64) Dataset: round(v·x_scale) half-away-from-zero, NULL
+    and non-finite rows dropped. Materialized once — the rank-search
+    passes re-read it from the object store."""
+
+    def snap(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.select([key_col, x_col])
+        t = t.filter(pc.is_valid(t[x_col]))
+        x = t[x_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        finite = np.isfinite(x)
+        if not finite.all():  # NaN/inf are VALID floats — drop like NULLs
+            t = t.filter(pa.array(finite))
+            x = x[finite]
+        xi = np.copysign(np.floor(np.abs(x * x_scale) + 0.5), x).astype(
+            np.int64
+        )
+        return pa.table({key_col: t[key_col], "x": pa.array(xi)})
+
+    return ds.map_batches(snap, batch_format="pyarrow").materialize()
+
+
+def _rank_search(snapped, key_col: str, searches: dict, max_buckets: int):
+    """Resolve every (group, sid) → k-th-smallest search by iterative
+    bucket-counting passes over the materialized (key, x) stream. State
+    per search: [lo, hi, k_rem]; terminates when lo == hi (the value).
+    Each pass emits ≤ |active searches| × ``max_buckets`` count partials
+    and shrinks every active interval ×``max_buckets``."""
+    import ray
+
+    while True:
+        active = {
+            sk: tuple(st) for sk, st in searches.items() if st[0] < st[1]
+        }
+        if not active:
+            return searches
+        by_group: dict = {}
+        for (g, sid), st in active.items():
+            by_group.setdefault(g, []).append((sid, st))
+        act_ref = ray.put(by_group)
+
+        def bucket_counts(batch: pa.Table) -> pa.Table:
+            acts = ray.get(act_ref)
+            gv = batch[key_col].to_pylist()
+            xv = batch["x"].to_numpy(zero_copy_only=False)
+            out_g, out_s, out_b, out_c = [], [], [], []
+            # group the batch's rows by key once, probe each active search
+            order = np.argsort(np.asarray(gv, dtype=object), kind="stable")
+            gs = np.asarray(gv, dtype=object)[order]
+            xs = xv[order]
+            starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+            ends = np.append(starts[1:], len(gs))
+            for s, e in zip(starts, ends):
+                g = gs[s]
+                seg = xs[s:e]
+                for sid, st in acts.get(g, ()):
+                    lo, hi, _k = st
+                    width = hi - lo + 1
+                    nb = min(max_buckets, width)
+                    sel = seg[(seg >= lo) & (seg <= hi)]
+                    if len(sel) == 0:
+                        continue
+                    b = ((sel - lo) * nb) // width
+                    ub, cb = np.unique(b, return_counts=True)
+                    out_g.extend([g] * len(ub))
+                    out_s.extend([sid] * len(ub))
+                    out_b.extend(ub.tolist())
+                    out_c.extend(cb.tolist())
+            return pa.table(
+                {
+                    key_col: pa.array(out_g),
+                    "sid": pa.array(out_s, pa.int32()),
+                    "bucket": pa.array(out_b, pa.int64()),
+                    "c": pa.array(out_c, pa.int64()),
+                }
+            )
+
+        parts = (
+            snapped.map_batches(bucket_counts, batch_format="pyarrow")
+            .to_pandas()  # ≤ |searches| × buckets partial rows
+        )
+        agg = (
+            parts.groupby([key_col, "sid", "bucket"], as_index=False)["c"].sum()
+            if len(parts)
+            else parts
+        )
+        for (g, sid), st in list(searches.items()):
+            lo, hi, k = st
+            if lo >= hi:
+                continue
+            width = hi - lo + 1
+            nb = min(max_buckets, width)
+            sub = agg[(agg[key_col] == g) & (agg["sid"] == sid)].sort_values(
+                "bucket"
+            )
+            cum = 0
+            for _j, r in sub.iterrows():
+                b, c = int(r["bucket"]), int(r["c"])
+                if cum + c >= k:
+                    # bucket b's EXACT value range: v with
+                    # floor((v-lo)·nb/width) == b — ceil bounds, so the
+                    # next pass's in-interval ranks stay consistent
+                    new_lo = lo + (b * width + nb - 1) // nb
+                    new_hi = lo + ((b + 1) * width + nb - 1) // nb - 1
+                    searches[(g, sid)] = [new_lo, new_hi, k - cum]
+                    break
+                cum += c
+
+
 def median_streaming(
     ds,
     keys,
@@ -1373,23 +1483,7 @@ def median_streaming(
     if len(keys) != 1:
         raise ValueError("median_streaming takes exactly one key column")
     key_col = keys[0]
-
-    def snap(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = batch.select([key_col, x_col])
-        t = t.filter(pc.is_valid(t[x_col]))
-        x = t[x_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
-        finite = np.isfinite(x)
-        if not finite.all():  # NaN/inf are VALID floats — drop like NULLs
-            t = t.filter(pa.array(finite))
-            x = x[finite]
-        xi = np.copysign(np.floor(np.abs(x * x_scale) + 0.5), x).astype(
-            np.int64
-        )
-        return pa.table({key_col: t[key_col], "x": pa.array(xi)})
-
-    snapped = ds.map_batches(snap, batch_format="pyarrow").materialize()
+    snapped = _snap_int(ds, key_col, x_col, x_scale)
     stats = grouped_agg(
         snapped,
         keys,
@@ -1412,90 +1506,9 @@ def median_streaming(
         n = int(row["n"])
         if n == 0:
             continue
-        k1 = (n + 1) // 2
-        k2 = n // 2 + 1
-        searches[(g, 0)] = [int(row["mn"]), int(row["mx"]), k1]
-        searches[(g, 1)] = [int(row["mn"]), int(row["mx"]), k2]
-
-    import ray
-
-    while True:
-        active = {
-            sk: tuple(st) for sk, st in searches.items() if st[0] < st[1]
-        }
-        if not active:
-            break
-        act_ref = ray.put(active)
-
-        def bucket_counts(batch: pa.Table) -> pa.Table:
-            acts = ray.get(act_ref)
-            gv = batch[key_col].to_pylist()
-            xv = batch["x"].to_numpy(zero_copy_only=False)
-            out_g, out_s, out_b, out_c = [], [], [], []
-            # group the batch's rows by key once, probe each active search
-            order = np.argsort(np.asarray(gv, dtype=object), kind="stable")
-            gs = np.asarray(gv, dtype=object)[order]
-            xs = xv[order]
-            starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
-            ends = np.append(starts[1:], len(gs))
-            for s, e in zip(starts, ends):
-                g = gs[s]
-                seg = xs[s:e]
-                for sid in (0, 1):
-                    st = acts.get((g, sid))
-                    if st is None:
-                        continue
-                    lo, hi, _k = st
-                    width = hi - lo + 1
-                    nb = min(65536, width)
-                    sel = seg[(seg >= lo) & (seg <= hi)]
-                    if len(sel) == 0:
-                        continue
-                    b = ((sel - lo) * nb) // width
-                    ub, cb = np.unique(b, return_counts=True)
-                    out_g.extend([g] * len(ub))
-                    out_s.extend([sid] * len(ub))
-                    out_b.extend(ub.tolist())
-                    out_c.extend(cb.tolist())
-            return pa.table(
-                {
-                    key_col: pa.array(out_g),
-                    "sid": pa.array(out_s, pa.int8()),
-                    "bucket": pa.array(out_b, pa.int64()),
-                    "c": pa.array(out_c, pa.int64()),
-                }
-            )
-
-        parts = (
-            snapped.map_batches(bucket_counts, batch_format="pyarrow")
-            .to_pandas()  # ≤ |groups| × 2 × buckets partial rows
-        )
-        agg = (
-            parts.groupby([key_col, "sid", "bucket"], as_index=False)["c"].sum()
-            if len(parts)
-            else parts
-        )
-        for (g, sid), st in list(searches.items()):
-            lo, hi, k = st
-            if lo >= hi:
-                continue
-            width = hi - lo + 1
-            nb = min(65536, width)
-            sub = agg[(agg[key_col] == g) & (agg["sid"] == sid)].sort_values(
-                "bucket"
-            )
-            cum = 0
-            for _j, r in sub.iterrows():
-                b, c = int(r["bucket"]), int(r["c"])
-                if cum + c >= k:
-                    # bucket b's EXACT value range: v with
-                    # floor((v-lo)·nb/width) == b — ceil bounds, so the
-                    # next pass's in-interval ranks stay consistent
-                    new_lo = lo + (b * width + nb - 1) // nb
-                    new_hi = lo + ((b + 1) * width + nb - 1) // nb - 1
-                    searches[(g, sid)] = [new_lo, new_hi, k - cum]
-                    break
-                cum += c
+        searches[(g, 0)] = [int(row["mn"]), int(row["mx"]), (n + 1) // 2]
+        searches[(g, 1)] = [int(row["mn"]), int(row["mx"]), n // 2 + 1]
+    _rank_search(snapped, key_col, searches, max_buckets)
 
     rows = {key_col: [], "n": [], "median": []}
     from .dedup import round_half_up4
@@ -1511,11 +1524,86 @@ def median_streaming(
         rows[key_col].append(g)
         rows["n"].append(n)
         rows["median"].append(round_half_up4(med))
-    out = pa.table(
+    return pa.table(
         {
             key_col: pa.array(rows[key_col]),
             "n": pa.array(rows["n"], pa.int64()),
             "median": pa.array(rows["median"], pa.float64()),
         }
     )
-    return out
+
+
+def quantiles_streaming(
+    ds,
+    keys,
+    x_col: str,
+    qs: tuple = (0.25, 0.5, 0.75, 0.9),
+    x_scale: int = 1,
+    max_buckets: int = 65536,
+):
+    """Per-group EXACT ``quantile_cont`` at every ``q`` — the scale path
+    next to ``ops.textstats.group_quantiles`` (which sorts each group in
+    one worker): the same iterative bucket-counting machinery as
+    :func:`median_streaming` resolves BOTH straddling order statistics of
+    every quantile in the SAME ≤4 corpus scans (all groups × quantiles
+    searched concurrently; a pass's partial rows are ≤ |searches| ×
+    ``max_buckets``). Interpolation ``a + (b − a)·frac`` with
+    ``frac = (n−1)·q − ⌊(n−1)·q⌋`` over exact ints, rescaled, rounded
+    half-away 4dp. Output matches group_quantiles' column naming:
+    ``(key, n, q25, q50, …)``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if len(keys) != 1:
+        raise ValueError("quantiles_streaming takes exactly one key column")
+    key_col = keys[0]
+    snapped = _snap_int(ds, key_col, x_col, x_scale)
+    stats = grouped_agg(
+        snapped,
+        keys,
+        {"n": ("count", "x"), "mn": ("min", "x"), "mx": ("max", "x")},
+    ).to_pandas()
+    qnames = [f"q{int(round(q * 100)):02d}" for q in qs]
+    if len(stats) == 0:
+        cols = {key_col: pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        for qn in qnames:
+            cols[qn] = pa.array([], pa.float64())
+        return pa.table(cols)
+
+    searches: dict = {}
+    fracs: dict = {}
+    for _i, row in stats.iterrows():
+        g = row[key_col]
+        n = int(row["n"])
+        if n == 0:
+            continue
+        for qi, q in enumerate(qs):
+            pos = (n - 1) * float(q)
+            kf = int(np.floor(pos))
+            fracs[(g, qi)] = pos - kf
+            lo, hi = int(row["mn"]), int(row["mx"])
+            # sid must be a scalar int (it rides an int32 partial column)
+            searches[(g, qi * 2)] = [lo, hi, kf + 1]
+            searches[(g, qi * 2 + 1)] = [lo, hi, min(kf + 2, n)]
+    _rank_search(snapped, key_col, searches, max_buckets)
+
+    from .dedup import round_half_up4
+
+    rows: dict = {key_col: [], "n": []}
+    for qn in qnames:
+        rows[qn] = []
+    for _i, row in stats.iterrows():
+        g = row[key_col]
+        n = int(row["n"])
+        if n == 0:
+            continue
+        rows[key_col].append(g)
+        rows["n"].append(n)
+        for qi, qn in enumerate(qnames):
+            a = float(searches[(g, qi * 2)][0])
+            b = float(searches[(g, qi * 2 + 1)][0])
+            v = (a + (b - a) * fracs[(g, qi)]) / float(x_scale)
+            rows[qn].append(round_half_up4(v))
+    cols = {key_col: pa.array(rows[key_col]), "n": pa.array(rows["n"], pa.int64())}
+    for qn in qnames:
+        cols[qn] = pa.array(rows[qn], pa.float64())
+    return pa.table(cols)

@@ -323,3 +323,29 @@ def test_median_streaming_multi_pass(ray_session):
         want = float(np.copysign(np.floor(abs(med) * 1e4 + 0.5) / 1e4, med))
         assert got.loc[key, "median"] == want
         assert got.loc[key, "n"] == m
+
+
+def test_quantiles_streaming_matches_numpy(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from infidex_ray.ops.agg import quantiles_streaming
+
+    rng = np.random.RandomState(9)
+    n = 2500
+    g = np.array([f"g{i % 3}" for i in range(n)], dtype=object)
+    x = rng.randint(-(10**10), 10**10, n).astype(np.float64)
+    t = pa.table({"k": pa.array(g), "v": pa.array(x)})
+    got = (
+        quantiles_streaming(ray.data.from_arrow(t).repartition(4), "k", "v")
+        .to_pandas()
+        .set_index("k")
+    )
+    for key, grp in pd.DataFrame({"k": g, "v": x}).groupby("k"):
+        vals = np.copysign(
+            np.floor(np.abs(grp["v"].values) + 0.5), grp["v"].values
+        ).astype(np.int64)
+        for q, qn in [(0.25, "q25"), (0.5, "q50"), (0.75, "q75"), (0.9, "q90")]:
+            w = np.quantile(vals.astype(np.float64), q, method="linear")
+            want = float(np.copysign(np.floor(abs(w) * 1e4 + 0.5) / 1e4, w))
+            assert got.loc[key, qn] == want, (key, qn)
