@@ -3422,6 +3422,21 @@ def _q_median_streaming(sf_dir: str):
     )
 
 
+def _q_weighted_median(sf_dir: str):
+    """Per-returnflag LOWER weighted median of quantity weighted by line
+    number (ops/agg.py::weighted_median_streaming): cumulative-weight rank
+    search on the bucket-count engine; exact ints == the window oracle."""
+    from infidex_ray.ops.agg import weighted_median_streaming
+
+    return _by(
+        weighted_median_streaming(
+            _read(sf_dir, "lineitem"), "l_returnflag", "l_quantity",
+            "l_linenumber",
+        ),
+        "l_returnflag",
+    )
+
+
 def _q_quantiles_streaming(sf_dir: str):
     """Per-language exact quantiles WITHOUT per-group sorts
     (ops/agg.py::quantiles_streaming): all groups × quantiles × both
@@ -3773,6 +3788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retrieval_rank_eval": _q_retrieval_rank_eval,
         "median_streaming": _q_median_streaming,
         "quantiles_streaming": _q_quantiles_streaming,
+        "weighted_median": _q_weighted_median,
     }
 
 
@@ -5556,6 +5572,24 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0.0 END AS ndcg FROM agg "
             "JOIN dcg ON dcg.qid = agg.qid JOIN idcg ON idcg.qid = agg.qid "
             "ORDER BY agg.qid"
+        ),
+        "weighted_median": (
+            "WITH f AS (SELECT l_returnflag AS g, "
+            "CAST(round(l_quantity * 1) AS BIGINT) AS x, "
+            "CAST(l_linenumber AS BIGINT) AS w FROM lineitem "
+            "WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL "
+            "AND l_linenumber > 0), "
+            "t AS (SELECT g, CAST(sum(w) AS BIGINT) AS tw FROM f "
+            "GROUP BY g), "
+            "cw AS (SELECT g, x, CAST(sum(w) AS BIGINT) AS wv FROM f "
+            "GROUP BY g, x), "
+            "r AS (SELECT g, x, sum(wv) OVER (PARTITION BY g ORDER BY x) "
+            "AS cum FROM cw), "
+            "sel AS (SELECT r.g, min(r.x) AS wm FROM r JOIN t "
+            "ON t.g = r.g WHERE r.cum >= (t.tw + 1) // 2 GROUP BY r.g) "
+            "SELECT sel.g AS l_returnflag, t.tw AS total_w, "
+            "CAST(sel.wm AS DOUBLE) / CAST(1 AS DOUBLE) AS weighted_median "
+            "FROM sel JOIN t ON t.g = sel.g ORDER BY l_returnflag"
         ),
         "quantiles_streaming": (
             "SELECT lang, count(*)::BIGINT AS n, "

@@ -1607,3 +1607,167 @@ def quantiles_streaming(
     for qn in qnames:
         cols[qn] = pa.array(rows[qn], pa.float64())
     return pa.table(cols)
+
+
+def weighted_median_streaming(
+    ds,
+    keys,
+    x_col: str,
+    w_col: str,
+    x_scale: int = 1,
+    max_buckets: int = 65536,
+):
+    """Per-group LOWER weighted median — the smallest value whose
+    cumulative weight reaches half the group's total (integer weights;
+    e.g. "the median document length weighted by token count", where long
+    docs should pull harder than short ones) — on the
+    :func:`median_streaming` bucket-counting engine with WEIGHT-sums in
+    place of row counts: same ≤⌈log₆₅₅₃₆(range)⌉ streaming passes, same
+    nothing-row-sized-leaves-a-block guarantee.
+
+    Semantics (mirrored by the window oracle): with W = Σw over the group
+    (weights must be non-negative int64; rows with NULL/zero weight are
+    dropped), the result is the first value v in ascending order with
+    ``cumw(v) ≥ ceil(W/2)`` — the type-1 lower median, exact with no
+    interpolation. Output: ``(key, total_w, weighted_median)``.
+    """
+    import pyarrow.compute as pc
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if len(keys) != 1:
+        raise ValueError("weighted_median_streaming takes one key column")
+    key_col = keys[0]
+
+    def snap(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, x_col, w_col])
+        t = t.filter(
+            pc.and_(pc.is_valid(t[x_col]), pc.is_valid(t[w_col]))
+        )
+        x = t[x_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        w = t[w_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        finite = np.isfinite(x) & (w > 0)
+        if not finite.all():
+            t = t.filter(pa.array(finite))
+            x, w = x[finite], w[finite]
+        xi = np.copysign(np.floor(np.abs(x * x_scale) + 0.5), x).astype(
+            np.int64
+        )
+        return pa.table(
+            {key_col: t[key_col], "x": pa.array(xi), "w": pa.array(w)}
+        )
+
+    snapped = ds.map_batches(snap, batch_format="pyarrow").materialize()
+    stats = grouped_agg(
+        snapped,
+        keys,
+        {"tw": ("sum", "w"), "mn": ("min", "x"), "mx": ("max", "x")},
+    ).to_pandas()
+    if len(stats) == 0:
+        return pa.table(
+            {
+                key_col: pa.array([], pa.string()),
+                "total_w": pa.array([], pa.int64()),
+                "weighted_median": pa.array([], pa.float64()),
+            }
+        )
+
+    import ray
+
+    # weighted rank search: state = [lo, hi, k_rem] over CUMULATIVE WEIGHT
+    searches: dict = {}
+    for _i, row in stats.iterrows():
+        g = row[key_col]
+        tw = int(row["tw"])
+        if tw <= 0:
+            continue
+        searches[g] = [int(row["mn"]), int(row["mx"]), (tw + 1) // 2]
+
+    while True:
+        active = {g: tuple(st) for g, st in searches.items() if st[0] < st[1]}
+        if not active:
+            break
+        act_ref = ray.put(active)
+
+        def bucket_wsums(batch: pa.Table) -> pa.Table:
+            acts = ray.get(act_ref)
+            gv = batch[key_col].to_pylist()
+            xv = batch["x"].to_numpy(zero_copy_only=False)
+            wv = batch["w"].to_numpy(zero_copy_only=False)
+            out_g, out_b, out_c = [], [], []
+            order = np.argsort(np.asarray(gv, dtype=object), kind="stable")
+            gs = np.asarray(gv, dtype=object)[order]
+            xs, ws = xv[order], wv[order]
+            starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+            ends = np.append(starts[1:], len(gs))
+            for s, e in zip(starts, ends):
+                g = gs[s]
+                st = acts.get(g)
+                if st is None:
+                    continue
+                lo, hi, _k = st
+                width = hi - lo + 1
+                nb = min(max_buckets, width)
+                seg, segw = xs[s:e], ws[s:e]
+                m = (seg >= lo) & (seg <= hi)
+                sel, selw = seg[m], segw[m]
+                if len(sel) == 0:
+                    continue
+                b = ((sel - lo) * nb) // width
+                ub, inv = np.unique(b, return_inverse=True)
+                cb = np.bincount(inv, weights=selw).astype(np.int64)
+                out_g.extend([g] * len(ub))
+                out_b.extend(ub.tolist())
+                out_c.extend(cb.tolist())
+            return pa.table(
+                {
+                    key_col: pa.array(out_g),
+                    "bucket": pa.array(out_b, pa.int64()),
+                    "c": pa.array(out_c, pa.int64()),
+                }
+            )
+
+        parts = snapped.map_batches(
+            bucket_wsums, batch_format="pyarrow"
+        ).to_pandas()
+        agg = (
+            parts.groupby([key_col, "bucket"], as_index=False)["c"].sum()
+            if len(parts)
+            else parts
+        )
+        for g, st in list(searches.items()):
+            lo, hi, k = st
+            if lo >= hi:
+                continue
+            width = hi - lo + 1
+            nb = min(max_buckets, width)
+            sub = agg[agg[key_col] == g].sort_values("bucket")
+            cum = 0
+            for _j, r in sub.iterrows():
+                b, c = int(r["bucket"]), int(r["c"])
+                if cum + c >= k:
+                    new_lo = lo + (b * width + nb - 1) // nb
+                    new_hi = lo + ((b + 1) * width + nb - 1) // nb - 1
+                    searches[g] = [new_lo, new_hi, k - cum]
+                    break
+                cum += c
+
+    rows = {key_col: [], "total_w": [], "weighted_median": []}
+    for _i, row in stats.iterrows():
+        g = row[key_col]
+        tw = int(row["tw"])
+        if tw <= 0:
+            continue
+        rows[key_col].append(g)
+        rows["total_w"].append(tw)
+        rows["weighted_median"].append(
+            float(searches[g][0]) / float(x_scale)
+        )
+    return pa.table(
+        {
+            key_col: pa.array(rows[key_col]),
+            "total_w": pa.array(rows["total_w"], pa.int64()),
+            "weighted_median": pa.array(
+                rows["weighted_median"], pa.float64()
+            ),
+        }
+    )

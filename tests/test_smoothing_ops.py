@@ -349,3 +349,37 @@ def test_quantiles_streaming_matches_numpy(ray_session):
             w = np.quantile(vals.astype(np.float64), q, method="linear")
             want = float(np.copysign(np.floor(abs(w) * 1e4 + 0.5) / 1e4, w))
             assert got.loc[key, qn] == want, (key, qn)
+
+
+def test_weighted_median_streaming(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from infidex_ray.ops.agg import weighted_median_streaming
+
+    rng = np.random.RandomState(6)
+    n = 2000
+    g = np.array([f"g{i % 4}" for i in range(n)], dtype=object)
+    x = rng.randint(-(10**9), 10**9, n).astype(np.float64)
+    w = rng.randint(0, 9, n).astype(np.int64)  # zero weights must drop
+    t = pa.table({"k": pa.array(g), "v": pa.array(x), "w": pa.array(w)})
+    got = (
+        weighted_median_streaming(
+            ray.data.from_arrow(t).repartition(5), "k", "v", "w"
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    df = pd.DataFrame({"k": g, "v": x, "w": w})
+    df = df[df["w"] > 0]
+    for key, grp in df.groupby("k"):
+        vals = np.copysign(
+            np.floor(np.abs(grp["v"].values) + 0.5), grp["v"].values
+        ).astype(np.int64)
+        o = np.argsort(vals, kind="stable")
+        vs, ws = vals[o], grp["w"].values[o]
+        tw = int(ws.sum())
+        cum = np.cumsum(ws)
+        want = float(vs[np.searchsorted(cum, (tw + 1) // 2)])
+        assert got.loc[key, "weighted_median"] == want
+        assert got.loc[key, "total_w"] == tw
