@@ -3422,6 +3422,16 @@ def _q_median_streaming(sf_dir: str):
     )
 
 
+def _q_doc_novelty(sf_dir: str):
+    """Per-doc novelty = fraction of word-shingles with corpus df = 1
+    (ops/dedup.py::doc_novelty, jaccard_prefix stages reused): exact
+    integer ratio; hash-vs-string shingle identity as in every Jaccard
+    oracle."""
+    from infidex_ray.ops.dedup import doc_novelty
+
+    return _by(doc_novelty(_read(sf_dir, "documents")), "doc_id")
+
+
 def _q_weighted_median(sf_dir: str):
     """Per-returnflag LOWER weighted median of quantity weighted by line
     number (ops/agg.py::weighted_median_streaming): cumulative-weight rank
@@ -3789,6 +3799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_streaming": _q_median_streaming,
         "quantiles_streaming": _q_quantiles_streaming,
         "weighted_median": _q_weighted_median,
+        "doc_novelty": _q_doc_novelty,
     }
 
 
@@ -5572,6 +5583,19 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0.0 END AS ndcg FROM agg "
             "JOIN dcg ON dcg.qid = agg.qid JOIN idcg ON idcg.qid = agg.qid "
             "ORDER BY agg.qid"
+        ),
+        "doc_novelty": (
+            "WITH " + sqlgen.word_shingles_cte("documents")
+            + ", tot AS (SELECT doc_id, count(*)::BIGINT AS ns FROM wsh "
+            "GROUP BY doc_id), "
+            "sdf AS (SELECT s, count(*)::BIGINT AS df FROM wsh GROUP BY s), "
+            "sh AS (SELECT w.doc_id, count(*)::BIGINT AS shared FROM wsh w "
+            "JOIN sdf ON sdf.s = w.s AND sdf.df >= 2 GROUP BY w.doc_id) "
+            "SELECT d.doc_id, coalesce(t.ns, 0) AS n_shingles, "
+            "coalesce(sh.shared, 0) AS n_shared, CASE WHEN t.ns > 0 THEN "
+            "(t.ns - coalesce(sh.shared, 0))::DOUBLE / t.ns::DOUBLE END "
+            "AS novelty FROM documents d LEFT JOIN tot t USING (doc_id) "
+            "LEFT JOIN sh USING (doc_id) ORDER BY doc_id"
         ),
         "weighted_median": (
             "WITH f AS (SELECT l_returnflag AS g, "

@@ -2939,3 +2939,172 @@ def jaccard_join(
         )
 
     return pairs.map_batches(decode, batch_format="pyarrow")
+
+
+def doc_novelty(
+    ds,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+):
+    """Per-document novelty: the fraction of a doc's distinct word-``n``-
+    gram shingles that appear in NO other document (corpus df = 1) — the
+    content-originality gate complementing :func:`corpus_overlap` (which
+    reports source-level sharing): boilerplate and templated pages score
+    near 0, genuinely novel writing near 1.
+
+    Scale shape (the :func:`jaccard_prefix_pairs` stages ①–③ reused): one
+    vectorized sketch pass flattens distinct (doc, shingle-hash) rows and
+    emits per-doc totals as one row per doc; shared shingles (df ≥ 2) are
+    found with a coarse hash-slice groupby — that table is SMALL on
+    natural corpora (most shingles are unique) — and one hash join +
+    doc-slice count turns it into per-doc shared counts. ``novelty`` is
+    the exact integer ratio ``(total − shared)/total`` ⇒ bitwise;
+    shingle-less docs keep their row with NULL novelty.
+
+    Output: ``(doc_id, n_shingles, n_shared, novelty)``.
+    """
+    import ray.data
+
+    flat_parts = _join_partitions(num_partitions, chained=False)
+    num_slices = _default_num_slices(mult=8, floor=64)
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        doc_idx, hashes = _batch_doc_shingles(texts, n)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        counts = (
+            np.bincount(doc_idx, minlength=len(texts))
+            if len(texts)
+            else np.zeros(0, np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
+                "shingle": pa.array(hashes.view(np.int64), pa.int64()),
+            }
+        )
+
+    def totals(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        doc_idx, _hashes = _batch_doc_shingles(texts, n)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        counts = (
+            np.bincount(doc_idx, minlength=len(texts))
+            if len(texts)
+            else np.zeros(0, np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "ns": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    flat = ds.map_batches(sketch, batch_format="pyarrow")
+    tot = ds.map_batches(totals, batch_format="pyarrow")
+
+    def sh_slice(batch: pa.Table) -> pa.Table:
+        h = batch["shingle"].to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            sl = ((h * _MIX1) % np.uint64(num_slices)).astype(np.int32)
+        return pa.table({"shingle": batch["shingle"], "slice": pa.array(sl)})
+
+    def df_slice(g: pa.Table) -> pa.Table:
+        h = g["shingle"].to_numpy(zero_copy_only=False)
+        vals, counts = np.unique(h, return_counts=True)
+        keep = counts >= 2
+        return pa.table({"shingle": pa.array(vals[keep], pa.int64())})
+
+    shared_df = (
+        flat.map_batches(sh_slice, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(df_slice, batch_format="pyarrow")
+        .materialize()
+    )
+
+    if shared_df.count() == 0:
+        shared_counts = None
+    else:
+        # sparse groupby output carries schema-LESS empty blocks that crash
+        # the Ray 2.49 hash-join FieldRef resolution — repartition +
+        # materialize normalizes the small side (the _attach_sketches fix)
+        shared_df = shared_df.repartition(flat_parts).materialize()
+        joined = flat.join(shared_df, "inner", flat_parts, on=("shingle",))
+
+        def doc_count(batch: pa.Table) -> pa.Table:
+            d = batch["doc_id"].to_numpy(zero_copy_only=False)
+            u, c = np.unique(d, return_counts=True)
+            return pa.table(
+                {
+                    "doc_id": pa.array(u.astype(np.int64)),
+                    "shared": pa.array(c.astype(np.int64)),
+                }
+            )
+
+        shared_counts = joined.map_batches(doc_count, batch_format="pyarrow")
+
+    from .windows import _add_key_slice
+
+    def tag(kind: int, val_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            v = (
+                batch[val_col].to_numpy(zero_copy_only=False)
+                if val_col in batch.column_names
+                else np.zeros(batch.num_rows, dtype=np.int64)
+            )
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "v": pa.array(v.astype(np.int64)),
+                    "kind": pa.array(
+                        np.full(batch.num_rows, kind, dtype=np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        return fn
+
+    unioned = tot.map_batches(tag(0, "ns"), batch_format="pyarrow")
+    if shared_counts is not None:
+        unioned = unioned.union(
+            shared_counts.map_batches(tag(1, "shared"), batch_format="pyarrow")
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["slice"])
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_shingles": pa.array([], pa.int64()),
+                    "n_shared": pa.array([], pa.int64()),
+                    "novelty": pa.array([], pa.float64()),
+                }
+            )
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        k = t["kind"].to_numpy(zero_copy_only=False)
+        docs, inv = np.unique(d, return_inverse=True)
+        ns = np.bincount(inv, weights=np.where(k == 0, v, 0)).astype(np.int64)
+        sh = np.bincount(inv, weights=np.where(k == 1, v, 0)).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nov = (ns - sh).astype(np.float64) / ns.astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs.astype(np.int64)),
+                "n_shingles": pa.array(ns),
+                "n_shared": pa.array(sh),
+                "novelty": pa.array(
+                    [float(x) if m else None for x, m in zip(nov, ns > 0)],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        unioned.map_batches(_add_key_slice("doc_id"), batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(finish, batch_format="pyarrow")
+    )

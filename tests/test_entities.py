@@ -1,5 +1,6 @@
 """Entity co-occurrence — DuckDB double-entry + cap/dedup edge cases."""
 
+import numpy as np
 import pyarrow as pa
 
 
@@ -159,3 +160,37 @@ def test_politeness_order_interleaves(ray_session):
     # no two consecutive positions share a domain until a domain runs dry
     doms = got["domain"].tolist()
     assert all(doms[i] != doms[i + 1] for i in range(4))
+
+
+def test_doc_novelty(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.dedup import doc_novelty
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta",  # shares 'alpha beta gamma' w/ 2
+                    "alpha beta gamma epsilon",
+                    "totally original sentence here",
+                    "",  # shingle-less: NULL novelty
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    got = (
+        doc_novelty(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # doc 1: shingles {a b g, b g d} — one shared -> novelty 1/2
+    assert got.loc[1, "n_shingles"] == 2 and got.loc[1, "n_shared"] == 1
+    assert got.loc[1, "novelty"] == 0.5
+    assert got.loc[2, "novelty"] == 0.5
+    # doc 3: fully novel
+    assert got.loc[3, "novelty"] == 1.0 and got.loc[3, "n_shared"] == 0
+    # empty doc: row present, NULL novelty
+    assert got.loc[4, "n_shingles"] == 0 and np.isnan(got.loc[4, "novelty"])
