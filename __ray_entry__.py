@@ -3422,6 +3422,18 @@ def _q_median_streaming(sf_dir: str):
     )
 
 
+def _q_grouped_topk_share(sf_dir: str):
+    """Per-language top-3-source concentration share
+    (ops/agg.py::grouped_topk_share): combiner counts → one group-slice
+    ranking pass; exact int64 sums, one division ⇒ bitwise."""
+    from infidex_ray.ops.agg import grouped_topk_share
+
+    return _by(
+        grouped_topk_share(_read(sf_dir, "documents"), "lang", "source", k=3),
+        "lang",
+    )
+
+
 def _q_doc_novelty(sf_dir: str):
     """Per-doc novelty = fraction of word-shingles with corpus df = 1
     (ops/dedup.py::doc_novelty, jaccard_prefix stages reused): exact
@@ -3800,6 +3812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_streaming": _q_quantiles_streaming,
         "weighted_median": _q_weighted_median,
         "doc_novelty": _q_doc_novelty,
+        "grouped_topk_share": _q_grouped_topk_share,
     }
 
 
@@ -5583,6 +5596,19 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0.0 END AS ndcg FROM agg "
             "JOIN dcg ON dcg.qid = agg.qid JOIN idcg ON idcg.qid = agg.qid "
             "ORDER BY agg.qid"
+        ),
+        "grouped_topk_share": (
+            "WITH c AS (SELECT lang, source, count(*)::BIGINT AS c "
+            "FROM documents GROUP BY lang, source), "
+            "r AS (SELECT lang, c, row_number() OVER (PARTITION BY lang "
+            "ORDER BY c DESC, source) AS rn FROM c), "
+            "s AS (SELECT lang, count(*)::BIGINT AS n_items, "
+            "CAST(sum(c) AS BIGINT) AS total, CAST(sum(CASE WHEN rn <= 3 "
+            "THEN c ELSE 0 END) AS BIGINT) AS topk_sum FROM r "
+            "GROUP BY lang) "
+            "SELECT lang, n_items, total, topk_sum, "
+            "topk_sum::DOUBLE / total::DOUBLE AS topk_share FROM s "
+            "ORDER BY lang"
         ),
         "doc_novelty": (
             "WITH " + sqlgen.word_shingles_cte("documents")

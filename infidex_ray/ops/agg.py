@@ -1771,3 +1771,78 @@ def weighted_median_streaming(
             ),
         }
     )
+
+
+def grouped_topk_share(
+    ds,
+    group_col: str,
+    item_col: str,
+    k: int = 3,
+    num_slices: int | None = None,
+):
+    """Per-group top-``k`` concentration share: the fraction of a group's
+    rows carried by its ``k`` most frequent items — the Pareto/80-20
+    report ("what share of each language's pages come from its top-3
+    sources") that complements :func:`grouped_hhi`'s scalar concentration
+    index with an interpretable mass number.
+
+    Exactness: per-(group, item) counts collapse through
+    :func:`grouped_agg`'s combiner partials (≤ groups × items rows cross),
+    then ONE md5 group-slice pass ranks every group's items by
+    (count DESC, item ASC) and sums its top-k — all int64; the share is
+    one exact division ⇒ bitwise vs the row_number() oracle.
+
+    Output: ``(group_col, n_items, total, topk_sum, topk_share)``.
+    """
+    from .windows import _add_key_slice, _sorted_key_ranks
+
+    counts = grouped_agg(
+        ds.select_columns([group_col, item_col]),
+        [group_col, item_col],
+        {"c": ("count", item_col)},
+        num_slices=num_slices,
+    )
+
+    def final(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["slice"])
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: t[group_col],
+                    "n_items": pa.array([], pa.int64()),
+                    "total": pa.array([], pa.int64()),
+                    "topk_sum": pa.array([], pa.int64()),
+                    "topk_share": pa.array([], pa.float64()),
+                }
+            )
+        c = t["c"].to_numpy(zero_copy_only=False)
+        g = _sorted_key_ranks(t[group_col])
+        items = np.asarray(
+            t[item_col].cast(pa.string()).to_pylist(), dtype=object
+        )
+        order = np.lexsort((items, -c, g))
+        gs, cs = g[order], c[order]
+        new = np.r_[True, gs[1:] != gs[:-1]]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        pos = np.arange(len(gs), dtype=np.int64) - starts[seg]
+        totals = np.add.reduceat(cs, starts)
+        topk = np.add.reduceat(np.where(pos < k, cs, 0), starts)
+        n_items = np.diff(np.append(starts, len(gs)))
+        reps = t[group_col].take(pa.array(order[starts], pa.int64()))
+        share = topk.astype(np.float64) / totals.astype(np.float64)
+        return pa.table(
+            {
+                group_col: reps,
+                "n_items": pa.array(n_items.astype(np.int64)),
+                "total": pa.array(totals.astype(np.int64)),
+                "topk_sum": pa.array(topk.astype(np.int64)),
+                "topk_share": pa.array(share),
+            }
+        )
+
+    return (
+        counts.map_batches(_add_key_slice(group_col, num_slices), batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(final, batch_format="pyarrow")
+    )

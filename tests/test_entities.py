@@ -194,3 +194,26 @@ def test_doc_novelty(ray_session):
     assert got.loc[3, "novelty"] == 1.0 and got.loc[3, "n_shared"] == 0
     # empty doc: row present, NULL novelty
     assert got.loc[4, "n_shingles"] == 0 and np.isnan(got.loc[4, "novelty"])
+
+
+def test_grouped_topk_share(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.agg import grouped_topk_share
+
+    # group a: items x:5, y:3, z:1, w:1 -> top2 share = 8/10
+    rows_g = ["a"] * 10 + ["b"] * 2
+    rows_i = ["x"] * 5 + ["y"] * 3 + ["z", "w"] + ["only", "only"]
+    t = pa.table(
+        {"g": pa.array(rows_g, pa.string()), "i": pa.array(rows_i, pa.string())}
+    )
+    got = (
+        grouped_topk_share(ray.data.from_arrow(t).repartition(4), "g", "i", k=2)
+        .to_pandas()
+        .set_index("g")
+    )
+    assert got.loc["a", "topk_sum"] == 8 and got.loc["a", "total"] == 10
+    assert got.loc["a", "topk_share"] == 0.8
+    assert got.loc["a", "n_items"] == 4
+    # group with fewer items than k: share = 1
+    assert got.loc["b", "topk_share"] == 1.0
