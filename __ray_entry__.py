@@ -3422,6 +3422,18 @@ def _q_median_streaming(sf_dir: str):
     )
 
 
+def _q_grouped_gini(sf_dir: str):
+    """Per-language Gini coefficient of document lengths
+    (ops/agg.py::grouped_gini): exact int64 rank-weighted sums through one
+    key-slice pass (ties rank-invariant); one mirrored division ⇒
+    bitwise."""
+    from infidex_ray.ops.agg import grouped_gini
+
+    return _by(
+        grouped_gini(_read(sf_dir, "documents"), "lang", "n_chars"), "lang"
+    )
+
+
 def _q_grouped_topk_share(sf_dir: str):
     """Per-language top-3-source concentration share
     (ops/agg.py::grouped_topk_share): combiner counts → one group-slice
@@ -3813,6 +3825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median": _q_weighted_median,
         "doc_novelty": _q_doc_novelty,
         "grouped_topk_share": _q_grouped_topk_share,
+        "grouped_gini": _q_grouped_gini,
     }
 
 
@@ -5596,6 +5609,19 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0.0 END AS ndcg FROM agg "
             "JOIN dcg ON dcg.qid = agg.qid JOIN idcg ON idcg.qid = agg.qid "
             "ORDER BY agg.qid"
+        ),
+        "grouped_gini": (
+            "WITH f AS (SELECT lang AS g, "
+            "CAST(round(n_chars * 1) AS BIGINT) AS x FROM documents "
+            "WHERE n_chars IS NOT NULL), "
+            "r AS (SELECT g, x, row_number() OVER (PARTITION BY g "
+            "ORDER BY x) AS i FROM f), "
+            "s AS (SELECT g, count(*)::BIGINT AS n, "
+            "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(i * x) AS BIGINT) "
+            "AS six FROM r GROUP BY g) "
+            "SELECT g AS lang, n, sx AS sum_x, CASE WHEN n * sx > 0 THEN "
+            "(2 * six - (n + 1) * sx)::DOUBLE / (n * sx)::DOUBLE END "
+            "AS gini FROM s ORDER BY g"
         ),
         "grouped_topk_share": (
             "WITH c AS (SELECT lang, source, count(*)::BIGINT AS c "

@@ -1846,3 +1846,95 @@ def grouped_topk_share(
         .groupby("slice")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def grouped_gini(
+    ds,
+    keys,
+    x_col: str,
+    x_scale: int = 1,
+    num_slices: int | None = None,
+):
+    """Per-group Gini coefficient of a non-negative measure — the
+    inequality number next to :func:`grouped_hhi` (concentration) and
+    :func:`grouped_topk_share` (top-mass): 0 = evenly spread, → 1 = one
+    item owns everything ("how unequal are page counts across this
+    language's domains").
+
+    Exactness: values snap to int64 (``round(v·x_scale)``); with the
+    group's values ascending, ``G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx)``
+    (1-based ranks; the classic closed form) — every sum is exact int64
+    through one md5 key-slice pass (ties need no care: equal values
+    contribute the same regardless of rank order within a tie run), and
+    the finish is ONE mirrored float division ⇒ bitwise. Σ|x|·n must fit
+    2⁶³ (caller's budget). Groups with Σx = 0 report NULL.
+
+    Output: ``(key, n, sum_x, gini)``.
+    """
+    from .windows import _add_key_slice, _sorted_key_ranks
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if len(keys) != 1:
+        raise ValueError("grouped_gini takes exactly one key column")
+    key_col = keys[0]
+
+    def snap(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.select([key_col, x_col])
+        t = t.filter(pc.is_valid(t[x_col]))
+        x = t[x_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        finite = np.isfinite(x)
+        if not finite.all():
+            t = t.filter(pa.array(finite))
+            x = x[finite]
+        xi = np.copysign(np.floor(np.abs(x * x_scale) + 0.5), x).astype(
+            np.int64
+        )
+        return pa.table({key_col: t[key_col], "x": pa.array(xi)})
+
+    def final(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["slice"])
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: t[key_col],
+                    "n": pa.array([], pa.int64()),
+                    "sum_x": pa.array([], pa.int64()),
+                    "gini": pa.array([], pa.float64()),
+                }
+            )
+        x = t["x"].to_numpy(zero_copy_only=False)
+        g = _sorted_key_ranks(t[key_col])
+        order = np.lexsort((x, g))
+        gs, xs = g[order], x[order]
+        new = np.r_[True, gs[1:] != gs[:-1]]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        rank = np.arange(len(gs), dtype=np.int64) - starts[seg] + 1
+        n = np.diff(np.append(starts, len(gs)))
+        sx = np.add.reduceat(xs, starts)
+        six = np.add.reduceat(rank * xs, starts)
+        num = 2 * six - (n + 1) * sx
+        den = n * sx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gini = num.astype(np.float64) / den.astype(np.float64)
+        reps = t[key_col].take(pa.array(order[starts], pa.int64()))
+        return pa.table(
+            {
+                key_col: reps,
+                "n": pa.array(n.astype(np.int64)),
+                "sum_x": pa.array(sx.astype(np.int64)),
+                "gini": pa.array(
+                    [float(v) if d > 0 else None for v, d in zip(gini, den)],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(snap, batch_format="pyarrow")
+        .map_batches(_add_key_slice(key_col, num_slices), batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(final, batch_format="pyarrow")
+    )

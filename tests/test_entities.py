@@ -217,3 +217,29 @@ def test_grouped_topk_share(ray_session):
     assert got.loc["a", "n_items"] == 4
     # group with fewer items than k: share = 1
     assert got.loc["b", "topk_share"] == 1.0
+
+
+def test_grouped_gini(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.agg import grouped_gini
+
+    t = pa.table(
+        {
+            "g": pa.array(["even"] * 4 + ["skew"] * 4 + ["one"], pa.string()),
+            "x": pa.array(
+                [5.0, 5.0, 5.0, 5.0]  # perfectly equal -> gini 0
+                + [0.0, 0.0, 0.0, 10.0]  # one owns all -> (n-1)/n = 0.75
+                + [7.0],
+                pa.float64(),
+            ),
+        }
+    )
+    got = (
+        grouped_gini(ray.data.from_arrow(t).repartition(3), "g", "x")
+        .to_pandas()
+        .set_index("g")
+    )
+    assert got.loc["even", "gini"] == 0.0
+    assert got.loc["skew", "gini"] == 0.75
+    assert got.loc["one", "gini"] == 0.0 and got.loc["one", "n"] == 1
