@@ -461,3 +461,37 @@ def test_percentile_rank_math_property(vals, nblocks):
         got.append(k.astype(np.float64) / n)
     got = np.concatenate(got)
     assert np.array_equal(got, serial)
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(-(2**50), 2**50), min_size=1, max_size=120),
+    st.integers(1, 120),
+    st.integers(2, 7),
+)
+def test_rank_search_bucket_narrowing(values, k_raw, nb):
+    """Pure replica of ops.agg._rank_search's per-group narrowing loop
+    (tiny bucket counts force many passes): the ceil bucket bounds and
+    k_rem updates must land exactly on the k-th smallest value for any
+    value multiset, any rank, any bucket fan-out."""
+    import numpy as np
+
+    vals = np.asarray(values, dtype=np.int64)
+    k = 1 + (k_raw - 1) % len(vals)
+    lo, hi = int(vals.min()), int(vals.max())
+    k_rem = k
+    while lo < hi:
+        width = hi - lo + 1
+        nbuck = min(nb, width)
+        sel = vals[(vals >= lo) & (vals <= hi)]
+        b = ((sel - lo) * nbuck) // width
+        ub, cb = np.unique(b, return_counts=True)
+        cum = 0
+        for bb, c in zip(ub.tolist(), cb.tolist()):
+            if cum + c >= k_rem:
+                new_lo = lo + (bb * width + nbuck - 1) // nbuck
+                new_hi = lo + ((bb + 1) * width + nbuck - 1) // nbuck - 1
+                lo, hi, k_rem = new_lo, new_hi, k_rem - cum
+                break
+            cum += c
+    assert lo == int(np.sort(vals)[k - 1])
