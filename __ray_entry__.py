@@ -3422,6 +3422,44 @@ def _q_median_streaming(sf_dir: str):
     )
 
 
+def _q_build_frontier(sf_dir: str):
+    """Whole crawl-frontier pipeline (pipelines.build_frontier): planted
+    outlinks → canonicalize → URL dedup → robots gate → per-domain md5
+    quota → politeness order. The oracle regenerates the expected URL set
+    arithmetically (the domain_stats planting convention — extraction +
+    canonicalization equivalence is separately oracle-checked by
+    html_links / canonical_url) and mirrors quota + politeness exactly."""
+    from infidex_ray.ops.robots import parse_robots_txt
+    from infidex_ray.pipelines import build_frontier
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        htmls = []
+        for d in ids:
+            links = "".join(
+                f'<a href="HTTP://Site{d % 5}.example.com/p/{j}'
+                f'?utm_source=x#frag">t</a>'
+                for j in range(1, d % 3 + 2)
+            )
+            links += (
+                f'<a href="http://site{d % 5}.example.com/private/{d}">x</a>'
+            )
+            htmls.append(f"<html>{links}</html>")
+        return pa.table(
+            {"doc_id": batch["doc_id"], "html": pa.array(htmls, pa.string())}
+        )
+
+    ds = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id"])
+        .map_batches(plant, batch_format="pyarrow")
+    )
+    rules = parse_robots_txt("User-agent: *\nDisallow: /private/\n")
+    return _by(
+        build_frontier(ds, robots_rules=rules, max_per_domain=2), "crawl_pos"
+    )
+
+
 def _q_grouped_gini(sf_dir: str):
     """Per-language Gini coefficient of document lengths
     (ops/agg.py::grouped_gini): exact int64 rank-weighted sums through one
@@ -3826,6 +3864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_novelty": _q_doc_novelty,
         "grouped_topk_share": _q_grouped_topk_share,
         "grouped_gini": _q_grouped_gini,
+        "build_frontier": _q_build_frontier,
     }
 
 
@@ -5609,6 +5648,23 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0.0 END AS ndcg FROM agg "
             "JOIN dcg ON dcg.qid = agg.qid JOIN idcg ON idcg.qid = agg.qid "
             "ORDER BY agg.qid"
+        ),
+        "build_frontier": (
+            "WITH d5 AS (SELECT DISTINCT doc_id % 5 AS k, "
+            "doc_id % 3 + 1 AS m FROM documents), "
+            "urls AS (SELECT DISTINCT 'http://site' || CAST(k AS VARCHAR) "
+            "|| '.example.com/p/' || CAST(j AS VARCHAR) AS url, "
+            "'site' || CAST(k AS VARCHAR) || '.example.com' AS domain "
+            "FROM d5, unnest(generate_series(1, m)) AS t(j)), "
+            "pri AS (SELECT domain, url, CAST(md5_number_lower('fq:' || "
+            "url) % 4611686018427387904 AS BIGINT) AS prio FROM urls), "
+            "cap AS (SELECT domain, url FROM (SELECT domain, url, "
+            "row_number() OVER (PARTITION BY domain ORDER BY prio, url) "
+            "AS rn FROM pri) WHERE rn <= 2), "
+            "r AS (SELECT domain, url, row_number() OVER (PARTITION BY "
+            "domain ORDER BY url) AS rank FROM cap) "
+            "SELECT domain, url, rank, row_number() OVER (ORDER BY rank, "
+            "domain, url) AS crawl_pos FROM r ORDER BY crawl_pos"
         ),
         "grouped_gini": (
             "WITH f AS (SELECT lang AS g, "

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["curate_webtext", "hybrid_search"]
+__all__ = ["curate_webtext", "hybrid_search", "build_frontier"]
 
 
 def _checkpoint(docs, ckpt_dir: str, id_col: str, n_parts: int):
@@ -489,3 +489,131 @@ def hybrid_search(
     return [
         (d, s, lex_rank.get(d), sem_rank.get(d)) for d, s in out
     ]
+
+
+def build_frontier(
+    pages,
+    robots_rules=None,
+    max_per_domain: int | None = None,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+):
+    """Crawl-frontier construction — the discovery half of the crawl
+    lifecycle the curation ops consume: outlink extraction → URL
+    canonicalization → URL-level dedup → robots gating → optional
+    per-domain quota → politeness-interleaved global ordering.
+
+    Every stage is an individually oracle-verified op; this composition
+    adds plumbing only:
+
+    1. :func:`ops.html.extract_links` explodes distinct (page, href) edges
+       per batch (vectorized split, no shuffle).
+    2. :func:`ops.urls.canonical_url` normalizes (scheme/host case,
+       fragments, tracking params); URL-level dedup keeps the first
+       discovery by a coarse md5 URL-slice groupby — never one Ray group
+       per URL.
+    3. :func:`ops.urls.url_parse_batch` splits out (domain, path);
+       :func:`ops.robots.robots_allowed` gates paths when rules are given
+       (rules broadcast once).
+    4. Optional per-domain quota (deterministic md5 priorities via
+       :func:`ops.sampling.quota_sample`-style capping happens downstream
+       of dedup so quota counts are over DISTINCT URLs).
+    5. :func:`ops.urls.politeness_order` assigns the round-robin global
+       crawl position.
+
+    Returns a Dataset ``(domain, url, rank, crawl_pos)`` ordered by
+    construction.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .ops.dedup import _default_num_slices, _md5_u64
+    from .ops.html import extract_links
+    from .ops.robots import robots_allowed
+    from .ops.urls import canonical_url, politeness_order, url_parse_batch
+
+    num_slices = _default_num_slices()
+    links = extract_links(pages, html_col=html_col, id_col=id_col)
+    canon = canonical_url(links, url_col="href", out_col="url")
+
+    def url_slice(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        sl = np.asarray(
+            [_md5_u64(u or "") % num_slices for u in urls], dtype=np.int32
+        )
+        return pa.table({"url": batch["url"], "slice": pa.array(sl)})
+
+    def dedup_slice(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["slice"])
+        if t.num_rows == 0:
+            return pa.table({"url": pa.array([], pa.string())})
+        u = np.asarray(t["url"].to_pylist(), dtype=object)
+        return pa.table({"url": pa.array(np.unique(u), pa.string())})
+
+    urls = (
+        canon.map_batches(url_slice, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(dedup_slice, batch_format="pyarrow")
+    )
+
+    def parse(batch: pa.Table) -> pa.Table:
+        t = url_parse_batch(batch, url_col="url", keep_cols=["url"])
+        return pa.table(
+            {"url": t["url"], "domain": t["domain"], "path": t["path"]}
+        )
+
+    parsed = urls.map_batches(parse, batch_format="pyarrow")
+    if robots_rules is not None:
+        gated = robots_allowed(parsed, robots_rules, path_col="path")
+
+        def keep_allowed(batch: pa.Table) -> pa.Table:
+            t = batch.filter(batch["allowed"])
+            return t.drop_columns(["allowed", "path"])
+
+        parsed = gated.map_batches(keep_allowed, batch_format="pyarrow")
+    else:
+        parsed = parsed.map_batches(
+            lambda b: b.drop_columns(["path"]), batch_format="pyarrow"
+        )
+
+    if max_per_domain is not None:
+        from .ops.windows import _add_key_slice, _sorted_key_ranks
+
+        def prio(batch: pa.Table) -> pa.Table:
+            urls_ = batch["url"].to_pylist()
+            pr = np.asarray(
+                [_md5_u64("fq:" + (u or "")) % (1 << 62) for u in urls_],
+                dtype=np.int64,
+            )
+            return batch.append_column("prio", pa.array(pr))
+
+        def cap_slice(group: pa.Table) -> pa.Table:
+            t = group.drop_columns(["slice"])
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "domain": pa.array([], pa.string()),
+                        "url": pa.array([], pa.string()),
+                    }
+                )
+            r = _sorted_key_ranks(t["domain"])
+            pr = t["prio"].to_numpy(zero_copy_only=False)
+            urls_np = np.asarray(t["url"].to_pylist(), dtype=object)
+            order = np.lexsort((urls_np, pr, r))  # url breaks prio ties
+            rs = r[order]
+            new = np.r_[True, rs[1:] != rs[:-1]]
+            starts = np.flatnonzero(new)
+            seg = np.cumsum(new) - 1
+            pos = np.arange(len(rs), dtype=np.int64) - starts[seg]
+            keep = order[pos < max_per_domain]
+            kept = t.take(pa.array(np.sort(keep), pa.int64()))
+            return kept.select(["domain", "url"])
+
+        parsed = (
+            parsed.map_batches(prio, batch_format="pyarrow")
+            .map_batches(_add_key_slice("domain"), batch_format="pyarrow")
+            .groupby("slice")
+            .map_groups(cap_slice, batch_format="pyarrow")
+        )
+
+    return politeness_order(parsed, domain_col="domain", url_col="url")

@@ -3865,3 +3865,43 @@ def test_curate_webtext_image_dedup_stage(ray_session):
     # survivors never include two members of the same payload triple
     trip = [d // 3 for d in kept_with]
     assert len(trip) == len(set(trip))
+
+
+def test_build_frontier_pipeline(ray_session):
+    """Frontier construction end-to-end: outlinks -> canonicalize -> dedup
+    -> robots gate -> quota -> politeness order."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.robots import parse_robots_txt
+    from infidex_ray.pipelines import build_frontier
+
+    pages = []
+    for d in range(12):
+        links = "".join(
+            f'<a href="HTTP://Site{d % 3}.example.com/p/{j}?utm_source=x#frag">l</a>'
+            for j in range(d % 4 + 1)
+        )
+        # duplicate discovery of the same page from another doc + a
+        # disallowed path
+        links += f'<a href="http://site{d % 3}.example.com/p/0">dup</a>'
+        links += f'<a href="http://site{d % 3}.example.com/private/{d}">x</a>'
+        pages.append({"doc_id": d, "html": f"<html>{links}</html>"})
+    ds = ray.data.from_items(pages)
+    rules = parse_robots_txt("User-agent: *\nDisallow: /private/\n")
+    out = (
+        build_frontier(ds, robots_rules=rules, max_per_domain=3)
+        .to_pandas()
+        .sort_values("crawl_pos")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 9  # 3 domains x quota 3
+    # canonicalization: lowercased host, no fragments/tracking params
+    assert out["url"].str.contains("utm|#|HTTP:").sum() == 0
+    # robots: /private/ never survives
+    assert out["url"].str.contains("/private/").sum() == 0
+    # politeness: first 3 positions are 3 distinct domains
+    assert out.head(3)["domain"].nunique() == 3
+    # per-domain quota respected
+    assert out.groupby("domain").size().max() <= 3
