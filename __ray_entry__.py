@@ -3422,6 +3422,16 @@ def _q_median_streaming(sf_dir: str):
     )
 
 
+def _q_consistent_shard(sf_dir: str):
+    """Consistent-hash ring placement (ops/shuffle.py::consistent_shard):
+    md5 ring points, first-point-≥-key routing with wrap; exact ints ⇒
+    the DuckDB oracle replays every assignment."""
+    from infidex_ray.ops.shuffle import consistent_shard
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"])
+    return _by(consistent_shard(ds, "doc_id", n_shards=8, replicas=16), "doc_id")
+
+
 def _q_build_frontier(sf_dir: str):
     """Whole crawl-frontier pipeline (pipelines.build_frontier): planted
     outlinks → canonicalize → URL dedup → robots gate → per-domain md5
@@ -3865,6 +3875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk_share": _q_grouped_topk_share,
         "grouped_gini": _q_grouped_gini,
         "build_frontier": _q_build_frontier,
+        "consistent_shard": _q_consistent_shard,
     }
 
 
@@ -5648,6 +5659,19 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0.0 END AS ndcg FROM agg "
             "JOIN dcg ON dcg.qid = agg.qid JOIN idcg ON idcg.qid = agg.qid "
             "ORDER BY agg.qid"
+        ),
+        "consistent_shard": (
+            "WITH ring AS (SELECT s, r, md5_number_lower('ring:' || "
+            "CAST(s AS VARCHAR) || ':' || CAST(r AS VARCHAR)) AS p "
+            "FROM (SELECT unnest(generate_series(0, 7)) AS s), "
+            "(SELECT unnest(generate_series(0, 15)) AS r)), "
+            "k AS (SELECT doc_id, md5_number_lower(CAST(doc_id AS VARCHAR)) "
+            "AS h FROM documents), "
+            "sel AS (SELECT k.doc_id, coalesce(min(CASE WHEN ring.p >= k.h "
+            "THEN ring.p END), (SELECT min(p) FROM ring)) AS pt "
+            "FROM k CROSS JOIN ring GROUP BY k.doc_id) "
+            "SELECT sel.doc_id, CAST(ring.s AS INT) AS shard FROM sel "
+            "JOIN ring ON ring.p = sel.pt ORDER BY doc_id"
         ),
         "build_frontier": (
             "WITH d5 AS (SELECT DISTINCT doc_id % 5 AS k, "

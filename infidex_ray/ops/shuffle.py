@@ -104,3 +104,49 @@ def zorder_sort(ds, cols, bounds: dict | None = None, out_col: str = "zkey"):
     layout-rewrite pipeline stage (chain ``.write_parquet`` on the result
     for a clustered table)."""
     return zorder_key(ds, cols, bounds, out_col).sort(out_col)
+
+
+def consistent_shard(
+    ds,
+    key_col: str = "doc_id",
+    n_shards: int = 8,
+    replicas: int = 64,
+    salt: str = "ring",
+):
+    """Consistent-hash ring shard assignment — the placement rule that
+    keeps resharding cheap: growing ``n_shards`` by one moves only
+    ~1/n of the keys (plain ``hash % n`` moves almost all of them), so a
+    100-TB corpus can rebalance incrementally. ``replicas`` virtual nodes
+    per shard smooth the load (64 gives ~±13 % spread).
+
+    Deterministic and cross-engine exact: ring points are
+    ``md5_number_lower(salt:shard:replica)``, a key routes to the shard
+    owning the first ring point ≥ ``md5_number_lower(key)`` (wrapping to
+    the ring's minimum). The ring (n_shards × replicas rows) lives in the
+    closure — broadcast once with the task, probed per batch with one
+    vectorized ``searchsorted``; no shuffle, no per-row Python.
+
+    Output: all input columns + ``shard`` (int32).
+    """
+    from .dedup import _md5_u64
+
+    pts = []
+    for s in range(n_shards):
+        for r in range(replicas):
+            pts.append((_md5_u64(f"{salt}:{s}:{r}"), s))
+    pts.sort()
+    ring = np.asarray([p for p, _s in pts], dtype=np.uint64)
+    ring_shard = np.asarray([s for _p, s in pts], dtype=np.int32)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        h = np.asarray(
+            [_md5_u64(str(k)) for k in keys], dtype=np.uint64
+        )
+        idx = np.searchsorted(ring, h, side="left")
+        idx[idx == len(ring)] = 0  # wrap
+        return batch.append_column(
+            "shard", pa.array(ring_shard[idx], pa.int32())
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -243,3 +243,25 @@ def test_grouped_gini(ray_session):
     assert got.loc["even", "gini"] == 0.0
     assert got.loc["skew", "gini"] == 0.75
     assert got.loc["one", "gini"] == 0.0 and got.loc["one", "n"] == 1
+
+
+def test_consistent_shard_stability(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.shuffle import consistent_shard
+
+    t = pa.table({"doc_id": pa.array(list(range(2000)), pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    a = consistent_shard(ds, n_shards=8).to_pandas().set_index("doc_id")
+    b = consistent_shard(ds, n_shards=9).to_pandas().set_index("doc_id")
+    # deterministic across runs/partitionings
+    a2 = consistent_shard(
+        ray.data.from_arrow(t).repartition(11), n_shards=8
+    ).to_pandas().set_index("doc_id")
+    assert a["shard"].equals(a2["shard"])
+    # the consistent-hashing property: adding a 9th shard moves only a
+    # small fraction of keys (naive hash % n would move ~8/9 of them)
+    moved = (a["shard"] != b["shard"]).mean()
+    assert moved < 0.35  # ~1/9 expected; generous bound for 64 vnodes x 16
+    # every shard gets SOME load at 8 shards x 64 replicas
+    assert a["shard"].nunique() == 8
