@@ -5884,12 +5884,15 @@ def oracle_sql() -> dict[str, str]:
             "END AS kurt_excess FROM c ORDER BY l_returnflag"
         ),
         "group_checksum": (
+            # wrapping-sum digest (mod 2^62): multiplicity-sensitive where
+            # a bit_xor fold would cancel even-count rows
             "SELECT lang, count(*)::BIGINT AS n_rows, "
-            "bit_xor(CAST(md5_number_lower(concat("
+            "CAST(sum(CAST(md5_number_lower(concat("
             "coalesce(CAST(doc_id AS VARCHAR), '∅'), '|', "
             "coalesce(source, '∅'), '|', "
             "coalesce(CAST(n_chars AS VARCHAR), '∅'))) "
-            "% 4611686018427387904 AS BIGINT)) AS checksum "
+            "% 4611686018427387904 AS BIGINT)) % "
+            "CAST('4611686018427387904' AS HUGEINT) AS BIGINT) AS checksum "
             "FROM documents GROUP BY lang ORDER BY lang"
         ),
         "pareto_frontier": (

@@ -764,7 +764,7 @@ def grouped_variance(
         cols = {k: t[k] for k in keys}
         x = t[x_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
         xi = np.copysign(np.floor(np.abs(x * x_scale) + 0.5), x)
-        valid = ~np.isnan(xi)
+        valid = np.isfinite(xi)  # NaN AND +/-inf drop (int64 cast is UB)
         xi_i = np.where(valid, xi, 0).astype(np.int64)
         cols["xi"] = pa.array(xi_i, pa.int64(), mask=~valid)
         cols["xx"] = pa.array(xi_i * xi_i, pa.int64(), mask=~valid)
@@ -1111,7 +1111,7 @@ def grouped_skewness(
         cols = {k: t[k] for k in keys}
         x = t[x_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
         xi = np.copysign(np.floor(np.abs(x * x_scale) + 0.5), x)
-        valid = ~np.isnan(xi)
+        valid = np.isfinite(xi)  # NaN AND +/-inf drop (int64 cast is UB)
         xi_i = np.where(valid, xi, 0).astype(np.int64)
         cols["x1"] = pa.array(xi_i, pa.int64(), mask=~valid)
         cols["x2"] = pa.array(xi_i * xi_i, pa.int64(), mask=~valid)
@@ -1214,6 +1214,10 @@ def grouped_trimmed_mean(
         t = batch.select([key_col, x_col])
         t = t.filter(pc.is_valid(t[x_col]))
         x = t[x_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        finite = np.isfinite(x)
+        if not finite.all():  # NaN/inf are VALID floats — drop like NULLs
+            t = t.filter(pa.array(finite))
+            x = x[finite]
         xi = np.copysign(np.floor(np.abs(x * x_scale) + 0.5), x).astype(
             np.int64
         )
@@ -1401,12 +1405,16 @@ def _rank_search(snapped, key_col: str, searches: dict, max_buckets: int):
                 seg = xs[s:e]
                 for sid, st in acts.get(g, ()):
                     lo, hi, _k = st
-                    width = hi - lo + 1
+                    width = hi - lo + 1  # Python int: full-range safe
                     nb = min(max_buckets, width)
+                    bw = (width + nb - 1) // nb  # ceil bucket width
                     sel = seg[(seg >= lo) & (seg <= hi)]
                     if len(sel) == 0:
                         continue
-                    b = ((sel - lo) * nb) // width
+                    # uint64 two's-complement diff: exact for ANY int64
+                    # span (sel - lo as int64 would overflow past 2^63)
+                    d = sel.view(np.uint64) - np.uint64(lo & 0xFFFFFFFFFFFFFFFF)
+                    b = (d // np.uint64(bw)).astype(np.int64)
                     ub, cb = np.unique(b, return_counts=True)
                     out_g.extend([g] * len(ub))
                     out_s.extend([sid] * len(ub))
@@ -1436,6 +1444,7 @@ def _rank_search(snapped, key_col: str, searches: dict, max_buckets: int):
                 continue
             width = hi - lo + 1
             nb = min(max_buckets, width)
+            bw = (width + nb - 1) // nb  # same ceil width the workers used
             sub = agg[(agg[key_col] == g) & (agg["sid"] == sid)].sort_values(
                 "bucket"
             )
@@ -1443,11 +1452,10 @@ def _rank_search(snapped, key_col: str, searches: dict, max_buckets: int):
             for _j, r in sub.iterrows():
                 b, c = int(r["bucket"]), int(r["c"])
                 if cum + c >= k:
-                    # bucket b's EXACT value range: v with
-                    # floor((v-lo)·nb/width) == b — ceil bounds, so the
-                    # next pass's in-interval ranks stay consistent
-                    new_lo = lo + (b * width + nb - 1) // nb
-                    new_hi = lo + ((b + 1) * width + nb - 1) // nb - 1
+                    # bucket b's EXACT value range under d // bw bucketing
+                    # — in-interval ranks stay consistent across passes
+                    new_lo = lo + b * bw
+                    new_hi = min(lo + (b + 1) * bw - 1, hi)
                     searches[(g, sid)] = [new_lo, new_hi, k - cum]
                     break
                 cum += c
@@ -1645,7 +1653,7 @@ def weighted_median_streaming(
         )
         x = t[x_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
         w = t[w_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        finite = np.isfinite(x) & (w > 0)
+        finite = np.isfinite(x) & (w > 0)  # NaN/inf drop like NULLs
         if not finite.all():
             t = t.filter(pa.array(finite))
             x, w = x[finite], w[finite]
@@ -1707,14 +1715,19 @@ def weighted_median_streaming(
                 lo, hi, _k = st
                 width = hi - lo + 1
                 nb = min(max_buckets, width)
+                bw = (width + nb - 1) // nb
                 seg, segw = xs[s:e], ws[s:e]
                 m = (seg >= lo) & (seg <= hi)
                 sel, selw = seg[m], segw[m]
                 if len(sel) == 0:
                     continue
-                b = ((sel - lo) * nb) // width
+                d = sel.view(np.uint64) - np.uint64(lo & 0xFFFFFFFFFFFFFFFF)
+                b = (d // np.uint64(bw)).astype(np.int64)
                 ub, inv = np.unique(b, return_inverse=True)
-                cb = np.bincount(inv, weights=selw).astype(np.int64)
+                # int64-exact weight sums (bincount's float64 weights
+                # path would round past 2^53)
+                cb = np.zeros(len(ub), dtype=np.int64)
+                np.add.at(cb, inv, selw)
                 out_g.extend([g] * len(ub))
                 out_b.extend(ub.tolist())
                 out_c.extend(cb.tolist())
@@ -1740,13 +1753,14 @@ def weighted_median_streaming(
                 continue
             width = hi - lo + 1
             nb = min(max_buckets, width)
+            bw = (width + nb - 1) // nb
             sub = agg[agg[key_col] == g].sort_values("bucket")
             cum = 0
             for _j, r in sub.iterrows():
                 b, c = int(r["bucket"]), int(r["c"])
                 if cum + c >= k:
-                    new_lo = lo + (b * width + nb - 1) // nb
-                    new_hi = lo + ((b + 1) * width + nb - 1) // nb - 1
+                    new_lo = lo + b * bw
+                    new_hi = min(lo + (b + 1) * bw - 1, hi)
                     searches[g] = [new_lo, new_hi, k - cum]
                     break
                 cum += c
@@ -1796,8 +1810,16 @@ def grouped_topk_share(
     """
     from .windows import _add_key_slice, _sorted_key_ranks
 
+    def drop_null_items(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.select([group_col, item_col])
+        # NULL items would crash the object-dtype lexsort below and count
+        # differently than SQL count(*) — exclude them on both engines
+        return t.filter(pc.is_valid(t[item_col]))
+
     counts = grouped_agg(
-        ds.select_columns([group_col, item_col]),
+        ds.map_batches(drop_null_items, batch_format="pyarrow"),
         [group_col, item_col],
         {"c": ("count", item_col)},
         num_slices=num_slices,

@@ -1140,7 +1140,14 @@ def hash_dup_pairs(
     column (SimHash text hashes, image dHashes, audio fingerprints): a pair
     within distance ``max_hamming ≤ 3`` shares at least one of 4 16-bit
     blocks, so 4 bucket rows per row find every such pair. Extracted from
-    the simhash path so multimodal hashes reuse the same engine."""
+    the simhash path so multimodal hashes reuse the same engine.
+    ``max_hamming > 3`` would silently lose recall (distance 4 can place
+    one differing bit in every block) — rejected."""
+    if max_hamming > 3:
+        raise ValueError(
+            "hash_dup_pairs: 4-block pigeonhole guarantees recall only for "
+            f"max_hamming <= 3 (got {max_hamming})"
+        )
 
     def emit_blocks(batch: pa.Table) -> pa.Table:
         # 4 rows per doc, fully vectorized: shift the uint64 view of the
@@ -2971,6 +2978,10 @@ def doc_novelty(
     num_slices = _default_num_slices(mult=8, floor=64)
 
     def sketch(batch: pa.Table) -> pa.Table:
+        # ONE shingling pass: compact (doc, packed hashes, count) sketches
+        # — the jaccard_prefix_pairs layout — materialized once; the flat
+        # stream and the totals are cheap derivations, so the expensive
+        # normalize/split/hash work never runs twice over the corpus
         texts = batch[text_col].to_pylist()
         doc_idx, hashes = _batch_doc_shingles(texts, n)
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
@@ -2979,31 +2990,42 @@ def doc_novelty(
             if len(texts)
             else np.zeros(0, np.int64)
         )
-        return pa.table(
-            {
-                "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
-                "shingle": pa.array(hashes.view(np.int64), pa.int64()),
-            }
-        )
-
-    def totals(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        doc_idx, _hashes = _batch_doc_shingles(texts, n)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        counts = (
-            np.bincount(doc_idx, minlength=len(texts))
-            if len(texts)
-            else np.zeros(0, np.int64)
-        )
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        sh_bin = [
+            hashes[s:e].tobytes()
+            for s, e in zip(starts.tolist(), ends.tolist())
+        ]
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
+                "sh": pa.array(sh_bin, pa.binary()),
                 "ns": pa.array(counts.astype(np.int64), pa.int64()),
             }
         )
 
-    flat = ds.map_batches(sketch, batch_format="pyarrow")
-    tot = ds.map_batches(totals, batch_format="pyarrow")
+    sketches = ds.map_batches(sketch, batch_format="pyarrow").materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        szs = batch["ns"].to_numpy(zero_copy_only=False)
+        shl = batch["sh"].to_pylist()
+        hashes = (
+            np.frombuffer(b"".join(shl), dtype=np.uint64)
+            if shl
+            else np.empty(0, np.uint64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, szs), pa.int64()),
+                "shingle": pa.array(hashes.view(np.int64), pa.int64()),
+            }
+        )
+
+    flat = sketches.map_batches(explode, batch_format="pyarrow")
+    tot = sketches.map_batches(
+        lambda b: b.select(["doc_id", "ns"]), batch_format="pyarrow"
+    )
 
     def sh_slice(batch: pa.Table) -> pa.Table:
         h = batch["shingle"].to_numpy(zero_copy_only=False).view(np.uint64)

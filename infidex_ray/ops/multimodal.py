@@ -458,7 +458,17 @@ class ImageDHashActor:
             import io
 
             img = self._pil.open(io.BytesIO(blob)).convert("L")
-            grid = np.asarray(img.resize((9, 8)), dtype=np.float64)
+            # BOX resample to match the builtin box_thumbnail path — the
+            # default (BICUBIC) would make the hash depend on whether PIL
+            # is installed
+            box = getattr(
+                getattr(self._pil, "Resampling", self._pil), "BOX", None
+            )
+            grid = np.asarray(
+                img.resize((9, 8), box) if box is not None
+                else img.resize((9, 8)),
+                dtype=np.float64,
+            )
             return self._pack_bits(grid), "image/decoded"
         px = _codecs.decode_png(blob)
         grid = _codecs.box_thumbnail(_codecs.png_luma(px), 8, 9)
@@ -551,8 +561,10 @@ def image_dup_pairs(
     hashed = image_dhash(ds, media_col, id_col, concurrency, fake).drop_columns(
         ["media_type"]
     )
+    # the actor's output schema names the id "doc_id" regardless of the
+    # input id_col — address the NORMALIZED column, not the caller's name
     return hash_dup_pairs(
-        hashed, "dhash", id_col, max_hamming, max_bucket_size
+        hashed, "dhash", "doc_id", max_hamming, max_bucket_size
     )
 
 
@@ -690,8 +702,9 @@ def audio_dup_pairs(
     hashed = audio_fingerprint(
         ds, media_col, id_col, concurrency, fake
     ).drop_columns(["media_type"])
+    # actor output id column is always "doc_id" (see image_dup_pairs)
     return hash_dup_pairs(
-        hashed, "fingerprint", id_col, max_hamming, max_bucket_size
+        hashed, "fingerprint", "doc_id", max_hamming, max_bucket_size
     )
 
 

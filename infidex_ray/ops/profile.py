@@ -75,14 +75,19 @@ def group_checksum(
 
     Each row hashes to ``md5_number_lower(concat(vals, '|'-joined, NULL →
     '∅')) % 2**62`` (the repo-wide cross-engine hash,
-    ``ops.dedup._md5_u64``), and the group digest is the bitwise XOR of the
-    row hashes — XOR is associative + commutative with NO overflow, so
-    per-block partials merge exactly in any order. Scale shape: one partial
-    row per (block, key) from a vectorized reduceat pass, then a single
-    coarse md5 key-slice shuffle merges partials (never one Ray group per
-    key).
+    ``ops.dedup._md5_u64``), and the group digest is the WRAPPING uint64
+    SUM of the row hashes, reduced mod 2**62 at the end — addition is
+    associative + commutative, so per-block partials merge exactly in any
+    order, and unlike an XOR fold it is MULTIPLICITY-sensitive (x ⊕ x = 0
+    would make {A, A, B} and {C, C, B} collide at equal n_rows — exactly
+    the duplicated-row corpora this check exists for; 2**62 divides 2**64,
+    so the final mod commutes with uint64 wraparound). Scale shape: one
+    partial row per (block, key) from a vectorized reduceat pass, then a
+    single coarse md5 key-slice shuffle merges partials (never one Ray
+    group per key).
 
-    DuckDB parity: ``bit_xor(md5_number_lower(concat(...)) % 2**62)`` —
+    DuckDB parity: ``CAST(sum(md5_number_lower(concat(...)) % 2**62) AS
+    HUGEINT) % 2**62`` (sum(BIGINT) is HUGEINT — exact up to 2⁶⁵ rows) —
     string rendering is Python ``str()`` vs SQL ``CAST(... AS VARCHAR)``,
     identical for ints and strings (callers with float/timestamp columns
     must pre-render them).
@@ -117,14 +122,15 @@ def group_checksum(
         )
         rs = ranks[order]
         starts = np.flatnonzero(np.concatenate(([True], rs[1:] != rs[:-1])))
-        xored = np.bitwise_xor.reduceat(h, starts) if len(h) else h
+        # wrapping uint64 sums: order-free AND multiplicity-sensitive
+        summed = np.add.reduceat(h, starts) if len(h) else h
         counts = np.add.reduceat(n, starts) if len(n) else n
         keys = t[key_col].take(pa.array(order[starts], pa.int64()))
         return pa.table(
             {
                 key_col: keys,
                 "n_rows": pa.array(counts, pa.int64()),
-                "h": pa.array(xored.astype(np.int64), pa.int64()),
+                "h": pa.array(summed.view(np.int64), pa.int64()),
             }
         )
 
@@ -153,6 +159,13 @@ def group_checksum(
 
     def final(group: pa.Table) -> pa.Table:
         out = _xor_partials(group.drop_columns(["slice"]), "n_rows")
+        # final mod 2^62: commutes with the uint64 wraparound partial sums
+        ck = (out["h"].to_numpy(zero_copy_only=False).view(np.uint64) % mod)
+        out = out.set_column(
+            out.schema.get_field_index("h"),
+            "h",
+            pa.array(ck.astype(np.int64), pa.int64()),
+        )
         return out.rename_columns([key_col, "n_rows", "checksum"])
 
     return (

@@ -1284,11 +1284,13 @@ def ewma(
         pos = np.arange(n, dtype=np.int64) - g_starts[g_idx]  # 0-based
         s = np.empty(n, dtype=np.float64)
         beta = 1.0 - alpha
-        max_pos = int(pos.max())
-        step_rows = [np.flatnonzero(pos == j) for j in range(max_pos + 1)]
-        s[step_rows[0]] = xs[step_rows[0]]
+        lens = np.append(g_starts[1:], n) - g_starts  # rows per key
+        max_pos = int(lens.max()) - 1
+        s[g_starts] = xs[g_starts]
         for j in range(1, max_pos + 1):
-            rows = step_rows[j]
+            # rows sorted by (key, time): a key's step-j row sits at
+            # start + j — O(groups) per step, no full-array rescans
+            rows = g_starts[lens > j] + j
             s[rows] = (alpha * xs[rows]) + (beta * s[rows - 1])
         out_key = t[key_col].take(pa.array(order, pa.int64()))
         return pa.table(
@@ -1523,7 +1525,12 @@ def time_weighted_avg(
         t = batch.select(
             list(dict.fromkeys([key_col, ts_col, value_col, id_col]))
         )
-        return add_slice(t.filter(pc.is_valid(t[value_col])))
+        t = t.filter(pc.is_valid(t[value_col]))
+        v = t[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        finite = np.isfinite(v)
+        if not finite.all():  # NaN/inf would poison the int64 cent snap
+            t = t.filter(pa.array(finite))
+        return add_slice(t)
 
     return (
         ds.map_batches(prep, batch_format="pyarrow")

@@ -132,9 +132,10 @@ def test_group_checksum_order_free_and_duckdb(ray_session):
     con.register("t", t.to_pandas())
     want = con.execute(
         "SELECT k, count(*)::BIGINT AS n_rows, "
-        "bit_xor(CAST(md5_number_lower(concat("
+        "CAST(sum(CAST(md5_number_lower(concat("
         "coalesce(CAST(id AS VARCHAR), '∅'), '|', coalesce(v, '∅'))) "
-        "% 4611686018427387904 AS BIGINT)) AS checksum "
+        "% 4611686018427387904 AS BIGINT)) % "
+        "CAST('4611686018427387904' AS HUGEINT) AS BIGINT) AS checksum "
         "FROM t GROUP BY k ORDER BY k"
     ).df()
     assert got["checksum"].tolist() == want["checksum"].tolist()
@@ -152,6 +153,15 @@ def test_group_checksum_order_free_and_duckdb(ray_session):
     )
     diff = got["checksum"].values != got3["checksum"].values
     assert diff.tolist() == [False, False, True, False]  # 42 % 4 == 2
+
+    # multiplicity sensitivity: {A, A, B} vs {C, C, B} must NOT collide
+    # (an XOR fold cancels even-count rows; the wrapping sum does not)
+    ta = pa.table({"k": pa.array(["g"] * 3), "v": pa.array(["A", "A", "B"])})
+    tb = pa.table({"k": pa.array(["g"] * 3), "v": pa.array(["C", "C", "B"])})
+    ca = group_checksum(ray.data.from_arrow(ta), "k", ["v"]).to_pandas()
+    cb = group_checksum(ray.data.from_arrow(tb), "k", ["v"]).to_pandas()
+    assert ca.iloc[0]["n_rows"] == cb.iloc[0]["n_rows"] == 3
+    assert ca.iloc[0]["checksum"] != cb.iloc[0]["checksum"]
 
 
 def test_row_number_global(ray_session):

@@ -465,15 +465,18 @@ def test_percentile_rank_math_property(vals, nblocks):
 
 @SETTINGS
 @given(
-    st.lists(st.integers(-(2**50), 2**50), min_size=1, max_size=120),
+    st.lists(
+        st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=120
+    ),
     st.integers(1, 120),
     st.integers(2, 7),
 )
 def test_rank_search_bucket_narrowing(values, k_raw, nb):
     """Pure replica of ops.agg._rank_search's per-group narrowing loop
-    (tiny bucket counts force many passes): the ceil bucket bounds and
-    k_rem updates must land exactly on the k-th smallest value for any
-    value multiset, any rank, any bucket fan-out."""
+    (tiny bucket counts force many passes; FULL int64 range exercises the
+    uint64 overflow-safe diff — `(sel - lo) * nb` in int64 was the
+    original bug): bucket bounds and k_rem updates must land exactly on
+    the k-th smallest value for any multiset, rank, and fan-out."""
     import numpy as np
 
     vals = np.asarray(values, dtype=np.int64)
@@ -483,15 +486,19 @@ def test_rank_search_bucket_narrowing(values, k_raw, nb):
     while lo < hi:
         width = hi - lo + 1
         nbuck = min(nb, width)
+        bw = (width + nbuck - 1) // nbuck
         sel = vals[(vals >= lo) & (vals <= hi)]
-        b = ((sel - lo) * nbuck) // width
+        d = sel.view(np.uint64) - np.uint64(lo & 0xFFFFFFFFFFFFFFFF)
+        b = (d // np.uint64(bw)).astype(np.int64)
         ub, cb = np.unique(b, return_counts=True)
         cum = 0
         for bb, c in zip(ub.tolist(), cb.tolist()):
             if cum + c >= k_rem:
-                new_lo = lo + (bb * width + nbuck - 1) // nbuck
-                new_hi = lo + ((bb + 1) * width + nbuck - 1) // nbuck - 1
-                lo, hi, k_rem = new_lo, new_hi, k_rem - cum
+                lo, hi, k_rem = (
+                    lo + bb * bw,
+                    min(lo + (bb + 1) * bw - 1, hi),
+                    k_rem - cum,
+                )
                 break
             cum += c
     assert lo == int(np.sort(vals)[k - 1])
