@@ -5486,7 +5486,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'http://' || source || '.example/' || "
             "CAST(doc_id AS VARCHAR) AS uri, 200::BIGINT AS status, "
             "'text/plain; charset=utf-8' AS content_type, "
-            "strlen(text)::BIGINT AS n_body_bytes, text AS body_text "
+            # coalesce mirrors the fixture's (text or '').encode(): a NULL
+            # text row serializes as a 0-byte body, not a NULL
+            "strlen(coalesce(text, ''))::BIGINT AS n_body_bytes, "
+            "coalesce(text, '') AS body_text "
             "FROM documents ORDER BY uri"
         ),
         "robots_gate": (

@@ -626,6 +626,10 @@ def grouped_ols(
         t = t.filter(ok)
         x = t[x_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
         y = t[y_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        finite = np.isfinite(x) & np.isfinite(y)
+        if not finite.all():  # valid NaN/inf would poison the int64 cast
+            t = t.filter(pa.array(finite))
+            x, y = x[finite], y[finite]
         xi = np.copysign(np.floor(np.abs(x * x_scale) + 0.5), x).astype(np.int64)
         yi = np.copysign(np.floor(np.abs(y * y_scale) + 0.5), y).astype(np.int64)
         cols = {k: t[k] for k in keys}
@@ -829,8 +833,19 @@ def grouped_hhi(ds, group_col: str, cat_col: str, num_slices: int | None = None)
 
     Returns ``(group, n, n_cats, hhi)``.
     """
+    def drop_null_cats(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.select([group_col, cat_col])
+        # NULL categories count 0 under Arrow count(col) but count(*) in
+        # SQL — exclude them on both engines (mirror: WHERE cat IS NOT NULL)
+        return t.filter(pc.is_valid(t[cat_col]))
+
     counts = grouped_agg(
-        ds, [group_col, cat_col], {"c": ("count", cat_col)}, num_slices=num_slices
+        ds.map_batches(drop_null_cats, batch_format="pyarrow"),
+        [group_col, cat_col],
+        {"c": ("count", cat_col)},
+        num_slices=num_slices,
     )
 
     def enrich(t: pa.Table) -> pa.Table:

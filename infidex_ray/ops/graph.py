@@ -223,6 +223,15 @@ def connected_components(
     return out.map_batches(comp_rename, batch_format="pyarrow")
 
 
+def _pair_slice_vec(x: np.ndarray, y: np.ndarray, num_slices: int) -> np.ndarray:
+    """Vectorized coarse slice of an int64 pair — one uint64 multiply-mix
+    per side (the dedup-module _MIX family), replacing the per-row Python
+    md5 that serialized the canonical-edge / wedge hot paths."""
+    with np.errstate(over="ignore"):
+        h = (x.view(np.uint64) * _MIX1) ^ (y.view(np.uint64) * _MIX2)
+        return ((h * _MIX1) % np.uint64(num_slices)).astype(np.int32)
+
+
 def _canonical_edges(edges_ds, src_col: str, dst_col: str, num_slices: int):
     """Distinct undirected edges as canonical ``(a, b)`` with ``a < b`` —
     per-batch unique partials, one coarse pair-hash slice shuffle, one
@@ -236,12 +245,10 @@ def _canonical_edges(edges_ds, src_col: str, dst_col: str, num_slices: int):
         b = np.maximum(s, d)
         keep = a != b  # drop self-loops
         pairs = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0)
-        sl = np.asarray(
-            [
-                _md5_u64(f"{x}:{y}") % num_slices
-                for x, y in zip(pairs[:, 0], pairs[:, 1])
-            ],
-            dtype=np.int32,
+        sl = _pair_slice_vec(
+            np.ascontiguousarray(pairs[:, 0]),
+            np.ascontiguousarray(pairs[:, 1]),
+            num_slices,
         )
         return pa.table(
             {
@@ -348,9 +355,10 @@ def triangle_count(
         a_first = da <= db
         src = np.where(a_first, a, b)
         dst = np.where(a_first, b, a)
-        sl = np.asarray(
-            [_md5_u64(str(v)) % num_slices for v in src], dtype=np.int32
-        )
+        with np.errstate(over="ignore"):
+            sl = ((src.view(np.uint64) * _MIX1) % np.uint64(num_slices)).astype(
+                np.int32
+            )
         return pa.table(
             {
                 "src": pa.array(src, pa.int64()),
@@ -407,10 +415,7 @@ def triangle_count(
         q = np.concatenate(q_l)
         lo = np.minimum(p, q)
         hi = np.maximum(p, q)
-        sl = np.asarray(
-            [_md5_u64(f"{x}:{y}") % num_slices for x, y in zip(lo, hi)],
-            dtype=np.int32,
-        )
+        sl = _pair_slice_vec(lo, hi, num_slices)
         return pa.table(
             {
                 "apex": pa.array(apex, pa.int64()),
@@ -425,10 +430,7 @@ def triangle_count(
     def tag_edge(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False)
         b = t["b"].to_numpy(zero_copy_only=False)
-        sl = np.asarray(
-            [_md5_u64(f"{x}:{y}") % num_slices for x, y in zip(a, b)],
-            dtype=np.int32,
-        )
+        sl = _pair_slice_vec(np.ascontiguousarray(a), np.ascontiguousarray(b), num_slices)
         return pa.table(
             {
                 "apex": pa.nulls(len(a), pa.int64()),
@@ -496,17 +498,17 @@ def _half_step(edges_ds, scores, nodes, key_col, other_col, out_col, scale, num_
     def gather(t: pa.Table) -> pa.Table:
         return pa.table({"node": t[key_col], "v": t[val_col]})
 
-    def sum_rename(t: pa.Table) -> pa.Table:
-        c = "sum(v)" if "sum(v)" in t.column_names else "v"
-        return pa.table({"node": t["node"], "v": t[c]})
+    from .agg import grouped_agg
 
-    raw = (
-        joined.map_batches(gather, batch_format="pyarrow")
-        .groupby("node")
-        .sum("v")
-        .map_batches(sum_rename, batch_format="pyarrow")
-        .materialize()
-    )
+    # node keys are ~unique at graph scale — the slice-combiner grouped_agg
+    # (per-block Arrow partials + coarse md5 slices) replaces the per-node
+    # Ray groupby (the repo-wide "never groupby a ~unique key" policy);
+    # int64 sums are exact either way, so scores are bit-identical
+    raw = grouped_agg(
+        joined.map_batches(gather, batch_format="pyarrow"),
+        "node",
+        {"v": ("sum", "v")},
+    ).materialize()
     mx = raw.max("v") if raw.count() else 0
     if not mx:
         return _nodes_with_value(nodes, 0, out_col).materialize()
@@ -555,6 +557,8 @@ def hits_scores(
     ``scale=1e6`` that is max in/out-degree < 9.2e6; lower ``scale`` for
     hub pages beyond that. Returns ``(node, hub, authority)`` int64.
     """
+    if num_iters < 1:
+        raise ValueError("hits_scores requires num_iters >= 1")
     import ray.data
 
     num_partitions = _join_partitions(num_partitions)

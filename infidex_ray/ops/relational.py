@@ -36,6 +36,10 @@ def _lineitem_revenue(lineitem, keep_cols: list[str]):
             zero_copy_only=False
         )
         disc = t["l_discount"].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        finite = np.isfinite(price) & np.isfinite(disc)
+        if not finite.all():  # valid NaN/inf would poison the int64 cents
+            t = t.filter(pa.array(finite))
+            price, disc = price[finite], disc[finite]
         cents = np.copysign(np.floor(np.abs(price * 100) + 0.5), price).astype(
             np.int64
         )
@@ -136,7 +140,15 @@ def order_priority_counts(lineitem, orders, flag: str = "R", num_slices=None):
 
     key_ds = lineitem.select_columns(
         ["l_orderkey", "l_returnflag"]
-    ).map_batches(keys, batch_format="pyarrow")
+    ).map_batches(keys, batch_format="pyarrow").materialize()
+    if key_ds.count() == 0:
+        # EXISTS over an empty key set: empty result, not a broadcast error
+        return pa.table(
+            {
+                "o_orderpriority": pa.array([], pa.string()),
+                "n_orders": pa.array([], pa.int64()),
+            }
+        )
     hit = broadcast_join(
         orders.select_columns(["o_orderkey", "o_orderpriority"]),
         key_ds,

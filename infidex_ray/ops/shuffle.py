@@ -71,10 +71,23 @@ def zorder_key(
     if len(cols) != 2:
         raise ValueError("zorder_key interleaves exactly 2 columns")
     bounds = bounds or {}
+    for c in cols:
+        lo_c, hi_c = bounds.get(c, (0, 65535))
+        if hi_c - lo_c + 1 > (1 << 47):
+            # ((v-lo) * 65536) would overflow int64 past a 2^47 span (and
+            # the BIGINT oracle would error rather than wrap) — fail
+            # loudly at call time instead of degrading the layout to noise
+            raise ValueError(
+                f"zorder_key: bounds span for {c!r} exceeds 2^47; rescale "
+                "the column (e.g. epoch-us // 1000) or tighten bounds"
+            )
 
     def quantize(v: np.ndarray, lo: int, hi: int) -> np.ndarray:
         span = hi - lo + 1
-        q = ((v.astype(np.int64) - lo) * 65536) // span
+        # clip BEFORE the diff: out-of-bounds values could overflow the
+        # int64 subtraction; clip-then-quantize lands on the same 0/65535
+        vc = np.clip(v.astype(np.int64), lo, hi)
+        q = ((vc - lo) * 65536) // span
         return np.clip(q, 0, 65535).astype(np.uint64)
 
     def spread16(x: np.ndarray) -> np.ndarray:

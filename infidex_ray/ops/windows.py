@@ -933,6 +933,14 @@ def event_transitions(
         )
         if group.num_rows < 2:
             return empty
+        import pyarrow.compute as pc
+
+        if group[type_col].null_count:
+            # NULL-typed events would code to -1 and crash the bincount —
+            # drop them (mirror: WHERE event_type IS NOT NULL)
+            group = group.filter(pc.is_valid(group[type_col]))
+            if group.num_rows < 2:
+                return empty
         kr = _sorted_key_ranks(group[user_col])
         ts = _ts_us(group[ts_col])
         ev = group[id_col].combine_chunks().to_numpy(zero_copy_only=False)

@@ -265,3 +265,60 @@ def test_star_join_chains_dimensions(tpch):
     assert len(df) == tpch["orders"].count()
     assert {"o_orderkey", "c_name", "n_name"} <= set(df.columns)
     assert df["n_name"].notna().all()
+
+
+def test_second_review_batch_fixes(ray_session):
+    """Regressions for the round-4 close-out review findings."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from infidex_ray.ops.graph import hits_scores
+    from infidex_ray.ops.relational import order_priority_counts
+    from infidex_ray.ops.shuffle import zorder_key
+    from infidex_ray.ops.windows import event_transitions
+
+    # event_transitions: NULL event_type no longer crashes the bincount
+    ev = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array([1, 2, 3, 4], pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+            "event_type": pa.array(["a", None, "b", "a"], pa.string()),
+        }
+    )
+    got = event_transitions(ray.data.from_arrow(ev)).to_pandas()
+    # NULL-typed event dropped: transitions a->b and b->a remain
+    assert sorted(zip(got["prev_type"], got["next_type"])) == [
+        ("a", "b"), ("b", "a"),
+    ]
+
+    # hits_scores rejects num_iters < 1 instead of crashing on a None join
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array([1], pa.int64()),
+                  "dst": pa.array([2], pa.int64())})
+    )
+    with pytest.raises(ValueError):
+        hits_scores(edges, num_iters=0)
+
+    # order_priority_counts: flag matching nothing -> typed empty result
+    li = ray.data.from_arrow(
+        pa.table({"l_orderkey": pa.array([1], pa.int64()),
+                  "l_returnflag": pa.array(["A"], pa.string())})
+    )
+    orders = ray.data.from_arrow(
+        pa.table({"o_orderkey": pa.array([1], pa.int64()),
+                  "o_orderpriority": pa.array(["1-URGENT"], pa.string())})
+    )
+    out = order_priority_counts(li, orders, flag="Z")
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert len(df) == 0
+
+    # zorder_key: spans past 2^47 fail loudly instead of wrapping int64
+    t = ray.data.from_arrow(
+        pa.table({"x": pa.array([0, 10], pa.int64()),
+                  "y": pa.array([0, 10], pa.int64())})
+    )
+    with pytest.raises(ValueError):
+        zorder_key(t, ["x", "y"], bounds={"x": (0, 2**50), "y": (0, 10)})
