@@ -1190,23 +1190,27 @@ def ivf_pq_knn(
     )
 
 
-def knn_label_precision(
+def _labeled_topk(
     ds,
-    n_queries: int = 5,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    label_col: str = "label",
-) -> pa.Table:
-    """Labeled retrieval quality (the kNN-classifier eval): for each query
-    vector (``vec_id < n_queries``), exact cosine top-``k`` over the rest
-    of the corpus (self excluded) and the fraction of neighbors sharing
-    the query's label — precision@k per query, the standard embedding-
-    quality score when a label column exists.
+    n_queries: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    with_label_hist: bool = False,
+):
+    """Shared retrieval pipeline of the labeled-eval family
+    (:func:`knn_label_precision` / :func:`ndcg_label_eval` /
+    :func:`retrieval_rank_eval`): queries = rows with id < n_queries,
+    exact cosine top-``k`` per query over the rest of the corpus (self
+    excluded; ties by (score desc, id asc)), per-batch partial top-k with
+    labels riding along, driver merges only queries × k rows. With
+    ``with_label_hist`` the corpus label histogram rides the same pass as
+    sentinel rows (query −1) — no extra scan.
 
-    Same scale shape as :func:`knn_cosine`: per-batch partial top-k
-    (labels ride along), tiny driver merge. Returns
-    ``(query_id, k_eff, n_match, precision)``."""
+    Returns ``(per_query, lab_of[, label_counts])`` where ``per_query``
+    maps query id → [(-score, vec_id, label), …] partials (heapq-ready)
+    and ``lab_of`` maps query id → its label."""
     import ray
 
     def qfilter(batch: pa.Table) -> pa.Table:
@@ -1242,6 +1246,12 @@ def knn_label_precision(
             out_id.extend(mids[idx])
             out_s.extend(mrow[idx])
             out_l.extend(mlab[idx])
+        if with_label_hist:
+            lu, lc = np.unique(labels, return_counts=True)
+            out_q.extend([-1] * len(lu))
+            out_id.extend(lu.tolist())  # label value
+            out_s.extend(lc.astype(np.float64).tolist())  # count
+            out_l.extend([0] * len(lu))
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
@@ -1255,6 +1265,7 @@ def knn_label_precision(
         partial, batch_format="pyarrow"
     )
     per_query: dict[int, list] = {}
+    label_counts: dict[int, int] = {}
     for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
         for qi, vid, s, lb in zip(
             b["query_id"].to_pylist(),
@@ -1262,9 +1273,38 @@ def knn_label_precision(
             b["cosine"].to_pylist(),
             b["nbr_label"].to_pylist(),
         ):
-            per_query.setdefault(qi, []).append((-s, vid, lb))
-    rows = {"query_id": [], "k_eff": [], "n_match": [], "precision": []}
+            if qi == -1:
+                label_counts[vid] = label_counts.get(vid, 0) + int(s)
+            else:
+                per_query.setdefault(qi, []).append((-s, vid, lb))
     lab_of = dict(zip(qids.tolist(), qlabels.tolist()))
+    if with_label_hist:
+        return per_query, lab_of, label_counts
+    return per_query, lab_of
+
+
+def knn_label_precision(
+    ds,
+    n_queries: int = 5,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> pa.Table:
+    """Labeled retrieval quality (the kNN-classifier eval): for each query
+    vector (``vec_id < n_queries``), exact cosine top-``k`` over the rest
+    of the corpus (self excluded) and the fraction of neighbors sharing
+    the query's label — precision@k per query, the standard embedding-
+    quality score when a label column exists.
+
+    Same scale shape as :func:`knn_cosine`: per-batch partial top-k
+    (labels ride along), tiny driver merge (the shared
+    :func:`_labeled_topk` pipeline). Returns
+    ``(query_id, k_eff, n_match, precision)``."""
+    per_query, lab_of = _labeled_topk(
+        ds, n_queries, k, id_col, vec_col, label_col
+    )
+    rows = {"query_id": [], "k_eff": [], "n_match": [], "precision": []}
     for qi in sorted(per_query):
         top = heapq.nsmallest(k, per_query[qi])
         n_match = sum(1 for _, _, lb in top if lb == lab_of[qi])
@@ -1302,63 +1342,12 @@ def ndcg_label_eval(
     sequence, and numpy/DuckDB ``log2`` agree bitwise on the small-integer
     arguments), ``IDCG`` the same over the ideal all-matches-first ranking;
     ``ndcg = round(DCG/IDCG, 4)``, 0 when there are no matches. Physical
-    plan = knn_label_precision's: per-batch partial top-k with labels
-    riding along, driver merges only queries × k rows."""
-    import ray
-
-    def qfilter(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(ids < n_queries))
-
-    qrows = sorted(
-        ds.select_columns([id_col, vec_col, label_col])
-        .map_batches(qfilter, batch_format="pyarrow")
-        .take_all(),
-        key=lambda r: r[id_col],
+    plan = the shared :func:`_labeled_topk` pipeline: per-batch partial
+    top-k with labels riding along, driver merges only queries × k
+    rows."""
+    per_query, lab_of = _labeled_topk(
+        ds, n_queries, k, id_col, vec_col, label_col
     )
-    qids = np.asarray([r[id_col] for r in qrows], dtype=np.int64)
-    qlabels = np.asarray([r[label_col] for r in qrows], dtype=np.int64)
-    qm = _normalize_rows(np.asarray([r[vec_col] for r in qrows], dtype=np.float64))
-    q_ref = ray.put((qids, qm))
-
-    def partial(batch: pa.Table) -> pa.Table:
-        qv, qmat = ray.get(q_ref)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        labels = np.asarray(batch[label_col].to_pylist(), dtype=np.int64)
-        m = _normalize_rows(_to_matrix(batch, vec_col))
-        sims = qmat @ m.T
-        out_q, out_id, out_s, out_l = [], [], [], []
-        for qi in range(len(qv)):
-            row = sims[qi]
-            mask = ids != qv[qi]
-            mids, mrow, mlab = ids[mask], row[mask], labels[mask]
-            idx = np.lexsort((mids, -mrow))[: min(k, len(mids))]
-            out_q.extend([int(qv[qi])] * len(idx))
-            out_id.extend(mids[idx])
-            out_s.extend(mrow[idx])
-            out_l.extend(mlab[idx])
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_id, pa.int64()),
-                "cosine": pa.array(out_s, pa.float64()),
-                "nbr_label": pa.array(out_l, pa.int64()),
-            }
-        )
-
-    partials = ds.select_columns([id_col, vec_col, label_col]).map_batches(
-        partial, batch_format="pyarrow"
-    )
-    per_query: dict[int, list] = {}
-    for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
-        for qi, vid, s, lb in zip(
-            b["query_id"].to_pylist(),
-            b["vec_id"].to_pylist(),
-            b["cosine"].to_pylist(),
-            b["nbr_label"].to_pylist(),
-        ):
-            per_query.setdefault(qi, []).append((-s, vid, lb))
-    lab_of = dict(zip(qids.tolist(), qlabels.tolist()))
     rows = {"query_id": [], "k_eff": [], "n_match": [], "dcg": [], "idcg": [], "ndcg": []}
     for qi in sorted(per_query):
         top = heapq.nsmallest(k, per_query[qi])
@@ -1531,71 +1520,9 @@ def retrieval_rank_eval(
     ``n_match/k_eff``, ``n_match/n_relevant``) ⇒ bitwise vs the SQL
     window oracle; MRR is 0 and first_rank NULL when no relevant neighbor
     makes the top-k. Returns a pa.Table ordered by query_id."""
-    import ray
-
-    def qfilter(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(ids < n_queries))
-
-    qrows = sorted(
-        ds.select_columns([id_col, vec_col, label_col])
-        .map_batches(qfilter, batch_format="pyarrow")
-        .take_all(),
-        key=lambda r: r[id_col],
+    per_query, lab_of, label_counts = _labeled_topk(
+        ds, n_queries, k, id_col, vec_col, label_col, with_label_hist=True
     )
-    qids = np.asarray([r[id_col] for r in qrows], dtype=np.int64)
-    qlabels = np.asarray([r[label_col] for r in qrows], dtype=np.int64)
-    qm = _normalize_rows(np.asarray([r[vec_col] for r in qrows], dtype=np.float64))
-    q_ref = ray.put((qids, qm))
-
-    def partial(batch: pa.Table) -> pa.Table:
-        qv, qmat = ray.get(q_ref)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        labels = np.asarray(batch[label_col].to_pylist(), dtype=np.int64)
-        m = _normalize_rows(_to_matrix(batch, vec_col))
-        sims = qmat @ m.T
-        out_q, out_id, out_s, out_l = [], [], [], []
-        for qi in range(len(qv)):
-            row = sims[qi]
-            mask = ids != qv[qi]
-            mids, mrow, mlab = ids[mask], row[mask], labels[mask]
-            idx = np.lexsort((mids, -mrow))[: min(k, len(mids))]
-            out_q.extend([int(qv[qi])] * len(idx))
-            out_id.extend(mids[idx])
-            out_s.extend(mrow[idx])
-            out_l.extend(mlab[idx])
-        # label histogram partial rides along as sentinel rows (query -1)
-        lu, lc = np.unique(labels, return_counts=True)
-        out_q.extend([-1] * len(lu))
-        out_id.extend(lu.tolist())  # label value
-        out_s.extend(lc.astype(np.float64).tolist())  # count
-        out_l.extend([0] * len(lu))
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_id, pa.int64()),
-                "cosine": pa.array(out_s, pa.float64()),
-                "nbr_label": pa.array(out_l, pa.int64()),
-            }
-        )
-
-    partials = ds.select_columns([id_col, vec_col, label_col]).map_batches(
-        partial, batch_format="pyarrow"
-    )
-    per_query: dict[int, list] = {}
-    label_counts: dict[int, int] = {}
-    for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
-        for qi, vid, s, lb in zip(
-            b["query_id"].to_pylist(),
-            b["vec_id"].to_pylist(),
-            b["cosine"].to_pylist(),
-            b["nbr_label"].to_pylist(),
-        ):
-            if qi == -1:
-                label_counts[vid] = label_counts.get(vid, 0) + int(s)
-            else:
-                per_query.setdefault(qi, []).append((-s, vid, lb))
-    lab_of = dict(zip(qids.tolist(), qlabels.tolist()))
     rows = {
         "query_id": [], "k_eff": [], "n_match": [], "first_rank": [],
         "mrr": [], "p_at_k": [], "recall_at_k": [],
