@@ -3422,6 +3422,16 @@ def _q_median_streaming(sf_dir: str):
     )
 
 
+def _q_shard_balance(sf_dir: str):
+    """Ring-placement balance report (ops/shuffle.py::shard_balance):
+    per-shard counts over the consistent-hash assignment + exact load
+    factors; zero-key shards included."""
+    from infidex_ray.ops.shuffle import shard_balance
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"])
+    return shard_balance(ds, "doc_id", n_shards=8, replicas=16)
+
+
 def _q_consistent_shard(sf_dir: str):
     """Consistent-hash ring placement (ops/shuffle.py::consistent_shard):
     md5 ring points, first-point-≥-key routing with wrap; exact ints ⇒
@@ -3876,6 +3886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_gini": _q_grouped_gini,
         "build_frontier": _q_build_frontier,
         "consistent_shard": _q_consistent_shard,
+        "shard_balance": _q_shard_balance,
     }
 
 
@@ -5662,6 +5673,29 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0.0 END AS ndcg FROM agg "
             "JOIN dcg ON dcg.qid = agg.qid JOIN idcg ON idcg.qid = agg.qid "
             "ORDER BY agg.qid"
+        ),
+        "shard_balance": (
+            "WITH ring AS (SELECT s, r, md5_number_lower('ring:' || "
+            "CAST(s AS VARCHAR) || ':' || CAST(r AS VARCHAR)) AS p "
+            "FROM (SELECT unnest(generate_series(0, 7)) AS s), "
+            "(SELECT unnest(generate_series(0, 15)) AS r)), "
+            "k AS (SELECT doc_id, md5_number_lower(CAST(doc_id AS VARCHAR)) "
+            "AS h FROM documents), "
+            "sel AS (SELECT k.doc_id, coalesce(min(CASE WHEN ring.p >= k.h "
+            "THEN ring.p END), (SELECT min(p) FROM ring)) AS pt "
+            "FROM k CROSS JOIN ring GROUP BY k.doc_id), "
+            "asg AS (SELECT sel.doc_id, ring.s AS shard FROM sel "
+            "JOIN ring ON ring.p = sel.pt), "
+            "c AS (SELECT shard, count(*)::BIGINT AS n_keys FROM asg "
+            "GROUP BY shard), "
+            "t AS (SELECT CAST(sum(n_keys) AS BIGINT) AS total FROM c), "
+            "all_s AS (SELECT unnest(generate_series(0, 7)) AS shard) "
+            "SELECT CAST(all_s.shard AS INT) AS shard, "
+            "coalesce(c.n_keys, 0) AS n_keys, "
+            "CAST(coalesce(c.n_keys, 0) AS DOUBLE) / "
+            "(t.total::DOUBLE / CAST(8 AS DOUBLE)) AS load "
+            "FROM all_s LEFT JOIN c ON c.shard = all_s.shard, t "
+            "ORDER BY shard"
         ),
         "consistent_shard": (
             "WITH ring AS (SELECT s, r, md5_number_lower('ring:' || "

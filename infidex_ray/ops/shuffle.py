@@ -163,3 +163,45 @@ def consistent_shard(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def shard_balance(
+    ds,
+    key_col: str = "doc_id",
+    n_shards: int = 8,
+    replicas: int = 64,
+    salt: str = "ring",
+):
+    """Placement-quality report for :func:`consistent_shard`: per-shard
+    row counts plus the load factor ``count / (total / n_shards)`` — the
+    pre-flight check before committing a ring layout ("is 64 vnodes
+    enough smoothing for this key population?").
+
+    One assignment pass + a shard-keyed combiner count (≤ n_shards rows
+    cross); the load factor is one exact division of exact integers ⇒
+    bitwise vs the SQL replay. Shards that received zero keys still
+    appear (load 0.0). Returns a pa.Table ``(shard, n_keys, load)``
+    ordered by shard."""
+    from .agg import grouped_agg
+
+    assigned = consistent_shard(ds, key_col, n_shards, replicas, salt)
+    counts = grouped_agg(
+        assigned.select_columns(["shard"]),
+        ["shard"],
+        {"n_keys": ("count", "shard")},
+    ).to_pandas()  # ≤ n_shards rows
+    by_shard = dict(zip(counts["shard"], counts["n_keys"]))
+    total = int(counts["n_keys"].sum()) if len(counts) else 0
+    shards = list(range(n_shards))
+    n_keys = [int(by_shard.get(s, 0)) for s in shards]
+    mean = float(total) / float(n_shards)
+    load = [
+        (float(n) / mean) if mean > 0 else None for n in n_keys
+    ]
+    return pa.table(
+        {
+            "shard": pa.array(shards, pa.int32()),
+            "n_keys": pa.array(n_keys, pa.int64()),
+            "load": pa.array(load, pa.float64()),
+        }
+    )

@@ -265,3 +265,20 @@ def test_consistent_shard_stability(ray_session):
     assert moved < 0.35  # ~1/9 expected; generous bound for 64 vnodes x 16
     # every shard gets SOME load at 8 shards x 64 replicas
     assert a["shard"].nunique() == 8
+
+
+def test_shard_balance(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.shuffle import shard_balance
+
+    t = pa.table({"doc_id": pa.array(list(range(4000)), pa.int64())})
+    got = shard_balance(
+        ray.data.from_arrow(t).repartition(5), n_shards=8, replicas=64
+    ).to_pandas()
+    assert got["shard"].tolist() == list(range(8))
+    assert got["n_keys"].sum() == 4000
+    # 64 vnodes keep the spread sane
+    assert got["load"].max() < 1.8 and got["load"].min() > 0.3
+    # exact ratio definition
+    assert (got["load"] == got["n_keys"] / (4000 / 8)).all()
