@@ -5564,8 +5564,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM bfs GROUP BY node ORDER BY node"
         ),
         "event_transitions": (
-            "WITH o AS (SELECT user_id, event_type, lead(event_type) OVER "
-            "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events) "
+            "WITH e AS (SELECT * FROM events "
+            "WHERE event_type IS NOT NULL), "
+            "o AS (SELECT user_id, event_type, lead(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM e) "
             "SELECT event_type AS prev_type, nxt AS next_type, "
             "count(*)::BIGINT AS n FROM o WHERE nxt IS NOT NULL "
             "GROUP BY 1, 2 ORDER BY 1, 2"
@@ -5742,7 +5744,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "grouped_topk_share": (
             "WITH c AS (SELECT lang, source, count(*)::BIGINT AS c "
-            "FROM documents GROUP BY lang, source), "
+            "FROM documents WHERE source IS NOT NULL "
+            "GROUP BY lang, source), "
             "r AS (SELECT lang, c, row_number() OVER (PARTITION BY lang "
             "ORDER BY c DESC, source) AS rn FROM c), "
             "s AS (SELECT lang, count(*)::BIGINT AS n_items, "
@@ -5770,7 +5773,8 @@ def oracle_sql() -> dict[str, str]:
             "WITH f AS (SELECT l_returnflag AS g, "
             "CAST(round(l_quantity * 1) AS BIGINT) AS x, "
             "CAST(l_linenumber AS BIGINT) AS w FROM lineitem "
-            "WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL "
+            "WHERE l_returnflag IS NOT NULL "
+            "AND l_quantity IS NOT NULL AND l_linenumber IS NOT NULL "
             "AND l_linenumber > 0), "
             "t AS (SELECT g, CAST(sum(w) AS BIGINT) AS tw FROM f "
             "GROUP BY g), "
@@ -5790,13 +5794,13 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(n_chars, 0.50), 4) AS q50, "
             "round(quantile_cont(n_chars, 0.75), 4) AS q75, "
             "round(quantile_cont(n_chars, 0.90), 4) AS q90 "
-            "FROM documents WHERE n_chars IS NOT NULL "
+            "FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL "
             "GROUP BY lang ORDER BY lang"
         ),
         "median_streaming": (
             "WITH f AS (SELECT l_returnflag AS g, "
             "CAST(round(l_quantity * 1) AS BIGINT) AS x FROM lineitem "
-            "WHERE l_quantity IS NOT NULL) "
+            "WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL) "
             "SELECT g AS l_returnflag, count(*)::BIGINT AS n, "
             "round(quantile_cont(x, 0.5) / CAST(1 AS DOUBLE), 4) AS median "
             "FROM f GROUP BY g ORDER BY g"
@@ -5829,7 +5833,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "grouped_hhi": (
             "WITH c AS (SELECT lang, source, count(*)::BIGINT AS c "
-            "FROM documents GROUP BY lang, source), "
+            "FROM documents WHERE source IS NOT NULL "
+            "GROUP BY lang, source), "
             "s AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n, "
             "CAST(sum(c*c) AS BIGINT) AS sq, count(*)::BIGINT AS n_cats "
             "FROM c GROUP BY lang) "

@@ -1364,14 +1364,19 @@ def grouped_rate_bounds(
 
 def _snap_int(ds, key_col: str, x_col: str, x_scale: int):
     """(key, x int64) Dataset: round(v·x_scale) half-away-from-zero, NULL
-    and non-finite rows dropped. Materialized once — the rank-search
-    passes re-read it from the object store."""
+    and non-finite rows dropped. NULL group keys are dropped too — they
+    would reach the object-dtype argsort in `_rank_search` as None and
+    raise TypeError (mirror: WHERE key IS NOT NULL in the oracles).
+    Materialized once — the rank-search passes re-read it from the object
+    store."""
 
     def snap(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         t = batch.select([key_col, x_col])
-        t = t.filter(pc.is_valid(t[x_col]))
+        t = t.filter(
+            pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[x_col]))
+        )
         x = t[x_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
         finite = np.isfinite(x)
         if not finite.all():  # NaN/inf are VALID floats — drop like NULLs
@@ -1663,8 +1668,12 @@ def weighted_median_streaming(
 
     def snap(batch: pa.Table) -> pa.Table:
         t = batch.select([key_col, x_col, w_col])
+        # NULL keys dropped like _snap_int (object-argsort can't order None)
         t = t.filter(
-            pc.and_(pc.is_valid(t[x_col]), pc.is_valid(t[w_col]))
+            pc.and_(
+                pc.is_valid(t[key_col]),
+                pc.and_(pc.is_valid(t[x_col]), pc.is_valid(t[w_col])),
+            )
         )
         x = t[x_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
         w = t[w_col].cast(pa.int64()).to_numpy(zero_copy_only=False)

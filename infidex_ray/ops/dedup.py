@@ -2910,6 +2910,11 @@ def jaccard_join(
             ids = batch[id_col].cast(pa.int64()).to_numpy(
                 zero_copy_only=False
             )
+            if len(ids) and int(np.abs(ids).max()) >= 2**62:
+                raise ValueError(
+                    "jaccard_join ids must satisfy |id| < 2**62 (the "
+                    "side bit is packed into the low bit of 2*id)"
+                )
             return pa.table(
                 {
                     "doc_id": pa.array(ids * 2 + side, pa.int64()),

@@ -102,7 +102,7 @@ def group_checksum(
     cols = list(cols)
     mod = 1 << 62
 
-    def _xor_partials(t: pa.Table, n_col) -> pa.Table:
+    def _sum_partials(t: pa.Table, n_col) -> pa.Table:
         """Collapse (key, h[, n]) rows to one (key, n, checksum) per key."""
         if t.num_rows == 0:
             return pa.table(
@@ -155,10 +155,10 @@ def group_checksum(
             dtype=np.uint64,
         )
         t = pa.table({key_col: batch[key_col], "h": pa.array(hs.astype(np.int64))})
-        return _xor_partials(t, None)
+        return _sum_partials(t, None)
 
     def final(group: pa.Table) -> pa.Table:
-        out = _xor_partials(group.drop_columns(["slice"]), "n_rows")
+        out = _sum_partials(group.drop_columns(["slice"]), "n_rows")
         # final mod 2^62: commutes with the uint64 wraparound partial sums
         ck = (out["h"].to_numpy(zero_copy_only=False).view(np.uint64) % mod)
         out = out.set_column(

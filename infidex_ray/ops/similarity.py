@@ -1223,6 +1223,13 @@ def _labeled_topk(
         .take_all(),
         key=lambda r: r[id_col],
     )
+    if with_label_hist and any(r[id_col] < 0 for r in qrows):
+        # query id −1 is the in-band label-histogram sentinel; a real
+        # negative id would fold its neighbor rows into the label counts
+        raise ValueError(
+            "_labeled_topk(with_label_hist=True) requires all ids >= 0 "
+            "(query id -1 is reserved as the histogram sentinel)"
+        )
     qids = np.asarray([r[id_col] for r in qrows], dtype=np.int64)
     qlabels = np.asarray([r[label_col] for r in qrows], dtype=np.int64)
     qm = _normalize_rows(
