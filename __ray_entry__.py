@@ -229,6 +229,90 @@ def _q_search_topk_distributed(sf_dir: str):
     )
 
 
+STAGE1_PANEL = [
+    "hash join merge",
+    "fast table scan",
+    "windw merge",
+    "compression ratio",
+    "vector index",
+]
+
+
+def _stage1_panel_tokens():
+    """(query_text, search tokens) pairs for STAGE1_PANEL — the exact
+    normalize+tokenize the engine applies (Engine.search_ex)."""
+    from infidex_ray.analyzer import normalize_with, tokenize_for_search
+
+    cfg = EngineConfig()
+    out = []
+    for q in STAGE1_PANEL:
+        qn = normalize_with(cfg.normalizer, q.strip(), is_query=True).lower()
+        out.append(
+            (
+                q,
+                tokenize_for_search(
+                    qn,
+                    cfg.index_sizes,
+                    cfg.start_pad_size,
+                    cfg.stop_pad_size,
+                    cfg.delimiters,
+                ),
+            )
+        )
+    return out
+
+
+def _stage1_rows(eng, search_fn) -> pa.Table:
+    """Shared emitter for the stage-1 BM25 entries: ranks/doc ids from the
+    REAL pruned float32 search path (coverage off), scores re-derived in
+    float64 via the SQL-surface scorer (bm25_all_scores include_fuzzy) so
+    the hash compares against DuckDB's float64 sums — a rank divergence
+    between the float32 block-max WAND path and exact BM25 ordering would
+    surface as a doc_id/score mismatch."""
+    rows = {"query": [], "rank": [], "doc_id": [], "score": []}
+    for q in sorted(STAGE1_PANEL):  # oracle row order: query asc, rank asc
+        smap = dict(eng.bm25_all_scores(q, include_fuzzy=True))
+        for r, hit in enumerate(search_fn(q)):
+            rows["query"].append(q)
+            rows["rank"].append(r + 1)
+            rows["doc_id"].append(hit.doc_key)
+            rows["score"].append(round_half_up4(smap[hit.doc_key]))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score": pa.array(rows["score"], pa.float64()),
+        }
+    )
+
+
+def _q_search_topk_bm25(sf_dir: str):
+    """Stage-1-only search (enable_coverage=False): BM25+ over the tiered/
+    disjunctive candidate selection with block-max pruning — the full
+    ranking is SQL-expressible (sqlgen.stage1_topk_sql mirrors
+    prepare_query_terms → build_plan → decide_level → phase_b), so unlike
+    the coverage-cascade search_topk this entry is hash-checked."""
+    eng = _engine_for(sf_dir)
+    return _stage1_rows(
+        eng, lambda q: eng.search(q, top_k=10, enable_coverage=False)
+    )
+
+
+def _q_search_topk_bm25_distributed(sf_dir: str):
+    """search_topk_bm25 served by the shard actor pool — same oracle."""
+    from infidex_ray.query.executor import DistributedEngine
+
+    eng = _engine_for(sf_dir)  # ensure the index exists on disk
+    deng = DistributedEngine.connect(eng.index_dir, num_shards=2, warm=False)
+    try:
+        return _stage1_rows(
+            eng, lambda q: deng.search(q, top_k=10, enable_coverage=False)
+        )
+    finally:
+        deng.shutdown()
+
+
 def _q_exact_dedup(sf_dir: str):
     from infidex_ray.ops.dedup import exact_dedup
 
@@ -3689,6 +3773,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lengths": _q_doc_len,
         "bm25_scores": _q_bm25,
         "search_topk": _q_search_topk,
+        "search_topk_bm25": _q_search_topk_bm25,
+        "search_topk_bm25_distributed": _q_search_topk_bm25_distributed,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash,
@@ -3914,6 +4000,16 @@ def oracle_sql() -> dict[str, str]:
         "word_df": sqlgen.word_df_sql(),
         "doc_lengths": sqlgen.doc_len_sql(),
         "bm25_scores": sqlgen.bm25_sql(bm25_tokens),
+        "search_topk_bm25": sqlgen.stage1_topk_sql(
+            _stage1_panel_tokens(),
+            coverage_depth=cfg.coverage_depth,
+            stop_term_limit=cfg.stop_term_limit,
+        ),
+        "search_topk_bm25_distributed": sqlgen.stage1_topk_sql(
+            _stage1_panel_tokens(),
+            coverage_depth=cfg.coverage_depth,
+            stop_term_limit=cfg.stop_term_limit,
+        ),
         "exact_dedup": (
             "SELECT min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents "
             "GROUP BY text ORDER BY keep_id"

@@ -798,10 +798,16 @@ class Engine:
             if fc
         }
 
-    def bm25_all_scores(self, query_text: str) -> list[tuple[int, float]]:
+    def bm25_all_scores(
+        self, query_text: str, include_fuzzy: bool = False
+    ) -> list[tuple[int, float]]:
         """Disjunctive full-corpus BM25+ scores in float64 — the SQL-oracle
-        surface (no candidate pruning, no fuzzy expansion): every doc matching
-        ≥1 query term gets its exact score. Returns (doc_key, score) rows."""
+        surface (no candidate pruning): every doc matching ≥1 query term
+        gets its exact score. With ``include_fuzzy``, terms absent from the
+        dictionary (df=0, len ≥ 4) contribute their LD1 virtual-term
+        postings (tf=1, df = global union cardinality) exactly like
+        stage-1's fuzzy expansion — the float64 mirror of the score the
+        search path accumulates in float32. Returns (doc_key, score) rows."""
         from .analyzer import normalize_with, tokenize_for_search
 
         cfg = self.cfg
@@ -814,26 +820,42 @@ class Engine:
             )
         )
         terms = []
+        fuzzy_terms = []
         for t in tokens:
             df = self.df_lookup(t)
+            if df == 0 and include_fuzzy and len(t) >= 4:
+                fdf = self._fuzzy_global_df(t)
+                if 0 < fdf <= cfg.stop_term_limit:
+                    idf = float(
+                        np.log((self.total_docs - fdf + 0.5) / (fdf + 0.5) + 1.0)
+                    )
+                    fuzzy_terms.append((t, idf))
+                continue
             if 0 < df <= cfg.stop_term_limit:
                 idf = float(np.log((self.total_docs - df + 0.5) / (df + 0.5) + 1.0))
                 terms.append((t, idf))
         out: list[tuple[int, float]] = []
         avgdl = self.avgdl if self.avgdl > 0 else 1.0
-        for seg in self.segments:
+        for si, seg in enumerate(self.segments):
             acc: dict[int, float] = {}
+
+            def accumulate(docs, tf, idf):
+                dl = seg.doc_len[docs].astype(np.float64)
+                dl = np.where(dl <= 0, 1.0, dl)
+                sc = idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) + 1.0)
+                for d, s in zip(docs.tolist(), sc.tolist()):
+                    acc[d] = acc.get(d, 0.0) + s
+
             for t, idf in terms:
                 i = seg.term_lookup(t)
                 if i < 0:
                     continue
                 docs, weights = seg.term_postings(i)
-                dl = seg.doc_len[docs].astype(np.float64)
-                dl = np.where(dl <= 0, 1.0, dl)
-                tf = weights.astype(np.float64)
-                sc = idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) + 1.0)
-                for d, s in zip(docs.tolist(), sc.tolist()):
-                    acc[d] = acc.get(d, 0.0) + s
+                accumulate(docs, weights.astype(np.float64), idf)
+            for t, idf in fuzzy_terms:
+                docs, _card = self.searchers[si].fuzzy_union(t)
+                if len(docs):
+                    accumulate(docs, np.ones(len(docs), dtype=np.float64), idf)
             keys = seg.doc_keys
             out.extend((int(keys[d]), s) for d, s in acc.items() if s > 0)
         out.sort(key=lambda e: e[0])

@@ -533,6 +533,194 @@ SELECT doc_id, round(score, 4) AS score FROM scored WHERE score > 0 ORDER BY doc
 """
 
 
+def _stage1_query_ctes(
+    prefix: str,
+    query_text: str,
+    tokens: list[str],
+    top_k: int,
+    coverage_depth: int,
+    stop_term_limit: int,
+) -> tuple[str, str]:
+    """Per-query CTE block for :func:`stage1_topk_sql` — mirrors the full
+    stage-1 plan pipeline (query/stage1.py: prepare_query_terms →
+    build_plan → decide_level → phase_b) in SQL:
+
+    * term stats: df over the shared ``occ`` postings; terms absent from
+      the dictionary (df=0, len ≥ 4) expand to their LD1 virtual term
+      (DuckDB ``levenshtein`` == the engine's no-transposition ``_lev1``
+      on this ASCII corpus; tf=1, df = distinct-doc union — fuzzy_union,
+      stage1.py:558);
+    * plan: idf-desc term order (ties by term asc = Python's stable sort
+      over the sorted token list), disjunctive mode iff any df < 10 or a
+      single term (build_plan:177), included ranks r=0 ∨ idf ≥ 0.2·max,
+      selective ranks = first two with idf ≥ 0.3·max;
+    * level: decide_level's cutoffs with top_k = coverage_depth
+      (Engine.search_ex passes coverage_depth into stage1);
+    * candidates: nested-set membership by level (t0 = all-terms
+      intersection, t1 = all-but-last, then selective unions —
+      _candidate_sets, stage1.py:629);
+    * scoring: BM25+ over ALL plan terms in float64; rank order
+      ``CAST(score AS FLOAT) DESC, doc_id ASC`` — the engine accumulates
+      float32, so ties are resolved at float32 granularity.
+
+    Returns (ctes_sql, final_select_name)."""
+    p = prefix
+    vals = ", ".join(f"({sql_quote(t)})" for t in sorted(set(tokens)))
+    cd = coverage_depth
+    ctes = f"""
+{p}qt(term) AS (VALUES {vals}),
+{p}exact AS (
+  SELECT q.term, count(o.doc_id) AS df
+  FROM {p}qt q LEFT JOIN occ o ON o.term = q.term GROUP BY q.term),
+{p}fzn AS (
+  SELECT e.term, v.term AS vterm FROM {p}exact e JOIN vocab v
+    ON v.term <> e.term AND levenshtein(e.term, v.term) <= 1
+  WHERE e.df = 0 AND length(e.term) >= 4),
+{p}fzdocs AS MATERIALIZED (
+  SELECT f.term, o.doc_id FROM {p}fzn f JOIN occ o ON o.term = f.vterm
+  GROUP BY f.term, o.doc_id),
+{p}fzdf AS (SELECT term, count(*) AS df FROM {p}fzdocs GROUP BY term),
+{p}ts AS (
+  SELECT t.term, t.df, t.is_fuzzy,
+         ln((c.n - t.df + 0.5) / (t.df + 0.5) + 1.0) AS idf
+  FROM (
+    SELECT e.term,
+           CASE WHEN e.df > 0 THEN e.df ELSE coalesce(f.df, 0) END AS df,
+           (e.df = 0) AS is_fuzzy
+    FROM {p}exact e LEFT JOIN {p}fzdf f USING (term)
+  ) t CROSS JOIN corpus c
+  WHERE t.df > 0 AND t.df <= {stop_term_limit}),
+{p}ord AS (
+  SELECT term, df, is_fuzzy, idf,
+         row_number() OVER (ORDER BY idf DESC, term ASC) AS r FROM {p}ts),
+{p}meta AS (
+  SELECT count(*) AS n, max(idf) AS midf,
+         max(CASE WHEN df < 10 THEN 1 ELSE 0 END) AS typo FROM {p}ts),
+{p}sel AS (
+  SELECT o.r, row_number() OVER (ORDER BY o.r) AS si
+  FROM {p}ord o, {p}meta m WHERE o.idf > 0 AND o.idf >= m.midf * 0.3
+  QUALIFY si <= 2),
+{p}tp AS MATERIALIZED (
+  SELECT o.r, o.idf, oc.doc_id, least(oc.tf, 255)::DOUBLE AS tf
+  FROM {p}ord o JOIN occ oc ON oc.term = o.term WHERE NOT o.is_fuzzy
+  UNION ALL
+  SELECT o.r, o.idf, fd.doc_id, 1.0::DOUBLE AS tf
+  FROM {p}ord o JOIN {p}fzdocs fd ON fd.term = o.term WHERE o.is_fuzzy),
+{p}inc AS (
+  SELECT o.r, row_number() OVER (ORDER BY o.r) AS ii
+  FROM {p}ord o, {p}meta m
+  WHERE o.r = 1 OR m.n = 1 OR o.idf >= m.midf * 0.2),
+{p}dmin AS (
+  SELECT tp.doc_id, min(i.ii) AS ii
+  FROM {p}tp tp JOIN {p}inc i ON i.r = tp.r GROUP BY tp.doc_id),
+{p}dcum AS (
+  SELECT ii, sum(count(*)) OVER (ORDER BY ii) AS cum
+  FROM {p}dmin GROUP BY ii),
+{p}dlvl AS (
+  SELECT coalesce((SELECT min(ii) FROM {p}dcum WHERE cum >= {100 * cd}),
+                  (SELECT count(*) FROM {p}inc)) AS lvl),
+{p}dst AS (
+  SELECT dr.doc_id, count(*) AS nm,
+         count(*) FILTER (WHERE dr.r < m.n) AS nm1,
+         max(CASE WHEN dr.r = (SELECT min(r) FROM {p}sel WHERE si = 1)
+             THEN 1 ELSE 0 END) AS in_s1,
+         max(CASE WHEN dr.r = (SELECT min(r) FROM {p}sel WHERE si = 2)
+             THEN 1 ELSE 0 END) AS in_s2
+  FROM (SELECT DISTINCT doc_id, r FROM {p}tp) dr, {p}meta m
+  GROUP BY dr.doc_id, m.n),
+{p}tc AS (
+  SELECT
+    count(*) FILTER (WHERE nm = m.n) AS c0,
+    count(*) FILTER (WHERE nm = m.n OR (m.n >= 3 AND nm1 = m.n - 1)) AS c1,
+    count(*) FILTER (WHERE nm = m.n OR (m.n >= 3 AND nm1 = m.n - 1)
+                     OR in_s1 = 1) AS c2
+  FROM {p}dst, {p}meta m GROUP BY m.n),
+{p}tlvl AS (
+  SELECT CASE
+    WHEN m.n >= 2 AND t.c0 >= {2 * cd} THEN 1
+    WHEN (CASE WHEN m.n >= 3 AND t.c0 < {3 * cd} THEN t.c1 ELSE t.c0 END)
+           < {5 * cd}
+         AND (SELECT count(*) FROM {p}sel) > 0
+      THEN CASE WHEN (SELECT count(*) FROM {p}sel) > 1
+                     AND t.c2 < {10 * cd} THEN 4 ELSE 3 END
+    ELSE CASE WHEN m.n >= 3 AND t.c0 < {3 * cd} THEN 2 ELSE 1 END
+  END AS lvl
+  FROM {p}tc t, {p}meta m),
+{p}cand AS (
+  SELECT d.doc_id FROM {p}dmin d, {p}meta m, {p}dlvl l
+  WHERE (m.typo = 1 OR m.n = 1) AND d.ii <= l.lvl
+  UNION
+  SELECT d.doc_id FROM {p}dst d, {p}meta m, {p}tlvl l
+  WHERE NOT (m.typo = 1 OR m.n = 1) AND (
+    d.nm = m.n
+    OR (l.lvl >= 2 AND m.n >= 3 AND d.nm1 = m.n - 1)
+    OR (l.lvl >= 3 AND d.in_s1 = 1)
+    OR (l.lvl >= 4 AND d.in_s2 = 1))),
+{p}sc AS (
+  SELECT tp.doc_id,
+    sum(tp.idf * ((tp.tf * 2.2) / (tp.tf + 1.2 * (0.25 + 0.75 *
+        (CASE WHEN d.dl <= 0 THEN 1.0 ELSE d.dl END) / c.avgdl)) + 1.0))
+      AS score
+  FROM {p}tp tp JOIN {p}cand cd ON cd.doc_id = tp.doc_id
+  JOIN doclen d ON d.doc_id = tp.doc_id CROSS JOIN corpus c
+  GROUP BY tp.doc_id),
+{p}top AS (
+  SELECT {sql_quote(query_text)} AS query,
+    row_number() OVER (ORDER BY CAST(score AS FLOAT) DESC, doc_id ASC)
+      AS rank,
+    doc_id, round(score, 4) AS score
+  FROM {p}sc WHERE score > 0 QUALIFY rank <= {top_k})
+"""
+    return ctes.strip(), f"{p}top"
+
+
+def stage1_topk_sql(
+    panel: list[tuple[str, list[str]]],
+    table: str = "documents",
+    top_k: int = 10,
+    coverage_depth: int = 500,
+    stop_term_limit: int = 1_250_000,
+) -> str:
+    """Full stage-1 BM25+ top-k oracle for a panel of (query_text,
+    tokens) pairs — the SQL mirror of ``Engine.search(q, top_k,
+    enable_coverage=False)``. See :func:`_stage1_query_ctes` for the
+    plan-pipeline mirror; shared postings/doclen/corpus CTEs are computed
+    once for the whole panel."""
+    shared = (
+        # MATERIALIZED: every query block references occ/vocab/doclen —
+        # without the hint DuckDB re-inlines the whole tokens pipeline at
+        # each reference (measured 40 s → ~2 s at sf0.01 for a 5-query
+        # panel)
+        f"WITH {norm_docs_cte(table)}, {grams_cte()}, {words_cte()}, "
+        f"{tokens_cte()}, "
+        "occ AS MATERIALIZED (SELECT doc_id, term, least(count(*), 255) "
+        "AS tf FROM tokens GROUP BY doc_id, term), "
+        "vocab AS MATERIALIZED (SELECT DISTINCT term FROM tokens), "
+        "alltok AS (SELECT doc_id, count(*) AS n_tok FROM tokens "
+        "GROUP BY doc_id), "
+        "doclen AS MATERIALIZED (SELECT n.doc_id, "
+        "coalesce(a.n_tok, 0)::DOUBLE AS dl "
+        "FROM norm_docs n LEFT JOIN alltok a ON n.doc_id = a.doc_id), "
+        "corpus AS MATERIALIZED (SELECT count(*)::DOUBLE AS n, "
+        "(SELECT avg(dl) FROM doclen) AS avgdl FROM norm_docs)"
+    )
+    blocks, finals = [], []
+    for qi, (qtext, toks) in enumerate(panel):
+        ctes, final = _stage1_query_ctes(
+            f"q{qi}_", qtext, toks, top_k, coverage_depth, stop_term_limit
+        )
+        blocks.append(ctes)
+        finals.append(f"SELECT * FROM {final}")
+    return (
+        shared
+        + ",\n"
+        + ",\n".join(blocks)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+        + "\nORDER BY query, rank"
+    )
+
+
 def _kmeans_assign_ctes(
     k: int, iters: int, table: str, prefix: str = ""
 ) -> tuple[list, str]:

@@ -134,3 +134,21 @@ def test_multisegment_stage1_matches_oracle(built_multiseg, q):
     got = eng.stage1(normalize(q.strip()).lower(), 500)
     exp = oracle.stage1(q, 500)
     assert [(k, round(s, 4)) for s, k, *_ in got] == [(k, round(s, 4)) for s, k in exp]
+
+
+def test_bm25_all_scores_fuzzy_matches_stage1_ranking(built):
+    """bm25_all_scores(include_fuzzy=True) is the float64 SQL-surface mirror
+    of the stage-1 score: for a typo query the fuzzy LD1 virtual term must
+    contribute, and the float64 scores must rank-agree with the float32
+    search path (the search_topk_bm25 contract hash relies on this)."""
+    eng, _ = built
+    plain = dict(eng.bm25_all_scores("quik fox"))
+    fuzzy = dict(eng.bm25_all_scores("quik fox", include_fuzzy=True))
+    # the fuzzy expansion must add score mass for the typo'd word
+    assert any(fuzzy[k] > plain.get(k, 0.0) + 1e-9 for k in fuzzy)
+    hits = eng.search("quik fox", top_k=10, enable_coverage=False)
+    ranked_f64 = sorted(
+        ((k, s) for k, s in fuzzy.items()),
+        key=lambda e: (-np.float32(e[1]), e[0]),
+    )
+    assert [h.doc_key for h in hits] == [k for k, _ in ranked_f64[: len(hits)]]
