@@ -3526,6 +3526,31 @@ def _q_consistent_shard(sf_dir: str):
     return _by(consistent_shard(ds, "doc_id", n_shards=8, replicas=16), "doc_id")
 
 
+def _q_curate_webtext(sf_dir: str):
+    """The FULL flagship curation pipeline end-to-end (pipelines.
+    curate_webtext): fused langid/quality/Gopher gate → exact dedup →
+    MinHash near-dedup → word-3-gram decontamination vs the mod-97 bench
+    split → 32-word chunking → greedy 128-token packing. Every stage is
+    individually oracle-checked; this entry hash-checks the COMPOSITION
+    (sqlgen.curate_webtext_sql mirrors all six stages in one statement)."""
+    from infidex_ray.pipelines import curate_webtext
+
+    ds = _read(sf_dir, "documents")
+    bench = ds.map_batches(_mod97_split(True), batch_format="pyarrow")
+    corpus = ds.map_batches(_mod97_split(False), batch_format="pyarrow")
+    out = curate_webtext(
+        corpus,
+        bench=bench,
+        langs=("en",),
+        min_quality=0.3,
+        minhash_threshold=0.5,
+        chunk_words=32,
+        pack_capacity=128,
+        decontam_n=3,
+    )
+    return _by(out, "doc_id", "chunk_id")
+
+
 def _q_build_frontier(sf_dir: str):
     """Whole crawl-frontier pipeline (pipelines.build_frontier): planted
     outlinks → canonicalize → URL dedup → robots gate → per-domain md5
@@ -3971,6 +3996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk_share": _q_grouped_topk_share,
         "grouped_gini": _q_grouped_gini,
         "build_frontier": _q_build_frontier,
+        "curate_webtext": _q_curate_webtext,
         "consistent_shard": _q_consistent_shard,
         "shard_balance": _q_shard_balance,
     }
@@ -5807,6 +5833,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM k CROSS JOIN ring GROUP BY k.doc_id) "
             "SELECT sel.doc_id, CAST(ring.s AS INT) AS shard FROM sel "
             "JOIN ring ON ring.p = sel.pt ORDER BY doc_id"
+        ),
+        "curate_webtext": sqlgen.curate_webtext_sql(
+            langs=("en",),
+            min_quality=0.3,
+            minhash_threshold=0.5,
+            chunk_words=32,
+            pack_capacity=128,
+            decontam_n=3,
         ),
         "build_frontier": (
             "WITH d5 AS (SELECT DISTINCT doc_id % 5 AS k, "

@@ -440,7 +440,13 @@ def curate_webtext(
         docs, chunk_words=chunk_words, id_col=id_col, text_col=text_col
     )
     return pack_sequences(
-        chunks, token_col="n_tokens", id_col=id_col, capacity=pack_capacity
+        chunks,
+        token_col="n_tokens",
+        id_col=id_col,
+        # (doc, chunk) order: default [id_col] alone leaves same-doc chunk
+        # order to groupby block assembly — bin ids would be run-dependent
+        order_cols=[id_col, "chunk_id"],
+        capacity=pack_capacity,
     )
 
 

@@ -721,6 +721,160 @@ def stage1_topk_sql(
     )
 
 
+def curate_webtext_sql(
+    table: str = "documents",
+    langs: tuple = ("en",),
+    min_quality: float = 0.3,
+    minhash_threshold: float = 0.5,
+    chunk_words: int = 32,
+    pack_capacity: int = 128,
+    decontam_n: int = 3,
+    num_buckets: int = 16,
+) -> str:
+    """End-to-end oracle for ``pipelines.curate_webtext`` on the mod-97
+    corpus/bench split (bench = doc_id % 97 = 0, like the decontaminate
+    entry): langid ∈ langs + quality floor + Gopher gate → exact text
+    dedup (min-id survivor) → MinHash near-dedup (exact word-shingle
+    Jaccard ground truth + recursive-CTE transitive closure, the
+    dedup_corpus oracle) → word-``decontam_n``-gram decontamination →
+    disjoint ``chunk_words`` chunking → greedy first-fit packing in
+    (doc_id, chunk_id) order (the pack_sequences lock-step recursion).
+    Gate comparisons use the UNROUNDED float64 expressions — bitwise
+    mirrors of the batch kernels (same accumulation order)."""
+    from .ops.textstats import LANG_PROFILES, STOPWORDS
+
+    dre = sql_quote(delim_regex_class())
+    stoplist = ", ".join(sql_quote(w) for w in sorted(STOPWORDS))
+    lang_set = ", ".join(sql_quote(lg) for lg in sorted(set(langs)))
+
+    def lst(lang: str) -> str:
+        return "[" + ", ".join(sql_quote(w) for w in sorted(LANG_PROFILES[lang])) + "]"
+
+    cw = int(chunk_words)
+    cap = int(pack_capacity)
+    gn = int(decontam_n)
+    return f"""
+WITH RECURSIVE
+corpus0 AS MATERIALIZED (SELECT doc_id, text FROM {table} WHERE doc_id % 97 <> 0),
+-- fused row-local gate: langid + quality + gopher (unrounded mirrors)
+gnorm AS MATERIALIZED (SELECT doc_id, {norm_expr('text')} AS norm, coalesce(text, '') AS t FROM corpus0),
+gw AS (SELECT doc_id, list_filter(string_split_regex(norm, {dre}), x -> x != '') AS ws FROM gnorm),
+lid AS (
+  SELECT doc_id,
+    CASE WHEN is_cjk THEN 'zh'
+         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         WHEN s_es >= s_fr THEN 'es'
+         ELSE 'fr' END AS pred_lang
+  FROM (
+    SELECT n.doc_id,
+      CASE WHEN length(n.norm) > 0 AND
+           length(regexp_replace(n.norm, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))::DOUBLE
+             / greatest(length(n.norm), 1) > 0.1
+           THEN TRUE ELSE FALSE END AS is_cjk,
+      len(list_intersect(d.dws, {lst('de')})) AS s_de,
+      len(list_intersect(d.dws, {lst('en')})) AS s_en,
+      len(list_intersect(d.dws, {lst('es')})) AS s_es,
+      len(list_intersect(d.dws, {lst('fr')})) AS s_fr
+    FROM gnorm n JOIN (SELECT doc_id, list_distinct(ws) AS dws FROM gw) d
+      ON d.doc_id = n.doc_id)),
+qual AS (
+  SELECT g.doc_id,
+    0.4 * least(1.0, coalesce(s.n_tokens, 0) / 100.0)
+      + 0.3 * coalesce(s.n_distinct::DOUBLE / s.n_tokens, 0.0)
+      + 0.3 * coalesce(s.n_stop::DOUBLE / s.n_tokens, 0.0) AS quality
+  FROM gnorm g LEFT JOIN (
+    SELECT doc_id, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct,
+           sum(CASE WHEN w IN ({stoplist}) THEN 1 ELSE 0 END) AS n_stop
+    FROM (SELECT doc_id, unnest(ws) AS w FROM gw)
+    WHERE length(w) >= 1 GROUP BY doc_id
+  ) s ON g.doc_id = s.doc_id),
+gop AS (
+  SELECT doc_id,
+    (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3
+     AND mean_word_len <= 10 AND frac_bullet_lines < 0.9
+     AND frac_ellipsis_lines < 0.3 AND symbol_word_ratio < 0.1
+     AND frac_alpha_words >= 0.8) AS passes
+  FROM (
+    SELECT doc_id,
+      len(words) AS n_words,
+      CASE WHEN len(words) = 0 THEN 0.0
+           ELSE length(regexp_replace(t, '\\s', '', 'g'))::DOUBLE / len(words) END AS mean_word_len,
+      len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '•%'))::DOUBLE / len(lines) AS frac_bullet_lines,
+      len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))::DOUBLE / len(lines) AS frac_ellipsis_lines,
+      CASE WHEN len(words) = 0 THEN 0.0
+           ELSE ((length(t) - length(replace(t, '#', '')))
+               + (length(t) - length(replace(t, '...', ''))) / 3)::DOUBLE / len(words) END AS symbol_word_ratio,
+      CASE WHEN len(words) = 0 THEN 0.0
+           ELSE len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / len(words) END AS frac_alpha_words
+    FROM (SELECT doc_id, t, regexp_extract_all(t, '\\S+') AS words,
+                 string_split(t, chr(10)) AS lines FROM gnorm))),
+gated AS MATERIALIZED (
+  SELECT c.doc_id, c.text FROM corpus0 c
+  JOIN lid ON lid.doc_id = c.doc_id
+  JOIN qual ON qual.doc_id = c.doc_id
+  JOIN gop ON gop.doc_id = c.doc_id
+  WHERE lid.pred_lang IN ({lang_set}) AND qual.quality >= {min_quality}
+    AND gop.passes),
+-- exact text dedup: min-id survivor per identical raw text
+exact_kept AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+corpus1 AS MATERIALIZED (
+  SELECT g.doc_id, g.text FROM gated g JOIN exact_kept k USING (doc_id)),
+-- MinHash near-dedup: exact word-shingle Jaccard ground truth
+{word_jaccard_pairs_core('corpus1', minhash_threshold)},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM wjp
+  UNION SELECT id_b, id_a FROM wjp),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+rep AS (SELECT src AS node, min(dst) AS mn FROM reach GROUP BY src),
+corpus2 AS MATERIALIZED (
+  SELECT doc_id, text FROM corpus1
+  WHERE doc_id NOT IN (SELECT node FROM rep WHERE mn < node)),
+-- decontamination: word {gn}-gram overlap with the bench split
+cws AS (SELECT doc_id,
+        list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+        FROM corpus2),
+cgrams AS (SELECT doc_id, array_to_string(w[i:i+{gn - 1}], ' ') AS g
+           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {gn - 1})) AS i FROM cws)),
+bgrams AS (SELECT DISTINCT array_to_string(w[i:i+{gn - 1}], ' ') AS g
+           FROM (SELECT w, unnest(generate_series(1, len(w) - {gn - 1})) AS i
+                 FROM (SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+                       FROM {table} WHERE doc_id % 97 = 0))),
+contaminated AS (SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b ON c.g = b.g),
+corpus3 AS MATERIALIZED (
+  SELECT doc_id, text FROM corpus2
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+-- chunk: disjoint {cw}-word windows
+chws AS (SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+         FROM corpus3),
+chunks AS MATERIALIZED (
+  SELECT doc_id, (p - 1) // {cw} AS chunk_id,
+         least({cw}, len(w) - p + 1) AS n_tokens,
+         array_to_string(w[p:p+{cw - 1}], ' ') AS chunk
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w), {cw})) AS p FROM chws)),
+-- pack: greedy first-fit in (doc_id, chunk_id) order, bucket = doc_id % {num_buckets}
+r AS (SELECT doc_id, chunk_id, n_tokens, chunk, doc_id % {num_buckets} AS bucket,
+      row_number() OVER (PARTITION BY doc_id % {num_buckets}
+                         ORDER BY doc_id, chunk_id) AS rn FROM chunks),
+pk AS (
+  SELECT bucket, rn, doc_id, chunk_id, n_tokens, chunk,
+         CAST(0 AS BIGINT) AS bin, n_tokens AS acc FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.bucket, r.rn, r.doc_id, r.chunk_id, r.n_tokens, r.chunk,
+         CASE WHEN pk.acc + r.n_tokens > {cap} THEN pk.bin + 1 ELSE pk.bin END,
+         CASE WHEN pk.acc + r.n_tokens > {cap} THEN r.n_tokens
+              ELSE pk.acc + r.n_tokens END
+  FROM pk JOIN r ON r.bucket = pk.bucket AND r.rn = pk.rn + 1)
+SELECT doc_id, chunk_id, CAST(n_tokens AS BIGINT) AS n_tokens, chunk,
+       CAST(bucket AS BIGINT) AS bucket, bin
+FROM pk ORDER BY doc_id, chunk_id
+"""
+
+
 def _kmeans_assign_ctes(
     k: int, iters: int, table: str, prefix: str = ""
 ) -> tuple[list, str]:
