@@ -3526,6 +3526,184 @@ def _q_consistent_shard(sf_dir: str):
     return _by(consistent_shard(ds, "doc_id", n_shards=8, replicas=16), "doc_id")
 
 
+# --- multifield + synonyms serving parity (VERDICT r4 item 8) ---------------
+# Planted fielded corpus: title (weight 3) / body (weight 1), synonyms
+# car/automobile/auto. Integer weights keep Term.FirstCycleAdd's stepwise
+# banker's rounding exact-integer, so the weighted tf is SQL-expressible
+# (sqlgen.fielded_shared_ctes). Texts are lowercase single-space ASCII —
+# normalize() is the identity, positions are stable.
+_MF_TITLES = [
+    "grand automobile fair",
+    "blue lake resort",
+    "stone river lodge",
+    "green valley inn",
+]
+_MF_BODIES = [
+    "family car museum with vintage engines",
+    "auto repair and service center",
+    "calm waters and quiet shores",
+    "historic lodge near the stone bridge",
+    "valley trails with green meadows",
+]
+_MF_SYNONYMS = (("car", "automobile", "auto"),)
+_MF_WEIGHTS = (3.0, 1.0, 1.0)
+MULTIFIELD_PANEL = [
+    "automobile fair",
+    "auto repair",
+    "stone bridge",
+    "q420 lake",
+    "green valley",
+]
+_MF_ENGINE_CACHE: dict = {}
+
+
+def _mf_concats():
+    """(canonical concat, raw title length) per doc_id % 20 combo. The
+    build canonicalizes AFTER '§' concatenation (a synonym glued across
+    the boundary never matches) while boundaries keep the RAW title
+    length — both quirks mirrored here (sqlgen.fielded_shared_ctes)."""
+    from infidex_ray.synonyms import SynonymMap
+
+    cfg = EngineConfig()
+    smap = SynonymMap(_MF_SYNONYMS)
+    delims = frozenset(cfg.delimiters)
+    concats, l1s = [], []
+    for k in range(len(_MF_TITLES) * len(_MF_BODIES)):
+        title = _MF_TITLES[k % len(_MF_TITLES)]
+        body = _MF_BODIES[k % len(_MF_BODIES)]
+        concats.append(
+            smap.canonicalize_text((title + "§" + body).lower(), delims)
+        )
+        l1s.append(len(title))
+    return concats, l1s
+
+
+def _mf_engine_for(sf_dir: str):
+    eng = _MF_ENGINE_CACHE.get(sf_dir)
+    if eng is None:
+        from infidex_ray.engine import Engine
+
+        def plant(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "title": pa.array(
+                        [_MF_TITLES[d % len(_MF_TITLES)] for d in ids]
+                    ),
+                    "body": pa.array(
+                        [
+                            _MF_BODIES[d % len(_MF_BODIES)] + f" q{d}"
+                            for d in ids
+                        ]
+                    ),
+                }
+            )
+
+        out = os.path.join(
+            "/tmp/infidex_ray_idx",
+            sf_dir.strip("/").replace("/", "_") + "_mf_v1",
+        )
+        cfg = EngineConfig(
+            target_docs_per_segment=2000,
+            field_weights=_MF_WEIGHTS,
+            synonyms=_MF_SYNONYMS,
+        )
+        ds = (
+            _read(sf_dir, "documents")
+            .select_columns(["doc_id"])
+            .map_batches(plant, batch_format="pyarrow")
+        )
+        eng = Engine.build(
+            ds, out, cfg, key_column="doc_id",
+            text_fields=(("title", 0), ("body", 1)),
+        )
+        _MF_ENGINE_CACHE[sf_dir] = eng
+    return eng
+
+
+def _mf_panel_tokens():
+    """(query, tokens) with the engine's normalize → synonym-canonicalize →
+    tokenize order (Engine.search_ex:476-477)."""
+    from infidex_ray.analyzer import normalize_with, tokenize_for_search
+    from infidex_ray.synonyms import SynonymMap
+
+    cfg = EngineConfig()
+    smap = SynonymMap(_MF_SYNONYMS)
+    delims = frozenset(cfg.delimiters)
+    out = []
+    for q in MULTIFIELD_PANEL:
+        qn = normalize_with(cfg.normalizer, q.strip(), is_query=True).lower()
+        qc = smap.canonicalize_text(qn, delims)
+        out.append(
+            (
+                q,
+                tokenize_for_search(
+                    qc,
+                    cfg.index_sizes,
+                    cfg.start_pad_size,
+                    cfg.stop_pad_size,
+                    cfg.delimiters,
+                ),
+            )
+        )
+    return out
+
+
+def _mf_rows(eng, search_fn) -> pa.Table:
+    """Entry emitter like _stage1_rows, but canonicalizing the query before
+    the float64 score surface (bm25_all_scores doesn't apply synonyms)."""
+    from infidex_ray.analyzer import normalize_with
+    from infidex_ray.synonyms import SynonymMap
+
+    cfg = eng.cfg
+    smap = SynonymMap(_MF_SYNONYMS)
+    delims = frozenset(cfg.delimiters)
+    rows = {"query": [], "rank": [], "doc_id": [], "score": []}
+    for q in sorted(MULTIFIELD_PANEL):
+        qn = normalize_with(cfg.normalizer, q.strip(), is_query=True).lower()
+        smap_q = smap.canonicalize_text(qn, delims)
+        fmap = dict(eng.bm25_all_scores(smap_q, include_fuzzy=True))
+        for r, hit in enumerate(search_fn(q)):
+            rows["query"].append(q)
+            rows["rank"].append(r + 1)
+            rows["doc_id"].append(hit.doc_key)
+            rows["score"].append(round_half_up4(fmap[hit.doc_key]))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score": pa.array(rows["score"], pa.float64()),
+        }
+    )
+
+
+def _q_multifield_search(sf_dir: str):
+    """Multifield + synonyms BM25 serving (in-process): field-weighted tf,
+    '§' concatenation quirks, synonym canonicalization at build AND query
+    — all hash-checked against the fielded stage-1 oracle."""
+    eng = _mf_engine_for(sf_dir)
+    return _mf_rows(
+        eng, lambda q: eng.search(q, top_k=10, enable_coverage=False)
+    )
+
+
+def _q_multifield_search_distributed(sf_dir: str):
+    """The same fielded corpus served through the shard actor pool — the
+    serving config most users run (VERDICT r4 item 8)."""
+    from infidex_ray.query.executor import DistributedEngine
+
+    eng = _mf_engine_for(sf_dir)
+    deng = DistributedEngine.connect(eng.index_dir, num_shards=2, warm=False)
+    try:
+        return _mf_rows(
+            eng, lambda q: deng.search(q, top_k=10, enable_coverage=False)
+        )
+    finally:
+        deng.shutdown()
+
+
 def _q_curate_webtext(sf_dir: str):
     """The FULL flagship curation pipeline end-to-end (pipelines.
     curate_webtext): fused langid/quality/Gopher gate → exact dedup →
@@ -3997,6 +4175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_gini": _q_grouped_gini,
         "build_frontier": _q_build_frontier,
         "curate_webtext": _q_curate_webtext,
+        "multifield_search": _q_multifield_search,
+        "multifield_search_distributed": _q_multifield_search_distributed,
         "consistent_shard": _q_consistent_shard,
         "shard_balance": _q_shard_balance,
     }
@@ -5833,6 +6013,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM k CROSS JOIN ring GROUP BY k.doc_id) "
             "SELECT sel.doc_id, CAST(ring.s AS INT) AS shard FROM sel "
             "JOIN ring ON ring.p = sel.pt ORDER BY doc_id"
+        ),
+        "multifield_search": sqlgen.stage1_topk_sql(
+            _mf_panel_tokens(),
+            coverage_depth=cfg.coverage_depth,
+            stop_term_limit=cfg.stop_term_limit,
+            shared_ctes=sqlgen.fielded_shared_ctes(
+                *_mf_concats(), 3, 1
+            ),
+        ),
+        "multifield_search_distributed": sqlgen.stage1_topk_sql(
+            _mf_panel_tokens(),
+            coverage_depth=cfg.coverage_depth,
+            stop_term_limit=cfg.stop_term_limit,
+            shared_ctes=sqlgen.fielded_shared_ctes(
+                *_mf_concats(), 3, 1
+            ),
         ),
         "curate_webtext": sqlgen.curate_webtext_sql(
             langs=("en",),

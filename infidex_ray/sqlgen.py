@@ -680,13 +680,22 @@ def stage1_topk_sql(
     top_k: int = 10,
     coverage_depth: int = 500,
     stop_term_limit: int = 1_250_000,
+    shared_ctes: str | None = None,
 ) -> str:
     """Full stage-1 BM25+ top-k oracle for a panel of (query_text,
     tokens) pairs — the SQL mirror of ``Engine.search(q, top_k,
     enable_coverage=False)``. See :func:`_stage1_query_ctes` for the
     plan-pipeline mirror; shared postings/doclen/corpus CTEs are computed
-    once for the whole panel."""
-    shared = (
+    once for the whole panel. ``shared_ctes`` overrides the standard
+    single-field pipeline with a caller-supplied ``WITH …`` prefix that
+    must define ``occ(doc_id, term, tf)``, ``vocab(term)``,
+    ``doclen(doc_id, dl)`` and ``corpus(n, avgdl)`` — the fielded oracle
+    (:func:`fielded_shared_ctes`) uses this to swap in weighted-tf
+    postings."""
+    if shared_ctes is not None:
+        shared = shared_ctes
+    else:
+        shared = (
         # MATERIALIZED: every query block references occ/vocab/doclen —
         # without the hint DuckDB re-inlines the whole tokens pipeline at
         # each reference (measured 40 s → ~2 s at sf0.01 for a 5-query
@@ -719,6 +728,88 @@ def stage1_topk_sql(
         + "\nUNION ALL\n".join(finals)
         + "\nORDER BY query, rank"
     )
+
+
+def fielded_shared_ctes(
+    concats: list[str],
+    l1s: list[int],
+    w_title: int,
+    w_body: int,
+    table: str = "documents",
+) -> str:
+    """Shared-CTE override for :func:`stage1_topk_sql` mirroring a planted
+    MULTIFIELD corpus (title weight ``w_title``, body weight ``w_body``,
+    both integers so Term.FirstCycleAdd's banker's-rounding accumulation
+    is exact integer addition). Per doc: text = concats[doc_id %
+    len(concats)] || ' q' || doc_id, with field-boundary raw position
+    l1s[doc_id % len] + 1 (concats must carry the same modulus).
+
+    The caller must supply ``concats`` as the synonym-CANONICAL form of
+    the CONCATENATED '§'-joined field text (build canonicalizes AFTER
+    concatenation, build.py:106-109 — a synonym glued across '§' never
+    canonicalizes) and ``l1s`` as the PRE-canonicalization title lengths
+    (concat_fields computes boundaries over the raw text, so
+    canonicalization shifts token positions relative to the boundary —
+    the DetermineFieldWeight skew quirk, ported as-is).
+
+    Mirrored semantics (analyzer.py): '§' is NOT a delimiter, so grams
+    and words cross the boundary; token position = PADDED-text index for
+    grams / start_pad + raw offset for words vs RAW boundary positions
+    (field_weight_at); per-term tf = integer sum of per-occurrence field
+    weights; doc length = total weighted token mass (build.py:122-130
+    fielded branch)."""
+    if len(concats) != len(l1s):
+        raise ValueError("concats and l1s must share one modulus")
+
+    def case_str(col: str, opts: list[str]) -> str:
+        arms = " ".join(
+            f"WHEN {i} THEN {sql_quote(s)}" for i, s in enumerate(opts)
+        )
+        return f"CASE {col} % {len(opts)} {arms} END"
+
+    def case_int(col: str, opts: list[int]) -> str:
+        arms = " ".join(f"WHEN {i} THEN {int(v)}" for i, v in enumerate(opts))
+        return f"CASE {col} % {len(opts)} {arms} END"
+
+    wT, wB = int(w_title), int(w_body)
+    return f"""
+WITH cat AS MATERIALIZED (
+  SELECT doc_id,
+         {case_str('doc_id', concats)} || ' q' || CAST(doc_id AS VARCHAR) AS t,
+         {case_int('doc_id', l1s)} AS l1
+  FROM {table}),
+fpad AS (SELECT doc_id, repeat(chr(65535), 2) || t AS p, l1 FROM cat),
+fser AS (SELECT unnest(generate_series(1,
+         (SELECT coalesce(max(length(p)), 1) FROM fpad))) AS i),
+gtok AS (
+  SELECT doc_id, substr(p, i, 3) AS term,
+         CASE WHEN i - 1 >= l1 + 1 THEN {wB} ELSE {wT} END AS wt
+  FROM fpad, fser WHERE i <= length(p) - 2),
+wsplit AS (
+  SELECT doc_id, l1, unnest(string_split(t, ' ')) AS w,
+         generate_subscripts(string_split(t, ' '), 1) AS k FROM cat),
+wtok AS (
+  SELECT doc_id, w AS term,
+         CASE WHEN 2 + off0 >= l1 + 1 THEN {wB} ELSE {wT} END AS wt
+  FROM (
+    SELECT doc_id, l1, w,
+           coalesce(sum(length(w) + 1) OVER (PARTITION BY doc_id ORDER BY k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off0
+    FROM wsplit)
+  WHERE length(w) >= 3),
+emis AS MATERIALIZED (
+  SELECT * FROM gtok UNION ALL SELECT * FROM wtok),
+occ AS MATERIALIZED (
+  SELECT doc_id, term, least(sum(wt), 255) AS tf FROM emis
+  GROUP BY doc_id, term),
+vocab AS MATERIALIZED (SELECT DISTINCT term FROM occ),
+doclen AS MATERIALIZED (
+  SELECT c.doc_id, coalesce(e.dl, 0)::DOUBLE AS dl
+  FROM cat c LEFT JOIN (SELECT doc_id, sum(wt) AS dl FROM emis
+                        GROUP BY doc_id) e ON e.doc_id = c.doc_id),
+corpus AS MATERIALIZED (
+  SELECT count(*)::DOUBLE AS n, (SELECT avg(dl) FROM doclen) AS avgdl
+  FROM cat)"""
 
 
 def curate_webtext_sql(
