@@ -161,20 +161,27 @@ def _ops_bench(sf_dir: str) -> dict:
 
     out = {}
     t0 = time.perf_counter()
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
     minhash_lsh_pairs(ds, threshold=0.5).materialize()
     out["minhash_dedup"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     import numpy as np
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
     q = np.asarray([[float(np.sin(i)) for i in range(64)]])
     knn_cosine(emb, q, k=10)
     out["knn_cosine"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet")).map_batches(
+    ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(
         quality_batch, batch_format="pyarrow"
     ).materialize()
     out["quality_score"] = time.perf_counter() - t0

@@ -498,6 +498,58 @@ def _pack3_shingles(t: str) -> np.ndarray:
 # --- n-gram Jaccard (exact, inverted-index join) ----------------------------
 
 
+def _batch_pack3_shingles(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Batched :func:`_pack3_shingles`: per-doc DISTINCT packed char-3-gram
+    hashes for a whole batch, flat — returns ``(doc_idx, hashes)`` sorted
+    by (doc, hash), distinct within each doc. One utf-32 decode + one
+    vectorized 21-bit pack over the concatenated batch instead of a
+    per-doc Python loop (the r4-audit ngram_jaccard vectorization nit);
+    byte-identical to the per-doc path (parity-tested)."""
+    n_docs = len(texts)
+    e64 = np.empty(0, dtype=np.uint64)
+    if n_docs == 0:
+        return np.empty(0, dtype=np.int64), e64
+    norm = [normalize(t or "").lower() for t in texts]
+    lens = np.fromiter((len(t) for t in norm), np.int64, count=n_docs)
+    big = "".join(norm)
+    if not big:
+        return np.empty(0, dtype=np.int64), e64
+    cp = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+    doc_of_char = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    out_docs: list[np.ndarray] = []
+    out_h: list[np.ndarray] = []
+    if len(cp) >= 3:
+        h = (
+            (cp[:-2] << np.uint64(42))
+            | (cp[1:-1] << np.uint64(21))
+            | cp[2:]
+        )
+        # a window is valid iff it stays inside one doc
+        inside = doc_of_char[:-2] == doc_of_char[2:]
+        h = h[inside]
+        hd = doc_of_char[:-2][inside]
+        if len(h):
+            order = np.lexsort((h, hd))
+            h, hd = h[order], hd[order]
+            keep = np.r_[True, (hd[1:] != hd[:-1]) | (h[1:] != h[:-1])]
+            out_docs.append(hd[keep])
+            out_h.append(h[keep])
+    # short-doc fallback (0 < len < 3): one whole-text hash, top bit set
+    for d in np.flatnonzero((lens > 0) & (lens < 3)):
+        out_docs.append(np.asarray([d], dtype=np.int64))
+        out_h.append(
+            np.asarray([_hash64(norm[d]) | (1 << 63)], dtype=np.uint64)
+        )
+    if not out_h:
+        return np.empty(0, dtype=np.int64), e64
+    docs = np.concatenate(out_docs)
+    hs = np.concatenate(out_h)
+    order = np.lexsort((hs, docs))
+    return docs[order], hs[order]
+
+
 def _char_shingle_hashes(t: str, n: int) -> np.ndarray:
     """Distinct char n-gram shingle hashes: the packed bijection for n == 3
     (the default — zero collisions by construction), a cached blake2b per
@@ -546,10 +598,17 @@ def ngram_jaccard_pairs(
         raise ValueError(f"unknown metric {metric!r}")
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
-        blobs = [
-            _char_shingle_hashes(t, n).tobytes()
-            for t in batch[text_col].to_pylist()
-        ]
+        texts = batch[text_col].to_pylist()
+        if n == 3:
+            # batch-vectorized packed grams (one utf-32 decode + flat pack)
+            doc_idx, hs = _batch_pack3_shingles(texts)
+            counts = np.bincount(doc_idx, minlength=len(texts))
+            ends = np.cumsum(counts)
+            blobs = [
+                hs[e - c : e].tobytes() for c, e in zip(counts, ends)
+            ]
+        else:
+            blobs = [_char_shingle_hashes(t, n).tobytes() for t in texts]
         return pa.table(
             {"doc_id": batch[id_col], "sh": pa.array(blobs, pa.binary())}
         )

@@ -3905,3 +3905,30 @@ def test_build_frontier_pipeline(ray_session):
     assert out.head(3)["domain"].nunique() == 3
     # per-domain quota respected
     assert out.groupby("domain").size().max() <= 3
+
+
+def test_batch_pack3_shingles_parity():
+    """_batch_pack3_shingles is byte-identical to the per-doc
+    _pack3_shingles path (distinct packed grams, (doc, hash) sorted),
+    including empty docs, short-doc fallbacks, and non-ASCII."""
+    import numpy as np
+
+    from infidex_ray.ops.dedup import _batch_pack3_shingles, _pack3_shingles
+
+    texts = [
+        "the quick brown fox",
+        "",
+        "ab",
+        "x",
+        "the quick brown fox",
+        "Škoda café ÉLÄN",
+        None,
+        "aaaaaa",
+        "ab cd ef",
+    ]
+    doc_idx, hs = _batch_pack3_shingles(texts)
+    for d, t in enumerate(texts):
+        exp = np.sort(_pack3_shingles(t or ""))
+        got = hs[doc_idx == d]
+        assert got.dtype == np.uint64
+        np.testing.assert_array_equal(got, exp, err_msg=f"doc {d}: {t!r}")
