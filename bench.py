@@ -334,8 +334,23 @@ def run_full() -> dict:
     # index_build reading falsifiable inside the bench JSON itself.
     probe_after = {f"{k}_after_build": v for k, v in _host_probe().items()}
 
+    # serve-coarse compaction: build at 96 segments (task packing), serve at
+    # 16 (one segment per shard actor — query p50 tracks per-segment fixed
+    # costs; measured 43.3 → 36.2 ms p50 pre-arg-packing, r5). The merge is
+    # timed as its own stage: on a real cluster it runs once per index
+    # generation, off the query path.
+    from infidex_ray.build import merge_index as _merge_index
+
+    serve_dir = idx_dir + "_serve"
     t0 = time.perf_counter()
-    ql = _query_latency(idx_dir, NUM_CPUS)
+    import shutil as _shutil
+
+    _shutil.rmtree(serve_dir, ignore_errors=True)
+    _merge_index(idx_dir, serve_dir, target_segments=16)
+    queries["serve_merge"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    ql = _query_latency(serve_dir, NUM_CPUS)
     queries["query_panel"] = round(time.perf_counter() - t0, 3)
 
     ops = _ops_bench(SF_DIR)

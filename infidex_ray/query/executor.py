@@ -88,14 +88,21 @@ class IndexShardActor:
         # numpy columns cross the wire ~9x cheaper than Python tuples
         return s1.pack_topk(per, top_k)
 
-    def phase_ab(self, plan, guess_level: int, top_k: int, avgdl: float):
+    def phase_ab(self, plan, packed):
         """Fused cardinality + speculative scoring round: phase_a counts AND
         phase_b results at the driver's guessed level in ONE actor RTT. The
         driver uses the speculative results only when the globally decided
         level equals the guess (else it issues a corrective phase_b round),
         so ranks are identical to the two-round protocol by construction.
         Both phases share the per-plan memo, so a fused call costs the same
-        compute as the two separate calls."""
+        compute as the two separate calls.
+
+        ``packed`` = (guess_level, top_k, avgdl) as ONE tuple — Ray pays a
+        fixed per-ARGUMENT serialization cost on every ``.remote()``
+        (~0.05 ms each, profiled), so the scalar args ride in one slot;
+        ``plan`` stays top-level because an ObjectRef only auto-derefs
+        there."""
+        guess_level, top_k, avgdl = packed
         counts = self.phase_a(plan)
         per = self.phase_b(plan, guess_level, top_k, avgdl)
         return counts, per
@@ -116,7 +123,27 @@ class IndexShardActor:
             self._wm_stash = None
         return qp.wm_scan(self.engine, norm_query, tfidf_lids, cap, precomputed=pre)
 
-    def cov_fused(
+    def cov_fused(self, ctx, packed):
+        """``packed`` = (norm_query, s1_jobs, tfidf_lids, cap, spec_budget,
+        memo_keys, qid, budget_s) as ONE tuple (fixed per-argument
+        ``.remote()`` serialization cost — see phase_ab); ``ctx`` stays a
+        top-level arg so its ObjectRef auto-derefs."""
+        (
+            norm_query,
+            s1_jobs,
+            tfidf_lids,
+            cap,
+            spec_budget,
+            memo_keys,
+            qid,
+            budget_s,
+        ) = packed
+        return self._cov_fused_impl(
+            ctx, norm_query, s1_jobs, tfidf_lids, cap, spec_budget,
+            memo_keys, qid, budget_s,
+        )
+
+    def _cov_fused_impl(
         self,
         ctx,
         norm_query: str,
@@ -455,9 +482,9 @@ class DistributedEngine(Engine):
             # the speculative results are used only when the global decision
             # matches the guess, so ranks are identical to the two-round
             # protocol (corrective round on a miss)
+            packed = (guess, top_k, self.avgdl)
             refs = [
-                a.phase_ab.remote(plan_ref, guess, top_k, self.avgdl)
-                for a in self.actors
+                a.phase_ab.remote(plan_ref, packed) for a in self.actors
             ]
             self._overlap_ctx_prep()
             outs = ray.get(refs)
@@ -570,17 +597,22 @@ class DistributedEngine(Engine):
         # every speculative job would be discarded — skip them and let the
         # rare partial-overlap query pay the small second round instead
         spec_budget = 0 if len(top) >= coverage_depth else self.SPEC_UNIQUE_BUDGET
+        lids_by_shard: dict[int, dict] = {
+            ai: {} for ai in range(len(self.actors))
+        }
+        for si, lids in by_seg.items():
+            ai = self.shard_of_seg.get(si)
+            if ai is not None:
+                lids_by_shard[ai][si] = lids
         outs = ray.get(
             [
                 a.cov_fused.remote(
-                    ctx_ref, q, jobs_by_shard[ai],
-                    {
-                        si: lids
-                        for si, lids in by_seg.items()
-                        if self.shard_of_seg.get(si) == ai
-                    },
-                    coverage_depth, spec_budget, memo_keys,
-                    qid, budget_s,
+                    ctx_ref,
+                    (
+                        q, jobs_by_shard[ai], lids_by_shard[ai],
+                        coverage_depth, spec_budget, memo_keys,
+                        qid, budget_s,
+                    ),
                 )
                 for ai, a in enumerate(self.actors)
             ]
