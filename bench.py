@@ -489,6 +489,223 @@ def run_compact() -> dict:
     return out
 
 
+class _MemSampler:
+    """Peak-memory sampler for the envelope bench (--memory): a daemon
+    thread polls every 0.25 s and keeps the PEAK of (driver RSS, Σ ray
+    worker RSS, /dev/shm usage = plasma object store, spill directory
+    bytes). The claim under test is the 128 GiB node envelope: nothing
+    row-sized accumulates on the driver and the object store spills
+    instead of ballooning."""
+
+    def __init__(self, period_s: float = 0.25):
+        import threading
+
+        self.period_s = period_s
+        self.peaks = {
+            "driver_rss_mb": 0.0,
+            "workers_rss_mb": 0.0,
+            "shm_mb": 0.0,
+            "spill_mb": 0.0,
+        }
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    @staticmethod
+    def _rss_kb(pid: str) -> float:
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        return float(line.split()[1])
+        except OSError:
+            pass
+        return 0.0
+
+    def _sample(self) -> None:
+        import glob
+
+        p = self.peaks
+        p["driver_rss_mb"] = max(
+            p["driver_rss_mb"], self._rss_kb(str(os.getpid())) / 1024
+        )
+        workers = 0.0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read()
+            except OSError:
+                continue
+            if b"ray::" in cmd or b"raylet" in cmd:
+                workers += self._rss_kb(pid)
+        p["workers_rss_mb"] = max(p["workers_rss_mb"], workers / 1024)
+        shm = 0.0
+        for f in glob.glob("/dev/shm/*"):
+            try:
+                shm += os.path.getsize(f)
+            except OSError:
+                pass
+        p["shm_mb"] = max(p["shm_mb"], shm / 1e6)
+        spill = 0.0
+        # session root differs by RAY_TMPDIR layout — cover both
+        for d in glob.glob(
+            "/tmp/ray/session_*/ray_spilled_objects*"
+        ) + glob.glob("/tmp/ray/*/session_*/ray_spilled_objects*"):
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    try:
+                        spill += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        p["spill_mb"] = max(p["spill_mb"], spill / 1e6)
+
+    def _loop(self):
+        while not self._stop.wait(self.period_s):
+            try:
+                self._sample()
+            except Exception:
+                pass
+
+    def start(self):
+        self._thread.start()
+
+    def stop(self) -> dict:
+        self._stop.set()
+        self._thread.join(timeout=2)
+        self._sample()
+        return {k: round(v, 1) for k, v in self.peaks.items()}
+
+
+def run_memory():
+    """--memory: peak-memory envelope for the three biggest shuffle
+    families over the synthetic web corpus (scale with
+    GRAFT_WEBPAGES_ROWS): MinHash band shuffle + verify joins
+    (minhash_lsh_pairs), a big-big FULL OUTER hash join on a ~unique key
+    (ops.joins.hash_join — the worst-case exchange), and the global-sort
+    prefix cut (ops.sampling.budget_select). Reports per-stage wall time
+    and the PEAK driver RSS / worker RSS / object store (/dev/shm) /
+    spill bytes, so the 'nothing row-sized leaves a block' claims get a
+    measured bound against the 128 GiB node envelope."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from infidex_ray.datagen import write_webpages
+    from infidex_ray.ops.dedup import _md5_u64
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    write_webpages(WEBPAGES_PATH, WEBPAGES_ROWS)
+
+    def add_id(b: pa.Table) -> pa.Table:
+        ids = [_md5_u64(u) % (1 << 62) for u in b["url"].to_pylist()]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": b["text"]}
+        )
+
+    def docs():
+        return ray.data.read_parquet(
+            WEBPAGES_PATH, columns=["url", "text"]
+        ).map_batches(add_id, batch_format="pyarrow")
+
+    stages: dict[str, float] = {}
+    peaks: dict[str, dict] = {}
+
+    def staged(name, fn):
+        sampler = _MemSampler()
+        sampler.start()
+        t0 = time.perf_counter()
+        try:
+            fn()
+        finally:
+            peaks[name] = sampler.stop()
+        stages[name] = round(time.perf_counter() - t0, 3)
+
+    def _minhash():
+        from infidex_ray.ops.dedup import minhash_lsh_pairs
+
+        minhash_lsh_pairs(docs(), threshold=0.5).materialize()
+
+    def _hash_join_full():
+        from infidex_ray.ops.joins import hash_join
+
+        def proj(side):
+            def f(b: pa.Table) -> pa.Table:
+                ids = b["doc_id"].to_numpy(zero_copy_only=False)
+                # half-overlapping ~unique keys: worst-case big-big join
+                return pa.table(
+                    {
+                        "k": pa.array(ids + side, pa.int64()),
+                        f"v{side}": pa.array(ids % 1000, pa.int64()),
+                    }
+                )
+
+            return f
+
+        left = docs().map_batches(proj(0), batch_format="pyarrow")
+        right = docs().map_batches(proj(1), batch_format="pyarrow")
+        hash_join(
+            left, right, on="k", left_cols=["v0"], right_cols=["v1"],
+            how="full",
+        ).materialize()
+
+    def _budget_select():
+        from infidex_ray.ops.sampling import budget_select
+        from infidex_ray.ops.vectorize import _WS_RE
+
+        def score_cost(b: pa.Table) -> pa.Table:
+            texts = b["text"].to_pylist()
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            import numpy as np
+
+            cost = np.asarray(
+                [len(_WS_RE.findall(t or "")) for t in texts], dtype=np.int64
+            )
+            pri = np.asarray(
+                [float(_md5_u64(f"m:{d}") % (1 << 32)) for d in ids]
+            )
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "score": pa.array(pri),
+                    "cost": pa.array(cost),
+                }
+            )
+
+        sc = docs().map_batches(score_cost, batch_format="pyarrow")
+        total = int(
+            sc.map_batches(
+                lambda b: pa.table(
+                    {"s": pa.array([int(sum(b["cost"].to_pylist()))], pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()["s"]
+            .sum()
+        )
+        budget_select(
+            sc, total // 2, score_col="score", cost_col="cost", id_col="doc_id"
+        ).materialize()
+
+    staged("minhash_bands", _minhash)
+    staged("hash_join_full", _hash_join_full)
+    staged("budget_select_sort", _budget_select)
+
+    out = {
+        "metric": "peak-memory envelope (3 shuffle families)",
+        "value": round(sum(stages.values()), 3),
+        "unit": "sec",
+        "queries": stages,
+        "rows": WEBPAGES_ROWS,
+        "num_cpus": num_cpus,
+        "peaks": peaks,
+    }
+    ray.shutdown()
+    return out
+
+
 def run_curate():
     """Composed-pipeline throughput: `pipelines.curate_webtext` (fused
     lang/quality/Gopher gate → exact + MinHash dedup → decontaminate →
@@ -644,6 +861,8 @@ if __name__ == "__main__":
         print(json.dumps(run_compact()))
     elif "--curate" in sys.argv:
         print(json.dumps(run_curate()))
+    elif "--memory" in sys.argv:
+        print(json.dumps(run_memory()))
     elif "--qps-child" in sys.argv:
         i = sys.argv.index("--qps-child")
         run_qps_child(sys.argv[i + 1], float(sys.argv[i + 2]), int(sys.argv[i + 3]))
