@@ -213,12 +213,15 @@ def _q_search_topk_distributed(sf_dir: str):
     eng = _engine_for(sf_dir)  # ensure the index exists on disk
     deng = DistributedEngine.connect(eng.index_dir, num_shards=2, warm=False)
     rows = {"query": [], "rank": [], "doc_id": [], "score": []}
-    for q in [BM25_QUERY, "fast table scan", "windw merge", "valu", "slow batch"]:
-        for r, hit in enumerate(deng.search(q, top_k=10)):
-            rows["query"].append(q)
-            rows["rank"].append(r + 1)
-            rows["doc_id"].append(hit.doc_key)
-            rows["score"].append(round_half_up4(hit.score))
+    try:
+        for q in [BM25_QUERY, "fast table scan", "windw merge", "valu", "slow batch"]:
+            for r, hit in enumerate(deng.search(q, top_k=10)):
+                rows["query"].append(q)
+                rows["rank"].append(r + 1)
+                rows["doc_id"].append(hit.doc_key)
+                rows["score"].append(round_half_up4(hit.score))
+    finally:
+        deng.shutdown()  # leaked 2-CPU pools deadlock small sessions (r4)
     return pa.table(
         {
             "query": pa.array(rows["query"], pa.string()),
