@@ -3707,6 +3707,19 @@ def _q_multifield_search_distributed(sf_dir: str):
         deng.shutdown()
 
 
+def _q_autocomplete_score(sf_dir: str):
+    """LCS Jaro-like autocomplete scoring over every doc's candidate
+    prefix (AutocompleteScoring.cs:26-70 parity; the batch form of
+    query/metrics.jaro_like_score). Oracle runs the same Hyyrö automaton
+    as a recursive CTE (sqlgen.autocomplete_sql)."""
+    from infidex_ray.ops.autocomplete import autocomplete_score
+
+    return _by(
+        autocomplete_score(_read(sf_dir, "documents"), "merge sort"),
+        "doc_id",
+    )
+
+
 def _q_curate_webtext(sf_dir: str):
     """The FULL flagship curation pipeline end-to-end (pipelines.
     curate_webtext): fused langid/quality/Gopher gate → exact dedup →
@@ -4178,6 +4191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_gini": _q_grouped_gini,
         "build_frontier": _q_build_frontier,
         "curate_webtext": _q_curate_webtext,
+        "autocomplete_score": _q_autocomplete_score,
         "multifield_search": _q_multifield_search,
         "multifield_search_distributed": _q_multifield_search_distributed,
         "consistent_shard": _q_consistent_shard,
@@ -6033,6 +6047,7 @@ def oracle_sql() -> dict[str, str]:
                 *_mf_concats(), 3, 1
             ),
         ),
+        "autocomplete_score": sqlgen.autocomplete_sql("merge sort"),
         "curate_webtext": sqlgen.curate_webtext_sql(
             langs=("en",),
             min_quality=0.3,

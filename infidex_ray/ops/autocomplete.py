@@ -1,0 +1,136 @@
+"""Corpus-scale autocomplete scoring (AutocompleteScoring parity).
+
+The reference ships an LCS-based Jaro-like autocomplete scorer
+(src/Infidex/Metrics/AutocompleteScoring.cs:26-70: bit-parallel Hyyrö
+LCS, Winkler-style prefix bonus, [0,1] clamp) as a standalone public
+surface. `query/metrics.py::jaro_like_score` is the per-string port; this
+module is the DATA-PIPELINE form: score every document's candidate string
+against a fixed query in one vectorized `map_batches` pass — the batch
+job behind "rank this suggestion table offline".
+
+Vectorization: candidates decode once to a (docs × width) codepoint
+matrix; the Hyyrö automaton state S is a uint64 VECTOR updated in lock
+step over character positions (chars mapping to an empty query mask leave
+S unchanged, so short candidates need no masking — padding uses a
+codepoint ≥ 256, which the reference's ASCII-optimized map sends to 0,
+AutocompleteScoring.cs:108-118).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _batch_jaro_like(
+    texts: list, query: str, candidate_chars: int, prefix_bonus: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(lcs, prefix, score_f64) per text for candidate =
+    lower(text[:candidate_chars]). Query must be ≤ 64 chars (the
+    bit-parallel domain; matches lcs_length's routing for short
+    candidates)."""
+    q = query.lower()
+    m = len(q)
+    if not (0 < m <= 64):
+        raise ValueError("query must be 1..64 chars")
+    if not (0 < candidate_chars <= 64):
+        raise ValueError("candidate_chars must be 1..64")
+    n_docs = len(texts)
+    lcs = np.zeros(n_docs, dtype=np.int64)
+    prefix = np.zeros(n_docs, dtype=np.int64)
+    clen = np.zeros(n_docs, dtype=np.int64)
+    if n_docs == 0:
+        return lcs, prefix, np.zeros(0, dtype=np.float64)
+
+    cands = [(t or "")[:candidate_chars].lower() for t in texts]
+    clen[:] = [len(c) for c in cands]
+    width = candidate_chars
+    # fixed-width codepoint matrix; pad = 0xFFFF (≥256 ⇒ empty mask)
+    pad = chr(0xFFFF)
+    big = "".join(c + pad * (width - len(c)) for c in cands)
+    codes = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).reshape(
+        n_docs, width
+    )
+
+    # query char → position bitmap (ASCII-optimized map: codepoints ≥ 256
+    # never match, AutocompleteScoring.cs:108-118)
+    lut = np.zeros(256, dtype=np.uint64)
+    for i, ch in enumerate(q):
+        if ord(ch) < 256:
+            lut[ord(ch)] |= np.uint64(1) << np.uint64(i)
+    mask = np.uint64((1 << m) - 1)
+
+    s = np.full(n_docs, mask, dtype=np.uint64)
+    small = np.where(codes < 256, codes, 0).astype(np.int64)
+    has = (codes < 256).astype(np.uint64)
+    for j in range(width):
+        cm = lut[small[:, j]] * has[:, j]
+        u = s & cm
+        s = ((s + u) | (s - u)) & mask  # uint64 wraparound == C# ulong
+    lcs_all = np.zeros(n_docs, dtype=np.int64)
+    inv = (~s) & mask
+    # vectorized popcount over uint64
+    v = inv.copy()
+    while v.any():
+        lcs_all += (v & np.uint64(1)).astype(np.int64)
+        v >>= np.uint64(1)
+    lcs = np.where(clen > 0, lcs_all, 0)
+
+    # common case-insensitive prefix length
+    qcodes = np.frombuffer(q.encode("utf-32-le"), dtype=np.uint32)
+    k = min(m, width)
+    eq = codes[:, :k] == qcodes[None, :k]
+    run = np.cumprod(eq, axis=1)
+    pref = run.sum(axis=1)
+    prefix = np.minimum(pref, clen)
+
+    # float64 score mirror (the f32 API is jaro_like_score; the oracle
+    # compares this float64 expression, same operation order)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cl = clen.astype(np.float64)
+        coverage = lcs / float(m) + np.where(cl > 0, lcs / cl, 0.0)
+        base = 0.5 * lcs * coverage
+        mn = np.minimum(float(m), cl)
+        max_score = mn + prefix_bonus * np.minimum(4.0, mn)
+        score = np.clip(
+            (base + prefix_bonus * prefix) / np.maximum(max_score, 1.0),
+            0.0,
+            1.0,
+        )
+    score = np.where((lcs > 0) & (clen > 0), score, 0.0)
+    return lcs, prefix, score
+
+
+def autocomplete_score(
+    ds,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    candidate_chars: int = 32,
+    prefix_bonus: float = 0.1,
+):
+    """Score every doc's candidate prefix (``lower(text[:candidate_chars])``)
+    against ``query`` with the reference's LCS Jaro-like autocomplete
+    formula. Returns ``(id_col, lcs, prefix, score)`` — score is the
+    float64 mirror of ``jaro_like_score`` (round to 4 for display).
+
+    Scale: stateless row-local map_batches — no shuffle, no driver state;
+    the per-batch kernel is one (docs × width) automaton sweep."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        lcs, prefix, score = _batch_jaro_like(
+            texts, query, candidate_chars, prefix_bonus
+        )
+        # half-away-from-zero like DuckDB ROUND (repo oracle convention)
+        r4 = np.floor(np.abs(score) * 1e4 + 0.5) * np.sign(score) / 1e4
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "lcs": pa.array(lcs, pa.int64()),
+                "prefix": pa.array(prefix, pa.int64()),
+                "score": pa.array(r4, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

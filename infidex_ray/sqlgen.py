@@ -730,6 +730,72 @@ def stage1_topk_sql(
     )
 
 
+def autocomplete_sql(
+    query: str,
+    table: str = "documents",
+    candidate_chars: int = 32,
+    prefix_bonus: float = 0.1,
+) -> str:
+    """Oracle for ops.autocomplete.autocomplete_score: the Hyyrö
+    bit-parallel LCS automaton run as a recursive CTE — per candidate
+    character, ``S = ((S + (S & cm)) | (S - (S & cm))) & mask`` with the
+    query's char→bitmap baked as a CASE (chars ≥ U+0100 map to 0, the
+    reference's ASCII-optimized map). Query must be ≤ 62 chars so all
+    state fits BIGINT with no overflow; lcs = bit_count(mask XOR S).
+    Score = the same float64 expression order as the batch kernel."""
+    q = query.lower()
+    m = len(q)
+    if not (0 < m <= 62):
+        raise ValueError("query must be 1..62 chars for the BIGINT automaton")
+    amap: dict[str, int] = {}
+    for i, ch in enumerate(q):
+        if ord(ch) < 256:
+            amap[ch] = amap.get(ch, 0) | (1 << i)
+    mask = (1 << m) - 1
+    arms = " ".join(
+        f"WHEN {sql_quote(ch)} THEN {bm}" for ch, bm in sorted(amap.items())
+    )
+    cm = f"CASE substr(cand, r.j + 1, 1) {arms} ELSE 0 END"
+    pb = float(prefix_bonus)
+    qlit = sql_quote(q)
+    return f"""
+WITH RECURSIVE c AS (
+  SELECT doc_id, lower(substr(coalesce(text, ''), 1, {candidate_chars})) AS cand
+  FROM {table}),
+cl AS (SELECT doc_id, cand, length(cand) AS L FROM c),
+auto(doc_id, j, S) AS (
+  SELECT doc_id, 0, {mask} FROM cl
+  UNION ALL
+  SELECT r.doc_id, r.j + 1,
+         ((r.S + u.u) | (r.S - u.u)) & {mask}
+  FROM auto r JOIN cl ON cl.doc_id = r.doc_id
+  CROSS JOIN LATERAL (SELECT r.S & ({cm}) AS u) u
+  WHERE r.j < cl.L),
+fin AS (
+  SELECT a.doc_id, bit_count(CAST(xor(a.S, {mask}) AS BIGINT)) AS lcs
+  FROM auto a JOIN cl ON cl.doc_id = a.doc_id WHERE a.j = cl.L),
+pref AS (
+  SELECT cl.doc_id, coalesce(max(g.k), 0) AS prefix
+  FROM cl LEFT JOIN (SELECT unnest(generate_series(1, {m})) AS k) g
+    ON g.k <= cl.L AND substr(cl.cand, 1, g.k) = substr({qlit}, 1, g.k)
+  GROUP BY cl.doc_id)
+SELECT cl.doc_id, fin.lcs, pref.prefix,
+  CASE WHEN fin.lcs = 0 OR cl.L = 0 THEN 0.0 ELSE
+    round(least(greatest(
+      (CAST(0.5 AS DOUBLE) * fin.lcs * (fin.lcs / CAST({m} AS DOUBLE)
+        + fin.lcs / CAST(cl.L AS DOUBLE))
+       + CAST({pb} AS DOUBLE) * pref.prefix)
+      / greatest(least(CAST({m} AS DOUBLE), CAST(cl.L AS DOUBLE))
+                 + CAST({pb} AS DOUBLE) * least(CAST(4.0 AS DOUBLE),
+                     least(CAST({m} AS DOUBLE),
+                           CAST(cl.L AS DOUBLE))), CAST(1.0 AS DOUBLE)),
+    0.0), 1.0), 4)
+  END AS score
+FROM cl JOIN fin USING (doc_id) JOIN pref USING (doc_id)
+ORDER BY cl.doc_id
+"""
+
+
 def fielded_shared_ctes(
     concats: list[str],
     l1s: list[int],

@@ -411,3 +411,38 @@ def test_autocomplete_scoring():
     # Winkler-style prefix bonus: common prefix beats same-LCS non-prefix
     assert jaro_like_score("abc", "abcdef") > jaro_like_score("abc", "xabcdef")
     assert 0.0 <= jaro_like_score("uni", "university") <= 1.0
+
+
+def test_batch_jaro_like_parity():
+    """ops.autocomplete._batch_jaro_like matches the per-string surfaces:
+    lcs == metrics.lcs_length, prefix == common prefix, and the float64
+    score tracks the reference float32 jaro_like_score within f32 eps."""
+    import numpy as np
+
+    from infidex_ray.ops.autocomplete import _batch_jaro_like
+    from infidex_ray.query.metrics import jaro_like_score, lcs_length
+
+    q = "merge sort"
+    texts = [
+        "merge sort algorithms in practice",
+        "MERGE join and sort operators",
+        "",
+        None,
+        "xyz",
+        "m",
+        "sorted merge of runs",
+        "ab" * 40,  # longer than candidate_chars
+        "mérge sort",  # non-ASCII char: no match in the ASCII map
+    ]
+    lcs, prefix, score = _batch_jaro_like(texts, q, 32, 0.1)
+    for i, t in enumerate(texts):
+        cand = (t or "")[:32].lower()
+        assert lcs[i] == lcs_length(q, cand), (i, t)
+        exp_pref = 0
+        for a, b in zip(q, cand):
+            if a != b:
+                break
+            exp_pref += 1
+        assert prefix[i] == exp_pref, (i, t)
+        ref = jaro_like_score(q, cand)
+        assert abs(score[i] - ref) < 1e-5, (i, t, score[i], ref)
