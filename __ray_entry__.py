@@ -3707,6 +3707,25 @@ def _q_multifield_search_distributed(sf_dir: str):
         deng.shutdown()
 
 
+def _q_jaro_winkler_pairs(sf_dir: str):
+    """Sorted-neighborhood record linkage on customer names scored by
+    Jaro-Winkler (bitwise-identical to DuckDB's native function — the
+    threshold filter and rounded score hash-check exactly)."""
+    from infidex_ray.ops.fuzzy import jaro_winkler_pairs
+
+    return _by(
+        jaro_winkler_pairs(
+            _read(sf_dir, "customer"),
+            "c_name",
+            id_col="c_custkey",
+            window=3,
+            threshold=0.93,
+        ),
+        "id_a",
+        "id_b",
+    )
+
+
 def _q_autocomplete_score(sf_dir: str):
     """LCS Jaro-like autocomplete scoring over every doc's candidate
     prefix (AutocompleteScoring.cs:26-70 parity; the batch form of
@@ -4192,6 +4211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "build_frontier": _q_build_frontier,
         "curate_webtext": _q_curate_webtext,
         "autocomplete_score": _q_autocomplete_score,
+        "jaro_winkler_pairs": _q_jaro_winkler_pairs,
         "multifield_search": _q_multifield_search,
         "multifield_search_distributed": _q_multifield_search_distributed,
         "consistent_shard": _q_consistent_shard,
@@ -6048,6 +6068,17 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "autocomplete_score": sqlgen.autocomplete_sql("merge sort"),
+        "jaro_winkler_pairs": (
+            "WITH r AS (SELECT c_name AS k, c_custkey AS id, "
+            "row_number() OVER (ORDER BY c_name, c_custkey) AS rn "
+            "FROM customer), "
+            "p AS (SELECT a.id AS id_a, b.id AS id_b, "
+            "CAST(b.rn - a.rn AS INT) AS dist, "
+            "jaro_winkler_similarity(a.k, b.k) AS jw "
+            "FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3) "
+            "SELECT id_a, id_b, dist, round(jw, 4) AS jw FROM p "
+            "WHERE jw >= 0.93 ORDER BY id_a, id_b"
+        ),
         "curate_webtext": sqlgen.curate_webtext_sql(
             langs=("en",),
             min_quality=0.3,

@@ -394,3 +394,96 @@ def _num_join_partitions(requested: int | None) -> int:
     from .dedup import _join_partitions
 
     return _join_partitions(requested)
+
+
+def jaro_winkler_pairs(
+    ds,
+    key_col: str,
+    id_col: str = "doc_id",
+    window: int = 4,
+    threshold: float = 0.9,
+):
+    """Sorted-neighborhood record linkage scored by Jaro-Winkler: sort on
+    ``(key, id)``, emit every pair within ``window`` positions, keep pairs
+    with ``jaro_winkler(key_a, key_b) >= threshold``. The JW
+    implementation (query/metrics.py:156-201, JaccardMetric.cs family) is
+    bitwise-identical to DuckDB's native ``jaro_winkler_similarity`` —
+    probed over adversarial pairs — so the threshold filter and the
+    rounded score are both hash-checkable.
+
+    Scale shape: one global sort (ops.ranking._sorted_block_offsets), then
+    each sorted block pairs itself with only the ``window`` straddling
+    rows shipped from its predecessors (O(blocks·window) driver rows —
+    the sorted_neighborhood_pairs plan with the key strings riding
+    along). Output: ``(id_a, id_b, dist, jw)``, id_a the earlier row.
+    """
+    import ray
+    import ray.data
+
+    from ..query.metrics import jaro_winkler_similarity
+    from .dedup import round_half_up4
+    from .ranking import _sorted_block_offsets
+
+    proj = ds.select_columns(list(dict.fromkeys([key_col, id_col])))
+    refs, _offsets, _total = _sorted_block_offsets(proj, [key_col, id_col])
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.int32()),
+            "jw": pa.array([], pa.float64()),
+        }
+    )
+    if not refs:
+        return ray.data.from_arrow(empty)
+
+    @ray.remote
+    def tail(t: pa.Table) -> pa.Table:
+        return t.slice(max(0, len(t) - window))
+
+    tails = ray.get([tail.remote(r) for r in refs])
+
+    @ray.remote
+    def pairs(t: pa.Table, prev: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [
+                prev[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                t[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            ]
+        )
+        keys = prev[key_col].to_pylist() + t[key_col].to_pylist()
+        p = len(prev)
+        out_a, out_b, out_d, out_j = [], [], [], []
+        for d in range(1, window + 1):
+            j = np.arange(max(p, d), len(ids), dtype=np.int64)
+            i = j - d
+            ok = i >= 0
+            for ii, jj in zip(i[ok].tolist(), j[ok].tolist()):
+                jw = jaro_winkler_similarity(
+                    keys[ii] or "", keys[jj] or ""
+                )
+                if jw >= threshold:
+                    out_a.append(int(ids[ii]))
+                    out_b.append(int(ids[jj]))
+                    out_d.append(d)
+                    out_j.append(round_half_up4(jw))
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "dist": pa.array(out_d, pa.int32()),
+                "jw": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    futures = []
+    for k, r in enumerate(refs):
+        if k == 0:
+            prev = tails[0].slice(0, 0)
+        else:
+            strip = pa.concat_tables(tails[:k])
+            prev = strip.slice(max(0, len(strip) - window))
+        futures.append(pairs.remote(r, prev))
+    return ray.data.from_arrow_refs(futures)
