@@ -410,11 +410,26 @@ class DistributedEngine(Engine):
         """All unknown terms probed in ONE fan-out round (per-term rounds
         made a two-typo query pay two sequential ~30 ms RTTs). The coverage
         ctx prep overlaps with this RTT too — typo queries reach the stage-1
-        fan-out with the ctx already in the object store."""
-        refs = [a.fuzzy_df_batch.remote(texts) for a in self.actors]
-        self._overlap_ctx_prep()
-        parts = ray.get(refs)
-        return [sum(p[i] for p in parts) for i in range(len(texts))]
+        fan-out with the ctx already in the object store.
+
+        Warm repeats skip the round entirely: the index is immutable for
+        the lifetime of this engine, so per-term fuzzy dfs are cached on
+        the driver (bounded LRU-ish) — a repeated typo query goes straight
+        to the stage-1 fan-out (2 RTTs, same as a clean query)."""
+        cache = getattr(self, "_fuzzy_df_cache", None)
+        if cache is None:
+            cache = self._fuzzy_df_cache = {}
+        need = [t for t in texts if t not in cache]
+        if need:
+            refs = [a.fuzzy_df_batch.remote(need) for a in self.actors]
+            self._overlap_ctx_prep()
+            parts = ray.get(refs)
+            if len(cache) >= 4096:  # bounded: drop arbitrary entries
+                for _ in range(len(need)):
+                    cache.pop(next(iter(cache)), None)
+            for i, t in enumerate(need):
+                cache[t] = sum(p[i] for p in parts)
+        return [cache[t] for t in texts]
 
     def _pre_stage1(self, q: str, coverage_likely: bool) -> None:
         """Fire the WordMatcher candidate computation on every shard BEFORE
