@@ -412,6 +412,73 @@ def read_segment(seg_dir: str, seg_id: int = 0, mmap: bool = True) -> SegmentDat
     )
 
 
+def _merge_short_tables(seg_dirs: list[str], doc_bases) -> dict | None:
+    """Merge the per-segment short-query artifacts directly instead of
+    recomputing them over the merged texts (the recompute dominated merge
+    wall time at 2M pages — lower_1to1 + word split over 450k chunks per
+    final segment). Exact by construction: champion scores depend only on
+    the DOC (position/density/word-start features,
+    query/shortquery.py:120-183), segments are doc-disjoint, and the rank
+    rule (score desc, doc_key asc) is global — so re-ranking the
+    concatenated per-segment top-64 lists per char reproduces a fresh
+    compute bit-for-bit (parity-locked by test). Prefix doc counts are
+    additive. Returns None when any input lacks the artifacts."""
+    import pyarrow.parquet as pq
+
+    from .query.shortquery import CHAMPION_SIZE
+
+    ch_tabs, px_tabs = [], []
+    for si, d in enumerate(seg_dirs):
+        cp = os.path.join(d, "sq_champions.parquet")
+        pp = os.path.join(d, "sq_prefix.parquet")
+        if not (os.path.exists(cp) and os.path.exists(pp)):
+            return None
+        ct = pq.read_table(cp)
+        # lid is segment-local → rebase into the merged doc space
+        lids = ct["lid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ct = ct.set_column(
+            ct.schema.get_field_index("lid"),
+            "lid",
+            pa.array((lids + int(doc_bases[si])).astype(np.int32)),
+        )
+        ch_tabs.append(ct)
+        px_tabs.append(pq.read_table(pp))
+
+    allc = pa.concat_tables(ch_tabs)
+    ch = np.asarray([ord(c) for c in allc["ch"].to_pylist()], dtype=np.int64)
+    sc = allc["score"].to_numpy(zero_copy_only=False)
+    dk = allc["doc_key"].to_numpy(zero_copy_only=False)
+    li = allc["lid"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((dk, -sc, ch))
+    ch, sc, dk, li = ch[order], sc[order], dk[order], li[order]
+    group_start = np.zeros(len(ch), dtype=np.int64)
+    new_group = np.flatnonzero(np.diff(ch)) + 1
+    group_start[new_group] = new_group
+    np.maximum.accumulate(group_start, out=group_start)
+    keep = (np.arange(len(ch)) - group_start) < CHAMPION_SIZE
+    champs = pa.table(
+        {
+            "ch": pa.array([chr(c) for c in ch[keep].tolist()], pa.large_string()),
+            "score": pa.array(sc[keep], pa.float64()),
+            "doc_key": pa.array(dk[keep], pa.int64()),
+            "lid": pa.array(li[keep].astype(np.int32), pa.int32()),
+        }
+    )
+
+    prefix_counts: dict[str, int] = {}
+    for t in px_tabs:
+        for p, n in zip(t["prefix"].to_pylist(), t["n_docs"].to_pylist()):
+            prefix_counts[p] = prefix_counts.get(p, 0) + int(n)
+    pk = sorted(prefix_counts)
+    prefixes = pa.table(
+        {
+            "prefix": pa.array(pk, pa.large_string()),
+            "n_docs": pa.array([prefix_counts[p] for p in pk], pa.int64()),
+        }
+    )
+    return {"sq_champions.parquet": champs, "sq_prefix.parquet": prefixes}
+
+
 def merge_segments(
     seg_dirs: list[str], out_dir: str, seg_id: int = 0, delimiters=None
 ) -> dict:
@@ -427,20 +494,41 @@ def merge_segments(
     all_terms = np.concatenate([s.terms for s in segs])
     uniq = np.unique(all_terms)
 
+    # vectorized k-way term alignment: each segment's sorted term array maps
+    # into `uniq` with ONE searchsorted (the old per-term
+    # term_lookup(str(term)) loop paid O(terms × segs) Python binary
+    # searches + numpy→str conversions — the dominant merge cost at 400
+    # segments / 2M pages)
+    emit_term: list[np.ndarray] = []
+    emit_seg: list[np.ndarray] = []
+    emit_local: list[np.ndarray] = []
+    for si, s in enumerate(segs):
+        pos = np.searchsorted(uniq, s.terms)
+        emit_term.append(pos.astype(np.int64))
+        emit_seg.append(np.full(len(s.terms), si, dtype=np.int32))
+        emit_local.append(np.arange(len(s.terms), dtype=np.int64))
+    et = np.concatenate(emit_term)
+    es = np.concatenate(emit_seg)
+    el = np.concatenate(emit_local)
+    order = np.lexsort((es, et))  # term-major, segment order within a term
+    et, es, el = et[order], es[order], el[order]
+    starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+    ends = np.append(starts[1:], len(et))
+
+    uniq_py = uniq.tolist()
+    df_arrays = [np.asarray(s.df, dtype=np.int64) for s in segs]
     terms_out: list[str] = []
     df_out: list[int] = []
     postings_out: list[tuple[np.ndarray, np.ndarray]] = []
-    for term in uniq:
+    for a, b in zip(starts, ends):
         docs_parts, w_parts, df = [], [], 0
-        for si, s in enumerate(segs):
-            i = s.term_lookup(str(term))
-            if i < 0:
-                continue
-            docs, weights = s.term_postings(i)
+        for k in range(a, b):
+            si, i = int(es[k]), int(el[k])
+            docs, weights = segs[si].term_postings(i)
             docs_parts.append(docs.astype(np.int64) + doc_bases[si])
             w_parts.append(weights)
-            df += int(s.df[i])
-        terms_out.append(str(term))
+            df += int(df_arrays[si][i])
+        terms_out.append(uniq_py[int(et[a])])
         df_out.append(df)
         postings_out.append(
             (np.concatenate(docs_parts).astype(np.uint32), np.concatenate(w_parts))
@@ -497,16 +585,20 @@ def merge_segments(
     # INFIDEX_SQ_ARTIFACTS=0 opt-out as build._finish_segment so the A/B
     # probe can disable the artifacts on merged indexes too
     if delimiters is not None and os.environ.get("INFIDEX_SQ_ARTIFACTS", "1") != "0":
-        from .analyzer import _word_splitter
-        from .query.coverage import lower_1to1
-        from .query.shortquery import compute_short_tables
+        merged_sq = _merge_short_tables(seg_dirs, doc_bases)
+        if merged_sq is not None:
+            extra.update(merged_sq)
+        else:  # an input lacks the artifacts: recompute over the texts
+            from .analyzer import _word_splitter
+            from .query.coverage import lower_1to1
+            from .query.shortquery import compute_short_tables
 
-        splitter = _word_splitter(tuple(delimiters))
-        lower = [lower_1to1(t) for t in docmap["norm_text"]]
-        words = [[w for w in splitter.split(t) if w] for t in lower]
-        extra.update(
-            compute_short_tables(lower, words, docmap["doc_key"], seg_id)
-        )
+            splitter = _word_splitter(tuple(delimiters))
+            lower = [lower_1to1(t) for t in docmap["norm_text"]]
+            words = [[w for w in splitter.split(t) if w] for t in lower]
+            extra.update(
+                compute_short_tables(lower, words, docmap["doc_key"], seg_id)
+            )
 
     return write_segment(
         out_dir, terms_out, np.asarray(df_out, dtype=np.int64), postings_out, docmap,

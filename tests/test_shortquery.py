@@ -169,3 +169,33 @@ def test_vectorized_fuzzy_matches_reference_loop(sq_engine):
                 if has_b or matches > 0:
                     s._accumulate_term(ti, 2 if has_b else 1, ds_ref, fp_ref, checked, q)
             assert ds_fast == ds_ref and fp_fast == fp_ref, q
+
+
+def test_merged_sq_artifacts_match_recompute(ray_session, tmp_path):
+    """_merge_short_tables (the merge fast path) is bit-identical to a
+    fresh compute_short_tables over the merged docmap — champion scores
+    are doc-local and the rank rule is global, so re-ranking the
+    concatenated per-segment top-64 IS the fresh result."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from infidex_ray.build import build_index_local, merge_index
+    from infidex_ray.config import EngineConfig
+
+    docs = [
+        (k, f"w{k % 7} alpha b{k % 3} {'x' * (k % 5 + 1)} beta gamma")
+        for k in range(60)
+    ]
+    fine = str(tmp_path / "fine")
+    build_index_local(docs, fine, EngineConfig(), n_segments=6)
+    merged = str(tmp_path / "merged")
+    merge_index(fine, merged, use_ray=False, target_segments=1)
+
+    one = str(tmp_path / "one")
+    build_index_local(docs, one, EngineConfig(), n_segments=1)
+
+    for f in ("sq_champions.parquet", "sq_prefix.parquet"):
+        a = pq.read_table(os.path.join(merged, "segments", "seg-0000", f))
+        b = pq.read_table(os.path.join(one, "segments", "seg-0000", f))
+        assert a.equals(b), f
