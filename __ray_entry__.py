@@ -3707,6 +3707,40 @@ def _q_multifield_search_distributed(sf_dir: str):
         deng.shutdown()
 
 
+def _q_scc(sf_dir: str):
+    """Strongly connected components (ops/graph.py::scc) over a planted
+    directed ring graph (nodes = doc_id % 210: 30 seven-node cycles plus
+    cross edges that may merge them). Oracle: recursive-CTE transitive
+    closure, scc_id = min mutually-reachable node."""
+    import numpy as np
+
+    from infidex_ray.ops.graph import scc
+
+    def plant(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        v = d % 210
+        srcs, dsts = [], []
+        m = v % 7 != 6
+        srcs.append(v[m]); dsts.append((v[m] + 1) % 210)
+        m = v % 7 == 6
+        srcs.append(v[m]); dsts.append(v[m] - 6)
+        m = v % 17 == 0
+        srcs.append(v[m]); dsts.append((v[m] * 13 + 5) % 210)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(srcs), pa.int64()),
+                "dst": pa.array(np.concatenate(dsts), pa.int64()),
+            }
+        )
+
+    edges = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id"])
+        .map_batches(plant, batch_format="pyarrow")
+    )
+    return _by(scc(edges), "node")
+
+
 def _q_jaro_winkler_pairs(sf_dir: str):
     """Sorted-neighborhood record linkage on customer names scored by
     Jaro-Winkler (bitwise-identical to DuckDB's native function — the
@@ -4212,6 +4246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_webtext": _q_curate_webtext,
         "autocomplete_score": _q_autocomplete_score,
         "jaro_winkler_pairs": _q_jaro_winkler_pairs,
+        "scc": _q_scc,
         "multifield_search": _q_multifield_search,
         "multifield_search_distributed": _q_multifield_search_distributed,
         "consistent_shard": _q_consistent_shard,
@@ -6068,6 +6103,25 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "autocomplete_score": sqlgen.autocomplete_sql("merge sort"),
+        "scc": (
+            "WITH RECURSIVE v AS (SELECT DISTINCT doc_id % 210 AS v "
+            "FROM documents), "
+            "e AS ("
+            "SELECT v AS src, (v + 1) % 210 AS dst FROM v WHERE v % 7 <> 6 "
+            "UNION SELECT v, v - 6 FROM v WHERE v % 7 = 6 "
+            "UNION SELECT v, (v * 13 + 5) % 210 FROM v WHERE v % 17 = 0), "
+            "reach(src, dst) AS ("
+            "SELECT src, dst FROM e "
+            "UNION SELECT r.src, e.dst FROM reach r "
+            "JOIN e ON e.src = r.dst), "
+            "nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e), "
+            "mutual AS (SELECT a.src AS n, a.dst AS u FROM reach a "
+            "JOIN reach b ON b.src = a.dst AND b.dst = a.src) "
+            "SELECT nodes.n AS node, "
+            "least(nodes.n, coalesce(min(m.u), nodes.n)) AS scc_id "
+            "FROM nodes LEFT JOIN mutual m ON m.n = nodes.n "
+            "GROUP BY nodes.n ORDER BY node"
+        ),
         "jaro_winkler_pairs": (
             "WITH r AS (SELECT c_name AS k, c_custkey AS id, "
             "row_number() OVER (ORDER BY c_name, c_custkey) AS rn "

@@ -792,3 +792,296 @@ def k_core(
         if converged:
             break
     return degrees(edges)
+
+
+# --- strongly connected components -------------------------------------------
+
+
+def _scc_tarjan(src: np.ndarray, dst: np.ndarray) -> dict[int, int]:
+    """Iterative Tarjan over an in-memory edge list: node → scc label with
+    label = MIN node id in the component (driver fast path — the same
+    size-gated convention as dedup_clusters / connected_components)."""
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx_of = {int(n): i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    order = np.argsort(src, kind="stable")
+    s_sorted = src[order]
+    starts = np.searchsorted(s_sorted, nodes, side="left")
+    ends = np.searchsorted(s_sorted, nodes, side="right")
+    adj_dst = dst[order]
+
+    index = np.full(n, -1, dtype=np.int64)
+    low = np.zeros(n, dtype=np.int64)
+    on_stack = np.zeros(n, dtype=bool)
+    stack: list[int] = []
+    labels: dict[int, int] = {}
+    counter = 0
+    for root in range(n):
+        if index[root] >= 0:
+            continue
+        # explicit DFS stack: (vertex, next-edge-cursor)
+        work = [(root, int(starts[root]))]
+        index[root] = low[root] = counter
+        counter += 1
+        stack.append(root)
+        on_stack[root] = True
+        while work:
+            v, cur = work[-1]
+            if cur < ends[v]:
+                work[-1] = (v, cur + 1)
+                w = idx_of[int(adj_dst[cur])]
+                if index[w] < 0:
+                    index[w] = low[w] = counter
+                    counter += 1
+                    stack.append(w)
+                    on_stack[w] = True
+                    work.append((w, int(starts[w])))
+                elif on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            else:
+                work.pop()
+                if work:
+                    pv = work[-1][0]
+                    low[pv] = min(low[pv], low[v])
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on_stack[w] = False
+                        comp.append(int(nodes[w]))
+                        if w == v:
+                            break
+                    m = min(comp)
+                    for c in comp:
+                        labels[c] = m
+    return labels
+
+
+def scc(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+    max_rounds: int = 30,
+    max_iters: int = 50,
+):
+    """Strongly connected components over a DIRECTED edge Dataset: returns
+    ``(node, scc_id)`` with scc_id = the MIN node id in the component —
+    the web-graph primitive behind link-farm/spider-trap detection and
+    condensation-DAG analytics (Broder et al.'s bow-tie decomposition).
+
+    Size-gated like :func:`connected_components`: ≤1M edges run iterative
+    Tarjan on the driver; larger graphs (or explicit ``num_partitions``)
+    run distributed MIN-color peeling (Orzan's coloring, FW-BW family):
+    per outer round, (1) a forward min-label fixpoint — color(v) = min id
+    that can reach v — via O(log diameter) join rounds; (2) nodes with
+    ``color == self`` are pivots, and a pivot's SCC is exactly the nodes
+    of its color class that can REACH it (backward fixpoint within the
+    class); (3) settled SCCs leave the graph. A pivot is provably the MIN
+    of its SCC (nothing smaller reaches it), so labels match Tarjan
+    bit-for-bit (parity test). Outer rounds ≤ condensation depth in the
+    min-reachability order, bounded by ``max_rounds``."""
+    import ray
+    import ray.data
+
+    from .dedup import _BROADCAST_VERIFY_MAX_PAIRS
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t[src_col].cast(pa.int64()),
+                "dst": t[dst_col].cast(pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {"node": pa.array([], pa.int64()), "scc_id": pa.array([], pa.int64())}
+    )
+    edges0 = edges_ds.map_batches(norm, batch_format="pyarrow").materialize()
+    n_edges = edges0.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(empty)
+
+    if num_partitions is None and n_edges <= _BROADCAST_VERIFY_MAX_PAIRS:
+        blocks = [t for t in ray.get(edges0.to_arrow_refs()) if t.num_rows]
+        t = pa.concat_tables(blocks).combine_chunks()
+        labels = _scc_tarjan(
+            t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        nodes = sorted(labels)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "scc_id": pa.array([labels[v] for v in nodes], pa.int64()),
+                }
+            )
+        )
+
+    num_partitions = _join_partitions(num_partitions)
+
+    def _mat(ds):
+        return ds.repartition(num_partitions).materialize()
+
+    def col_min(t: pa.Table, a: str, out: str) -> pa.Table:
+        name = f"min({a})" if f"min({a})" in t.column_names else a
+        return pa.table({"node": t["node"], out: t[name]})
+
+    edges = _mat(edges0)
+    done_parts: list = []
+    for _round in range(max_rounds):
+        if edges.count() == 0:
+            break
+        # --- forward min-color fixpoint --------------------------------
+        nodes = _mat(_distinct_nodes(
+            edges.map_batches(
+                lambda t: pa.table(
+                    {"node": pa.concat_arrays(
+                        [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                    )}
+                ),
+                batch_format="pyarrow",
+            ),
+            num_partitions,
+        ))
+        colors = _mat(nodes.map_batches(
+            lambda t: pa.table({"node": t["node"], "color": t["node"]}),
+            batch_format="pyarrow",
+        ))
+        for _ in range(max_iters):
+            prop = edges.join(
+                colors, "inner", num_partitions, on=("src",), right_on=("node",)
+            ).map_batches(
+                lambda t: pa.table({"node": t["dst"], "color": t["color"]}),
+                batch_format="pyarrow",
+            )
+            merged = (
+                _mat(colors.union(_mat(prop)))
+                .groupby("node")
+                .min("color")
+                .map_batches(
+                    lambda t: col_min(t, "color", "color"),
+                    batch_format="pyarrow",
+                )
+            )
+            merged = _mat(merged)
+            # changed-count: one scalar to the driver
+            old = _mat(colors.map_batches(
+                lambda t: pa.table(
+                    {"node": t["node"], "old": t["color"]}
+                ),
+                batch_format="pyarrow",
+            ))
+            diff = merged.join(
+                old, "inner", num_partitions, on=("node",),
+            ).map_batches(
+                lambda t: t.filter(
+                    pa.compute.not_equal(t["color"], t["old"])
+                ).select(["node"]),
+                batch_format="pyarrow",
+            )
+            changed = diff.count()
+            colors = merged
+            if changed == 0:
+                break
+        # --- backward membership fixpoint within color classes ----------
+        # edge (u→v) is INTERNAL to a class iff color(u) == color(v);
+        # mark(v) starts at pivots (color == node) and flows BACKWARD
+        # along internal edges to exactly the pivot's SCC.
+        ec = edges.join(
+            colors, "inner", num_partitions, on=("src",), right_on=("node",)
+        ).map_batches(
+            lambda t: pa.table(
+                {"src": t["src"], "dst": t["dst"], "c_src": t["color"]}
+            ),
+            batch_format="pyarrow",
+        )
+        cd = _mat(colors.map_batches(
+            lambda t: pa.table({"node": t["node"], "c_dst": t["color"]}),
+            batch_format="pyarrow",
+        ))
+        ec = _mat(ec).join(
+            cd, "inner", num_partitions, on=("dst",), right_on=("node",),
+        ).map_batches(
+            lambda t: t.filter(
+                pa.compute.equal(t["c_src"], t["c_dst"])
+            ).select(["src", "dst"]),
+            batch_format="pyarrow",
+        )
+        internal = _mat(ec)
+        marked = _mat(colors.map_batches(
+            lambda t: t.filter(
+                pa.compute.equal(t["node"], t["color"])
+            ).select(["node"]),
+            batch_format="pyarrow",
+        ))
+        frontier = marked
+        for _ in range(max_iters):
+            if frontier.count() == 0:
+                break
+            nxt = internal.join(
+                frontier, "inner", num_partitions, on=("dst",), right_on=("node",)
+            ).map_batches(
+                lambda t: pa.table({"node": t["src"]}),
+                batch_format="pyarrow",
+            )
+            nxt = _mat(_distinct_nodes(nxt, num_partitions))
+            new = _mat(nxt.join(marked, "left_anti", num_partitions, on=("node",)))
+            if new.count() == 0:
+                break
+            marked = _mat(marked.union(new))
+            frontier = new
+        settled = _mat(marked.join(
+            colors, "inner", num_partitions, on=("node",),
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "scc_id": t["color"]}),
+            batch_format="pyarrow",
+        ))
+        done_parts.append(settled)
+        # singletons with no internal edges never get marked twice —
+        # remove settled nodes and their edges, loop
+        settled_ids = _mat(settled.select_columns(["node"]))
+        edges = _mat(
+            edges.join(settled_ids, "left_anti",
+                       num_partitions, on=("src",), right_on=("node",))
+        )
+        # a fully-empty join result is SCHEMA-LESS in Ray 2.49 — feeding it
+        # to the next join crashes pyarrow FieldRef; stop while typed
+        if edges.count() == 0:
+            break
+        edges = _mat(
+            edges.join(settled_ids, "left_anti",
+                       num_partitions, on=("dst",), right_on=("node",))
+        )
+        if edges.count() == 0:
+            break
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.union(p)
+    out = _mat(out)
+    # nodes stranded edge-less after earlier removals never re-enter the
+    # loop's node set — they are singleton SCCs of themselves
+    all_nodes = _mat(_distinct_nodes(
+        edges0.map_batches(
+            lambda t: pa.table(
+                {"node": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                )}
+            ),
+            batch_format="pyarrow",
+        ),
+        num_partitions,
+    ))
+    leftover = _mat(
+        all_nodes.join(_mat(out.select_columns(["node"])), "left_anti",
+                       num_partitions, on=("node",))
+    )
+    if leftover.count() > 0:
+        out = out.union(
+            leftover.map_batches(
+                lambda t: pa.table({"node": t["node"], "scc_id": t["node"]}),
+                batch_format="pyarrow",
+            )
+        )
+    return _mat(out)

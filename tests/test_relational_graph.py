@@ -322,3 +322,45 @@ def test_second_review_batch_fixes(ray_session):
     )
     with pytest.raises(ValueError):
         zorder_key(t, ["x", "y"], bounds={"x": (0, 2**50), "y": (0, 10)})
+
+
+def test_scc_tarjan_and_distributed_parity(ray_session):
+    """scc: driver Tarjan vs the distributed min-color peeling path on a
+    planted digraph with cycles, chains, cross edges, and a stranded
+    singleton — labels (min node per SCC) must match exactly."""
+    import numpy as np
+    import ray.data
+
+    from infidex_ray.ops.graph import scc
+
+    edges = []
+    # two 4-cycles
+    for base in (0, 10):
+        for i in range(4):
+            edges.append((base + i, base + (i + 1) % 4))
+    edges.append((3, 10))      # cycle A -> cycle B (one way: separate SCCs)
+    edges.append((20, 21))     # chain of singletons
+    edges.append((21, 22))
+    edges.append((22, 20))     # ...closed into a 3-cycle
+    edges.append((30, 0))      # singleton feeding cycle A
+    edges.append((13, 40))     # cycle B feeding a sink singleton
+
+    ds = ray.data.from_items([{"src": s, "dst": d} for s, d in edges])
+    small = dict(
+        zip(*[c.to_pylist() for c in scc(ds).materialize().to_arrow_refs() and
+              __import__("pyarrow").concat_tables(
+                  __import__("ray").get(scc(ds).materialize().to_arrow_refs())
+              ).columns])
+    )
+    big = dict(
+        zip(*[c.to_pylist() for c in __import__("pyarrow").concat_tables(
+            __import__("ray").get(
+                scc(ds, num_partitions=4).materialize().to_arrow_refs()
+            )
+        ).columns])
+    )
+    assert small == big
+    assert small[0] == small[1] == small[2] == small[3] == 0
+    assert small[10] == small[13] == 10
+    assert small[20] == small[21] == small[22] == 20
+    assert small[30] == 30 and small[40] == 40
