@@ -21,7 +21,7 @@ in-process engine and the actor-pool executor call; shards run
 from __future__ import annotations
 
 from . import coverage as cov
-from .fusion import fusion_calculate
+from .fusion import fusion_calculate, fusion_components
 from .metrics import lcs_containment
 
 # The reference's LCS/wordHits memo is a Span2D(2, N) guarded by
@@ -200,13 +200,19 @@ def process_candidates(
     jobs: list[tuple[int, int, float, int]],
     best_chunk: dict[int, tuple[int, int]],
     deadline: float | None = None,
-) -> tuple[list[tuple[float, int, int, int]], dict[int, list[int]]]:
+    components: bool = False,
+) -> tuple[list, dict[int, list[int]]]:
     """Shard-local candidate scoring (SearchPipeline.ProcessCandidate,
     :449-522). ``jobs`` = (si, lid, base_score, doc_index) in processing
     order; all jobs for one doc key arrive at the shard owning its segment,
     so the 2-slot LCS/wordHits memo semantics hold locally.
 
     Returns ([(score, key, tiebreaker, word_hits)], {doc_index<2: [lcs, wh]}).
+    With ``components=True`` the rows are instead the bm25-INDEPENDENT
+    fusion components ``(precedence, semantic_pre, coverage_ratio,
+    has_partial, tiebreaker, key, word_hits)`` and base_score is ignored —
+    the single-round executor finishes the blend driver-side with the
+    GLOBAL norm (fusion.fusion_finish; bit-identical by construction).
     """
     setup = engine.cfg.coverage
     delimiters = frozenset(engine.cfg.delimiters)
@@ -259,12 +265,19 @@ def process_candidates(
                 doc_prep=prep,
             )
             feat_cache[feat_key] = features
-        score, tiebreaker = fusion_calculate(ctx.query, doc_text, features, base_score)
+        if components:
+            p, sp, cr, hp, tb = fusion_components(ctx.query, doc_text, features)
+            row = (p, sp, cr, hp, tb, key, features.word_hits)
+        else:
+            score, tiebreaker = fusion_calculate(
+                ctx.query, doc_text, features, base_score
+            )
+            row = (score, key, tiebreaker, features.word_hits)
         if 0 <= di < MEMO_HEIGHT:
             m = memo.setdefault(di, [0, 0])
             if m[1] == 0:
                 m[1] = min(features.word_hits, 255)
-        results.append((score, key, tiebreaker, features.word_hits))
+        results.append(row)
     return results, memo
 
 

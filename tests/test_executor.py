@@ -285,3 +285,58 @@ def test_distributed_get_document_and_statistics(ray_session, tmp_path):
         assert a.document_count == 500
     finally:
         deng.shutdown()
+
+
+def test_one_rtt_rank_identity_full_page(ray_session, tmp_path, monkeypatch):
+    """The opt-in single-round protocol (INFIDEX_1RTT=1, fused_ab +
+    _coverage_from_stash) must be rank-identical to the two-round path on
+    a corpus whose stage-1 page is FULL (the stash-eligible regime), for
+    clean, typo, and repeated queries — and the stash must actually serve
+    (not silently fall back)."""
+    import ray.data
+
+    from infidex_ray.build import build_index
+    from infidex_ray.config import EngineConfig
+    from infidex_ray.query.executor import DistributedEngine
+
+    words = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa"]
+    rows = []
+    for k in range(700):
+        body = " ".join(words[(k + j) % len(words)] for j in range(9))
+        rows.append(
+            {"doc_id": k, "text": f"shared corpus {body} tail{k % 13} u{k}"}
+        )
+    out = str(tmp_path / "idx1rtt")
+    cfg = EngineConfig(target_docs_per_segment=200, coverage_depth=500)
+    build_index(
+        ray.data.from_items(rows), out, cfg,
+        text_column="text", key_column="doc_id",
+    )
+    deng = DistributedEngine.connect(out, num_shards=2, warm=False)
+    try:
+        served = {"n": 0}
+        orig = deng._coverage_from_stash
+
+        def counting(q, s1, cd, tk):
+            ok, res = orig(q, s1, cd, tk)
+            served["n"] += ok
+            return ok, res
+
+        deng._coverage_from_stash = counting
+        panel = [
+            "shared corpus", "alpha beta gamma", "corpus omega",
+            "shraed corpus",  # typo → fuzzy terms
+            "alpha beta gamma",  # repeat (warm level memo)
+        ]
+        for q in panel:  # warm pass (level memo)
+            monkeypatch.setenv("INFIDEX_1RTT", "0")
+            deng.search(q, top_k=10)
+        for q in panel:
+            monkeypatch.setenv("INFIDEX_1RTT", "0")
+            a = [(h.doc_key, h.score) for h in deng.search(q, top_k=10)]
+            monkeypatch.setenv("INFIDEX_1RTT", "1")
+            b = [(h.doc_key, h.score) for h in deng.search(q, top_k=10)]
+            assert a == b, f"query {q!r}: {a[:4]} != {b[:4]}"
+        assert served["n"] >= 3  # the single-round path actually ran
+    finally:
+        deng.shutdown()
