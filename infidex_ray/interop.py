@@ -153,6 +153,11 @@ def parse_infdx2(data: bytes) -> dict:
         [FORMAT_VERSION, flags, doc_count, term_count]
     ):
         raise Infdx2Error("header checksum mismatch")
+    if flags & FLAG_COMPRESSED:
+        # reserved by the reference (IndexPersistence.IndexFlags.Compressed)
+        # — without this guard the blob parse would die with a misleading
+        # count/EOF error
+        raise Infdx2Error("compressed INFDX2 blobs are not supported")
     data_length = r.u32()
     blob = r._take(data_length)
     data_checksum = r.u32()

@@ -417,15 +417,11 @@ def jaro_winkler_pairs(
     the sorted_neighborhood_pairs plan with the key strings riding
     along). Output: ``(id_a, id_b, dist, jw)``, id_a the earlier row.
     """
-    import ray
-    import ray.data
-
     from ..query.metrics import jaro_winkler_similarity
     from .dedup import round_half_up4
-    from .ranking import _sorted_block_offsets
+    from .joins import neighborhood_fanout
 
     proj = ds.select_columns(list(dict.fromkeys([key_col, id_col])))
-    refs, _offsets, _total = _sorted_block_offsets(proj, [key_col, id_col])
     empty = pa.table(
         {
             "id_a": pa.array([], pa.int64()),
@@ -434,16 +430,7 @@ def jaro_winkler_pairs(
             "jw": pa.array([], pa.float64()),
         }
     )
-    if not refs:
-        return ray.data.from_arrow(empty)
 
-    @ray.remote
-    def tail(t: pa.Table) -> pa.Table:
-        return t.slice(max(0, len(t) - window))
-
-    tails = ray.get([tail.remote(r) for r in refs])
-
-    @ray.remote
     def pairs(t: pa.Table, prev: pa.Table) -> pa.Table:
         ids = np.concatenate(
             [
@@ -478,12 +465,4 @@ def jaro_winkler_pairs(
             }
         )
 
-    futures = []
-    for k, r in enumerate(refs):
-        if k == 0:
-            prev = tails[0].slice(0, 0)
-        else:
-            strip = pa.concat_tables(tails[:k])
-            prev = strip.slice(max(0, len(strip) - window))
-        futures.append(pairs.remote(r, prev))
-    return ray.data.from_arrow_refs(futures)
+    return neighborhood_fanout(proj, [key_col, id_col], window, pairs, empty)

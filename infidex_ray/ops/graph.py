@@ -985,6 +985,15 @@ def scc(
             colors = merged
             if changed == 0:
                 break
+        else:
+            # non-convergence would silently mislabel long cycles as
+            # singletons (one edge-hop per round; a 100-cycle needs 100
+            # rounds) — refuse instead of returning wrong labels
+            raise RuntimeError(
+                "scc: forward min-color fixpoint did not converge within "
+                f"max_iters={max_iters}; raise max_iters (graph has a "
+                "reachability chain longer than the bound)"
+            )
         # --- backward membership fixpoint within color classes ----------
         # edge (u→v) is INTERNAL to a class iff color(u) == color(v);
         # mark(v) starts at pivots (color == node) and flows BACKWARD
@@ -1032,6 +1041,12 @@ def scc(
                 break
             marked = _mat(marked.union(new))
             frontier = new
+        else:
+            raise RuntimeError(
+                "scc: backward membership fixpoint did not converge within "
+                f"max_iters={max_iters}; raise max_iters (an SCC has a "
+                "cycle longer than the bound)"
+            )
         settled = _mat(marked.join(
             colors, "inner", num_partitions, on=("node",),
         ).map_batches(
@@ -1056,6 +1071,14 @@ def scc(
         )
         if edges.count() == 0:
             break
+    else:
+        if edges.count() > 0:
+            # unprocessed edges after max_rounds: the leftover cleanup
+            # below would mislabel their nodes as singletons
+            raise RuntimeError(
+                "scc: condensation peeling did not finish within "
+                f"max_rounds={max_rounds}; raise max_rounds"
+            )
     out = done_parts[0]
     for p in done_parts[1:]:
         out = out.union(p)

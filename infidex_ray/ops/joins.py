@@ -466,13 +466,7 @@ def sorted_neighborhood_pairs(
     Output: ``(id_a, id_b, dist)`` with ``id_a`` the earlier row in sort
     order and ``1 ≤ dist ≤ window``.
     """
-    import ray
-    import ray.data
-
-    from .ranking import _sorted_block_offsets
-
     proj = ds.select_columns(list(dict.fromkeys([key_col, id_col])))
-    refs, offsets, total = _sorted_block_offsets(proj, [key_col, id_col])
     empty = pa.table(
         {
             "id_a": pa.array([], pa.int64()),
@@ -480,16 +474,7 @@ def sorted_neighborhood_pairs(
             "dist": pa.array([], pa.int32()),
         }
     )
-    if not refs:
-        return ray.data.from_arrow(empty)
 
-    @ray.remote
-    def tail(t: pa.Table) -> pa.Table:
-        return t.slice(max(0, len(t) - window))
-
-    tails = ray.get([tail.remote(r) for r in refs])
-
-    @ray.remote
     def pairs(t: pa.Table, prev: pa.Table) -> pa.Table:
         ids = np.concatenate(
             [
@@ -517,15 +502,40 @@ def sorted_neighborhood_pairs(
             }
         )
 
+    return neighborhood_fanout(proj, [key_col, id_col], window, pairs, empty)
+
+
+def neighborhood_fanout(proj, order_cols, window: int, pairs_fn, empty):
+    """Shared sorted-neighborhood kernel (:func:`sorted_neighborhood_pairs`
+    and ``ops.fuzzy.jaro_winkler_pairs``): ONE global sort on
+    ``order_cols``, then each sorted block emits pairs with only the
+    ``window`` straddling rows shipped from its predecessors (the last
+    ``window`` rows of blocks 0..k−1 — each tail holds up to ``window``
+    rows, so the concat always covers the needed strip). ``pairs_fn``
+    receives (block_table, prev_strip) and returns the pair rows; a
+    task's emitted pairs are exactly those whose LATER row lives in its
+    block, so no pair is emitted twice."""
+    import ray
+    import ray.data
+
+    from .ranking import _sorted_block_offsets
+
+    refs, _offsets, _total = _sorted_block_offsets(proj, order_cols)
+    if not refs:
+        return ray.data.from_arrow(empty)
+
+    @ray.remote
+    def tail(t: pa.Table) -> pa.Table:
+        return t.slice(max(0, len(t) - window))
+
+    tails = ray.get([tail.remote(r) for r in refs])
+    remote_pairs = ray.remote(pairs_fn)
     futures = []
     for k, r in enumerate(refs):
-        # global predecessors of block k: last `window` rows of the
-        # concatenated tails of blocks 0..k-1 (each tail holds up to
-        # `window` rows, so the concat always covers the needed strip)
         if k == 0:
             prev = tails[0].slice(0, 0)
         else:
             strip = pa.concat_tables(tails[:k])
             prev = strip.slice(max(0, len(strip) - window))
-        futures.append(pairs.remote(r, prev))
+        futures.append(remote_pairs.remote(r, prev))
     return ray.data.from_arrow_refs(futures)

@@ -499,9 +499,14 @@ class DistributedEngine(Engine):
             refs = [a.fuzzy_df_batch.remote(need) for a in self.actors]
             self._overlap_ctx_prep()
             parts = ray.get(refs)
-            if len(cache) >= 4096:  # bounded: drop arbitrary entries
-                for _ in range(len(need)):
-                    cache.pop(next(iter(cache)), None)
+            if len(cache) >= 4096:  # bounded: drop entries NOT in this
+                # query (evicting a term `texts` already holds would
+                # KeyError on the read below)
+                keep = set(texts)
+                for k in list(itertools.islice(
+                    (k for k in cache if k not in keep), len(need)
+                )):
+                    cache.pop(k, None)
             for i, t in enumerate(need):
                 cache[t] = sum(p[i] for p in parts)
         return [cache[t] for t in texts]

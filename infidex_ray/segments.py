@@ -512,8 +512,11 @@ def merge_segments(
     el = np.concatenate(emit_local)
     order = np.lexsort((es, et))  # term-major, segment order within a term
     et, es, el = et[order], es[order], el[order]
-    starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
-    ends = np.append(starts[1:], len(et))
+    if len(et):
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+        ends = np.append(starts[1:], len(et))
+    else:  # all inputs term-less (empty/delimiter-only docs)
+        starts = ends = np.empty(0, dtype=np.int64)
 
     uniq_py = uniq.tolist()
     df_arrays = [np.asarray(s.df, dtype=np.int64) for s in segs]

@@ -346,19 +346,19 @@ def test_scc_tarjan_and_distributed_parity(ray_session):
     edges.append((13, 40))     # cycle B feeding a sink singleton
 
     ds = ray.data.from_items([{"src": s, "dst": d} for s, d in edges])
-    small = dict(
-        zip(*[c.to_pylist() for c in scc(ds).materialize().to_arrow_refs() and
-              __import__("pyarrow").concat_tables(
-                  __import__("ray").get(scc(ds).materialize().to_arrow_refs())
-              ).columns])
-    )
-    big = dict(
-        zip(*[c.to_pylist() for c in __import__("pyarrow").concat_tables(
-            __import__("ray").get(
-                scc(ds, num_partitions=4).materialize().to_arrow_refs()
-            )
-        ).columns])
-    )
+
+    import pyarrow as pa
+    import ray as _ray
+
+    def labels(out_ds):
+        t = pa.concat_tables(
+            [b for b in _ray.get(out_ds.materialize().to_arrow_refs())
+             if b.num_rows]
+        )
+        return dict(zip(t["node"].to_pylist(), t["scc_id"].to_pylist()))
+
+    small = labels(scc(ds))
+    big = labels(scc(ds, num_partitions=4))
     assert small == big
     assert small[0] == small[1] == small[2] == small[3] == 0
     assert small[10] == small[13] == 10
