@@ -3707,14 +3707,25 @@ def _q_multifield_search_distributed(sf_dir: str):
         deng.shutdown()
 
 
-def _q_scc(sf_dir: str):
-    """Strongly connected components (ops/graph.py::scc) over a planted
-    directed ring graph (nodes = doc_id % 210: 30 seven-node cycles plus
-    cross edges that may merge them). Oracle: recursive-CTE transitive
-    closure, scc_id = min mutually-reachable node."""
-    import numpy as np
+def _q_resample_locf(sf_dir: str):
+    """Per-user LOCF resampling onto a 1-day grid (ops/windows.py::
+    resample_locf): last event value carried forward to each grid point
+    within the user's span; md5 key-slice shuffle, vectorized grid +
+    searchsorted. Oracle: per-grid-point row_number over eligible events."""
+    from infidex_ray.ops.windows import resample_locf
 
-    from infidex_ray.ops.graph import scc
+    return _by(
+        resample_locf(_read(sf_dir, "events"), step_us=86_400_000_000),
+        "user_id",
+        "grid_us",
+    )
+
+
+def _scc_planted_edges(sf_dir: str):
+    """Planted directed ring graph shared by the scc / bowtie entries:
+    nodes = doc_id % 210 — 30 seven-node cycles plus cross edges that may
+    merge them."""
+    import numpy as np
 
     def plant(batch: pa.Table) -> pa.Table:
         d = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
@@ -3733,12 +3744,31 @@ def _q_scc(sf_dir: str):
             }
         )
 
-    edges = (
+    return (
         _read(sf_dir, "documents")
         .select_columns(["doc_id"])
         .map_batches(plant, batch_format="pyarrow")
     )
-    return _by(scc(edges), "node")
+
+
+def _q_scc(sf_dir: str):
+    """Strongly connected components (ops/graph.py::scc) over the planted
+    ring graph. Oracle: recursive-CTE transitive closure, scc_id = min
+    mutually-reachable node."""
+    from infidex_ray.ops.graph import scc
+
+    return _by(scc(_scc_planted_edges(sf_dir)), "node")
+
+
+def _q_bowtie(sf_dir: str):
+    """Broder bow-tie decomposition (ops/graph.py::bowtie): core = largest
+    SCC, in/out via BFS from the core, tendril via weak attachment —
+    composed from scc + bfs_levels + connected_components, all
+    Dataset-resident. Oracle: the scc closure extended with forward/
+    backward/undirected reachability."""
+    from infidex_ray.ops.graph import bowtie
+
+    return _by(bowtie(_scc_planted_edges(sf_dir)), "node")
 
 
 def _q_jaro_winkler_pairs(sf_dir: str):
@@ -4247,6 +4277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocomplete_score": _q_autocomplete_score,
         "jaro_winkler_pairs": _q_jaro_winkler_pairs,
         "scc": _q_scc,
+        "resample_locf": _q_resample_locf,
+        "bowtie": _q_bowtie,
         "multifield_search": _q_multifield_search,
         "multifield_search_distributed": _q_multifield_search_distributed,
         "consistent_shard": _q_consistent_shard,
@@ -6103,6 +6135,66 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "autocomplete_score": sqlgen.autocomplete_sql("merge sort"),
+        "resample_locf": (
+            # S = 86400000000 us (1 day); integer grid bounds via // so
+            # ceil/floor are exact (epoch-us is non-negative)
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS t, value, event_id "
+            "FROM events), "
+            "b AS (SELECT user_id, min(t) AS lo, max(t) AS hi FROM e "
+            "GROUP BY user_id), "
+            "g AS (SELECT user_id, unnest(generate_series("
+            "(lo + 86399999999) // 86400000000, hi // 86400000000)) "
+            "* 86400000000 AS gt FROM b), "
+            "r AS (SELECT g.user_id, g.gt, e.value, row_number() OVER ("
+            "PARTITION BY g.user_id, g.gt "
+            "ORDER BY e.t DESC, e.event_id DESC) AS rn "
+            "FROM g JOIN e ON e.user_id = g.user_id AND e.t <= g.gt) "
+            "SELECT user_id, gt AS grid_us, value FROM r WHERE rn = 1 "
+            "ORDER BY user_id, grid_us"
+        ),
+        "bowtie": (
+            "WITH RECURSIVE v AS (SELECT DISTINCT doc_id % 210 AS v "
+            "FROM documents), "
+            "e AS ("
+            "SELECT v AS src, (v + 1) % 210 AS dst FROM v WHERE v % 7 <> 6 "
+            "UNION SELECT v, v - 6 FROM v WHERE v % 7 = 6 "
+            "UNION SELECT v, (v * 13 + 5) % 210 FROM v WHERE v % 17 = 0), "
+            "reach(src, dst) AS ("
+            "SELECT src, dst FROM e "
+            "UNION SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst), "
+            "nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e), "
+            "mutual AS (SELECT a.src AS n, a.dst AS u FROM reach a "
+            "JOIN reach b ON b.src = a.dst AND b.dst = a.src), "
+            "scc AS (SELECT nodes.n AS node, "
+            "least(nodes.n, coalesce(min(m.u), nodes.n)) AS scc_id "
+            "FROM nodes LEFT JOIN mutual m ON m.n = nodes.n "
+            "GROUP BY nodes.n), "
+            "core AS (SELECT scc_id FROM (SELECT scc_id, count(*) AS c "
+            "FROM scc GROUP BY scc_id ORDER BY c DESC, scc_id ASC LIMIT 1)), "
+            "corenodes AS (SELECT node FROM scc "
+            "WHERE scc_id = (SELECT scc_id FROM core)), "
+            "fwd AS (SELECT node FROM corenodes UNION "
+            "SELECT r.dst FROM reach r JOIN corenodes c ON r.src = c.node), "
+            "bwd AS (SELECT node FROM corenodes UNION "
+            "SELECT r.src FROM reach r JOIN corenodes c ON r.dst = c.node), "
+            "ue AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+            "wreach(src, dst) AS (SELECT src, dst FROM ue "
+            "UNION SELECT w.src, ue.dst FROM wreach w "
+            "JOIN ue ON ue.src = w.dst), "
+            "wcomp AS (SELECT nodes.n AS node, "
+            "least(nodes.n, coalesce(min(w.dst), nodes.n)) AS comp "
+            "FROM nodes LEFT JOIN wreach w ON w.src = nodes.n "
+            "GROUP BY nodes.n), "
+            "corew AS (SELECT comp FROM wcomp "
+            "WHERE node = (SELECT scc_id FROM core)) "
+            "SELECT s.node, CASE "
+            "WHEN s.scc_id = (SELECT scc_id FROM core) THEN 'core' "
+            "WHEN s.node IN (SELECT node FROM bwd) THEN 'in' "
+            "WHEN s.node IN (SELECT node FROM fwd) THEN 'out' "
+            "WHEN wcomp.comp = (SELECT comp FROM corew) THEN 'tendril' "
+            "ELSE 'disconnected' END AS region "
+            "FROM scc s JOIN wcomp ON wcomp.node = s.node ORDER BY s.node"
+        ),
         "scc": (
             "WITH RECURSIVE v AS (SELECT DISTINCT doc_id % 210 AS v "
             "FROM documents), "

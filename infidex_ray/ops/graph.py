@@ -1108,3 +1108,144 @@ def scc(
             )
         )
     return _mat(out)
+
+
+def bowtie(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+    max_depth: int = 64,
+):
+    """Broder et al.'s bow-tie decomposition of a directed web graph
+    (WWW 2000): classify every node against the largest SCC (the CORE) as
+    ``core`` / ``in`` (reaches the core) / ``out`` (reachable from the
+    core) / ``tendril`` (weakly attached to the bow-tie but neither) /
+    ``disconnected``. Ties for the largest SCC break to the smallest
+    scc_id. Returns ``(node, region)``.
+
+    Composition of the existing primitives — :func:`scc` (core),
+    :func:`bfs_levels` forward/backward from the core (IN/OUT; F∩B = core
+    by SCC maximality, so the classification order is unambiguous), and
+    :func:`connected_components` on the undirected edge set (weak
+    attachment). Raises when a BFS frontier is still live at
+    ``max_depth`` (reachability would be under-approximated — raise the
+    bound instead of silently misclassifying)."""
+    import ray
+    import ray.data
+
+    labels = scc(edges_ds, src_col, dst_col, num_partitions).materialize()
+    sizes = labels.groupby("scc_id").count()
+
+    def csize(t: pa.Table) -> pa.Table:
+        c = "count()" if "count()" in t.column_names else "count"
+        return pa.table({"scc_id": t["scc_id"], "n": t[c]})
+
+    top = (
+        sizes.map_batches(csize, batch_format="pyarrow")
+        .sort(["n", "scc_id"], descending=[True, False])
+        .limit(1)
+        .take_all()
+    )
+    if not top:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "region": pa.array([], pa.string()),
+                }
+            )
+        )
+    core_id = int(top[0]["scc_id"])
+
+    def core_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"node": t.filter(pc.equal(t["scc_id"], core_id))["node"]}
+        )
+
+    core_nodes = labels.map_batches(core_only, batch_format="pyarrow")
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({src_col: t[dst_col], dst_col: t[src_col]})
+
+    num_partitions = _join_partitions(num_partitions)
+
+    def _mat(ds):
+        return ds.repartition(num_partitions).materialize()
+
+    def reach_flags(e_ds, flag: str):
+        """(node, <flag>=1) Dataset of nodes reachable from the core —
+        stays Dataset-resident (never a driver set: OUT can be half the
+        web graph)."""
+        lv = bfs_levels(
+            e_ds, core_nodes, max_depth=max_depth,
+            src_col=src_col, dst_col=dst_col,
+            num_partitions=num_partitions,
+        ).materialize()
+        deepest = lv.max("level") if lv.count() else 0
+        if deepest is not None and deepest >= max_depth:
+            raise RuntimeError(
+                f"bowtie: BFS frontier still live at max_depth={max_depth}; "
+                "raise max_depth"
+            )
+        return _mat(lv.map_batches(
+            lambda t, fl=flag: pa.table(
+                {
+                    "node": t["node"],
+                    fl: pa.array(np.ones(len(t), dtype=np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        ))
+
+    fwd = reach_flags(edges_ds, "f")
+    bwd = reach_flags(
+        edges_ds.map_batches(rev, batch_format="pyarrow"), "b"
+    )
+    weak = _mat(connected_components(
+        edges_ds, src_col, dst_col, num_partitions
+    ))
+    core_weak_rows = weak.filter(
+        expr=f"node == {core_id}"
+    ).take_all()  # one scalar: the core's weak-component label
+    core_weak = (
+        int(core_weak_rows[0]["component"]) if core_weak_rows else None
+    )
+
+    x = _mat(labels).join(fwd, "left_outer", num_partitions, on=("node",))
+    x = _mat(x).join(bwd, "left_outer", num_partitions, on=("node",))
+    x = _mat(x).join(weak, "left_outer", num_partitions, on=("node",))
+
+    def classify(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sccs = t["scc_id"].to_numpy(zero_copy_only=False)
+        fflag = pc.fill_null(t["f"], 0).to_numpy(zero_copy_only=False)
+        bflag = pc.fill_null(t["b"], 0).to_numpy(zero_copy_only=False)
+        comp = pc.fill_null(t["component"], -1).to_numpy(
+            zero_copy_only=False
+        )
+        region = np.where(
+            sccs == core_id,
+            "core",
+            np.where(
+                bflag == 1,
+                "in",
+                np.where(
+                    fflag == 1,
+                    "out",
+                    np.where(
+                        comp == (core_weak if core_weak is not None else -2),
+                        "tendril",
+                        "disconnected",
+                    ),
+                ),
+            ),
+        )
+        return pa.table(
+            {"node": t["node"], "region": pa.array(region.tolist(), pa.string())}
+        )
+
+    return _mat(x).map_batches(classify, batch_format="pyarrow")

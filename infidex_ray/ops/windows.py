@@ -1545,3 +1545,105 @@ def time_weighted_avg(
         .groupby("slice")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def resample_locf(
+    events,
+    step_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+):
+    """Per-key LOCF (last-observation-carried-forward) resampling onto a
+    fixed ``step_us`` grid — the standard time-series regularization step
+    before feature windows: for every grid point ``g = k·step`` with
+    ``min_ts(key) <= g <= max_ts(key)``, emit the value of the key's last
+    event with ``ts <= g`` (ties on equal ts go to the largest event id,
+    the repo's usual deterministic tie — SQL mirror: ``row_number() OVER
+    (ORDER BY t DESC, event_id DESC)``).
+
+    Scale shape: the :func:`event_order` machinery — ONE coarse md5 key
+    slice (never a per-key Ray group), one lexsort per slice, vectorized
+    per-key grid generation + one ``searchsorted`` per slice. Output rows
+    = Σ per-key span/step (caller-bounded by the step); values pass
+    through as float64 (exact).
+
+    Returns ``(user_col, grid_us, value)``.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    step = int(step_us)
+    if step <= 0:
+        raise ValueError("step_us must be positive")
+
+    def resample_slice(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["slice"])
+        empty = pa.table(
+            {
+                user_col: pa.array([], group.schema.field(user_col).type),
+                "grid_us": pa.array([], pa.int64()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        kr = _sorted_key_ranks(group[user_col])
+        ts = _ts_us(group[ts_col])
+        ev = group[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        val = (
+            group[value_col]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        o = np.lexsort((ev, ts, kr))
+        kr, ts, val = kr[o], ts[o], val[o]
+        n = len(ts)
+        starts = np.flatnonzero(np.r_[True, kr[1:] != kr[:-1]])
+        ends = np.append(starts[1:], n)
+        lo = ts[starts]
+        hi = ts[ends - 1]
+        # grid indices: ceil(lo/step) .. floor(hi/step), integer-exact
+        # (epoch-us timestamps are non-negative)
+        k0 = (lo + step - 1) // step
+        k1 = hi // step
+        counts = np.maximum(0, k1 - k0 + 1)
+        if counts.sum() == 0:
+            return empty
+        keys_arr = group[user_col].combine_chunks().take(pa.array(o[starts]))
+        grid_key = np.repeat(np.arange(len(starts)), counts)
+        # k0[key] + offset within each key's run
+        off = np.arange(len(grid_key)) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts[:-1]))), counts
+        )
+        grid = (k0[grid_key] + off) * step
+        # last event with ts <= g, per key: searchsorted into the key's
+        # sorted run ((ts, id) lexsorted → equal-ts runs end at the
+        # largest id, matching the DESC,DESC tie rule)
+        pos = np.empty(len(grid), dtype=np.int64)
+        gp = 0
+        for ki in range(len(starts)):
+            c = int(counts[ki])
+            if c == 0:
+                continue
+            s, e = starts[ki], ends[ki]
+            pos[gp : gp + c] = s + np.searchsorted(
+                ts[s:e], grid[gp : gp + c], side="right"
+            ) - 1
+            gp += c
+        return pa.table(
+            {
+                user_col: keys_arr.take(pa.array(grid_key)),
+                "grid_us": pa.array(grid, pa.int64()),
+                "value": pa.array(val[pos], pa.float64()),
+            }
+        )
+
+    return (
+        events.select_columns([user_col, ts_col, id_col, value_col])
+        .map_batches(_add_key_slice(user_col), batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(resample_slice, batch_format="pyarrow")
+    )
