@@ -799,6 +799,10 @@ def run_qps(clients: int = 3, seconds: float = 15.0) -> dict:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     idx = "/tmp/infidex_bench/idx_main"
+    # prefer the serve-coarse compaction when the full bench has built it
+    # (the latency panel serves it too — one segment per shard actor)
+    if os.path.isdir("/tmp/infidex_bench/idx_main_serve"):
+        idx = "/tmp/infidex_bench/idx_main_serve"
     if not os.path.isdir(os.path.join(idx, "segments")):
         _build_index(num_cpus, idx)
     probe = _host_probe()
