@@ -7,10 +7,14 @@ blob holding the documents and terms sections followed by optional
 FST/short-query/metadata sections, then a blob checksum;
 src/Infidex/SearchEngine.cs:385-442 wraps it with a WordMatcher trailer).
 
-This module is IMPORT-ONLY (write-side out of scope — ``Engine.save_file``
-is this repo's portable container): it parses a reference-written file and
-materializes the documents + posting lists into a native infidex_ray
-segment tree. Derived structures (doc lengths, word-IDF, short-query
+The module is bidirectional: :func:`import_infdx2` parses a
+reference-written file and materializes the documents + posting lists into
+a native infidex_ray segment tree, and :func:`export_infdx2` serializes a
+native index tree back into the reference byte format (flags=0 — the
+optional FST/short-query/metadata cache sections are rebuild caches the C#
+loader regenerates, so omitting them is a valid, loadable file). An
+imported index re-exports byte-identically (golden roundtrip test);
+``Engine.save_file`` remains this repo's own portable container. Derived structures (doc lengths, word-IDF, short-query
 artifacts, word matcher, term dictionary) are REBUILT natively — exactly
 what the reference itself does on load (``SearchEngine.Load`` →
 ``VectorModel.CalculateWeights``, SearchEngine.cs:423-427): doc length =
@@ -127,6 +131,189 @@ class _Reader:
     @property
     def remaining(self) -> int:
         return len(self.d) - self.pos
+
+
+class _Writer:
+    """Little-endian byte assembler with C# BinaryWriter semantics
+    (IndexPersistence.Save uses BinaryWriter, :33-101)."""
+
+    def __init__(self):
+        self.b = bytearray()
+
+    def raw(self, data: bytes) -> None:
+        self.b += data
+
+    def u32(self, v: int) -> None:
+        self.b += struct.pack("<I", v & 0xFFFFFFFF)
+
+    def i32(self, v: int) -> None:
+        self.b += struct.pack("<i", v)
+
+    def i64(self, v: int) -> None:
+        self.b += struct.pack("<q", v)
+
+    def boolean(self, v: bool) -> None:
+        self.b += b"\x01" if v else b"\x00"
+
+    def string(self, s: str) -> None:
+        """C# BinaryWriter.Write(string): LEB128 byte length + UTF-8."""
+        data = s.encode("utf-8")
+        n = len(data)
+        while True:
+            b7 = n & 0x7F
+            n >>= 7
+            self.b.append(b7 | (0x80 if n else 0))
+            if not n:
+                break
+        self.b += data
+
+
+_POSTING_DTYPE = np.dtype([("d", "<i4"), ("w", "u1")])
+
+
+def build_infdx2(docs, terms, has_word_matcher: bool = False) -> bytes:
+    """Assemble INFDX2 v2 bytes (IndexPersistence.Save layout, :33-101).
+
+    ``docs``  = [(id, key, text, info, segment, json_idx, deleted)] —
+    WriteDocuments (:293-306); ``terms`` = [(text, df, doc_ids, weights)]
+    with numpy arrays — WriteTerms packed (int32 doc id, uint8 weight)
+    postings (:350-374). Flags are 0 (no FST/short-query/metadata cache
+    sections — the C# loader rebuilds those on load) and the SearchEngine
+    WordMatcher trailer bool (SearchEngine.cs:392-395) is appended."""
+    blob = _Writer()
+    blob.i32(len(docs))
+    for did, key, text, info, segment, json_idx, deleted in docs:
+        blob.i32(int(did))
+        blob.i64(int(key))
+        blob.string(text or "")
+        blob.string(info or "")
+        blob.i32(int(segment))
+        blob.i32(int(json_idx))
+        blob.boolean(bool(deleted))
+    n_terms = 0
+    tw = _Writer()
+    for text, df, doc_ids, weights in terms:
+        if int(df) <= 0:  # WriteTerms skips df==0 stop terms (:356)
+            continue
+        n_terms += 1
+        tw.string(text)
+        tw.i32(int(df))
+        n = len(doc_ids)
+        tw.i32(n)
+        if n:
+            rec = np.empty(n, dtype=_POSTING_DTYPE)
+            rec["d"] = np.asarray(doc_ids, dtype=np.int64).astype(np.int32)
+            rec["w"] = np.asarray(weights, dtype=np.uint8)
+            tw.raw(rec.tobytes())
+    blob.i32(n_terms)
+    blob.raw(bytes(tw.b))
+    data = bytes(blob.b)
+
+    out = _Writer()
+    out.raw(MAGIC)
+    flags = 0
+    out.u32(FORMAT_VERSION)
+    out.u32(flags)
+    out.u32(len(docs))
+    out.u32(n_terms)
+    out.u32(checksum_words([FORMAT_VERSION, flags, len(docs), n_terms]))
+    out.u32(len(data))
+    out.raw(data)
+    out.u32(checksum_bytes(data))
+    out.boolean(has_word_matcher)
+    return bytes(out.b)
+
+
+def export_infdx2(index_dir: str, out_path: str | None = None) -> bytes:
+    """Serialize a native index tree into the reference's ``INFDX2`` v2
+    single-file byte format, loadable by the C# engine
+    (IndexPersistence.Load rebuilds doc lengths / word-IDF / short-query
+    artifacts on load, SearchEngine.cs:423-427, so only documents + terms
+    + postings need to travel).
+
+    Documents are emitted in manifest segment order with dense internal
+    ids; ``IndexedText`` is the stored normalized text (exactly what the
+    reference persists), ``DocumentClientInformation`` the stored url/info.
+    Tombstoned keys export with the Deleted flag. A ``json_idx`` sidecar
+    written by :func:`import_infdx2` is honored so import→export
+    round-trips byte-identically; native builds write JsonIndex=0 (the
+    reference Document default, Core/Document.cs:81).
+
+    Like the reference's own Save, this is a driver-side single-file dump —
+    the whole vocabulary streams through one process by design; use the
+    native partitioned tree for anything cluster-scale."""
+    from .engine import load_df_lookup
+    from .segments import read_segment
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    tomb_path = os.path.join(index_dir, "tombstones.json")
+    deleted_keys: set[int] = set()
+    if os.path.exists(tomb_path):
+        with open(tomb_path) as f:
+            deleted_keys = set(json.load(f))
+    sidecar = {}
+    sc_path = os.path.join(index_dir, "interop.json")
+    if os.path.exists(sc_path):
+        with open(sc_path) as f:
+            sidecar = json.load(f)
+
+    docs = []
+    post_map: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+    base = 0
+    for seg_meta in manifest["segments"]:
+        seg = read_segment(
+            os.path.join(index_dir, "segments", seg_meta["name"]), mmap=False
+        )
+        n = len(seg.doc_keys)
+        for i in range(n):
+            key = int(seg.doc_keys[i])
+            docs.append(
+                (
+                    base + i,
+                    key,
+                    seg.norm_texts[i],
+                    seg.urls[i],
+                    int(seg.seg_numbers[i]),
+                    0,
+                    key in deleted_keys,
+                )
+            )
+        for t in range(len(seg.terms)):
+            d, w = seg.term_postings(t)
+            post_map.setdefault(str(seg.terms[t]), []).append(
+                (d.astype(np.int64) + base, w)
+            )
+        base += n
+
+    json_idx = sidecar.get("json_idx")
+    if json_idx is not None and len(json_idx) == len(docs):
+        docs = [
+            (did, key, text, info, segment, json_idx[did], dl)
+            for (did, key, text, info, segment, _j, dl) in docs
+        ]
+
+    df_lookup = load_df_lookup(index_dir, "df")
+    terms = []
+    for text, df in zip(df_lookup.terms.tolist(), df_lookup.dfs.tolist()):
+        chunks = post_map.get(text)
+        if chunks is None:
+            doc_ids = np.empty(0, dtype=np.int64)
+            weights = np.empty(0, dtype=np.uint8)
+        elif len(chunks) == 1:
+            doc_ids, weights = chunks[0]
+        else:
+            doc_ids = np.concatenate([c[0] for c in chunks])
+            weights = np.concatenate([c[1] for c in chunks])
+        terms.append((text, int(df), doc_ids, weights))
+
+    payload = build_infdx2(
+        docs, terms, has_word_matcher=bool(sidecar.get("has_word_matcher"))
+    )
+    if out_path is not None:
+        with open(out_path, "wb") as f:
+            f.write(payload)
+    return payload
 
 
 def parse_infdx2(data: bytes) -> dict:
@@ -334,6 +521,17 @@ def import_infdx2(file_path: str, out_dir: str, cfg=None):
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
+    # interop sidecar: preserve per-doc JsonIndex and the trailer flag
+    # (not used for serving) so export_infdx2 can round-trip the file
+    # byte-identically
+    with open(os.path.join(out_dir, "interop.json"), "w") as f:
+        json.dump(
+            {
+                "json_idx": [j for (_d, _k, _t, _i, _s, j, _dl) in docs],
+                "has_word_matcher": parsed["has_word_matcher"],
+            },
+            f,
+        )
     if deleted_keys:
         with open(os.path.join(out_dir, "tombstones.json"), "w") as f:
             json.dump(sorted(deleted_keys), f)

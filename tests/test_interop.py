@@ -1,11 +1,13 @@
-"""INFDX2 import: golden-bytes fixture → native segment → rank parity.
+"""INFDX2 import/export: golden-bytes fixture → native segment → rank
+parity, plus byte-identical export round-trips.
 
-The writer here is TEST-ONLY (the product ships import-only,
-infidex_ray/interop.py): it assembles bytes per the reference layout
-(IndexPersistence.cs Save, :32-99 — C# BinaryWriter little-endian
-primitives, LEB128+UTF-8 strings, XOR-rot7 checksums, length-prefixed
-blob, WordMatcher trailer bool) the way PersistenceTests.cs:77-175
-exercises the format.
+The writer here is an INDEPENDENT test-only implementation (deliberately
+not ``interop.build_infdx2``, so the product writer is cross-checked
+against a second assembly of the same layout): it assembles bytes per the
+reference layout (IndexPersistence.cs Save, :32-99 — C# BinaryWriter
+little-endian primitives, LEB128+UTF-8 strings, XOR-rot7 checksums,
+length-prefixed blob, WordMatcher trailer bool) the way
+PersistenceTests.cs:77-175 exercises the format.
 """
 
 from __future__ import annotations
@@ -21,8 +23,10 @@ from infidex_ray.config import EngineConfig
 from infidex_ray.engine import Engine
 from infidex_ray.interop import (
     Infdx2Error,
+    build_infdx2,
     checksum_bytes,
     checksum_words,
+    export_infdx2,
     import_infdx2,
     parse_infdx2,
 )
@@ -177,3 +181,70 @@ def test_parse_rejects_corruption():
         bad = bytearray(payload)
         bad[6] = 9
         parse_infdx2(bytes(bad))
+
+
+def test_export_byte_roundtrip(tmp_path):
+    """import→export reproduces a reference-written file byte for byte
+    (text already in normalized form, dense file ids — the lossless case
+    the exporter documents)."""
+    _eng, docs, terms = _native_sections(tmp_path)
+    payload = write_infdx2(docs, terms)
+    p = tmp_path / "index.infdx2"
+    p.write_bytes(payload)
+    import_infdx2(str(p), str(tmp_path / "imp_rt"))
+    out = export_infdx2(str(tmp_path / "imp_rt"))
+    assert out == payload
+
+
+def test_export_deleted_and_trailer_roundtrip(tmp_path):
+    _eng, docs, terms = _native_sections(tmp_path)
+    dead_id = next(did for did, k, _t, _i in docs if k == 13)
+    payload = write_infdx2(
+        docs, terms, deleted={dead_id}, has_word_matcher=True
+    )
+    p = tmp_path / "index.infdx2"
+    p.write_bytes(payload)
+    import_infdx2(str(p), str(tmp_path / "imp_rt2"))
+    out = export_infdx2(str(tmp_path / "imp_rt2"), str(tmp_path / "re.infdx2"))
+    assert out == payload
+    assert (tmp_path / "re.infdx2").read_bytes() == payload
+
+
+def test_native_export_reimport_rank_identical(tmp_path):
+    """A natively-built index exports to INFDX2 and the exported file
+    serves rank-identically when imported back — i.e. the bytes carry the
+    complete ranking state a C# engine would rebuild from on load."""
+    native = str(tmp_path / "native_exp")
+    build_index_local(DOCS, native, EngineConfig())
+    eng = Engine.load(native)
+    out_file = tmp_path / "native.infdx2"
+    export_infdx2(native, str(out_file))
+    parsed = parse_infdx2(out_file.read_bytes())
+    assert len(parsed["docs"]) == len(DOCS)
+    assert parsed["has_word_matcher"] is False
+    imp = import_infdx2(str(out_file), str(tmp_path / "native_reimp"))
+    for q in ["quick fox", "boxing wizards", "qick fux", "sphinx quartz", "the"]:
+        a = [(h.doc_key, round(h.score, 4)) for h in eng.search(q, top_k=10)]
+        b = [(h.doc_key, round(h.score, 4)) for h in imp.search(q, top_k=10)]
+        assert a == b, f"query {q!r}: {a} != {b}"
+
+
+def test_build_infdx2_matches_independent_writer():
+    """Product writer vs the test-only writer: same sections → same bytes."""
+    docs = [
+        (0, 100, "alpha beta", "a", 0, -1, False),
+        (1, 200, "beta gamma", "b", 0, -1, True),
+    ]
+    terms = [
+        ("alp", 1, np.array([0]), np.array([1], dtype=np.uint8)),
+        ("bet", 2, np.array([0, 1]), np.array([1, 7], dtype=np.uint8)),
+        ("stop", 0, np.array([], dtype=np.int64), np.array([], dtype=np.uint8)),
+    ]
+    ours = build_infdx2(docs, terms, has_word_matcher=True)
+    ref = write_infdx2(
+        [(0, 100, "alpha beta", "a"), (1, 200, "beta gamma", "b")],
+        [("alp", 1, [(0, 1)]), ("bet", 2, [(0, 1), (1, 7)])],
+        deleted={1},
+        has_word_matcher=True,
+    )
+    assert ours == ref
