@@ -3803,6 +3803,43 @@ def _q_autocomplete_score(sf_dir: str):
     )
 
 
+def _q_packed_lcs(sf_dir: str):
+    """Multi-word packed bit-parallel LCS scoring (PackedBitParallelLcs.
+    cs:81-274 parity): one boundary-masked 64-bit automaton sweep scores
+    all query words per doc. Oracle = the same automaton as a recursive
+    CTE (sqlgen.packed_lcs_sql)."""
+    from infidex_ray.ops.autocomplete import packed_lcs_score
+
+    return _by(
+        packed_lcs_score(
+            _read(sf_dir, "documents"), ["merge", "sort", "quick"]
+        ),
+        "doc_id",
+    )
+
+
+def _q_char_jaccard(sf_dir: str):
+    """Character-frequency and char-set Jaccard of every doc vs a fixed
+    query (JaccardMetric.cs:66-134 parity; batch form of query/metrics.
+    jaccard_of_all_chars / jaccard_of_char_set)."""
+    from infidex_ray.ops.charmetrics import char_jaccard
+
+    return _by(
+        char_jaccard(_read(sf_dir, "documents"), "data quality merge"),
+        "doc_id",
+    )
+
+
+def _q_typo_budget(sf_dir: str):
+    """Binomial typo-model max edit distance per corpus token length
+    (EditDistanceModel.cs:49-88 parity; batch form of query/metrics.
+    max_edits_for_length). Oracle steps the same CDF recurrence in a
+    recursive CTE — bitwise float mirror."""
+    from infidex_ray.ops.charmetrics import typo_budget
+
+    return _by(typo_budget(_read(sf_dir, "documents")), "length")
+
+
 def _q_curate_webtext(sf_dir: str):
     """The FULL flagship curation pipeline end-to-end (pipelines.
     curate_webtext): fused langid/quality/Gopher gate → exact dedup →
@@ -4275,6 +4312,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "build_frontier": _q_build_frontier,
         "curate_webtext": _q_curate_webtext,
         "autocomplete_score": _q_autocomplete_score,
+        "packed_lcs": _q_packed_lcs,
+        "char_jaccard": _q_char_jaccard,
+        "typo_budget": _q_typo_budget,
         "jaro_winkler_pairs": _q_jaro_winkler_pairs,
         "scc": _q_scc,
         "resample_locf": _q_resample_locf,
@@ -6135,6 +6175,9 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "autocomplete_score": sqlgen.autocomplete_sql("merge sort"),
+        "packed_lcs": sqlgen.packed_lcs_sql(["merge", "sort", "quick"]),
+        "char_jaccard": sqlgen.char_jaccard_sql("data quality merge"),
+        "typo_budget": sqlgen.typo_budget_sql(),
         "resample_locf": (
             # S = 86400000000 us (1 day); integer grid bounds via // so
             # ceil/floor are exact (epoch-us is non-negative)

@@ -134,3 +134,144 @@ def autocomplete_score(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _pack_words(words: list[str]) -> tuple[np.ndarray, list[int], list[int], int, int, int]:
+    """charMap LUT, per-word offsets/lengths, zm boundary mask, full mask,
+    total packed length (PackedBitParallelLcs.ComputePackedLcs setup,
+    src/Infidex/Metrics/PackedBitParallelLcs.cs:95-141)."""
+    lut = np.zeros(256, dtype=np.uint64)
+    offsets: list[int] = []
+    lengths: list[int] = []
+    bit_pos = 0
+    for w in words:
+        offsets.append(bit_pos)
+        lengths.append(len(w))
+        for ch in w.lower():
+            if ord(ch) < 256:
+                lut[ord(ch)] |= np.uint64(1) << np.uint64(bit_pos)
+            bit_pos += 1
+    zm = 0
+    for off, ln in zip(offsets, lengths):
+        if ln > 1:  # all bits of the word except its last (the boundary)
+            zm |= ((1 << (ln - 1)) - 1) << off
+    mask = (1 << bit_pos) - 1
+    return lut, offsets, lengths, zm, mask, bit_pos
+
+
+def _batch_packed_lcs(
+    texts: list,
+    words: list[str],
+    candidate_chars: int,
+    prefix_bonus: float,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(lcs matrix [docs × words], total, matched, prefix, score_f64) for
+    candidate = lower(text[:candidate_chars]). The packed automaton is
+    the boundary-masked Hyyrö update ``S = ((S & ZM) + (U & ZM)) |
+    (S − U)`` (PackedBitParallelLcs.cs:146-155 — the ZM-masked addition
+    cannot carry across a word's final bit, so one uint64 register scores
+    every word at once); score is the float64 mirror of
+    ComputePackedJaroScore (:199-274)."""
+    n_docs = len(texts)
+    k = len(words)
+    lut, offsets, lengths, zm_i, mask_i, bit_pos = _pack_words(words)
+    if bit_pos == 0 or bit_pos > 60:
+        raise ValueError("total packed word length must be 1..60")
+    if not (0 < candidate_chars <= 64):
+        raise ValueError("candidate_chars must be 1..64")
+    lcs_m = np.zeros((n_docs, k), dtype=np.int64)
+    if n_docs == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return lcs_m, z, z, z, np.zeros(0, dtype=np.float64)
+    zm = np.uint64(zm_i)
+    mask = np.uint64(mask_i)
+
+    cands = [(t or "")[:candidate_chars].lower() for t in texts]
+    clen = np.fromiter((len(c) for c in cands), dtype=np.int64, count=n_docs)
+    width = candidate_chars
+    pad = chr(0xFFFF)
+    big = "".join(c + pad * (width - len(c)) for c in cands)
+    codes = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).reshape(
+        n_docs, width
+    )
+
+    s = np.full(n_docs, mask, dtype=np.uint64)
+    small = np.where(codes < 256, codes, 0).astype(np.int64)
+    has = (codes < 256).astype(np.uint64)
+    for j in range(width):
+        cm = lut[small[:, j]] * has[:, j]
+        u = s & cm
+        s = ((s & zm) + (u & zm)) | (s - u)
+
+    inv = (~s) & mask
+    bits = np.unpackbits(
+        inv[:, None].view(np.uint8), axis=1, bitorder="little"
+    )
+    for wi, (off, ln) in enumerate(zip(offsets, lengths)):
+        lcs_m[:, wi] = bits[:, off : off + ln].sum(axis=1)
+    total = lcs_m.sum(axis=1)
+    matched = (lcs_m > 0).sum(axis=1)
+
+    # Winkler-style prefix: common prefix of the words' concatenated
+    # lowercase chars vs the candidate (:237-261)
+    qcat = "".join(w.lower() for w in words)
+    qcodes = np.frombuffer(qcat.encode("utf-32-le"), dtype=np.uint32)
+    kk = min(len(qcat), width)
+    eq = codes[:, :kk] == qcodes[None, :kk]
+    prefix = np.minimum(np.cumprod(eq, axis=1).sum(axis=1), clen)
+
+    qlen = float(bit_pos)
+    pb = float(prefix_bonus)
+    pb4 = pb * 4.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m = total.astype(np.float64)
+        cl = clen.astype(np.float64)
+        coverage = m / qlen + np.where(cl > 0, m / cl, 0.0)
+        base = 0.5 * m * coverage
+        max_score = np.minimum(qlen, cl) + pb4
+        score = np.clip(
+            (base + pb * np.minimum(prefix, 4)) / np.maximum(max_score, pb4),
+            0.0,
+            1.0,
+        )
+    score = np.where((total > 0) & (clen > 0), score, 0.0)
+    return lcs_m, total, matched, prefix, score
+
+
+def packed_lcs_score(
+    ds,
+    words: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    candidate_chars: int = 32,
+    prefix_bonus: float = 0.1,
+):
+    """Score every doc's candidate prefix against multiple query words in
+    ONE packed 64-bit LCS automaton sweep (PackedBitParallelLcs.cs:
+    81-195: all words share a register, boundary masks stop carries, so
+    runtime is O(candidate_chars) per doc regardless of word count).
+    Returns ``(id_col, lcs_0..lcs_{k-1}, total_lcs, matched_words,
+    prefix, score)`` — score is the float64 mirror of
+    ComputePackedJaroScore (:199-274), rounded to 4.
+
+    Scale: stateless row-local map_batches, no shuffle; the word pack
+    (LUT + masks) is closure state built once."""
+    if not words or any(not w for w in words):
+        raise ValueError("words must be non-empty strings")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        lcs_m, total, matched, prefix, score = _batch_packed_lcs(
+            texts, words, candidate_chars, prefix_bonus
+        )
+        r4 = np.floor(np.abs(score) * 1e4 + 0.5) * np.sign(score) / 1e4
+        cols = {id_col: batch[id_col]}
+        for wi in range(len(words)):
+            cols[f"lcs_{wi}"] = pa.array(lcs_m[:, wi], pa.int64())
+        cols["total_lcs"] = pa.array(total, pa.int64())
+        cols["matched_words"] = pa.array(matched, pa.int64())
+        cols["prefix"] = pa.array(prefix, pa.int64())
+        cols["score"] = pa.array(r4, pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1708,3 +1708,186 @@ def bpe_encode_sql(table: str = "documents", num_merges: int = 3) -> str:
         "CAST(sum(toks) AS BIGINT) AS n_tokens "
         "FROM enc GROUP BY doc_id ORDER BY doc_id"
     )
+
+
+def _dlit(v: float) -> str:
+    """Exact float64 literal: repr round-trips through strtod."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def char_jaccard_sql(query: str, table: str = "documents") -> str:
+    """Oracle for ops.charmetrics.char_jaccard (JaccardMetric.cs:66-134):
+    per-doc codepoint frequencies via string_split(text, '') (DuckDB
+    splits per codepoint; the '' artifact of empty strings is filtered),
+    query histogram inlined as VALUES; both Jaccard quotients are exact
+    integer operands cast to DOUBLE — bitwise equal to the numpy kernel."""
+    from collections import Counter
+
+    if not query:
+        raise ValueError("query must be non-empty")
+    hist = Counter(query)
+    values = ", ".join(
+        f"({sql_quote(ch)}, {n})" for ch, n in sorted(hist.items())
+    )
+    qlen = len(query)
+    qset = len(hist)
+    return f"""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS ch
+  FROM {table}),
+dfreq AS (
+  SELECT doc_id, ch, count(*) AS n FROM chars WHERE ch <> ''
+  GROUP BY doc_id, ch),
+dstat AS (
+  SELECT d.doc_id, length(coalesce(d.text, '')) AS dlen,
+         coalesce(f.dset, 0) AS dset
+  FROM {table} d LEFT JOIN (
+    SELECT doc_id, count(*) AS dset FROM dfreq GROUP BY doc_id) f
+    USING (doc_id)),
+q(ch, qn) AS (VALUES {values}),
+inter AS (
+  SELECT f.doc_id, sum(least(f.n, q.qn)) AS ia, count(*) AS iset
+  FROM dfreq f JOIN q USING (ch) GROUP BY f.doc_id)
+SELECT s.doc_id,
+  round(CAST(coalesce(i.ia, 0) AS DOUBLE)
+        / CAST({qlen} + s.dlen - coalesce(i.ia, 0) AS DOUBLE), 4)
+    AS jaccard_all,
+  round(CAST(coalesce(i.iset, 0) AS DOUBLE)
+        / CAST({qset} + s.dset - coalesce(i.iset, 0) AS DOUBLE), 4)
+    AS jaccard_set
+FROM dstat s LEFT JOIN inter i USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+def typo_budget_sql(
+    p: float = 0.04, alpha: float = 0.01, table: str = "documents"
+) -> str:
+    """Oracle for ops.charmetrics.typo_budget (EditDistanceModel.cs:
+    49-88): token lengths via RE2 ``\\S+``; ``q^L`` built by a sequential
+    multiplication CTE and the binomial CDF recurrence stepped by a
+    second recursive CTE — every float op in the engine's order, so the
+    d_max integers are exact (the repo's rank-stepping sequential-float
+    mirror pattern)."""
+    q = 1.0 - p
+    target = 1.0 - alpha
+    pq = f"({_dlit(p)} / {_dlit(q)})"
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT unnest(regexp_extract_all(coalesce(text, ''), '\\S+')) AS tok
+  FROM {table}),
+lens AS (
+  SELECT length(tok) AS length, count(*) AS n_tokens FROM toks GROUP BY 1),
+powr(length, i, pk) AS (
+  SELECT length, 0, CAST(1.0 AS DOUBLE) FROM lens
+  UNION ALL
+  SELECT length, i + 1, pk * {_dlit(q)} FROM powr WHERE i < length),
+init AS (SELECT length, pk FROM powr WHERE i = length),
+loop(length, k, pk, cdf) AS (
+  SELECT length, 0, pk, pk FROM init
+  UNION ALL
+  SELECT r.length, r.k + 1, t.pk2, r.cdf + t.pk2
+  FROM loop r CROSS JOIN LATERAL (
+    SELECT r.pk * ((CAST(r.length - r.k AS DOUBLE)
+                    / CAST(r.k + 1 AS DOUBLE)) * {pq}) AS pk2) t
+  WHERE r.k < r.length AND r.cdf < {_dlit(target)})
+SELECT l.length, l.n_tokens, m.max_edits
+FROM lens l JOIN (
+  SELECT length, max(k) AS max_edits FROM loop GROUP BY length) m
+  USING (length)
+ORDER BY l.length
+"""
+
+
+def packed_lcs_sql(
+    words: list[str],
+    table: str = "documents",
+    candidate_chars: int = 32,
+    prefix_bonus: float = 0.1,
+) -> str:
+    """Oracle for ops.autocomplete.packed_lcs_score: the boundary-masked
+    packed Hyyrö automaton (PackedBitParallelLcs.cs:146-155,
+    ``S = ((S & ZM) + (U & ZM)) | (S − U)``) as a recursive CTE over
+    candidate characters, char→bitmap and ZM/word masks baked as
+    constants; per-word LCS via shifted bit_count, score = the float64
+    ComputePackedJaroScore expression in the engine's operation order."""
+    if not words or any(not w for w in words):
+        raise ValueError("words must be non-empty strings")
+    amap: dict[str, int] = {}
+    offsets: list[int] = []
+    lengths: list[int] = []
+    bit_pos = 0
+    for w in words:
+        offsets.append(bit_pos)
+        lengths.append(len(w))
+        for ch in w.lower():
+            if ord(ch) < 256:
+                amap[ch] = amap.get(ch, 0) | (1 << bit_pos)
+            bit_pos += 1
+    if not (0 < bit_pos <= 60):
+        raise ValueError("total packed word length must be 1..60")
+    zm = 0
+    for off, ln in zip(offsets, lengths):
+        if ln > 1:
+            zm |= ((1 << (ln - 1)) - 1) << off
+    mask = (1 << bit_pos) - 1
+    arms = " ".join(
+        f"WHEN {sql_quote(ch)} THEN {bm}" for ch, bm in sorted(amap.items())
+    )
+    cm = f"CASE substr(cand, r.j + 1, 1) {arms} ELSE 0 END"
+    qcat = "".join(w.lower() for w in words)
+    qlit = sql_quote(qcat)
+    qlen = _dlit(float(bit_pos))
+    pb = _dlit(float(prefix_bonus))
+    pb4 = _dlit(float(prefix_bonus) * 4.0)
+    lcs_cols = ", ".join(
+        f"bit_count(CAST(((xor(a.S, {mask}) >> {off}) & {(1 << ln) - 1}) "
+        f"AS BIGINT)) AS lcs_{wi}"
+        for wi, (off, ln) in enumerate(zip(offsets, lengths))
+    )
+    lcs_names = ", ".join(f"fin.lcs_{wi}" for wi in range(len(words)))
+    total = " + ".join(f"fin.lcs_{wi}" for wi in range(len(words)))
+    matched = " + ".join(
+        f"CASE WHEN fin.lcs_{wi} > 0 THEN 1 ELSE 0 END"
+        for wi in range(len(words))
+    )
+    return f"""
+WITH RECURSIVE c AS (
+  SELECT doc_id,
+         lower(substr(coalesce(text, ''), 1, {candidate_chars})) AS cand
+  FROM {table}),
+cl AS (SELECT doc_id, cand, length(cand) AS L FROM c),
+auto(doc_id, j, S) AS (
+  SELECT doc_id, 0, {mask} FROM cl
+  UNION ALL
+  SELECT r.doc_id, r.j + 1,
+         ((r.S & {zm}) + (u.u & {zm})) | (r.S - u.u)
+  FROM auto r JOIN cl ON cl.doc_id = r.doc_id
+  CROSS JOIN LATERAL (SELECT r.S & ({cm}) AS u) u
+  WHERE r.j < cl.L),
+fin AS (
+  SELECT a.doc_id, {lcs_cols}
+  FROM auto a JOIN cl ON cl.doc_id = a.doc_id WHERE a.j = cl.L),
+tot AS (
+  SELECT fin.doc_id, {lcs_names}, {total} AS total_lcs,
+         {matched} AS matched_words
+  FROM fin),
+pref AS (
+  SELECT cl.doc_id, coalesce(max(g.k), 0) AS prefix
+  FROM cl LEFT JOIN (
+    SELECT unnest(generate_series(1, {len(qcat)})) AS k) g
+    ON g.k <= cl.L AND substr(cl.cand, 1, g.k) = substr({qlit}, 1, g.k)
+  GROUP BY cl.doc_id)
+SELECT t.doc_id, {", ".join(f"t.lcs_{wi}" for wi in range(len(words)))},
+  t.total_lcs, t.matched_words, pref.prefix,
+  CASE WHEN t.total_lcs = 0 OR cl.L = 0 THEN 0.0 ELSE
+    round(least(greatest(
+      (CAST(0.5 AS DOUBLE) * t.total_lcs
+         * (t.total_lcs / {qlen} + t.total_lcs / CAST(cl.L AS DOUBLE))
+       + {pb} * least(pref.prefix, 4))
+      / (least({qlen}, CAST(cl.L AS DOUBLE)) + {pb4}),
+    CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)), 4)
+  END AS score
+FROM tot t JOIN cl USING (doc_id) JOIN pref USING (doc_id)
+ORDER BY t.doc_id
+"""
