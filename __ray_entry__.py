@@ -2573,6 +2573,94 @@ def _q_triangle_count(sf_dir: str):
     return _by(triangle_count(_synth_edges(sf_dir)), "node")
 
 
+def _q_link_prediction(sf_dir: str):
+    """Neighborhood-overlap link prediction (common neighbors / Jaccard /
+    preferential attachment) over the shared synthetic web graph
+    (ops/graph.py::link_prediction — wedge expansion + pair-slice count,
+    existing edges anti-joined out, hub apexes capped)."""
+    from infidex_ray.ops.graph import link_prediction
+
+    return _by(
+        link_prediction(_synth_edges(sf_dir), min_cn=2, max_center_degree=64),
+        "u",
+        "v",
+    )
+
+
+def _q_state_durations(sf_dir: str):
+    """Time-in-state per (user, event_type): each event lasts until the
+    user's next event (ops/windows.py::state_durations; SQL lead()
+    mirror, exact int64 microsecond sums)."""
+    from infidex_ray.ops.windows import state_durations
+
+    return _by(state_durations(_read(sf_dir, "events")), "user_id", "event_type")
+
+
+def _q_period_compare(sf_dir: str):
+    """Week-over-week event counts per type with exact previous-period
+    ratios (ops/windows.py::period_compare)."""
+    from infidex_ray.ops.windows import period_compare
+
+    return _by(period_compare(_read(sf_dir, "events")), "event_type", "period")
+
+
+def _q_benford_deviation(sf_dir: str):
+    """Per-event-type Benford first-digit audit (ops/agg.py::
+    benford_deviation): printf('%.16e') first digit — bitwise identical
+    across numpy and DuckDB — plus χ² vs repr-inlined log10 expectations."""
+    from infidex_ray.ops.agg import benford_deviation
+
+    return _by(
+        benford_deviation(_read(sf_dir, "events"), "event_type", "value"),
+        "event_type",
+    )
+
+
+_ORDER_CONSTRAINTS = [
+    {"name": "custkey_not_null", "kind": "not_null", "col": "o_custkey"},
+    {"name": "orderkey_unique", "kind": "unique", "col": "o_orderkey"},
+    {
+        "name": "price_range",
+        "kind": "range",
+        "col": "o_totalprice",
+        "lo": 0.0,
+        "hi": 250000.0,
+    },
+    {
+        "name": "priority_regex",
+        "kind": "regex",
+        "col": "o_orderpriority",
+        "pattern": "[1-5]-[A-Z]+",
+    },
+    {
+        "name": "status_in_set",
+        "kind": "in_set",
+        "col": "o_orderstatus",
+        "values": ["O", "F"],
+    },
+]
+
+
+def _q_constraint_check(sf_dir: str):
+    """Declarative data-quality audit over orders (ops/profile.py::
+    constraint_check): not_null / unique / range / RE2 full-match regex /
+    in_set violation counts, exact."""
+    from infidex_ray.ops.profile import constraint_check
+
+    return _by(
+        constraint_check(_read(sf_dir, "orders"), _ORDER_CONSTRAINTS), "name"
+    )
+
+
+def _q_ngram_diversity(sf_dir: str):
+    """Distinct/total word n-gram ratios for n = 1..3 over documents
+    (ops/textstats.py::ngram_diversity — exact distinct via gram-slice
+    combiner, RE2 \\S+ token parity)."""
+    from infidex_ray.ops.textstats import ngram_diversity
+
+    return _by(ngram_diversity(_read(sf_dir, "documents")), "n")
+
+
 def _q_grouped_ols(sf_dir: str):
     """Per-returnflag OLS slope/intercept of extendedprice on quantity via
     exact integer sufficient statistics (ops/agg.py::grouped_ols) — the
@@ -4251,6 +4339,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_density": _q_html_density,
         "knn_label_precision": _q_knn_label_precision,
         "triangle_count": _q_triangle_count,
+        "link_prediction": _q_link_prediction,
+        "state_durations": _q_state_durations,
+        "period_compare": _q_period_compare,
+        "benford_deviation": _q_benford_deviation,
+        "constraint_check": _q_constraint_check,
+        "ngram_diversity": _q_ngram_diversity,
         "grouped_ols": _q_grouped_ols,
         "activity_streaks": _q_activity_streaks,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -4328,6 +4422,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # --------------------------------------------------------------------------
 # oracle SQL
+
+
+def _benford_oracle() -> str:
+    """Per-type Benford audit: first digit via printf('%.16e') (bitwise ==
+    numpy '%' formatting), χ² against ops.agg.benford_probs_repr()'s
+    repr-inlined log10 expectations, summed digit-by-digit in the
+    engine's order."""
+    from infidex_ray.ops.agg import benford_probs_repr
+
+    probs = benford_probs_repr()
+    d_cols = ", ".join(
+        f"sum(CASE WHEN digit = {d} THEN 1 ELSE 0 END)::BIGINT AS d{d}"
+        for d in range(1, 10)
+    )
+    terms = " + ".join(
+        f"((d{d} - n_values * CAST('{p}' AS DOUBLE)) "
+        f"* (d{d} - n_values * CAST('{p}' AS DOUBLE))) "
+        f"/ (n_values * CAST('{p}' AS DOUBLE))"
+        for d, p in zip(range(1, 10), probs)
+    )
+    return (
+        "WITH v AS (SELECT event_type AS g, abs(value) AS x FROM events "
+        "WHERE event_type IS NOT NULL AND value IS NOT NULL "
+        "AND isfinite(value) AND value <> 0), "
+        "d AS (SELECT g, CAST(substr(printf('%.16e', x), 1, 1) AS BIGINT) "
+        "AS digit FROM v), "
+        f"h AS (SELECT g, count(*)::BIGINT AS n_values, {d_cols} "
+        "FROM d GROUP BY g) "
+        "SELECT g AS event_type, n_values, d1, d2, d3, d4, d5, d6, d7, d8, "
+        f"d9, round({terms}, 4) AS chi2 FROM h ORDER BY event_type"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5842,6 +5967,91 @@ def oracle_sql() -> dict[str, str]:
             "round(p.sxy / n.n - (ma.sx / n.n) * (mb.sx / n.n), 4) AS cov "
             "FROM p, n JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j "
             "ORDER BY i, j"
+        ),
+        "link_prediction": (
+            # wedge counting mirrors ops/graph.py::link_prediction: hub
+            # apexes (directed degree > 64) skipped, existing edges
+            # anti-joined, jaccard = exact-int ratio
+            "WITH raw AS (SELECT doc_id AS src, (doc_id*7 + j*13) % 500 AS dst "
+            "FROM (SELECT doc_id, unnest(generate_series(1, "
+            "CAST(doc_id % 4 AS INT))) AS j FROM documents)), "
+            "e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+            "FROM raw WHERE src <> dst), "
+            "e AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0), "
+            "deg AS (SELECT u AS node, count(*)::BIGINT AS d FROM e GROUP BY u), "
+            "ok AS (SELECT node FROM deg WHERE d <= 64), "
+            "w AS (SELECT x.v AS p, y.v AS q, count(*)::BIGINT AS cn "
+            "FROM e x JOIN e y ON y.u = x.u AND y.v > x.v "
+            "JOIN ok ON ok.node = x.u GROUP BY 1, 2), "
+            "nw AS (SELECT w.p, w.q, w.cn FROM w ANTI JOIN e0 "
+            "ON w.p = e0.a AND w.q = e0.b) "
+            "SELECT nw.p AS u, nw.q AS v, nw.cn AS common_neighbors, "
+            "round(CAST(nw.cn AS DOUBLE) / CAST(da.d + db.d - nw.cn AS DOUBLE), 4) "
+            "AS jaccard, (da.d * db.d)::BIGINT AS pref_attach "
+            "FROM nw JOIN deg da ON da.node = nw.p JOIN deg db ON db.node = nw.q "
+            "WHERE nw.cn >= 2 ORDER BY u, v"
+        ),
+        "state_durations": (
+            "WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS t, "
+            "lead(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY epoch_us(ts), event_id) AS nt FROM events) "
+            "SELECT user_id, event_type, sum(nt - t)::BIGINT AS total_us, "
+            "count(*)::BIGINT AS n_transitions FROM o WHERE nt IS NOT NULL "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "period_compare": (
+            "WITH b AS (SELECT event_type, epoch_us(ts) // 604800000000 "
+            "AS period, count(*)::BIGINT AS n FROM events GROUP BY 1, 2) "
+            "SELECT b.event_type, b.period, b.n, p.n AS prev_n, "
+            "round(CAST(b.n AS DOUBLE) / CAST(p.n AS DOUBLE), 4) AS ratio "
+            "FROM b LEFT JOIN b p ON p.event_type = b.event_type "
+            "AND p.period = b.period - 1 ORDER BY 1, 2"
+        ),
+        "benford_deviation": _benford_oracle(),
+        "constraint_check": (
+            "SELECT * FROM ("
+            "SELECT 'custkey_not_null' AS name, "
+            "count_if(o_custkey IS NULL)::BIGINT AS violations, "
+            "count(*)::BIGINT AS n_rows FROM orders "
+            "UNION ALL SELECT 'orderkey_unique', "
+            "(count(o_orderkey) - count(DISTINCT o_orderkey))::BIGINT, "
+            "count(*)::BIGINT FROM orders "
+            "UNION ALL SELECT 'price_range', "
+            "count_if(o_totalprice < 0.0 OR o_totalprice > 250000.0)::BIGINT, "
+            "count(*)::BIGINT FROM orders "
+            "UNION ALL SELECT 'priority_regex', "
+            "count_if(NOT regexp_full_match(o_orderpriority, "
+            "'[1-5]-[A-Z]+'))::BIGINT, count(*)::BIGINT FROM orders "
+            "UNION ALL SELECT 'status_in_set', "
+            "count_if(o_orderstatus IS NOT NULL AND o_orderstatus "
+            "NOT IN ('O', 'F'))::BIGINT, count(*)::BIGINT FROM orders"
+            ") ORDER BY name"
+        ),
+        "ngram_diversity": (
+            "WITH u AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(coalesce(text, ''), '\\S+')) AS tok, "
+            "generate_subscripts(regexp_extract_all(coalesce(text, ''), "
+            "'\\S+'), 1) AS i FROM documents), "
+            "g1 AS (SELECT tok AS gram FROM u), "
+            "g2 AS (SELECT a.tok || ' ' || b.tok AS gram FROM u a "
+            "JOIN u b ON b.doc_id = a.doc_id AND b.i = a.i + 1), "
+            "g3 AS (SELECT a.tok || ' ' || b.tok || ' ' || c.tok AS gram "
+            "FROM u a JOIN u b ON b.doc_id = a.doc_id AND b.i = a.i + 1 "
+            "JOIN u c ON c.doc_id = a.doc_id AND c.i = a.i + 2) "
+            "SELECT * FROM ("
+            "SELECT 1 AS n, count(*)::BIGINT AS total_ngrams, "
+            "count(DISTINCT gram)::BIGINT AS distinct_ngrams, "
+            "round(CAST(count(DISTINCT gram) AS DOUBLE) "
+            "/ CAST(count(*) AS DOUBLE), 4) AS ratio FROM g1 "
+            "UNION ALL SELECT 2, count(*)::BIGINT, "
+            "count(DISTINCT gram)::BIGINT, "
+            "round(CAST(count(DISTINCT gram) AS DOUBLE) "
+            "/ CAST(count(*) AS DOUBLE), 4) FROM g2 "
+            "UNION ALL SELECT 3, count(*)::BIGINT, "
+            "count(DISTINCT gram)::BIGINT, "
+            "round(CAST(count(DISTINCT gram) AS DOUBLE) "
+            "/ CAST(count(*) AS DOUBLE), 4) FROM g3"
+            ") ORDER BY n"
         ),
         "triangle_count": (
             "WITH raw AS (SELECT doc_id AS src, (doc_id*7 + j*13) % 500 AS dst "

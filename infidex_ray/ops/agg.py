@@ -1984,3 +1984,124 @@ def grouped_gini(
         .groupby("slice")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def benford_deviation(
+    ds,
+    group_col: str,
+    value_col: str,
+    num_slices: int | None = None,
+):
+    """Per-group Benford's-law audit: first-significant-digit histogram of
+    ``|value|`` (finite, non-zero) and the χ² deviation from the Benford
+    expectation ``p_d = log10(1 + 1/d)``. The classic fraud/quality
+    screen for numeric columns. Output: ``(group_col, n_values, d1..d9,
+    chi2)``, chi2 rounded to 4.
+
+    Cross-engine exactness: the first digit is char 0 of the C-printf
+    ``%.16e`` rendering (bitwise-identical between numpy/Python ``%`` and
+    DuckDB ``printf`` — probed over random doubles; 17 significant digits
+    can never round a mantissa up to 10.0 because the largest double
+    mantissa is 9.99999999999999822…), the nine ``p_d`` constants are
+    computed ONCE here and repr-inlined into the oracle, and the χ² sum
+    is accumulated digit-by-digit in the same order on both sides.
+
+    Scale: per-batch (group, digit) count partials → one bounded-key
+    combiner groupby; the 9-column pivot + χ² finish touches only
+    O(groups × 9) rows."""
+    import math
+
+    import ray
+
+    probs = [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = (
+            batch[value_col]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        valid = pa.compute.is_valid(batch[value_col].combine_chunks()).to_numpy(
+            zero_copy_only=False
+        )
+        # NULL group keys drop (oracle mirrors with WHERE g IS NOT NULL;
+        # None is unsortable in the np.unique pivot)
+        gvalid = pa.compute.is_valid(batch[group_col].combine_chunks()).to_numpy(
+            zero_copy_only=False
+        )
+        mask = valid & gvalid & np.isfinite(v) & (v != 0.0)
+        idx = np.flatnonzero(mask)
+        digits = np.asarray(
+            [int(("%.16e" % abs(float(v[i])))[0]) for i in idx], dtype=np.int64
+        )
+        t = pa.table(
+            {
+                group_col: batch[group_col].combine_chunks().take(pa.array(idx)),
+                "digit": pa.array(digits, pa.int64()),
+            }
+        )
+        agg = t.group_by([group_col, "digit"]).aggregate([("digit", "count")])
+        return pa.table(
+            {
+                group_col: agg[group_col],
+                "digit": agg["digit"],
+                "n": agg["digit_count"],
+            }
+        )
+
+    counts = grouped_agg(
+        ds.select_columns([group_col, value_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        [group_col, "digit"],
+        {"n": ("sum", "n")},
+        num_slices=num_slices,
+    ).materialize()
+
+    parts = [
+        t.select([group_col, "digit", "n"])
+        for t in ray.get(counts.to_arrow_refs())
+        if t.num_rows
+    ]
+    names = [group_col, "n_values"] + [f"d{d}" for d in range(1, 10)] + ["chi2"]
+    if not parts:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "n_values": pa.array([], pa.int64()),
+                    **{f"d{d}": pa.array([], pa.int64()) for d in range(1, 10)},
+                    "chi2": pa.array([], pa.float64()),
+                }
+            )
+        )
+    tbl = pa.concat_tables(parts).combine_chunks()
+    grp = np.asarray(tbl[group_col].to_pylist(), dtype=object)
+    dig = tbl["digit"].to_numpy(zero_copy_only=False)
+    n = tbl["n"].to_numpy(zero_copy_only=False)
+    keys, gi = np.unique(grp, return_inverse=True)
+    hist = np.zeros((len(keys), 10), dtype=np.int64)
+    np.add.at(hist, (gi, dig), n)
+    total = hist.sum(axis=1).astype(np.int64)
+    chi2 = np.zeros(len(keys), dtype=np.float64)
+    tot_f = total.astype(np.float64)
+    for d in range(1, 10):
+        e = tot_f * probs[d - 1]
+        diff = hist[:, d] - e
+        chi2 = chi2 + (diff * diff) / e
+    chi2 = np.floor(np.abs(chi2) * 1e4 + 0.5) * np.sign(chi2) / 1e4
+    cols = {group_col: pa.array(list(keys)), "n_values": pa.array(total, pa.int64())}
+    for d in range(1, 10):
+        cols[f"d{d}"] = pa.array(hist[:, d], pa.int64())
+    cols["chi2"] = pa.array(chi2, pa.float64())
+    return ray.data.from_arrow(pa.table(cols))
+
+
+def benford_probs_repr() -> list[str]:
+    """The nine Benford expectations as exact repr literals — the oracle
+    builder inlines THESE (never re-derives log10 in SQL; DuckDB log10 is
+    not IEEE-identical to libm here)."""
+    import math
+
+    return [repr(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)]

@@ -25,6 +25,7 @@ __all__ = [
     "hits_scores",
     "bfs_levels",
     "k_core",
+    "link_prediction",
 ]
 
 
@@ -1249,3 +1250,198 @@ def bowtie(
         )
 
     return _mat(x).map_batches(classify, batch_format="pyarrow")
+
+
+def link_prediction(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_cn: int = 1,
+    max_center_degree: int = 4096,
+    num_slices: int | None = None,
+    max_broadcast_nodes: int = 100_000_000,
+):
+    """Neighborhood-overlap link prediction over an undirected edge list:
+    for every NON-edge pair (u, v) sharing ≥ ``min_cn`` neighbors, the
+    classic candidate scores — common-neighbor count, neighborhood
+    Jaccard ``cn / (deg_u + deg_v − cn)`` and preferential attachment
+    ``deg_u · deg_v`` (Liben-Nowell & Kleinberg 2003; integer/exact-ratio
+    forms so the SQL oracle matches bitwise — Adamic-Adar's ``1/ln deg``
+    is deliberately omitted, DuckDB ``ln`` is not IEEE-identical to
+    numpy's). Output: ``(u, v, common_neighbors, jaccard, pref_attach)``
+    with u < v.
+
+    Scale: wedges fan out O(deg²) per center, so centers above
+    ``max_center_degree`` are SKIPPED as apexes (hub wedges explode;
+    their pairs still appear via lower-degree centers) — the oracle
+    mirrors the skip. Physical plan = the triangle_count machinery:
+    distinct-edge slice dedup → degree combiner + ``ray.put`` broadcast
+    (graphs past ``max_broadcast_nodes`` raise; pre-join degrees with
+    ops.joins.hash_join) → per-center triu wedge expansion → pair-hash
+    slice groupby that counts wedges and anti-joins the edge set in one
+    vectorized pass. No reference-engine analogue (beyond-reference
+    graph analytics)."""
+    import ray
+
+    from .agg import grouped_agg
+    from .dedup import _default_num_slices
+
+    if num_slices is None:
+        num_slices = _default_num_slices()
+
+    edges = _canonical_edges(edges_ds, src_col, dst_col, num_slices).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pa.concat_arrays([t["a"].combine_chunks(), t["b"].combine_chunks()])}
+        )
+
+    deg = grouped_agg(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        "node",
+        {"deg": ("count", "node")},
+        num_slices=num_slices,
+    ).materialize()
+    n_nodes = deg.count()
+    empty = pa.table(
+        {
+            "u": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()),
+            "common_neighbors": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+            "pref_attach": pa.array([], pa.int64()),
+        }
+    )
+    if n_nodes == 0:
+        return ray.data.from_arrow(empty)
+    if n_nodes > max_broadcast_nodes:
+        raise ValueError(
+            f"link_prediction: {n_nodes} nodes > max_broadcast_nodes="
+            f"{max_broadcast_nodes}; pre-join degrees with ops.joins.hash_join"
+        )
+    parts = [
+        t.select(["node", "deg"])
+        for t in ray.get(deg.to_arrow_refs())
+        if t.num_rows
+    ]
+    deg_tbl = pa.concat_tables(parts).combine_chunks()
+    nodes_np = deg_tbl["node"].to_numpy(zero_copy_only=False)
+    degs_np = deg_tbl["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(nodes_np, kind="stable")
+    deg_ref = ray.put((nodes_np[order], degs_np[order]))
+
+    def directed(t: pa.Table) -> pa.Table:
+        """Both directions, center-sliced; hub centers dropped here."""
+        nd, dg = ray.get(deg_ref)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        ctr = np.concatenate([a, b])
+        nbr = np.concatenate([b, a])
+        keep = dg[np.searchsorted(nd, ctr)] <= max_center_degree
+        ctr, nbr = ctr[keep], nbr[keep]
+        with np.errstate(over="ignore"):
+            sl = ((ctr.view(np.uint64) * _MIX1) % np.uint64(num_slices)).astype(
+                np.int32
+            )
+        return pa.table(
+            {
+                "ctr": pa.array(ctr, pa.int64()),
+                "nbr": pa.array(nbr, pa.int64()),
+                "slice": pa.array(sl),
+            }
+        )
+
+    def wedges(g: pa.Table) -> pa.Table:
+        ctr = g["ctr"].to_numpy(zero_copy_only=False)
+        nbr = g["nbr"].to_numpy(zero_copy_only=False)
+        out = {
+            "p": pa.array([], pa.int64()),
+            "q": pa.array([], pa.int64()),
+            "is_wedge": pa.array([], pa.bool_()),
+            "slice": pa.array([], pa.int32()),
+        }
+        if len(ctr) == 0:
+            return pa.table(out)
+        order = np.lexsort((nbr, ctr))
+        ctr, nbr = ctr[order], nbr[order]
+        starts = np.flatnonzero(np.r_[True, ctr[1:] != ctr[:-1]])
+        ends = np.r_[starts[1:], len(ctr)]
+        sizes = ends - starts
+        p_l, q_l = [], []
+        for k in np.unique(sizes):
+            if k < 2:
+                continue
+            g_start = starts[sizes == k]
+            nb = nbr[g_start[:, None] + np.arange(k)]
+            iu, ju = np.triu_indices(int(k), 1)
+            p_l.append(nb[:, iu].ravel())
+            q_l.append(nb[:, ju].ravel())
+        if not p_l:
+            return pa.table(out)
+        p = np.concatenate(p_l)
+        q = np.concatenate(q_l)
+        lo = np.minimum(p, q)
+        hi = np.maximum(p, q)
+        sl = _pair_slice_vec(lo, hi, num_slices)
+        return pa.table(
+            {
+                "p": pa.array(lo, pa.int64()),
+                "q": pa.array(hi, pa.int64()),
+                "is_wedge": pa.array(np.ones(len(lo), dtype=bool)),
+                "slice": pa.array(sl),
+            }
+        )
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        sl = _pair_slice_vec(np.ascontiguousarray(a), np.ascontiguousarray(b), num_slices)
+        return pa.table(
+            {
+                "p": pa.array(a, pa.int64()),
+                "q": pa.array(b, pa.int64()),
+                "is_wedge": pa.array(np.zeros(len(a), dtype=bool)),
+                "slice": pa.array(sl),
+            }
+        )
+
+    wedge_ds = (
+        edges.map_batches(directed, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(wedges, batch_format="pyarrow")
+    )
+    tagged = wedge_ds.union(edges.map_batches(tag_edge, batch_format="pyarrow"))
+
+    def score_slice(g: pa.Table) -> pa.Table:
+        p = g["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = g["q"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_w = g["is_wedge"].to_numpy(zero_copy_only=False)
+        if len(p) == 0:
+            return empty
+        pairs = np.stack([p, q], axis=1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        cn = np.bincount(inv[is_w], minlength=len(uniq))
+        has_edge = np.zeros(len(uniq), dtype=bool)
+        has_edge[inv[~is_w]] = True
+        keep = (~has_edge) & (cn >= min_cn)
+        if not keep.any():
+            return empty
+        u = uniq[keep, 0]
+        v = uniq[keep, 1]
+        c = cn[keep].astype(np.int64)
+        nd, dg = ray.get(deg_ref)
+        du = dg[np.searchsorted(nd, u)]
+        dv = dg[np.searchsorted(nd, v)]
+        jac = c / (du + dv - c)
+        jac = np.floor(np.abs(jac) * 1e4 + 0.5) * np.sign(jac) / 1e4
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "common_neighbors": pa.array(c, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+                "pref_attach": pa.array(du * dv, pa.int64()),
+            }
+        )
+
+    return tagged.groupby("slice").map_groups(score_slice, batch_format="pyarrow")

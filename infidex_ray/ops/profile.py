@@ -14,6 +14,7 @@ No reference-engine analogue (pure beyond-reference training-data op).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 __all__ = ["profile_columns", "group_checksum"]
@@ -173,4 +174,144 @@ def group_checksum(
         .map_batches(_add_key_slice(key_col, num_slices), batch_format="pyarrow")
         .groupby("slice")
         .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def constraint_check(ds, constraints, num_slices: int | None = None):
+    """Declarative data-quality audit: evaluate a list of constraints over
+    the dataset and report exact violation counts. Each constraint is a
+    dict ``{"name", "kind", "col", ...params}`` with kinds:
+
+    * ``not_null`` — NULL rows violate.
+    * ``range`` — ``lo``/``hi`` (inclusive, either optional): non-NULL
+      values outside violate (NULLs ignored — SQL three-valued logic).
+    * ``regex`` — ``pattern`` (RE2): non-NULL values not FULLY matching
+      violate (anchored like DuckDB ``regexp_full_match``).
+    * ``in_set`` — ``values``: non-NULL values outside the set violate.
+    * ``unique`` — ``count(col) − count(DISTINCT col)`` duplicate rows
+      (NULLs exempt, SQL UNIQUE semantics).
+
+    Output: ``(name, violations, n_rows)`` per constraint, ordered by
+    name.
+
+    Scale: row-local kinds fold per batch into O(1) partials; ``unique``
+    streams per-batch distinct values through a coarse md5 value-slice
+    (never a per-value Ray group) and counts distinct per slice."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .dedup import _default_num_slices, _md5_u64
+
+    if num_slices is None:
+        num_slices = _default_num_slices()
+    known = {"not_null", "range", "regex", "in_set", "unique"}
+    for c in constraints:
+        if c["kind"] not in known:
+            raise ValueError(f"unknown constraint kind: {c['kind']!r}")
+
+    rowlocal = [c for c in constraints if c["kind"] != "unique"]
+    uniques = [c for c in constraints if c["kind"] == "unique"]
+
+    out_rows: list[tuple[str, int, int]] = []
+
+    if rowlocal:
+
+        def partial(batch: pa.Table) -> pa.Table:
+            names, viols, rows = [], [], []
+            for c in rowlocal:
+                col = batch[c["col"]].combine_chunks()
+                if c["kind"] == "not_null":
+                    bad = col.null_count
+                elif c["kind"] == "range":
+                    m = pa.array(np.zeros(len(col), dtype=bool))
+                    if c.get("lo") is not None:
+                        m = pc.or_(m, pc.less(col, c["lo"]))
+                    if c.get("hi") is not None:
+                        m = pc.or_(m, pc.greater(col, c["hi"]))
+                    bad = pc.sum(m).as_py() or 0
+                elif c["kind"] == "regex":
+                    m = pc.invert(
+                        pc.match_substring_regex(
+                            col, f"^(?:{c['pattern']})$"
+                        )
+                    )
+                    bad = pc.sum(m).as_py() or 0
+                else:  # in_set
+                    m = pc.invert(pc.is_in(col, value_set=pa.array(c["values"])))
+                    m = pc.and_(m, pc.is_valid(col))
+                    bad = pc.sum(m).as_py() or 0
+                names.append(c["name"])
+                viols.append(int(bad))
+                rows.append(len(batch))
+            return pa.table(
+                {
+                    "name": pa.array(names, pa.string()),
+                    "violations": pa.array(viols, pa.int64()),
+                    "n_rows": pa.array(rows, pa.int64()),
+                }
+            )
+
+        agg = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("name")
+            .sum(["violations", "n_rows"])
+        )
+        for r in agg.take_all():
+            out_rows.append(
+                (r["name"], int(r["sum(violations)"]), int(r["sum(n_rows)"]))
+            )
+
+    for c in uniques:
+        col_name = c["col"]
+        one = ds.select_columns([col_name])
+
+        def tot(batch: pa.Table, _c=col_name) -> pa.Table:
+            col = batch[_c]
+            return pa.table(
+                {
+                    "k": pa.array([0], pa.int64()),
+                    "n_rows": pa.array([len(batch)], pa.int64()),
+                    "nn": pa.array([len(batch) - col.null_count], pa.int64()),
+                }
+            )
+
+        trow = (
+            one.map_batches(tot, batch_format="pyarrow")
+            .groupby("k")
+            .sum(["n_rows", "nn"])
+            .take_all()
+        )
+        n_rows = int(trow[0]["sum(n_rows)"]) if trow else 0
+        n_nonnull = int(trow[0]["sum(nn)"]) if trow else 0
+
+        def uniq_partial(batch: pa.Table, _c=col_name) -> pa.Table:
+            v = batch[_c].drop_null().combine_chunks().unique()
+            sl = np.asarray(
+                [_md5_u64(str(x)) % num_slices for x in v.to_pylist()],
+                dtype=np.int32,
+            )
+            return pa.table({"v": v, "slice": pa.array(sl)})
+
+        def uniq_slice(g: pa.Table) -> pa.Table:
+            n = len(g["v"].combine_chunks().unique())
+            return pa.table({"nd": pa.array([n], pa.int64())})
+
+        nd_rows = (
+            one.map_batches(uniq_partial, batch_format="pyarrow")
+            .groupby("slice")
+            .map_groups(uniq_slice, batch_format="pyarrow")
+            .take_all()
+        )
+        n_distinct = sum(int(r["nd"]) for r in nd_rows)
+        out_rows.append((c["name"], n_nonnull - n_distinct, n_rows))
+
+    out_rows.sort()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "name": pa.array([r[0] for r in out_rows], pa.string()),
+                "violations": pa.array([r[1] for r in out_rows], pa.int64()),
+                "n_rows": pa.array([r[2] for r in out_rows], pa.int64()),
+            }
+        )
     )

@@ -1647,3 +1647,160 @@ def resample_locf(
         .groupby("slice")
         .map_groups(resample_slice, batch_format="pyarrow")
     )
+
+
+def state_durations(
+    events,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    state_col: str = "event_type",
+):
+    """Time-in-state per (key, state): each event's state lasts until the
+    key's next event (SQL ``lead()`` in ``(ts, id)`` order); a key's last
+    event contributes nothing (open interval — ``lead() IS NULL``).
+    Output: ``(user_col, state_col, total_us, n_transitions)`` with exact
+    int64 microsecond sums.
+
+    Scale: ONE coarse md5 key-slice shuffle (a key's rows co-locate, no
+    per-key Ray group); inside each slice one lexsort + run-boundary
+    masking, then an in-slice Arrow group_by — only (key, state) rows
+    leave the slice."""
+
+    def per_slice(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["slice"])
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], group.schema.field(user_col).type),
+                    state_col: pa.array([], group.schema.field(state_col).type),
+                    "total_us": pa.array([], pa.int64()),
+                    "n_transitions": pa.array([], pa.int64()),
+                }
+            )
+        kr = _sorted_key_ranks(group[user_col])
+        ts = _ts_us(group[ts_col])
+        ev = group[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        o = np.lexsort((ev, ts, kr))
+        kr, ts = kr[o], ts[o]
+        n = len(ts)
+        last = np.empty(n, dtype=bool)
+        last[-1] = True
+        last[:-1] = kr[1:] != kr[:-1]
+        nxt = np.empty(n, dtype=np.int64)
+        nxt[:-1] = ts[1:]
+        dur = np.where(last, 0, nxt - ts)
+        keep = ~last
+        idx = pa.array(o[keep])
+        t = pa.table(
+            {
+                user_col: group[user_col].combine_chunks().take(idx),
+                state_col: group[state_col].combine_chunks().take(idx),
+                "dur": pa.array(dur[keep], pa.int64()),
+            }
+        )
+        agg = t.group_by([user_col, state_col]).aggregate(
+            [("dur", "sum"), ("dur", "count")]
+        )
+        return pa.table(
+            {
+                user_col: agg[user_col],
+                state_col: agg[state_col],
+                "total_us": agg["dur_sum"],
+                "n_transitions": agg["dur_count"],
+            }
+        )
+
+    return (
+        events.select_columns([user_col, ts_col, id_col, state_col])
+        .map_batches(_add_key_slice(user_col), batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(per_slice, batch_format="pyarrow")
+    )
+
+
+def period_compare(
+    events,
+    period_us: int = 604_800_000_000,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+):
+    """Period-over-period event counts per type: for every (type, period)
+    bucket, the count, the previous period's count and the exact ratio
+    (NULL when there is no previous bucket). Timestamps must be
+    non-negative epochs (``//`` floor-division mirror, same convention as
+    :func:`resample_locf`). Output: ``(event_type, period, n, prev_n,
+    ratio)``, ratio rounded to 4.
+
+    Scale: per-batch (type, period) count partials → one bounded-key
+    groupby; the shift join runs on the driver over the O(types ×
+    periods) result table only."""
+    import ray
+
+    from .agg import grouped_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        per = _ts_us(batch[ts_col]) // period_us
+        t = pa.table(
+            {
+                type_col: batch[type_col],
+                "period": pa.array(per, pa.int64()),
+            }
+        )
+        agg = t.group_by([type_col, "period"]).aggregate([("period", "count")])
+        return pa.table(
+            {
+                type_col: agg[type_col],
+                "period": agg["period"],
+                "n": agg["period_count"],
+            }
+        )
+
+    counts = grouped_agg(
+        events.select_columns([type_col, ts_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        [type_col, "period"],
+        {"n": ("sum", "n")},
+    ).materialize()
+
+    parts = [
+        t.select([type_col, "period", "n"])
+        for t in ray.get(counts.to_arrow_refs())
+        if t.num_rows
+    ]
+    if not parts:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    type_col: pa.array([], pa.string()),
+                    "period": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "prev_n": pa.array([], pa.int64()),
+                    "ratio": pa.array([], pa.float64()),
+                }
+            )
+        )
+    tbl = pa.concat_tables(parts).combine_chunks()
+    types = np.asarray(tbl[type_col].to_pylist(), dtype=object)
+    pers = tbl["period"].to_numpy(zero_copy_only=False)
+    ns = tbl["n"].to_numpy(zero_copy_only=False)
+    o = np.lexsort((pers, types))
+    types, pers, ns = types[o], pers[o], ns[o]
+    has_prev = np.zeros(len(ns), dtype=bool)
+    has_prev[1:] = (types[1:] == types[:-1]) & (pers[1:] == pers[:-1] + 1)
+    prev = np.zeros(len(ns), dtype=np.int64)
+    prev[1:] = ns[:-1]
+    ratio = np.where(has_prev, ns / np.maximum(np.where(has_prev, prev, 1), 1), np.nan)
+    ratio = np.floor(np.abs(ratio) * 1e4 + 0.5) * np.sign(ratio) / 1e4
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                type_col: pa.array(list(types), pa.string()),
+                "period": pa.array(pers, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "prev_n": pa.array(prev, pa.int64(), mask=~has_prev),
+                "ratio": pa.array(ratio, pa.float64(), mask=~has_prev),
+            }
+        )
+    )

@@ -1,0 +1,291 @@
+"""link_prediction / state_durations / period_compare / benford_deviation /
+constraint_check / ngram_diversity — brute-force double-entry plus the
+edge cases the contract corpus can't plant (NULLs, hub caps, duplicate
+keys, empty inputs, exotic whitespace)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _duck():
+    import duckdb
+
+    return duckdb.connect()
+
+
+def _df(ds):
+    return ds.to_pandas()
+
+
+# --------------------------------------------------------------- graphs
+
+
+@pytest.fixture(scope="module")
+def star_plus_path(ray_session):
+    """Hub 0 — leaves 1..9; path 10-11-12; leaves share ONLY the hub."""
+    import ray.data
+
+    edges = [(0, i) for i in range(1, 10)] + [(10, 11), (11, 12)]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "dst": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+
+
+def test_link_prediction_basic(star_plus_path):
+    from infidex_ray.ops.graph import link_prediction
+
+    out = _df(link_prediction(star_plus_path, min_cn=1)).sort_values(
+        ["u", "v"]
+    )
+    rows = {(r.u, r.v): r for r in out.itertuples(index=False)}
+    # all leaf pairs share exactly the hub; path ends share node 11
+    assert (1, 2) in rows and rows[(1, 2)].common_neighbors == 1
+    assert rows[(1, 2)].pref_attach == 1  # deg 1 * deg 1
+    assert rows[(1, 2)].jaccard == 1.0  # 1 / (1 + 1 - 1)
+    assert (10, 12) in rows and rows[(10, 12)].common_neighbors == 1
+    # existing edges are excluded
+    assert (0, 1) not in rows and (10, 11) not in rows
+    assert len(out) == 9 * 8 // 2 + 1
+
+
+def test_link_prediction_hub_cap(star_plus_path):
+    """Capping out the hub removes every leaf-pair wedge, keeping only the
+    path wedge (its apex has degree 2)."""
+    from infidex_ray.ops.graph import link_prediction
+
+    out = _df(
+        link_prediction(star_plus_path, min_cn=1, max_center_degree=2)
+    )
+    assert sorted(map(tuple, out[["u", "v"]].values.tolist())) == [[10, 12]] or \
+        sorted(map(tuple, out[["u", "v"]].values.tolist())) == [(10, 12)]
+
+
+def test_link_prediction_empty(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.graph import link_prediction
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+    )
+    assert _df(link_prediction(ds)).empty
+
+
+# --------------------------------------------------------------- windows
+
+
+@pytest.fixture(scope="module")
+def tiny_events(ray_session):
+    import ray.data
+
+    rows = [
+        # user 1: a(0) -> b(10) -> a(25) -> end
+        (1, 1, 0, "a"),
+        (2, 1, 10_000_000, "b"),
+        (3, 1, 25_000_000, "a"),
+        # user 2: single event — no transitions
+        (4, 2, 5_000_000, "a"),
+        # user 3: simultaneous ts, id tiebreak
+        (5, 3, 0, "x"),
+        (6, 3, 0, "y"),
+    ]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[2] for r in rows], pa.timestamp("us")
+                ),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_state_durations_basic(tiny_events):
+    from infidex_ray.ops.windows import state_durations
+
+    out = _df(state_durations(tiny_events))
+    got = {
+        (r.user_id, r.event_type): (r.total_us, r.n_transitions)
+        for r in out.itertuples(index=False)
+    }
+    assert got[(1, "a")] == (10_000_000, 1)  # last 'a' is open -> dropped
+    assert got[(1, "b")] == (15_000_000, 1)
+    assert (2, "a") not in got
+    # ts tie: order by (ts, event_id) -> x lasts 0us, y is last
+    assert got[(3, "x")] == (0, 1)
+    assert (3, "y") not in got
+
+
+def test_period_compare_shift(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.windows import period_compare
+
+    week = 604_800_000_000
+    rows = [("a", 0), ("a", 1), ("a", 1), ("a", 3), ("b", 2)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows]),
+                "ts": pa.array(
+                    [r[1] * week + 5 for r in rows], pa.timestamp("us")
+                ),
+            }
+        )
+    )
+    out = _df(period_compare(ds)).sort_values(["event_type", "period"])
+    recs = list(out.itertuples(index=False))
+    # ('a',0): no prev; ('a',1): prev 1, ratio 2.0; ('a',3): gap -> no prev
+    a1 = next(r for r in recs if r.event_type == "a" and r.period == 1)
+    assert a1.n == 2 and a1.prev_n == 1 and a1.ratio == 2.0
+    a3 = next(r for r in recs if r.event_type == "a" and r.period == 3)
+    assert a3.prev_n is None or np.isnan(a3.prev_n)
+
+
+# --------------------------------------------------------------- benford
+
+
+def test_benford_known_digits(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.agg import benford_deviation
+
+    vals = [1.5, 19.0, 0.123, -2.5, 900.0, 0.0, float("nan"), None, 1e-9]
+    grp = ["g"] * len(vals)
+    grp[4] = None  # NULL group key drops
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": pa.array(grp, pa.string()),
+                "v": pa.array(vals, pa.float64()),
+            }
+        )
+    )
+    out = _df(benford_deviation(ds, "g", "v"))
+    assert len(out) == 1
+    r = out.iloc[0]
+    # digits: 1.5->1, 19->1, 0.123->1, -2.5->2, 1e-9->1 (900 dropped w/ group)
+    assert r["n_values"] == 5
+    assert r["d1"] == 4 and r["d2"] == 1 and r["d9"] == 0
+
+
+def test_benford_matches_oracle_on_events(ray_session):
+    """Double-entry at sf0.001 — the bitwise printf/χ² claim end-to-end."""
+    import ray.data
+
+    from infidex_ray.ops.agg import benford_deviation
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    mine = (
+        _df(benford_deviation(ds, "event_type", "value"))
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    import __ray_entry__ as E
+
+    con = _duck()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    orc = con.execute(E.oracle_sql()["benford_deviation"]).df()
+    assert mine["chi2"].tolist() == orc["chi2"].tolist()
+    assert mine["d1"].tolist() == orc["d1"].tolist()
+
+
+# --------------------------------------------------------------- constraints
+
+
+def test_constraint_check_kinds(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.profile import constraint_check
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, 2, 3, None], pa.int64()),
+            "price": pa.array([5.0, -1.0, 300.0, None, 7.0], pa.float64()),
+            "code": pa.array(["A-1", "B-2", "bad", None, "C-3"], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = _df(
+        constraint_check(
+            ds,
+            [
+                {"name": "id_nn", "kind": "not_null", "col": "id"},
+                {"name": "id_uq", "kind": "unique", "col": "id"},
+                {
+                    "name": "price_rng",
+                    "kind": "range",
+                    "col": "price",
+                    "lo": 0.0,
+                    "hi": 100.0,
+                },
+                {
+                    "name": "code_re",
+                    "kind": "regex",
+                    "col": "code",
+                    "pattern": "[A-C]-[0-9]",
+                },
+                {
+                    "name": "code_set",
+                    "kind": "in_set",
+                    "col": "code",
+                    "values": ["A-1", "B-2", "C-3"],
+                },
+            ],
+        )
+    )
+    got = {r.name: r.violations for r in out.itertuples(index=False)}
+    assert got == {
+        "id_nn": 1,  # one NULL id
+        "id_uq": 1,  # 4 non-null, 3 distinct
+        "price_rng": 2,  # -1 and 300; NULL ignored
+        "code_re": 1,  # 'bad'; NULL ignored
+        "code_set": 1,  # 'bad'
+    }
+    assert set(out["n_rows"]) == {5}
+
+
+def test_constraint_check_rejects_unknown():
+    from infidex_ray.ops.profile import constraint_check
+
+    with pytest.raises(ValueError, match="unknown constraint kind"):
+        constraint_check(None, [{"name": "x", "kind": "nope", "col": "c"}])
+
+
+# --------------------------------------------------------------- ngrams
+
+
+def test_ngram_diversity_counts(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.textstats import ngram_diversity
+
+    docs = ["a b a b", "a\xa0b c", ""]  # NBSP is NOT a separator (RE2 \S+)
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(docs, pa.string())})
+    )
+    out = _df(ngram_diversity(ds)).sort_values("n").reset_index(drop=True)
+    # doc0 tokens: a b a b; doc1 tokens: 'a\xa0b' 'c'; doc2: none
+    assert out.loc[0, "total_ngrams"] == 6
+    assert out.loc[0, "distinct_ngrams"] == 4  # a, b, 'a\xa0b', c
+    # 2-grams: doc0: 'a b','b a','a b'; doc1: 'a\xa0b c'
+    assert out.loc[1, "total_ngrams"] == 4
+    assert out.loc[1, "distinct_ngrams"] == 3
+    # 3-grams: doc0: 'a b a','b a b'
+    assert out.loc[2, "total_ngrams"] == 2
+    assert out.loc[2, "distinct_ngrams"] == 2
+    assert out.loc[2, "ratio"] == 1.0
