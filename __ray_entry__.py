@@ -316,6 +316,31 @@ def _q_search_topk_bm25_distributed(sf_dir: str):
         deng.shutdown()
 
 
+def _q_batch_search(sf_dir: str):
+    """Offline query-log scoring as a Dataset transform (ops/batchsearch.
+    py::batch_search): a stateful actor pool where each actor mmap-loads
+    the index once and scores whole query batches — the throughput shape
+    for relevance sweeps / hard-negative mining. Same stage-1 oracle as
+    search_topk_bm25 (coverage off, float64 SQL-surface scores)."""
+    import ray.data
+
+    from infidex_ray.ops.batchsearch import batch_search
+
+    eng = _engine_for(sf_dir)  # ensure the index exists on disk
+    qds = ray.data.from_arrow(
+        pa.table({"query": pa.array(sorted(STAGE1_PANEL), pa.string())})
+    )
+    out = batch_search(
+        qds,
+        eng.index_dir,
+        top_k=10,
+        enable_coverage=False,
+        score_mode="float64_sql",
+        concurrency=(1, 2),
+    )
+    return _by(out, "query", "rank")
+
+
 def _q_exact_dedup(sf_dir: str):
     from infidex_ray.ops.dedup import exact_dedup
 
@@ -4201,6 +4226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": _q_bm25,
         "search_topk": _q_search_topk,
         "search_topk_bm25": _q_search_topk_bm25,
+        "batch_search": _q_batch_search,
         "search_topk_bm25_distributed": _q_search_topk_bm25_distributed,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -4481,6 +4507,11 @@ def oracle_sql() -> dict[str, str]:
             stop_term_limit=cfg.stop_term_limit,
         ),
         "search_topk_bm25_distributed": sqlgen.stage1_topk_sql(
+            _stage1_panel_tokens(),
+            coverage_depth=cfg.coverage_depth,
+            stop_term_limit=cfg.stop_term_limit,
+        ),
+        "batch_search": sqlgen.stage1_topk_sql(
             _stage1_panel_tokens(),
             coverage_depth=cfg.coverage_depth,
             stop_term_limit=cfg.stop_term_limit,

@@ -17,7 +17,38 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["profile_columns", "group_checksum"]
+__all__ = ["profile_columns", "group_checksum", "constraint_check"]
+
+
+def _exact_distinct(one, col_name: str, num_slices: int | None = None) -> int:
+    """Exact distinct (nulls excluded) of one column: per-batch unique
+    partials → ONE coarse md5 value-slice groupby with a vectorized
+    per-slice unique — never a per-value Ray group (Ray 2.49 pays per
+    GROUP; a web-scale value domain hits the 29M-key groupby cliff)."""
+    from .dedup import _default_num_slices, _md5_u64
+
+    if num_slices is None:
+        num_slices = _default_num_slices()
+
+    def uniq_partial(batch: pa.Table) -> pa.Table:
+        v = batch[col_name].drop_null().combine_chunks().unique()
+        sl = np.asarray(
+            [_md5_u64(str(x)) % num_slices for x in v.to_pylist()],
+            dtype=np.int32,
+        )
+        return pa.table({"v": v, "slice": pa.array(sl)})
+
+    def uniq_slice(g: pa.Table) -> pa.Table:
+        n = len(g["v"].combine_chunks().unique())
+        return pa.table({"nd": pa.array([n], pa.int64())})
+
+    rows = (
+        one.map_batches(uniq_partial, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(uniq_slice, batch_format="pyarrow")
+        .take_all()
+    )
+    return sum(int(r["nd"]) for r in rows)
 
 
 def profile_columns(ds, columns) -> pa.Table:
@@ -44,14 +75,7 @@ def profile_columns(ds, columns) -> pa.Table:
         n = int(row[0]["sum(n)"]) if row else 0
         n_null = int(row[0]["sum(n_null)"]) if row else 0
 
-        def uniq(batch: pa.Table, _c=col) -> pa.Table:
-            v = batch[_c].drop_null().combine_chunks().unique()
-            return pa.table({"v": v})
-
-        n_distinct = (
-            one.map_batches(uniq, batch_format="pyarrow").groupby("v").count().count()
-        )
-        rows.append((col, n, n_null, int(n_distinct)))
+        rows.append((col, n, n_null, _exact_distinct(one, col)))
 
     return pa.table(
         {
@@ -200,7 +224,7 @@ def constraint_check(ds, constraints, num_slices: int | None = None):
     import pyarrow.compute as pc
     import ray
 
-    from .dedup import _default_num_slices, _md5_u64
+    from .dedup import _default_num_slices
 
     if num_slices is None:
         num_slices = _default_num_slices()
@@ -284,25 +308,7 @@ def constraint_check(ds, constraints, num_slices: int | None = None):
         n_rows = int(trow[0]["sum(n_rows)"]) if trow else 0
         n_nonnull = int(trow[0]["sum(nn)"]) if trow else 0
 
-        def uniq_partial(batch: pa.Table, _c=col_name) -> pa.Table:
-            v = batch[_c].drop_null().combine_chunks().unique()
-            sl = np.asarray(
-                [_md5_u64(str(x)) % num_slices for x in v.to_pylist()],
-                dtype=np.int32,
-            )
-            return pa.table({"v": v, "slice": pa.array(sl)})
-
-        def uniq_slice(g: pa.Table) -> pa.Table:
-            n = len(g["v"].combine_chunks().unique())
-            return pa.table({"nd": pa.array([n], pa.int64())})
-
-        nd_rows = (
-            one.map_batches(uniq_partial, batch_format="pyarrow")
-            .groupby("slice")
-            .map_groups(uniq_slice, batch_format="pyarrow")
-            .take_all()
-        )
-        n_distinct = sum(int(r["nd"]) for r in nd_rows)
+        n_distinct = _exact_distinct(one, col_name, num_slices)
         out_rows.append((c["name"], n_nonnull - n_distinct, n_rows))
 
     out_rows.sort()

@@ -289,3 +289,45 @@ def test_ngram_diversity_counts(ray_session):
     assert out.loc[2, "total_ngrams"] == 2
     assert out.loc[2, "distinct_ngrams"] == 2
     assert out.loc[2, "ratio"] == 1.0
+
+
+# --------------------------------------------------------------- batch search
+
+
+def test_batch_search_matches_serving_path(ray_session, tmp_path):
+    """Full-pipeline (coverage ON) batch scoring must be rank- and
+    score-identical to Engine.search per query — the actor-pool transform
+    is the same pipeline, just batched."""
+    import ray.data
+
+    from infidex_ray.build import build_index_local
+    from infidex_ray.config import EngineConfig
+    from infidex_ray.engine import Engine
+    from infidex_ray.ops.batchsearch import batch_search
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "the five boxing wizards jump quickly"),
+        (4, "quick zephyrs blow vexing daft jim"),
+        (5, "sphinx of black quartz judge my vow"),
+    ]
+    idx = str(tmp_path / "bsidx")
+    build_index_local(docs, idx, EngineConfig())
+    eng = Engine.load(idx)
+    queries = ["quick fox", "boxing wizards", "qick fux", "the"]
+    qds = ray.data.from_arrow(
+        pa.table({"query": pa.array(queries, pa.string())})
+    )
+    out = (
+        batch_search(qds, idx, top_k=5, concurrency=(1, 2))
+        .to_pandas()
+        .sort_values(["query", "rank"])
+    )
+    for q in queries:
+        got = out[out["query"] == q]
+        want = eng.search(q, top_k=5)
+        assert got["doc_id"].tolist() == [h.doc_key for h in want], q
+        assert got["score"].tolist() == pytest.approx(
+            [float(h.score) for h in want]
+        ), q
