@@ -341,6 +341,20 @@ def _q_batch_search(sf_dir: str):
     return _by(out, "query", "rank")
 
 
+def _q_cluster_sizes(sf_dir: str):
+    """Near-dup cluster-size histogram (ops/dedup.py::
+    cluster_size_histogram): minhash pairs → distributed min-label
+    components → per-size cluster counts (size 1 = unpaired docs).
+    Oracle = transitive closure + size histogram over the exact
+    word-shingle Jaccard truth set."""
+    from infidex_ray.ops.dedup import cluster_size_histogram
+
+    return _by(
+        cluster_size_histogram(_read(sf_dir, "documents"), threshold=0.5),
+        "cluster_size",
+    )
+
+
 def _q_exact_dedup(sf_dir: str):
     from infidex_ray.ops.dedup import exact_dedup
 
@@ -4227,6 +4241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_topk": _q_search_topk,
         "search_topk_bm25": _q_search_topk_bm25,
         "batch_search": _q_batch_search,
+        "cluster_sizes": _q_cluster_sizes,
         "search_topk_bm25_distributed": _q_search_topk_bm25_distributed,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -4694,6 +4709,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": sqlgen.langid_sql(),
         "doc_fingerprint": sqlgen.fingerprint_sql(),
         "dedup_corpus": sqlgen.dedup_corpus_minhash_sql(threshold=0.5),
+        "cluster_sizes": sqlgen.cluster_sizes_sql(threshold=0.5),
         "embedding_dup_pairs_lsh": sqlgen.embedding_lsh_pairs_sql(threshold=0.4),
         "facet_counts_offline": (
             "SELECT lang, count(*) AS n_docs FROM documents WHERE lang != 'en' "

@@ -3194,3 +3194,64 @@ def doc_novelty(
         .groupby("slice")
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def cluster_size_histogram(
+    ds,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+):
+    """Near-duplicate cluster-size histogram — the dedup AUDIT table: for
+    each cluster size (1 = unique docs), how many clusters exist. The
+    shape of this histogram is what a curation run reports before
+    committing a dedup policy (a fat tail of giant clusters = template
+    spam; mass at size 2 = mirrors). Pairs come from
+    :func:`minhash_lsh_pairs` at ``threshold`` (exact word-shingle
+    Jaccard verification — same truth set as the SQL oracle at the
+    fixture thresholds); components via :func:`dedup_clusters_ds`
+    (distributed min-label propagation). Output: ``(cluster_size,
+    n_clusters)``.
+
+    Scale: component labels stay a Dataset; per-label sizes and the size
+    histogram are bounded-key combiner groupbys; only the O(distinct
+    sizes) histogram reaches the driver."""
+    import ray
+
+    from .agg import grouped_agg
+
+    pairs = minhash_lsh_pairs(
+        ds, threshold=threshold, id_col=id_col, text_col=text_col
+    )
+    labels = dedup_clusters_ds(pairs, num_partitions=num_partitions)
+    n_docs = ds.count()
+    n_paired = labels.count()
+    if n_paired:
+        sizes = grouped_agg(
+            labels.select_columns(["label"]),
+            ["label"],
+            {"size": ("count", "label")},
+        )
+        hist = grouped_agg(
+            sizes.select_columns(["size"]),
+            ["size"],
+            {"n_clusters": ("count", "size")},
+        ).to_pandas()
+        by_size = dict(
+            zip(hist["size"].astype(int), hist["n_clusters"].astype(int))
+        )
+    else:
+        by_size = {}
+    singles = n_docs - n_paired
+    if singles:
+        by_size[1] = by_size.get(1, 0) + singles
+    out = sorted(by_size.items())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "cluster_size": pa.array([s for s, _ in out], pa.int64()),
+                "n_clusters": pa.array([n for _, n in out], pa.int64()),
+            }
+        )
+    )

@@ -1891,3 +1891,33 @@ SELECT t.doc_id, {", ".join(f"t.lcs_{wi}" for wi in range(len(words)))},
 FROM tot t JOIN cl USING (doc_id) JOIN pref USING (doc_id)
 ORDER BY t.doc_id
 """
+
+
+def cluster_sizes_sql(table: str = "documents", threshold: float = 0.5) -> str:
+    """Oracle for ops.dedup.cluster_size_histogram: transitive closure
+    over the exact word-shingle Jaccard pairs (same truth set as
+    dedup_corpus_minhash_sql), one row per component carrying its size,
+    one row per unpaired doc (size 1), then the size histogram."""
+    return f"""
+WITH RECURSIVE {word_jaccard_pairs_core(table, threshold)},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM wjp
+  UNION SELECT id_b, id_a FROM wjp
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+rep AS (SELECT src AS node, min(dst) AS mn FROM reach GROUP BY src),
+lab AS (SELECT node, least(node, mn) AS label FROM rep),
+sz AS (SELECT label, count(*) AS size FROM lab GROUP BY label),
+allsz AS (
+  SELECT size FROM sz
+  UNION ALL
+  SELECT 1 FROM {table}
+  WHERE doc_id NOT IN (SELECT node FROM lab)
+)
+SELECT size AS cluster_size, count(*)::BIGINT AS n_clusters
+FROM allsz GROUP BY size ORDER BY cluster_size
+"""
