@@ -152,6 +152,44 @@ def _query_latency(index_dir: str, num_cpus: int) -> dict:
     }
 
 
+def _batch_search_bench(index_dir: str, n_queries: int = 2000) -> dict:
+    """Throughput of batch_search over a synthetic query log (panel terms
+    recombined deterministically — realistic vocab, no repeated string).
+
+    Stage-1 scoring mode (enable_coverage=False): the offline-mining
+    shape — BM25 ranking without the latency-path coverage cascade
+    (which costs ~0.5 s/query in ONE process at 480k pages; serving
+    latency is the distributed engine's job, measured above). Fixed
+    pool: the autoscaler ramps too slowly for a ~15 s burst (measured
+    10.6 → 30 qps fixed-vs-auto at 400 queries)."""
+    import pyarrow as pa
+    import ray.data
+
+    from infidex_ray.ops.batchsearch import batch_search
+
+    pool = max(2, NUM_CPUS // 2)
+    words = sorted({w for q in QUERY_PANEL for w in q.split()})
+    qs = [
+        f"{words[i % len(words)]} {words[(i * 7 + 3) % len(words)]}"
+        for i in range(n_queries)
+    ]
+    qds = ray.data.from_arrow(pa.table({"query": pa.array(qs)})).repartition(
+        pool * 2
+    )
+    t0 = time.perf_counter()
+    out = batch_search(
+        qds,
+        index_dir,
+        top_k=10,
+        enable_coverage=False,
+        concurrency=pool,
+        batch_size=32,
+    )
+    n_rows = out.count()  # consumes the stream
+    dt = time.perf_counter() - t0
+    return {"qps": n_queries / dt, "n": n_queries, "rows": n_rows, "sec": dt}
+
+
 def _ops_bench(sf_dir: str) -> dict:
     import ray.data
 
@@ -353,6 +391,13 @@ def run_full() -> dict:
     ql = _query_latency(serve_dir, NUM_CPUS)
     queries["query_panel"] = round(time.perf_counter() - t0, 3)
 
+    # offline batch scoring throughput (ops/batchsearch.py): a query-log
+    # Dataset through the actor pool — the THROUGHPUT counterpart to the
+    # latency panel above (each actor mmap-loads the serve index once)
+    t0 = time.perf_counter()
+    bs = _batch_search_bench(serve_dir)
+    queries["batch_search"] = round(time.perf_counter() - t0, 3)
+
     ops = _ops_bench(SF_DIR)
     for k, v in ops.items():
         queries[k] = round(v, 3)
@@ -371,6 +416,8 @@ def run_full() -> dict:
             "segments": build["segments"],
             "query_p50_ms": round(ql["p50_ms"], 2),
             "query_p99_ms": round(ql["p99_ms"], 2),
+            "batch_search_qps": round(bs["qps"], 1),
+            "batch_search_queries": bs["n"],
             **probe,
             **probe_after,
             **inflight,

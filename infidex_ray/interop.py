@@ -294,8 +294,16 @@ def export_infdx2(index_dir: str, out_path: str | None = None) -> bytes:
         ]
 
     df_lookup = load_df_lookup(index_dir, "df")
+    df_terms = df_lookup.terms.tolist()
+    missing = set(post_map) - set(df_terms)
+    if missing:  # a segment term absent from the df stats would silently
+        # export with no df row — that is index corruption, surface it
+        raise Infdx2Error(
+            f"{len(missing)} segment terms missing from df stats "
+            f"(e.g. {sorted(missing)[:3]})"
+        )
     terms = []
-    for text, df in zip(df_lookup.terms.tolist(), df_lookup.dfs.tolist()):
+    for text, df in zip(df_terms, df_lookup.dfs.tolist()):
         chunks = post_map.get(text)
         if chunks is None:
             doc_ids = np.empty(0, dtype=np.int64)

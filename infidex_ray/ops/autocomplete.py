@@ -258,6 +258,13 @@ def packed_lcs_score(
     (LUT + masks) is closure state built once."""
     if not words or any(not w for w in words):
         raise ValueError("words must be non-empty strings")
+    # validate the pack bounds driver-side (a worker-side raise surfaces
+    # as an opaque RayTaskError)
+    total_len = sum(len(w) for w in words)
+    if not (0 < total_len <= 60):
+        raise ValueError("total packed word length must be 1..60")
+    if not (0 < candidate_chars <= 64):
+        raise ValueError("candidate_chars must be 1..64")
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()

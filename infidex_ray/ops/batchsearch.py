@@ -99,6 +99,10 @@ def batch_search(
     sized at the CPU count deadlocks small sessions — see the decontam
     note); each actor holds the mmap'd index once, so memory is
     O(index) × pool size, and throughput scales with the pool."""
+    if score_mode not in ("engine", "float64_sql"):
+        # validate driver-side: a worker-side raise surfaces as an opaque
+        # RayTaskError
+        raise ValueError(f"unknown score_mode {score_mode!r}")
     return queries_ds.map_batches(
         _SearchActor,
         fn_constructor_args=(
