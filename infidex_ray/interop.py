@@ -13,8 +13,13 @@ a native infidex_ray segment tree, and :func:`export_infdx2` serializes a
 native index tree back into the reference byte format (flags=0 — the
 optional FST/short-query/metadata cache sections are rebuild caches the C#
 loader regenerates, so omitting them is a valid, loadable file). An
-imported index re-exports byte-identically (golden roundtrip test);
-``Engine.save_file`` remains this repo's own portable container. Derived structures (doc lengths, word-IDF, short-query
+imported index re-exports byte-identically when the source file's terms
+are in sorted order with dense in-order doc ids — what this exporter (and
+the golden fixtures) write; files with other term enumeration orders
+(C# Dictionary order is arbitrary) re-export as a semantically identical
+NORMALIZED file (sorted terms, header term count and stop-term skew
+preserved via the ``interop.json`` sidecar). ``Engine.save_file`` remains
+this repo's own portable container. Derived structures (doc lengths, word-IDF, short-query
 artifacts, word matcher, term dictionary) are REBUILT natively — exactly
 what the reference itself does on load (``SearchEngine.Load`` →
 ``VectorModel.CalculateWeights``, SearchEngine.cs:423-427): doc length =
@@ -171,7 +176,9 @@ class _Writer:
 _POSTING_DTYPE = np.dtype([("d", "<i4"), ("w", "u1")])
 
 
-def build_infdx2(docs, terms, has_word_matcher: bool = False) -> bytes:
+def build_infdx2(
+    docs, terms, has_word_matcher: bool = False, header_term_count: int | None = None
+) -> bytes:
     """Assemble INFDX2 v2 bytes (IndexPersistence.Save layout, :33-101).
 
     ``docs``  = [(id, key, text, info, segment, json_idx, deleted)] —
@@ -179,7 +186,11 @@ def build_infdx2(docs, terms, has_word_matcher: bool = False) -> bytes:
     with numpy arrays — WriteTerms packed (int32 doc id, uint8 weight)
     postings (:350-374). Flags are 0 (no FST/short-query/metadata cache
     sections — the C# loader rebuilds those on load) and the SearchEngine
-    WordMatcher trailer bool (SearchEngine.cs:392-395) is appended."""
+    WordMatcher trailer bool (SearchEngine.cs:392-395) is appended.
+    ``header_term_count`` overrides the header's term count (the
+    reference writes ``terms.Count`` INCLUDING stop terms, which the blob
+    omits, :56/:356 — its loader tolerates the mismatch and so does
+    :func:`parse_infdx2`); default = the persisted term count."""
     blob = _Writer()
     blob.i32(len(docs))
     for did, key, text, info, segment, json_idx, deleted in docs:
@@ -209,14 +220,15 @@ def build_infdx2(docs, terms, has_word_matcher: bool = False) -> bytes:
     blob.raw(bytes(tw.b))
     data = bytes(blob.b)
 
+    hdr_terms = n_terms if header_term_count is None else int(header_term_count)
     out = _Writer()
     out.raw(MAGIC)
     flags = 0
     out.u32(FORMAT_VERSION)
     out.u32(flags)
     out.u32(len(docs))
-    out.u32(n_terms)
-    out.u32(checksum_words([FORMAT_VERSION, flags, len(docs), n_terms]))
+    out.u32(hdr_terms)
+    out.u32(checksum_words([FORMAT_VERSION, flags, len(docs), hdr_terms]))
     out.u32(len(data))
     out.raw(data)
     out.u32(checksum_bytes(data))
@@ -316,7 +328,10 @@ def export_infdx2(index_dir: str, out_path: str | None = None) -> bytes:
         terms.append((text, int(df), doc_ids, weights))
 
     payload = build_infdx2(
-        docs, terms, has_word_matcher=bool(sidecar.get("has_word_matcher"))
+        docs,
+        terms,
+        has_word_matcher=bool(sidecar.get("has_word_matcher")),
+        header_term_count=sidecar.get("header_term_count"),
     )
     if out_path is not None:
         with open(out_path, "wb") as f:
@@ -404,6 +419,9 @@ def parse_infdx2(data: bytes) -> dict:
         "docs": docs,
         "terms": terms,
         "has_word_matcher": has_wm,
+        # header term count INCLUDES stop terms the blob omits (WriteTerms
+        # filters df>0, :356) — kept so export can round-trip the header
+        "term_count_header": term_count,
     }
 
 
@@ -537,6 +555,7 @@ def import_infdx2(file_path: str, out_dir: str, cfg=None):
             {
                 "json_idx": [j for (_d, _k, _t, _i, _s, j, _dl) in docs],
                 "has_word_matcher": parsed["has_word_matcher"],
+                "header_term_count": parsed["term_count_header"],
             },
             f,
         )

@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .dedup import _default_num_slices, _md5_u64
+from .dedup import _default_num_slices, _md5_u64, round_half_up4_arr
 
 _MIX = np.uint64(0xBF58476D1CE4E5B9)
 
@@ -2064,12 +2064,14 @@ def benford_deviation(
         for t in ray.get(counts.to_arrow_refs())
         if t.num_rows
     ]
-    names = [group_col, "n_values"] + [f"d{d}" for d in range(1, 10)] + ["chi2"]
     if not parts:
+        # typed empty: keep the group column's REAL type (an int group col
+        # must not come back as string just because no rows survived)
+        gtype = ds.schema().base_schema.field(group_col).type
         return ray.data.from_arrow(
             pa.table(
                 {
-                    group_col: pa.array([], pa.string()),
+                    group_col: pa.array([], gtype),
                     "n_values": pa.array([], pa.int64()),
                     **{f"d{d}": pa.array([], pa.int64()) for d in range(1, 10)},
                     "chi2": pa.array([], pa.float64()),
@@ -2090,7 +2092,7 @@ def benford_deviation(
         e = tot_f * probs[d - 1]
         diff = hist[:, d] - e
         chi2 = chi2 + (diff * diff) / e
-    chi2 = np.floor(np.abs(chi2) * 1e4 + 0.5) * np.sign(chi2) / 1e4
+    chi2 = round_half_up4_arr(chi2)
     cols = {group_col: pa.array(list(keys)), "n_values": pa.array(total, pa.int64())}
     for d in range(1, 10):
         cols[f"d{d}"] = pa.array(hist[:, d], pa.int64())

@@ -44,8 +44,10 @@ def _batch_jaro_like(
 
     cands = [(t or "")[:candidate_chars].lower() for t in texts]
     clen[:] = [len(c) for c in cands]
-    width = candidate_chars
-    # fixed-width codepoint matrix; pad = 0xFFFF (≥256 ⇒ empty mask)
+    # .lower() can EXPAND past candidate_chars (e.g. 'İ' → 'i̇') — widen
+    # to the batch max so the reshape never desyncs; pad columns are
+    # automaton no-ops. Pad codepoint 0xFFFF ≥ 256 ⇒ empty mask.
+    width = max(candidate_chars, int(clen.max()))
     pad = chr(0xFFFF)
     big = "".join(c + pad * (width - len(c)) for c in cands)
     codes = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).reshape(
@@ -123,7 +125,9 @@ def autocomplete_score(
             texts, query, candidate_chars, prefix_bonus
         )
         # half-away-from-zero like DuckDB ROUND (repo oracle convention)
-        r4 = np.floor(np.abs(score) * 1e4 + 0.5) * np.sign(score) / 1e4
+        from .dedup import round_half_up4_arr
+
+        r4 = round_half_up4_arr(score)
         return pa.table(
             {
                 id_col: batch[id_col],
@@ -139,15 +143,19 @@ def autocomplete_score(
 def _pack_words(words: list[str]) -> tuple[np.ndarray, list[int], list[int], int, int, int]:
     """charMap LUT, per-word offsets/lengths, zm boundary mask, full mask,
     total packed length (PackedBitParallelLcs.ComputePackedLcs setup,
-    src/Infidex/Metrics/PackedBitParallelLcs.cs:95-141)."""
+    src/Infidex/Metrics/PackedBitParallelLcs.cs:95-141). All positions
+    derive from the LOWERED word (C# per-char ToLowerInvariant is 1:1;
+    Python .lower() may expand rare codepoints — offsets/lengths must
+    stay in sync with the bitmap positions, so everything uses lower)."""
     lut = np.zeros(256, dtype=np.uint64)
     offsets: list[int] = []
     lengths: list[int] = []
     bit_pos = 0
     for w in words:
+        lw = w.lower()
         offsets.append(bit_pos)
-        lengths.append(len(w))
-        for ch in w.lower():
+        lengths.append(len(lw))
+        for ch in lw:
             if ord(ch) < 256:
                 lut[ord(ch)] |= np.uint64(1) << np.uint64(bit_pos)
             bit_pos += 1
@@ -188,7 +196,10 @@ def _batch_packed_lcs(
 
     cands = [(t or "")[:candidate_chars].lower() for t in texts]
     clen = np.fromiter((len(c) for c in cands), dtype=np.int64, count=n_docs)
-    width = candidate_chars
+    # .lower() can EXPAND a candidate past candidate_chars (e.g. 'İ' →
+    # 'i̇') — widen the matrix to the batch max so the reshape never
+    # desyncs; pad columns are automaton no-ops
+    width = max(candidate_chars, int(clen.max()) if n_docs else 0)
     pad = chr(0xFFFF)
     big = "".join(c + pad * (width - len(c)) for c in cands)
     codes = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).reshape(
@@ -259,8 +270,9 @@ def packed_lcs_score(
     if not words or any(not w for w in words):
         raise ValueError("words must be non-empty strings")
     # validate the pack bounds driver-side (a worker-side raise surfaces
-    # as an opaque RayTaskError)
-    total_len = sum(len(w) for w in words)
+    # as an opaque RayTaskError); lengths are LOWERED — the pack operates
+    # on w.lower(), which can differ from len(w) for rare codepoints
+    total_len = sum(len(w.lower()) for w in words)
     if not (0 < total_len <= 60):
         raise ValueError("total packed word length must be 1..60")
     if not (0 < candidate_chars <= 64):
@@ -271,7 +283,9 @@ def packed_lcs_score(
         lcs_m, total, matched, prefix, score = _batch_packed_lcs(
             texts, words, candidate_chars, prefix_bonus
         )
-        r4 = np.floor(np.abs(score) * 1e4 + 0.5) * np.sign(score) / 1e4
+        from .dedup import round_half_up4_arr
+
+        r4 = round_half_up4_arr(score)
         cols = {id_col: batch[id_col]}
         for wi in range(len(words)):
             cols[f"lcs_{wi}"] = pa.array(lcs_m[:, wi], pa.int64())

@@ -103,6 +103,10 @@ def batch_search(
         # validate driver-side: a worker-side raise surfaces as an opaque
         # RayTaskError
         raise ValueError(f"unknown score_mode {score_mode!r}")
+    if score_mode == "float64_sql" and enable_coverage:
+        # the coverage cascade can surface wordmatch-only hits absent
+        # from bm25_all_scores (small corpora) → KeyError in the actor
+        raise ValueError("score_mode='float64_sql' requires enable_coverage=False")
     return queries_ds.map_batches(
         _SearchActor,
         fn_constructor_args=(

@@ -103,7 +103,7 @@ def char_jaccard(
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         ja, js = _batch_char_jaccard(texts, qcodes, qcounts, qlen)
-        r4 = lambda v: np.floor(np.abs(v) * 1e4 + 0.5) * np.sign(v) / 1e4
+        from .dedup import round_half_up4_arr as r4
         return pa.table(
             {
                 id_col: batch[id_col],

@@ -3255,3 +3255,38 @@ def cluster_size_histogram(
             }
         )
     )
+
+
+def _slice_hash_strings(arr, num_slices: int) -> np.ndarray:
+    """Vectorized coarse-slice assignment for a STRING array: one
+    polynomial byte hash per value (uint64 wraparound) via a single
+    ``np.add.reduceat`` over the Arrow data buffer — no Python per-value
+    hashing (the round-4 "per-row Python md5" class). Distribution-
+    quality only: slice ids are NOT a cross-engine contract hash (use
+    ``_md5_u64`` for anything an oracle recomputes)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    out_empty = np.zeros(n, dtype=np.int32)
+    if n == 0:
+        return out_empty
+    a = arr.cast(pa.large_string())
+    buf_off = np.frombuffer(a.buffers()[1], dtype=np.int64)[
+        a.offset : a.offset + n + 1
+    ]
+    data = np.frombuffer(a.buffers()[2], dtype=np.uint8)
+    starts = buf_off[:-1] - buf_off[0]
+    lens = np.diff(buf_off)
+    total = int(buf_off[-1] - buf_off[0])
+    if total == 0:
+        return out_empty
+    flat = data[buf_off[0] : buf_off[-1]].astype(np.uint64)
+    rel = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    with np.errstate(over="ignore"):
+        pows = _MIX1 ** np.arange(int(lens.max()), dtype=np.uint64)
+        contrib = flat * pows[rel]
+        seg = np.minimum(starts, total - 1)  # trailing empties: clip,
+        sums = np.add.reduceat(contrib, seg)  # then overwrite below
+        sums[lens == 0] = np.uint64(0)
+        h = (sums * _MIX2) ^ (lens.astype(np.uint64) * _MIX1)
+    return (h % np.uint64(num_slices)).astype(np.int32)

@@ -1433,7 +1433,7 @@ def link_prediction(
         du = dg[np.searchsorted(nd, u)]
         dv = dg[np.searchsorted(nd, v)]
         jac = c / (du + dv - c)
-        jac = np.floor(np.abs(jac) * 1e4 + 0.5) * np.sign(jac) / 1e4
+        jac = round_half_up4_arr(jac)
         return pa.table(
             {
                 "u": pa.array(u, pa.int64()),

@@ -25,17 +25,36 @@ def _exact_distinct(one, col_name: str, num_slices: int | None = None) -> int:
     partials → ONE coarse md5 value-slice groupby with a vectorized
     per-slice unique — never a per-value Ray group (Ray 2.49 pays per
     GROUP; a web-scale value domain hits the 29M-key groupby cliff)."""
-    from .dedup import _default_num_slices, _md5_u64
+    from .dedup import _default_num_slices, _slice_hash_strings
 
     if num_slices is None:
         num_slices = _default_num_slices()
 
     def uniq_partial(batch: pa.Table) -> pa.Table:
         v = batch[col_name].drop_null().combine_chunks().unique()
-        sl = np.asarray(
-            [_md5_u64(str(x)) % num_slices for x in v.to_pylist()],
-            dtype=np.int32,
-        )
+        # vectorized slice assignment (balance only — distinctness stays
+        # on the real values): byte hash for strings, multiply-mix for
+        # fixed-width numerics, str() fallback for exotic types
+        if pa.types.is_string(v.type) or pa.types.is_large_string(v.type):
+            sl = _slice_hash_strings(v, num_slices)
+        elif pa.types.is_integer(v.type) or pa.types.is_floating(v.type):
+            from .dedup import _MIX1, _MIX2
+
+            raw = v.to_numpy(zero_copy_only=False)
+            bits = raw.astype(np.float64).view(np.uint64) if pa.types.is_floating(
+                v.type
+            ) else raw.astype(np.int64).view(np.uint64)
+            with np.errstate(over="ignore"):
+                sl = (((bits * _MIX1) ^ _MIX2) % np.uint64(num_slices)).astype(
+                    np.int32
+                )
+        else:
+            from .dedup import _md5_u64
+
+            sl = np.asarray(
+                [_md5_u64(str(x)) % num_slices for x in v.to_pylist()],
+                dtype=np.int32,
+            )
         return pa.table({"v": v, "slice": pa.array(sl)})
 
     def uniq_slice(g: pa.Table) -> pa.Table:

@@ -1064,11 +1064,13 @@ def ngram_diversity(
     import pyarrow.compute as pc
     import ray
 
-    from .dedup import _default_num_slices, _md5_u64
+    from .dedup import _default_num_slices, _slice_hash_strings
 
     if num_slices is None:
         num_slices = _default_num_slices()
-    ns = tuple(int(n) for n in ns)
+    # dedupe: a repeated n would double-count totals (one total row per
+    # occurrence per batch) while distinct merges — halving the ratio
+    ns = tuple(sorted({int(n) for n in ns}))
     if not ns or any(n < 1 for n in ns):
         raise ValueError("ns must be positive ints")
     max_n = max(ns)
@@ -1102,10 +1104,7 @@ def ngram_diversity(
                     *parts, pa.scalar(" ", pa.large_string())
                 )
             uniq = grams.unique()
-            sl = np.asarray(
-                [_md5_u64(g) % num_slices for g in uniq.to_pylist()],
-                dtype=np.int32,
-            )
+            sl = _slice_hash_strings(uniq, num_slices)
             gram_rows["n"].append(np.full(len(uniq), n, dtype=np.int64))
             gram_rows["gram"].append(uniq.cast(pa.large_string()))
             gram_rows["slice"].append(sl)
@@ -1192,7 +1191,9 @@ def ngram_diversity(
     tot = np.asarray([t_map.get(n, 0) for n in rows_n], dtype=np.int64)
     dis = np.asarray([d_map.get(n, 0) for n in rows_n], dtype=np.int64)
     ratio = np.where(tot > 0, dis / np.maximum(tot, 1), np.nan)
-    ratio = np.floor(np.abs(ratio) * 1e4 + 0.5) * np.sign(ratio) / 1e4
+    from .dedup import round_half_up4_arr
+
+    ratio = round_half_up4_arr(ratio)
     return ray.data.from_arrow(
         pa.table(
             {

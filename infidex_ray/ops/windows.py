@@ -32,7 +32,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .dedup import round_half_up4
+from .dedup import round_half_up4, round_half_up4_arr
 
 
 def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -1792,7 +1792,7 @@ def period_compare(
     prev = np.zeros(len(ns), dtype=np.int64)
     prev[1:] = ns[:-1]
     ratio = np.where(has_prev, ns / np.maximum(np.where(has_prev, prev, 1), 1), np.nan)
-    ratio = np.floor(np.abs(ratio) * 1e4 + 0.5) * np.sign(ratio) / 1e4
+    ratio = round_half_up4_arr(ratio)
     return ray.data.from_arrow(
         pa.table(
             {

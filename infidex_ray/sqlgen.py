@@ -1818,9 +1818,11 @@ def packed_lcs_sql(
     lengths: list[int] = []
     bit_pos = 0
     for w in words:
+        lw = w.lower()  # keep offsets/lengths in sync with the bitmap —
+        # everything derives from the LOWERED word (see _pack_words)
         offsets.append(bit_pos)
-        lengths.append(len(w))
-        for ch in w.lower():
+        lengths.append(len(lw))
+        for ch in lw:
             if ord(ch) < 256:
                 amap[ch] = amap.get(ch, 0) | (1 << bit_pos)
             bit_pos += 1

@@ -151,3 +151,29 @@ def test_packed_lcs_validates():
         sqlgen.packed_lcs_sql(["a" * 61])
     with pytest.raises(ValueError):
         sqlgen.char_jaccard_sql("")
+
+
+def test_packed_lcs_case_expanding_codepoints():
+    """'İ' (U+0130) lowercases to TWO codepoints — the candidate matrix
+    must widen instead of desyncing the reshape, and word offsets must
+    track the LOWERED lengths (review finding)."""
+    texts = ["İ" * 32, "istanbul city", ""]
+    lm, total, _m, _p, score = _batch_packed_lcs(texts, ["istanbul"], 32, 0.1)
+    assert lm.shape == (3, 1) and np.isfinite(score).all()
+    # a case-expanding WORD keeps masks in sync (İ -> 'i̇' = 2 positions)
+    lm2, _t2, _m2, _p2, _s2 = _batch_packed_lcs(
+        ["istanbul"], ["İst"], 32, 0.1
+    )
+    from infidex_ray.query.metrics import lcs_bitparallel
+
+    assert lm2[0, 0] == lcs_bitparallel("İst".lower(), "istanbul")
+    # oracle constants stay consistent too (no ValueError / desync)
+    sql = sqlgen.packed_lcs_sql(["İst"])
+    assert "bit_count" in sql
+
+
+def test_autocomplete_case_expanding_candidate():
+    from infidex_ray.ops.autocomplete import _batch_jaro_like
+
+    lcs, prefix, score = _batch_jaro_like(["İ" * 32, "merge sort"], "merge", 32, 0.1)
+    assert len(lcs) == 2 and np.isfinite(score).all()

@@ -248,3 +248,27 @@ def test_build_infdx2_matches_independent_writer():
         has_word_matcher=True,
     )
     assert ours == ref
+
+
+def test_export_preserves_stop_term_header_skew(tmp_path):
+    """Reference files write header term_count INCLUDING stop terms the
+    blob omits (WriteTerms filters df>0) — the skewed header must
+    round-trip byte-identically via the sidecar."""
+    _eng, docs, terms = _native_sections(tmp_path)
+    payload = bytearray(write_infdx2(docs, terms))
+    # patch the header term count up by 7 (simulated stop terms) and
+    # recompute the header checksum the way the reference writes it
+    import struct as _s
+
+    n_terms_skewed = len(terms) + 7
+    payload[18:22] = _s.pack("<I", n_terms_skewed)
+    payload[22:26] = _s.pack(
+        "<I", checksum_words([2, 0, len(docs), n_terms_skewed])
+    )
+    payload = bytes(payload)
+    parsed = parse_infdx2(payload)
+    assert parsed["term_count_header"] == n_terms_skewed
+    p = tmp_path / "skew.infdx2"
+    p.write_bytes(payload)
+    import_infdx2(str(p), str(tmp_path / "imp_skew"))
+    assert export_infdx2(str(tmp_path / "imp_skew")) == payload
