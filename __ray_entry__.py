@@ -341,6 +341,31 @@ def _q_batch_search(sf_dir: str):
     return _by(out, "query", "rank")
 
 
+def _q_batch_search_sharded(sf_dir: str):
+    """Shard-parallel batch scoring (ops/batchsearch.py::
+    batch_search_sharded): each actor holds only an index SHARD; the
+    exact global stage-1 protocol (fuzzy-df round → decide_level round →
+    phase-B merge in run_stage1's flatten order) runs as three streaming
+    Dataset rounds. Same stage-1 panel oracle as search_topk_bm25."""
+    import ray.data
+
+    from infidex_ray.ops.batchsearch import batch_search_sharded
+
+    eng = _engine_for(sf_dir)  # ensure the index exists on disk
+    qds = ray.data.from_arrow(
+        pa.table({"query": pa.array(sorted(STAGE1_PANEL), pa.string())})
+    )
+    out = batch_search_sharded(
+        qds,
+        eng.index_dir,
+        n_shards=2,
+        top_k=10,
+        score_mode="float64_sql",
+        concurrency=(1, 2),
+    )
+    return _by(out, "query", "rank")
+
+
 def _q_cluster_sizes(sf_dir: str):
     """Near-dup cluster-size histogram (ops/dedup.py::
     cluster_size_histogram): minhash pairs → distributed min-label
@@ -4241,6 +4266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_topk": _q_search_topk,
         "search_topk_bm25": _q_search_topk_bm25,
         "batch_search": _q_batch_search,
+        "batch_search_sharded": _q_batch_search_sharded,
         "cluster_sizes": _q_cluster_sizes,
         "search_topk_bm25_distributed": _q_search_topk_bm25_distributed,
         "exact_dedup": _q_exact_dedup,
@@ -4527,6 +4553,11 @@ def oracle_sql() -> dict[str, str]:
             stop_term_limit=cfg.stop_term_limit,
         ),
         "batch_search": sqlgen.stage1_topk_sql(
+            _stage1_panel_tokens(),
+            coverage_depth=cfg.coverage_depth,
+            stop_term_limit=cfg.stop_term_limit,
+        ),
+        "batch_search_sharded": sqlgen.stage1_topk_sql(
             _stage1_panel_tokens(),
             coverage_depth=cfg.coverage_depth,
             stop_term_limit=cfg.stop_term_limit,

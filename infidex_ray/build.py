@@ -404,9 +404,14 @@ class _BuildSegmentFn:
             dfs = meta["term_df"]
             word_df = meta["word_df"]
 
-        kinds = ["term"] * len(terms) + ["word"] * len(word_df)
-        all_terms = list(terms) + list(word_df.keys())
-        all_df = list(dfs) + list(word_df.values())
+        # one "__segment__" row per batch: the df stream carries the
+        # AUTHORITATIVE segment list of THIS build, so the manifest never
+        # unions stale dirs left by a previous run with a different batch
+        # layout (content-derived ids differ across layouts — a bare
+        # listdir() would silently double the corpus)
+        kinds = ["term"] * len(terms) + ["word"] * len(word_df) + ["__segment__"]
+        all_terms = list(terms) + list(word_df.keys()) + [seg_name]
+        all_df = list(dfs) + list(word_df.values()) + [len(urls)]
         return pa.table(
             {
                 "kind": pa.array(kinds, pa.string()),
@@ -923,11 +928,35 @@ def build_index(
             os.remove(p)
     t_exec = time.perf_counter()
 
-    # per-segment metas → manifest + global stats
+    # per-segment metas → manifest + global stats. The segment list comes
+    # from THIS build's "__segment__" df rows (written into the vocab
+    # partition tree) — never a bare listdir(): a previous run with a
+    # different batch layout leaves differently-named content-id segment
+    # dirs behind, and unioning them would silently duplicate the corpus.
+    # Stale dirs are pruned here instead.
     seg_root = os.path.join(out_dir, "segments")
-    seg_dirs = sorted(
-        d for d in os.listdir(seg_root) if os.path.isdir(os.path.join(seg_root, d))
-    )
+    seg_part = os.path.join(vocab_dest, "kind=__segment__")
+    built_names = None
+    if os.path.isdir(seg_part):
+        import pyarrow.parquet as _pq
+
+        built_names = sorted(
+            _pq.read_table(seg_part, columns=["term"])["term"].to_pylist()
+        )
+        shutil.rmtree(seg_part, ignore_errors=True)
+    if built_names is not None:
+        on_disk = {
+            d
+            for d in os.listdir(seg_root)
+            if os.path.isdir(os.path.join(seg_root, d))
+        }
+        for stale in sorted(on_disk - set(built_names)):
+            shutil.rmtree(os.path.join(seg_root, stale), ignore_errors=True)
+        seg_dirs = built_names
+    else:  # empty input: no segment tasks ran
+        seg_dirs = sorted(
+            d for d in os.listdir(seg_root) if os.path.isdir(os.path.join(seg_root, d))
+        )
     n_docs, sum_dl = 0, 0.0
     seg_entries = []
     for d in seg_dirs:

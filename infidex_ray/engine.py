@@ -244,6 +244,22 @@ class ShardedDfLookup:
         return self._merge_all()[1]
 
 
+def config_from_manifest(manifest: dict) -> "EngineConfig":
+    """Reconstruct the build-time EngineConfig from a manifest — shared by
+    ``Engine.load`` and stats-only contexts (ops/batchsearch) that need
+    the tokenizer/plan parameters without opening any segment."""
+    c = manifest["config"]
+    return EngineConfig(
+        index_sizes=tuple(c["index_sizes"]),
+        start_pad_size=c["start_pad_size"],
+        stop_pad_size=c["stop_pad_size"],
+        stop_term_limit=c["stop_term_limit"],
+        delimiters=tuple(c["delimiters"]),
+        synonyms=tuple(tuple(g) for g in c.get("synonyms", [])),
+        enable_coverage=c.get("enable_coverage", True),
+    )
+
+
 def load_df_lookup(index_dir: str, base: str):
     """Open the vocab stats in any layout: single-file (local/test builds,
     ``stats/<base>.parquet``), a sharded directory (``stats/<base>/``), or
@@ -322,16 +338,7 @@ class Engine:
         with open(os.path.join(index_dir, "manifest.json")) as f:
             manifest = json.load(f)
         if cfg is None:
-            c = manifest["config"]
-            cfg = EngineConfig(
-                index_sizes=tuple(c["index_sizes"]),
-                start_pad_size=c["start_pad_size"],
-                stop_pad_size=c["stop_pad_size"],
-                stop_term_limit=c["stop_term_limit"],
-                delimiters=tuple(c["delimiters"]),
-                synonyms=tuple(tuple(g) for g in c.get("synonyms", [])),
-                enable_coverage=c.get("enable_coverage", True),
-            )
+            cfg = config_from_manifest(manifest)
         seg_root = os.path.join(index_dir, "segments")
         indices = (
             range(len(manifest["segments"])) if segment_indices is None else segment_indices
@@ -799,7 +806,10 @@ class Engine:
         }
 
     def bm25_all_scores(
-        self, query_text: str, include_fuzzy: bool = False
+        self,
+        query_text: str,
+        include_fuzzy: bool = False,
+        fuzzy_df_overrides: dict | None = None,
     ) -> list[tuple[int, float]]:
         """Disjunctive full-corpus BM25+ scores in float64 — the SQL-oracle
         surface (no candidate pruning): every doc matching ≥1 query term
@@ -824,7 +834,15 @@ class Engine:
         for t in tokens:
             df = self.df_lookup(t)
             if df == 0 and include_fuzzy and len(t) >= 4:
-                fdf = self._fuzzy_global_df(t)
+                # fuzzy_df_overrides: a SHARD engine scoring with the
+                # INDEX-global LD1 union cardinality (its own sum covers
+                # only its segments — ops.batchsearch.batch_search_sharded
+                # round 1 supplies the global value)
+                fdf = (
+                    fuzzy_df_overrides[t]
+                    if fuzzy_df_overrides is not None and t in fuzzy_df_overrides
+                    else self._fuzzy_global_df(t)
+                )
                 if 0 < fdf <= cfg.stop_term_limit:
                     idf = float(
                         np.log((self.total_docs - fdf + 0.5) / (fdf + 0.5) + 1.0)

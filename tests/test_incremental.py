@@ -8,6 +8,8 @@ SegmentMerger (k-way term merge of doc-disjoint segments).
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from infidex_ray.build import build_index_local
@@ -249,3 +251,39 @@ def test_single_file_save_load_roundtrip(ray_session, tmp_path):
     a = [(h.doc_key, h.score) for h in eng.search("fast column", top_k=5)]
     c = [(h.doc_key, h.score) for h in eng3.search("fast column", top_k=5)]
     assert a == c
+
+
+def test_rebuild_prunes_stale_layout_segments(ray_session, tmp_path):
+    """A rebuild over an out_dir holding segments from a DIFFERENT batch
+    layout must not union them into the manifest (silent corpus
+    doubling): the __segment__ df rows carry this build's authoritative
+    segment list and stale dirs are pruned."""
+    import shutil
+
+    import ray.data
+
+    from infidex_ray.config import EngineConfig
+    from infidex_ray.engine import Engine
+
+    rows = [{"doc_id": i, "text": f"alpha beta doc{i} gamma"} for i in range(60)]
+    ds = ray.data.from_items(rows)
+    out = str(tmp_path / "prune_idx")
+    eng = Engine.build(
+        ds, out, EngineConfig(target_docs_per_segment=30),
+        text_column="text", key_column="doc_id",
+    )
+    assert eng.total_docs == 60
+    seg_root = os.path.join(out, "segments")
+    real = sorted(os.listdir(seg_root))
+    # plant a stale segment from a "previous layout" (content-id differs)
+    shutil.copytree(
+        os.path.join(seg_root, real[0]), os.path.join(seg_root, "seg-deadbeefdeadbeef")
+    )
+    eng2 = Engine.build(
+        ray.data.from_items(rows), out, EngineConfig(target_docs_per_segment=30),
+        text_column="text", key_column="doc_id",
+    )
+    assert eng2.total_docs == 60, "stale segment leaked into the manifest"
+    assert not os.path.isdir(os.path.join(seg_root, "seg-deadbeefdeadbeef"))
+    hits = eng2.search("alpha beta", top_k=5)
+    assert hits

@@ -331,3 +331,71 @@ def test_batch_search_matches_serving_path(ray_session, tmp_path):
         assert got["score"].tolist() == pytest.approx(
             [float(h.score) for h in want]
         ), q
+
+
+def test_batch_search_sharded_rank_identical(ray_session, tmp_path):
+    """The 3-round sharded protocol (global fuzzy dfs → global
+    decide_level → phase-B merge in run_stage1's flatten order) must be
+    rank- AND score-identical to whole-index stage-1 search, including
+    typo queries (fuzzy round) and tombstones (post-merge filter)."""
+    import ray.data
+
+    from infidex_ray.build import build_index_local
+    from infidex_ray.config import EngineConfig
+    from infidex_ray.engine import Engine
+    from infidex_ray.ops.batchsearch import batch_search_sharded
+
+    docs = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                "the quick brown fox jumps over the lazy dog",
+                "pack my box with five dozen liquor jugs",
+                "the five boxing wizards jump quickly",
+                "quick zephyrs blow vexing daft jim",
+                "sphinx of black quartz judge my vow",
+                "jackdaws love my big sphinx of quartz",
+                "how vexingly quick daft zebras jump",
+                "bright vixens jump dozy fowl quack",
+                "quick wafting zephyrs vex bold jim",
+                "five quacking zephyrs jolt my wax bed",
+                "the jay pig fox zebra and my wolves quack",
+                "waltz bad nymph for quick jigs vex",
+            ]
+        )
+    ]
+    idx = str(tmp_path / "shidx")
+    build_index_local(docs, idx, EngineConfig(), n_segments=4)
+    eng = Engine.load(idx)
+    assert len(eng.segments) >= 4
+    eng.delete_documents([3])  # tombstone one doc
+
+    queries = [
+        "quick fox",
+        "boxing wizards",
+        "qick fux",  # typo -> fuzzy round
+        "zephyrs vex",
+        "sphinx quartz",
+        "wolves quack",
+    ]
+    qds = ray.data.from_arrow(pa.table({"query": pa.array(queries)}))
+    for n_shards in (3,):  # uneven split: shards of 2/1/1 segments
+        out = (
+            batch_search_sharded(
+                qds, idx, n_shards=n_shards, top_k=5, concurrency=(1, 2)
+            )
+            .to_pandas()
+            .sort_values(["query", "rank"])
+        )
+        for q in queries:
+            got = out[out["query"] == q]
+            want = eng.search(q, top_k=5, enable_coverage=False)
+            assert got["doc_id"].tolist() == [h.doc_key for h in want], (
+                n_shards,
+                q,
+                got["doc_id"].tolist(),
+                [h.doc_key for h in want],
+            )
+            assert got["score"].tolist() == pytest.approx(
+                [float(h.score) for h in want]
+            ), (n_shards, q)
