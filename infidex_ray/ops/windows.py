@@ -62,18 +62,40 @@ def _sorted_key_ranks(col) -> np.ndarray:
 
 
 def _add_key_slice(key_col: str, num_slices: int | None = None):
-    """map_batches fn appending a coarse md5 slice of ``key_col`` — the
-    shuffle key that keeps a key's rows together without a per-key group."""
-    from .dedup import _default_num_slices, _md5_u64
+    """map_batches fn appending a coarse slice of ``key_col`` — the
+    shuffle key that keeps a key's rows together without a per-key group.
+    Slice ids are internal routing only (never oracle-recomputed), so the
+    hash is the VECTORIZED dispatch — multiply-mix for numerics, one
+    reduceat byte hash for strings — not a per-row Python md5 (the same
+    per-row-Python class the round-4 sweeps removed elsewhere; every
+    window op paid it per EVENT)."""
+    from .dedup import _MIX1, _MIX2, _default_num_slices, _md5_u64, _slice_hash_strings
 
     if num_slices is None:
         num_slices = _default_num_slices()
 
     def fn(batch: pa.Table) -> pa.Table:
-        sl = np.asarray(
-            [_md5_u64(str(v)) % num_slices for v in batch[key_col].to_pylist()],
-            dtype=np.int32,
-        )
+        col = batch[key_col].combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            sl = _slice_hash_strings(col, num_slices)
+        elif pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+            if pa.types.is_integer(col.type):
+                # nullable int → float NaN → astype(int64) is UB; nulls
+                # just need SOME consistent slice (routing only)
+                raw = col.fill_null(0).to_numpy(zero_copy_only=False)
+                bits = raw.astype(np.int64).view(np.uint64)
+            else:
+                raw = col.to_numpy(zero_copy_only=False)
+                bits = raw.astype(np.float64).view(np.uint64)
+            with np.errstate(over="ignore"):
+                sl = (((bits * _MIX1) ^ _MIX2) % np.uint64(num_slices)).astype(
+                    np.int32
+                )
+        else:  # exotic key types: per-row fallback
+            sl = np.asarray(
+                [_md5_u64(str(v)) % num_slices for v in col.to_pylist()],
+                dtype=np.int32,
+            )
         return batch.append_column("slice", pa.array(sl))
 
     return fn
