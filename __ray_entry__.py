@@ -366,6 +366,50 @@ def _q_batch_search_sharded(sf_dir: str):
     return _by(out, "query", "rank")
 
 
+_PERCOLATE_QUERIES = [
+    (0, "hash join"),
+    (1, "fast table scan"),
+    (2, "window merge sort"),
+    (3, "vector"),
+    (4, "compression ratio"),  # absent vocab: matches nothing
+]
+
+
+def _q_percolate(sf_dir: str):
+    """Reverse search / saved-query alerting (ops/percolate.py): every
+    doc matched against a stored query list, conjunctive term
+    containment; oracle = distinct-token join with per-query term-count
+    equality."""
+    from infidex_ray.ops.percolate import percolate
+
+    return _by(
+        percolate(_read(sf_dir, "documents"), _PERCOLATE_QUERIES),
+        "query_id",
+        "doc_id",
+    )
+
+
+def _percolate_oracle() -> str:
+    from infidex_ray.ops.asciiws import split_ascii_ws
+
+    rows = []
+    for qid, text in _PERCOLATE_QUERIES:
+        for t in sorted({w.lower() for w in split_ascii_ws(text)}):
+            rows.append(f"({qid}, {sqlgen.sql_quote(t)})")
+    values = ", ".join(rows)
+    return (
+        f"WITH qt(query_id, term) AS (VALUES {values}), "
+        "dt AS (SELECT DISTINCT doc_id, lower(tok) AS tok FROM ("
+        "SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), "
+        "'\\S+')) AS tok FROM documents)), "
+        "m AS (SELECT qt.query_id, dt.doc_id, count(DISTINCT qt.term) AS n "
+        "FROM qt JOIN dt ON dt.tok = qt.term GROUP BY 1, 2), "
+        "need AS (SELECT query_id, count(*) AS nt FROM qt GROUP BY 1) "
+        "SELECT m.query_id, m.doc_id FROM m JOIN need USING (query_id) "
+        "WHERE m.n = need.nt ORDER BY query_id, doc_id"
+    )
+
+
 def _q_cluster_sizes(sf_dir: str):
     """Near-dup cluster-size histogram (ops/dedup.py::
     cluster_size_histogram): minhash pairs → distributed min-label
@@ -4268,6 +4312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "batch_search": _q_batch_search,
         "batch_search_sharded": _q_batch_search_sharded,
         "cluster_sizes": _q_cluster_sizes,
+        "percolate": _q_percolate,
         "search_topk_bm25_distributed": _q_search_topk_bm25_distributed,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -4741,6 +4786,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": sqlgen.fingerprint_sql(),
         "dedup_corpus": sqlgen.dedup_corpus_minhash_sql(threshold=0.5),
         "cluster_sizes": sqlgen.cluster_sizes_sql(threshold=0.5),
+        "percolate": _percolate_oracle(),
         "embedding_dup_pairs_lsh": sqlgen.embedding_lsh_pairs_sql(threshold=0.4),
         "facet_counts_offline": (
             "SELECT lang, count(*) AS n_docs FROM documents WHERE lang != 'en' "

@@ -399,3 +399,50 @@ def test_batch_search_sharded_rank_identical(ray_session, tmp_path):
             assert got["score"].tolist() == pytest.approx(
                 [float(h.score) for h in want]
             ), (n_shards, q)
+
+
+def test_percolate_semantics(ray_session):
+    """Conjunctive containment, ASCII-ws query split, case folding, empty
+    and unmatched queries."""
+    import ray.data
+
+    from infidex_ray.ops.percolate import percolate
+
+    docs = [
+        (0, "Hash JOIN merge sort"),
+        (1, "hash only here"),
+        (2, "join hash extra words"),
+        (3, ""),
+        (4, "x\xa0y hash join"),  # NBSP glues x\xa0y into ONE token
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs], pa.string()),
+            }
+        )
+    )
+    out = _df(
+        percolate(
+            ds,
+            [
+                (10, "hash join"),
+                (11, "HASH hash"),  # dedupes to one term
+                (12, "absent term"),
+                (13, ""),  # empty: matches nothing
+                (14, "x\xa0y"),  # NBSP token matches doc 4 verbatim
+            ],
+        )
+    )
+    got = sorted(map(tuple, out[["query_id", "doc_id"]].values.tolist()))
+    assert got == [
+        (10, 0),
+        (10, 2),
+        (10, 4),
+        (11, 0),
+        (11, 1),
+        (11, 2),
+        (11, 4),
+        (14, 4),
+    ]
