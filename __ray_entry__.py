@@ -375,6 +375,54 @@ _PERCOLATE_QUERIES = [
 ]
 
 
+def _q_snippet_extract(sf_dir: str):
+    """Hit-highlighting snippets (ops/snippets.py): best 8-token window
+    per matching doc for the BM25 panel query — max distinct-term count,
+    tie to the earliest start; oracle replays the window scan with a
+    generate_series window table + string_agg reassembly."""
+    from infidex_ray.ops.snippets import snippet_extract
+
+    return _by(
+        snippet_extract(_read(sf_dir, "documents"), BM25_QUERY, window=8),
+        "doc_id",
+    )
+
+
+def _snippet_oracle(query: str, window: int = 8) -> str:
+    from infidex_ray.ops.asciiws import split_ascii_ws
+
+    terms = sorted({t.lower() for t in split_ascii_ws(query)})
+    values = ", ".join(f"({sqlgen.sql_quote(t)})" for t in terms)
+    return f"""
+WITH u0 AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '\\S+')) AS tok,
+         generate_subscripts(regexp_extract_all(coalesce(text, ''), '\\S+'), 1) AS i
+  FROM documents),
+nt AS (SELECT doc_id, count(*) AS ntok FROM u0 GROUP BY 1),
+qt(term) AS (VALUES {values}),
+w AS (
+  SELECT n.doc_id, s.s, least(n.ntok, {window}) AS wd
+  FROM nt n JOIN (SELECT unnest(generate_series(1,
+       (SELECT max(ntok) FROM nt))) AS s) s
+    ON s.s <= n.ntok - least(n.ntok, {window}) + 1),
+sc AS (
+  SELECT w.doc_id, w.s, w.wd, count(DISTINCT qt.term) AS score
+  FROM w JOIN u0 ON u0.doc_id = w.doc_id
+    AND u0.i >= w.s AND u0.i < w.s + w.wd
+  JOIN qt ON lower(u0.tok) = qt.term
+  GROUP BY 1, 2, 3),
+b1 AS (
+  SELECT doc_id, s, wd, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+      ORDER BY score DESC, s) AS rn FROM sc) WHERE rn = 1)
+SELECT b1.doc_id, b1.s AS start_token, b1.score AS n_terms_matched,
+  string_agg(u0.tok, ' ' ORDER BY u0.i) AS snippet
+FROM b1 JOIN u0 ON u0.doc_id = b1.doc_id
+  AND u0.i >= b1.s AND u0.i < b1.s + b1.wd
+GROUP BY 1, 2, 3 ORDER BY b1.doc_id
+"""
+
+
 def _q_percolate(sf_dir: str):
     """Reverse search / saved-query alerting (ops/percolate.py): every
     doc matched against a stored query list, conjunctive term
@@ -4313,6 +4361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "batch_search_sharded": _q_batch_search_sharded,
         "cluster_sizes": _q_cluster_sizes,
         "percolate": _q_percolate,
+        "snippet_extract": _q_snippet_extract,
         "search_topk_bm25_distributed": _q_search_topk_bm25_distributed,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -4787,6 +4836,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_corpus": sqlgen.dedup_corpus_minhash_sql(threshold=0.5),
         "cluster_sizes": sqlgen.cluster_sizes_sql(threshold=0.5),
         "percolate": _percolate_oracle(),
+        "snippet_extract": _snippet_oracle(BM25_QUERY, window=8),
         "embedding_dup_pairs_lsh": sqlgen.embedding_lsh_pairs_sql(threshold=0.4),
         "facet_counts_offline": (
             "SELECT lang, count(*) AS n_docs FROM documents WHERE lang != 'en' "

@@ -446,3 +446,34 @@ def test_percolate_semantics(ray_session):
         (11, 4),
         (14, 4),
     ]
+
+
+def test_snippet_extract_window_rule(ray_session):
+    """Max distinct-term window wins, ties to the earliest start; short
+    docs are one whole-doc window; zero-match docs emit nothing."""
+    import ray.data
+
+    from infidex_ray.ops.snippets import snippet_extract
+
+    docs = [
+        (0, "a b c HASH d e f g h hash join k"),  # best window holds both
+        (1, "hash x"),  # short doc, 1 term
+        (2, "nothing relevant here"),
+        (3, "join"),  # single-token doc
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs], pa.string()),
+            }
+        )
+    )
+    out = _df(snippet_extract(ds, "hash join", window=4)).set_index("doc_id")
+    assert 2 not in out.index
+    # doc 0: windows of 4; both terms together only around 'hash join'
+    assert out.loc[0, "n_terms_matched"] == 2
+    assert "hash join" in out.loc[0, "snippet"]
+    assert out.loc[1, "n_terms_matched"] == 1
+    assert out.loc[1, "snippet"] == "hash x"
+    assert out.loc[3, "snippet"] == "join" and out.loc[3, "start_token"] == 1
