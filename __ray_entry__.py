@@ -423,6 +423,47 @@ GROUP BY 1, 2, 3 ORDER BY b1.doc_id
 """
 
 
+_SPELL_QUERIES = ["windw merge", "qick hash", "compresion tble", "vector"]
+
+
+def _q_spell_suggest(sf_dir: str):
+    """Did-you-mean corrections (ops/fuzzy.py::spell_suggest): best
+    corpus-vocab word within byte-Levenshtein ≤ 2 for each OOV query
+    token, ties to max df then lexicographic; df = docs containing the
+    token."""
+    from infidex_ray.ops.fuzzy import spell_suggest
+
+    return _by(
+        spell_suggest(_read(sf_dir, "documents"), _SPELL_QUERIES, max_dist=2),
+        "token",
+    )
+
+
+def _spell_oracle(max_dist: int = 2) -> str:
+    from infidex_ray.ops.asciiws import split_ascii_ws
+
+    tokens = sorted(
+        {t.lower() for q in _SPELL_QUERIES for t in split_ascii_ws(q)}
+    )
+    values = ", ".join(f"({sqlgen.sql_quote(t)})" for t in tokens)
+    return (
+        "WITH toks AS (SELECT DISTINCT doc_id, lower(tok) AS tok FROM ("
+        "SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), "
+        "'\\S+')) AS tok FROM documents)), "
+        "v AS (SELECT tok, count(*)::BIGINT AS df FROM toks GROUP BY tok), "
+        f"q(token) AS (VALUES {values}), "
+        "oov AS (SELECT token FROM q WHERE token NOT IN (SELECT tok FROM v)), "
+        "cand AS (SELECT o.token, v.tok AS suggestion, "
+        "levenshtein(o.token, v.tok)::BIGINT AS distance, v.df "
+        f"FROM oov o JOIN v ON abs(strlen(v.tok) - strlen(o.token)) <= {max_dist} "
+        f"WHERE levenshtein(o.token, v.tok) <= {max_dist}) "
+        "SELECT token, suggestion, distance, df FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY token "
+        "ORDER BY distance, df DESC, suggestion) AS rn FROM cand) "
+        "WHERE rn = 1 ORDER BY token"
+    )
+
+
 def _q_percolate(sf_dir: str):
     """Reverse search / saved-query alerting (ops/percolate.py): every
     doc matched against a stored query list, conjunctive term
@@ -4362,6 +4403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_sizes": _q_cluster_sizes,
         "percolate": _q_percolate,
         "snippet_extract": _q_snippet_extract,
+        "spell_suggest": _q_spell_suggest,
         "search_topk_bm25_distributed": _q_search_topk_bm25_distributed,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -4837,6 +4879,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_sizes": sqlgen.cluster_sizes_sql(threshold=0.5),
         "percolate": _percolate_oracle(),
         "snippet_extract": _snippet_oracle(BM25_QUERY, window=8),
+        "spell_suggest": _spell_oracle(max_dist=2),
         "embedding_dup_pairs_lsh": sqlgen.embedding_lsh_pairs_sql(threshold=0.4),
         "facet_counts_offline": (
             "SELECT lang, count(*) AS n_docs FROM documents WHERE lang != 'en' "

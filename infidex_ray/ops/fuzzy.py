@@ -466,3 +466,138 @@ def jaro_winkler_pairs(
         )
 
     return neighborhood_fanout(proj, [key_col, id_col], window, pairs, empty)
+
+
+def spell_suggest(
+    ds,
+    queries: list[str],
+    max_dist: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Did-you-mean: for every query token ABSENT from the corpus
+    vocabulary, the best correction — minimum byte-level Levenshtein
+    distance (≤ ``max_dist``), ties to the HIGHEST document frequency,
+    then lexicographic. Tokens are lowered ASCII-whitespace tokens (RE2
+    parity); df = number of documents containing the token. Output:
+    ``(token, suggestion, distance, df)`` — one row per correctable OOV
+    token.
+
+    Scale: the corpus streams ONCE — per batch, distinct (doc, token)
+    counts fold into per-token df partials and a banded ``lev_bytes``
+    lane per query token × batch-vocab emits that batch's candidates
+    (every candidate, with its df PARTIAL — the rank rule needs global
+    df, so an in-batch argmin would be wrong); the driver reduce sums
+    O(candidates × blocks) rows — bounded by the LD≤k neighborhoods of
+    the query tokens, not the corpus."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .asciiws import split_ascii_ws
+
+    tokens = sorted(
+        {t.lower() for q in queries for t in split_ascii_ws(q or "")}
+    )
+    if not tokens:
+        raise ValueError("queries must contain at least one token")
+    tok_bytes = [t.encode("utf-8") for t in tokens]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(pc.cast(batch[text_col], pa.large_string()), "")
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(col), pattern="[\t\n\x0b\x0c\r ]+"
+        )
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(batch.num_rows), lens)[keep]
+        flat = flat.filter(pa.array(keep))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        enc = flat.dictionary_encode()
+        words = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct (doc, word) → per-word df partial
+        pairs = np.unique(np.stack([doc_of, idx], axis=1), axis=0)
+        dfp = np.bincount(pairs[:, 1], minlength=len(words))
+        out = {
+            "token": [],
+            "suggestion": [],
+            "distance": [],
+            "df": [],
+            "kind": [],
+        }
+        # vocab df partials for the query tokens themselves (OOV check)
+        wl = np.asarray([len(w.encode("utf-8")) for w in words], dtype=np.int64)
+        for t, tb in zip(tokens, tok_bytes):
+            hitw = np.flatnonzero(words == t)
+            if len(hitw):
+                out["token"].append(t)
+                out["suggestion"].append(t)
+                out["distance"].append(0)
+                out["df"].append(int(dfp[hitw[0]]))
+                out["kind"].append("present")
+            # banded candidates (|byte length diff| <= k mirrors the
+            # oracle's strlen band)
+            cand = np.flatnonzero(np.abs(wl - len(tb)) <= max_dist)
+            if len(cand) == 0:
+                continue
+            d = lev_bytes(
+                [t] * len(cand), [words[c] for c in cand], band=max_dist
+            )
+            ok = d <= max_dist
+            if not ok.any():
+                continue
+            # emit EVERY in-batch candidate: the rank rule needs GLOBAL
+            # df, and an in-batch argmin could drop the suggestion whose
+            # df only wins after summing across batches
+            for c, dist in zip(cand[ok], d[ok]):
+                out["token"].append(t)
+                out["suggestion"].append(str(words[c]))
+                out["distance"].append(int(dist))
+                out["df"].append(int(dfp[c]))
+                out["kind"].append("cand")
+        return pa.table(
+            {
+                "token": pa.array(out["token"], pa.string()),
+                "suggestion": pa.array(out["suggestion"], pa.string()),
+                "distance": pa.array(out["distance"], pa.int64()),
+                "df": pa.array(out["df"], pa.int64()),
+                "kind": pa.array(out["kind"], pa.string()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    # final reduce: O(tokens × blocks) partial rows. A candidate's df is
+    # its IN-BATCH partial, but docs never span batches and the rank rule
+    # needs GLOBAL df — re-aggregate per (token, suggestion) first.
+    present: set[str] = set()
+    cand_df: dict[tuple[str, str], int] = {}
+    cand_d: dict[tuple[str, str], int] = {}
+    for r in rows:
+        if r["kind"] == "present":
+            present.add(r["token"])
+        else:
+            k = (r["token"], r["suggestion"])
+            cand_df[k] = cand_df.get(k, 0) + int(r["df"])
+            cand_d[k] = int(r["distance"])
+    best: dict[str, tuple] = {}
+    for (t, w), df in cand_df.items():
+        if t in present:
+            continue
+        e = (cand_d[(t, w)], -df, w)
+        if t not in best or e < best[t]:
+            best[t] = e
+    out_rows = sorted(
+        (t, w, d, -ndf) for t, (d, ndf, w) in best.items()
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "token": pa.array([r[0] for r in out_rows], pa.string()),
+                "suggestion": pa.array([r[1] for r in out_rows], pa.string()),
+                "distance": pa.array([r[2] for r in out_rows], pa.int64()),
+                "df": pa.array([r[3] for r in out_rows], pa.int64()),
+            }
+        )
+    )

@@ -477,3 +477,32 @@ def test_snippet_extract_window_rule(ray_session):
     assert out.loc[1, "n_terms_matched"] == 1
     assert out.loc[1, "snippet"] == "hash x"
     assert out.loc[3, "snippet"] == "join" and out.loc[3, "start_token"] == 1
+
+
+def test_spell_suggest_rank_rule(ray_session):
+    """Min distance wins; df breaks ties (summed ACROSS batches); present
+    tokens and unmatchable tokens emit nothing."""
+    import ray.data
+
+    from infidex_ray.ops.fuzzy import spell_suggest
+
+    docs = [
+        (0, "quick brown fox"),
+        (1, "quick quack"),
+        (2, "quack zzz"),
+        (3, "quack pond"),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs], pa.string()),
+            }
+        )
+    ).repartition(4)  # force multi-batch df summing
+    out = _df(spell_suggest(ds, ["quock fox xyzzy"], max_dist=1))
+    got = {r.token: (r.suggestion, r.distance, r.df) for r in out.itertuples(index=False)}
+    # 'quock': LD1 to quick (df 2) and quack (df 3) -> quack wins on df
+    assert got["quock"] == ("quack", 1, 3)
+    assert "fox" not in got  # present in vocab
+    assert "xyzzy" not in got  # no candidate within 1
