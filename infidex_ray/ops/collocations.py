@@ -43,6 +43,7 @@ from .dedup import (
     _default_num_slices,
     _join_partitions,
     _md5_u64,
+    _slice_hash_strings,
     round_half_up4_arr,
 )
 
@@ -359,10 +360,7 @@ def ngram_freq(
             ]
         sep = pa.scalar(" ", pa.large_string())
         grams = pc.binary_join_element_wise(*cols, sep)
-        sl = np.asarray(
-            [_md5_u64(g) % num_slices for g in grams.to_pylist()],
-            dtype=np.int32,
-        )
+        sl = _slice_hash_strings(grams, num_slices)
         return pa.table(
             {
                 "gram": grams,

@@ -82,9 +82,9 @@ def _line_partials(
         vc = pc.value_counts(flat)
         lines = vc.field("values").cast(pa.large_string())
         ns = vc.field("counts").cast(pa.int64())
-    sl = np.asarray(
-        [_md5_u64(s) % num_slices for s in lines.to_pylist()], dtype=np.int32
-    )
+    from .dedup import _slice_hash_strings
+
+    sl = _slice_hash_strings(lines, num_slices)
     return pa.table({"line": lines, "n": ns, "slice": pa.array(sl)})
 
 

@@ -321,7 +321,7 @@ def heavy_hitters(ds, k: int = 100, text_col: str = "text"):
     """
     import pyarrow.compute as pc
 
-    from .dedup import _default_num_slices, _md5_u64
+    from .dedup import _default_num_slices, _slice_hash_strings
 
     num_slices = _default_num_slices()
 
@@ -333,10 +333,7 @@ def heavy_hitters(ds, k: int = 100, text_col: str = "text"):
         flat = flat.filter(pc.not_equal(flat, ""))
         vc = pc.value_counts(flat)
         tokens = vc.field("values").cast(pa.string())
-        sl = np.asarray(
-            [_md5_u64(t) % num_slices for t in tokens.to_pylist()],
-            dtype=np.int32,
-        )
+        sl = _slice_hash_strings(tokens, num_slices)
         return pa.table(
             {
                 "token": tokens,
@@ -841,7 +838,7 @@ def token_spectrum(ds, text_col: str = "text") -> pa.Table:
     """
     import pyarrow.compute as pc
 
-    from .dedup import _default_num_slices, _md5_u64
+    from .dedup import _default_num_slices, _slice_hash_strings
 
     num_slices = _default_num_slices()
 
@@ -853,10 +850,7 @@ def token_spectrum(ds, text_col: str = "text") -> pa.Table:
         flat = flat.filter(pc.not_equal(flat, ""))
         vc = pc.value_counts(flat)
         tokens = vc.field("values").cast(pa.string())
-        sl = np.asarray(
-            [_md5_u64(t) % num_slices for t in tokens.to_pylist()],
-            dtype=np.int32,
-        )
+        sl = _slice_hash_strings(tokens, num_slices)
         return pa.table(
             {
                 "token": tokens,
