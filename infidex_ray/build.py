@@ -953,10 +953,11 @@ def build_index(
         for stale in sorted(on_disk - set(built_names)):
             shutil.rmtree(os.path.join(seg_root, stale), ignore_errors=True)
         seg_dirs = built_names
-    else:  # empty input: no segment tasks ran
-        seg_dirs = sorted(
-            d for d in os.listdir(seg_root) if os.path.isdir(os.path.join(seg_root, d))
-        )
+    else:
+        # no segment task emitted a __segment__ row ⇒ EMPTY input: the
+        # manifest is empty too (a listdir fallback here would resurrect
+        # the stale-layout union this block exists to prevent)
+        seg_dirs = []
     n_docs, sum_dl = 0, 0.0
     seg_entries = []
     for d in seg_dirs:

@@ -201,6 +201,34 @@ class _StatsOnly:
                 seen.append(t)
         return seen
 
+    def bm25_probe_terms(self, raw_query: str) -> list[str]:
+        """Fuzzy probe terms under bm25_all_scores' OWN tokenization
+        (engine.py:818-833: normalize WITHOUT synonym canonicalization,
+        default tokenizer flags) — the float64_sql scorer can reach OOV
+        terms the stage-1 plan never probes (mixed-word drops, synonym
+        canonical forms), and a shard falling back to its LOCAL fuzzy df
+        for them would skew score64 with the shard count."""
+        from ..analyzer import normalize_with, tokenize_for_search
+
+        cfg = self.cfg
+        q = normalize_with(
+            cfg.normalizer, (raw_query or "").strip(), is_query=True
+        ).lower()
+        tokens = sorted(
+            set(
+                tokenize_for_search(
+                    q,
+                    cfg.index_sizes,
+                    cfg.start_pad_size,
+                    cfg.stop_pad_size,
+                    cfg.delimiters,
+                )
+            )
+        )
+        return [
+            t for t in tokens if len(t) >= 4 and self.df_lookup(t) == 0
+        ]
+
     def plan(self, tfidf_query: str, fuzzy_map: dict):
         from ..query import stage1 as s1
 
@@ -242,10 +270,15 @@ class _ShardFuzzyActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_q, out_t, out_c = [], [], []
         for raw in batch[self.query_col].to_pylist():
+            raw = raw or ""  # null query rows: same coalesce as base_q
             tq = self.stats.stage1_query(self.stats.norm_query(raw))
             if tq is None:
                 continue
-            for term in self.stats.fuzzy_probe_terms(tq):
+            # union of the PLAN's probe set and the float64 scorer's —
+            # both tokenizations' OOV terms need the GLOBAL fuzzy df
+            probes = set(self.stats.fuzzy_probe_terms(tq))
+            probes.update(self.stats.bm25_probe_terms(raw))
+            for term in sorted(probes):
                 out_q.append(raw)
                 out_t.append(term)
                 out_c.append(
@@ -420,8 +453,11 @@ def batch_search_sharded(
     Stage-1 scope only: queries that route to the short/single-char path
     (all words below the min index size) emit NO rows — run those
     through :func:`batch_search` (full pipeline) instead. Output:
-    ``(query, rank, doc_id, score)``; ``score_mode`` as in
-    :func:`batch_search`.
+    ``(query, rank, doc_id, score)`` with ONE result set per DISTINCT
+    query string (the per-query merge aggregates by text; duplicate
+    query-log rows collapse — join the output back on ``query`` to
+    re-attach frequencies, or use :func:`batch_search`, which preserves
+    row multiplicity). ``score_mode`` as in :func:`batch_search`.
 
     Scale: queries materialize once and fan out to S shard pools per
     round; only O(probe terms), O(4 counts) and O(S × depth) entry rows
@@ -435,10 +471,12 @@ def batch_search_sharded(
 
     if score_mode not in ("engine", "float64_sql"):
         raise ValueError(f"unknown score_mode {score_mode!r}")
+    from ..engine import config_from_manifest
+
     with open(_os.path.join(index_dir, "manifest.json")) as f:
         manifest = _json.load(f)
     n_segments = len(manifest["segments"])
-    depth = _StatsOnly(index_dir).cfg.coverage_depth
+    depth = config_from_manifest(manifest).coverage_depth
     if n_shards is None:
         n_shards = min(8, n_segments)
     n_shards = max(1, min(int(n_shards), n_segments))
@@ -479,9 +517,13 @@ def batch_search_sharded(
     )
 
     def base_q(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         return pa.table(
             {
-                "query": t[query_col].cast(pa.string()),
+                # null query rows coalesce to "" (sorted(agg) in the merge
+                # cannot compare None to str; batch_search does the same)
+                "query": pc.fill_null(t[query_col].cast(pa.string()), ""),
                 "term": pa.nulls(len(t), pa.string()),
                 "cnt": pa.nulls(len(t), pa.int64()),
             }
@@ -626,14 +668,22 @@ def batch_search_sharded(
             final = s1.consolidate(s1.merge_topk([entries], depth))
             if deleted:  # engine filters AFTER the depth merge (:509-510)
                 final = [e for e in final if e[1] not in deleted]
-            # score64 keyed by (key, seg): with duplicate corpus keys the
-            # same key can appear from two shards with different chunks
-            sc = {(int(key[t]), int(seg[t])): float(s64[t]) for t in idx}
+            # score64 keyed by the FULL entry identity (key, seg, f32
+            # score, tb): a multi-chunk doc puts several rows per (key,
+            # seg) in idx and consolidate ranks by the BEST chunk — a
+            # plain (key, seg) map iterated pos-ascending would keep the
+            # WORST chunk's engine-mode score (entries are score-desc)
+            sc = {
+                (int(key[t]), int(seg[t]), float(s32[t]), int(tb[t])): float(
+                    s64[t]
+                )
+                for t in idx
+            }
             for r, e in enumerate(final[:top_k]):
                 out["query"].append(qs[order[i]])
                 out["rank"].append(r + 1)
                 out["doc_id"].append(e[1])
-                out["score"].append(sc[(e[1], e[3])])
+                out["score"].append(sc[(e[1], e[3], e[0], e[2])])
             i = j
         return pa.table(
             {

@@ -503,17 +503,9 @@ def spell_suggest(
     tok_bytes = [t.encode("utf-8") for t in tokens]
 
     def partial(batch: pa.Table) -> pa.Table:
-        col = pc.fill_null(pc.cast(batch[text_col], pa.large_string()), "")
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(col), pattern="[\t\n\x0b\x0c\r ]+"
-        )
-        flat = pc.list_flatten(toks)
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        doc_of = np.repeat(np.arange(batch.num_rows), lens)[keep]
-        flat = flat.filter(pa.array(keep))
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
+        from .asciiws import flat_tokens_arrow
+
+        flat, doc_of = flat_tokens_arrow(batch[text_col], lower_text=True)
         enc = flat.dictionary_encode()
         words = np.asarray(enc.dictionary.to_pylist(), dtype=object)
         idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)

@@ -21,8 +21,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-_WS_PAT = "[\t\n\x0b\x0c\r ]+"
-
 
 def percolate(
     ds,
@@ -33,9 +31,7 @@ def percolate(
     """Match every doc against the stored ``(query_id, query_text)`` list;
     returns ``(query_id, doc_id)`` rows for every query whose terms ALL
     appear in the doc's token set. Queries with no terms match nothing."""
-    import pyarrow.compute as pc
-
-    from .asciiws import split_ascii_ws
+    from .asciiws import flat_tokens_arrow, split_ascii_ws, vocab_positions
 
     qids: list[int] = []
     qterms: list[list[str]] = []
@@ -56,25 +52,12 @@ def percolate(
 
     def fn(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        col = pc.fill_null(pc.cast(batch[text_col], pa.large_string()), "")
-        toks = pc.split_pattern_regex(pc.utf8_lower(col), pattern=_WS_PAT)
-        flat = pc.list_flatten(toks)
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        doc_of = np.repeat(np.arange(n), lens)[keep]
-        flat = flat.filter(pa.array(keep))
+        flat, doc_of = flat_tokens_arrow(batch[text_col], lower_text=True)
         # membership of each doc in each needed vocab term: dictionary
-        # ids → searchsorted into the query vocab
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
+        # ids → searchsorted into the query vocab (empty-vocab safe)
         enc = flat.dictionary_encode()
         dwords = np.asarray(enc.dictionary.to_pylist(), dtype=object)
-        pos = np.searchsorted(vocab_arr, dwords)
-        pos = np.where(
-            (pos < len(vocab_arr)) & (vocab_arr[np.minimum(pos, len(vocab_arr) - 1)] == dwords),
-            pos,
-            -1,
-        )
+        pos = vocab_positions(dwords, vocab_arr)
         tok_vid = pos[
             enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         ]

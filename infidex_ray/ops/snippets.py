@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .asciiws import split_ascii_ws
+from .asciiws import flat_tokens_arrow, split_ascii_ws, vocab_positions
 
 _WS_PAT = "[\t\n\x0b\x0c\r ]+"
 
@@ -48,15 +48,7 @@ def snippet_extract(
 
     def fn(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        col = pc.fill_null(pc.cast(batch[text_col], pa.large_string()), "")
-        toks = pc.split_pattern_regex(col, pattern=_WS_PAT)
-        flat = pc.list_flatten(toks)
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        doc_of = np.repeat(np.arange(n), lens)[keep]
-        flat = flat.filter(pa.array(keep))
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
+        flat, doc_of = flat_tokens_arrow(batch[text_col])
         ntok = np.bincount(doc_of, minlength=n)
         starts = np.concatenate([[0], np.cumsum(ntok)[:-1]])
         F = len(doc_of)
@@ -73,14 +65,9 @@ def snippet_extract(
         lower = pc.utf8_lower(flat)
         enc = lower.dictionary_encode()
         dwords = np.asarray(enc.dictionary.to_pylist(), dtype=object)
-        pos = np.searchsorted(terms_arr, dwords)
-        pos = np.where(
-            (pos < len(terms_arr))
-            & (terms_arr[np.minimum(pos, len(terms_arr) - 1)] == dwords),
-            pos,
-            -1,
-        )
-        tok_term = pos[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        tok_term = vocab_positions(dwords, terms_arr)[
+            enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ]
 
         # per-doc effective window (short docs: one whole-doc window) and
         # window starts in the FLAT stream

@@ -361,6 +361,12 @@ def test_batch_search_sharded_rank_identical(ray_session, tmp_path):
                 "five quacking zephyrs jolt my wax bed",
                 "the jay pig fox zebra and my wolves quack",
                 "waltz bad nymph for quick jigs vex",
+                # long doc: autosegments into multiple chunks — locks the
+                # (key, seg, score32, tb)-keyed score64 pick (a plain
+                # (key, seg) map kept the WORST chunk's engine score)
+                " ".join(
+                    ["quick brown fox jumps high"] * 600
+                ),
             ]
         )
     ]
@@ -379,7 +385,7 @@ def test_batch_search_sharded_rank_identical(ray_session, tmp_path):
         "wolves quack",
     ]
     qds = ray.data.from_arrow(pa.table({"query": pa.array(queries)}))
-    for n_shards in (3,):  # uneven split: shards of 2/1/1 segments
+    for n_shards in (1, 3):  # degenerate single shard + uneven 2/1/1
         out = (
             batch_search_sharded(
                 qds, idx, n_shards=n_shards, top_k=5, concurrency=(1, 2)
