@@ -423,6 +423,41 @@ GROUP BY 1, 2, 3 ORDER BY b1.doc_id
 """
 
 
+_SUGGEST_PREFIXES = ["ha", "qu", "ta", "ve", "zz"]
+
+
+def _q_prefix_suggest(sf_dir: str):
+    """Type-ahead completion table (ops/suggest.py::prefix_suggest): top-5
+    corpus-vocab completions per prefix by (df desc, word); oracle =
+    starts_with join over the distinct-token vocab with row_number."""
+    from infidex_ray.ops.suggest import prefix_suggest
+
+    return _by(
+        prefix_suggest(_read(sf_dir, "documents"), _SUGGEST_PREFIXES, top_k=5),
+        "prefix",
+        "rank",
+    )
+
+
+def _suggest_oracle(top_k: int = 5) -> str:
+    values = ", ".join(
+        f"({sqlgen.sql_quote(p)})" for p in sorted(set(_SUGGEST_PREFIXES))
+    )
+    return (
+        "WITH toks AS (SELECT DISTINCT doc_id, lower(tok) AS tok FROM ("
+        "SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), "
+        "'\\S+')) AS tok FROM documents)), "
+        "v AS (SELECT tok, count(*)::BIGINT AS df FROM toks GROUP BY tok), "
+        f"p(prefix) AS (VALUES {values}), "
+        "cand AS (SELECT p.prefix, v.tok AS suggestion, v.df, "
+        "row_number() OVER (PARTITION BY p.prefix "
+        "ORDER BY v.df DESC, v.tok) AS rank "
+        "FROM p JOIN v ON starts_with(v.tok, p.prefix)) "
+        f"SELECT prefix, rank, suggestion, df FROM cand WHERE rank <= {top_k} "
+        "ORDER BY prefix, rank"
+    )
+
+
 _SPELL_QUERIES = ["windw merge", "qick hash", "compresion tble", "vector"]
 
 
@@ -4404,6 +4439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate": _q_percolate,
         "snippet_extract": _q_snippet_extract,
         "spell_suggest": _q_spell_suggest,
+        "prefix_suggest": _q_prefix_suggest,
         "search_topk_bm25_distributed": _q_search_topk_bm25_distributed,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -4880,6 +4916,7 @@ def oracle_sql() -> dict[str, str]:
         "percolate": _percolate_oracle(),
         "snippet_extract": _snippet_oracle(BM25_QUERY, window=8),
         "spell_suggest": _spell_oracle(max_dist=2),
+        "prefix_suggest": _suggest_oracle(top_k=5),
         "embedding_dup_pairs_lsh": sqlgen.embedding_lsh_pairs_sql(threshold=0.4),
         "facet_counts_offline": (
             "SELECT lang, count(*) AS n_docs FROM documents WHERE lang != 'en' "

@@ -512,3 +512,20 @@ def test_spell_suggest_rank_rule(ray_session):
     assert got["quock"] == ("quack", 1, 3)
     assert "fox" not in got  # present in vocab
     assert "xyzzy" not in got  # no candidate within 1
+
+
+def test_prefix_suggest_rank_rule(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.suggest import prefix_suggest
+
+    docs = ["quick quack", "quick quartz", "quick", "quest zone"]
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(docs, pa.string())})
+    ).repartition(4)  # multi-batch df summing
+    out = _df(prefix_suggest(ds, ["qu", "zo", "xx"], top_k=3))
+    qu = out[out["prefix"] == "qu"]
+    assert qu["suggestion"].tolist() == ["quick", "quack", "quartz"]
+    assert qu["df"].tolist() == [3, 1, 1]  # df desc, then lexicographic
+    assert out[out["prefix"] == "zo"]["suggestion"].tolist() == ["zone"]
+    assert (out["prefix"] == "xx").sum() == 0
