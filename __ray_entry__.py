@@ -423,6 +423,30 @@ GROUP BY 1, 2, 3 ORDER BY b1.doc_id
 """
 
 
+def _q_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth curve (ops/vocabcurve.py): distinct
+    lowered tokens among docs with doc_id ≤ max_id·i//10 — the crawl-
+    novelty diagnostic; oracle recomputes first-doc minima per token."""
+    from infidex_ray.ops.vocabcurve import vocab_growth
+
+    return _by(vocab_growth(_read(sf_dir, "documents"), steps=10), "step")
+
+
+_VOCAB_GROWTH_ORACLE = (
+    "WITH mx AS (SELECT max(doc_id) AS m FROM documents), "
+    "th AS (SELECT i, (SELECT m FROM mx) * i // 10 AS bound "
+    "FROM (SELECT unnest(generate_series(1, 10)) AS i)), "
+    "first AS (SELECT tok, min(doc_id) AS fd FROM ("
+    "SELECT DISTINCT doc_id, lower(tok) AS tok FROM ("
+    "SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), "
+    "'\\S+')) AS tok FROM documents)) GROUP BY tok) "
+    "SELECT th.i AS step, th.bound AS max_doc_id, "
+    "count(f.tok)::BIGINT AS vocab_size "
+    "FROM th LEFT JOIN first f ON f.fd <= th.bound "
+    "GROUP BY 1, 2 ORDER BY step"
+)
+
+
 _SUGGEST_PREFIXES = ["ha", "qu", "ta", "ve", "zz"]
 
 
@@ -4440,6 +4464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippet_extract": _q_snippet_extract,
         "spell_suggest": _q_spell_suggest,
         "prefix_suggest": _q_prefix_suggest,
+        "vocab_growth": _q_vocab_growth,
         "search_topk_bm25_distributed": _q_search_topk_bm25_distributed,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -4917,6 +4942,7 @@ def oracle_sql() -> dict[str, str]:
         "snippet_extract": _snippet_oracle(BM25_QUERY, window=8),
         "spell_suggest": _spell_oracle(max_dist=2),
         "prefix_suggest": _suggest_oracle(top_k=5),
+        "vocab_growth": _VOCAB_GROWTH_ORACLE,
         "embedding_dup_pairs_lsh": sqlgen.embedding_lsh_pairs_sql(threshold=0.4),
         "facet_counts_offline": (
             "SELECT lang, count(*) AS n_docs FROM documents WHERE lang != 'en' "

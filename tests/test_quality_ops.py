@@ -529,3 +529,33 @@ def test_prefix_suggest_rank_rule(ray_session):
     assert qu["df"].tolist() == [3, 1, 1]  # df desc, then lexicographic
     assert out[out["prefix"] == "zo"]["suggestion"].tolist() == ["zone"]
     assert (out["prefix"] == "xx").sum() == 0
+
+
+def test_vocab_growth_monotone_and_exact(ray_session):
+    import ray.data
+
+    from infidex_ray.ops.vocabcurve import vocab_growth
+
+    docs = [(i, f"tok{i % 7} common word{i % 3}") for i in range(40)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs], pa.string()),
+            }
+        )
+    ).repartition(4)
+    out = _df(vocab_growth(ds, steps=4)).sort_values("step")
+    vs = out["vocab_size"].tolist()
+    assert vs == sorted(vs)  # monotone non-decreasing
+    # exact check vs brute force at each bound
+    for _, r in out.iterrows():
+        want = len(
+            {
+                t
+                for i, txt in docs
+                if i <= r["max_doc_id"]
+                for t in txt.lower().split()
+            }
+        )
+        assert r["vocab_size"] == want
